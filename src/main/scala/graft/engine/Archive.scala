@@ -1,0 +1,90 @@
+package graft.engine
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.DataFrame
+
+/** CSV archive + publish — the reference's secondary sink pair:
+  * wide tables to local CSV (reference `etl_supabase.py:139-141`)
+  * then streamed upload to object storage with `?upsert=true`
+  * (`:88-108`, called `:154-156`).
+  *
+  * Spark-native shape: the archive is a distributed
+  * `df.write.csv` (header on, no index column — pandas
+  * `index=False` is Spark's default); the publish step is a
+  * driver-side byte-stream hook because object-storage upload is
+  * control-plane work, not row compute. At scale the archive keeps
+  * one file per partition; `singleFile=true` reproduces the
+  * reference's one-CSV-per-table artifact for small outputs only.
+  */
+object Archive {
+
+  /** Content type by file extension — reference `:93-94`. */
+  def contentType(path: String): String = {
+    val ext = path.lastIndexOf('.') match {
+      case -1 => ""
+      case i  => path.substring(i).toLowerCase(java.util.Locale.ROOT)
+    }
+    Map(
+      ".csv" -> "text/csv",
+      ".json" -> "application/json",
+      ".parquet" -> "application/octet-stream"
+    ).getOrElse(ext, "application/octet-stream")
+  }
+
+  /** Archive a DataFrame as CSV with header (reference `:139-141`).
+    * `singleFile` coalesces to 1 partition — only for reference-sized
+    * outputs; large tables keep their partitioning.
+    */
+  def toCsv(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite").option("header", "true").csv(path)
+  }
+
+  /** Pluggable publisher — the `upload_to_storage` seam
+    * (reference `:88-108`). Implementations must upsert (`:91`).
+    */
+  trait Publisher {
+    def publish(localPath: String, remotePath: String, bucket: String,
+                contentType: String): Unit
+  }
+
+  /** Filesystem-backed publisher (test double for Supabase Storage):
+    * copies bytes to `root/bucket/remotePath`, overwriting — the
+    * upsert=true semantics of `:91`.
+    */
+  class LocalFsPublisher(root: String) extends Publisher {
+    override def publish(localPath: String, remotePath: String,
+                         bucket: String, contentType: String): Unit = {
+      val dst: Path = Paths.get(root, bucket, remotePath)
+      Files.createDirectories(dst.getParent)
+      Files.copy(Paths.get(localPath), dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  val DefaultBucket = "processed-data" // reference `:88`
+
+  /** Publish every part-file of an archived directory (or a single
+    * file path) through `publisher`, fail-fast (reference `:106`).
+    */
+  def publishDir(publisher: Publisher, localDir: String, remotePrefix: String,
+                 bucket: String = DefaultBucket): Int = {
+    val dir = Paths.get(localDir)
+    val files: Seq[Path] =
+      if (Files.isDirectory(dir)) {
+        val s = Files.list(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(p => Files.isRegularFile(p) &&
+            !p.getFileName.toString.startsWith("_") &&
+            !p.getFileName.toString.startsWith(".")).toSeq
+        } finally s.close()
+      } else Seq(dir)
+    files.foreach { f =>
+      val remote = s"$remotePrefix/${f.getFileName}"
+      publisher.publish(f.toString, remote, bucket, contentType(f.toString))
+    }
+    files.size
+  }
+}

@@ -1,0 +1,113 @@
+package graft.engine
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Chunked, idempotent upsert sink — the Spark-native form of the
+  * reference's `upsert_table(records, table, chunk_size=300)`
+  * (reference `etl_supabase.py:71-85`).
+  *
+  * The reference slices a driver-side record list into ≤300-row
+  * chunks and POSTs them sequentially, aborting the run on the first
+  * failed chunk (`:83` `raise_for_status`). Here the same contract is
+  * distributed: each partition groups its rows into bounded chunks
+  * and hands them to a [[ChunkWriter]]; a thrown exception fails the
+  * task → Spark retries the task → the job aborts after max retries.
+  * Because Spark gives at-least-once on retry, the writer MUST be
+  * idempotent on the natural key — exactly the reference's own
+  * answer (PostgREST upsert, docstring `:71-72`; storage
+  * `?upsert=true`, `:91`). SURVEY §7.4.4.
+  *
+  * At 100 TB: no `collect()`, memory bounded by `chunkSize` rows per
+  * in-flight chunk per task, parallelism = partitions. Use
+  * `df.repartition(n)` upstream to match the endpoint's concurrency
+  * budget.
+  */
+object Sink {
+
+  val DefaultChunkSize = 300
+
+  /** Pluggable chunk endpoint. Implementations must be idempotent on
+    * the record's natural key and Serializable (shipped to
+    * executors).
+    */
+  trait ChunkWriter extends Serializable {
+    /** Write one chunk; throw to abort (fail-fast, reference `:83`). */
+    def writeChunk(table: String, chunk: Seq[Row]): Unit
+  }
+
+  /** Pure re-statement of the reference's slicing loop (`:77-78`):
+    * all chunks ≤ chunkSize, order preserved, concat = input.
+    * Exposed for property tests (SURVEY §5.2.2).
+    */
+  def chunked[T](records: Seq[T], chunkSize: Int = DefaultChunkSize): Seq[Seq[T]] = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    records.grouped(chunkSize).map(_.toSeq).toSeq
+  }
+
+  /** Distributed chunked upsert: every partition streams its rows in
+    * bounded chunks to `writer`. Returns the number of rows written
+    * (via accumulator — no extra job, unlike the reference's
+    * `len(records)` recount at `:132-134`).
+    */
+  def upsert(df: DataFrame, table: String, writer: ChunkWriter,
+             chunkSize: Int = DefaultChunkSize): Long = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    val written = df.sparkSession.sparkContext.longAccumulator(s"upsert_$table")
+    df.foreachPartition { (it: Iterator[Row]) =>
+      it.grouped(chunkSize).foreach { chunk =>
+        writer.writeChunk(table, chunk)
+        written.add(chunk.size)
+      }
+    }
+    written.value
+  }
+
+  /** In-memory idempotent writer keyed by natural key — the test
+    * double for the PostgREST endpoint. Last write wins per key, so
+    * replays (task retries) converge to the same state.
+    *
+    * NOTE: local-mode only (executors share the driver JVM). A real
+    * deployment plugs an HTTP/JDBC writer here.
+    */
+  class InMemoryUpsertWriter(keyColumns: Seq[String]) extends ChunkWriter {
+    val store = new ConcurrentHashMap[(String, Seq[Any]), Row]()
+    override def writeChunk(table: String, chunk: Seq[Row]): Unit =
+      chunk.foreach { row =>
+        val key = keyColumns.map(k => row.get(row.fieldIndex(k)))
+        store.put((table, key), row)
+      }
+    def size: Int = store.size()
+  }
+
+  /** Parquet-backed upsert for durable local runs: MERGE-like
+    * last-write-wins on the key columns, expressed relationally
+    * (read existing ∪ new, keep newest per key). Idempotent by
+    * construction.
+    */
+  def upsertParquet(df: DataFrame, path: String, keyColumns: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val exists = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val merged =
+      if (!exists) df
+      else {
+        val old = spark.read.parquet(path)
+        // new rows win: anti-join old against new keys, then union
+        old.join(df.select(keyColumns.map(col): _*).distinct(),
+                 keyColumns, "left_anti")
+          .unionByName(df)
+      }
+    // Write via temp dir then swap would be needed for true atomicity;
+    // for the harness, cache-materialize before overwrite to avoid
+    // reading the path being overwritten.
+    val materialized = merged.cache()
+    materialized.count()
+    materialized.write.mode("overwrite").parquet(path)
+    materialized.unpersist()
+  }
+}

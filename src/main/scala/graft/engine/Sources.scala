@@ -1,0 +1,80 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Sources. The reference's sources are three per-symbol financial
+  * statement API pulls (reference `etl_supabase.py:115-119`) plus
+  * env config (`:14-18`). The engine keeps the connector SHAPE as an
+  * interface — a statement source yields a wide DataFrame per
+  * (symbol, statement) — while the harness binds it to the driver's
+  * parquet fixtures under `/root/testdata` (one dir per scale factor).
+  *
+  * Scale posture: a real API connector implements DataSource V2
+  * `TableProvider` with one `InputPartition` per (symbol, statement)
+  * so a 10k-symbol universe fans out across executors; the fixture
+  * binding is a plain parquet scan which already gives vectorized
+  * read + filter/column pushdown.
+  */
+object Sources {
+
+  /** Statement kinds in the reference (`:117-119`). */
+  sealed trait Statement { def name: String }
+  case object Income extends Statement { val name = "income_statement" }
+  case object Balance extends Statement { val name = "balance_sheet" }
+  case object CashFlow extends Statement { val name = "cash_flow" }
+
+  /** Connector seam: wide table for one (symbol, statement). */
+  trait StatementSource {
+    def load(spark: SparkSession, symbol: String, statement: Statement): DataFrame
+  }
+
+  /** `dropna=True` parity (`:117-119`): drop rows whose every
+    * non-reserved value is null.
+    */
+  def dropAllNullRows(df: DataFrame): DataFrame = {
+    val payload = Schema.payloadColumns(df)
+    if (payload.isEmpty) df else df.na.drop("all", payload)
+  }
+
+  // ---- fixture tables (TESTDATA.md) -------------------------------
+
+  val TableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Convenience bundle over one scale-factor directory. */
+  final case class Tables(spark: SparkSession, sfDir: String) {
+    def region: DataFrame = table(spark, sfDir, "region")
+    def nation: DataFrame = table(spark, sfDir, "nation")
+    def customer: DataFrame = table(spark, sfDir, "customer")
+    def supplier: DataFrame = table(spark, sfDir, "supplier")
+    def part: DataFrame = table(spark, sfDir, "part")
+    def orders: DataFrame = table(spark, sfDir, "orders")
+    def lineitem: DataFrame = table(spark, sfDir, "lineitem")
+    /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS),
+      * which Spark's vectorized reader rejects. Values are micro-
+      * exact (sub-microsecond part is always 0), so read nanos as
+      * long and convert losslessly — integer `div`, not double
+      * division, because nanos exceed 2^53.
+      */
+    def events: DataFrame = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      table(spark, sfDir, "events")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+    }
+    def documents: DataFrame = table(spark, sfDir, "documents")
+    def embeddings: DataFrame = table(spark, sfDir, "embeddings")
+  }
+
+  /** Env-config source with fail-fast on missing keys — reference
+    * `:14-18`.
+    */
+  def requiredEnv(name: String, env: Map[String, String] = sys.env): String =
+    env.getOrElse(name,
+      throw new IllegalStateException(s"Missing required env var: $name"))
+}

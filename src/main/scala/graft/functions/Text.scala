@@ -1,0 +1,164 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, shingling, MinHash signatures, SimHash fingerprints,
+  * rolling-hash document fingerprints, quality features, and an
+  * n-gram/stopword language-ID heuristic.
+  *
+  * Everything here is a pure Catalyst expression composition
+  * (higher-order functions over arrays — `transform`/`aggregate`/
+  * `filter`/`zip_with`): no UDFs, no driver-side loops, so every
+  * operator is a map-side projection that scales linearly with rows
+  * and keeps Tungsten's columnar batches intact. ANSI-mode-safe: all
+  * hash arithmetic is reduced to a 31-bit domain before affine
+  * transforms so no 64-bit overflow can throw.
+  *
+  * Extension surface mandated alongside the reference's ETL ops —
+  * SURVEY §2.9 (reference repo has no text ops; these are the
+  * LLM-pipeline additions).
+  */
+object Text {
+
+  /** Mersenne-ish prime for affine MinHash permutations (fits 31 bits). */
+  private val P: Long = 2147483647L // 2^31 - 1
+
+  /** Deterministic affine-permutation constants: a simple fixed-seed
+    * LCG evaluated at build time (NOT runtime randomness — signatures
+    * must be stable across runs and engines).
+    */
+  private def lcg(seed: Long, n: Int): IndexedSeq[Long] = {
+    var x = seed
+    (0 until n).map { _ =>
+      x = (x * 6364136223846793005L + 1442695040888963407L)
+      ((x >>> 33) % (P - 1)) + 1 // in [1, P-1]
+    }
+  }
+
+  /** Whitespace tokens of lowercased text. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Word n-gram shingles (distinct), e.g. n=3: "a b c". Empty array
+    * when the document has fewer than n tokens.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    val count = size(toks) - (n - 1)
+    when(count >= 1,
+      array_distinct(transform(sequence(lit(1), count),
+        i => array_join(slice(toks, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Non-negative 31-bit base hash of a string (xxhash64 folded into
+    * [0, P) so affine permutations can't overflow under ANSI mode).
+    */
+  def baseHash(s: Column): Column = pmod(xxhash64(s), lit(P))
+
+  /** MinHash signature: k affine permutations `(a*h + b) mod P` over
+    * the shingle hashes, min per permutation. One pass over the
+    * shingle array per permutation; all map-side.
+    *
+    * Returns `array<bigint>` of length k (empty-input docs get
+    * signature values P = "infinity" so they never collide).
+    */
+  def minHash(shingleCol: Column, k: Int = 48, seed: Long = 42L): Column = {
+    val as = lcg(seed, k)
+    val bs = lcg(seed + 1, k)
+    val hashes = transform(shingleCol, baseHash(_))
+    val sig = (0 until k).map { i =>
+      coalesce(
+        array_min(transform(hashes, h => pmod(lit(as(i)) * h + lit(bs(i)), lit(P)))),
+        lit(P))
+    }
+    array(sig: _*)
+  }
+
+  /** LSH band hashes over a MinHash signature: bands of `r` rows, each
+    * band hashed to one long. Join candidates share any (bandIdx,
+    * bandHash). Returns `array<struct<band:int, h:bigint>>` — explode
+    * then equi-join; pure shuffle-based, 100 TB-safe (no cross join).
+    */
+  def lshBands(sig: Column, r: Int = 4): Column = {
+    transform(sequence(lit(0), floor(size(sig) / r).cast("int") - 1),
+      b => struct(b.cast("int").as("band"),
+        xxhash64(concat_ws(",", transform(slice(sig, b * r + 1, lit(r)),
+          _.cast("string")))).as("h")))
+  }
+
+  /** SimHash fingerprint over token hashes, returned as
+    * `struct<hi:bigint, lo:bigint>` (two 32-bit halves, so XOR +
+    * bit_count gives Hamming distance without 64-bit sign issues).
+    *
+    * Classic scheme: per bit position, sum +1/-1 over all token
+    * hashes' bits; sign of the sum is the fingerprint bit.
+    */
+  def simHash(toks: Column): Column = {
+    val hashes = transform(toks, t => xxhash64(t))
+    // counts[i] = sum over tokens of (bit i ? +1 : -1), i in 0..63
+    val counts = aggregate(
+      hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (a, i) => a + when(getbit(h, i) === 1, 1).otherwise(-1)))
+    val bits = transform(counts, c => when(c > 0, lit(1L)).otherwise(lit(0L)))
+    val half = (bitsSlice: Column) =>
+      aggregate(bitsSlice, lit(0L), (s, b) => s * 2 + b)
+    struct(
+      half(slice(bits, 1, 32)).as("hi"),
+      half(slice(bits, 33, 32)).as("lo"))
+  }
+
+  /** Hamming distance between two simHash structs. */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.getField("hi").bitwiseXOR(b.getField("hi"))) +
+      bit_count(a.getField("lo").bitwiseXOR(b.getField("lo")))
+
+  /** Rolling polynomial fingerprint over tokens:
+    * `fp = fold(tokens)(acc*31 + baseHash(tok) mod P)` — order-
+    * sensitive (unlike MinHash), so it distinguishes permuted docs.
+    */
+  def fingerprint(toks: Column): Column =
+    aggregate(toks, lit(0L),
+      (acc, t) => pmod(acc * 31 + baseHash(t), lit(P)))
+
+  /** Set-Jaccard over two (distinct) arrays — used to verify LSH
+    * candidates; division is int/int → double, deterministic across
+    * engines.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+
+  // ---- quality features -------------------------------------------
+
+  /** Stopword profiles for the language-ID heuristic (tiny fixed
+    * lists; deterministic, engine-agnostic).
+    */
+  val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "los", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "un", "une", "est", "dans", "que", "pour"))
+
+  /** Count of tokens that are members of `words`. */
+  def stopwordCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
+
+  /** Language-ID by stopword-profile argmax with a fixed tie order
+    * (en > de > es > fr). A real system plugs an n-gram model here;
+    * the operator shape (per-doc scores → argmax) is identical.
+    */
+  def langIdHeuristic(toks: Column): Column = {
+    val counts = StopwordProfiles.map { case (lang, ws) => lang -> stopwordCount(toks, ws) }
+    counts.init.foldRight(lit(counts.last._1): Column) { case ((lang, c), rest) =>
+      val laterCounts = counts.drop(counts.indexWhere(_._1 == lang) + 1).map(_._2)
+      when(laterCounts.foldLeft(lit(true): Column)((acc, o) => acc && c >= o), lit(lang))
+        .otherwise(rest)
+    }
+  }
+}

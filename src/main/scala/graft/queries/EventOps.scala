@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import QU._
+
+/** Event-time windowing over the `events` table, batch mode
+  * (SURVEY §2.5 last rows / §2.7). The same plans run under
+  * Structured Streaming via `graft.streaming.EventStream`; batch
+  * `window()`/`session_window()` and streaming share semantics, so
+  * the DuckDB oracle here also covers the streaming transform logic.
+  *
+  * Scale: tumbling/sliding windows are plain hash aggregates on
+  * (window, key) — shuffle bounded by #windows×#keys. Session windows
+  * shuffle by user and sort within — Spark plans UpdatingSessionsExec.
+  */
+object EventOps {
+
+  val queries: Seq[Q] = Seq(
+
+    // -- tumbling 1h window: window().start == date_trunc('hour').
+    Q("q40_tumbling_hourly",
+      (s, d) => t(s, d).events
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+                col("n"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type")),
+      Some(s"""SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+        COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""),
+      "tumbling event-time window"),
+
+    // -- sliding 10min/5min: each event lands in exactly two windows
+    //    (start ∈ {bucket5, bucket5 - 5min}); oracle expands the same
+    //    assignment with a 2-way unnest.
+    Q("q41_sliding_windows",
+      (s, d) => t(s, d).events
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+        .orderBy(col("window_start"), col("event_type")),
+      Some("""WITH b AS (
+          SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS b5, event_type FROM events),
+        assigned AS (
+          SELECT b5 AS window_start, event_type FROM b
+          UNION ALL
+          SELECT b5 - INTERVAL 5 MINUTE AS window_start, event_type FROM b)
+        SELECT window_start, event_type, COUNT(*) AS n
+        FROM assigned GROUP BY 1, 2 ORDER BY window_start, event_type"""),
+      "sliding event-time windows"),
+
+    // -- session windows (30 min gap) per user; oracle is the classic
+    //    gaps-and-islands rewrite. Spark's session end = last event
+    //    + gap, mirrored in the oracle.
+    Q("q42_sessionization",
+      (s, d) => t(s, d).events
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("session_value"))
+        .select(col("session_window.start").as("session_start"),
+                col("session_window.end").as("session_end"),
+                col("user_id"), col("n_events"), col("session_value"))
+        .orderBy(col("user_id"), col("session_start")),
+      Some(s"""WITH marked AS (
+          SELECT user_id, ts, value,
+            CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+          FROM events),
+        numbered AS (
+          SELECT *, SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM marked)
+        SELECT MIN(ts) AS session_start,
+          MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+          user_id, COUNT(*) AS n_events, ${sqlDsum("value")} AS session_value
+        FROM numbered GROUP BY user_id, session_id
+        ORDER BY user_id, session_start"""),
+      "session windows == gaps-and-islands"),
+
+    // -- event funnel: per user, did view precede purchase (min-ts
+    //    comparison) — conditional aggregation pattern.
+    Q("q43_funnel",
+      (s, d) => t(s, d).events
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"),
+          count(when(col("event_type") === "click", lit(1))).as("n_clicks"))
+        .filter(col("first_view").isNotNull && col("first_purchase").isNotNull &&
+                col("first_view") < col("first_purchase"))
+        .select(col("user_id"), col("first_view"), col("first_purchase"), col("n_clicks"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id,
+          MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+          MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase,
+          COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks
+        FROM events GROUP BY user_id
+        HAVING first_view IS NOT NULL AND first_purchase IS NOT NULL
+          AND first_view < first_purchase
+        ORDER BY user_id"""),
+      "view→purchase funnel via conditional agg")
+  )
+}

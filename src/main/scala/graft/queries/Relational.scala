@@ -1,0 +1,357 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import QU._
+
+/** The relational query surface (SURVEY §2.5): scan/filter/project,
+  * equi/broadcast/semi/anti joins, hash aggregation, distinct,
+  * rollup/cube, set ops, sort+limit, scalar functions — all pure
+  * Spark built-ins planned by Catalyst (SURVEY §4.2: none of this is
+  * re-implemented).
+  *
+  * Scale notes per query are inline; the common posture: filters sit
+  * directly on scans (parquet pushdown), only bounded dims are
+  * `broadcast()` (region/nation stay small at any scale factor;
+  * customer/orders/lineitem scale with data so they shuffle-join and
+  * AQE may still auto-broadcast at small sf).
+  */
+object Relational {
+
+  val queries: Seq[Q] = Seq(
+
+    // -- hash aggregate with partial (map-side) combine; 6 groups →
+    //    tiny shuffle regardless of input size.
+    Q("q01_pricing_summary",
+      (s, d) => {
+        val li = t(s, d).lineitem
+        li.filter(col("l_shipdate") <= lit("2000-12-01"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+            davg(col("l_quantity")).as("avg_qty"),
+            davg(col("l_discount")).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        ${sqlDsum("l_quantity")} AS sum_qty,
+        ${sqlDsum("l_extendedprice")} AS sum_base_price,
+        ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+        ${sqlDsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+        ${sqlDavg("l_quantity")} AS avg_qty,
+        ${sqlDavg("l_discount")} AS avg_disc,
+        COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+      "TPC-H Q1-style pricing summary"),
+
+    // -- filter+project only: both pushed into the parquet scan
+    //    (PushedFilters + pruned ReadSchema); no shuffle at all.
+    Q("q02_filter_project",
+      (s, d) => t(s, d).lineitem
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+                col("l_shipdate") < lit("1997-01-01") &&
+                col("l_discount") >= 0.05 && col("l_quantity") < 24)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+                col("l_extendedprice"), col("l_discount"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_quantity < 24
+        ORDER BY l_orderkey, l_linenumber"""),
+      "pushdown filter + pruned projection"),
+
+    // -- revenue aggregate over the fact table alone (TPC-H Q6 shape).
+    Q("q03_forecast_revenue",
+      (s, d) => t(s, d).lineitem
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+                col("l_shipdate") < lit("1997-01-01") &&
+                col("l_discount").between(0.03, 0.07) && col("l_quantity") < 25)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue")),
+      Some(s"""SELECT ${sqlDsum("l_extendedprice * l_discount")} AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 25"""),
+      "TPC-H Q6-style single-table aggregate"),
+
+    // -- 3-way equi-join fact⋈fact⋈dim + group + top-N (TPC-H Q3
+    //    shape). Shuffle joins on the big sides; AQE free to
+    //    broadcast the filtered customer side at small sf.
+    Q("q04_top_revenue_orders",
+      (s, d) => {
+        val x = t(s, d)
+        x.lineitem.filter(col("l_shipdate") > lit("1996-03-15"))
+          .join(x.orders.filter(col("o_orderdate") < lit("1996-03-15")),
+                col("l_orderkey") === col("o_orderkey"))
+          .join(x.customer.filter(col("c_mktsegment") === "BUILDING"),
+                col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"))
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT o_orderkey, o_orderdate,
+        ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_shipdate > TIMESTAMP '1996-03-15'
+          AND o_orderdate < TIMESTAMP '1996-03-15'
+          AND c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey LIMIT 20"""),
+      "TPC-H Q3-style join + top-N (deterministic tiebreak on o_orderkey)"),
+
+    // -- 5-way star join with explicitly broadcast bounded dims
+    //    (region: 5 rows, nation: 25 rows at ANY scale factor —
+    //    these are safe to broadcast at 100 TB; customer/orders/
+    //    lineitem shuffle on their keys).
+    Q("q05_revenue_by_nation",
+      (s, d) => {
+        val x = t(s, d)
+        x.lineitem
+          .join(x.orders.filter(col("o_orderdate") >= lit("1996-01-01") &&
+                                col("o_orderdate") < lit("1997-01-01")),
+                col("l_orderkey") === col("o_orderkey"))
+          .join(x.customer, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(x.nation), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(x.region).filter(col("r_name").isin("ASIA", "EUROPE")),
+                col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+               count(lit(1)).as("n_lines"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some(s"""SELECT r_name, n_name,
+        ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+        COUNT(*) AS n_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND r_name IN ('ASIA', 'EUROPE')
+        GROUP BY r_name, n_name ORDER BY r_name, n_name"""),
+      "TPC-H Q5-style star join, bounded dims broadcast"),
+
+    // -- semi join (EXISTS): orders having any heavy line.
+    Q("q06_priority_semi_join",
+      (s, d) => {
+        val x = t(s, d)
+        x.orders
+          .join(x.lineitem.filter(col("l_quantity") > 45),
+                col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders WHERE EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      "left-semi join == EXISTS"),
+
+    // -- anti join (NOT EXISTS): customers who never ordered.
+    Q("q07_customers_no_orders",
+      (s, d) => {
+        val x = t(s, d)
+        x.customer
+          .join(x.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment
+        FROM customer WHERE NOT EXISTS (
+          SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey"""),
+      "left-anti join == NOT EXISTS"),
+
+    // -- exact distinct aggregation (expands to two-phase agg).
+    Q("q08_distinct_customers",
+      (s, d) => {
+        val x = t(s, d)
+        x.orders.join(x.customer, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(countDistinct(col("o_custkey")).as("n_customers"),
+               count(lit(1)).as("n_orders"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, COUNT(DISTINCT o_custkey) AS n_customers,
+        COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      "exact count distinct per group"),
+
+    // -- rollup: hierarchical subtotals.
+    Q("q09_rollup",
+      (s, d) => t(s, d).lineitem
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        ${sqlDsum("l_quantity")} AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""),
+      "rollup subtotals"),
+
+    // -- cube: full grouping-set lattice.
+    Q("q10_cube",
+      (s, d) => t(s, d).orders
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+      Some(s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        ${sqlDsum("o_totalprice")} AS sum_price
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""),
+      "cube grouping sets"),
+
+    // -- global sort + limit: Spark plans TakeOrderedAndProject —
+    //    O(k) per partition, no full sort shuffle.
+    Q("q11_top_orders",
+      (s, d) => t(s, d).orders
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""),
+      "top-k via TakeOrderedAndProject"),
+
+    // -- set ops: union all / intersect / except over aligned shapes.
+    Q("q12_union_accounts",
+      (s, d) => {
+        val x = t(s, d)
+        x.customer.select(lit("customer").as("kind"), col("c_custkey").as("acct_key"),
+                          col("c_acctbal").as("acctbal"))
+          .unionAll(x.supplier.select(lit("supplier").as("kind"),
+                    col("s_suppkey").as("acct_key"), col("s_acctbal").as("acctbal")))
+          .filter(col("acctbal") > 5000)
+          .orderBy(col("kind"), col("acct_key"))
+      },
+      Some("""SELECT * FROM (
+          SELECT 'customer' AS kind, c_custkey AS acct_key, c_acctbal AS acctbal FROM customer
+          UNION ALL
+          SELECT 'supplier' AS kind, s_suppkey AS acct_key, s_acctbal AS acctbal FROM supplier)
+        WHERE acctbal > 5000 ORDER BY kind, acct_key"""),
+      "union all"),
+
+    Q("q13_intersect_nations",
+      (s, d) => {
+        val x = t(s, d)
+        x.customer.select(col("c_nationkey").as("nationkey"))
+          .intersect(x.supplier.select(col("s_nationkey").as("nationkey")))
+          .orderBy(col("nationkey"))
+      },
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey"""),
+      "intersect"),
+
+    Q("q14_except_nations",
+      (s, d) => {
+        val x = t(s, d)
+        x.customer.select(col("c_nationkey").as("nationkey"))
+          .except(x.supplier.select(col("s_nationkey").as("nationkey")))
+          .orderBy(col("nationkey"))
+      },
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey"""),
+      "except"),
+
+    // -- HAVING (post-aggregation filter).
+    Q("q15_having",
+      (s, d) => t(s, d).lineitem
+        .groupBy(col("l_suppkey"))
+        .agg(dsum(col("l_quantity")).as("total_qty"), count(lit(1)).as("n"))
+        .filter(col("total_qty") > 100)
+        .orderBy(col("l_suppkey")),
+      Some(s"""SELECT l_suppkey, ${sqlDsum("l_quantity")} AS total_qty, COUNT(*) AS n
+        FROM lineitem GROUP BY l_suppkey
+        HAVING ${sqlDsum("l_quantity")} > 100 ORDER BY l_suppkey"""),
+      "aggregate + having"),
+
+    // -- scalar function battery: string/date/math/conditional, all
+    //    codegen'd in one Project.
+    Q("q16_scalar_functions",
+      (s, d) => t(s, d).orders
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(
+          col("o_orderkey"),
+          upper(col("o_orderpriority")).as("prio_upper"),
+          substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+          length(col("o_orderstatus")).as("status_len"),
+          concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
+          year(col("o_orderdate")).as("o_year"),
+          month(col("o_orderdate")).as("o_month"),
+          dayofmonth(col("o_orderdate")).as("o_day"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          round(col("o_totalprice"), 1).as("price_round"),
+          abs(col("o_totalprice") - 1000.0).as("price_abs"),
+          when(col("o_totalprice") > 50000, lit("BIG"))
+            .when(col("o_totalprice") > 10000, lit("MID"))
+            .otherwise(lit("SMALL")).as("size_class"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+        UPPER(o_orderpriority) AS prio_upper,
+        SUBSTRING(o_orderpriority, 1, 1) AS prio_code,
+        LENGTH(o_orderstatus) AS status_len,
+        CONCAT_WS('-', o_orderstatus, o_orderpriority) AS status_prio,
+        CAST(YEAR(o_orderdate) AS INT) AS o_year,
+        CAST(MONTH(o_orderdate) AS INT) AS o_month,
+        CAST(DAY(o_orderdate) AS INT) AS o_day,
+        CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        ROUND(o_totalprice, 1) AS price_round,
+        ABS(o_totalprice - 1000.0) AS price_abs,
+        CASE WHEN o_totalprice > 50000 THEN 'BIG'
+             WHEN o_totalprice > 10000 THEN 'MID'
+             ELSE 'SMALL' END AS size_class
+        FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey"""),
+      "scalar string/date/math/case functions"),
+
+    // -- part/supplier profitability (two more equi-joins on the fact).
+    Q("q17_brand_revenue",
+      (s, d) => {
+        val x = t(s, d)
+        x.lineitem
+          .join(x.part.filter(col("p_size") <= 20), col("l_partkey") === col("p_partkey"))
+          .join(x.supplier, col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("p_brand"), col("p_type"))
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+               countDistinct(col("s_suppkey")).as("n_suppliers"))
+          .orderBy(col("p_brand"), col("p_type"))
+      },
+      Some(s"""SELECT p_brand, p_type,
+        ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+        COUNT(DISTINCT s_suppkey) AS n_suppliers
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE p_size <= 20
+        GROUP BY p_brand, p_type ORDER BY p_brand, p_type"""),
+      "multi-join on part/supplier dims"),
+
+    // -- correlated scalar-subquery shape: parts above their type's
+    //    average retail price (decorrelates to a join).
+    Q("q18_above_type_avg",
+      (s, d) => {
+        val x = t(s, d)
+        val avgByType = x.part.groupBy(col("p_type").as("t_type"))
+          .agg(davg(col("p_retailprice")).as("avg_price"))
+        x.part.join(broadcast(avgByType), col("p_type") === col("t_type"))
+          .filter(col("p_retailprice") > col("avg_price"))
+          .select(col("p_partkey"), col("p_type"), col("p_retailprice"), col("avg_price"))
+          .orderBy(col("p_partkey"))
+      },
+      Some(s"""WITH avg_by_type AS (
+          SELECT p_type AS t_type, ${sqlDavg("p_retailprice")} AS avg_price
+          FROM part GROUP BY p_type)
+        SELECT p_partkey, p_type, p_retailprice, avg_price
+        FROM part JOIN avg_by_type ON p_type = t_type
+        WHERE p_retailprice > avg_price ORDER BY p_partkey"""),
+      "decorrelated scalar subquery as aggregate+join")
+  )
+}

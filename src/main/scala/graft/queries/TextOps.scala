@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import QU._
+import graft.functions.Text
+
+/** Text-pipeline operator surface over the `documents` table
+  * (SURVEY §2.9): exact + near dedup, token counting, quality
+  * scoring, language-ID, fingerprinting.
+  *
+  * Scale posture: every per-doc op is a map-side projection (no
+  * shuffle); dedup aggregates shuffle once on the dedup key; the
+  * near-dup join is blocked (lang × length bucket) so it's an
+  * equi-join, never an unblocked cross join. MinHash/SimHash ops are
+  * engine-hash-based and therefore not oracle-SQL-expressible — they
+  * get rows-only driver checks plus ScalaTest recall specs.
+  */
+object TextOps {
+
+  val queries: Seq[Q] = Seq(
+
+    // -- exact dedup by content hash: one shuffle on sha256(text);
+    //    at 100 TB the 64-hex key shuffles instead of the document
+    //    bodies when the payload is dropped first (as here).
+    Q("q50_exact_dedup",
+      (s, d) => t(s, d).documents
+        .select(sha2(col("text"), 256).as("content_sha"), col("doc_id"))
+        .groupBy(col("content_sha"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("keep_doc_id")),
+      Some("""SELECT sha256(text) AS content_sha, MIN(doc_id) AS keep_doc_id,
+        COUNT(*) AS n_copies
+        FROM documents GROUP BY sha256(text) ORDER BY keep_doc_id"""),
+      "exact dedup via content hash, keep-first"),
+
+    // -- token counting: whitespace tokens + BPE-ish regex tokens +
+    //    average token length; all one codegen'd projection.
+    Q("q51_token_stats",
+      (s, d) => {
+        val toks = Text.tokens(col("text"))
+        val noSpace = length(regexp_replace(col("text"), "\\s", ""))
+        t(s, d).documents.select(
+            col("doc_id"),
+            size(toks).as("n_tokens"),
+            size(regexp_extract_all(lower(col("text")),
+              lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_bpe_tokens"),
+            noSpace.as("n_chars_nospace"),
+            (noSpace.cast("double") / size(toks)).as("avg_token_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INT) AS n_tokens,
+        CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_bpe_tokens,
+        CAST(length(regexp_replace(text, '\s', '', 'g')) AS INT) AS n_chars_nospace,
+        CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+          / len(string_split_regex(lower(trim(text)), '\s+')) AS avg_token_len
+        FROM documents ORDER BY doc_id"""),
+      "whitespace + regex token counts"),
+
+    // -- quality scoring: stopword ratio, punctuation ratio, length
+    //    gates → keep/drop flag. Ratios are int/int in double — bit-
+    //    identical across engines.
+    Q("q52_quality_score",
+      (s, d) => {
+        val toks = Text.tokens(col("text"))
+        val stop = Text.stopwordCount(toks, Text.StopwordProfiles.head._2)
+        val punct = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
+        val stopRatio = (stop.cast("double") / size(toks))
+        val punctRatio = (punct.cast("double") / length(col("text")))
+        t(s, d).documents.select(
+            col("doc_id"),
+            stopRatio.as("stopword_ratio"),
+            punctRatio.as("punct_ratio"),
+            (size(toks) >= 10 && punctRatio < 0.1).cast("int").as("quality_keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+          x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+          / len(string_split_regex(lower(trim(text)), '\s+')) AS stopword_ratio,
+        CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS DOUBLE)
+          / length(text) AS punct_ratio,
+        CAST(len(string_split_regex(lower(trim(text)), '\s+')) >= 10
+          AND CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS DOUBLE)
+            / length(text) < 0.1 AS INT) AS quality_keep
+        FROM documents ORDER BY doc_id"""),
+      "stopword/punct ratio quality gates"),
+
+    // -- language-ID heuristic: stopword-profile argmax with fixed
+    //    tie order (en>de>es>fr); grouped into a distribution so the
+    //    output is small at any scale.
+    Q("q53_lang_id",
+      (s, d) => {
+        val toks = Text.tokens(col("text"))
+        t(s, d).documents
+          .select(col("lang").as("tagged_lang"),
+            Text.langIdHeuristic(toks).as("pred_lang"))
+          .groupBy(col("tagged_lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("tagged_lang"), col("pred_lang"))
+      },
+      Some("""WITH scored AS (
+          SELECT lang AS tagged_lang,
+            len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+              x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS c_en,
+            len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+              x -> x IN ('der','die','das','und','ist','nicht','mit','ein','zu','den'))) AS c_de,
+            len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+              x -> x IN ('el','la','de','que','y','en','un','es','los','por'))) AS c_es,
+            len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+              x -> x IN ('le','la','les','et','un','une','est','dans','que','pour'))) AS c_fr
+          FROM documents)
+        SELECT tagged_lang,
+          CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+               WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+               WHEN c_es >= c_fr THEN 'es'
+               ELSE 'fr' END AS pred_lang,
+          COUNT(*) AS n
+        FROM scored GROUP BY 1, 2 ORDER BY tagged_lang, pred_lang"""),
+      "stopword-profile language-ID confusion matrix"),
+
+    // -- n-gram Jaccard near-dup, candidates-then-verify: the blocking
+    //    self-join runs over the CHEAP columns only (doc_id, lang,
+    //    length bucket) — an equi-join, never a cross join — and the
+    //    candidate pairs then join BACK to a per-doc shingle table by
+    //    doc_id. Shingle arrays are computed once per doc in a leaf
+    //    projection and never dragged through the pair join; at 100 TB
+    //    the pair shuffle carries ids only.
+    Q("q54_ngram_neardup",
+      (s, d) => {
+        val docs = t(s, d).documents
+        val meta = docs.select(col("doc_id"), col("lang"),
+          floor(col("n_chars") / 64).as("bucket"))
+        val cands = meta.select(col("doc_id").as("doc_a"), col("lang"), col("bucket"))
+          .join(meta.select(col("doc_id").as("doc_b"), col("lang"), col("bucket")),
+            Seq("lang", "bucket"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"))
+        val sh = docs.select(col("doc_id"), Text.shingles(col("text"), 3).as("sh"))
+        cands
+          .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            Text.jaccard(col("sh_a"), col("sh_b")).as("jac"))
+          .filter(col("jac") >= 0.2)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""WITH docs AS (
+          SELECT doc_id, lang, CAST(FLOOR(n_chars / 64) AS BIGINT) AS bucket,
+            list_distinct(CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) >= 3
+              THEN list_transform(
+                range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+                i -> array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' '))
+              ELSE [] END) AS sh
+          FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+        FROM docs a JOIN docs b
+          ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+        ORDER BY doc_a, doc_b"""),
+      "blocked n-gram Jaccard near-dup pairs"),
+
+    // -- MinHash signatures (xxhash64-based — no SQL oracle; driver
+    //    rows-only check; recall verified in MinHashSpec). Map-side
+    //    only: signature is 48 array-mins over the shingle hashes.
+    Q("q55_minhash_signatures",
+      (s, d) => {
+        val sig = Text.minHash(Text.shingles(col("text"), 3))
+        t(s, d).documents
+          .select(col("doc_id"), sig.as("sig"))
+          .select(col("doc_id"),
+            element_at(col("sig"), 1).as("sig0"),
+            element_at(col("sig"), 2).as("sig1"),
+            element_at(col("sig"), 3).as("sig2"),
+            xxhash64(concat_ws(",", transform(col("sig"), _.cast("string"))))
+              .as("sig_hash"))
+          .orderBy(col("doc_id"))
+      },
+      None,
+      "MinHash signatures (rows-only oracle)"),
+
+    // -- full near-dup dedup via MinHash + LSH banding, candidates-
+    //    then-verify: explode band hashes → equi-join on the band
+    //    struct carrying ONLY (doc_id, band) → distinct id pairs →
+    //    join back to the per-doc shingle table → true Jaccard ≥ 0.5.
+    //    The LSH join IS the scale path: candidates ≪ n² because only
+    //    banded collisions meet, and the band join shuffles 16-byte
+    //    keys, never shingle arrays. (Carrying the shingle/signature
+    //    expressions through the explode join would also make Catalyst
+    //    re-evaluate the whole non-codegen higher-order-function chain
+    //    per candidate pair — measured 100× slower.)
+    Q("q56_lsh_near_dup",
+      (s, d) => {
+        val docs = t(s, d).documents
+        val sh = docs.select(col("doc_id"), Text.shingles(col("text"), 3).as("sh"))
+        val banded = sh.select(col("doc_id"),
+          explode(Text.lshBands(Text.minHash(col("sh")))).as("b"))
+        val cands = banded.select(col("doc_id").as("doc_a"), col("b"))
+          .join(banded.select(col("doc_id").as("doc_b"), col("b")), Seq("b"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"))
+          .distinct()
+        cands
+          .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            Text.jaccard(col("sh_a"), col("sh_b")).as("jac"))
+          .filter(col("jac") >= 0.5)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      None,
+      "MinHash+LSH banding near-dup (rows-only oracle; recall in spec)"),
+
+    // -- SimHash fingerprints: 64-bit (two 32-bit halves) sign-of-sum
+    //    over token-hash bits. Rows-only oracle; Hamming-near pairs in
+    //    SimHashSpec.
+    Q("q57_simhash",
+      (s, d) => {
+        val sh = Text.simHash(Text.tokens(col("text")))
+        t(s, d).documents
+          .select(col("doc_id"), sh.as("sh"))
+          .select(col("doc_id"), col("sh.hi").as("simhash_hi"),
+            col("sh.lo").as("simhash_lo"))
+          .orderBy(col("doc_id"))
+      },
+      None,
+      "SimHash fingerprints (rows-only oracle)"),
+
+    // -- rolling-hash document fingerprint: order-sensitive polynomial
+    //    fold over tokens (permutation-distinguishing, unlike MinHash).
+    Q("q58_fingerprint",
+      (s, d) => t(s, d).documents
+        .select(col("doc_id"),
+          Text.fingerprint(Text.tokens(col("text"))).as("fp"))
+        .orderBy(col("doc_id")),
+      None,
+      "rolling polynomial fingerprint (rows-only oracle)")
+  )
+}
