@@ -69,17 +69,37 @@ object Sink {
     * double for the PostgREST endpoint. Last write wins per key, so
     * replays (task retries) converge to the same state.
     *
-    * NOTE: local-mode only (executors share the driver JVM). A real
-    * deployment plugs an HTTP/JDBC writer here.
+    * NOTE: local-mode only. Spark serializes task closures even in
+    * local mode, so instance state mutated inside `writeChunk` would
+    * land in a deserialized COPY and the driver's copy would stay
+    * empty. The store therefore lives in a JVM-static registry in the
+    * companion object, keyed by a per-writer UUID: only the (small,
+    * Serializable) id travels with the closure, and driver + local
+    * executors resolve the same map through the shared JVM. A real
+    * deployment plugs an HTTP/JDBC writer here instead.
     */
   class InMemoryUpsertWriter(keyColumns: Seq[String]) extends ChunkWriter {
-    val store = new ConcurrentHashMap[(String, Seq[Any]), Row]()
+    val id: String = java.util.UUID.randomUUID().toString
+    InMemoryUpsertWriter.registry.putIfAbsent(id, new ConcurrentHashMap)
+    private def store = InMemoryUpsertWriter.registry.get(id)
     override def writeChunk(table: String, chunk: Seq[Row]): Unit =
       chunk.foreach { row =>
         val key = keyColumns.map(k => row.get(row.fieldIndex(k)))
         store.put((table, key), row)
       }
     def size: Int = store.size()
+    def rows: Seq[Row] = {
+      import scala.jdk.CollectionConverters._
+      store.values().asScala.toSeq
+    }
+  }
+
+  object InMemoryUpsertWriter {
+    /** JVM-wide store registry; shared by driver and local-mode
+      * executor threads regardless of closure serialization.
+      */
+    private val registry =
+      new ConcurrentHashMap[String, ConcurrentHashMap[(String, Seq[Any]), Row]]()
   }
 
   /** Parquet-backed upsert for durable local runs: MERGE-like
@@ -102,12 +122,18 @@ object Sink {
                  keyColumns, "left_anti")
           .unionByName(df)
       }
-    // Write via temp dir then swap would be needed for true atomicity;
-    // for the harness, cache-materialize before overwrite to avoid
-    // reading the path being overwritten.
-    val materialized = merged.cache()
-    materialized.count()
-    materialized.write.mode("overwrite").parquet(path)
-    materialized.unpersist()
+    // Never overwrite the path we are still reading from: a cache-
+    // then-overwrite scheme loses data if a cached partition is
+    // evicted mid-write (recompute would re-read a truncated path).
+    // Write the merged result fully to a temp sibling dir, then swap.
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(
+      path + ".__tmp__" + java.util.UUID.randomUUID().toString)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    if (exists) fs.delete(target, true)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"rename $tmp -> $target failed")
   }
 }

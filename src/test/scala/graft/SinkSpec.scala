@@ -46,6 +46,7 @@ class SinkSpec extends SparkSpec {
     val w = new Sink.InMemoryUpsertWriter(Seq("ticker", "year"))
     Sink.upsert(df, "t", w)
     val once = w.size
+    assert(once === 100) // nonzero baseline: idempotency can't pass vacuously
     Sink.upsert(df, "t", w) // replay = task retry
     assert(w.size === once)
   }
