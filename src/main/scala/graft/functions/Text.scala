@@ -166,6 +166,19 @@ object Text {
     when(union === 0, lit(0.0)).otherwise(inter / union)
   }
 
+  /** Set-Jaccard via the intersect size only: for distinct arrays
+    * |A∪B| = |A|+|B| − |A∩B|, so the `array_union` pass (as costly as
+    * the intersect) is skipped, and the intersect size is bound once
+    * ([[bindOnce]]) so the filter-then-project plan can't evaluate the
+    * set op twice. Same value as [[jaccard]] — use on hot pair-verify
+    * paths (hundreds of thousands of candidate pairs).
+    */
+  def jaccardFast(a: Column, b: Column): Column =
+    bindOnce(size(array_intersect(a, b)).cast("double")) { i =>
+      val u = size(a) + size(b) - i
+      when(u === 0, lit(0.0)).otherwise(i / u)
+    }
+
   // ---- quality features -------------------------------------------
 
   /** Stopword profiles for the language-ID heuristic (tiny fixed

@@ -1,6 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Embedding-vector math over `array<float>` columns, as pure
@@ -32,24 +36,83 @@ object Vectors {
   }
 
   /** Random-hyperplane LSH bucket: `nBits` sign bits of dot products
-    * with deterministic pseudo-hyperplanes. Hyperplane component j of
-    * plane i is a fixed hash-derived value in [-1, 1) — stable across
+    * with deterministic pseudo-hyperplanes. Hyperplane component
+    * (i, j) is a fixed hash-derived value in [-1, 1) — stable across
     * runs, no runtime randomness. Vectors in the same bucket are ANN
     * candidates; at scale the bucket is the shuffle key (equi-join),
     * replacing the brute-force cross join.
+    *
+    * Dimensionality is taken from the vector itself (components are
+    * derived per (bit, index) at runtime), so any embedding length
+    * buckets correctly — no hardcoded dim that silently null-pads
+    * mismatched arrays. All nBits partial sums are updated in ONE
+    * pass over the vector instead of nBits separate
+    * aggregate(zip_with(...)) traversals.
     */
-  def hyperplaneBucket(v: Column, nBits: Int = 12, dim: Int = 64,
-                       seed: Long = 7L): Column = {
-    val bits: Seq[Column] = (0 until nBits).map { i =>
-      // component j = hash(i, j) scaled to [-1, 1)
-      val comps: Seq[Column] = (0 until dim).map { j =>
-        val h = ((i * 1315423911L + j * 2654435761L + seed * 97531L) & 0x7fffffffL)
-        lit(h.toDouble / 0x40000000L.toDouble - 1.0)
-      }
-      val proj = aggregate(
-        zip_with(asDouble(v), array(comps: _*), _ * _), lit(0.0), _ + _)
-      when(proj >= 0, lit(1L)).otherwise(lit(0L))
-    }
-    bits.foldLeft(lit(0L): Column)((acc, b) => acc * 2 + b)
+  def hyperplaneBucket(v: Column, nBits: Int = 8, seed: Long = 7L): Column = {
+    val indexed = zip_with(asDouble(v), sequence(lit(0L), size(v).cast("bigint") - 1),
+      (x, j) => struct(x.as("x"), j.as("j")))
+    val sums = aggregate(indexed, array_repeat(lit(0.0), nBits),
+      (acc, e) => transform(acc, (s, i) =>
+        s + e.getField("x") * planeComponent(i, e.getField("j"), seed)))
+    aggregate(transform(sums, s => when(s >= 0, lit(1L)).otherwise(lit(0L))),
+      lit(0L), (b, bit) => b * 2 + bit)
   }
+
+  /** Deterministic pseudo-hyperplane component for (bit i, index j),
+    * scaled to [-1, 1): an affine integer mix reduced mod 2^31 —
+    * identical values to a plan-time constant table, but computed from
+    * the runtime index so the vector's own length drives the loop.
+    */
+  private def planeComponent(i: Column, j: Column, seed: Long): Column = {
+    val h = pmod(i.cast("bigint") * lit(1315423911L) + j * lit(2654435761L) +
+      lit(seed * 97531L), lit(0x80000000L))
+    h.cast("double") / lit(0x40000000L.toDouble) - 1.0
+  }
+
+  // ---- element-wise vector aggregation ----------------------------
+
+  /** Element-wise vector sum with exact DECIMAL(38,6) accumulation —
+    * the order-independent determinism convention (QU.dsum) applied
+    * per element. Used for centroid computation: shuffle volume is
+    * one k×dim partial per map task (TypedImperativeAggregate gives
+    * map-side partial merge), NOT rows×dim exploded rows.
+    *
+    * Each input element is rounded exactly as Spark's
+    * `cast(x as decimal(38,6))` (BigDecimal.valueOf = string-based
+    * construction, then HALF_UP to scale 6), and the final sum is
+    * surfaced as double — bit-identical to
+    * `CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)` per element.
+    */
+  class VectorDecimalSum extends Aggregator[Seq[Double], Array[JBigDecimal], Seq[Double]] {
+    override def zero: Array[JBigDecimal] = Array.empty
+    private def widen(b: Array[JBigDecimal], n: Int): Array[JBigDecimal] =
+      if (b.length >= n) b else b ++ Array.fill(n - b.length)(JBigDecimal.ZERO)
+    override def reduce(b0: Array[JBigDecimal], a: Seq[Double]): Array[JBigDecimal] = {
+      if (a == null) return b0
+      val b = widen(b0, a.length)
+      var i = 0
+      while (i < a.length) {
+        b(i) = b(i).add(JBigDecimal.valueOf(a(i)).setScale(6, RoundingMode.HALF_UP))
+        i += 1
+      }
+      b
+    }
+    override def merge(x: Array[JBigDecimal], y: Array[JBigDecimal]): Array[JBigDecimal] = {
+      val (big, small) = if (x.length >= y.length) (x, y) else (y, x)
+      val out = big.clone()
+      var i = 0
+      while (i < small.length) { out(i) = out(i).add(small(i)); i += 1 }
+      out
+    }
+    override def finish(b: Array[JBigDecimal]): Seq[Double] =
+      b.toSeq.map(_.doubleValue)
+    override def bufferEncoder: Encoder[Array[JBigDecimal]] =
+      Encoders.kryo[Array[JBigDecimal]]
+    override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
+  }
+
+  /** `vecDecimalSum(array<double>)` aggregate column function. */
+  val vecDecimalSum: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new VectorDecimalSum, ExpressionEncoder[Seq[Double]]())
 }

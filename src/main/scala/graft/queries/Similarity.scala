@@ -76,24 +76,25 @@ object Similarity {
         FROM norms GROUP BY label ORDER BY label"""),
       "per-label norm statistics"),
 
-    // -- IVF coarse quantizer, step 1: per-label centroids via
-    //    posexplode + (label, dim) aggregate — a plain shuffle
-    //    aggregate, so centroid computation scales with rows, and
-    //    the centroid table (k × dim) is broadcastable at any scale.
+    // -- IVF coarse quantizer, step 1: per-label centroids via ONE
+    //    element-wise decimal-sum aggregate (Vectors.vecDecimalSum).
+    //    No posexplode: exploding multiplies rows by dim (×64) before
+    //    aggregation — at 100 TB of vectors that's 64× the hash-agg
+    //    probe work. The typed aggregator folds whole arrays with
+    //    map-side partial merge, so the shuffle carries one k×dim
+    //    decimal buffer per task, and determinism is preserved
+    //    (per-element DECIMAL(38,6) sums are order-independent;
+    //    norm is the same index-ordered double fold as before).
     Q("q62_centroids",
       (s, d) => {
-        val comp = t(s, d).embeddings
-          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-          .groupBy(col("label"), col("pos"))
-          .agg(davg(col("v")).as("m"))
-        // Norm over the centroid ARRAY via an index-ordered sequential
-        // fold (Vectors.dot) — bit-identical to the oracle's
-        // list_dot_product; an unordered SUM(m*m) would differ in low
-        // bits between engines.
-        comp.groupBy(col("label"))
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-            s => s.getField("m")).as("c_emb"))
+        val emb = t(s, d).embeddings
+        val cent = emb.groupBy(col("label"))
+          .agg(
+            Vectors.vecDecimalSum(Vectors.asDouble(col("embedding"))).as("sums"),
+            count(lit(1)).as("n"))
           .select(col("label"),
+            transform(col("sums"), x => x / col("n")).as("c_emb"))
+        cent.select(col("label"),
             sqrt(Vectors.dot(col("c_emb"), col("c_emb"))).as("centroid_norm"))
           .orderBy(col("label"))
       },

@@ -137,7 +137,15 @@ object TextOps {
     //    candidate pairs then join BACK to a per-doc shingle table by
     //    doc_id. Shingle arrays are computed once per doc in a leaf
     //    projection and never dragged through the pair join; at 100 TB
-    //    the pair shuffle carries ids only.
+    //    the pair shuffle carries ids only. This is the EXACT baseline
+    //    (quadratic within blocks by definition — every within-block
+    //    pair is Jaccard-verified); the subquadratic scale path is the
+    //    LSH variant (q56), whose recall is measured against this.
+    //    Per-pair verification compares 64-bit shingle HASHES, not
+    //    strings: xxhash64 is injective on the distinct shingle set
+    //    w.h.p. (collision odds ~1e-10 at 400k pairs × ~100 shingles),
+    //    so the Jaccard value is identical at a fraction of the
+    //    per-pair hashing cost.
     Q("q54_ngram_neardup",
       (s, d) => {
         val docs = t(s, d).documents
@@ -148,13 +156,14 @@ object TextOps {
             Seq("lang", "bucket"))
           .filter(col("doc_a") < col("doc_b"))
           .select(col("doc_a"), col("doc_b"))
-        val sh = docs.select(col("doc_id"), Text.shingles(col("text"), 3).as("sh"))
+        val sh = docs.select(col("doc_id"),
+            transform(Text.shingles(col("text"), 3), xxhash64(_)).as("sh"))
           .persist() // joined on both pair sides; compute shingles once
         cands
           .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
           .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
           .select(col("doc_a"), col("doc_b"),
-            Text.jaccard(col("sh_a"), col("sh_b")).as("jac"))
+            Text.jaccardFast(col("sh_a"), col("sh_b")).as("jac"))
           .filter(col("jac") >= 0.2)
           .orderBy(col("doc_a"), col("doc_b"))
       },
