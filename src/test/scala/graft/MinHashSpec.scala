@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.queries.Registry
+
+/** Statistical verification of the MinHash estimator and the LSH
+  * near-dup pipeline (q55/q56), which have no SQL oracle: the
+  * estimator must track exact Jaccard, and the banded-LSH candidate
+  * generator must recover (almost) every truly-near pair that an
+  * exact quadratic scan finds. All hashes are fixed-seed, so these
+  * are deterministic assertions, not flaky statistics.
+  */
+class MinHashSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.01"
+  private def docs = spark.read.parquet(s"$dir/documents.parquet")
+
+  private def shingleHashes =
+    docs.select(col("doc_id"),
+      transform(Text.shingles(col("text"), 3), xxhash64(_)).as("sh"))
+
+  test("MinHash estimate tracks exact Jaccard within ±0.15 (48 components)") {
+    // all pairs over a 60-doc subsample: wide spread of true Jaccard
+    // (exact dup clusters + unrelated docs)
+    val sub = docs.filter(col("doc_id") < 60)
+    val sh = sub.select(col("doc_id"), Text.shingles(col("text"), 3).as("sh"))
+    val sig = sub.select(col("doc_id"), Text.minHash(Text.shingles(col("text"), 3)).as("sig"))
+    val pairs = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      .crossJoin(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")))
+      .filter(col("doc_a") < col("doc_b"))
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .select(Text.jaccard(col("sh_a"), col("sh_b")).as("jac"),
+        Text.sigEstimate(col("sig_a"), col("sig_b")).as("est"))
+      .collect()
+    assert(pairs.length > 1000)
+    val errs = pairs.map(r => math.abs(r.getDouble(0) - r.getDouble(1)))
+    assert(errs.max <= 0.15, s"worst estimate error ${errs.max}")
+    assert(errs.sum / errs.length <= 0.03, s"mean estimate error ${errs.sum / errs.length}")
+  }
+
+  test("jaccardFast equals jaccard on shingle-hash arrays") {
+    val sh = shingleHashes.limit(40)
+    val both = sh.select(col("doc_id").as("a"), col("sh").as("sh_a"))
+      .crossJoin(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")))
+      .filter(col("a") < col("b"))
+      .select(Text.jaccard(col("sh_a"), col("sh_b")).as("j1"),
+        Text.jaccardFast(col("sh_a"), col("sh_b")).as("j2"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
+  test("LSH near-dup (q56) recall >= 0.9 vs exact all-pairs Jaccard >= 0.5") {
+    // exact ground truth on a 150-doc subsample (quadratic is fine here)
+    val sub = shingleHashes.filter(col("doc_id") < 150)
+    val exact = sub.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      .crossJoin(sub.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        Text.jaccardFast(col("sh_a"), col("sh_b")).as("jac"))
+      .filter(col("jac") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "ground truth must be nonempty for a meaningful recall")
+    val lsh = Registry.queries("q56_lsh_near_dup")(spark, dir)
+      .filter(col("doc_a") < 150 && col("doc_b") < 150)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} true pairs")
+    // and no false positives: every reported pair truly has jac >= 0.5
+    assert(lsh.subsetOf(exact), "q56 verify step must make output exact")
+  }
+
+  test("q55 signatures: deterministic, k=48, empty docs get sentinel") {
+    val sig = docs.select(col("doc_id"),
+      Text.minHash(Text.shingles(col("text"), 3)).as("sig"))
+    val sizes = sig.select(size(col("sig"))).distinct().collect().map(_.getInt(0))
+    assert(sizes.toSeq == Seq(48))
+    val again = docs.select(col("doc_id"),
+      Text.minHash(Text.shingles(col("text"), 3)).as("sig"))
+    assert(sig.exceptAll(again).isEmpty && again.exceptAll(sig).isEmpty)
+  }
+}

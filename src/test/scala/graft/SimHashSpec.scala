@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Behavioral verification of SimHash (q57) and the rolling
+  * fingerprint (q58), which have no SQL oracle: SimHash must be
+  * invariant for identical token streams, near for small edits, far
+  * for unrelated text; the rolling fingerprint must be order-
+  * SENSITIVE (the property that distinguishes it from MinHash).
+  */
+class SimHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog " +
+    "while the storm gathers over the quiet harbor and ships wait"
+  private val edited = base.replace("quiet", "silent") // one-token edit
+  private val unrelated = "completely different subject matter about " +
+    "linear algebra matrix decomposition eigenvalues and spectral norms"
+  private val permuted = base.split(" ").reverse.mkString(" ")
+
+  private def simhashOf(texts: (String, String)*) = {
+    val df = texts.toSeq.toDF("id", "text")
+    df.select(col("id"), Text.simHash(Text.tokens(col("text"))).as("sh"))
+      .collect().map(r => r.getString(0) -> r.getStruct(1)).toMap
+  }
+
+  private def hamming(a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row): Int =
+    java.lang.Long.bitCount(a.getLong(0) ^ b.getLong(0)) +
+      java.lang.Long.bitCount(a.getLong(1) ^ b.getLong(1))
+
+  test("simhash: identical text -> distance 0; small edit near; unrelated far") {
+    val m = simhashOf("a" -> base, "a2" -> base, "b" -> edited, "c" -> unrelated)
+    assert(hamming(m("a"), m("a2")) === 0)
+    val near = hamming(m("a"), m("b"))
+    val far = hamming(m("a"), m("c"))
+    assert(near < far, s"edit distance $near should be < unrelated distance $far")
+    assert(near <= 16, s"one-token edit moved $near of 64 bits")
+    assert(far >= 16, s"unrelated text only $far of 64 bits apart")
+  }
+
+  test("simhash: bag-of-tokens invariant (permutation keeps fingerprint)") {
+    val m = simhashOf("a" -> base, "p" -> permuted)
+    assert(hamming(m("a"), m("p")) === 0)
+  }
+
+  test("Text.hamming column matches bit_count XOR semantics") {
+    val df = Seq(("x", base, edited)).toDF("id", "t1", "t2")
+    val got = df.select(Text.hamming(
+      Text.simHash(Text.tokens(col("t1"))),
+      Text.simHash(Text.tokens(col("t2")))).as("d"))
+      .first().getAs[Number]("d").longValue
+    val m = simhashOf("a" -> base, "b" -> edited)
+    assert(got === hamming(m("a"), m("b")).toLong)
+  }
+
+  test("rolling fingerprint: order-sensitive, deterministic, stable domain") {
+    val df = Seq(("a", base), ("a2", base), ("p", permuted), ("c", unrelated))
+      .toDF("id", "text")
+    val fps = df.select(col("id"), Text.fingerprint(Text.tokens(col("text"))).as("fp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fps("a") === fps("a2"))          // deterministic
+    assert(fps("a") !== fps("p"))           // permutation changes it (unlike MinHash/SimHash)
+    assert(fps("a") !== fps("c"))
+    fps.values.foreach(v => assert(v >= 0 && v < 2147483647L)) // mod-P domain
+  }
+
+  test("q57/q58 over the fixture: one fingerprint per doc, deterministic") {
+    val dir = "/root/testdata/sf0.01"
+    val q57 = graft.queries.Registry.queries("q57_simhash")(spark, dir)
+    val q58 = graft.queries.Registry.queries("q58_fingerprint")(spark, dir)
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(q57.count() === n)
+    assert(q58.count() === n)
+    // identical text must collide on both fingerprints: recompute over
+    // the same corpus and require exact agreement per doc_id
+    val q57again = graft.queries.Registry.queries("q57_simhash")(spark, dir)
+    assert(q57.exceptAll(q57again).isEmpty)
+    val q58again = graft.queries.Registry.queries("q58_fingerprint")(spark, dir)
+    assert(q58.exceptAll(q58again).isEmpty)
+  }
+}

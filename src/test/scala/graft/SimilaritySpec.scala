@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+import graft.queries.Registry
+
+/** Recall verification for the ANN scale paths (q63 hyperplane-LSH,
+  * q64 IVF), which have no SQL oracle, against the exact brute-force
+  * top-5 (q60, which hash-matches DuckDB). Also covers the
+  * dimension-agnostic hyperplane bucketing (the old implementation
+  * hardcoded dim=64 and silently bucketed every other length to one
+  * bucket).
+  */
+class SimilaritySpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.01"
+
+  private def topK(name: String): Map[Long, Set[Long]] =
+    Registry.queries(name)(spark, dir)
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+      .collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+
+  private def recallVsExact(name: String): Double = {
+    val exact = topK("q60_knn_brute_force")
+    val approx = topK(name)
+    assert(exact.nonEmpty)
+    val perQuery = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).count(truth.contains).toDouble / truth.size
+    }
+    perQuery.sum / perQuery.size
+  }
+
+  test("hyperplane-LSH ANN (q63) recall >= 0.8 vs exact top-5") {
+    val r = recallVsExact("q63_ann_lsh")
+    assert(r >= 0.8, s"q63 recall $r")
+  }
+
+  test("IVF ANN (q64) recall >= 0.8 vs exact top-5") {
+    val r = recallVsExact("q64_ann_ivf")
+    assert(r >= 0.8, s"q64 recall $r")
+  }
+
+  test("hyperplaneBucket is dimension-agnostic (no silent null-padding)") {
+    import spark.implicits._
+    // 8-dim and 64-dim vectors: both must spread across buckets and
+    // be deterministic; the old dim=64 constant table zeroed every
+    // projection for non-64 lengths (single bucket, no error).
+    val vecs8 = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat)))
+      .toDF("id", "v")
+    val b8 = vecs8.select(Vectors.hyperplaneBucket(col("v"), nBits = 8).as("b"))
+    assert(b8.distinct().count() > 4, "8-dim vectors must spread over buckets")
+    val again = vecs8.select(Vectors.hyperplaneBucket(col("v"), nBits = 8).as("b"))
+    assert(b8.exceptAll(again).isEmpty)
+    val range = b8.agg(min(col("b")), max(col("b"))).first()
+    assert(range.getLong(0) >= 0L && range.getLong(1) < 256L)
+  }
+
+  test("cosine/norm expression math matches scalar math") {
+    import spark.implicits._
+    val a = Array(1.0f, 2.0f, 2.0f)
+    val b = Array(2.0f, 0.0f, 0.0f)
+    val df = Seq((a, b)).toDF("a", "b")
+    val row = df.select(
+      Vectors.norm(col("a")).as("na"),
+      Vectors.cosine(col("a"), col("b")).as("c")).first()
+    assert(math.abs(row.getDouble(0) - 3.0) < 1e-12)
+    assert(math.abs(row.getDouble(1) - (2.0 / (3.0 * 2.0))) < 1e-12)
+  }
+
+  test("vecDecimalSum: element-wise decimal sums, partition-order independent") {
+    import spark.implicits._
+    val rows = (1 to 1000).map(i => ("g", Seq(0.1, -0.1, i.toDouble / 7)))
+    val df1 = rows.toDF("g", "v").repartition(7)
+    val df2 = rows.reverse.toDF("g", "v").repartition(3)
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("g")).agg(Vectors.vecDecimalSum(col("v")).as("s"))
+        .select(col("s")).first().getSeq[Double](0)
+    val (s1, s2) = (sums(df1), sums(df2))
+    assert(s1 === s2) // exact decimal accumulation ignores order
+    assert(math.abs(s1.head - 100.0) < 1e-9)
+    assert(math.abs(s1(1) + 100.0) < 1e-9)
+  }
+}
