@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 import QU._
 
 /** Event-time windowing over the `events` table, batch mode
-  * (SURVEY §2.5 last rows / §2.7). The same plans run under
-  * Structured Streaming via `graft.streaming.EventStream`; batch
-  * `window()`/`session_window()` and streaming share semantics, so
-  * the DuckDB oracle here also covers the streaming transform logic.
+  * (SURVEY §2.5 last rows / §2.7). q40/q41/q42 delegate to the SAME
+  * transform functions Structured Streaming runs
+  * (graft.streaming.EventStream) — one implementation, two execution
+  * modes — so the DuckDB oracle here verifies the streaming
+  * transform logic too (StreamingSpec proves the outputs coincide).
   *
   * Scale: tumbling/sliding windows are plain hash aggregates on
   * (window, key) — shuffle bounded by #windows×#keys. Session windows
@@ -20,11 +21,7 @@ object EventOps {
 
     // -- tumbling 1h window: window().start == date_trunc('hour').
     Q("q40_tumbling_hourly",
-      (s, d) => t(s, d).events
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
-        .select(col("window.start").as("window_start"), col("event_type"),
-                col("n"), col("sum_value"))
+      (s, d) => graft.streaming.EventStream.tumblingAgg(t(s, d).events)
         .orderBy(col("window_start"), col("event_type")),
       Some(s"""SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
         COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
@@ -35,10 +32,7 @@ object EventOps {
     //    (start ∈ {bucket5, bucket5 - 5min}); oracle expands the same
     //    assignment with a 2-way unnest.
     Q("q41_sliding_windows",
-      (s, d) => t(s, d).events
-        .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+      (s, d) => graft.streaming.EventStream.slidingCounts(t(s, d).events)
         .orderBy(col("window_start"), col("event_type")),
       Some("""WITH b AS (
           SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS b5, event_type FROM events),
@@ -54,17 +48,12 @@ object EventOps {
     //    gaps-and-islands rewrite. Spark's session end = last event
     //    + gap, mirrored in the oracle.
     Q("q42_sessionization",
-      (s, d) => t(s, d).events
-        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("session_value"))
-        .select(col("session_window.start").as("session_start"),
-                col("session_window.end").as("session_end"),
-                col("user_id"), col("n_events"), col("session_value"))
+      (s, d) => graft.streaming.EventStream.sessionAgg(t(s, d).events)
         .orderBy(col("user_id"), col("session_start")),
       Some(s"""WITH marked AS (
           SELECT user_id, ts, value,
             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+                   < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
           FROM events),
         numbered AS (
           SELECT *, SUM(new_session) OVER (

@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Sink, Sources}
+import graft.streaming.EventStream
+
+/** Event for the MemoryStream-driven streaming tests (mirrors the
+  * events fixture's analytic columns).
+  */
+case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Proves the streaming surface computes the SAME results as the
+  * DuckDB-verified batch queries: the transforms are literally shared
+  * (EventOps delegates to EventStream), so these tests pin the
+  * streaming execution mode — incremental state, watermark-driven
+  * emission, and the foreachBatch idempotent upsert load.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val fixtureEvents: Seq[Ev] =
+    Sources.Tables(spark, "/root/testdata/sf0.001").events
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => Ev(r.getTimestamp(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSeq
+
+  private def batchDf(evs: Seq[Ev]): DataFrame = evs.toDF()
+
+  private def collectSet(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("streaming tumblingAgg over MemoryStream == batch tumblingAgg (q40 logic)") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = EventStream.tumblingAgg(stream.toDF())
+      .writeStream.format("memory").queryName("s_tumb").outputMode("complete")
+      .start()
+    try {
+      val (a, b) = fixtureEvents.splitAt(fixtureEvents.size / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val got = collectSet(spark.table("s_tumb"))
+      val want = collectSet(EventStream.tumblingAgg(batchDf(fixtureEvents)))
+      assert(want.nonEmpty && got === want)
+    } finally q.stop()
+  }
+
+  test("streaming sessionAgg emits closed sessions == batch sessions (q42 logic)") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = EventStream.sessionAgg(stream.toDF())
+      .writeStream.format("memory").queryName("s_sess").outputMode("append")
+      .start()
+    try {
+      val maxTs = fixtureEvents.map(_.ts.getTime).max
+      val flushUser = -1L
+      stream.addData(fixtureEvents); q.processAllAvailable()
+      // two far-future flush events advance the watermark past every
+      // real session (emission uses the watermark computed at the
+      // START of a batch, so it takes two triggers to drain)
+      stream.addData(Seq(Ev(new Timestamp(maxTs + 36L * 3600 * 1000), flushUser, "flush", 0.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(Ev(new Timestamp(maxTs + 72L * 3600 * 1000), flushUser, "flush", 0.0)))
+      q.processAllAvailable()
+      val got = collectSet(spark.table("s_sess").filter(col("user_id") =!= flushUser))
+      val want = collectSet(EventStream.sessionAgg(batchDf(fixtureEvents)))
+      assert(want.nonEmpty && got === want)
+    } finally q.stop()
+  }
+
+  test("foreachBatch upsert load converges to the batch aggregate") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val writer = new Sink.InMemoryUpsertWriter(Seq("window_start", "event_type"))
+    val ckpt = java.nio.file.Files.createTempDirectory("streamckpt").toString
+    val q = EventStream.upsertStream(
+      EventStream.tumblingAgg(stream.toDF()), "hourly", writer, ckpt)
+    try {
+      val (a, b) = fixtureEvents.splitAt(fixtureEvents.size / 3)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val got = writer.rows
+        .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toSet
+      val want = EventStream.tumblingAgg(batchDf(fixtureEvents)).collect()
+        .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toSet
+      assert(want.nonEmpty && got === want)
+    } finally q.stop()
+  }
+
+  test("readEvents wires a parquet directory as an unbounded source") {
+    val sdf = EventStream.readEvents(spark, "/root/testdata/sf0.001/events.parquet")
+    assert(sdf.isStreaming)
+    assert(Seq("ts", "user_id", "event_type", "value")
+      .forall(sdf.columns.contains))
+  }
+}
