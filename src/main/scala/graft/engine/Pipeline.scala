@@ -16,13 +16,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Pipeline {
 
-  /** One table's flow: where it comes from, where records upsert to,
-    * where the wide archive lands (reference `:145-147`, `:139-141`,
-    * `:154-156`).
+  /** One table's flow: which (symbol, statement) to pull through the
+    * connector, where records upsert to, where the wide archive lands
+    * (reference `:145-147`, `:139-141`, `:154-156`).
     */
   final case class Spec(
-      sourceName: String,
-      load: SparkSession => DataFrame,
+      source: Sources.StatementSource,
+      symbol: String,
+      statement: Sources.Statement,
       targetTable: String,
       archivePath: String,
       remotePrefix: String)
@@ -37,7 +38,8 @@ object Pipeline {
           publisher: Archive.Publisher,
           chunkSize: Int = Sink.DefaultChunkSize,
           bucket: String = Archive.DefaultBucket): Result = {
-    val wide = spec.load(spark)                         // EXTRACT
+    val wide = Sources.dropAllNullRows(                 // EXTRACT (+ dropna
+      spec.source.load(spark, spec.symbol, spec.statement)) // parity, `:117-119`)
     val packed = Transform.packJsonb(wide)              // TRANSFORM
     Archive.toCsv(wide, spec.archivePath)               // ARCHIVE (wide, not packed — reference `:139`)
     val n = Sink.upsert(packed, spec.targetTable, writer, chunkSize) // LOAD

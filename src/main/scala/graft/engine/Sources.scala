@@ -28,6 +28,28 @@ object Sources {
     def load(spark: SparkSession, symbol: String, statement: Statement): DataFrame
   }
 
+  /** Concrete fixture-backed connector: statement tables laid out as
+    * `<base>/<statement.name>` parquet directories carrying a ticker
+    * column (resolved case-insensitively like every other engine
+    * lookup). The symbol predicate is a plain column filter, so it
+    * pushes down to the parquet scan — listing a symbol never reads
+    * the other symbols' row groups. A production HTTP connector
+    * implements this same trait (as a DSv2 TableProvider with one
+    * InputPartition per (symbol, statement) for executor fan-out,
+    * reference `etl_supabase.py:115-119`).
+    */
+  final class ParquetStatementSource(base: String) extends StatementSource {
+    override def load(spark: SparkSession, symbol: String,
+                      statement: Statement): DataFrame = {
+      val df = spark.read.parquet(s"$base/${statement.name}")
+      val symCol = Schema.resolve(df, Schema.TickerNames).getOrElse(throw
+        new IllegalArgumentException(
+          s"statement table ${statement.name} has no ticker column " +
+            s"(looked for ${Schema.TickerNames.mkString("/")})"))
+      df.filter(org.apache.spark.sql.functions.col(s"`$symCol`") === symbol)
+    }
+  }
+
   /** `dropna=True` parity (`:117-119`): drop rows whose every
     * non-reserved value is null.
     */

@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Archive, Pipeline, Sink, Sources, Transform}
+
+/** End-to-end parity with the reference's single entry point
+  * `run_etl()` (reference `etl_supabase.py:111-158`): for each
+  * (symbol, statement), EXTRACT through the concrete connector
+  * (with dropna), TRANSFORM (wide→JSONB pack), ARCHIVE (wide CSV),
+  * LOAD (chunked idempotent upsert), PUBLISH (object-storage double).
+  * This is the flow that had never executed end-to-end before.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private val symbol = "Customer#000000001"
+
+  /** Lay statement fixtures out as `<base>/<statement>` parquet from
+    * the sf0.001 tables: a wide per-(cp, year) frame plus one all-null
+    * payload row that extraction must drop (dropna parity).
+    */
+  private def writeStatementFixtures(base: String): Unit = {
+    val t = Sources.Tables(spark, "/root/testdata/sf0.001")
+    val wide = t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name").as("CP"), year(col("o_orderdate")).as("Year"),
+        col("o_totalprice").as("total_price"),
+        col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"))
+    val allNullPayload = wide.limit(1).select(
+      lit(symbol).as("CP"), lit(2099).as("Year"),
+      lit(null).cast("double").as("total_price"),
+      lit(null).cast("string").as("status"),
+      lit(null).cast("string").as("priority"))
+    for (st <- Seq(Sources.Income, Sources.Balance, Sources.CashFlow))
+      wide.unionByName(allNullPayload)
+        .write.mode("overwrite").parquet(s"$base/${st.name}")
+  }
+
+  test("run_etl parity: extract -> pack -> archive -> upsert -> publish, idempotent") {
+    val base = Files.createTempDirectory("pipesrc").toString
+    val archBase = Files.createTempDirectory("pipearch").toString
+    val pubRoot = Files.createTempDirectory("pipepub").toString
+    writeStatementFixtures(base)
+
+    val source = new Sources.ParquetStatementSource(base)
+    val statements = Seq(Sources.Income, Sources.Balance, Sources.CashFlow)
+    val specs = statements.map { st =>
+      Pipeline.Spec(source, symbol, st, s"fin_${st.name}",
+        s"$archBase/${st.name}", st.name)
+    }
+    val writer = new Sink.InMemoryUpsertWriter(Seq("ticker", "year"))
+    val publisher = new Archive.LocalFsPublisher(pubRoot)
+
+    val results = Pipeline.runAll(spark, specs, writer, publisher)
+
+    // EXTRACT: connector pushdown returns only this symbol's rows, and
+    // dropna removed the all-null payload row
+    val expected = Sources.dropAllNullRows(
+      source.load(spark, symbol, Sources.Income))
+    val perStatement = expected.count()
+    assert(perStatement > 0)
+    assert(source.load(spark, symbol, Sources.Income).count() === perStatement + 1)
+
+    // LOAD: every packed record upserted, store converged on the key
+    assert(results.map(_.recordsUpserted) === statements.map(_ => perStatement))
+    val distinctKeys = Transform.packJsonb(expected)
+      .select(col("ticker"), col("year")).distinct().count()
+    // store is keyed (table, naturalKey); each statement has its own table
+    assert(writer.size.toLong === distinctKeys * statements.size)
+
+    // ARCHIVE: CSV part files exist with a header row
+    for (st <- statements) {
+      val dir = Paths.get(s"$archBase/${st.name}")
+      assert(Files.isDirectory(dir))
+      val parts = Files.list(dir).iterator()
+      var found = false
+      while (parts.hasNext) {
+        val p = parts.next()
+        if (p.getFileName.toString.endsWith(".csv")) {
+          found = true
+          val head = Files.readAllLines(p)
+          if (!head.isEmpty)
+            assert(head.get(0).toLowerCase.startsWith("cp,year"))
+        }
+      }
+      assert(found, s"no csv part files archived for ${st.name}")
+    }
+
+    // PUBLISH: every archived part file landed under the bucket prefix
+    for ((st, r) <- statements.zip(results)) {
+      val published = Paths.get(pubRoot, Archive.DefaultBucket, st.name)
+      assert(Files.isDirectory(published))
+      val n = Files.list(published).count()
+      assert(n.toInt === r.filesPublished && n > 0)
+    }
+
+    // IDEMPOTENCY: replaying the whole pipeline converges (the
+    // reference's re-run safety, upsert=true everywhere)
+    val again = Pipeline.runAll(spark, specs, writer, publisher)
+    assert(again.map(_.recordsUpserted) === results.map(_.recordsUpserted))
+    assert(writer.size.toLong === distinctKeys * statements.size)
+  }
+
+  test("connector fails loudly when the statement table lacks a ticker column") {
+    val base = Files.createTempDirectory("pipebad").toString
+    import spark.implicits._
+    Seq((1, 2.0)).toDF("a", "b").write.parquet(s"$base/income_statement")
+    val e = intercept[IllegalArgumentException] {
+      new Sources.ParquetStatementSource(base).load(spark, "X", Sources.Income)
+    }
+    assert(e.getMessage.contains("no ticker column"))
+  }
+
+  test("requiredEnv: fail-fast on missing key, passthrough on present") {
+    assert(Sources.requiredEnv("K", Map("K" -> "v")) === "v")
+    intercept[IllegalStateException](Sources.requiredEnv("MISSING", Map.empty))
+  }
+}
