@@ -20,7 +20,8 @@ final case class Q(
 object Registry {
   def all: Seq[Q] =
     Relational.queries ++ Windows.queries ++ JsonOps.queries ++
-      EventOps.queries ++ TextOps.queries ++ Similarity.queries
+      EventOps.queries ++ TextOps.queries ++ Similarity.queries ++
+      MultimodalOps.queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
