@@ -188,6 +188,24 @@ object Relational {
         GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
       "exact count distinct per group"),
 
+    // -- approximate distinct via HyperLogLog++: the scale path for
+    //    distinct counting — single-pass, fixed-size sketch per group,
+    //    map-side partial merge, no distinct-expand shuffle (exact
+    //    countDistinct rewrites to a two-phase expand+agg whose first
+    //    shuffle carries every distinct value). Sketch estimates are
+    //    engine-specific → rows-only oracle; the ≤5% relative-error
+    //    contract vs exact (at rsd 0.01) is asserted in
+    //    RelationalSpec.
+    Q("q19_approx_distinct",
+      (s, d) => t(s, d).orders
+        .groupBy(col("o_orderpriority"))
+        .agg(approx_count_distinct(col("o_custkey"), rsd = 0.01)
+               .as("approx_customers"),
+             count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority")),
+      None,
+      "HLL++ approximate distinct (rows-only oracle; error bound in spec)"),
+
     // -- rollup: hierarchical subtotals.
     Q("q09_rollup",
       (s, d) => t(s, d).lineitem
