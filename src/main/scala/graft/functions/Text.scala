@@ -25,17 +25,11 @@ object Text {
   /** Mersenne-ish prime for affine MinHash permutations (fits 31 bits). */
   private val P: Long = 2147483647L // 2^31 - 1
 
-  /** Deterministic affine-permutation constants: a simple fixed-seed
-    * LCG evaluated at build time (NOT runtime randomness — signatures
-    * must be stable across runs and engines).
+  /** Deterministic affine-permutation constants — single source of
+    * truth lives with the native expression.
     */
-  private def lcg(seed: Long, n: Int): IndexedSeq[Long] = {
-    var x = seed
-    (0 until n).map { _ =>
-      x = (x * 6364136223846793005L + 1442695040888963407L)
-      ((x >>> 33) % (P - 1)) + 1 // in [1, P-1]
-    }
-  }
+  private def lcg(seed: Long, n: Int): IndexedSeq[Long] =
+    graft.expressions.MinHash.lcg(seed, n).toIndexedSeq
 
   /** Whitespace tokens of lowercased text. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
@@ -70,22 +64,48 @@ object Text {
     */
   def baseHash(s: Column): Column = pmod(xxhash64(s), lit(P))
 
+  /** Distinct word-n-gram shingles as raw xxhash64 longs — the native
+    * codegen'd [[graft.expressions.ShingleHashes]]. The preferred form
+    * for dedup pipelines: set-identical to hashing [[shingles]]'s
+    * strings (same tokenizer, same hash), at ~1/3 the bytes through
+    * persist and shuffle and none of the interpreted-HOF cost.
+    */
+  def shingleHashes(text: Column, n: Int = 3): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.expressions.ShingleHashes(ColumnBridge.expression(text), n))
+  }
+
+  /** Set-Jaccard of two distinct `array<bigint>` columns — the native
+    * [[graft.expressions.JaccardLong]] hash-probe kernel (use with
+    * [[shingleHashes]] on hot pair-verify paths).
+    */
+  def jaccardLong(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.expressions.JaccardLong(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   /** MinHash signature: k affine permutations `(a*h + b) mod P` over
     * the shingle hashes, min per permutation, all map-side.
-    *
-    * Single-pass formulation: each shingle is hashed ONCE (higher-
-    * order functions run interpreted, without common-subexpression
-    * elimination — k separate `array_min(transform(...))` expressions
-    * would re-hash the whole shingle array k times), then one
-    * `aggregate` folds a k-length running-minimum array, reading the
-    * already-bound hash lambda variable. Permutation constants live in
-    * two constant arrays indexed inside the fold, so per shingle the
-    * cost is k fused multiply-mods, not k hash evaluations.
+    * Implemented as the native codegen'd expression
+    * [[graft.expressions.MinHash]] (one JIT loop per row).
     *
     * Returns `array<bigint>` of length k (empty-input docs get
     * signature values P = "infinity" so they never collide).
     */
   def minHash(shingleCol: Column, k: Int = 48, seed: Long = 42L): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.expressions.MinHash(ColumnBridge.expression(shingleCol), k, seed))
+  }
+
+  /** Reference higher-order-function formulation of [[minHash]]
+    * (interpreted single pass; kept so MinHashSpec can pin the native
+    * expression's bit-exact semantics against an independent
+    * implementation).
+    */
+  def minHashHof(shingleCol: Column, k: Int = 48, seed: Long = 42L): Column = {
     val aLit = array(lcg(seed, k).map(lit): _*)
     val bLit = array(lcg(seed + 1, k).map(lit): _*)
     val hashes = transform(shingleCol, baseHash(_))
@@ -113,10 +133,22 @@ object Text {
     * `struct<hi:bigint, lo:bigint>` (two 32-bit halves, so XOR +
     * bit_count gives Hamming distance without 64-bit sign issues).
     *
-    * Classic scheme: per bit position, sum +1/-1 over all token
-    * hashes' bits; sign of the sum is the fingerprint bit.
+    * Implemented as the native codegen'd expression
+    * [[graft.expressions.SimHash64]] — one JIT-compiled loop per row
+    * instead of ~64 interpreted lambda evaluations per token.
     */
   def simHash(toks: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.expressions.SimHash64(ColumnBridge.expression(toks)))
+  }
+
+  /** Reference higher-order-function formulation of [[simHash]]
+    * (interpreted; kept so SimHashSpec can pin the native
+    * expression's bit-exact semantics against an independent
+    * implementation).
+    */
+  def simHashHof(toks: Column): Column = {
     val hashes = transform(toks, t => xxhash64(t))
     // counts[i] = sum over tokens of (bit i ? +1 : -1), i in 0..63
     val counts = aggregate(

@@ -157,13 +157,13 @@ object TextOps {
           .filter(col("doc_a") < col("doc_b"))
           .select(col("doc_a"), col("doc_b"))
         val sh = docs.select(col("doc_id"),
-            transform(Text.shingles(col("text"), 3), xxhash64(_)).as("sh"))
+            Text.shingleHashes(col("text"), 3).as("sh"))
           .persist() // joined on both pair sides; compute shingles once
         cands
           .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
           .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
           .select(col("doc_a"), col("doc_b"),
-            Text.jaccardFast(col("sh_a"), col("sh_b")).as("jac"))
+            Text.jaccardLong(col("sh_a"), col("sh_b")).as("jac"))
           .filter(col("jac") >= 0.2)
           .orderBy(col("doc_a"), col("doc_b"))
       },
@@ -225,7 +225,7 @@ object TextOps {
     Q("q56_lsh_near_dup",
       (s, d) => {
         val docs = t(s, d).documents
-        val sh = docs.select(col("doc_id"), Text.shingles(col("text"), 3).as("sh"))
+        val sh = docs.select(col("doc_id"), Text.shingleHashes(col("text"), 3).as("sh"))
           .persist()
         val sig = sh.select(col("doc_id"), Text.minHash(col("sh")).as("sig"))
           .persist()
@@ -250,7 +250,7 @@ object TextOps {
           .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
           .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
           .select(col("doc_a"), col("doc_b"),
-            Text.jaccard(col("sh_a"), col("sh_b")).as("jac"))
+            Text.jaccardLong(col("sh_a"), col("sh_b")).as("jac"))
           .filter(col("jac") >= 0.5)
           .orderBy(col("doc_a"), col("doc_b"))
       },

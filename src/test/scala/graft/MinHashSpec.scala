@@ -71,6 +71,41 @@ class MinHashSpec extends SparkSpec {
     assert(lsh.subsetOf(exact), "q56 verify step must make output exact")
   }
 
+  test("native MinHash expression is bit-exact vs the HOF formulation") {
+    val both = docs.limit(200).select(
+      Text.minHash(Text.shingles(col("text"), 3)).as("a"),
+      Text.minHashHof(Text.shingles(col("text"), 3)).as("b"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
+  test("native ShingleHashes == hashed HOF shingles; pre-hashed MinHash agrees") {
+    val both = docs.limit(200).select(
+      Text.shingleHashes(col("text"), 3).as("a"),
+      transform(Text.shingles(col("text"), 3), xxhash64(_)).as("b"),
+      Text.minHash(Text.shingleHashes(col("text"), 3)).as("sig_h"),
+      Text.minHash(Text.shingles(col("text"), 3)).as("sig_s"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1)) // same hashes, same order
+      assert(r.getSeq[Long](2) === r.getSeq[Long](3)) // same signatures
+    }
+  }
+
+  test("native JaccardLong equals the HOF jaccard on hash arrays") {
+    val sh = docs.limit(40).select(col("doc_id"),
+      Text.shingleHashes(col("text"), 3).as("sh"))
+    val both = sh.select(col("doc_id").as("a"), col("sh").as("sh_a"))
+      .crossJoin(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")))
+      .filter(col("a") < col("b"))
+      .select(Text.jaccard(col("sh_a"), col("sh_b")).as("j1"),
+        Text.jaccardLong(col("sh_a"), col("sh_b")).as("j2"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
   test("q55 signatures: deterministic, k=48, empty docs get sentinel") {
     val sig = docs.select(col("doc_id"),
       Text.minHash(Text.shingles(col("text"), 3)).as("sig"))

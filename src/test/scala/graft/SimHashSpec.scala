@@ -45,6 +45,20 @@ class SimHashSpec extends SparkSpec {
     assert(hamming(m("a"), m("p")) === 0)
   }
 
+  test("native SimHash64 expression is bit-exact vs the HOF formulation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .limit(200)
+    val both = docs.select(
+      Text.simHash(Text.tokens(col("text"))).as("a"),
+      Text.simHashHof(Text.tokens(col("text"))).as("b"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val (a, b) = (r.getStruct(0), r.getStruct(1))
+      assert(a.getLong(0) === b.getLong(0) && a.getLong(1) === b.getLong(1))
+    }
+  }
+
   test("Text.hamming column matches bit_count XOR semantics") {
     val df = Seq(("x", base, edited)).toDF("id", "t1", "t2")
     val got = df.select(Text.hamming(
