@@ -67,6 +67,36 @@ object EventOps {
         ORDER BY user_id, session_start"""),
       "session windows == gaps-and-islands"),
 
+    // -- as-of join: every event annotated with the value of that
+    //    user's most recent purchase at-or-before the event time —
+    //    graft.operators.AsOfJoin's union–sort–backfill plan (ONE
+    //    shuffle on the key, |L|+|R| rows, vs the O(L·R)-per-key
+    //    range-join rewrite). Purchases are deduped per (user, ts) so
+    //    tie resolution is engine-independent. Oracle uses DuckDB's
+    //    native ASOF LEFT JOIN.
+    Q("q26_asof_join",
+      (s, d) => {
+        val ev = t(s, d).events
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("event_type"), col("value"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("last_purchase_value"))
+        graft.operators.AsOfJoin(ev, purchases, keys = Seq("user_id"),
+            leftTime = "ts", rightTime = "ts",
+            payload = Seq("last_purchase_value"))
+          .orderBy(col("user_id"), col("ts"), col("event_id"))
+      },
+      Some("""WITH p AS (
+          SELECT user_id, ts, MAX(value) AS last_purchase_value
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        SELECT e.user_id, e.event_id, e.ts, e.event_type, e.value,
+          p.last_purchase_value
+        FROM events e ASOF LEFT JOIN p
+          ON e.user_id = p.user_id AND e.ts >= p.ts
+        ORDER BY e.user_id, e.ts, e.event_id"""),
+      "as-of join via union-sort-backfill == native ASOF JOIN"),
+
     // -- event funnel: per user, did view precede purchase (min-ts
     //    comparison) — conditional aggregation pattern.
     Q("q43_funnel",
