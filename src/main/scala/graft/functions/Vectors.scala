@@ -29,8 +29,19 @@ object Vectors {
   /** L2 norm. */
   def norm(v: Column): Column = sqrt(dot(v, v))
 
-  /** Cosine similarity; null-safe denominator (0-norm → null). */
+  /** Cosine similarity; null-safe denominator (0-norm → null).
+    * Implemented as the native fused-loop expression
+    * [[graft.expressions.CosineSim]] — bit-identical to the HOF
+    * composition (pinned in SimilaritySpec).
+    */
   def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.expressions.CosineSim(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Reference HOF formulation of [[cosine]] (kept for the spec pin). */
+  def cosineHof(a: Column, b: Column): Column = {
     val d = norm(a) * norm(b)
     when(d === 0, lit(null).cast("double")).otherwise(dot(a, b) / d)
   }

@@ -154,6 +154,34 @@ object Similarity {
       None,
       "multi-table hyperplane-LSH ANN (rows-only oracle; recall in spec)"),
 
+    // -- embedding-cosine near-dup, EXACT baseline: every pair with
+    //    cosine ≥ 0.45 over all vec_id-ordered pairs. Quadratic by
+    //    definition (this is the ground truth the bucketed paths are
+    //    measured against — same role as q54 for text); per-pair cost
+    //    is one fused native kernel (CosineSim), and the n² pair space
+    //    is the documented reason q63/q64's banded equi-joins are the
+    //    100 TB path.
+    Q("q65_embedding_neardup",
+      (s, d) => {
+        val emb = t(s, d).embeddings
+        emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+          .crossJoin(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")))
+          .filter(col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"),
+            Vectors.cosine(col("emb_a"), col("emb_b")).as("cos"))
+          .filter(col("cos") >= 0.45)
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some("""WITH scored AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+            list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+              / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+               * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cos
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b, cos FROM scored WHERE cos >= 0.45
+        ORDER BY vec_a, vec_b"""),
+      "exact embedding-cosine near-dup pairs"),
+
     // -- IVF ANN, step 2: assign every vector to its nearest centroid
     //    (map-side argmax over a ONE-row broadcast codebook — zero
     //    shuffle per vector, the only scale-correct IVF assignment

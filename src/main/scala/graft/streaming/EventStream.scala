@@ -2,9 +2,10 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery}
 
 import graft.engine.Sink
+import graft.functions.Text
 import graft.queries.QU.dsum
 
 /** Structured Streaming surface (SURVEY §2.7, §7.1 step 9).
@@ -68,6 +69,76 @@ object EventStream {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
+
+  /** One (band-key, doc, signature) assignment for the streaming
+    * near-dup state operator.
+    */
+  final case class BandedDoc(band: Int, bandHash: Long, doc_id: Long,
+                             sig: Array[Long])
+
+  /** A streaming near-dup candidate: MinHash-estimated similarity of
+    * a newly-arrived document against one seen earlier in the stream.
+    */
+  final case class DupCandidate(doc_a: Long, doc_b: Long, est: Double)
+
+  /** Per-band state: signatures of documents seen so far. */
+  final case class BandState(docs: List[(Long, Array[Long])])
+
+  /** Streaming near-duplicate detection — the LSH dedup pipeline
+    * (q56) made continuous with CUSTOM state
+    * (`flatMapGroupsWithState`): documents are shingled, MinHashed,
+    * and banded exactly like the batch path; state is keyed by LSH
+    * band, holds the signatures seen in that band (capped at
+    * `maxPerBand` — the same skew guard as batch), and each arriving
+    * document emits an estimate-scored candidate pair against every
+    * stored signature above `threshold`.
+    *
+    * Emission is at-least-once per pair (two docs can collide in
+    * several bands); downstream consumers dedupe by (doc_a, doc_b) —
+    * consistent with the engine's idempotent-sink philosophy. State
+    * size is #bands × ≤maxPerBand signatures, the streaming analog of
+    * the batch bucket cap.
+    */
+  def nearDupCandidates(docs: DataFrame, threshold: Double = 0.5,
+                        maxPerBand: Int = 1000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        Text.minHash(Text.shingleHashes(col("text"), 3)).as("sig"))
+      .select(col("doc_id"), col("sig"), explode(Text.lshBands(col("sig"))).as("b"))
+      .select(col("b.band").as("band"), col("b.h").as("bandHash"),
+        col("doc_id"), col("sig"))
+      .as[BandedDoc]
+    banded
+      .groupByKey(d => (d.band, d.bandHash))
+      .flatMapGroupsWithState[BandState, DupCandidate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          var seen = state.getOption.map(_.docs).getOrElse(Nil)
+          val out = List.newBuilder[DupCandidate]
+          rows.foreach { d =>
+            if (!seen.exists(_._1 == d.doc_id) && seen.size < maxPerBand) {
+              seen.foreach { case (otherId, otherSig) =>
+                var eq = 0
+                var i = 0
+                while (i < d.sig.length) {
+                  if (d.sig(i) == otherSig(i)) eq += 1
+                  i += 1
+                }
+                val est = eq.toDouble / d.sig.length
+                if (est >= threshold)
+                  out += DupCandidate(math.min(d.doc_id, otherId),
+                    math.max(d.doc_id, otherId), est)
+              }
+              seen = (d.doc_id, d.sig) :: seen
+            }
+          }
+          state.update(BandState(seen))
+          out.result().iterator
+      }
+      .toDF()
+  }
 
   /** Continuous load: every micro-batch of `df` goes through the
     * idempotent chunked upsert (Sink.upsert). At-least-once delivery

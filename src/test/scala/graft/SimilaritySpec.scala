@@ -57,6 +57,31 @@ class SimilaritySpec extends SparkSpec {
     assert(range.getLong(0) >= 0L && range.getLong(1) < 256L)
   }
 
+  test("native CosineSim is bit-exact vs the HOF composition") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").limit(60)
+    val both = emb.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      .crossJoin(emb.select(col("vec_id").as("b"), col("embedding").as("eb")))
+      .filter(col("a") < col("b"))
+      .select(Vectors.cosine(col("ea"), col("eb")).as("c1"),
+        Vectors.cosineHof(col("ea"), col("eb")).as("c2"))
+      .collect()
+    assert(both.length > 1000)
+    both.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
+  test("CosineSim nulls: zero vector and length mismatch") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(0.0f, 0.0f), Array(1.0f, 2.0f)),
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val out = df.select(Vectors.cosine(col("a"), col("b")).as("c")).collect()
+    assert(out(0).isNullAt(0))
+    assert(math.abs(out(1).getDouble(0) - 1.0) < 1e-12)
+    val mismatch = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+      .select(Vectors.cosine(col("a"), col("b")).as("c")).collect()
+    assert(mismatch(0).isNullAt(0))
+  }
+
   test("cosine/norm expression math matches scalar math") {
     import spark.implicits._
     val a = Array(1.0f, 2.0f, 2.0f)

@@ -95,6 +95,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup candidates == batch LSH candidates (custom state op)") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val docRows = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = EventStream.nearDupCandidates(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("s_neardup").outputMode("append")
+      .start()
+    try {
+      val (a, b) = docRows.splitAt(docRows.size / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      val got = spark.table("s_neardup")
+        .select(col("doc_a"), col("doc_b")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch ground truth: same banding, same estimate threshold
+      val docs = docRows.toDF("doc_id", "text")
+      val sig = docs.select(col("doc_id"),
+        graft.functions.Text.minHash(
+          graft.functions.Text.shingleHashes(col("text"), 3)).as("sig"))
+      val banded = sig.select(col("doc_id"),
+        explode(graft.functions.Text.lshBands(col("sig"))).as("b"))
+      val cands = banded.select(col("doc_id").as("doc_a"), col("b"))
+        .join(banded.select(col("doc_id").as("doc_b"), col("b")), Seq("b"))
+        .filter(col("doc_a") < col("doc_b")).select("doc_a", "doc_b").distinct()
+      val want = cands
+        .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+        .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+        .filter(graft.functions.Text.sigEstimate(col("sig_a"), col("sig_b")) >= 0.5)
+        .select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(want.nonEmpty && got === want)
+    } finally q.stop()
+  }
+
   test("readEvents wires a parquet directory as an unbounded source") {
     val sdf = EventStream.readEvents(spark, "/root/testdata/sf0.001/events.parquet")
     assert(sdf.isStreaming)
