@@ -1,0 +1,156 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for financial-statement pulls — the
+  * scale-out form of the reference's per-(symbol, statement) API
+  * loop (reference `etl_supabase.py:115-119`, SURVEY §2.1 S1–S3):
+  * `planInputPartitions` emits ONE partition per (symbol, statement),
+  * so a 10k-symbol universe fans out across executors instead of
+  * looping on the driver, and `SupportsPushDownRequiredColumns`
+  * prunes unrequested metric columns before any row is built.
+  *
+  * The per-partition fetch is the connector seam. This
+  * implementation generates deterministic synthetic statements
+  * (hash-derived metric values — a stand-in for the HTTP client,
+  * which is the only piece a production deployment swaps); the
+  * DSv2 machinery around it (table, scan builder, pruning,
+  * partition planning, row building) is the real surface, exercised
+  * by StatementDataSourceSpec.
+  *
+  * Usage:
+  * {{{
+  * spark.read.format("graft.sources.StatementDataSource")
+  *   .option("symbols", "FPT,VNM")
+  *   .option("statements", "income_statement,balance_sheet")
+  *   .option("years", "2015-2024")
+  *   .load()
+  * }}}
+  */
+class StatementDataSource extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    StatementDataSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new StatementTable(new CaseInsensitiveStringMap(properties))
+}
+
+object StatementDataSource {
+
+  val Metrics: Seq[String] = Seq(
+    "revenue", "gross_profit", "operating_income", "net_income",
+    "total_assets", "total_liabilities", "equity", "operating_cash_flow")
+
+  /** Wide statement schema: reserved columns + metric payload. */
+  val Schema: StructType = StructType(
+    Seq(StructField("cp", StringType, nullable = false),
+      StructField("statement", StringType, nullable = false),
+      StructField("year", IntegerType, nullable = false)) ++
+      Metrics.map(m => StructField(m, DoubleType, nullable = true)))
+
+  def parseYears(spec: String): Range.Inclusive = {
+    val parts = spec.split("-", 2)
+    parts(0).trim.toInt to parts(parts.length - 1).trim.toInt
+  }
+
+  /** Deterministic synthetic fetch for one (symbol, statement, year,
+    * metric) — the stand-in for the HTTP client response.
+    */
+  def metricValue(symbol: String, statement: String, year: Int,
+                  metric: String): Double = {
+    var h = 0xcbf29ce484222325L
+    for (s <- Seq(symbol, statement, metric); c <- s)
+      h = (h ^ c) * 0x100000001b3L
+    h = (h ^ year) * 0x100000001b3L
+    (java.lang.Math.floorMod(h, 1000000000L)).toDouble / 1000.0
+  }
+}
+
+private[sources] class StatementTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+
+  override def name(): String = "graft_statements"
+
+  override def schema(): StructType = StatementDataSource.Schema
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new StatementScanBuilder(
+      options.getOrDefault("symbols", "FPT").split(",").map(_.trim).toSeq,
+      options.getOrDefault("statements",
+        "income_statement,balance_sheet,cash_flow").split(",").map(_.trim).toSeq,
+      StatementDataSource.parseYears(options.getOrDefault("years", "2015-2024")))
+}
+
+private[sources] class StatementScanBuilder(
+    symbols: Seq[String], statements: Seq[String], years: Range.Inclusive)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = StatementDataSource.Schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new StatementScan(symbols, statements, years, required)
+}
+
+private[sources] class StatementScan(
+    symbols: Seq[String], statements: Seq[String], years: Range.Inclusive,
+    required: StructType) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  /** The fan-out: one partition per (symbol, statement). */
+  override def planInputPartitions(): Array[InputPartition] =
+    (for (s <- symbols; st <- statements)
+      yield StatementPartition(s, st, years.start, years.end)).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new StatementReaderFactory(required)
+}
+
+private[sources] case class StatementPartition(
+    symbol: String, statement: String, yearFrom: Int, yearTo: Int)
+  extends InputPartition
+
+private[sources] class StatementReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[StatementPartition]
+    val fields = required.fields
+    new PartitionReader[InternalRow] {
+      private var year = p.yearFrom - 1
+      override def next(): Boolean = { year += 1; year <= p.yearTo }
+      override def get(): InternalRow = {
+        val values: Array[Any] = fields.map(_.name match {
+          case "cp" => UTF8String.fromString(p.symbol)
+          case "statement" => UTF8String.fromString(p.statement)
+          case "year" => year
+          case metric => StatementDataSource.metricValue(
+            p.symbol, p.statement, year, metric)
+        })
+        new GenericInternalRow(values)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
