@@ -70,6 +70,19 @@ object Vectors {
       lit(0L), (b, bit) => b * 2 + bit)
   }
 
+  /** All L multi-table hyperplane buckets in one native pass — the
+    * codegen'd [[graft.expressions.HyperplaneBuckets]] (memoized
+    * plane matrix + one fused loop), bit-identical to evaluating
+    * [[hyperplaneBucket]] with seed = 0..L−1 (pinned in
+    * SimilaritySpec). Explode the result to get (table, bucket) join
+    * keys.
+    */
+  def hyperplaneBuckets(v: Column, nBits: Int, tables: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.expressions.HyperplaneBuckets(
+      ColumnBridge.expression(v), nBits, tables))
+  }
+
   /** Deterministic pseudo-hyperplane component for (bit i, index j,
     * seed), scaled to [-1, 1). The mix MUST avalanche: an affine
     * `i*A + j*B + seed*C mod 2^31` leaves different seeds producing

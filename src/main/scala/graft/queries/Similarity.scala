@@ -128,10 +128,8 @@ object Similarity {
         val emb = t(s, d).embeddings
         val L = 12
         val banded = emb.select(col("vec_id"),
-            explode(sequence(lit(0L), lit(L - 1L))).as("tbl"), col("embedding"))
-          .select(col("vec_id"), col("tbl"),
-            Vectors.hyperplaneBucket(col("embedding"), nBits = 3, seed = col("tbl"))
-              .as("b"))
+          posexplode(Vectors.hyperplaneBuckets(col("embedding"), nBits = 3,
+            tables = L)).as(Seq("tbl", "b")))
         val q = emb.filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
         val qb = banded.join(broadcast(q.select(col("query_id"))),

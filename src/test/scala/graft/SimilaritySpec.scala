@@ -57,6 +57,21 @@ class SimilaritySpec extends SparkSpec {
     assert(range.getLong(0) >= 0L && range.getLong(1) < 256L)
   }
 
+  test("native HyperplaneBuckets == per-seed hyperplaneBucket columns") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").limit(100)
+    val l = 5
+    val cols = (0 until l).map(t =>
+      Vectors.hyperplaneBucket(col("embedding"), nBits = 3, seed = lit(t.toLong))
+        .as(s"b$t"))
+    val both = emb.select(
+      (Vectors.hyperplaneBuckets(col("embedding"), nBits = 3, tables = l)
+        .as("native") +: cols): _*).collect()
+    both.foreach { r =>
+      val native = r.getSeq[Long](0)
+      (0 until l).foreach(t => assert(native(t) === r.getLong(1 + t)))
+    }
+  }
+
   test("native CosineSim is bit-exact vs the HOF composition") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet").limit(60)
     val both = emb.select(col("vec_id").as("a"), col("embedding").as("ea"))
