@@ -58,6 +58,23 @@ object Sources {
     if (payload.isEmpty) df else df.na.drop("all", payload)
   }
 
+  /** Connector bound to the DataSource V2 statement source
+    * (graft.sources.StatementDataSource): the load plans a DSv2 scan
+    * whose partitions fan out per (symbol, statement) on executors.
+    * The `statement` helper column is internal to the source and
+    * dropped so the frame is pack-ready like any wide statement table.
+    */
+  final class Dsv2StatementSource(years: String = "2015-2024") extends StatementSource {
+    override def load(spark: SparkSession, symbol: String,
+                      statement: Statement): DataFrame =
+      spark.read.format("graft.sources.StatementDataSource")
+        .option("symbols", symbol)
+        .option("statements", statement.name)
+        .option("years", years)
+        .load()
+        .drop("statement")
+  }
+
   // ---- fixture tables (TESTDATA.md) -------------------------------
 
   val TableNames: Seq[String] = Seq(

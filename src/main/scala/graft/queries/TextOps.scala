@@ -185,6 +185,52 @@ object TextOps {
         ORDER BY doc_a, doc_b"""),
       "blocked n-gram Jaccard near-dup pairs"),
 
+    // -- composite corpus-prep: the realistic training-data chain —
+    //    quality gate → exact dedup (keep-first by content hash) →
+    //    per-language corpus stats. Every stage is the already-
+    //    verified operator (q52's gates, q50's dedup, q51's tokens)
+    //    composed in one plan: Catalyst collapses the projections, the
+    //    only shuffles are the dedup hash-group and the tiny final
+    //    per-lang aggregate.
+    Q("q59_corpus_prep",
+      (s, d) => {
+        val toks = Text.tokens(col("text"))
+        val punct = length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
+        val punctRatio = punct.cast("double") / length(col("text"))
+        val gated = t(s, d).documents
+          .filter(size(toks) >= 10 && punctRatio < 0.1)
+          .select(col("doc_id"), col("lang"),
+            sha2(col("text"), 256).as("content_sha"),
+            size(toks).as("n_tokens"))
+        val deduped = gated
+          .groupBy(col("content_sha"))
+          .agg(min_by(struct(col("doc_id"), col("lang"), col("n_tokens")),
+            col("doc_id")).as("keep"))
+          .select(col("keep.lang").as("lang"), col("keep.n_tokens").as("n_tokens"))
+        deduped.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            (sum(col("n_tokens")).cast("double") / count(lit(1)))
+              .as("avg_tokens"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH gated AS (
+          SELECT doc_id, lang, sha256(text) AS content_sha,
+            CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INT) AS n_tokens
+          FROM documents
+          WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 10
+            AND CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS DOUBLE)
+              / length(text) < 0.1),
+        deduped AS (
+          SELECT content_sha, MIN_BY(lang, doc_id) AS lang,
+            MIN_BY(n_tokens, doc_id) AS n_tokens
+          FROM gated GROUP BY content_sha)
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+          CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
+        FROM deduped GROUP BY lang ORDER BY lang"""),
+      "composite corpus prep: quality gate -> exact dedup -> per-lang stats"),
+
     // -- MinHash signatures (xxhash64-based — no SQL oracle; driver
     //    rows-only check; recall verified in MinHashSpec). Map-side
     //    only: signature is 48 array-mins over the shingle hashes.

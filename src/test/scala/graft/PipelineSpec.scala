@@ -104,6 +104,19 @@ class PipelineSpec extends SparkSpec {
     assert(writer.size.toLong === distinctKeys * statements.size)
   }
 
+  test("pipeline runs end-to-end through the DSv2 connector") {
+    val archBase = Files.createTempDirectory("pipearch2").toString
+    val pubRoot = Files.createTempDirectory("pipepub2").toString
+    val source = new Sources.Dsv2StatementSource(years = "2019-2023")
+    val spec = Pipeline.Spec(source, "FPT", Sources.Income,
+      "fin_income", s"$archBase/income", "income")
+    val writer = new Sink.InMemoryUpsertWriter(Seq("ticker", "year"))
+    val r = Pipeline.run(spark, spec, writer, new Archive.LocalFsPublisher(pubRoot))
+    assert(r.recordsUpserted === 5) // one packed record per year
+    assert(writer.size === 5)
+    assert(Files.list(Paths.get(pubRoot, Archive.DefaultBucket, "income")).count() > 0)
+  }
+
   test("connector fails loudly when the statement table lacks a ticker column") {
     val base = Files.createTempDirectory("pipebad").toString
     import spark.implicits._
