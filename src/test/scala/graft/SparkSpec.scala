@@ -13,6 +13,8 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .appName(getClass.getSimpleName)
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      s"/tmp/graft-test-warehouse-${sys.props.getOrElse("user.name", "u")}")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
