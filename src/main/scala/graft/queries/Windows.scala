@@ -124,6 +124,40 @@ object Windows {
         WINDOW w AS (PARTITION BY c_mktsegment
           ORDER BY c_acctbal DESC, c_custkey)
         ORDER BY c_mktsegment, rnk, c_custkey"""),
-      "rank/dense_rank/ntile")
+      "rank/dense_rank/ntile"),
+
+    // -- distribution + navigation analytics: percent_rank/cume_dist
+    //    over the running frame, lead and first/nth value over the
+    //    full-partition frame. One window spec per frame shape so
+    //    Spark computes all five functions in a single sort.
+    Q("q25_window_analytics",
+      (s, d) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, d).customer
+          .filter(col("c_custkey") % 10 === 0)
+          .select(col("c_mktsegment"), col("c_custkey"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cdist"),
+            lead(col("c_acctbal"), 1).over(w).as("next_bal"),
+            first(col("c_custkey")).over(wFull).as("top_cust"),
+            nth_value(col("c_custkey"), 2).over(wFull).as("runner_up"))
+          .orderBy(col("c_mktsegment"), col("c_custkey"))
+      },
+      Some("""SELECT c_mktsegment, c_custkey,
+        PERCENT_RANK() OVER w AS pct_rank,
+        CUME_DIST() OVER w AS cdist,
+        LEAD(c_acctbal, 1) OVER w AS next_bal,
+        FIRST_VALUE(c_custkey) OVER wf AS top_cust,
+        NTH_VALUE(c_custkey, 2) OVER wf AS runner_up
+        FROM customer WHERE c_custkey % 10 = 0
+        WINDOW w AS (PARTITION BY c_mktsegment
+          ORDER BY c_acctbal DESC, c_custkey),
+        wf AS (PARTITION BY c_mktsegment
+          ORDER BY c_acctbal DESC, c_custkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY c_mktsegment, c_custkey"""),
+      "percent_rank/cume_dist/lead/first/nth_value")
   )
 }
