@@ -1,0 +1,53 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL registrations for the native expressions, so `spark.sql` users
+  * call them like builtins (`SELECT simhash64(tokens), ...`). Inject
+  * at session build with `spark.sql.extensions=graft.GraftExtensions`,
+  * or into a live session via
+  * `org.apache.spark.sql.graftbridge.FunctionRegistration.registerAll`.
+  */
+object GraftFunctions {
+
+  type Builder = Seq[Expression] => Expression
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      args => SimHash64(args.head)),
+    (FunctionIdentifier("minhash"),
+      new ExpressionInfo(classOf[MinHash].getName, "minhash"),
+      {
+        case Seq(c) => MinHash(c)
+        case Seq(c, k) => MinHash(c, litInt(k, "minhash k"))
+        case args => throw new IllegalArgumentException(
+          s"minhash takes 1-2 arguments, got ${args.size}")
+      }),
+    (FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      {
+        case Seq(c) => ShingleHashes(c)
+        case Seq(c, n) => ShingleHashes(c, litInt(n, "shingle width"))
+        case args => throw new IllegalArgumentException(
+          s"shingle_hashes takes 1-2 arguments, got ${args.size}")
+      }),
+    (FunctionIdentifier("jaccard_long"),
+      new ExpressionInfo(classOf[JaccardLong].getName, "jaccard_long"),
+      args => JaccardLong(args(0), args(1))),
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      args => CosineSim(args(0), args(1))),
+    (FunctionIdentifier("hyperplane_buckets"),
+      new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),
+      args => HyperplaneBuckets(args(0), litInt(args(1), "nBits"),
+        litInt(args(2), "tables"))))
+}

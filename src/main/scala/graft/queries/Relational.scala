@@ -18,6 +18,25 @@ import QU._
   */
 object Relational {
 
+  /** One SQL text, two engines (q27): ANSI subset both parse
+    * identically; the only graft-ism is the decimal-sum determinism
+    * convention spelled out longhand.
+    */
+  val Q27Sql: String =
+    """SELECT l_orderkey,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+        AS revenue,
+      o_orderdate, o_orderpriority
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+        AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, o_orderdate, l_orderkey
+      LIMIT 10"""
+
   val queries: Seq[Q] = Seq(
 
     // -- hash aggregate with partial (map-side) combine; 6 groups →
@@ -205,6 +224,23 @@ object Relational {
         .orderBy(col("o_orderpriority")),
       None,
       "HLL++ approximate distinct (rows-only oracle; error bound in spec)"),
+
+    // -- the SQL entry point: ONE SQL text executed verbatim by BOTH
+    //    engines (spark.sql over temp views of the same parquet; the
+    //    oracle is the identical string) — the TPC-H Q3 shape:
+    //    3-way join, filtered fact scan, decimal-sum revenue, top-k.
+    //    Demonstrates that the engine's SQL surface is ANSI-parity,
+    //    not just the DataFrame API.
+    Q("q27_sql_entry",
+      (s, d) => {
+        val x = t(s, d)
+        x.customer.createOrReplaceTempView("customer")
+        x.orders.createOrReplaceTempView("orders")
+        x.lineitem.createOrReplaceTempView("lineitem")
+        s.sql(Relational.Q27Sql)
+      },
+      Some(Relational.Q27Sql),
+      "shared-text SQL entry (TPC-H Q3 shape) on both engines"),
 
     // -- rollup: hierarchical subtotals.
     Q("q09_rollup",

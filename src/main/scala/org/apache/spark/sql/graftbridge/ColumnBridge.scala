@@ -14,3 +14,15 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Registers graft's native expressions as SQL functions on a LIVE
+  * session (the build-time path is `spark.sql.extensions=
+  * graft.GraftExtensions`). Lives in the sql namespace because
+  * `sessionState` is `private[sql]` in Spark 4.
+  */
+object FunctionRegistration {
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.expressions.GraftFunctions.all.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}
