@@ -242,6 +242,28 @@ object Relational {
       Some(Relational.Q27Sql),
       "shared-text SQL entry (TPC-H Q3 shape) on both engines"),
 
+    // -- exact interpolated percentiles per group: Spark `percentile`
+    //    and the oracle's `quantile_cont` share the p·(n−1) linear-
+    //    interpolation formula, verified bit-identical. Exact
+    //    percentiles need the group's values sorted per task —
+    //    the scale path for coarse needs is `approx_percentile`
+    //    (fixed-size sketch, q19's posture applied to quantiles).
+    Q("q28_percentiles",
+      (s, d) => t(s, d).orders
+        .groupBy(col("o_orderpriority"))
+        .agg(percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+             percentile(col("o_totalprice"), lit(0.9)).as("p90"),
+             percentile(col("o_totalprice"), lit(0.99)).as("p99"),
+             count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+        quantile_cont(o_totalprice, 0.5) AS p50,
+        quantile_cont(o_totalprice, 0.9) AS p90,
+        quantile_cont(o_totalprice, 0.99) AS p99,
+        COUNT(*) AS n
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      "exact interpolated percentiles per group"),
+
     // -- rollup: hierarchical subtotals.
     Q("q09_rollup",
       (s, d) => t(s, d).lineitem
