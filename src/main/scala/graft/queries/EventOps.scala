@@ -67,6 +67,30 @@ object EventOps {
         ORDER BY user_id, session_start"""),
       "session windows == gaps-and-islands"),
 
+    // -- stream-stream interval join in its batch form: views matched
+    //    to same-user purchases within the following hour. The SAME
+    //    transform runs as a watermarked stream-stream join
+    //    (EventStream.attributionJoin; StreamingSpec proves parity) —
+    //    there the range predicate is what bounds the join state.
+    Q("q44_attribution_join",
+      (s, d) => {
+        val ev = t(s, d).events
+        graft.streaming.EventStream.attributionJoin(
+            ev.filter(col("event_type") === "view"),
+            ev.filter(col("event_type") === "purchase"))
+          .orderBy(col("user_id"), col("view_ts"), col("view_id"),
+            col("purchase_ts"), col("purchase_id"))
+      },
+      Some("""SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+          p.event_id AS purchase_id, p.ts AS purchase_ts,
+          p.value AS purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'view') v
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON v.user_id = p.user_id AND p.ts >= v.ts
+            AND p.ts <= v.ts + INTERVAL 1 HOUR
+        ORDER BY v.user_id, view_ts, view_id, purchase_ts, purchase_id"""),
+      "view->purchase interval join (stream-stream join, batch form)"),
+
     // -- as-of join: every event annotated with the value of that
     //    user's most recent purchase at-or-before the event time —
     //    graft.operators.AsOfJoin's union–sort–backfill plan (ONE

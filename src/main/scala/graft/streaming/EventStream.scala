@@ -70,6 +70,29 @@ object EventStream {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Stream-stream interval join — attribution shape: every view
+    * paired with the same user's purchases within `within` after it.
+    * On streams, BOTH sides carry watermarks and the time-range
+    * predicate bounds the join state (Spark evicts rows once the
+    * watermark passes the interval) — the only way a stream-stream
+    * join is runnable unbounded. On batch frames the watermarks are
+    * optimizer-eliminated and this is a plain range join (q44's
+    * DuckDB-verified form).
+    */
+  def attributionJoin(views: DataFrame, purchases: DataFrame,
+                      within: String = "1 hour",
+                      watermark: String = "2 hours"): DataFrame = {
+    val v = views.withWatermark("ts", watermark).alias("v")
+    val p = purchases.withWatermark("ts", watermark).alias("p")
+    v.join(p,
+        expr("v.user_id = p.user_id AND p.ts >= v.ts AND " +
+          s"p.ts <= v.ts + INTERVAL $within"))
+      .select(col("v.user_id").as("user_id"),
+        col("v.event_id").as("view_id"), col("v.ts").as("view_ts"),
+        col("p.event_id").as("purchase_id"), col("p.ts").as("purchase_ts"),
+        col("p.value").as("purchase_value"))
+  }
+
   /** One (band-key, doc, signature) assignment for the streaming
     * near-dup state operator.
     */

@@ -138,4 +138,66 @@ class StreamingSpec extends SparkSpec {
     assert(Seq("ts", "user_id", "event_type", "value")
       .forall(sdf.columns.contains))
   }
+
+  test("stream-stream interval join == batch attribution join (q44 logic)") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    // events WITH ids for deterministic pair identity
+    val evRows = Sources.Tables(spark, "/root/testdata/sf0.001").events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toSeq
+    val views = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val purchases = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    def frame(s: MemoryStream[(Long, Timestamp, Long, String, Double)]) =
+      s.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStream.attributionJoin(frame(views), frame(purchases))
+      .writeStream.format("memory").queryName("s_attr").outputMode("append")
+      .start()
+    try {
+      // split purchases CHRONOLOGICALLY: stream-stream state honors the
+      // watermark, so data arriving later than the watermark allows is
+      // (correctly) dropped — an arbitrary split would test that drop,
+      // not the join
+      val ps = evRows.filter(_._4 == "purchase").sortBy(_._2.getTime)
+      val (a, b) = ps.splitAt(ps.size / 2)
+      views.addData(evRows.filter(_._4 == "view"))
+      purchases.addData(a); q.processAllAvailable()
+      purchases.addData(b); q.processAllAvailable()
+      val got = spark.table("s_attr")
+        .select(col("view_id"), col("purchase_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val evDf = evRows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val want = EventStream.attributionJoin(
+          evDf.filter(col("event_type") === "view"),
+          evDf.filter(col("event_type") === "purchase"))
+        .select(col("view_id"), col("purchase_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(want.nonEmpty && got === want)
+    } finally q.stop()
+  }
+
+  test("Trigger.AvailableNow drains the directory source and equals batch") {
+    // the streaming file source requires a DIRECTORY; stage the fixture
+    // file into one
+    val dir = java.nio.file.Files.createTempDirectory("availnow").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    // same nanos->micros conversion the batch Tables.events applies
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sdf = EventStream.readEvents(spark, dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStream.tumblingAgg(sdf)
+      .writeStream.format("memory").queryName("s_avail")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000) // AvailableNow terminates after draining
+    val got = collectSet(spark.table("s_avail"))
+    val want = collectSet(EventStream.tumblingAgg(
+      Sources.Tables(spark, "/root/testdata/sf0.001").events))
+    assert(want.nonEmpty && got === want)
+  }
 }
