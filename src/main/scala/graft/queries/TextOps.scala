@@ -185,6 +185,41 @@ object TextOps {
         ORDER BY doc_a, doc_b"""),
       "blocked n-gram Jaccard near-dup pairs"),
 
+    // -- repetition signals (Gopher-style quality gates): fraction of
+    //    repeated tokens and repeated bigrams per document — high
+    //    values mark boilerplate/template text a training pipeline
+    //    drops. Pure map-side projection; the distinct-bigram count
+    //    reuses the shingling machinery at n=2.
+    Q("q66_repetition",
+      (s, d) => {
+        val toks = Text.tokens(col("text"))
+        val nTok = size(toks)
+        val tokenRep = lit(1.0) - size(array_distinct(toks)).cast("double") / nTok
+        val bigramRep = when(nTok >= 2,
+          lit(1.0) - size(Text.shingles(col("text"), 2)).cast("double") / (nTok - 1))
+          .otherwise(lit(0.0))
+        t(s, d).documents.select(col("doc_id"),
+            tokenRep.as("token_rep"),
+            bigramRep.as("bigram_rep"),
+            (tokenRep > 0.6 || bigramRep > 0.5).cast("int").as("repetitive"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+            1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS token_rep,
+            CASE WHEN len(toks) >= 2 THEN
+              1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+                i -> concat(toks[i], ' ', toks[i + 1])))) AS DOUBLE) / (len(toks) - 1)
+            ELSE 0.0 END AS bigram_rep
+          FROM t)
+        SELECT doc_id, token_rep, bigram_rep,
+          CAST(token_rep > 0.6 OR bigram_rep > 0.5 AS INT) AS repetitive
+        FROM m ORDER BY doc_id"""),
+      "token/bigram repetition quality signals"),
+
     // -- composite corpus-prep: the realistic training-data chain —
     //    quality gate → exact dedup (keep-first by content hash) →
     //    per-language corpus stats. Every stage is the already-
