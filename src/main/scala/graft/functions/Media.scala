@@ -85,4 +85,17 @@ object Media {
     files.select("path", "content").as[(String, Array[Byte])]
       .mapPartitions(_.map { case (p, b) => decoder.decode(p, b) })
   }
+
+  /** Uniform frame-sample plan: which k of n frames to decode. Pure
+    * index math (ceil-spaced across [0, n)), so the expensive decode
+    * only ever touches the sampled frames — the video analog of
+    * column pruning. Deterministic; first frame always included, k
+    * clamped to n.
+    */
+  def frameSampleIndices(nFrames: Int, k: Int): Seq[Int] = {
+    require(nFrames >= 0 && k >= 0, s"negative args: n=$nFrames k=$k")
+    if (nFrames == 0 || k == 0) Seq.empty
+    else if (k >= nFrames) 0 until nFrames
+    else (0 until k).map(i => (i.toLong * nFrames / k).toInt)
+  }
 }

@@ -55,6 +55,15 @@ class MediaSpec extends SparkSpec {
       "c.x" -> "png", "d.x" -> "unknown"))
   }
 
+  test("frameSampleIndices: uniform, deterministic, bounded") {
+    assert(Media.frameSampleIndices(10, 4) === Seq(0, 2, 5, 7))
+    assert(Media.frameSampleIndices(3, 10) === Seq(0, 1, 2)) // k clamped
+    assert(Media.frameSampleIndices(0, 5) === Seq.empty)
+    assert(Media.frameSampleIndices(240, 8).distinct.size === 8)
+    Media.frameSampleIndices(239, 16).foreach(i => assert(i >= 0 && i < 239))
+    assert(Media.frameSampleIndices(100, 7).head === 0) // first frame kept
+  }
+
   test("q70/q71 run over the fixture directory") {
     val q70 = Registry.queries("q70_binary_meta")(spark, dir).collect()
     assert(q70.nonEmpty)
