@@ -70,6 +70,19 @@ object EventStream {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Streaming exact dedup: first occurrence per key wins; duplicate
+    * state is bounded by the watermark (a duplicate arriving later
+    * than `watermark` after the original is treated as new — the
+    * unbounded-history variant is plain `dropDuplicates`, whose state
+    * grows forever). The streaming form of q50's content-hash dedup:
+    * key on the hash column, watermark on event time.
+    */
+  def streamingDedup(df: DataFrame, keys: Seq[String],
+                     tsCol: String = "ts",
+                     watermark: String = "2 hours"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Stream-stream interval join — attribution shape: every view
     * paired with the same user's purchases within `within` after it.
     * On streams, BOTH sides carry watermarks and the time-range

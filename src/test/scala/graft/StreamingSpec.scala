@@ -139,6 +139,26 @@ class StreamingSpec extends SparkSpec {
       .forall(sdf.columns.contains))
   }
 
+  test("streaming dedup: first occurrence kept, duplicates within watermark dropped") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    // duplicate every event (same ts/user/type) across two batches
+    val rows = fixtureEvents.take(300)
+    val stream = MemoryStream[Ev]
+    val q = EventStream.streamingDedup(
+        stream.toDF(), keys = Seq("user_id", "ts", "event_type"))
+      .writeStream.format("memory").queryName("s_dedup").outputMode("append")
+      .start()
+    try {
+      stream.addData(rows); q.processAllAvailable()
+      stream.addData(rows); q.processAllAvailable() // exact replay batch
+      val got = spark.table("s_dedup").count()
+      val want = rows.toDF().select("user_id", "ts", "event_type")
+        .distinct().count()
+      assert(want > 0 && got === want)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join == batch attribution join (q44 logic)") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
