@@ -220,6 +220,24 @@ object TextOps {
         FROM m ORDER BY doc_id"""),
       "token/bigram repetition quality signals"),
 
+    // -- explode/unnest + aggregate: corpus token frequencies, top-k.
+    //    The generate-then-aggregate lattice (flatten rows, hash-agg
+    //    with map-side partials, TakeOrdered for the top slice) — at
+    //    100 TB the shuffle carries (token, partial count) pairs, not
+    //    exploded rows.
+    Q("q67_token_explode",
+      (s, d) => t(s, d).documents
+        .select(explode(Text.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20),
+      Some("""SELECT token, COUNT(*) AS n FROM (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          FROM documents) t
+        GROUP BY token ORDER BY n DESC, token LIMIT 20"""),
+      "explode/unnest token frequency top-k"),
+
     // -- composite corpus-prep: the realistic training-data chain —
     //    quality gate → exact dedup (keep-first by content hash) →
     //    per-language corpus stats. Every stage is the already-
