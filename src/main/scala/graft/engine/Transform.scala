@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -90,6 +90,24 @@ object Transform {
         array(payload.map(cellToString(df, _)): _*))
 
     df.select(ticker.as("ticker"), year.as("year"), data.as("data"))
+  }
+
+  /** The fixed sink record (SURVEY §1.3): the ONE schema in the
+    * system that is static, so the typed Dataset API applies.
+    */
+  final case class JsonbRecord(
+      ticker: String, year: Option[Int], data: Map[String, String])
+
+  /** Typed view of the pack — `Dataset[JsonbRecord]` for callers that
+    * want compile-time field access on the sink side (the wide input
+    * stays an untyped DataFrame because its schema is dynamic by
+    * design, reference `:42-47`).
+    */
+  def packJsonbTyped(df: DataFrame,
+                     defaultTicker: String = DefaultTicker): Dataset[JsonbRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    packJsonb(df, defaultTicker).as[JsonbRecord]
   }
 
   /** JSON-text variant of the pack: `data` as a JSON string with keys

@@ -114,4 +114,19 @@ class TransformSpec extends SparkSpec {
     assert(Schema.yearColumn(d) === Some("Year"))
     assert(Schema.payloadColumns(d) === Seq("v"))
   }
+
+  test("packJsonbTyped: typed sink record round-trips the pack") {
+    val schema = StructType(Seq(
+      StructField("ticker", StringType), StructField("year", IntegerType),
+      StructField("v", DoubleType)))
+    import scala.jdk.CollectionConverters._
+    val d = spark.createDataFrame(
+      Seq(Row("ABC", 2021, 1.5), Row(null, null, null)).asJava, schema)
+    val recs = Transform.packJsonbTyped(d).collect().sortBy(_.ticker)
+    assert(recs.length === 2)
+    assert(recs(0) === Transform.JsonbRecord("ABC", Some(2021), Map("v" -> "1.5")))
+    assert(recs(1).ticker === "FPT") // default ticker (reference :59)
+    assert(recs(1).year === None)
+    assert(recs(1).data === Map("v" -> null))
+  }
 }
