@@ -78,6 +78,9 @@ object CosineSim {
     var sb = 0.0
     var i = 0
     while (i < n) {
+      // a null element poisons the fold in the HOF formulation; keep
+      // that contract rather than silently reading 0
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y

@@ -87,12 +87,14 @@ object MinHash {
     val n = hashes.numElements()
     var t = 0
     while (t < n) {
-      val h = java.lang.Math.floorMod(hashes.getLong(t), P)
-      var i = 0
-      while (i < k) {
-        val v = java.lang.Math.floorMod(a(i) * h + b(i), P)
-        if (v < mins(i)) mins(i) = v
-        i += 1
+      if (!hashes.isNullAt(t)) { // null shingles contribute nothing
+        val h = java.lang.Math.floorMod(hashes.getLong(t), P)
+        var i = 0
+        while (i < k) {
+          val v = java.lang.Math.floorMod(a(i) * h + b(i), P)
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
       }
       t += 1
     }

@@ -115,12 +115,25 @@ object JaccardLong {
     val ns = small.numElements()
     val nb = big.numElements()
     if (ns == 0 && nb == 0) return 0.0
+    // null elements are treated as absent (set semantics); sizes count
+    // non-null members so the ratio stays a true Jaccard
     val set = new java.util.HashSet[java.lang.Long](ns * 2)
     var i = 0
-    while (i < ns) { set.add(small.getLong(i)); i += 1 }
+    while (i < ns) {
+      if (!small.isNullAt(i)) set.add(small.getLong(i))
+      i += 1
+    }
     var inter = 0
+    var nbNonNull = 0
     i = 0
-    while (i < nb) { if (set.contains(big.getLong(i))) inter += 1; i += 1 }
-    inter.toDouble / (ns + nb - inter).toDouble
+    while (i < nb) {
+      if (!big.isNullAt(i)) {
+        nbNonNull += 1
+        if (set.contains(big.getLong(i))) inter += 1
+      }
+      i += 1
+    }
+    val union = set.size + nbNonNull - inter
+    if (union == 0) 0.0 else inter.toDouble / union.toDouble
   }
 }

@@ -39,6 +39,8 @@ object AsOfJoin {
   def apply(left: DataFrame, right: DataFrame, keys: Seq[String],
             leftTime: String, rightTime: String,
             payload: Seq[String] = Seq.empty): DataFrame = {
+    require(!(left.columns ++ right.columns).exists(_.startsWith("__")),
+      "AsOfJoin reserves the __ column-name prefix for internal tagging")
     val payloadCols =
       if (payload.nonEmpty) payload
       else right.columns.toSeq.filterNot(c => keys.contains(c) || c == rightTime)

@@ -28,6 +28,8 @@ object Salted {
     require(factor >= 1, s"salt factor must be >= 1, got $factor")
     require(Seq("inner", "left", "left_outer").contains(joinType),
       s"salting is row-preserving for inner/left joins only, got $joinType")
+    require(!(left.columns ++ right.columns).contains("__salt"),
+      "saltedJoin reserves the __salt column name")
     val allLeft = struct(left.columns.map(left(_)): _*)
     val sl = left.withColumn("__salt", pmod(xxhash64(allLeft), lit(factor)).cast("int"))
     val sr = right.withColumn("__salt",
