@@ -11,6 +11,8 @@ import graft.expressions.GraftFunctions
   * `org.apache.spark.sql.graftbridge.FunctionRegistration.registerAll`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(extensions.injectFunction)
+    extensions.injectOptimizerRule(new graft.plans.JaccardSizePrefilter(_))
+  }
 }
