@@ -27,4 +27,20 @@ object Bucketed {
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
   }
+
+  /** Persist `df` hive-partitioned on low-cardinality columns: a
+    * reader filtering on them scans only the matching directories
+    * (partition pruning — the scan's PartitionFilters, no data files
+    * touched outside the selected partitions). Partition columns must
+    * be low-cardinality (lang, date, segment); high-cardinality keys
+    * belong in [[writeBucketed]] buckets instead — millions of tiny
+    * directories kill the file listing at scale.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
 }

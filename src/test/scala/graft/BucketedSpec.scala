@@ -42,6 +42,30 @@ class BucketedSpec extends SparkSpec {
     }
   }
 
+  test("partitioned layout prunes non-matching partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("partspec").toString + "/docs"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Bucketed.writePartitioned(docs, dir, Seq("lang"))
+    val q = spark.read.parquet(dir).filter(col("lang") === "en")
+      .select(col("doc_id"))
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"),
+      s"partition filter missing from scan:\n$scan")
+    // pruned scan reads only the en directory's files
+    val allLangs = docs.select(col("lang")).distinct().count()
+    assert(allLangs > 1)
+    assert(q.count() === docs.filter(col("lang") === "en").count())
+    def filesScanned(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.executedPlan.collectLeaves().head match {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.totalNumberOfFiles
+      }
+    val scannedFiles = filesScanned(q)
+    val totalFiles = filesScanned(spark.read.parquet(dir))
+    assert(scannedFiles < totalFiles,
+      s"pruning read $scannedFiles of $totalFiles files")
+  }
+
   test("bucketed groupBy on the bucket key avoids the aggregate shuffle") {
     val dir = "/root/testdata/sf0.001"
     val orders = spark.read.parquet(s"$dir/orders.parquet")
