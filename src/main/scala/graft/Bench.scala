@@ -51,14 +51,24 @@ object Bench {
         case e: Throwable =>
           errors ::= name -> Option(e.getMessage).getOrElse(e.getClass.getName)
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // queries may persist() intermediates; release between queries so
+      // later entries aren't measured under dead-cache memory pressure
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // escape EVERY control char, not just the common whitespace ones —
+    // exception messages embed caret diagnostics and arbitrary input
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val errJson = errors.reverse
-      .map { case (k, m) =>
-        "\"" + k + "\":\"" + m.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200) + "\""
-      }
+      .map { case (k, m) => "\"" + k + "\":\"" + esc(m.take(200)) + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =

@@ -92,6 +92,11 @@ object Sink {
       import scala.jdk.CollectionConverters._
       store.values().asScala.toSeq
     }
+    /** Release the JVM-static store — the registry otherwise retains
+      * every writer's rows for the JVM lifetime (harnesses that build
+      * a writer per run should dispose when done asserting).
+      */
+    def dispose(): Unit = InMemoryUpsertWriter.registry.remove(id): Unit
   }
 
   object InMemoryUpsertWriter {

@@ -20,10 +20,16 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def arity(name: String, n: Int)(args: Seq[Expression]): Seq[Expression] = {
+    if (args.size != n) throw new IllegalArgumentException(
+      s"$name takes $n argument(s), got ${args.size}")
+    args
+  }
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      args => SimHash64(args.head)),
+      args => SimHash64(arity("simhash64", 1)(args).head)),
     (FunctionIdentifier("minhash"),
       new ExpressionInfo(classOf[MinHash].getName, "minhash"),
       {
@@ -42,12 +48,12 @@ object GraftFunctions {
       }),
     (FunctionIdentifier("jaccard_long"),
       new ExpressionInfo(classOf[JaccardLong].getName, "jaccard_long"),
-      args => JaccardLong(args(0), args(1))),
+      args => { val a = arity("jaccard_long", 2)(args); JaccardLong(a(0), a(1)) }),
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      args => CosineSim(args(0), args(1))),
+      args => { val a = arity("cosine_sim", 2)(args); CosineSim(a(0), a(1)) }),
     (FunctionIdentifier("hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),
-      args => HyperplaneBuckets(args(0), litInt(args(1), "nBits"),
-        litInt(args(2), "tables"))))
+      args => { val a = arity("hyperplane_buckets", 3)(args)
+        HyperplaneBuckets(a(0), litInt(a(1), "nBits"), litInt(a(2), "tables")) }))
 }

@@ -66,12 +66,17 @@ object HyperplaneBuckets {
 
   /** Plane matrices are data-independent — memoize per (nBits,
     * tables, dim) so rows pay multiplies, not hash chains. Values are
-    * deterministic, so concurrent recomputation is benign.
+    * deterministic, so concurrent recomputation is benign. Bounded:
+    * ragged corpora could otherwise retain one matrix per distinct
+    * vector length for the executor's lifetime, so the cache resets
+    * past MaxCachedShapes (recompute is cheap; correctness unaffected).
     */
+  private val MaxCachedShapes = 64
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
 
-  private def planes(nBits: Int, tables: Int, dim: Int): Array[Double] =
+  private def planes(nBits: Int, tables: Int, dim: Int): Array[Double] = {
+    if (planeCache.size > MaxCachedShapes) planeCache.clear()
     planeCache.computeIfAbsent((nBits, tables, dim), { key =>
       val (b, tb, d) = key
       val m = new Array[Double](tb * b * d)
@@ -90,9 +95,14 @@ object HyperplaneBuckets {
       }
       m
     })
+  }
 
   def compute(v: ArrayData, isFloat: Boolean, nBits: Int, tables: Int): ArrayData = {
     val dim = v.numElements()
+    // empty vector: all projections are vacuously 0; return bucket 0
+    // per table (matching the Column formulation's null-collapsed
+    // sign bits) instead of letting `0.0 >= 0` set every bit
+    if (dim == 0) return new GenericArrayData(new Array[Long](tables))
     val m = planes(nBits, tables, dim)
     val sums = new Array[Double](tables * nBits)
     var j = 0

@@ -121,7 +121,12 @@ object Vectors {
       val b = widen(b0, a.length)
       var i = 0
       while (i < a.length) {
-        b(i) = b(i).add(JBigDecimal.valueOf(a(i)).setScale(6, RoundingMode.HALF_UP))
+        val v = a(i)
+        // NaN/Infinity cast to DECIMAL is null in Spark (and the
+        // oracle); SUM ignores null — mirror that instead of letting
+        // BigDecimal.valueOf throw NumberFormatException
+        if (!v.isNaN && !v.isInfinity)
+          b(i) = b(i).add(JBigDecimal.valueOf(v).setScale(6, RoundingMode.HALF_UP))
         i += 1
       }
       b

@@ -45,19 +45,27 @@ object AsOfJoin {
       if (payload.nonEmpty) payload
       else right.columns.toSeq.filterNot(c => keys.contains(c) || c == rightTime)
 
+    // The right payload travels as ONE struct, not per-column: the
+    // struct is non-null exactly when a right row exists, so
+    // last(ignoreNulls) cannot (a) skip a genuine right row whose
+    // payload VALUE is null (DuckDB ASOF attaches it, with nulls), or
+    // (b) stitch fields of different right rows into a row that never
+    // existed when some payload columns are null and others are not.
+    val payloadStructType = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => right.schema(c).copy(name = c)))
     val taggedLeft = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
-      .select(keys.map(col) ++ Seq(col("__t"), col("__side")) ++
-        left.columns.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")) ++
-        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+      .select(keys.map(col) ++ Seq(col("__t"), col("__side"),
+        lit(null).cast(payloadStructType).as("__r")) ++
+        left.columns.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")): _*)
     val taggedRight = right
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
-      .select(keys.map(col) ++ Seq(col("__t"), col("__side")) ++
+      .select(keys.map(col) ++ Seq(col("__t"), col("__side"),
+        struct(payloadCols.map(col): _*).as("__r")) ++
         left.columns.filterNot(keys.contains)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) ++
-        payloadCols.map(c => col(c).as(s"__r_$c")): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")): _*)
 
     // one shuffle on keys; right (__side=0) sorts before left at equal
     // timestamps so an exact-time right row is visible to that left row
@@ -65,15 +73,14 @@ object AsOfJoin {
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val backfilled = taggedLeft.unionByName(taggedRight)
-      .select((keys.map(col) :+ col("__t") :+ col("__side")) ++
-        left.columns.filterNot(keys.contains).map(c => col(s"__l_$c")) ++
-        payloadCols.map(c =>
-          last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"__asof_$c")): _*)
+      .select((keys.map(col) :+ col("__side") :+
+        last(col("__r"), ignoreNulls = true).over(w).as("__asof")) ++
+        left.columns.filterNot(keys.contains).map(c => col(s"__l_$c")): _*)
 
     backfilled.filter(col("__side") === 1)
       .select(keys.map(col) ++
         left.columns.filterNot(keys.contains)
           .map(c => col(s"__l_$c").as(c)) ++
-        payloadCols.map(c => col(s"__asof_$c").as(c)): _*)
+        payloadCols.map(c => col("__asof").getField(c).as(c)): _*)
   }
 }

@@ -91,7 +91,9 @@ object Similarity {
         val cent = emb.groupBy(col("label"))
           .agg(
             Vectors.vecDecimalSum(Vectors.asDouble(col("embedding"))).as("sums"),
-            count(lit(1)).as("n"))
+            // count NON-NULL embeddings: the aggregator skips null rows,
+            // and the oracle divides by the per-component non-null count
+            count(col("embedding")).as("n"))
           .select(col("label"),
             transform(col("sums"), x => x / col("n")).as("c_emb"))
         cent.select(col("label"),
