@@ -81,7 +81,12 @@ object Sink {
   class InMemoryUpsertWriter(keyColumns: Seq[String]) extends ChunkWriter {
     val id: String = java.util.UUID.randomUUID().toString
     InMemoryUpsertWriter.registry.putIfAbsent(id, new ConcurrentHashMap)
-    private def store = InMemoryUpsertWriter.registry.get(id)
+    private def store = {
+      val s = InMemoryUpsertWriter.registry.get(id)
+      if (s == null)
+        throw new IllegalStateException(s"writer $id used after dispose()")
+      s
+    }
     override def writeChunk(table: String, chunk: Seq[Row]): Unit =
       chunk.foreach { row =>
         val key = keyColumns.map(k => row.get(row.fieldIndex(k)))
@@ -130,15 +135,25 @@ object Sink {
     // Never overwrite the path we are still reading from: a cache-
     // then-overwrite scheme loses data if a cached partition is
     // evicted mid-write (recompute would re-read a truncated path).
-    // Write the merged result fully to a temp sibling dir, then swap.
+    // Protocol: write fully to tmp; rename target aside (fast, both
+    // copies intact); rename tmp into place; drop the backup. A crash
+    // leaves at worst a missing target with BOTH complete copies on
+    // disk under recoverable names — never a window where the only
+    // copy has been deleted. A failed write cleans its tmp dir up.
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(
       path + ".__tmp__" + java.util.UUID.randomUUID().toString)
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    if (exists) fs.delete(target, true)
+    val backup = new org.apache.hadoop.fs.Path(path + ".__backup__")
+    try merged.write.mode("overwrite").parquet(tmp.toString)
+    catch { case e: Throwable => fs.delete(tmp, true); throw e }
+    if (fs.exists(backup)) fs.delete(backup, true)
+    if (exists && !fs.rename(target, backup))
+      throw new java.io.IOException(s"backup rename $target -> $backup failed")
     if (!fs.rename(tmp, target))
-      throw new java.io.IOException(s"rename $tmp -> $target failed")
+      throw new java.io.IOException(
+        s"rename $tmp -> $target failed; previous data is at $backup")
+    fs.delete(backup, true)
   }
 }

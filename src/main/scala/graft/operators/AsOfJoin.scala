@@ -23,6 +23,11 @@ import org.apache.spark.sql.functions._
   * At scale: shuffle volume = |L| + |R| rows (vs |L|·|R| worst-case
   * for the range-join rewrite), no broadcast requirement on either
   * side, skew bounded by key cardinality like any windowed op.
+  *
+  * Null keys: window partitioning groups null keys TOGETHER (null
+  * left rows see null right rows), unlike SQL join equality where
+  * NULL never matches. Filter null keys out beforehand if SQL-join
+  * semantics are required.
   */
 object AsOfJoin {
 

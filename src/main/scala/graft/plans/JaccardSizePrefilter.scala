@@ -41,8 +41,21 @@ class JaccardSizePrefilter(session: SparkSession) extends Rule[LogicalPlan] {
         node.expressions.flatMap(_.collect { case e => e.canonicalized }).toSet
       node.transformExpressionsUp {
         case cmp @ GreaterThanOrEqual(j: JaccardLong, Literal(t: Double, DoubleType))
-            if t > 0.0 && !present.contains(boundFor(j, t).canonicalized) =>
+            if t > 0.0 && nullFreeArrays(j) &&
+              !present.contains(boundFor(j, t).canonicalized) =>
           And(boundFor(j, t), cmp)
       }
   }
+
+  /** The bound is SOUND only when array sizes equal set sizes:
+    * jaccard_long ignores null elements but Size() counts them, so a
+    * null-padded array could fail the size bound while its effective
+    * set still clears the threshold. Only rewrite when the schema
+    * proves elements non-null (e.g. ShingleHashes output).
+    */
+  private def nullFreeArrays(j: JaccardLong): Boolean =
+    Seq(j.left, j.right).forall(_.dataType match {
+      case org.apache.spark.sql.types.ArrayType(_, containsNull) => !containsNull
+      case _ => false
+    })
 }

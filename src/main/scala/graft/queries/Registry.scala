@@ -10,6 +10,12 @@ import graft.engine.Sources
   * value is what keeps column names in sync — the driver's compare
   * sorts columns by name before hashing, so every computed column is
   * aliased identically on both sides.
+  *
+  * Caching contract: a query MAY persist() intermediates it reuses
+  * (the dedup pipelines do). Harnesses that execute many queries in
+  * one session should `spark.catalog.clearCache()` between queries —
+  * Bench and Verify do — since the lazily-returned frame gives the
+  * query no hook to unpersist after its action completes.
   */
 final case class Q(
     name: String,
