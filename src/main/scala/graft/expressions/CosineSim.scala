@@ -49,15 +49,20 @@ case class CosineSim(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     // kernel may return null (zero norm / length mismatch): route
-    // through nullSafeCodeGen with an explicit null re-check
+    // through nullSafeCodeGen with an explicit null re-check. The
+    // local MUST be freshName'd — with non-nullable children
+    // nullSafeExec emits no enclosing block, so two CosineSim calls in
+    // one generated method would redeclare a fixed name and fail
+    // janino compilation (silent fallback to interpreted eval).
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val result = ctx.freshName("cosineResult")
       s"""
-         |Object result = graft.expressions.CosineSim.compute(
+         |Object $result = graft.expressions.CosineSim.compute(
          |  $a, $leftIsFloat, $b, $rightIsFloat);
-         |if (result == null) {
+         |if ($result == null) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = ((java.lang.Double) result).doubleValue();
+         |  ${ev.value} = ((java.lang.Double) $result).doubleValue();
          |}
        """.stripMargin
     })

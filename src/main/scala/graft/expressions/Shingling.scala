@@ -115,25 +115,27 @@ object JaccardLong {
     val ns = small.numElements()
     val nb = big.numElements()
     if (ns == 0 && nb == 0) return 0.0
-    // null elements are treated as absent (set semantics); sizes count
-    // non-null members so the ratio stays a true Jaccard
-    val set = new java.util.HashSet[java.lang.Long](ns * 2)
+    // true SET semantics regardless of input hygiene: both sides are
+    // deduplicated and nulls treated as absent, so the result is a
+    // genuine symmetric Jaccard in [0, 1] even for a SQL caller who
+    // passes duplicate-bearing arrays (counting raw occurrences on
+    // one side only would give asymmetric values above 1)
+    val sa = new java.util.HashSet[java.lang.Long](ns * 2)
     var i = 0
     while (i < ns) {
-      if (!small.isNullAt(i)) set.add(small.getLong(i))
+      if (!small.isNullAt(i)) sa.add(small.getLong(i))
+      i += 1
+    }
+    val sb = new java.util.HashSet[java.lang.Long](nb * 2)
+    i = 0
+    while (i < nb) {
+      if (!big.isNullAt(i)) sb.add(big.getLong(i))
       i += 1
     }
     var inter = 0
-    var nbNonNull = 0
-    i = 0
-    while (i < nb) {
-      if (!big.isNullAt(i)) {
-        nbNonNull += 1
-        if (set.contains(big.getLong(i))) inter += 1
-      }
-      i += 1
-    }
-    val union = set.size + nbNonNull - inter
+    val it = sb.iterator()
+    while (it.hasNext) { if (sa.contains(it.next())) inter += 1 }
+    val union = sa.size + sb.size - inter
     if (union == 0) 0.0 else inter.toDouble / union.toDouble
   }
 }

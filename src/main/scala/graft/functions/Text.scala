@@ -123,10 +123,16 @@ object Text {
     * then equi-join; pure shuffle-based, 100 TB-safe (no cross join).
     */
   def lshBands(sig: Column, r: Int = 4): Column = {
-    transform(sequence(lit(0), floor(size(sig) / r).cast("int") - 1),
-      b => struct(b.cast("int").as("band"),
-        xxhash64(concat_ws(",", transform(slice(sig, b * r + 1, lit(r)),
-          _.cast("string")))).as("h")))
+    val nBands = floor(size(sig) / r).cast("int")
+    // guard the empty/short case: sequence(0, -1) defaults its step to
+    // -1 and yields [0, -1] — two spurious bands that would make every
+    // short signature collide in bogus band -1
+    when(nBands >= 1,
+      transform(sequence(lit(0), nBands - 1),
+        b => struct(b.cast("int").as("band"),
+          xxhash64(concat_ws(",", transform(slice(sig, b * r + 1, lit(r)),
+            _.cast("string")))).as("h"))))
+      .otherwise(array().cast("array<struct<band:int,h:bigint>>"))
   }
 
   /** SimHash fingerprint over token hashes, returned as

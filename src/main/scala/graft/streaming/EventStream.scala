@@ -29,12 +29,15 @@ import graft.queries.QU.dsum
 object EventStream {
 
   /** Streaming read of an events directory (parquet files appearing
-    * over time). Schema is locked from the existing files — streaming
-    * sources require an explicit schema.
+    * over time). Streaming sources require an explicit schema: pass
+    * one for a directory that may still be empty at deploy time;
+    * otherwise it is locked from the files already present (a batch
+    * inference read, which fails on an empty directory).
     */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(dir).schema
-    spark.readStream.schema(schema).parquet(dir)
+  def readEvents(spark: SparkSession, dir: String,
+                 schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val s = schema.getOrElse(spark.read.parquet(dir).schema)
+    spark.readStream.schema(s).parquet(dir)
   }
 
   /** Tumbling event-time window aggregate — the streaming/batch form
@@ -120,58 +123,92 @@ object EventStream {
   /** Per-band state: signatures of documents seen so far. */
   final case class BandState(docs: List[(Long, Array[Long])])
 
-  /** Streaming near-duplicate detection — the LSH dedup pipeline
+  /** Streaming near-duplicate CANDIDATE detection — the LSH pipeline
     * (q56) made continuous with CUSTOM state
     * (`flatMapGroupsWithState`): documents are shingled, MinHashed,
     * and banded exactly like the batch path; state is keyed by LSH
-    * band, holds the signatures seen in that band (capped at
-    * `maxPerBand` — the same skew guard as batch), and each arriving
-    * document emits an estimate-scored candidate pair against every
-    * stored signature above `threshold`.
+    * band and holds the signatures seen in that band. Each arriving
+    * document is compared against every stored signature; pairs whose
+    * MinHash agreement estimate clears `threshold` are emitted. The
+    * default threshold is the q56 PREFILTER cut (0.25 for a 0.5
+    * Jaccard target) — the estimate's stderr at the target is ~0.07,
+    * so cutting AT the target would drop ~half the boundary-true
+    * pairs; downstream exact-verifies survivors exactly like q56's
+    * last stage.
+    *
+    * Bounds, in order: documents with no shingles are excluded before
+    * banding (they share MinHash's all-sentinel signature and would
+    * all pair with est=1.0 despite zero true similarity — batch q56's
+    * exact-verify kills those; a candidate stream must not emit
+    * them); a full band (`maxPerBand`) still COMPARES new arrivals
+    * against its stored signatures but stops storing (the batch skew
+    * cap drops symmetric candidates; privileging stored-vs-new keeps
+    * recall for dups of the retained docs); and with `stateTtl` set,
+    * state entries expire that long after their last update via
+    * processing-time timeout — total state bounded by arrival rate ×
+    * TTL, not the corpus (a doc arriving after its band expired is
+    * simply re-deduped against later arrivals, the watermark-style
+    * horizon every unbounded streaming dedup needs). `stateTtl =
+    * None` keeps state forever: fine for bounded corpora, and
+    * REQUIRED for processAllAvailable-style tests — with
+    * ProcessingTimeTimeout the state operator requests a batch on
+    * every trigger (`shouldRunAnotherBatch` is unconditionally true
+    * in that mode), so such queries never quiesce. Production
+    * unbounded streams run periodic triggers and should set a TTL.
     *
     * Emission is at-least-once per pair (two docs can collide in
     * several bands); downstream consumers dedupe by (doc_a, doc_b) —
-    * consistent with the engine's idempotent-sink philosophy. State
-    * size is #bands × ≤maxPerBand signatures, the streaming analog of
-    * the batch bucket cap.
+    * consistent with the engine's idempotent-sink philosophy.
     */
-  def nearDupCandidates(docs: DataFrame, threshold: Double = 0.5,
-                        maxPerBand: Int = 1000): DataFrame = {
+  def nearDupCandidates(docs: DataFrame, threshold: Double = 0.25,
+                        maxPerBand: Int = 1000,
+                        stateTtl: Option[String] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val banded = docs
       .select(col("doc_id").cast("long").as("doc_id"),
-        Text.minHash(Text.shingleHashes(col("text"), 3)).as("sig"))
+        Text.shingleHashes(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), Text.minHash(col("sh")).as("sig"))
       .select(col("doc_id"), col("sig"), explode(Text.lshBands(col("sig"))).as("b"))
       .select(col("b.band").as("band"), col("b.h").as("bandHash"),
         col("doc_id"), col("sig"))
       .as[BandedDoc]
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     banded
       .groupByKey(d => (d.band, d.bandHash))
       .flatMapGroupsWithState[BandState, DupCandidate](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         case (_, rows, state) =>
-          var seen = state.getOption.map(_.docs).getOrElse(Nil)
-          val out = List.newBuilder[DupCandidate]
-          rows.foreach { d =>
-            if (!seen.exists(_._1 == d.doc_id) && seen.size < maxPerBand) {
-              seen.foreach { case (otherId, otherSig) =>
-                var eq = 0
-                var i = 0
-                while (i < d.sig.length) {
-                  if (d.sig(i) == otherSig(i)) eq += 1
-                  i += 1
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.map(_.docs).getOrElse(Nil)
+            val out = List.newBuilder[DupCandidate]
+            rows.foreach { d =>
+              if (!seen.exists(_._1 == d.doc_id)) {
+                seen.foreach { case (otherId, otherSig) =>
+                  var eq = 0
+                  var i = 0
+                  while (i < d.sig.length) {
+                    if (d.sig(i) == otherSig(i)) eq += 1
+                    i += 1
+                  }
+                  val est = eq.toDouble / d.sig.length
+                  if (est >= threshold)
+                    out += DupCandidate(math.min(d.doc_id, otherId),
+                      math.max(d.doc_id, otherId), est)
                 }
-                val est = eq.toDouble / d.sig.length
-                if (est >= threshold)
-                  out += DupCandidate(math.min(d.doc_id, otherId),
-                    math.max(d.doc_id, otherId), est)
+                if (seen.size < maxPerBand) seen = (d.doc_id, d.sig) :: seen
               }
-              seen = (d.doc_id, d.sig) :: seen
             }
+            state.update(BandState(seen))
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.result().iterator
           }
-          state.update(BandState(seen))
-          out.result().iterator
       }
       .toDF()
   }
@@ -180,6 +217,11 @@ object EventStream {
     * idempotent chunked upsert (Sink.upsert). At-least-once delivery
     * on retry + last-write-wins per key = converged state, exactly
     * the reference's PostgREST upsert contract made continuous.
+    *
+    * outputMode: "update" suits keyed aggregations that re-emit
+    * (tumbling/sliding); session-window aggregations only support
+    * "append" (they emit once, on watermark passage) — pass it
+    * explicitly when loading [[sessionAgg]] output.
     */
   def upsertStream(df: DataFrame, table: String, writer: Sink.ChunkWriter,
                    checkpointDir: String,

@@ -106,6 +106,22 @@ class MinHashSpec extends SparkSpec {
     both.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
   }
 
+  test("jaccardLong: symmetric true-set semantics even with duplicates") {
+    import spark.implicits._
+    val df = Seq((Seq(1L), Seq(1L, 1L, 1L))).toDF("a", "b")
+    val r = df.select(Text.jaccardLong(col("a"), col("b")).as("ab"),
+      Text.jaccardLong(col("b"), col("a")).as("ba")).first()
+    assert(r.getDouble(0) === 1.0 && r.getDouble(1) === 1.0) // sets are equal
+  }
+
+  test("lshBands: signatures shorter than the band width yield no bands") {
+    import spark.implicits._
+    val df = Seq((Seq.empty[Long], Seq(1L, 2L, 3L))).toDF("empty", "short")
+    val r = df.select(size(Text.lshBands(col("empty"))).as("a"),
+      size(Text.lshBands(col("short"))).as("b")).first()
+    assert(r.getInt(0) === 0 && r.getInt(1) === 0) // not the sequence(0,-1) trap
+  }
+
   test("q55 signatures: deterministic, k=48, empty docs get sentinel") {
     val sig = docs.select(col("doc_id"),
       Text.minHash(Text.shingles(col("text"), 3)).as("sig"))

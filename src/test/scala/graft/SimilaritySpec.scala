@@ -84,6 +84,18 @@ class SimilaritySpec extends SparkSpec {
     both.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
   }
 
+  test("two CosineSim calls with non-nullable inputs share one codegen method") {
+    // non-nullable literal arrays: nullSafeExec emits no enclosing
+    // block, so a fixed-name local would redeclare and break janino
+    import spark.implicits._
+    val row = Seq(1).toDF("x").select(
+      Vectors.cosine(array(lit(1.0f), lit(0.0f)), array(lit(1.0f), lit(0.0f))).as("c1"),
+      Vectors.cosine(array(lit(0.0f), lit(2.0f)), array(lit(0.0f), lit(1.0f))).as("c2"))
+      .first()
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(row.getDouble(1) - 1.0) < 1e-12)
+  }
+
   test("CosineSim nulls: zero vector and length mismatch") {
     import spark.implicits._
     val df = Seq(

@@ -102,7 +102,10 @@ class StreamingSpec extends SparkSpec {
       .select(col("doc_id").cast("long"), col("text"))
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     val stream = MemoryStream[(Long, String)]
-    val q = EventStream.nearDupCandidates(stream.toDF().toDF("doc_id", "text"))
+    // threshold 0.5 to mirror the batch ground truth below exactly
+    // (the production default is the 0.25 prefilter cut)
+    val q = EventStream.nearDupCandidates(
+        stream.toDF().toDF("doc_id", "text"), threshold = 0.5)
       .writeStream.format("memory").queryName("s_neardup").outputMode("append")
       .start()
     try {
