@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -195,61 +196,87 @@ object Similarity {
     //    over 100 TB of vectors), then MULTI-PROBE search: each query
     //    scans its top-`nprobe` cells by centroid similarity, not just
     //    its own cell. Single-cell search caps recall at how well the
-    //    quantizer matches neighbor structure (measured 0.36 here);
-    //    probing 7 of the 10 toy cells reaches 0.88 (SimilaritySpec).
-    //    At production scale k ≫ 10 cells and nprobe/k is a small
+    //    quantizer matches neighbor structure; probing 7 of the 10 toy
+    //    cells reaches 0.88 with the per-label seed codebook and 0.96
+    //    after two Lloyd rounds (SimilaritySpec measures both). At
+    //    production scale k ≫ 10 cells and nprobe/k is a small
     //    fraction — the plan shape (probe-cell equi-join) is the same.
-    //    Centroids are per-label means (k-means stand-in, same
-    //    operator shape).
-    Q("q64_ann_ivf",
-      (s, d) => {
-        val emb = t(s, d).embeddings
-        val nprobe = 7
-        // davg, not plain avg: double summation is partition-order
-        // dependent, and a centroid shifting in its low bits can flip
-        // a near-tie probe-cell ranking between runs — q64's output
-        // must be stable run-to-run like everything else. persist():
-        // the one-row codebook feeds BOTH the assignment and the
-        // probe-cell ranking; without it the posexplode aggregation
-        // over the whole corpus runs twice.
-        val codebook = emb
-          .select(col("label").as("c_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-          .groupBy(col("c_id"), col("pos"))
-          .agg(davg(col("v")).as("m"))
-          .groupBy(col("c_id"))
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-            s => s.getField("m")).as("c_emb"))
-          .agg(collect_list(struct(col("c_id"), col("c_emb"))).as("cents"))
-          .persist()
-        val assigned = emb.crossJoin(broadcast(codebook))
-          .select(col("vec_id"), col("label"), col("embedding"),
-            array_max(transform(col("cents"),
-              c => struct(Vectors.cosine(col("embedding"), c.getField("c_emb")).as("s"),
-                c.getField("c_id").as("c_id"))))
-              .getField("c_id").as("cell"))
-        val q = emb.filter(col("vec_id") % 100 === 0)
-          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-        val probeCells = q.crossJoin(broadcast(codebook))
-          .select(col("query_id"), col("q_emb"), explode(col("cents")).as("c"))
-          .select(col("query_id"), col("c.c_id").as("cell"),
-            Vectors.cosine(col("q_emb"), col("c.c_emb")).as("cs"))
-        val wq = Window.partitionBy(col("query_id"))
-          .orderBy(col("cs").desc, col("cell"))
-        val topCells = probeCells.withColumn("rk", row_number().over(wq))
-          .filter(col("rk") <= nprobe)
-          .select(col("query_id"), col("cell"))
-        val scored = assigned.join(broadcast(topCells), Seq("cell"))
-          .filter(col("vec_id") =!= col("query_id"))
-          .join(broadcast(q), Seq("query_id"))
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            Vectors.cosine(col("q_emb"), col("embedding")).as("score"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("score").desc, col("neighbor_id"))
-        scored.withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 5)
-          .orderBy(col("query_id"), col("rk"))
-      },
+    //
+    //    The codebook is a real (spherical) k-means: per-label means
+    //    seed it, then `LloydIters` fixed Lloyd rounds refine it —
+    //    each round is the SAME two scale-correct pieces the search
+    //    uses (broadcast-argmax assignment + one element-wise
+    //    vecDecimalSum re-centering pass), so the quantizer costs
+    //    (LloydIters+1) linear scans, never a rows×dim explode.
+    //    Decimal accumulation keeps every centroid (and therefore the
+    //    cell partition and probe ranking) identical run-to-run.
+    Q("q64_ann_ivf", (s, d) => ivfAnn(s, d),
       None,
-      "IVF multi-probe ANN: broadcast-codebook assignment + top-nprobe cell search")
+      "IVF multi-probe ANN: k-means broadcast-codebook assignment + top-nprobe cell search")
   )
+
+  /** The q64 plan, parameterized so SimilaritySpec can measure the
+    * Lloyd refinement's recall gain over the per-label seed
+    * (`lloydIters = 0` is the round-2 stand-in quantizer; measured
+    * recall at nprobe=7, sf0.01: 0.88 seed → 0.92 after one round →
+    * 0.96 after two, flat thereafter — and the extra rounds are
+    * wall-time-free at bench scale because each is one linear
+    * broadcast-argmax pass, so the declared query uses 2).
+    */
+  def ivfAnn(s: org.apache.spark.sql.SparkSession, d: String,
+             lloydIters: Int = 2, nprobe: Int = 7): DataFrame = {
+    val emb = t(s, d).embeddings
+    // Fixed, deterministic iteration count. Each codebook is ONE
+    // row (k × dim doubles) and is persisted: it feeds the next
+    // Lloyd round AND (for the final one) both the assignment and
+    // the probe-cell ranking — without persist the whole centroid
+    // chain re-runs per consumer.
+    //
+    // Element-wise decimal-sum means per cell key — the q62
+    // centroid shape (shuffle = k×dim partials per task), NOT the
+    // rows×dim posexplode.
+    def means(df: DataFrame, key: Column) = df
+      .groupBy(key.as("c_id"))
+      .agg(
+        Vectors.vecDecimalSum(Vectors.asDouble(col("embedding"))).as("sums"),
+        count(col("embedding")).as("n"))
+      .select(col("c_id"),
+        transform(col("sums"), x => x / col("n")).as("c_emb"))
+      .agg(collect_list(struct(col("c_id"), col("c_emb"))).as("cents"))
+      .persist()
+    // Map-side nearest-centroid argmax against the broadcast
+    // codebook (ties break to the larger c_id, deterministically).
+    def assign(codebook: DataFrame) =
+      emb.crossJoin(broadcast(codebook))
+        .select(col("vec_id"), col("embedding"),
+          array_max(transform(col("cents"),
+            c => struct(Vectors.cosine(col("embedding"), c.getField("c_emb")).as("s"),
+              c.getField("c_id").as("c_id"))))
+            .getField("c_id").as("cell"))
+    var codebook = means(emb, col("label"))
+    for (_ <- 1 to lloydIters)
+      codebook = means(assign(codebook), col("cell"))
+    val assigned = assign(codebook)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val probeCells = q.crossJoin(broadcast(codebook))
+      .select(col("query_id"), col("q_emb"), explode(col("cents")).as("c"))
+      .select(col("query_id"), col("c.c_id").as("cell"),
+        Vectors.cosine(col("q_emb"), col("c.c_emb")).as("cs"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("cell"))
+    val topCells = probeCells.withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= nprobe)
+      .select(col("query_id"), col("cell"))
+    val scored = assigned.join(broadcast(topCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Vectors.cosine(col("q_emb"), col("embedding")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .orderBy(col("query_id"), col("rk"))
+  }
 }

@@ -15,15 +15,16 @@ import graft.queries.Registry
 class SimilaritySpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.01"
 
-  private def topK(name: String): Map[Long, Set[Long]] =
-    Registry.queries(name)(spark, dir)
-      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+  private def topKOf(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
       .collect()
       .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
 
-  private def recallVsExact(name: String): Double = {
+  private def topK(name: String): Map[Long, Set[Long]] =
+    topKOf(Registry.queries(name)(spark, dir))
+
+  private def recallVsExact(approx: Map[Long, Set[Long]]): Double = {
     val exact = topK("q60_knn_brute_force")
-    val approx = topK(name)
     assert(exact.nonEmpty)
     val perQuery = exact.map { case (q, truth) =>
       approx.getOrElse(q, Set.empty).count(truth.contains).toDouble / truth.size
@@ -32,13 +33,19 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("hyperplane-LSH ANN (q63) recall >= 0.8 vs exact top-5") {
-    val r = recallVsExact("q63_ann_lsh")
+    val r = recallVsExact(topK("q63_ann_lsh"))
     assert(r >= 0.8, s"q63 recall $r")
   }
 
-  test("IVF ANN (q64) recall >= 0.8 vs exact top-5") {
-    val r = recallVsExact("q64_ann_ivf")
-    assert(r >= 0.8, s"q64 recall $r")
+  test("IVF ANN (q64) recall >= 0.8; Lloyd codebook >= per-label seed") {
+    val seed = recallVsExact(topKOf(
+      graft.queries.Similarity.ivfAnn(spark, dir, lloydIters = 0)))
+    spark.catalog.clearCache()
+    val lloyd = recallVsExact(topK("q64_ann_ivf"))
+    info(s"q64 recall: per-label seed $seed, 2x Lloyd $lloyd")
+    assert(lloyd >= 0.8, s"q64 recall $lloyd")
+    assert(lloyd >= seed,
+      s"Lloyd refinement must not lose recall vs the seed ($lloyd < $seed)")
   }
 
   test("hyperplaneBucket is dimension-agnostic (no silent null-padding)") {
