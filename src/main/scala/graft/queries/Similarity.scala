@@ -25,22 +25,7 @@ object Similarity {
     //    "cross join" is a map-side nested loop over candidates —
     //    no shuffle until the per-query top-k window.
     Q("q60_knn_brute_force",
-      (s, d) => {
-        val emb = t(s, d).embeddings
-        val q = emb.filter(col("vec_id") % 100 === 0)
-          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-        val scored = emb.crossJoin(broadcast(q))
-          .filter(col("vec_id") =!= col("query_id"))
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            Vectors.cosine(col("q_emb"), col("embedding")).as("score"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("score").desc, col("neighbor_id"))
-        scored.withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 5)
-          .select(col("query_id"), col("neighbor_id"), col("score"),
-            col("rk").as("rk"))
-          .orderBy(col("query_id"), col("rk"))
-      },
+      (s, d) => knnBruteForceOn(t(s, d).embeddings),
       Some("""WITH q AS (
           SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
           WHERE vec_id % 100 = 0),
@@ -117,50 +102,30 @@ object Similarity {
         FROM cent ORDER BY label"""),
       "IVF centroids via positional explode + aggregate"),
 
-    // -- LSH ANN, multi-table: L independent hyperplane tables (seed =
-    //    exploded table index), candidates = vectors sharing (table,
-    //    bucket) with the query in ANY table, deduped, then exact-
-    //    scored and top-k'd. One table at useful precision has low
-    //    recall by construction (P[all bits agree]^1); the union over
-    //    L decorrelated tables is the standard recall amplifier —
-    //    measured 1.0 vs exact top-5 at sf0.01 (SimilaritySpec).
+    // -- LSH ANN, multi-table multi-probe: L independent hyperplane
+    //    tables (seed = exploded table index); the corpus is bucketed
+    //    once per table, and each QUERY additionally probes every
+    //    bucket at Hamming distance 1 from its own code (flip each of
+    //    the nBits sign bits). Multi-probe is the standard trick for
+    //    recall on weakly-separated corpora: a near neighbor that
+    //    disagrees on exactly one bit is still found without adding a
+    //    whole extra table, so the candidate set stays small. Probing
+    //    expands only the tiny query side (×(nBits+1)); corpus rows
+    //    are still bucketed exactly once per table.
+    //
+    //    Parameters are MEASURED, not guessed (SimilaritySpec asserts
+    //    both sides of the tradeoff on this corpus, whose labels carry
+    //    no geometry — same-label mean cosine 0.002, true top-5
+    //    neighbors at 0.27..0.51): nBits=14, L=45, probe radius 2
+    //    gives recall 0.92 / 0.92 with candidates 30% / 29% of corpus
+    //    at sf0.01 / sf0.1 (radius-1 at any (nBits, L) could not hold
+    //    recall >= 0.8 under 30% candidates on this corpus).
     //    Scale shape: explode ×L on ids+bucket only (16-byte rows),
     //    equi-join per (table, bucket), never a cross join; candidate
-    //    scoring joins embeddings back by id. On this near-random toy
-    //    corpus candidates are a large fraction of n — with clustered
-    //    real embeddings the same plan prunes aggressively (raise
-    //    nBits with corpus density).
-    Q("q63_ann_lsh",
-      (s, d) => {
-        val emb = t(s, d).embeddings
-        val L = 12
-        val banded = emb.select(col("vec_id"),
-          posexplode(Vectors.hyperplaneBuckets(col("embedding"), nBits = 3,
-            tables = L)).as(Seq("tbl", "b")))
-        val q = emb.filter(col("vec_id") % 100 === 0)
-          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-        // bucket the ~1% query subset directly — joining the full
-        // banded table would recompute the whole corpus bucketing a
-        // second time just to look up a handful of rows
-        val qb = q.select(col("query_id"),
-          posexplode(Vectors.hyperplaneBuckets(col("q_emb"), nBits = 3,
-            tables = L)).as(Seq("tbl", "b")))
-        val cands = banded.join(broadcast(qb), Seq("tbl", "b"))
-          .filter(col("vec_id") =!= col("query_id"))
-          .select(col("query_id"), col("vec_id")).distinct()
-        val scored = cands
-          .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-          .join(broadcast(q), Seq("query_id"))
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            Vectors.cosine(col("q_emb"), col("embedding")).as("score"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("score").desc, col("neighbor_id"))
-        scored.withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 5)
-          .orderBy(col("query_id"), col("rk"))
-      },
+    //    scoring joins embeddings back by id.
+    Q("q63_ann_lsh", (s, d) => annLsh(s, d),
       None,
-      "multi-table hyperplane-LSH ANN (rows-only oracle; recall in spec)"),
+      "multi-probe hyperplane-LSH ANN (rows-only oracle; recall + candidate fraction in spec)"),
 
     // -- embedding-cosine near-dup, EXACT baseline: every pair with
     //    cosine ≥ 0.45 over all vec_id-ordered pairs. Quadratic by
@@ -191,86 +156,183 @@ object Similarity {
       "exact embedding-cosine near-dup pairs"),
 
     // -- IVF ANN, step 2: assign every vector to its nearest centroid
-    //    (map-side argmax over a ONE-row broadcast codebook — zero
-    //    shuffle per vector, the only scale-correct IVF assignment
-    //    over 100 TB of vectors), then MULTI-PROBE search: each query
-    //    scans its top-`nprobe` cells by centroid similarity, not just
-    //    its own cell. Single-cell search caps recall at how well the
-    //    quantizer matches neighbor structure; probing 7 of the 10 toy
-    //    cells reaches 0.88 with the per-label seed codebook and 0.96
-    //    after two Lloyd rounds (SimilaritySpec measures both). At
+    //    (map-side argmax over the k×dim codebook, carried in the plan
+    //    as a constant-folded literal — zero shuffle per vector, the
+    //    only scale-correct IVF assignment over 100 TB of vectors),
+    //    then MULTI-PROBE search: each query scans its top-`nprobe`
+    //    cells by centroid similarity, not just its own cell.
+    //    Single-cell search caps recall at how well the quantizer
+    //    matches neighbor structure; probing 7 of the 10 toy cells
+    //    reaches 0.88 with the per-label seed codebook and more after
+    //    Lloyd refinement (SimilaritySpec measures both). At
     //    production scale k ≫ 10 cells and nprobe/k is a small
     //    fraction — the plan shape (probe-cell equi-join) is the same.
     //
     //    The codebook is a real (spherical) k-means: per-label means
-    //    seed it, then `LloydIters` fixed Lloyd rounds refine it —
+    //    seed it, then `lloydIters` fixed Lloyd rounds refine it —
     //    each round is the SAME two scale-correct pieces the search
-    //    uses (broadcast-argmax assignment + one element-wise
+    //    uses (literal-codebook argmax assignment + one element-wise
     //    vecDecimalSum re-centering pass), so the quantizer costs
-    //    (LloydIters+1) linear scans, never a rows×dim explode.
+    //    (lloydIters+1) linear scans, never a rows×dim explode.
     //    Decimal accumulation keeps every centroid (and therefore the
     //    cell partition and probe ranking) identical run-to-run.
     Q("q64_ann_ivf", (s, d) => ivfAnn(s, d),
       None,
-      "IVF multi-probe ANN: k-means broadcast-codebook assignment + top-nprobe cell search")
+      "IVF multi-probe ANN: k-means literal-codebook assignment + top-nprobe cell search")
   )
+
+  /** q63's candidate generator, exposed so SimilaritySpec can measure
+    * the pruning claim instead of trusting it: (query_id, vec_id)
+    * pairs that share a (table, bucket) with the query's own code or
+    * any probe within `probeRadius` bit flips of it, deduped. The
+    * spec asserts
+    * avg(candidates)/(n−1) < 0.30 AND recall ≥ 0.8 — the two sides of
+    * the LSH tradeoff — at both sf0.01 and sf0.1.
+    */
+  def annLshCandidates(s: org.apache.spark.sql.SparkSession, d: String,
+                       nBits: Int = 14, tables: Int = 45,
+                       probeRadius: Int = 2): DataFrame =
+    annLshCandidatesOn(t(s, d).embeddings, nBits, tables, probeRadius)
+
+  def annLshCandidatesOn(emb: DataFrame,
+                         nBits: Int = 14, tables: Int = 45,
+                         probeRadius: Int = 2): DataFrame = {
+    val banded = emb.select(col("vec_id"),
+      posexplode(Vectors.hyperplaneBuckets(col("embedding"), nBits, tables))
+        .as(Seq("tbl", "b")))
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // bucket the ~1% query subset directly — joining the full banded
+    // table would recompute the whole corpus bucketing a second time
+    // just to look up a handful of rows. Each (tbl, code) fans out to
+    // every probe code within Hamming distance `probeRadius` of its
+    // own (all XOR masks of popcount <= probeRadius).
+    val masks: Seq[Long] = (1L until (1L << nBits))
+      .filter(m => java.lang.Long.bitCount(m) <= probeRadius)
+    val qb = q.select(col("query_id"),
+        posexplode(Vectors.hyperplaneBuckets(col("q_emb"), nBits, tables))
+          .as(Seq("tbl", "b0")))
+      .select(col("query_id"), col("tbl"),
+        explode(array(col("b0") +:
+          masks.map(m => col("b0").bitwiseXOR(lit(m))): _*))
+          .as("b"))
+    banded.join(broadcast(qb), Seq("tbl", "b"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+  }
+
+  /** The q63 plan: candidates from [[annLshCandidates]], exact-scored
+    * and top-k'd per query.
+    */
+  def annLsh(s: org.apache.spark.sql.SparkSession, d: String,
+             nBits: Int = 14, tables: Int = 45,
+             probeRadius: Int = 2): DataFrame =
+    annLshOn(t(s, d).embeddings, nBits, tables, probeRadius)
+
+  def annLshOn(emb: DataFrame,
+               nBits: Int = 14, tables: Int = 45,
+               probeRadius: Int = 2): DataFrame = {
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = annLshCandidatesOn(emb, nBits, tables, probeRadius)
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Vectors.cosine(col("q_emb"), col("embedding")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** q60's exact plan over any embeddings frame (the crossover spec
+    * runs it against a scaled corpus where compute, not fixed
+    * overhead, decides the comparison with [[annLshOn]]).
+    */
+  def knnBruteForceOn(emb: DataFrame): DataFrame = {
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Vectors.cosine(col("q_emb"), col("embedding")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("score"),
+        col("rk").as("rk"))
+      .orderBy(col("query_id"), col("rk"))
+  }
 
   /** The q64 plan, parameterized so SimilaritySpec can measure the
     * Lloyd refinement's recall gain over the per-label seed
-    * (`lloydIters = 0` is the round-2 stand-in quantizer; measured
-    * recall at nprobe=7, sf0.01: 0.88 seed → 0.92 after one round →
-    * 0.96 after two, flat thereafter — and the extra rounds are
-    * wall-time-free at bench scale because each is one linear
-    * broadcast-argmax pass, so the declared query uses 2).
+    * (`lloydIters = 0` is the round-2 stand-in quantizer; the spec
+    * asserts the refined codebook's recall is >= the seed's and
+    * >= 0.8 at nprobe=7, sf0.01 — the declared query uses 2 rounds,
+    * each one a linear assignment scan plus a k-row re-centering
+    * aggregate).
     */
   def ivfAnn(s: org.apache.spark.sql.SparkSession, d: String,
              lloydIters: Int = 2, nprobe: Int = 7): DataFrame = {
     val emb = t(s, d).embeddings
-    // Fixed, deterministic iteration count. Each codebook is ONE
-    // row (k × dim doubles) and is persisted: it feeds the next
-    // Lloyd round AND (for the final one) both the assignment and
-    // the probe-cell ranking — without persist the whole centroid
-    // chain re-runs per consumer.
+    // The codebook lives on the DRIVER between rounds — the one
+    // deliberate departure from the no-collect posture, and the same
+    // one Spark MLlib's KMeans makes: centers are k×dim (fixed model
+    // state, independent of corpus size), and holding them as plan
+    // literals makes every assignment a pure map-side projection with
+    // no broadcast-exchange/persist chain per round. Collecting model
+    // parameters is not collecting data.
     //
-    // Element-wise decimal-sum means per cell key — the q62
-    // centroid shape (shuffle = k×dim partials per task), NOT the
-    // rows×dim posexplode.
-    def means(df: DataFrame, key: Column) = df
-      .groupBy(key.as("c_id"))
+    // Element-wise decimal-sum means per cell key — the q62 centroid
+    // shape (shuffle = k×dim partials per task), NOT the rows×dim
+    // posexplode. Decimal accumulation + sorted collect keep the
+    // codebook bit-identical run-to-run regardless of task order.
+    def means(df: DataFrame, key: Column): Seq[(Int, Seq[Double])] = df
+      .filter(key.isNotNull)
+      .groupBy(key.cast("int").as("c_id"))
       .agg(
         Vectors.vecDecimalSum(Vectors.asDouble(col("embedding"))).as("sums"),
         count(col("embedding")).as("n"))
       .select(col("c_id"),
         transform(col("sums"), x => x / col("n")).as("c_emb"))
-      .agg(collect_list(struct(col("c_id"), col("c_emb"))).as("cents"))
-      .persist()
-    // Map-side nearest-centroid argmax against the broadcast
-    // codebook (ties break to the larger c_id, deterministically).
-    def assign(codebook: DataFrame) =
-      emb.crossJoin(broadcast(codebook))
-        .select(col("vec_id"), col("embedding"),
-          array_max(transform(col("cents"),
-            c => struct(Vectors.cosine(col("embedding"), c.getField("c_emb")).as("s"),
-              c.getField("c_id").as("c_id"))))
-            .getField("c_id").as("cell"))
-    var codebook = means(emb, col("label"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1))
+      .sortBy(_._1).toSeq
+    def centsLit(cents: Seq[(Int, Seq[Double])]): Column =
+      array(cents.map { case (id, c) =>
+        struct(lit(id).as("c_id"), array(c.map(lit(_)): _*).as("c_emb")) }: _*)
+    // Nearest-centroid argmax over the literal codebook (ties break
+    // to the larger c_id, deterministically) — constant-folded, so
+    // each row pays k fused cosine kernels and nothing else.
+    def cellOf(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
+      array_max(transform(centsLit(cents),
+        c => struct(Vectors.cosine(v, c.getField("c_emb")).as("s"),
+          c.getField("c_id").as("c_id"))))
+        .getField("c_id")
+    var cents = means(emb, col("label"))
     for (_ <- 1 to lloydIters)
-      codebook = means(assign(codebook), col("cell"))
-    val assigned = assign(codebook)
+      cents = means(emb, cellOf(col("embedding"), cents))
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      cellOf(col("embedding"), cents).as("cell"))
+    // Each query's top-`nprobe` probe cells are a pure EXPRESSION over
+    // the literal codebook (sort k (−cs, c_id) structs, slice, explode)
+    // — no window shuffle, no separate probe-cell job — and q_emb
+    // rides along in the one broadcast the probe join needs, so the
+    // search plan is scan ⋈ broadcast → window top-k, the same shape
+    // as q60 plus the cell filter.
     val q = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val probeCells = q.crossJoin(broadcast(codebook))
-      .select(col("query_id"), col("q_emb"), explode(col("cents")).as("c"))
-      .select(col("query_id"), col("c.c_id").as("cell"),
-        Vectors.cosine(col("q_emb"), col("c.c_emb")).as("cs"))
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("cs").desc, col("cell"))
-    val topCells = probeCells.withColumn("rk", row_number().over(wq))
-      .filter(col("rk") <= nprobe)
-      .select(col("query_id"), col("cell"))
-    val scored = assigned.join(broadcast(topCells), Seq("cell"))
+    val qcells = q.select(col("query_id"), col("q_emb"),
+      explode(transform(
+        slice(array_sort(transform(centsLit(cents),
+          c => struct(
+            (-Vectors.cosine(col("q_emb"), c.getField("c_emb"))).as("negs"),
+            c.getField("c_id").as("c_id")))), 1, nprobe),
+        p => p.getField("c_id"))).as("cell"))
+    val scored = assigned.join(broadcast(qcells), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         Vectors.cosine(col("q_emb"), col("embedding")).as("score"))
     val w = Window.partitionBy(col("query_id"))

@@ -37,6 +37,81 @@ class SimilaritySpec extends SparkSpec {
     assert(r >= 0.8, s"q63 recall $r")
   }
 
+  test("q63 LSH pruning is real: candidates < 30% of corpus, recall >= 0.8 (sf0.01 AND sf0.1)") {
+    // Both sides of the LSH tradeoff, measured — a parameterization
+    // that admits ~everything as a candidate would pass recall while
+    // degrading to brute force with extra steps (the round-2 state).
+    for (d <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val n = spark.read.parquet(s"$d/embeddings.parquet").count()
+      val cands = graft.queries.Similarity.annLshCandidates(spark, d)
+        .groupBy(col("query_id")).agg(count(lit(1)).as("c"))
+        .agg(avg(col("c"))).first().getDouble(0)
+      val frac = cands / (n - 1).toDouble
+      info(s"$d: avg candidates $cands of ${n - 1} (${(frac * 100).round}%)")
+      assert(frac < 0.30, s"$d candidate fraction $frac")
+      if (d != dir) { // recall vs exact at the second scale too
+        val exact = topKOf(Registry.queries("q60_knn_brute_force")(spark, d))
+        val approx = topKOf(Registry.queries("q63_ann_lsh")(spark, d))
+        val perQuery = exact.map { case (q, truth) =>
+          approx.getOrElse(q, Set.empty).count(truth.contains).toDouble / truth.size
+        }
+        val r = perQuery.sum / perQuery.size
+        info(s"$d: recall $r")
+        assert(r >= 0.8, s"$d recall $r")
+      }
+    }
+  }
+
+  test("LSH beats brute force on a clustered corpus at 16k vectors (crossover)") {
+    // The sf fixtures are near-random (true neighbors at cosine
+    // 0.27..0.51), the known worst case for LSH: holding recall 0.9
+    // needs L×nBits = 630 projections/vector, which costs as much as
+    // brute-force scoring 160 queries. On a corpus with real cluster
+    // structure the same operator needs only 8 tables and wins
+    // outright. This pins that crossover: 16k vectors in 2k clusters
+    // (deterministic hash-perturbed copies of sf0.1), where LSH at
+    // (nBits=14, L=8, radius=1) must beat brute force wall-clock with
+    // recall >= 0.8 and candidates < 5% of corpus.
+    import graft.queries.Similarity._
+    val reps = 8
+    val scaled = spark.read.parquet(s"$dir/../sf0.1/embeddings.parquet")
+      .crossJoin(spark.range(reps).select(col("id").as("rep")))
+      .select((col("vec_id") * reps + col("rep")).as("vec_id"),
+        zip_with(Vectors.asDouble(col("embedding")),
+          sequence(lit(0L), lit(63L)),
+          (x, j) => x + (pmod(xxhash64(col("vec_id") * lit(reps) + col("rep"), j),
+            lit(1000L)).cast("double") / 1000.0 - 0.5) * 0.1)
+          .as("embedding"))
+      .cache()
+    val n = scaled.count()
+    assert(n === 16000L)
+    def timeNoop(df: org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm both paths (JIT + codegen) at the original scale first
+    timeNoop(knnBruteForceOn(spark.read.parquet(s"$dir/embeddings.parquet")))
+    timeNoop(annLshOn(spark.read.parquet(s"$dir/embeddings.parquet"), 14, 8, 1))
+    val tBrute = timeNoop(knnBruteForceOn(scaled))
+    val tLsh = timeNoop(annLshOn(scaled, 14, 8, 1))
+    info(f"16k clustered: brute $tBrute%.2f s, LSH $tLsh%.2f s")
+    assert(tLsh < tBrute,
+      f"LSH ($tLsh%.2f s) must beat brute force ($tBrute%.2f s) on a clustered corpus")
+    val cands = annLshCandidatesOn(scaled, 14, 8, 1)
+      .groupBy(col("query_id")).agg(count(lit(1)).as("c"))
+      .agg(avg(col("c"))).first().getDouble(0)
+    assert(cands / (n - 1) < 0.05, s"candidate fraction ${cands / (n - 1)}")
+    val exact = topKOf(knnBruteForceOn(scaled))
+    val approx = topKOf(annLshOn(scaled, 14, 8, 1))
+    val perQuery = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).count(truth.contains).toDouble / truth.size }
+    val r = perQuery.sum / perQuery.size
+    info(f"16k clustered: recall $r%.3f, candidates ${100 * cands / (n - 1)}%.1f%%")
+    assert(r >= 0.8, s"recall $r")
+    scaled.unpersist()
+  }
+
   test("IVF ANN (q64) recall >= 0.8; Lloyd codebook >= per-label seed") {
     val seed = recallVsExact(topKOf(
       graft.queries.Similarity.ivfAnn(spark, dir, lloydIters = 0)))
