@@ -371,6 +371,54 @@ object TextOps {
       None,
       "SimHash fingerprints (rows-only oracle)"),
 
+    // -- SimHash Hamming near-dup pairs via the standard 4×16-bit band
+    //    multi-index (Manku et al., WWW'07 — the production web-dedup
+    //    design): any two 64-bit fingerprints within Hamming distance
+    //    3 differ in at most 3 of the 4 bands, so they agree EXACTLY
+    //    on at least one (pigeonhole) — banding is a guarantee here,
+    //    not a recall gamble, and SimHashSpec asserts output equality
+    //    with the brute-force all-pairs scan. Scale shape matches
+    //    q56: band equi-join on 16-byte id rows, singleton buckets
+    //    dropped before the self-join, verify = one XOR+popcount per
+    //    candidate. Completes the third dedup family: q54/q56 catch
+    //    shingle-overlap near-dups, this catches token-multiset
+    //    near-dups (e.g. reordered boilerplate) at O(1) per pair.
+    Q("q68_simhash_neardup",
+      (s, d) => {
+        val fp = t(s, d).documents
+          .select(col("doc_id"),
+            Text.simHash(Text.tokens(col("text"))).as("sh"))
+          .persist() // band explode + both verify sides
+        val banded = fp.select(col("doc_id"), explode(array(
+            struct(lit(0).as("band"), shiftright(col("sh.hi"), 16).as("v")),
+            struct(lit(1).as("band"),
+              col("sh.hi").bitwiseAND(lit(0xFFFFL)).as("v")),
+            struct(lit(2).as("band"), shiftright(col("sh.lo"), 16).as("v")),
+            struct(lit(3).as("band"),
+              col("sh.lo").bitwiseAND(lit(0xFFFFL)).as("v")))).as("bv"))
+          .select(col("doc_id"), col("bv.band").as("band"), col("bv.v").as("v"))
+        val buckets = banded.groupBy(col("band"), col("v"))
+          .agg(count(lit(1)).as("bn"))
+          .filter(col("bn") > 1 && col("bn") <= MaxLshBucket)
+          .select(col("band"), col("v"))
+        val pruned = banded.join(buckets, Seq("band", "v"))
+        val cands = pruned.select(col("doc_id").as("doc_a"), col("band"), col("v"))
+          .join(pruned.select(col("doc_id").as("doc_b"), col("band"), col("v")),
+            Seq("band", "v"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"))
+          .distinct()
+        cands
+          .join(fp.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+          .join(fp.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            Text.hamming(col("sh_a"), col("sh_b")).as("dist"))
+          .filter(col("dist") <= 3)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      None,
+      "SimHash 4x16-band Hamming<=3 near-dup pairs (exactness + recall in SimHashSpec)"),
+
     // -- rolling-hash document fingerprint: order-sensitive polynomial
     //    fold over tokens (permutation-distinguishing, unlike MinHash).
     Q("q58_fingerprint",

@@ -80,6 +80,46 @@ class SimHashSpec extends SparkSpec {
     fps.values.foreach(v => assert(v >= 0 && v < 2147483647L)) // mod-P domain
   }
 
+  test("q68 band multi-index is EXACT for Hamming <= 3 (pigeonhole) at sf0.01") {
+    // 4 bands of 16 bits: <= 3 differing bits cannot touch all 4
+    // bands, so every true pair shares a band verbatim — the banded
+    // output must EQUAL the brute-force all-pairs scan, not merely
+    // approximate it.
+    val dir = "/root/testdata/sf0.01"
+    val fp = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), Text.simHash(Text.tokens(col("text"))).as("sh"))
+      .cache()
+    val brute = fp.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      .crossJoin(fp.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        Text.hamming(col("sh_a"), col("sh_b")).as("dist"))
+      .filter(col("dist") <= 3)
+    val banded = graft.queries.Registry.queries("q68_simhash_neardup")(spark, dir)
+    assert(brute.count() > 0, "fixture must contain Hamming<=3 pairs")
+    assert(banded.exceptAll(brute).isEmpty && brute.exceptAll(banded).isEmpty,
+      "banded multi-index must equal the brute-force Hamming<=3 pair set")
+    fp.unpersist()
+  }
+
+  test("q68 recall vs q54's exact n-gram near-dup pairs >= 0.8 at sf0.01") {
+    // Different similarity notion (token multiset vs 3-gram shingles),
+    // so this is a cross-family recall measurement, not an identity:
+    // of q54's Jaccard>=0.2 pairs, those within SimHash Hamming 3 are
+    // found; the fixture puts 4 of 5 there.
+    val dir = "/root/testdata/sf0.01"
+    def pairs(name: String): Set[(Long, Long)] =
+      graft.queries.Registry.queries(name)(spark, dir)
+        .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("q54_ngram_neardup")
+    val got = pairs("q68_simhash_neardup")
+    assert(exact.nonEmpty)
+    val recall = exact.count(got.contains).toDouble / exact.size
+    info(s"q68 recall vs q54: $recall (${exact.size} exact pairs)")
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("q57/q58 over the fixture: one fingerprint per doc, deterministic") {
     val dir = "/root/testdata/sf0.01"
     val q57 = graft.queries.Registry.queries("q57_simhash")(spark, dir)
