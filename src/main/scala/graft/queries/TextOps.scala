@@ -18,14 +18,14 @@ import graft.functions.Text
   */
 object TextOps {
 
-  /** Skew guard for LSH banding: buckets larger than this are dropped
-    * before the self-join. A hot band hash (duplicate-heavy corpora
-    * guarantee them at scale) otherwise contributes bucket² candidate
-    * pairs. Members of an over-cap bucket are near-identical by
-    * construction (they agree on a whole band), so a production dedup
-    * would route them to a cluster-representative path instead; at
-    * the tested scale factors no bucket comes near the cap, so output
-    * is unaffected.
+  /** Skew guard for LSH banding: buckets larger than this skip the
+    * all-pairs self-join (which would contribute bucket² candidate
+    * pairs — a hot band hash on a duplicate-heavy corpus yields 10⁸
+    * pairs from one 10⁴ bucket) and take the cluster-representative
+    * path instead: every member pairs with the bucket's min doc_id,
+    * m−1 star edges that still pass the estimate+verify chain, so
+    * dense duplicate clusters dedup rather than vanish (engaged-cap
+    * behavior pinned in MinHashSpec).
     */
   val MaxLshBucket = 10000
 
@@ -322,37 +322,7 @@ object TextOps {
     //        have jac ≥ 0.5; P[est < 0.25 | jac = 0.5] ≈ 1e-4);
     //    (4) only survivors pay the exact shingle-set Jaccard ≥ 0.5.
     Q("q56_lsh_near_dup",
-      (s, d) => {
-        val docs = t(s, d).documents
-        val sh = docs.select(col("doc_id"), Text.shingleHashes(col("text"), 3).as("sh"))
-          .persist()
-        val sig = sh.select(col("doc_id"), Text.minHash(col("sh")).as("sig"))
-          .persist()
-        val banded = sig.select(col("doc_id"),
-          explode(Text.lshBands(col("sig"))).as("b"))
-        val buckets = banded.groupBy(col("b"))
-          .agg(count(lit(1)).as("bn"))
-          .filter(col("bn") > 1 && col("bn") <= MaxLshBucket)
-          .select(col("b"))
-        val pruned = banded.join(buckets, Seq("b"))
-        val cands = pruned.select(col("doc_id").as("doc_a"), col("b"))
-          .join(pruned.select(col("doc_id").as("doc_b"), col("b")), Seq("b"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"))
-          .distinct()
-        val estimated = cands
-          .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
-          .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
-          .filter(Text.sigEstimate(col("sig_a"), col("sig_b")) >= 0.25)
-          .select(col("doc_a"), col("doc_b"))
-        estimated
-          .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
-            Text.jaccardLong(col("sh_a"), col("sh_b")).as("jac"))
-          .filter(col("jac") >= 0.5)
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+      (s, d) => lshNearDupOn(t(s, d).documents),
       None,
       "MinHash+LSH banding near-dup (rows-only oracle; recall in spec)"),
 
@@ -429,4 +399,55 @@ object TextOps {
       None,
       "rolling polynomial fingerprint (rows-only oracle)")
   )
+
+  /** q56's plan over any documents frame (doc_id, text), with the
+    * bucket cap parameterized so MinHashSpec can engage it on a
+    * synthetic dense-duplicate cluster.
+    */
+  def lshNearDupOn(docs: org.apache.spark.sql.DataFrame,
+                   maxBucket: Int = MaxLshBucket): org.apache.spark.sql.DataFrame = {
+    val sh = docs.select(col("doc_id"), Text.shingleHashes(col("text"), 3).as("sh"))
+      .persist()
+    val sig = sh.select(col("doc_id"), Text.minHash(col("sh")).as("sig"))
+      .persist()
+    val banded = sig.select(col("doc_id"),
+      explode(Text.lshBands(col("sig"))).as("b"))
+    // ONE aggregate computes both the bucket size (singleton/hot-key
+    // prefilters) and the bucket representative (min doc_id, map-side
+    // partial min so a hot key never concentrates rows on one task);
+    // bands tagged with (bn, rep) are persisted once and feed both
+    // branches plus both self-join sides.
+    val bucketAgg = banded.groupBy(col("b"))
+      .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("rep"))
+      .filter(col("bn") > 1)
+    val tagged = banded.join(bucketAgg, Seq("b")).persist()
+    val pruned = tagged.filter(col("bn") <= maxBucket)
+    val pairCands = pruned.select(col("doc_id").as("doc_a"), col("b"))
+      .join(pruned.select(col("doc_id").as("doc_b"), col("b")), Seq("b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    // Over-cap buckets (dense duplicate clusters — members agree on a
+    // whole band, so they are near-identical by construction) take the
+    // CLUSTER-REPRESENTATIVE path instead of vanishing: each member
+    // pairs with the bucket's min doc_id only, m−1 star edges instead
+    // of m² — a 20k-copy cluster emits 19,999 verified pairs, not
+    // 2×10⁸ candidates. Every representative edge still passes the
+    // SAME estimate+verify chain as ordinary candidates.
+    val repPairs = tagged
+      .filter(col("bn") > maxBucket && col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    val cands = pairCands.union(repPairs).distinct()
+    val estimated = cands
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .filter(Text.sigEstimate(col("sig_a"), col("sig_b")) >= 0.25)
+      .select(col("doc_a"), col("doc_b"))
+    estimated
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        Text.jaccardLong(col("sh_a"), col("sh_b")).as("jac"))
+      .filter(col("jac") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

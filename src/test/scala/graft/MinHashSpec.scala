@@ -71,6 +71,34 @@ class MinHashSpec extends SparkSpec {
     assert(lsh.subsetOf(exact), "q56 verify step must make output exact")
   }
 
+  test("over-cap LSH buckets dedup via representative star instead of vanishing") {
+    import spark.implicits._
+    // A dense duplicate cluster larger than the bucket cap: 200 exact
+    // copies with the cap forced to 50 (same code path as 20k copies
+    // against the production cap — every band bucket is hot). Round-2
+    // behavior dropped hot buckets entirely, losing precisely the
+    // densest duplicate clusters; now every copy must still be linked
+    // to the cluster representative (min doc_id) through the ordinary
+    // estimate+verify chain.
+    val copyText = "the same boilerplate paragraph repeated across the " +
+      "corpus with enough tokens to produce a full shingle set"
+    val distinctText = (i: Int) => s"unique document number $i about topic $i " +
+      s"with its own vocabulary item${i}a item${i}b item${i}c item${i}d"
+    val corpus = ((0 until 200).map(i => (i.toLong, copyText)) ++
+      (200 until 240).map(i => (i.toLong, distinctText(i)))).toDF("doc_id", "text")
+    val out = graft.queries.TextOps.lshNearDupOn(corpus, maxBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // star edges: every copy pairs with doc 0 (the representative)
+    val expected = (1 until 200).map(i => (0L, i.toLong)).toSet
+    assert(expected.subsetOf(out),
+      s"missing ${(expected -- out).size} representative edges of ${expected.size}")
+    // distinct docs must not be claimed as duplicates of anything
+    val distinctIds = (200 until 240).map(_.toLong).toSet
+    assert(!out.exists { case (a, b) => distinctIds(a) || distinctIds(b) },
+      "unrelated docs must not appear in near-dup output")
+    spark.catalog.clearCache()
+  }
+
   test("native MinHash expression is bit-exact vs the HOF formulation") {
     val both = docs.limit(200).select(
       Text.minHash(Text.shingles(col("text"), 3)).as("a"),
