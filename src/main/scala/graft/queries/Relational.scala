@@ -264,6 +264,28 @@ object Relational {
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
       "exact interpolated percentiles per group"),
 
+    // -- approximate percentiles: the scale path q28's comment names.
+    //    `approx_percentile` keeps a fixed-size KLL-style sketch per
+    //    group with map-side partial merge — no per-group sort, no
+    //    full-group materialization, the only quantile shape that
+    //    holds at 100 TB group sizes. No SQL oracle (sketch internals
+    //    are engine-specific); RelationalSpec bounds the error against
+    //    exact q28 per group/percentile (the q19 pattern).
+    Q("q29_approx_percentiles",
+      (s, d) => t(s, d).orders
+        .groupBy(col("o_orderpriority"))
+        .agg(percentile_approx(col("o_totalprice"),
+               array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("ap"),
+             count(lit(1)).as("n"))
+        .select(col("o_orderpriority"),
+          element_at(col("ap"), 1).as("p50"),
+          element_at(col("ap"), 2).as("p90"),
+          element_at(col("ap"), 3).as("p99"),
+          col("n"))
+        .orderBy(col("o_orderpriority")),
+      None,
+      "approximate percentiles via fixed-size sketch (error bound in spec)"),
+
     // -- rollup: hierarchical subtotals.
     Q("q09_rollup",
       (s, d) => t(s, d).lineitem

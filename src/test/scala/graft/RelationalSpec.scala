@@ -25,6 +25,31 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q29 approx percentiles within 1% of exact q28 per group") {
+    def byGroup(name: String) =
+      Registry.queries(name)(spark, dir)
+        .collect()
+        .map(r => r.getString(0) ->
+          Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+        .toMap
+    val exact = byGroup("q28_percentiles")
+    val approx = byGroup("q29_approx_percentiles")
+    assert(approx.keySet === exact.keySet && approx.nonEmpty)
+    exact.foreach { case (k, ex) =>
+      ex.zip(approx(k)).zip(Seq("p50", "p90", "p99")).foreach {
+        case ((e, a), p) =>
+          val err = math.abs(a - e) / e
+          assert(err <= 0.01, s"group $k $p: approx $a vs exact $e (err $err)")
+      }
+    }
+  }
+
+  test("approx percentile sketch is deterministic for fixed input") {
+    val a = Registry.queries("q29_approx_percentiles")(spark, dir).collect().toSeq
+    val b = Registry.queries("q29_approx_percentiles")(spark, dir).collect().toSeq
+    assert(a === b)
+  }
+
   test("approx sketch is deterministic for fixed input") {
     val a = Registry.queries("q19_approx_distinct")(spark, dir).collect().toSeq
     val b = Registry.queries("q19_approx_distinct")(spark, dir).collect().toSeq
