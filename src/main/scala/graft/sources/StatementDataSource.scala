@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -18,8 +19,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * loop (reference `etl_supabase.py:115-119`, SURVEY §2.1 S1–S3):
   * `planInputPartitions` emits ONE partition per (symbol, statement),
   * so a 10k-symbol universe fans out across executors instead of
-  * looping on the driver, and `SupportsPushDownRequiredColumns`
-  * prunes unrequested metric columns before any row is built.
+  * looping on the driver; `SupportsPushDownRequiredColumns` prunes
+  * unrequested metric columns before any row is built, and
+  * `SupportsPushDownFilters` turns symbol/statement/year predicates
+  * into partition pruning (fewer fetches planned, not rows dropped
+  * after the fact).
   *
   * The per-partition fetch is the connector seam. This
   * implementation generates deterministic synthetic statements
@@ -99,15 +103,64 @@ private[sources] class StatementTable(options: CaseInsensitiveStringMap)
 
 private[sources] class StatementScanBuilder(
     symbols: Seq[String], statements: Seq[String], years: Range.Inclusive)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder
+  with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = StatementDataSource.Schema
+  private var symbolsF: Seq[String] = symbols
+  private var statementsF: Seq[String] = statements
+  private var yearFrom: Int = years.start
+  private var yearTo: Int = years.end
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** Predicates on the three partition-defining columns prune the
+    * PARTITION PLAN, not just rows: a `year > X` or `cp = S` filter
+    * means fewer (symbol, statement) partitions and a narrower year
+    * range per reader — the statements never fetched at all, which at
+    * the reference's per-call HTTP cost is the entire point. Fully-
+    * applied filters are consumed here (not re-evaluated by Spark);
+    * anything else stays residual.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, residual) = filters.partition(applyFilter)
+    pushed = supported
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  private def applyFilter(f: Filter): Boolean = f match {
+    case EqualTo(a, v: String) if is(a, "cp") =>
+      symbolsF = symbolsF.filter(_ == v); true
+    case In(a, vs) if is(a, "cp") && vs.forall(_.isInstanceOf[String]) =>
+      val keep = vs.map(_.asInstanceOf[String]).toSet
+      symbolsF = symbolsF.filter(keep); true
+    case EqualTo(a, v: String) if is(a, "statement") =>
+      statementsF = statementsF.filter(_ == v); true
+    case In(a, vs) if is(a, "statement") && vs.forall(_.isInstanceOf[String]) =>
+      val keep = vs.map(_.asInstanceOf[String]).toSet
+      statementsF = statementsF.filter(keep); true
+    case EqualTo(a, v: Int) if is(a, "year") =>
+      yearFrom = math.max(yearFrom, v); yearTo = math.min(yearTo, v); true
+    case GreaterThan(a, v: Int) if is(a, "year") =>
+      yearFrom = math.max(yearFrom, v + 1); true
+    case GreaterThanOrEqual(a, v: Int) if is(a, "year") =>
+      yearFrom = math.max(yearFrom, v); true
+    case LessThan(a, v: Int) if is(a, "year") =>
+      yearTo = math.min(yearTo, v - 1); true
+    case LessThanOrEqual(a, v: Int) if is(a, "year") =>
+      yearTo = math.min(yearTo, v); true
+    case _ => false
+  }
+
+  private def is(attr: String, col: String): Boolean =
+    attr.equalsIgnoreCase(col)
+
   override def build(): Scan =
-    new StatementScan(symbols, statements, years, required)
+    new StatementScan(symbolsF, statementsF, yearFrom to yearTo, required)
 }
 
 private[sources] class StatementScan(
