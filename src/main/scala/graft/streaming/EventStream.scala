@@ -110,18 +110,39 @@ object EventStream {
   }
 
   /** One (band-key, doc, signature) assignment for the streaming
-    * near-dup state operator.
+    * near-dup state operator. `ts` carries the WATERMARKED event-time
+    * attribute itself (null when no horizon is configured) — deriving
+    * a new column would strip the watermark metadata the event-time
+    * timeout requires.
     */
   final case class BandedDoc(band: Int, bandHash: Long, doc_id: Long,
-                             sig: Array[Long])
+                             sig: Array[Long], ts: java.sql.Timestamp)
 
   /** A streaming near-dup candidate: MinHash-estimated similarity of
     * a newly-arrived document against one seen earlier in the stream.
     */
   final case class DupCandidate(doc_a: Long, doc_b: Long, est: Double)
 
-  /** Per-band state: signatures of documents seen so far. */
-  final case class BandState(docs: List[(Long, Array[Long])])
+  /** Per-band state: (doc_id, signature, event-time ms) of documents
+    * seen so far, newest first.
+    */
+  final case class BandState(docs: List[(Long, Array[Long], Long)])
+
+  /** Parse the interval strings this surface accepts ("90 seconds",
+    * "30 minutes", "2 hours", "1 day") to milliseconds.
+    */
+  private[streaming] def intervalMs(s: String): Long = {
+    val Array(n, unit) = s.trim.split("\\s+", 2)
+    val base = unit.toLowerCase(java.util.Locale.ROOT) match {
+      case u if u.startsWith("milli") => 1L
+      case u if u.startsWith("second") => 1000L
+      case u if u.startsWith("minute") => 60L * 1000
+      case u if u.startsWith("hour") => 3600L * 1000
+      case u if u.startsWith("day") => 24L * 3600 * 1000
+      case u => throw new IllegalArgumentException(s"unsupported interval unit: $u")
+    }
+    n.toLong * base
+  }
 
   /** Streaming near-duplicate CANDIDATE detection — the LSH pipeline
     * (q56) made continuous with CUSTOM state
@@ -140,21 +161,30 @@ object EventStream {
     * banding (they share MinHash's all-sentinel signature and would
     * all pair with est=1.0 despite zero true similarity — batch q56's
     * exact-verify kills those; a candidate stream must not emit
-    * them); a full band (`maxPerBand`) still COMPARES new arrivals
-    * against its stored signatures but stops storing (the batch skew
-    * cap drops symmetric candidates; privileging stored-vs-new keeps
-    * recall for dups of the retained docs); and with `stateTtl` set,
-    * state entries expire that long after their last update via
-    * processing-time timeout — total state bounded by arrival rate ×
-    * TTL, not the corpus (a doc arriving after its band expired is
-    * simply re-deduped against later arrivals, the watermark-style
-    * horizon every unbounded streaming dedup needs). `stateTtl =
-    * None` keeps state forever: fine for bounded corpora, and
-    * REQUIRED for processAllAvailable-style tests — with
-    * ProcessingTimeTimeout the state operator requests a batch on
-    * every trigger (`shouldRunAnotherBatch` is unconditionally true
-    * in that mode), so such queries never quiesce. Production
-    * unbounded streams run periodic triggers and should set a TTL.
+    * them). A full band (`maxPerBand`) keeps a RECENCY RING: new
+    * arrivals still compare against everything stored, are stored
+    * themselves, and the oldest entry is evicted — so two fresh
+    * duplicates arriving after saturation still pair (the round-2
+    * stop-storing variant silently lost exactly those), recall is
+    * lost only for pairs separated by more than `maxPerBand` arrivals
+    * within one band, and both memory and per-arrival compare cost
+    * stay O(maxPerBand). (Salt-splitting the band key was considered
+    * and rejected: state keys cannot be re-partitioned mid-stream,
+    * and upstream salting makes cross-salt pairs structurally
+    * invisible rather than recency-bounded.)
+    *
+    * With `eventTimeHorizon` set, state expiry is EVENT-time, matching
+    * the semantics of every other stateful operator here: the input
+    * is watermarked on `tsCol`, stored entries are pruned once the
+    * watermark passes `entry ts + horizon`, and idle bands time out
+    * via `EventTimeTimeout` (no wall-clock dependence, deterministic
+    * under replay — a processing-time TTL would expire different docs
+    * on a re-run). A duplicate arriving beyond the horizon is simply
+    * re-deduped against later arrivals, the watermark-style bound
+    * every unbounded streaming dedup needs; total state is bounded by
+    * in-horizon arrivals, not the corpus. `eventTimeHorizon = None`
+    * keeps state forever (fine for bounded corpora; unbounded
+    * production streams should set it).
     *
     * Emission is at-least-once per pair (two docs can collide in
     * several bands); downstream consumers dedupe by (doc_a, doc_b) —
@@ -162,20 +192,28 @@ object EventStream {
     */
   def nearDupCandidates(docs: DataFrame, threshold: Double = 0.25,
                         maxPerBand: Int = 1000,
-                        stateTtl: Option[String] = None): DataFrame = {
+                        eventTimeHorizon: Option[String] = None,
+                        tsCol: String = "ts"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val banded = docs
+    val input = eventTimeHorizon.map(h => docs.withWatermark(tsCol, h))
+      .getOrElse(docs)
+    val tsExpr =
+      if (eventTimeHorizon.isDefined) col(tsCol)
+      else lit(null).cast("timestamp")
+    val banded = input
       .select(col("doc_id").cast("long").as("doc_id"),
-        Text.shingleHashes(col("text"), 3).as("sh"))
+        Text.shingleHashes(col("text"), 3).as("sh"), tsExpr.as("ts"))
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), Text.minHash(col("sh")).as("sig"))
-      .select(col("doc_id"), col("sig"), explode(Text.lshBands(col("sig"))).as("b"))
+      .select(col("doc_id"), Text.minHash(col("sh")).as("sig"), col("ts"))
+      .select(col("doc_id"), col("sig"), col("ts"),
+        explode(Text.lshBands(col("sig"))).as("b"))
       .select(col("b.band").as("band"), col("b.h").as("bandHash"),
-        col("doc_id"), col("sig"))
+        col("doc_id"), col("sig"), col("ts"))
       .as[BandedDoc]
+    val horizonMs = eventTimeHorizon.map(intervalMs)
     val timeoutConf =
-      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      if (horizonMs.isDefined) GroupStateTimeout.EventTimeTimeout
       else GroupStateTimeout.NoTimeout
     banded
       .groupByKey(d => (d.band, d.bandHash))
@@ -187,10 +225,22 @@ object EventStream {
             Iterator.empty
           } else {
             var seen = state.getOption.map(_.docs).getOrElse(Nil)
+            // event-time expiry ALSO applies when the band receives
+            // data (timeouts only fire for idle groups): entries whose
+            // ts + horizon the watermark has passed are gone before
+            // any comparison, so a beyond-horizon duplicate is genuinely
+            // re-deduped, not matched against expired state
+            horizonMs.foreach { h =>
+              val wm = state.getCurrentWatermarkMs()
+              if (wm > 0) seen = seen.filter(_._3 + h >= wm)
+            }
             val out = List.newBuilder[DupCandidate]
+            var maxTs = Long.MinValue
             rows.foreach { d =>
+              val dTs = if (d.ts == null) 0L else d.ts.getTime
+              if (dTs > maxTs) maxTs = dTs
               if (!seen.exists(_._1 == d.doc_id)) {
-                seen.foreach { case (otherId, otherSig) =>
+                seen.foreach { case (otherId, otherSig, _) =>
                   var eq = 0
                   var i = 0
                   while (i < d.sig.length) {
@@ -202,11 +252,15 @@ object EventStream {
                     out += DupCandidate(math.min(d.doc_id, otherId),
                       math.max(d.doc_id, otherId), est)
                 }
-                if (seen.size < maxPerBand) seen = (d.doc_id, d.sig) :: seen
+                // recency ring: newest first, evict beyond the cap
+                seen = ((d.doc_id, d.sig, dTs) :: seen).take(maxPerBand)
               }
             }
             state.update(BandState(seen))
-            stateTtl.foreach(state.setTimeoutDuration)
+            horizonMs.foreach { h =>
+              val floor = math.max(maxTs, state.getCurrentWatermarkMs() + 1)
+              state.setTimeoutTimestamp(floor + h)
+            }
             out.result().iterator
           }
       }

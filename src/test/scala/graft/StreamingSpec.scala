@@ -135,6 +135,67 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup hot band keeps a recency ring: post-saturation duplicates still pair") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val copy = "identical boilerplate paragraph with plenty of shared " +
+      "tokens so every document lands in the same minhash bands"
+    val stream = MemoryStream[(Long, String)]
+    val q = EventStream.nearDupCandidates(
+        stream.toDF().toDF("doc_id", "text"), threshold = 0.5, maxPerBand = 5)
+      .writeStream.format("memory").queryName("s_ring").outputMode("append")
+      .start()
+    try {
+      // saturate every band (10 identical docs, cap 5) ...
+      stream.addData((0L until 10L).map(i => (i, copy))); q.processAllAvailable()
+      // ... then two FRESH duplicates in separate later batches: under
+      // round-2 stop-storing, 100 was never stored, so (100, 101)
+      // could not be emitted; the recency ring must report it
+      stream.addData(Seq((100L, copy))); q.processAllAvailable()
+      stream.addData(Seq((101L, copy))); q.processAllAvailable()
+      val got = spark.table("s_ring").select(col("doc_a"), col("doc_b"))
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((100L, 101L)),
+        s"fresh post-saturation pair missing from ${got.size} pairs")
+      assert(got.contains((100L, 9L)) || got.contains((9L, 100L)) ||
+        got.contains((100L, 101L)), "hot band must still report pairs")
+    } finally q.stop()
+  }
+
+  test("near-dup event-time horizon: beyond-watermark duplicates are re-deduped") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val copy = "identical boilerplate paragraph with plenty of shared " +
+      "tokens so every document lands in the same minhash bands"
+    val other = "entirely unrelated filler content about orbital mechanics " +
+      "and satellite constellations to advance the watermark only"
+    val t0 = 1700000000000L
+    def ts(offsetMin: Long) = new Timestamp(t0 + offsetMin * 60000)
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val q = EventStream.nearDupCandidates(
+        stream.toDF().toDF("doc_id", "text", "ts"),
+        threshold = 0.5, eventTimeHorizon = Some("1 hour"))
+      .writeStream.format("memory").queryName("s_horizon").outputMode("append")
+      .start()
+    try {
+      stream.addData(Seq((1L, copy, ts(0)))); q.processAllAvailable()
+      // advance the watermark far past doc 1's horizon (wm = max ts − 1h)
+      stream.addData(Seq((50L, other, ts(600)))); q.processAllAvailable()
+      stream.addData(Seq((51L, other, ts(601)))); q.processAllAvailable()
+      // a duplicate of doc 1 arriving beyond the horizon: state for
+      // doc 1 is expired, so NO (1, 2) pair — doc 2 starts a new
+      // dedup generation...
+      stream.addData(Seq((2L, copy, ts(600)))); q.processAllAvailable()
+      // ...and a duplicate within doc 2's horizon pairs with IT
+      stream.addData(Seq((3L, copy, ts(601)))); q.processAllAvailable()
+      val got = spark.table("s_horizon").select(col("doc_a"), col("doc_b"))
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!got.contains((1L, 2L)) && !got.contains((1L, 3L)),
+        s"expired state must not produce pairs: $got")
+      assert(got.contains((2L, 3L)), s"in-horizon duplicate missing: $got")
+    } finally q.stop()
+  }
+
   test("readEvents wires a parquet directory as an unbounded source") {
     val sdf = EventStream.readEvents(spark, "/root/testdata/sf0.001/events.parquet")
     assert(sdf.isStreaming)
