@@ -155,6 +155,13 @@ object Similarity {
         ORDER BY vec_a, vec_b"""),
       "exact embedding-cosine near-dup pairs"),
 
+    // -- banded embedding near-dup: q65's subquadratic scale path
+    //    (see [[embNearDupLshOn]]); rows-only oracle, recall +
+    //    candidate-pair fraction asserted in SimilaritySpec.
+    Q("q69_embedding_neardup_lsh", (s, d) => embNearDupLshOn(t(s, d).embeddings),
+      None,
+      "multi-probe LSH embedding near-dup pairs (recall + pruning in spec)"),
+
     // -- IVF ANN, step 2: assign every vector to its nearest centroid
     //    (map-side argmax over the k×dim codebook, carried in the plan
     //    as a constant-folded literal — zero shuffle per vector, the
@@ -244,6 +251,58 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Banded embedding-cosine near-dup — q65's scale path, completing
+    * the pattern every other dedup family already has (q54→q56,
+    * q57→q68): symmetric pair generation via bucket-equality
+    * hyperplane LSH (the MLlib approxSimilarityJoin shape — AND over
+    * nBits sign bits within a table, OR over L tables) instead of the
+    * n² cross join. Candidates share a (table, bucket); singleton
+    * buckets are dropped before the self-join exactly like q56, and
+    * candidates are exact-verified with the same fused cosine kernel
+    * and threshold as q65. Shuffle rows are (id, table, code) only;
+    * embeddings join back by id for the verify.
+    *
+    * Multi-probe (the q63 trick) was MEASURED and rejected here: for
+    * symmetric all-pairs the probe expansion rides the full corpus
+    * side of the join (n×L×107 rows at radius 2 — 6× the runtime of
+    * this plan at sf0.1), whereas in q63 it only expands the ~1%
+    * query side. More tables at fewer bits buys the same recall with
+    * corpus-linear banding rows.
+    *
+    * Parameters measured like q63's (SimilaritySpec asserts recall
+    * AND candidate-pair fraction at both sf0.01 and sf0.1).
+    */
+  def embNearDupLshOn(emb: DataFrame,
+                      nBits: Int = 8, tables: Int = 70,
+                      minCos: Double = 0.45): DataFrame = {
+    // persist: the band table feeds the bucket-count aggregate AND
+    // both self-join sides — without it the L×nBits hyperplane pass
+    // over the corpus runs three times
+    val banded = emb.select(col("vec_id"),
+      posexplode(Vectors.hyperplaneBuckets(col("embedding"), nBits, tables))
+        .as(Seq("tbl", "b")))
+      .persist()
+    val buckets = banded.groupBy(col("tbl"), col("b"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > 1)
+      .select(col("tbl"), col("b"))
+    val pruned = banded.join(buckets, Seq("tbl", "b"))
+    val cands = pruned.select(col("vec_id").as("vec_a"), col("tbl"), col("b"))
+      .join(pruned.select(col("vec_id").as("vec_b"), col("tbl"), col("b")),
+        Seq("tbl", "b"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    cands
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")),
+        Seq("vec_a"))
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")),
+        Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        Vectors.cosine(col("emb_a"), col("emb_b")).as("cos"))
+      .filter(col("cos") >= minCos)
+      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   /** q60's exact plan over any embeddings frame (the crossover spec

@@ -112,6 +112,30 @@ class SimilaritySpec extends SparkSpec {
     scaled.unpersist()
   }
 
+  test("q69 banded embedding near-dup: recall >= 0.9 vs exact q65, candidate pairs < 35%") {
+    import graft.queries.Similarity.embNearDupLshOn
+    for (d <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      val n = emb.count()
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select(col("vec_a").cast("long"), col("vec_b").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = pairs(Registry.queries("q65_embedding_neardup")(spark, d))
+      val got = pairs(embNearDupLshOn(emb))
+      assert(exact.nonEmpty)
+      val recall = exact.count(got.contains).toDouble / exact.size
+      // verify step makes output a subset of the exact pair set
+      assert(got.subsetOf(exact), "q69 verify must keep only true pairs")
+      // candidate-pair fraction: reported by the un-verified candidate
+      // count relative to all n(n-1)/2 pairs
+      val cands = embNearDupLshOn(emb, minCos = -1.0).count().toDouble
+      val frac = cands / (n.toDouble * (n - 1) / 2)
+      info(f"$d: recall $recall%.3f, candidate pairs ${100 * frac}%.1f%%")
+      assert(recall >= 0.9, s"$d recall $recall")
+      assert(frac < 0.35, s"$d candidate-pair fraction $frac")
+    }
+  }
+
   test("IVF ANN (q64) recall >= 0.8; Lloyd codebook >= per-label seed") {
     val seed = recallVsExact(topKOf(
       graft.queries.Similarity.ivfAnn(spark, dir, lloydIters = 0)))
