@@ -298,6 +298,70 @@ object Relational {
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""),
       "rollup subtotals"),
 
+    // -- explicit grouping sets: the general lattice rollup/cube are
+    //    sugar for — per-flag totals, per-status totals, and the grand
+    //    total in ONE pass (Expand + single hash aggregate, not three
+    //    scans unioned).
+    Q("q35_grouping_sets",
+      (s, d) => t(s, d).lineitem
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        ${sqlDsum("l_quantity")} AS sum_qty
+        FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""),
+      "explicit grouping-sets lattice in one aggregate pass"),
+
+    // -- unpivot/melt: wide metric columns to long (key, metric,
+    //    value) form — the inverse of the reference's wide→JSONB pack,
+    //    and the standard prep step for per-metric aggregation. Pure
+    //    Expand node: no shuffle, rows×metrics output streamed.
+    Q("q36_unpivot",
+      (s, d) => t(s, d).lineitem
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("l_quantity"),
+          col("l_extendedprice").cast("double").as("l_extendedprice"),
+          col("l_discount").cast("double").as("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "value")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric")),
+      Some("""SELECT l_orderkey, l_linenumber, metric, value FROM (
+          SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+            CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+            CAST(l_extendedprice AS DOUBLE) FROM lineitem
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_discount',
+            CAST(l_discount AS DOUBLE) FROM lineitem)
+        ORDER BY l_orderkey, l_linenumber, metric"""),
+      "unpivot/melt wide metrics to long form"),
+
+    // -- pivot: long→wide conditional aggregation with PINNED value
+    //    list (never inferred — an inference pass is an extra scan and
+    //    makes the output schema data-dependent, which breaks at scale
+    //    and in the oracle comparison alike).
+    Q("q37_pivot",
+      (s, d) => t(s, d).events
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0)
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id,
+          COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+          COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+          COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+          COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+          COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        FROM events GROUP BY user_id ORDER BY user_id"""),
+      "pivot to wide conditional counts (pinned value list)"),
+
     // -- cube: full grouping-set lattice.
     Q("q10_cube",
       (s, d) => t(s, d).orders
