@@ -389,6 +389,40 @@ object TextOps {
       None,
       "SimHash 4x16-band Hamming<=3 near-dup pairs (exactness + recall in SimHashSpec)"),
 
+    // -- sketch-based heavy hitters: corpus token frequencies WITHOUT
+    //    the (token, count) shuffle. One count-min sketch aggregate —
+    //    each task folds its tokens into a fixed 2000×5 counter grid,
+    //    partials merge associatively, and the driver holds the result
+    //    as model state (same posture as the IVF codebook). Candidate
+    //    tokens come from a 5% deterministic doc sample; the sketch
+    //    scores them. vs exact q67: this trades the full-token shuffle
+    //    (which q67 keeps map-combined anyway) for a CONSTANT-size
+    //    mergeable summary — the shape that composes with streaming
+    //    and repeated probing at 100 TB. CMS contract (est >= true,
+    //    est <= true + eps·N w.p. 0.99) is asserted in SketchSpec.
+    Q("q72_token_cms",
+      (s, d) => {
+        val docs = t(s, d).documents
+        val toks = docs.select(explode(Text.tokens(col("text"))).as("token"))
+        val bytes = toks
+          .agg(expr("count_min_sketch(token, 0.001d, 0.99d, 42)").as("cms"))
+          .head().getAs[Array[Byte]](0)
+        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(bytes))
+        val cands = docs.filter(col("doc_id") % 20 === 0)
+          .select(explode(Text.tokens(col("text"))).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token")).limit(40)
+          .select(col("token")).collect().map(_.getString(0)).toSeq
+        import s.implicits._
+        cands.map(tok => (tok, cms.estimateCount(tok)))
+          .toDF("token", "est_n")
+          .orderBy(col("est_n").desc, col("token"))
+          .limit(20)
+      },
+      None,
+      "count-min-sketch heavy hitters (contract + recall in SketchSpec)"),
+
     // -- rolling-hash document fingerprint: order-sensitive polynomial
     //    fold over tokens (permutation-distinguishing, unlike MinHash).
     Q("q58_fingerprint",
