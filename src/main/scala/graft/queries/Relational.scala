@@ -362,6 +362,44 @@ object Relational {
         FROM events GROUP BY user_id ORDER BY user_id"""),
       "pivot to wide conditional counts (pinned value list)"),
 
+    // -- Bloom-prefiltered semi-join: the runtime-filter pattern made
+    //    explicit. A bloom filter over the build side's keys (one
+    //    constant-size mergeable aggregate) broadcasts to the probe
+    //    scan, where `might_contain` drops non-matching rows MAP-SIDE
+    //    before any shuffle; the exact semi-join then removes the
+    //    bloom's false positives, so output equals the plain semi-join
+    //    (hash-matched oracle) while the shuffle carries ~selectivity
+    //    × rows instead of the whole fact table. At 100 TB this is
+    //    the difference between shuffling the fact table and shuffling
+    //    the survivors. No false negatives by the bloom contract, so
+    //    pre+verify is lossless by construction.
+    Q("q38_bloom_semi_join",
+      (s, d) => {
+        val x = t(s, d)
+        import org.apache.spark.sql.graftbridge.BloomBridge
+        val urgent = x.orders.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        // the bloom is model state like the IVF codebook: a constant-
+        // size summary built distributed, then carried as a plan
+        // literal (might_contain requires a constant or scalar
+        // subquery — Spark's own injected runtime filters do the same)
+        val bloomBytes = urgent
+          .agg(BloomBridge.bloomAgg(col("o_orderkey"), 10000L, 81920L).as("bf"))
+          .head().getAs[Array[Byte]]("bf")
+        val prefiltered = x.lineitem
+          .filter(BloomBridge.mightContain(lit(bloomBytes), col("l_orderkey")))
+        prefiltered
+          .join(urgent, prefiltered("l_orderkey") === urgent("o_orderkey"), "left_semi")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem WHERE EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
+        ORDER BY l_orderkey, l_linenumber"""),
+      "bloom-prefiltered semi-join (runtime-filter pattern, exact output)"),
+
     // -- cube: full grouping-set lattice.
     Q("q10_cube",
       (s, d) => t(s, d).orders

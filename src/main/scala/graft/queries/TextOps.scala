@@ -389,6 +389,54 @@ object TextOps {
       None,
       "SimHash 4x16-band Hamming<=3 near-dup pairs (exactness + recall in SimHashSpec)"),
 
+    // -- TF-IDF: the canonical text-relevance scoring a training-data
+    //    pipeline runs for keyword extraction / relevance filtering.
+    //    Three aggregates composed in one plan: per-(doc, term)
+    //    frequency, document frequency over the FULL corpus, corpus
+    //    size via a one-row broadcast — then smooth idf and top-3
+    //    terms per doc (output bounded to doc_id < 50). Scores are
+    //    rounded to 4 dp BEFORE ranking on both engines, so a 1-ulp
+    //    libm divergence in ln() cannot flip a rank across engines.
+    Q("q74_tfidf",
+      (s, d) => {
+        val docs = t(s, d).documents
+        val tf = docs.select(col("doc_id"),
+            explode(Text.tokens(col("text"))).as("token"))
+          .groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df_docs"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val scored = tf.join(df, Seq("token"))
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), col("token"), col("tf"), col("df_docs"),
+            round(col("tf") * (log((col("n_docs") + 1.0) / (col("df_docs") + 1.0))
+              + 1.0), 4).as("tfidf"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("token"))
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("doc_id") < 50 && col("rk") <= 3)
+          .orderBy(col("doc_id"), col("rk"))
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          FROM documents),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        df AS (SELECT token, COUNT(*) AS df_docs FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT doc_id, token, tf, df_docs,
+            ROUND(tf * (LN((n.n_docs + 1.0) / (df_docs + 1.0)) + 1.0), 4) AS tfidf
+          FROM tf JOIN df USING (token), n),
+        ranked AS (
+          SELECT doc_id, token, tf, df_docs, tfidf,
+            ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, token) AS rk
+          FROM scored)
+        SELECT doc_id, token, tf, df_docs, tfidf, CAST(rk AS INT) AS rk
+        FROM ranked WHERE doc_id < 50 AND rk <= 3 ORDER BY doc_id, rk"""),
+      "TF-IDF top terms per document"),
+
     // -- sketch-based heavy hitters: corpus token frequencies WITHOUT
     //    the (token, count) shuffle. One count-min sketch aggregate —
     //    each task folds its tokens into a fixed 2000×5 counter grid,

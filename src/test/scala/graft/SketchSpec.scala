@@ -36,6 +36,31 @@ class SketchSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("bloom prefilter (q38): no false negatives, and it actually prunes") {
+    import org.apache.spark.sql.graftbridge.BloomBridge
+    val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bloomBytes = urgent
+      .agg(BloomBridge.bloomAgg(col("o_orderkey"), 10000L, 81920L).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val total = lineitem.count()
+    val prefiltered = lineitem
+      .filter(BloomBridge.mightContain(lit(bloomBytes), col("l_orderkey")))
+      .count()
+    val exact = lineitem.join(urgent,
+      lineitem("l_orderkey") === urgent("o_orderkey"), "left_semi").count()
+    info(s"rows: total $total -> bloom $prefiltered -> exact $exact")
+    assert(prefiltered >= exact, "bloom must never drop a true match")
+    assert(prefiltered < total,
+      "bloom must prune something on a selective build side")
+    // false-positive rate within an order of magnitude of the
+    // configured capacity's nominal rate (loose, deterministic bound)
+    val fpRate = (prefiltered - exact).toDouble / (total - exact)
+    assert(fpRate <= 0.1, s"false-positive rate $fpRate")
+  }
+
   test("q72 is deterministic for fixed input (fixed sketch seed)") {
     val a = Registry.queries("q72_token_cms")(spark, dir).collect().toSeq
     val b = Registry.queries("q72_token_cms")(spark, dir).collect().toSeq
