@@ -400,6 +400,30 @@ object Relational {
         ORDER BY l_orderkey, l_linenumber"""),
       "bloom-prefiltered semi-join (runtime-filter pattern, exact output)"),
 
+    // -- outer-join aggregation: customers kept even with ZERO urgent
+    //    orders (count over the null-extended side is 0, sum is null →
+    //    coalesced). Completes the join-type surface next to
+    //    inner/broadcast/semi/anti.
+    Q("q39_left_outer_agg",
+      (s, d) => {
+        val x = t(s, d)
+        val urgent = x.orders.filter(col("o_orderpriority") === "1-URGENT")
+        val cust = x.customer
+        cust.join(urgent,
+            cust("c_custkey") === urgent("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("n_urgent"),
+            coalesce(dsum(col("o_totalprice")), lit(0.0)).as("urgent_total"))
+          .orderBy(col("c_custkey"))
+      },
+      Some(s"""SELECT c_custkey, COUNT(o_orderkey) AS n_urgent,
+        COALESCE(${sqlDsum("o_totalprice")}, 0.0) AS urgent_total
+        FROM customer LEFT OUTER JOIN (
+          SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+          ON c_custkey = o_custkey
+        GROUP BY c_custkey ORDER BY c_custkey"""),
+      "left-outer join with null-extended aggregation"),
+
     // -- cube: full grouping-set lattice.
     Q("q10_cube",
       (s, d) => t(s, d).orders

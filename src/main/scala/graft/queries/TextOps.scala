@@ -437,6 +437,34 @@ object TextOps {
         FROM ranked WHERE doc_id < 50 AND rk <= 3 ORDER BY doc_id, rk"""),
       "TF-IDF top terms per document"),
 
+    // -- stratified sampling for training-data mixing: per-language
+    //    rates (50% en, 20% others) via DETERMINISTIC md5-bucket
+    //    assignment — bucket = first 4 hex digits of md5(doc_id) mod
+    //    100, identical in any engine computing standard MD5 and
+    //    stable under repartitioning. `sample()`/`rand(seed)` are NOT
+    //    reproducible across partitionings, which silently changes
+    //    the training set between runs; hash-assignment is, and it
+    //    keeps every decision a map-side projection.
+    Q("q75_stratified_sample",
+      (s, d) => {
+        val bucket = pmod(
+          conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("int"), lit(100))
+        t(s, d).documents
+          .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+          .filter(col("bucket") <
+            when(col("lang") === "en", 50).otherwise(20))
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 AS bucket
+          FROM documents) t
+        WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+        ORDER BY doc_id"""),
+      "deterministic md5-bucket stratified sample (per-language rates)"),
+
     // -- sketch-based heavy hitters: corpus token frequencies WITHOUT
     //    the (token, count) shuffle. One count-min sketch aggregate —
     //    each task folds its tokens into a fixed 2000×5 counter grid,
