@@ -91,6 +91,44 @@ object EventOps {
         ORDER BY v.user_id, view_ts, view_id, purchase_ts, purchase_id"""),
       "view->purchase interval join (stream-stream join, batch form)"),
 
+    // -- gap-filled time series: hourly counts per event type over the
+    //    DENSE hour grid (empty hours emitted as 0), the resample/
+    //    gap-fill every monitoring and feature pipeline needs. The
+    //    grid is generated (sequence over the corpus's hour bounds ×
+    //    distinct types), never materialized as input — hours×types
+    //    rows total, joined left-outer to the aggregated counts.
+    Q("q45_gap_fill",
+      (s, d) => {
+        val ev = t(s, d).events
+        val bounds = ev.agg(
+          date_trunc("hour", min(col("ts"))).as("t0"),
+          date_trunc("hour", max(col("ts"))).as("t1"))
+        val hours = bounds.select(explode(sequence(col("t0"), col("t1"),
+          expr("INTERVAL 1 HOUR"))).as("hour"))
+        val grid = hours.crossJoin(ev.select(col("event_type")).distinct())
+        val counts = ev
+          .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        grid.join(counts, Seq("hour", "event_type"), "left_outer")
+          .select(col("hour"), col("event_type"),
+            coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy(col("hour"), col("event_type"))
+      },
+      Some("""WITH bounds AS (
+          SELECT date_trunc('hour', min(ts)) AS t0,
+            date_trunc('hour', max(ts)) AS t1 FROM events),
+        hours AS (
+          SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour
+          FROM bounds),
+        types AS (SELECT DISTINCT event_type FROM events),
+        counts AS (
+          SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+          FROM events GROUP BY 1, 2)
+        SELECT hour, event_type, COALESCE(n, 0) AS n
+        FROM hours CROSS JOIN types LEFT JOIN counts USING (hour, event_type)
+        ORDER BY hour, event_type"""),
+      "gap-filled dense hourly series (resample with zero fill)"),
+
     // -- as-of join: every event annotated with the value of that
     //    user's most recent purchase at-or-before the event time —
     //    graft.operators.AsOfJoin's union–sort–backfill plan (ONE
