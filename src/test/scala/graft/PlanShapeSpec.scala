@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.Registry
+
+/** Physical-plan regression guards for the scale-posture claims the
+  * query comments make. These don't check answers (oracles and the
+  * other specs do) — they check the PLAN is still the plan we
+  * designed, so a refactor that silently inserts a shuffle, loses
+  * parquet pushdown, or widens a scan fails here instead of only
+  * showing up as a 100 TB regression.
+  */
+class PlanShapeSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Formatted explain (full scan details — the default treeString
+    * truncates PushedFilters mid-list) plus the executed-plan tree.
+    */
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")) +
+      "\n" + df.queryExecution.executedPlan.toString
+
+  private def q(name: String): DataFrame = Registry.queries(name)(spark, dir)
+
+  test("q02 filter+project: predicate and column pruning reach the parquet scan") {
+    val plan = planOf(q("q02_filter_project"))
+    assert(plan.contains("PushedFilters: ["), s"no pushed filters in:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_shipdate.*"),
+      "the shipdate predicate must be pushed to the scan")
+    // scan must not read the full 11-column lineitem schema
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(readSchemas.nonEmpty &&
+      readSchemas.forall(_.split(",").length < 11),
+      s"scan reads too many columns: $readSchemas")
+  }
+
+  test("q36 unpivot is a pure Expand: no shuffle before the final sort") {
+    val plan = planOf(q("q36_unpivot"))
+    assert(plan.contains("Expand"), "unpivot should plan as Expand")
+    // the only exchange allowed is the range partition for orderBy
+    val exchanges = "Exchange (\\w+)".r.findAllMatchIn(plan).map(_.group(1)).toList
+    assert(exchanges.forall(_.startsWith("rangepartitioning")),
+      s"unexpected non-sort exchange(s): $exchanges")
+  }
+
+  test("q38 bloom prefilter stage is a scan-level filter, not a join") {
+    import org.apache.spark.sql.graftbridge.BloomBridge
+    val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val bloomBytes = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .agg(BloomBridge.bloomAgg(col("o_orderkey"), 10000L, 81920L).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val pre = lineitem.filter(
+      BloomBridge.mightContain(lit(bloomBytes), col("l_orderkey")))
+    val plan = planOf(pre)
+    assert(!plan.contains("Join"), s"prefilter must not join:\n$plan")
+    assert(!plan.contains("Exchange"), s"prefilter must not shuffle:\n$plan")
+    assert(plan.contains("might_contain"), "bloom probe missing from plan")
+  }
+
+  test("q05 bounded dims join broadcast, not sort-merge") {
+    val plan = planOf(q("q05_revenue_by_nation"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast joins in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "small-dim joins must not sort-merge at this scale")
+  }
+
+  test("q50 exact dedup shuffles the 64-hex key, not document bodies") {
+    val plan = planOf(q("q50_exact_dedup"))
+    // the text column must not survive into any exchange: the scan may
+    // read it (sha2 input) but every exchange row is (hash, doc_id, ...)
+    val exchangeLines = plan.linesIterator
+      .filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeLines.contains("text"),
+      s"document bodies cross the shuffle:\n$exchangeLines")
+  }
+}
