@@ -334,8 +334,11 @@ object Similarity {
     * aggregate).
     */
   def ivfAnn(s: org.apache.spark.sql.SparkSession, d: String,
-             lloydIters: Int = 2, nprobe: Int = 7): DataFrame = {
-    val emb = t(s, d).embeddings
+             lloydIters: Int = 2, nprobe: Int = 7, k: Int = 10): DataFrame =
+    ivfAnnOn(t(s, d).embeddings, lloydIters, nprobe, k)
+
+  def ivfAnnOn(emb: DataFrame,
+               lloydIters: Int = 2, nprobe: Int = 7, k: Int = 10): DataFrame = {
     // The codebook lives on the DRIVER between rounds — the one
     // deliberate departure from the no-collect posture, and the same
     // one Spark MLlib's KMeans makes: centers are k×dim (fixed model
@@ -370,7 +373,14 @@ object Similarity {
         c => struct(Vectors.cosine(v, c.getField("c_emb")).as("s"),
           c.getField("c_id").as("c_id"))))
         .getField("c_id")
-    var cents = means(emb, col("label"))
+    // Seed: per-label means when the corpus carries labels, else a
+    // deterministic hash partition into `k` cells — the general
+    // unlabeled case. Lloyd rounds then do the actual clustering
+    // (SimilaritySpec measures the unlabeled path's recall too).
+    val seedKey =
+      if (emb.columns.contains("label")) col("label")
+      else pmod(col("vec_id"), lit(k)).cast("int")
+    var cents = means(emb, seedKey)
     for (_ <- 1 to lloydIters)
       cents = means(emb, cellOf(col("embedding"), cents))
     val assigned = emb.select(col("vec_id"), col("embedding"),

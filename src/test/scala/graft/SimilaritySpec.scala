@@ -147,6 +147,15 @@ class SimilaritySpec extends SparkSpec {
       s"Lloyd refinement must not lose recall vs the seed ($lloyd < $seed)")
   }
 
+  test("IVF ANN works without a label column (hash-partition seed + Lloyd)") {
+    val unlabeled = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val r = recallVsExact(topKOf(
+      graft.queries.Similarity.ivfAnnOn(unlabeled)))
+    info(s"q64 unlabeled-corpus recall: $r")
+    assert(r >= 0.8, s"unlabeled-seed recall $r")
+  }
+
   test("hyperplaneBucket is dimension-agnostic (no silent null-padding)") {
     import spark.implicits._
     // 8-dim and 64-dim vectors: both must spread across buckets and
