@@ -437,6 +437,50 @@ object TextOps {
         FROM ranked WHERE doc_id < 50 AND rk <= 3 ORDER BY doc_id, rk"""),
       "TF-IDF top terms per document"),
 
+    // -- overlapping token-window chunking: split each document into
+    //    size-32 windows at stride 24 (8-token overlap) — the
+    //    context-window prep step every LLM training pipeline runs
+    //    before tokenization. Pure map-side generate (chunk starts =
+    //    sequence(0, n−1, stride), slice per start, explode); trailing
+    //    partial windows kept. Output bounded to doc_id < 100.
+    Q("q76_token_chunks",
+      (s, d) => {
+        val size32 = 32
+        val stride = 24
+        val toks = Text.tokens(col("text"))
+        val n = size(toks)
+        t(s, d).documents
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"), toks.as("toks"), n.as("n"))
+          .filter(col("n") > 0)
+          .select(col("doc_id"), col("n"),
+            explode(transform(
+              sequence(lit(0), col("n") - 1, lit(stride)),
+              st => struct((st / stride).cast("int").as("chunk_idx"),
+                array_join(slice(col("toks"), st + 1, lit(size32)), " ")
+                  .as("chunk_text"),
+                least(lit(size32), col("n") - st).as("n_chunk_tokens"))))
+              .as("c"))
+          .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+            col("c.n_chunk_tokens").as("n_chunk_tokens"),
+            col("c.chunk_text").as("chunk_text"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+          FROM documents WHERE doc_id < 100),
+        sized AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        chunks AS (
+          SELECT doc_id,
+            CAST(st / 24 AS INT) AS chunk_idx,
+            CAST(LEAST(32, n - st) AS INT) AS n_chunk_tokens,
+            array_to_string(toks[st + 1 : st + 32], ' ') AS chunk_text
+          FROM sized, (SELECT unnest(range(0, 100000, 24)) AS st)
+          WHERE st < n)
+        SELECT doc_id, chunk_idx, n_chunk_tokens, chunk_text
+        FROM chunks ORDER BY doc_id, chunk_idx"""),
+      "overlapping token-window chunking (size 32, stride 24)"),
+
     // -- stratified sampling for training-data mixing: per-language
     //    rates (50% en, 20% others) via DETERMINISTIC md5-bucket
     //    assignment — bucket = first 4 hex digits of md5(doc_id) mod
