@@ -437,6 +437,45 @@ object TextOps {
         FROM ranked WHERE doc_id < 50 AND rk <= 3 ORDER BY doc_id, rk"""),
       "TF-IDF top terms per document"),
 
+    // -- decontamination: flag training documents sharing any 8-token
+    //    shingle with a benchmark/eval set (here: doc_id % 50 == 0
+    //    stands in for the heldout set) — the train/eval overlap
+    //    check every serious LLM data pipeline runs. Scale shape is
+    //    an exploded shingle EQUI-join (distinct shingles per doc,
+    //    benchmark side small → broadcast), never a doc×doc cross
+    //    join; at 100 TB the join key would be the 64-bit shingle
+    //    hash (q54's trick) — strings here so the oracle can replay
+    //    it verbatim.
+    Q("q77_decontamination",
+      (s, d) => {
+        val docs = t(s, d).documents
+        val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"),
+            explode(array_distinct(Text.shingles(col("text"), 8))).as("sh"))
+        val bench = docs.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("bench_id"),
+            explode(array_distinct(Text.shingles(col("text"), 8))).as("sh"))
+        corpus.join(broadcast(bench), Seq("sh"))
+          .groupBy(col("doc_id"), col("bench_id"))
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy(col("doc_id"), col("bench_id"))
+      },
+      Some("""WITH sh AS (
+          SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) >= 8
+              THEN list_transform(
+                range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 6),
+                i -> array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+7], ' '))
+              ELSE [] END)) AS sh
+          FROM documents),
+        corpus AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+        bench AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id % 50 = 0)
+        SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
+        FROM corpus c JOIN bench b USING (sh)
+        GROUP BY c.doc_id, b.bench_id
+        ORDER BY doc_id, bench_id"""),
+      "train/eval 8-gram overlap decontamination"),
+
     // -- overlapping token-window chunking: split each document into
     //    size-32 windows at stride 24 (8-token overlap) — the
     //    context-window prep step every LLM training pipeline runs
