@@ -400,6 +400,73 @@ object Relational {
         ORDER BY l_orderkey, l_linenumber"""),
       "bloom-prefiltered semi-join (runtime-filter pattern, exact output)"),
 
+    // -- statistical aggregates: sample stddev/variance, correlation,
+    //    covariance per group — the numeric-profiling battery. Values
+    //    rounded to 6 dp on both engines: the M2 merge formulas agree
+    //    mathematically but not bit-for-bit, and the chosen columns
+    //    (quantity ~1..50, discount ~0..0.1, corr ∈ [−1,1]) keep
+    //    magnitudes where 1e-6 rounding absorbs any merge-order ulp
+    //    drift without masking real errors.
+    Q("q46_group_stats",
+      (s, d) => t(s, d).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_discount")), 6).as("var_disc"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qty_disc"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+        ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+        ROUND(var_samp(l_discount), 6) AS var_disc,
+        ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        ROUND(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      "per-group statistical aggregate battery"),
+
+    // -- array/set aggregation with DETERMINISTIC presentation:
+    //    collect_set is order-nondeterministic by nature, so the
+    //    output sorts it and joins to a string — the only
+    //    cross-engine-comparable form of a collected aggregate.
+    Q("q47_array_agg",
+      (s, d) => t(s, d).orders
+        .groupBy(col("o_orderpriority"))
+        .agg(concat_ws(",", sort_array(collect_set(col("o_orderstatus"))))
+            .as("statuses"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+        array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
+        COUNT(DISTINCT o_custkey) AS n_customers
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      "sorted set aggregation (deterministic presentation)"),
+
+    // -- ntile bucketing: acctbal quartiles within each market
+    //    segment (tie-broken by key so assignment is deterministic);
+    //    per-bucket summary proves the buckets are balanced.
+    Q("q49_ntile",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        t(s, d).customer
+          .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+            ntile(4).over(w).as("quartile"))
+          .groupBy(col("c_mktsegment"), col("quartile"))
+          .agg(count(lit(1)).as("n"), davg(col("c_acctbal")).as("avg_bal"))
+          .orderBy(col("c_mktsegment"), col("quartile"))
+      },
+      Some(s"""WITH q AS (
+          SELECT c_mktsegment, c_custkey, c_acctbal,
+            CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+              ORDER BY c_acctbal, c_custkey) AS INT) AS quartile
+          FROM customer)
+        SELECT c_mktsegment, quartile, COUNT(*) AS n,
+          ${sqlDavg("c_acctbal")} AS avg_bal
+        FROM q GROUP BY c_mktsegment, quartile
+        ORDER BY c_mktsegment, quartile"""),
+      "ntile quartiles per segment with per-bucket summary"),
+
     // -- outer-join aggregation: customers kept even with ZERO urgent
     //    orders (count over the null-extended side is 0, sum is null →
     //    coalesced). Completes the join-type surface next to
