@@ -284,6 +284,10 @@ object Similarity {
       posexplode(Vectors.hyperplaneBuckets(col("embedding"), nBits, tables))
         .as(Seq("tbl", "b")))
       .persist()
+    banded.count() // materialize eagerly: three consumers (bucket agg
+                   // + both self-join sides) would otherwise recompute
+                   // the L×nBits hyperplane pass while racing to
+                   // populate the cache
     val buckets = banded.groupBy(col("tbl"), col("b"))
       .agg(count(lit(1)).as("bn"))
       .filter(col("bn") > 1)

@@ -159,6 +159,9 @@ object TextOps {
         val sh = docs.select(col("doc_id"),
             Text.shingleHashes(col("text"), 3).as("sh"))
           .persist() // joined on both pair sides; compute shingles once
+        sh.count() // materialize NOW: both pair-join sides scan this
+                   // cache concurrently, and an unmaterialized cache
+                   // is recomputed by each racing consumer
         cands
           .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
           .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
@@ -359,6 +362,8 @@ object TextOps {
           .select(col("doc_id"),
             Text.simHash(Text.tokens(col("text"))).as("sh"))
           .persist() // band explode + both verify sides
+        fp.count() // materialize eagerly (see q54/q56: lazy caches
+                   // with multiple consumers recompute under racing)
         val banded = fp.select(col("doc_id"), explode(array(
             struct(lit(0).as("band"), shiftright(col("sh.hi"), 16).as("v")),
             struct(lit(1).as("band"),
@@ -599,10 +604,20 @@ object TextOps {
     */
   def lshNearDupOn(docs: org.apache.spark.sql.DataFrame,
                    maxBucket: Int = MaxLshBucket): org.apache.spark.sql.DataFrame = {
+    // Each persisted table is materialized EAGERLY (count) before the
+    // next stage builds on it: the final single-action plan scans sh,
+    // sig, and the tagged band table two ways each, and concurrent
+    // scans of an UNMATERIALIZED cache each recompute its lineage —
+    // nested three deep, that cascade measured 156s vs 21s on a
+    // 40k-doc duplicate-heavy corpus. Eager materialization costs
+    // three tiny jobs and restores runtime proportional to true-pair
+    // output.
     val sh = docs.select(col("doc_id"), Text.shingleHashes(col("text"), 3).as("sh"))
       .persist()
+    sh.count()
     val sig = sh.select(col("doc_id"), Text.minHash(col("sh")).as("sig"))
       .persist()
+    sig.count()
     val banded = sig.select(col("doc_id"),
       explode(Text.lshBands(col("sig"))).as("b"))
     // ONE aggregate computes both the bucket size (singleton/hot-key
@@ -614,6 +629,7 @@ object TextOps {
       .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("rep"))
       .filter(col("bn") > 1)
     val tagged = banded.join(bucketAgg, Seq("b")).persist()
+    tagged.count()
     val pruned = tagged.filter(col("bn") <= maxBucket)
     val pairCands = pruned.select(col("doc_id").as("doc_a"), col("b"))
       .join(pruned.select(col("doc_id").as("doc_b"), col("b")), Seq("b"))
