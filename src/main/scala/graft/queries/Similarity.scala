@@ -19,6 +19,48 @@ import graft.functions.Vectors
   */
 object Similarity {
 
+  /** q63's measured operating point (SimilaritySpec asserts both
+    * recall and candidate fraction at exactly these values — a single
+    * source so the declared query and the spec's measurement can
+    * never drift apart).
+    */
+  val AnnNBits = 14
+  val AnnTables = 45
+  val AnnProbeRadius = 2
+
+  /** q64's quantizer defaults: Lloyd rounds, probe cells, seed cells. */
+  val IvfLloydIters = 2
+  val IvfNProbe = 7
+  val IvfCells = 10
+
+  /** q69's measured operating point (bucket equality — see
+    * [[embNearDupLshOn]] for why it differs from q63's).
+    */
+  val NearDupNBits = 8
+  val NearDupTables = 70
+
+  /** Skew guard for the q69 self-join, same contract as
+    * TextOps.MaxLshBucket: over-cap buckets emit representative star
+    * edges instead of bn² pairs.
+    */
+  val MaxVecBucket = 10000
+
+  /** All XOR masks with at most `radius` bits set among `nBits` —
+    * generated combinatorially (C(n,1)+C(n,2)+…), never by filtering
+    * the 2^nBits code space, which stalls the driver at high nBits.
+    */
+  private[queries] def probeMasks(nBits: Int, radius: Int): Seq[Long] = {
+    def combos(bits: List[Int], k: Int): Seq[List[Int]] =
+      if (k == 0) Seq(Nil)
+      else bits match {
+        case Nil => Seq.empty
+        case b :: rest => combos(rest, k - 1).map(b :: _) ++ combos(rest, k)
+      }
+    (1 to radius).flatMap(r =>
+      combos((0 until nBits).toList, r)
+        .map(_.map(1L << _).reduce(_ | _)))
+  }
+
   val queries: Seq[Q] = Seq(
 
     // -- exact top-k: the small query set is broadcast, so the
@@ -197,13 +239,13 @@ object Similarity {
     * the LSH tradeoff — at both sf0.01 and sf0.1.
     */
   def annLshCandidates(s: org.apache.spark.sql.SparkSession, d: String,
-                       nBits: Int = 14, tables: Int = 45,
-                       probeRadius: Int = 2): DataFrame =
+                       nBits: Int = AnnNBits, tables: Int = AnnTables,
+                       probeRadius: Int = AnnProbeRadius): DataFrame =
     annLshCandidatesOn(t(s, d).embeddings, nBits, tables, probeRadius)
 
   def annLshCandidatesOn(emb: DataFrame,
-                         nBits: Int = 14, tables: Int = 45,
-                         probeRadius: Int = 2): DataFrame = {
+                         nBits: Int = AnnNBits, tables: Int = AnnTables,
+                         probeRadius: Int = AnnProbeRadius): DataFrame = {
     val banded = emb.select(col("vec_id"),
       posexplode(Vectors.hyperplaneBuckets(col("embedding"), nBits, tables))
         .as(Seq("tbl", "b")))
@@ -214,8 +256,7 @@ object Similarity {
     // just to look up a handful of rows. Each (tbl, code) fans out to
     // every probe code within Hamming distance `probeRadius` of its
     // own (all XOR masks of popcount <= probeRadius).
-    val masks: Seq[Long] = (1L until (1L << nBits))
-      .filter(m => java.lang.Long.bitCount(m) <= probeRadius)
+    val masks: Seq[Long] = probeMasks(nBits, probeRadius)
     val qb = q.select(col("query_id"),
         posexplode(Vectors.hyperplaneBuckets(col("q_emb"), nBits, tables))
           .as(Seq("tbl", "b0")))
@@ -232,13 +273,13 @@ object Similarity {
     * and top-k'd per query.
     */
   def annLsh(s: org.apache.spark.sql.SparkSession, d: String,
-             nBits: Int = 14, tables: Int = 45,
-             probeRadius: Int = 2): DataFrame =
+             nBits: Int = AnnNBits, tables: Int = AnnTables,
+             probeRadius: Int = AnnProbeRadius): DataFrame =
     annLshOn(t(s, d).embeddings, nBits, tables, probeRadius)
 
   def annLshOn(emb: DataFrame,
-               nBits: Int = 14, tables: Int = 45,
-               probeRadius: Int = 2): DataFrame = {
+               nBits: Int = AnnNBits, tables: Int = AnnTables,
+               probeRadius: Int = AnnProbeRadius): DataFrame = {
     val q = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val scored = annLshCandidatesOn(emb, nBits, tables, probeRadius)
@@ -275,8 +316,9 @@ object Similarity {
     * AND candidate-pair fraction at both sf0.01 and sf0.1).
     */
   def embNearDupLshOn(emb: DataFrame,
-                      nBits: Int = 8, tables: Int = 70,
-                      minCos: Double = 0.45): DataFrame = {
+                      nBits: Int = NearDupNBits, tables: Int = NearDupTables,
+                      minCos: Double = 0.45,
+                      maxBucket: Int = MaxVecBucket): DataFrame = {
     // persist: the band table feeds the bucket-count aggregate AND
     // both self-join sides — without it the L×nBits hyperplane pass
     // over the corpus runs three times
@@ -288,16 +330,24 @@ object Similarity {
                    // + both self-join sides) would otherwise recompute
                    // the L×nBits hyperplane pass while racing to
                    // populate the cache
-    val buckets = banded.groupBy(col("tbl"), col("b"))
-      .agg(count(lit(1)).as("bn"))
+    // same skew discipline as q56/q68: singleton buckets can't pair;
+    // over-cap buckets (dense duplicate clusters of near-identical
+    // vectors) emit representative star edges instead of bn² pairs,
+    // every edge still cosine-verified below
+    val bucketAgg = banded.groupBy(col("tbl"), col("b"))
+      .agg(count(lit(1)).as("bn"), min(col("vec_id")).as("rep"))
       .filter(col("bn") > 1)
-      .select(col("tbl"), col("b"))
-    val pruned = banded.join(buckets, Seq("tbl", "b"))
-    val cands = pruned.select(col("vec_id").as("vec_a"), col("tbl"), col("b"))
+    val tagged = banded.join(bucketAgg, Seq("tbl", "b"))
+    val pruned = tagged.filter(col("bn") <= maxBucket)
+    val pairCands = pruned.select(col("vec_id").as("vec_a"), col("tbl"), col("b"))
       .join(pruned.select(col("vec_id").as("vec_b"), col("tbl"), col("b")),
         Seq("tbl", "b"))
       .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b")).distinct()
+      .select(col("vec_a"), col("vec_b"))
+    val repPairs = tagged
+      .filter(col("bn") > maxBucket && col("vec_id") =!= col("rep"))
+      .select(col("rep").as("vec_a"), col("vec_id").as("vec_b"))
+    val cands = pairCands.union(repPairs).distinct()
     cands
       .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")),
         Seq("vec_a"))
@@ -338,11 +388,13 @@ object Similarity {
     * aggregate).
     */
   def ivfAnn(s: org.apache.spark.sql.SparkSession, d: String,
-             lloydIters: Int = 2, nprobe: Int = 7, k: Int = 10): DataFrame =
+             lloydIters: Int = IvfLloydIters, nprobe: Int = IvfNProbe,
+             k: Int = IvfCells): DataFrame =
     ivfAnnOn(t(s, d).embeddings, lloydIters, nprobe, k)
 
   def ivfAnnOn(emb: DataFrame,
-               lloydIters: Int = 2, nprobe: Int = 7, k: Int = 10): DataFrame = {
+               lloydIters: Int = IvfLloydIters, nprobe: Int = IvfNProbe,
+               k: Int = IvfCells): DataFrame = {
     // The codebook lives on the DRIVER between rounds — the one
     // deliberate departure from the no-collect posture, and the same
     // one Spark MLlib's KMeans makes: centers are k×dim (fixed model

@@ -357,40 +357,7 @@ object TextOps {
     //    shingle-overlap near-dups, this catches token-multiset
     //    near-dups (e.g. reordered boilerplate) at O(1) per pair.
     Q("q68_simhash_neardup",
-      (s, d) => {
-        val fp = t(s, d).documents
-          .select(col("doc_id"),
-            Text.simHash(Text.tokens(col("text"))).as("sh"))
-          .persist() // band explode + both verify sides
-        fp.count() // materialize eagerly (see q54/q56: lazy caches
-                   // with multiple consumers recompute under racing)
-        val banded = fp.select(col("doc_id"), explode(array(
-            struct(lit(0).as("band"), shiftright(col("sh.hi"), 16).as("v")),
-            struct(lit(1).as("band"),
-              col("sh.hi").bitwiseAND(lit(0xFFFFL)).as("v")),
-            struct(lit(2).as("band"), shiftright(col("sh.lo"), 16).as("v")),
-            struct(lit(3).as("band"),
-              col("sh.lo").bitwiseAND(lit(0xFFFFL)).as("v")))).as("bv"))
-          .select(col("doc_id"), col("bv.band").as("band"), col("bv.v").as("v"))
-        val buckets = banded.groupBy(col("band"), col("v"))
-          .agg(count(lit(1)).as("bn"))
-          .filter(col("bn") > 1 && col("bn") <= MaxLshBucket)
-          .select(col("band"), col("v"))
-        val pruned = banded.join(buckets, Seq("band", "v"))
-        val cands = pruned.select(col("doc_id").as("doc_a"), col("band"), col("v"))
-          .join(pruned.select(col("doc_id").as("doc_b"), col("band"), col("v")),
-            Seq("band", "v"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"))
-          .distinct()
-        cands
-          .join(fp.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-          .join(fp.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
-            Text.hamming(col("sh_a"), col("sh_b")).as("dist"))
-          .filter(col("dist") <= 3)
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+      (s, d) => simHashNearDupOn(t(s, d).documents),
       None,
       "SimHash 4x16-band Hamming<=3 near-dup pairs (exactness + recall in SimHashSpec)"),
 
@@ -514,13 +481,14 @@ object TextOps {
           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
           FROM documents WHERE doc_id < 100),
         sized AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        starts AS (
+          SELECT doc_id, toks, n, unnest(range(0, n, 24)) AS st FROM sized),
         chunks AS (
           SELECT doc_id,
             CAST(st / 24 AS INT) AS chunk_idx,
             CAST(LEAST(32, n - st) AS INT) AS n_chunk_tokens,
             array_to_string(toks[st + 1 : st + 32], ' ') AS chunk_text
-          FROM sized, (SELECT unnest(range(0, 100000, 24)) AS st)
-          WHERE st < n)
+          FROM starts)
         SELECT doc_id, chunk_idx, n_chunk_tokens, chunk_text
         FROM chunks ORDER BY doc_id, chunk_idx"""),
       "overlapping token-window chunking (size 32, stride 24)"),
@@ -597,6 +565,55 @@ object TextOps {
       None,
       "rolling polynomial fingerprint (rows-only oracle)")
   )
+
+  /** q68's plan over any documents frame, with the bucket cap
+    * parameterized so SimHashSpec can engage the representative path.
+    */
+  def simHashNearDupOn(docs: org.apache.spark.sql.DataFrame,
+                       maxBucket: Int = MaxLshBucket): org.apache.spark.sql.DataFrame = {
+        val fp = docs
+          .select(col("doc_id"),
+            Text.simHash(Text.tokens(col("text"))).as("sh"))
+          .persist() // band explode + both verify sides
+        fp.count() // materialize eagerly (see q54/q56: lazy caches
+                   // with multiple consumers recompute under racing)
+        val banded = fp.select(col("doc_id"), explode(array(
+            struct(lit(0).as("band"), shiftright(col("sh.hi"), 16).as("v")),
+            struct(lit(1).as("band"),
+              col("sh.hi").bitwiseAND(lit(0xFFFFL)).as("v")),
+            struct(lit(2).as("band"), shiftright(col("sh.lo"), 16).as("v")),
+            struct(lit(3).as("band"),
+              col("sh.lo").bitwiseAND(lit(0xFFFFL)).as("v")))).as("bv"))
+          .select(col("doc_id"), col("bv.band").as("band"), col("bv.v").as("v"))
+        // same skew discipline as q56: singleton buckets can't pair,
+        // over-cap buckets (docs with identical fingerprint halves en
+        // masse) take the cluster-representative star instead of the
+        // bn² self-join — the Hamming<=3 exactness guarantee holds
+        // verbatim below the cap (the fixture's case, pinned in
+        // SimHashSpec); above it, completeness is traded for the star,
+        // uniformly with the rest of the dedup family
+        val bucketAgg = banded.groupBy(col("band"), col("v"))
+          .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("rep"))
+          .filter(col("bn") > 1)
+        val tagged = banded.join(bucketAgg, Seq("band", "v"))
+        val pruned = tagged.filter(col("bn") <= maxBucket)
+        val pairCands = pruned.select(col("doc_id").as("doc_a"), col("band"), col("v"))
+          .join(pruned.select(col("doc_id").as("doc_b"), col("band"), col("v")),
+            Seq("band", "v"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"))
+        val repPairs = tagged
+          .filter(col("bn") > maxBucket && col("doc_id") =!= col("rep"))
+          .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+        val cands = pairCands.union(repPairs).distinct()
+        cands
+          .join(fp.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+          .join(fp.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            Text.hamming(col("sh_a"), col("sh_b")).as("dist"))
+          .filter(col("dist") <= 3)
+          .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   /** q56's plan over any documents frame (doc_id, text), with the
     * bucket cap parameterized so MinHashSpec can engage it on a

@@ -128,20 +128,26 @@ object EventStream {
     */
   final case class BandState(docs: List[(Long, Array[Long], Long)])
 
-  /** Parse the interval strings this surface accepts ("90 seconds",
-    * "30 minutes", "2 hours", "1 day") to milliseconds.
+  /** Parse the single-component interval strings this surface accepts
+    * ("90 seconds", "30 minutes", "2 hours", "1 day") to milliseconds.
+    * Compound strings ("1 hour 30 minutes") are REJECTED rather than
+    * silently truncated: `withWatermark` would honor the full string
+    * while a misparsed horizon expired state early — the two must
+    * never disagree.
     */
-  private[streaming] def intervalMs(s: String): Long = {
-    val Array(n, unit) = s.trim.split("\\s+", 2)
-    val base = unit.toLowerCase(java.util.Locale.ROOT) match {
-      case u if u.startsWith("milli") => 1L
-      case u if u.startsWith("second") => 1000L
-      case u if u.startsWith("minute") => 60L * 1000
-      case u if u.startsWith("hour") => 3600L * 1000
-      case u if u.startsWith("day") => 24L * 3600 * 1000
+  private[graft] def intervalMs(s: String): Long = {
+    val parts = s.trim.split("\\s+")
+    require(parts.length == 2,
+      s"eventTimeHorizon must be '<n> <unit>' (single component), got: '$s'")
+    val base = parts(1).toLowerCase(java.util.Locale.ROOT) match {
+      case "millisecond" | "milliseconds" => 1L
+      case "second" | "seconds" => 1000L
+      case "minute" | "minutes" => 60L * 1000
+      case "hour" | "hours" => 3600L * 1000
+      case "day" | "days" => 24L * 3600 * 1000
       case u => throw new IllegalArgumentException(s"unsupported interval unit: $u")
     }
-    n.toLong * base
+    parts(0).toLong * base
   }
 
   /** Streaming near-duplicate CANDIDATE detection — the LSH pipeline
@@ -258,7 +264,15 @@ object EventStream {
             }
             state.update(BandState(seen))
             horizonMs.foreach { h =>
-              val floor = math.max(maxTs, state.getCurrentWatermarkMs() + 1)
+              // the timeout must cover the NEWEST SURVIVING entry, not
+              // just this batch's rows: a late-arriving row with an
+              // older ts would otherwise pull the band's timeout
+              // earlier than already-stored entries' horizon, and the
+              // idle-group timeout would remove them prematurely
+              val newestStored =
+                if (seen.isEmpty) maxTs else seen.iterator.map(_._3).max
+              val floor = math.max(math.max(newestStored, maxTs),
+                state.getCurrentWatermarkMs() + 1)
               state.setTimeoutTimestamp(floor + h)
             }
             out.result().iterator

@@ -120,6 +120,26 @@ class SimHashSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("q68 over-cap buckets dedup via representative star instead of vanishing") {
+    import spark.implicits._
+    // 200 identical docs (identical fingerprints → every band bucket
+    // holds all 200) with the cap forced to 50: round-3's first cut
+    // dropped hot buckets, silently losing the densest clusters; now
+    // every copy must link to the representative (min doc_id).
+    val copy = "the same boilerplate paragraph repeated across the " +
+      "corpus with enough tokens to produce a stable fingerprint"
+    val distinctText = (i: Int) => s"unique document $i about subject $i " +
+      s"with vocabulary item${i}a item${i}b item${i}c item${i}d item${i}e"
+    val corpus = ((0 until 200).map(i => (i.toLong, copy)) ++
+      (200 until 240).map(i => (i.toLong, distinctText(i)))).toDF("doc_id", "text")
+    val out = graft.queries.TextOps.simHashNearDupOn(corpus, maxBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (1 until 200).map(i => (0L, i.toLong)).toSet
+    assert(expected.subsetOf(out),
+      s"missing ${(expected -- out).size} representative edges of ${expected.size}")
+    spark.catalog.clearCache()
+  }
+
   test("q57/q58 over the fixture: one fingerprint per doc, deterministic") {
     val dir = "/root/testdata/sf0.01"
     val q57 = graft.queries.Registry.queries("q57_simhash")(spark, dir)

@@ -93,9 +93,11 @@ class SimilaritySpec extends SparkSpec {
     // warm both paths (JIT + codegen) at the original scale first
     timeNoop(knnBruteForceOn(spark.read.parquet(s"$dir/embeddings.parquet")))
     timeNoop(annLshOn(spark.read.parquet(s"$dir/embeddings.parquet"), 14, 8, 1))
-    val tBrute = timeNoop(knnBruteForceOn(scaled))
-    val tLsh = timeNoop(annLshOn(scaled, 14, 8, 1))
-    info(f"16k clustered: brute $tBrute%.2f s, LSH $tLsh%.2f s")
+    // min of two runs each: a single GC pause or noisy-neighbor spike
+    // must not flip a 3-5x measured gap into a spurious failure
+    val tBrute = Seq.fill(2)(timeNoop(knnBruteForceOn(scaled))).min
+    val tLsh = Seq.fill(2)(timeNoop(annLshOn(scaled, 14, 8, 1))).min
+    info(f"16k clustered: brute $tBrute%.2f s, LSH $tLsh%.2f s (min of 2)")
     assert(tLsh < tBrute,
       f"LSH ($tLsh%.2f s) must beat brute force ($tBrute%.2f s) on a clustered corpus")
     val cands = annLshCandidatesOn(scaled, 14, 8, 1)
@@ -134,6 +136,25 @@ class SimilaritySpec extends SparkSpec {
       assert(recall >= 0.9, s"$d recall $recall")
       assert(frac < 0.35, s"$d candidate-pair fraction $frac")
     }
+  }
+
+  test("q69 over-cap buckets dedup via representative star instead of blowing up") {
+    import spark.implicits._
+    // 200 identical vectors collapse every (table, bucket) to one hot
+    // bucket; with the cap at 50 the self-join must be replaced by
+    // star edges to the representative (min vec_id), all verified.
+    val v = Array.tabulate(16)(j => math.sin(j + 1).toFloat)
+    val distinctVec = (i: Int) => Array.tabulate(16)(j => math.cos(i * 16 + j).toFloat)
+    val corpus = ((0 until 200).map(i => (i.toLong, v)) ++
+      (200 until 240).map(i => (i.toLong, distinctVec(i)))).toDF("vec_id", "embedding")
+    val out = graft.queries.Similarity
+      .embNearDupLshOn(corpus, minCos = 0.99, maxBucket = 50)
+      .select(col("vec_a"), col("vec_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (1 until 200).map(i => (0L, i.toLong)).toSet
+    assert(expected.subsetOf(out),
+      s"missing ${(expected -- out).size} representative edges of ${expected.size}")
+    spark.catalog.clearCache()
   }
 
   test("IVF ANN (q64) recall >= 0.8; Lloyd codebook >= per-label seed") {

@@ -196,6 +196,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup horizon: a late-arriving row must not shorten stored entries' expiry") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val copy = "identical boilerplate paragraph with plenty of shared " +
+      "tokens so every document lands in the same minhash bands"
+    val other = "entirely unrelated filler content about orbital mechanics " +
+      "and satellite constellations to advance the watermark only"
+    val t0 = 1700000000000L
+    def ts(offsetMin: Long) = new Timestamp(t0 + offsetMin * 60000)
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val q = EventStream.nearDupCandidates(
+        stream.toDF().toDF("doc_id", "text", "ts"),
+        threshold = 0.5, eventTimeHorizon = Some("1 hour"))
+      .writeStream.format("memory").queryName("s_late").outputMode("append")
+      .start()
+    try {
+      // doc 1 at 10:00 → its horizon runs to 11:00
+      stream.addData(Seq((1L, copy, ts(600)))); q.processAllAvailable()
+      // watermark moves to 9:00 (10:00 − 1h)
+      stream.addData(Seq((50L, other, ts(600)))); q.processAllAvailable()
+      // LATE duplicate (9:10, behind doc 1): with the buggy timeout
+      // floor (batch max ts only) this reset the band's timeout to
+      // 10:10, 50 min before doc 1's documented expiry
+      stream.addData(Seq((2L, copy, ts(550)))); q.processAllAvailable()
+      // advance the watermark to 10:30: past the buggy timeout, before
+      // doc 1's true horizon — idle batches give timeouts a chance
+      stream.addData(Seq((51L, other, ts(690)))); q.processAllAvailable()
+      stream.addData(Seq((52L, other, ts(690)))); q.processAllAvailable()
+      // doc 3 at 10:45 (above the 10:30 watermark, inside doc 1's
+      // 11:00 horizon): doc 1 must still be present
+      stream.addData(Seq((3L, copy, ts(645)))); q.processAllAvailable()
+      val got = spark.table("s_late").select(col("doc_a"), col("doc_b"))
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((1L, 3L)),
+        s"stored entry expired prematurely on late arrival: $got")
+    } finally q.stop()
+  }
+
+  test("intervalMs: single-component strings parse; compound strings are rejected") {
+    assert(EventStream.intervalMs("90 seconds") === 90000L)
+    assert(EventStream.intervalMs("2 hours") === 7200000L)
+    intercept[IllegalArgumentException] {
+      EventStream.intervalMs("1 hour 30 minutes")
+    }
+  }
+
   test("readEvents wires a parquet directory as an unbounded source") {
     val sdf = EventStream.readEvents(spark, "/root/testdata/sf0.001/events.parquet")
     assert(sdf.isStreaming)
