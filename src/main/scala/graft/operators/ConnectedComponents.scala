@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the operator
+  * that turns near-duplicate PAIRS into dedup DECISIONS. Every LSH /
+  * Jaccard / SimHash family in this engine emits `(a, b)` near-dup
+  * pairs; a training pipeline must then group transitively-linked
+  * documents into one cluster and keep a single canonical member
+  * (A~B and B~C must not keep both A and C). The reference has no
+  * graph surface at all (`etl_supabase.py:1-163`), so this is
+  * extension surface per SURVEY §2.9.
+  *
+  * Algorithm: iterative min-label propagation with pointer jumping
+  * (path halving) — each round every node takes the smallest
+  * component label among itself and its neighbors, then labels are
+  * re-pointed through their own targets (`comp := comp(comp)`).
+  * Neighbor-min alone needs O(diameter) rounds (a 10⁶-node chain
+  * would need 10⁶ shuffles); the jumping step folds label chains in
+  * half each round, giving O(log n) convergence on any topology —
+  * and real duplicate clusters are clique-ish, converging in 2–3
+  * rounds.
+  *
+  * Scale posture: the input is the near-dup PAIR set (orders of
+  * magnitude smaller than the corpus); every round is two equi-joins
+  * and one aggregate, all keyed on 8-byte ids — no corpus-sized data
+  * moves. Each round's label table is eagerly `localCheckpoint`ed:
+  * persist alone is NOT enough for iterative plans — the logical
+  * plan still nests the full lineage, and with the per-round
+  * self-join the plan tree doubles every iteration until plan
+  * stringification alone overflows the heap. Checkpointing truncates
+  * the lineage to the materialized rows (on a real cluster, use
+  * reliable `checkpoint` to durable storage so a lost executor can't
+  * kill a long loop). The loop runs to a measured fixpoint
+  * (changed-label count == 0) with a safety cap; a non-converged
+  * exit throws rather than returning partial components.
+  */
+object ConnectedComponents {
+
+  /** @param edges two-column DataFrame of undirected edges; column
+    *              names are taken positionally (first = a, second = b)
+    * @param maxIters safety cap; path halving converges in
+    *                 O(log n) rounds, so 25 covers any n < 2^25
+    *                 components-diameter even without clique structure
+    * @return (id, comp) — one row per node that appears in any edge,
+    *         comp = smallest node id in its component
+    */
+  def components(edges: DataFrame, maxIters: Int = 25): DataFrame = {
+    val Seq(ca, cb) = edges.columns.toSeq.take(2).map(col)
+    // symmetrize: each edge in both directions, one row per direction
+    val sym = edges.select(ca.as("a"), cb.as("b"))
+      .union(edges.select(cb.as("a"), ca.as("b")))
+      .distinct()
+      .persist()
+    sym.count() // materialize: scanned once per round by the join
+
+    // eager localCheckpoint: materializes AND truncates lineage —
+    // the loop's frames must not carry the previous rounds' plans
+    var labels = sym.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint(true)
+
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      // (1) neighbor-min: smallest label among self and neighbors
+      val nbrMin = sym
+        .join(labels.select(col("id").as("b"), col("comp").as("bcomp")), Seq("b"))
+        .groupBy(col("a").as("id"))
+        .agg(min(col("bcomp")).as("nmin"))
+      val stepped = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+      // (2) pointer jumping: comp := comp(comp) — label chains halve
+      val next = stepped
+        .join(stepped.select(col("id").as("cid"), col("comp").as("ccomp")),
+          stepped("comp") === col("cid"), "left")
+        .select(col("id"), coalesce(col("ccomp"), col("comp")).as("comp"))
+        .localCheckpoint(true) // materialize + CUT lineage (see scaladoc)
+      changed = next
+        .join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
+        .filter(col("comp") =!= col("prev"))
+        .count()
+      labels = next
+      it += 1
+    }
+    sym.unpersist()
+    require(changed == 0,
+      s"connected components did not converge within $maxIters rounds")
+    labels
+  }
+}

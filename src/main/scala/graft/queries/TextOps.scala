@@ -147,29 +147,8 @@ object TextOps {
     //    so the Jaccard value is identical at a fraction of the
     //    per-pair hashing cost.
     Q("q54_ngram_neardup",
-      (s, d) => {
-        val docs = t(s, d).documents
-        val meta = docs.select(col("doc_id"), col("lang"),
-          floor(col("n_chars") / 64).as("bucket"))
-        val cands = meta.select(col("doc_id").as("doc_a"), col("lang"), col("bucket"))
-          .join(meta.select(col("doc_id").as("doc_b"), col("lang"), col("bucket")),
-            Seq("lang", "bucket"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"))
-        val sh = docs.select(col("doc_id"),
-            Text.shingleHashes(col("text"), 3).as("sh"))
-          .persist() // joined on both pair sides; compute shingles once
-        sh.count() // materialize NOW: both pair-join sides scan this
-                   // cache concurrently, and an unmaterialized cache
-                   // is recomputed by each racing consumer
-        cands
-          .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
-            Text.jaccardLong(col("sh_a"), col("sh_b")).as("jac"))
-          .filter(col("jac") >= 0.2)
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+      (s, d) => ngramNearDupPairsOn(t(s, d).documents)
+        .orderBy(col("doc_a"), col("doc_b")),
       Some("""WITH docs AS (
           SELECT doc_id, lang, CAST(FLOOR(n_chars / 64) AS BIGINT) AS bucket,
             list_distinct(CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) >= 3
@@ -563,8 +542,141 @@ object TextOps {
           Text.fingerprint(Text.tokens(col("text"))).as("fp"))
         .orderBy(col("doc_id")),
       None,
-      "rolling polynomial fingerprint (rows-only oracle)")
+      "rolling polynomial fingerprint (rows-only oracle)"),
+
+    // -- dedup CLUSTERING: near-dup pairs are only half the dedup
+    //    story — A~B and B~C must collapse to ONE kept document, so
+    //    the pair graph's connected components pick the canonical
+    //    member (min doc_id) per cluster. Components via iterative
+    //    min-label propagation + pointer jumping (O(log n) rounds,
+    //    each keyed on 8-byte ids — see operators/ConnectedComponents);
+    //    the oracle walks the same graph with a recursive CTE.
+    Q("q78_dedup_clusters",
+      (s, d) => {
+        val pairs = ngramNearDupPairsOn(t(s, d).documents)
+          .select(col("doc_a"), col("doc_b"))
+        graft.operators.ConnectedComponents.components(pairs)
+          .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+            (col("id") === col("comp")).cast("int").as("is_kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE docs AS (
+          SELECT doc_id, lang, CAST(FLOOR(n_chars / 64) AS BIGINT) AS bucket,
+            list_distinct(CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) >= 3
+              THEN list_transform(
+                range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+                i -> array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' '))
+              ELSE [] END) AS sh
+          FROM documents),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM docs a JOIN docs b
+            ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        walk AS (
+          SELECT a AS id, a AS reach FROM edges
+          UNION
+          SELECT w.id, e.b AS reach FROM walk w JOIN edges e ON e.a = w.reach)
+        SELECT id AS doc_id, MIN(reach) AS cluster_id,
+          CAST(id = MIN(reach) AS INT) AS is_kept
+        FROM walk GROUP BY id ORDER BY doc_id"""),
+      "near-dup pair graph -> connected components -> canonical keep"),
+
+    // -- vocabulary building: token -> dense id ordered by (count
+    //    desc, token), the tokenizer-vocab seeding op. The corpus
+    //    aggregate map-combines per task; the id-assignment window
+    //    runs AFTER a top-K cut, so the single-partition rank only
+    //    ever sees K rows, never corpus-cardinality data.
+    Q("q79_vocab",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_occurrences").desc, col("token"))
+        t(s, d).documents
+          .select(explode(Text.tokens(col("text"))).as("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("n_occurrences"))
+          .orderBy(col("n_occurrences").desc, col("token"))
+          .limit(50000)
+          .select(col("token"), col("n_occurrences"),
+            row_number().over(w).as("token_id"))
+          .orderBy(col("token_id"))
+      },
+      Some("""WITH counts AS (
+          SELECT tok AS token, COUNT(*) AS n_occurrences
+          FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                FROM documents)
+          GROUP BY tok
+          ORDER BY n_occurrences DESC, token LIMIT 50000)
+        SELECT token, n_occurrences,
+          CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token) AS INT) AS token_id
+        FROM counts ORDER BY token_id"""),
+      "frequency-ranked vocabulary (token -> dense id)"),
+
+    // -- percentile-band quality filter: keep documents whose
+    //    average-token-length score lies inside the corpus [p05, p95]
+    //    band — the distribution-tail cut every quality pipeline
+    //    applies. The two exact interpolated percentiles reduce to a
+    //    single 1-row aggregate that broadcasts back over the corpus
+    //    (one scan + one broadcast, no window over the full data).
+    Q("q80_quality_band",
+      (s, d) => {
+        val docs = t(s, d).documents
+        val toks = Text.tokens(col("text"))
+        val scored = docs.select(col("doc_id"),
+          (length(regexp_replace(col("text"), "\\s", "")).cast("double")
+            / size(toks)).as("score"))
+        val bounds = scored.agg(
+          percentile(col("score"), lit(0.05)).as("lo"),
+          percentile(col("score"), lit(0.95)).as("hi"))
+        scored.crossJoin(broadcast(bounds))
+          .filter(col("score") >= col("lo") && col("score") <= col("hi"))
+          .select(col("doc_id"), col("score"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH scored AS (
+          SELECT doc_id,
+            CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+              / len(string_split_regex(lower(trim(text)), '\s+')) AS score
+          FROM documents),
+        bounds AS (
+          SELECT quantile_cont(score, 0.05) AS lo, quantile_cont(score, 0.95) AS hi
+          FROM scored)
+        SELECT doc_id, score FROM scored, bounds
+        WHERE score >= lo AND score <= hi ORDER BY doc_id"""),
+      "exact percentile-band quality filter (keep p05..p95)")
   )
+
+  /** q54's scored pair plan over any documents frame: candidate pairs
+    * blocked on (lang, length bucket), shingles computed once and
+    * persisted, Jaccard verified on 64-bit shingle hashes. Shared by
+    * q54 (the near-dup baseline) and q78 (its component clustering).
+    */
+  def ngramNearDupPairsOn(docs: org.apache.spark.sql.DataFrame,
+                          thresh: Double = 0.2): org.apache.spark.sql.DataFrame = {
+    val meta = docs.select(col("doc_id"), col("lang"),
+      floor(col("n_chars") / 64).as("bucket"))
+    val cands = meta.select(col("doc_id").as("doc_a"), col("lang"), col("bucket"))
+      .join(meta.select(col("doc_id").as("doc_b"), col("lang"), col("bucket")),
+        Seq("lang", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val sh = docs.select(col("doc_id"),
+        Text.shingleHashes(col("text"), 3).as("sh"))
+      .persist() // joined on both pair sides; compute shingles once
+    sh.count() // materialize NOW: both pair-join sides scan this
+               // cache concurrently, and an unmaterialized cache
+               // is recomputed by each racing consumer
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        Text.jaccardLong(col("sh_a"), col("sh_b")).as("jac"))
+      .filter(col("jac") >= thresh)
+  }
 
   /** q68's plan over any documents frame, with the bucket cap
     * parameterized so SimHashSpec can engage the representative path.
