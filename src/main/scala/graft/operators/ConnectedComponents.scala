@@ -73,12 +73,17 @@ object ConnectedComponents {
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .persist()
+      stepped.count() // materialize: BOTH sides of the self-join below
+                      // scan this frame — unmaterialized it would be
+                      // recomputed by each racing consumer
       // (2) pointer jumping: comp := comp(comp) — label chains halve
       val next = stepped
         .join(stepped.select(col("id").as("cid"), col("comp").as("ccomp")),
           stepped("comp") === col("cid"), "left")
         .select(col("id"), coalesce(col("ccomp"), col("comp")).as("comp"))
         .localCheckpoint(true) // materialize + CUT lineage (see scaladoc)
+      stepped.unpersist()
       changed = next
         .join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
         .filter(col("comp") =!= col("prev"))

@@ -237,6 +237,19 @@ object Similarity {
     * spec asserts
     * avg(candidates)/(n−1) < 0.30 AND recall ≥ 0.8 — the two sides of
     * the LSH tradeoff — at both sf0.01 and sf0.1.
+    *
+    * Why q63 does NOT beat q60 in the recorded bench, by arithmetic
+    * (measured round 3): at sf0.1 the query set is 1% of the corpus
+    * (20 of 2000), so brute force costs n·q·dim ≈ 2.5M multiplies,
+    * while the LSH INDEX BUILD alone costs n·L·nBits·dim ≈ 80M
+    * multiplies (0.22 s vs 0.40 s for all of q60) — at this query
+    * volume the index can never amortize, on any corpus. The
+    * operator's winning regimes — measured, not asserted, in
+    * SimilaritySpec — are (a) clustered data at larger n (3–5×
+    * crossover at 16k vectors) and (b) repeated query volume against
+    * a built index. On the near-random fixture at 1% queries the
+    * right engineering call IS brute force; the bench records that
+    * honestly rather than tuning the recall floor away.
     */
   def annLshCandidates(s: org.apache.spark.sql.SparkSession, d: String,
                        nBits: Int = AnnNBits, tables: Int = AnnTables,

@@ -79,4 +79,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!exchangeLines.contains("text"),
       s"document bodies cross the shuffle:\n$exchangeLines")
   }
+
+  test("q79 vocab: the rank window runs on the top-K cut, never corpus cardinality") {
+    val plan = planOf(q("q79_vocab"))
+    // the Window's child chain must include the global limit — i.e.
+    // the limit executes BEFORE id assignment, so the single-partition
+    // window only ever sees K rows
+    val idx = plan.indexOf("Window")
+    assert(idx >= 0, s"expected a Window node in:\n$plan")
+    assert(plan.contains("GlobalLimit") || plan.contains("TakeOrderedAndProject"),
+      s"expected a limit to bound the window input in:\n$plan")
+    // the window itself must not be fed by a full hash-partition
+    // exchange of the aggregated tokens (a single-partition exchange
+    // of K rows is the designed shape)
+    assert(!plan.substring(0, idx).contains("hashpartitioning(token"),
+      "window input must be the limited row set, not the full token aggregate")
+  }
+
+  test("q80 quality band: percentile bounds broadcast; no corpus-wide window or sort-merge") {
+    val plan = planOf(q("q80_quality_band"))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the 1-row bounds must broadcast back over the corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "bounds attachment must not sort-merge")
+    assert(!plan.contains("Window"),
+      "the band filter must not be computed via a corpus-wide window")
+  }
 }
