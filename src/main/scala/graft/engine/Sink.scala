@@ -78,8 +78,9 @@ object Sink {
     * executors resolve the same map through the shared JVM. A real
     * deployment plugs an HTTP/JDBC writer here instead.
     */
-  class InMemoryUpsertWriter(keyColumns: Seq[String]) extends ChunkWriter {
-    val id: String = java.util.UUID.randomUUID().toString
+  class InMemoryUpsertWriter(keyColumns: Seq[String],
+                             val id: String = java.util.UUID.randomUUID().toString)
+      extends ChunkWriter {
     InMemoryUpsertWriter.registry.putIfAbsent(id, new ConcurrentHashMap)
     private def store = {
       val s = InMemoryUpsertWriter.registry.get(id)
@@ -110,6 +111,14 @@ object Sink {
       */
     private val registry =
       new ConcurrentHashMap[String, ConcurrentHashMap[(String, Seq[Any]), Row]]()
+
+    /** Attach a writer to an EXISTING store by id — how the DSv2 sink
+      * ([[graft.sources.UpsertDataSource]]) reaches the store from a
+      * write task: only the string id crosses the task boundary, and
+      * attaching never clears rows already written (idempotent).
+      */
+    def attach(id: String, keyColumns: Seq[String]): InMemoryUpsertWriter =
+      new InMemoryUpsertWriter(keyColumns, id)
   }
 
   /** Parquet-backed upsert for durable local runs: MERGE-like

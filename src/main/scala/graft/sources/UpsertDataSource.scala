@@ -1,0 +1,164 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.engine.Sink
+
+/** DataSource V2 WRITE connector for the chunked idempotent upsert —
+  * the planner-integrated form of the reference's
+  * `upsert_table(records, table, chunk_size=300)` (reference
+  * `etl_supabase.py:71-85`), completing the SURVEY §2.4 L1 design
+  * note ("DataSourceV2 SupportsWrite with BatchWrite/DataWriter
+  * committing per-chunk").
+  *
+  * Semantics map 1:1 onto the reference's:
+  *  - every task's [[DataWriter]] groups rows into chunks of
+  *    ≤ `chunkSize` and delivers each chunk as a unit (`:77-79`);
+  *  - a failed chunk throws → the task fails → Spark retries → the
+  *    job aborts after max retries (fail-fast, `:83`);
+  *  - retries give at-least-once delivery, so the endpoint must be
+  *    idempotent on the natural key — the reference's own answer
+  *    (PostgREST upsert, docstring `:71-72`). `abort()` therefore
+  *    does NOT undo delivered chunks: replay converges, exactly as a
+  *    re-run of the reference does.
+  *
+  * The endpoint seam is [[Sink.ChunkWriter]]; this connector targets
+  * the JVM-static registry store ([[Sink.InMemoryUpsertWriter]]) by
+  * id, which is the test double for PostgREST — a production
+  * deployment swaps the attach call for an HTTP/JDBC writer and
+  * nothing in the plan integration changes.
+  *
+  * Usage:
+  * {{{
+  * df.write.format("graft.sources.UpsertDataSource")
+  *   .option("table", "fpt_income_statement")
+  *   .option("writerId", writer.id)
+  *   .option("keys", "ticker,year")
+  *   .option("chunkSize", "300")
+  *   .mode("append")            // append == upsert (idempotent keys)
+  *   .save()
+  * }}}
+  *
+  * At 100 TB: parallelism = input partitions (repartition upstream to
+  * match the endpoint's concurrency budget), memory bounded by one
+  * chunk per in-flight task, no driver materialization anywhere.
+  */
+class UpsertDataSource extends TableProvider {
+
+  /** The table's schema is whatever the written query produces. */
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new UnsupportedOperationException(
+      "graft.sources.UpsertDataSource is write-only; schema comes from the written DataFrame")
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new UpsertTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+private[sources] class UpsertTable(schema0: StructType,
+                                   options: CaseInsensitiveStringMap)
+    extends Table with SupportsWrite {
+
+  override def name(): String =
+    s"graft_upsert_${options.getOrDefault("table", "unnamed")}"
+
+  override def schema(): StructType = schema0
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val table = info.options.get("table")
+    val writerId = info.options.get("writerId")
+    val keys = Option(info.options.get("keys"))
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
+    require(table != null, "option 'table' is required")
+    require(writerId != null, "option 'writerId' is required")
+    require(keys.nonEmpty, "option 'keys' (comma-separated) is required")
+    val missing = keys.filterNot(k => info.schema().fieldNames.contains(k))
+    require(missing.isEmpty,
+      s"key column(s) ${missing.mkString(", ")} absent from written schema " +
+        s"${info.schema().fieldNames.mkString("[", ",", "]")}")
+    val chunkSize = Option(info.options.get("chunkSize"))
+      .map(_.toInt).getOrElse(Sink.DefaultChunkSize)
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new UpsertBatchWrite(info.schema(), table, writerId, keys, chunkSize)
+      }
+    }
+  }
+}
+
+private[sources] case class ChunksWritten(rows: Long) extends WriterCommitMessage
+
+private[sources] class UpsertBatchWrite(
+    schema: StructType, table: String, writerId: String,
+    keys: Seq[String], chunkSize: Int) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    UpsertWriterFactory(schema, table, writerId, keys, chunkSize)
+
+  /** Chunks were delivered as they filled (the reference streams its
+    * POSTs the same way); commit has nothing left to make durable.
+    */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+
+  /** At-least-once + idempotent keys: delivered chunks stay; the
+    * retried/re-run write converges to the same state (reference
+    * `:83` aborts mid-run the same way, `:71-72` upsert heals it).
+    */
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] case class UpsertWriterFactory(
+    schema: StructType, table: String, writerId: String,
+    keys: Seq[String], chunkSize: Int) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ChunkedUpsertDataWriter(schema, table, writerId, keys, chunkSize)
+}
+
+private[sources] class ChunkedUpsertDataWriter(
+    schema: StructType, table: String, writerId: String,
+    keys: Seq[String], chunkSize: Int) extends DataWriter[InternalRow] {
+
+  private val toScala = CatalystTypeConverters.createToScalaConverter(schema)
+  private val endpoint = Sink.InMemoryUpsertWriter.attach(writerId, keys)
+  private val buffer = scala.collection.mutable.ArrayBuffer.empty[Row]
+  private var written = 0L
+
+  override def write(record: InternalRow): Unit = {
+    // the InternalRow is a reused buffer; convert (which copies the
+    // values out) before it is overwritten by the next row
+    buffer += toScala(record).asInstanceOf[Row]
+    if (buffer.size >= chunkSize) flush()
+  }
+
+  private def flush(): Unit = if (buffer.nonEmpty) {
+    endpoint.writeChunk(table, buffer.toSeq) // throws => task fails (fail-fast)
+    written += buffer.size
+    buffer.clear()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flush()
+    ChunksWritten(written)
+  }
+
+  override def abort(): Unit = buffer.clear()
+
+  override def close(): Unit = ()
+}
