@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -48,6 +49,12 @@ import graft.engine.Sink
   *   .save()
   * }}}
   *
+  * The same format works as a STREAMING sink
+  * (`df.writeStream.format(...)`): each micro-batch epoch flows
+  * through identical chunked task writers, and epoch re-delivery
+  * after a restart converges on the natural keys — see
+  * [[UpsertStreamingWrite]].
+  *
   * At 100 TB: parallelism = input partitions (repartition upstream to
   * match the endpoint's concurrency budget), memory bounded by one
   * chunk per in-flight task, no driver materialization anywhere.
@@ -76,7 +83,8 @@ private[sources] class UpsertTable(schema0: StructType,
   override def schema(): StructType = schema0
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_WRITE)
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val table = info.options.get("table")
@@ -93,10 +101,17 @@ private[sources] class UpsertTable(schema0: StructType,
     val chunkSize = Option(info.options.get("chunkSize"))
       .map(_.toInt).getOrElse(Sink.DefaultChunkSize)
     require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
-    new WriteBuilder {
+    // SupportsStreamingUpdateAsAppend: Update output mode IS this
+    // sink's native semantics (every row upserts its natural key),
+    // so update-mode streams write as appends — the same declaration
+    // Spark's own Kafka sink makes.
+    new WriteBuilder
+        with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new UpsertBatchWrite(info.schema(), table, writerId, keys, chunkSize)
+        override def toStreaming: StreamingWrite =
+          new UpsertStreamingWrite(info.schema(), table, writerId, keys, chunkSize)
       }
     }
   }
@@ -123,11 +138,36 @@ private[sources] class UpsertBatchWrite(
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
+/** Streaming form of the same sink: every micro-batch epoch writes
+  * through identical chunked task writers. Re-delivered epochs (a
+  * restarted query replays from the last checkpointed offset) land on
+  * the same natural keys and converge — the reference's daily full
+  * re-upsert is exactly this contract at a slower cadence
+  * (`etl.yml:5-6` + `etl_supabase.py:71-85`), so the streaming sink
+  * inherits its late/duplicate-data philosophy unchanged.
+  */
+private[sources] class UpsertStreamingWrite(
+    schema: StructType, table: String, writerId: String,
+    keys: Seq[String], chunkSize: Int) extends StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    UpsertWriterFactory(schema, table, writerId, keys, chunkSize)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
 private[sources] case class UpsertWriterFactory(
     schema: StructType, table: String, writerId: String,
-    keys: Seq[String], chunkSize: Int) extends DataWriterFactory {
+    keys: Seq[String], chunkSize: Int)
+  extends DataWriterFactory with StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ChunkedUpsertDataWriter(schema, table, writerId, keys, chunkSize)
+
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
     new ChunkedUpsertDataWriter(schema, table, writerId, keys, chunkSize)
 }
 

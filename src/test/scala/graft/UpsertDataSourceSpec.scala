@@ -67,6 +67,66 @@ class UpsertDataSourceSpec extends SparkSpec {
     } finally w.dispose()
   }
 
+  test("streaming write: micro-batch epochs upsert through the same sink") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val w = new Sink.InMemoryUpsertWriter(Seq("ticker", "year"))
+    val stream = MemoryStream[(String, Int, Double)]
+    val q = stream.toDF().toDF("ticker", "year", "value")
+      .writeStream.format("graft.sources.UpsertDataSource")
+      .option("table", "t_stream")
+      .option("writerId", w.id)
+      .option("keys", "ticker,year")
+      .option("chunkSize", "2")
+      .option("checkpointLocation",
+        s"/tmp/graft-upsert-ckpt-${java.util.UUID.randomUUID()}")
+      .outputMode("append")
+      .start()
+    try {
+      stream.addData(Seq(("A", 2024, 1.0), ("B", 2024, 2.0), ("C", 2024, 3.0)))
+      q.processAllAvailable()
+      assert(w.size === 3)
+      // second epoch: one new key, one key updated — last write wins
+      stream.addData(Seq(("A", 2024, 9.0), ("D", 2024, 4.0)))
+      q.processAllAvailable()
+      assert(w.size === 4)
+      val a = w.rows.find(r => r.getAs[String]("ticker") == "A").get
+      assert(a.getAs[Double]("value") === 9.0, "later epoch must win on the key")
+    } finally { q.stop(); w.dispose() }
+  }
+
+  test("update-mode stateful aggregation upserts evolving per-key state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val w = new Sink.InMemoryUpsertWriter(Seq("ticker"))
+    val stream = MemoryStream[(String, Double)]
+    // running sum per ticker, Update mode: each epoch re-emits changed
+    // keys and the sink's upsert-as-append converges to latest state
+    val q = stream.toDF().toDF("ticker", "value")
+      .groupBy(col("ticker")).agg(sum(col("value")).as("total"))
+      .writeStream.format("graft.sources.UpsertDataSource")
+      .option("table", "totals")
+      .option("writerId", w.id)
+      .option("keys", "ticker")
+      .option("checkpointLocation",
+        s"/tmp/graft-upsert-ckpt-${java.util.UUID.randomUUID()}")
+      .outputMode("update")
+      .start()
+    try {
+      stream.addData(Seq(("A", 1.0), ("B", 2.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(("A", 10.0)))
+      q.processAllAvailable()
+      assert(w.size === 2)
+      val totals = w.rows.map(r =>
+        r.getAs[String]("ticker") -> r.getAs[Double]("total")).toMap
+      assert(totals === Map("A" -> 11.0, "B" -> 2.0),
+        "the sink must hold the LATEST aggregate per key")
+    } finally { q.stop(); w.dispose() }
+  }
+
   test("DSv2 write result equals the foreachPartition sink result") {
     val wA = new Sink.InMemoryUpsertWriter(Seq("ticker", "year"))
     val wB = new Sink.InMemoryUpsertWriter(Seq("ticker", "year"))
