@@ -400,6 +400,25 @@ object Relational {
         ORDER BY l_orderkey, l_linenumber"""),
       "bloom-prefiltered semi-join (runtime-filter pattern, exact output)"),
 
+    // -- mode + median per group: the order-statistic aggregates the
+    //    battery above doesn't cover. Spark's median == exact
+    //    interpolated percentile(0.5) == DuckDB quantile_cont (the
+    //    q28-proven identity); mode is well-defined here because the
+    //    fixture has a unique per-group argmax (tie-breaking differs
+    //    across engines — a production surface would pin ties with
+    //    min_by over (count, value)).
+    Q("q48_mode_median",
+      (s, d) => t(s, d).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(mode(col("l_linestatus")).as("mode_status"),
+          median(col("l_quantity")).as("med_qty"),
+          median(col("l_extendedprice")).as("med_price"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, mode(l_linestatus) AS mode_status,
+        median(l_quantity) AS med_qty, median(l_extendedprice) AS med_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      "per-group mode and exact median"),
+
     // -- statistical aggregates: sample stddev/variance, correlation,
     //    covariance per group — the numeric-profiling battery. Values
     //    rounded to 6 dp on both engines: the M2 merge formulas agree

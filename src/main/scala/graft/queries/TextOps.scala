@@ -647,7 +647,41 @@ object TextOps {
           FROM scored)
         SELECT doc_id, score FROM scored, bounds
         WHERE score >= lo AND score <= hi ORDER BY doc_id"""),
-      "exact percentile-band quality filter (keep p05..p95)")
+      "exact percentile-band quality filter (keep p05..p95)"),
+
+    // -- array-function battery over token arrays: indexing (incl.
+    //    negative), slicing, membership, position, sort, distinct —
+    //    the §2.6 scalar battery's collection-typed counterpart, all
+    //    codegen'd built-ins in one map-side projection. Absent-
+    //    element position is 0 on BOTH engines (Spark array_position
+    //    and DuckDB list_position agree — measured, not assumed).
+    Q("q73_array_functions",
+      (s, d) => {
+        val toks = Text.tokens(col("text"))
+        t(s, d).documents.select(
+            col("doc_id"),
+            element_at(toks, 1).as("first_tok"),
+            element_at(toks, -1).as("last_tok"),
+            array_join(slice(toks, 1, 5), " ").as("head5"),
+            size(array_distinct(toks)).as("n_distinct"),
+            array_contains(toks, "spark").cast("int").as("has_spark"),
+            array_position(toks, "table").as("pos_table"),
+            array_join(array_sort(array_distinct(toks)), ",").as("sorted_vocab"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tk AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+          FROM documents)
+        SELECT doc_id,
+          toks[1] AS first_tok,
+          toks[-1] AS last_tok,
+          array_to_string(toks[1:5], ' ') AS head5,
+          len(list_distinct(toks)) AS n_distinct,
+          CAST(list_contains(toks, 'spark') AS INT) AS has_spark,
+          list_position(toks, 'table') AS pos_table,
+          array_to_string(list_sort(list_distinct(toks)), ',') AS sorted_vocab
+        FROM tk ORDER BY doc_id"""),
+      "array/collection function battery over token arrays")
   )
 
   /** q54's scored pair plan over any documents frame: candidate pairs
