@@ -30,11 +30,18 @@ import org.apache.spark.sql.functions._
   * plan still nests the full lineage, and with the per-round
   * self-join the plan tree doubles every iteration until plan
   * stringification alone overflows the heap. Checkpointing truncates
-  * the lineage to the materialized rows (on a real cluster, use
-  * reliable `checkpoint` to durable storage so a lost executor can't
-  * kill a long loop). The loop runs to a measured fixpoint
-  * (changed-label count == 0) with a safety cap; a non-converged
-  * exit throws rather than returning partial components.
+  * the lineage to the materialized rows. Storage of superseded
+  * rounds: the loop drops its references each round, so Spark's
+  * ContextCleaner unpersists them after driver GC; checkpoint blocks
+  * use MEMORY_AND_DISK, so under memory pressure they spill rather
+  * than pin the heap. (An explicitly-released RDD-handle variant was
+  * measured ~2× slower — `LogicalRDD` wrapping loses the cached
+  * columnar representation — so GC-driven release is the deliberate
+  * trade.) On a real cluster, use reliable `checkpoint` to durable
+  * storage so a lost executor can't kill a long loop. The loop runs
+  * to a measured fixpoint (changed-label count == 0) with a safety
+  * cap; a non-converged exit throws rather than returning partial
+  * components.
   */
 object ConnectedComponents {
 
@@ -48,12 +55,17 @@ object ConnectedComponents {
     */
   def components(edges: DataFrame, maxIters: Int = 25): DataFrame = {
     val Seq(ca, cb) = edges.columns.toSeq.take(2).map(col)
-    // symmetrize: each edge in both directions, one row per direction
-    val sym = edges.select(ca.as("a"), cb.as("b"))
-      .union(edges.select(cb.as("a"), ca.as("b")))
+    // materialize the caller's edge plan ONCE: symmetrization embeds
+    // it in both union branches, which would execute the (potentially
+    // expensive — q78 feeds a Jaccard-verified pair join here) plan
+    // twice
+    val e0 = edges.select(ca.as("a"), cb.as("b")).persist()
+    e0.count(): Unit
+    val sym = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist()
-    sym.count() // materialize: scanned once per round by the join
+    sym.count(): Unit // materialize: scanned once per round by the join
+    e0.unpersist()
 
     // eager localCheckpoint: materializes AND truncates lineage —
     // the loop's frames must not carry the previous rounds' plans

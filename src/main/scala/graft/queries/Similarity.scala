@@ -343,24 +343,11 @@ object Similarity {
                    // + both self-join sides) would otherwise recompute
                    // the L×nBits hyperplane pass while racing to
                    // populate the cache
-    // same skew discipline as q56/q68: singleton buckets can't pair;
-    // over-cap buckets (dense duplicate clusters of near-identical
-    // vectors) emit representative star edges instead of bn² pairs,
-    // every edge still cosine-verified below
-    val bucketAgg = banded.groupBy(col("tbl"), col("b"))
-      .agg(count(lit(1)).as("bn"), min(col("vec_id")).as("rep"))
-      .filter(col("bn") > 1)
-    val tagged = banded.join(bucketAgg, Seq("tbl", "b"))
-    val pruned = tagged.filter(col("bn") <= maxBucket)
-    val pairCands = pruned.select(col("vec_id").as("vec_a"), col("tbl"), col("b"))
-      .join(pruned.select(col("vec_id").as("vec_b"), col("tbl"), col("b")),
-        Seq("tbl", "b"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"))
-    val repPairs = tagged
-      .filter(col("bn") > maxBucket && col("vec_id") =!= col("rep"))
-      .select(col("rep").as("vec_a"), col("vec_id").as("vec_b"))
-    val cands = pairCands.union(repPairs).distinct()
+    // shared skew discipline (operators/BandedPairs): singleton
+    // prefilter, capped self-join, representative star for over-cap
+    // buckets — every candidate still cosine-verified below
+    val cands = graft.operators.BandedPairs.cappedCandidates(
+      banded, "vec_id", Seq("tbl", "b"), maxBucket, "vec_a", "vec_b")
     cands
       .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")),
         Seq("vec_a"))

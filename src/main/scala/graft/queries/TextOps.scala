@@ -731,27 +731,13 @@ object TextOps {
             struct(lit(3).as("band"),
               col("sh.lo").bitwiseAND(lit(0xFFFFL)).as("v")))).as("bv"))
           .select(col("doc_id"), col("bv.band").as("band"), col("bv.v").as("v"))
-        // same skew discipline as q56: singleton buckets can't pair,
-        // over-cap buckets (docs with identical fingerprint halves en
-        // masse) take the cluster-representative star instead of the
-        // bn² self-join — the Hamming<=3 exactness guarantee holds
-        // verbatim below the cap (the fixture's case, pinned in
-        // SimHashSpec); above it, completeness is traded for the star,
-        // uniformly with the rest of the dedup family
-        val bucketAgg = banded.groupBy(col("band"), col("v"))
-          .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("rep"))
-          .filter(col("bn") > 1)
-        val tagged = banded.join(bucketAgg, Seq("band", "v"))
-        val pruned = tagged.filter(col("bn") <= maxBucket)
-        val pairCands = pruned.select(col("doc_id").as("doc_a"), col("band"), col("v"))
-          .join(pruned.select(col("doc_id").as("doc_b"), col("band"), col("v")),
-            Seq("band", "v"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"))
-        val repPairs = tagged
-          .filter(col("bn") > maxBucket && col("doc_id") =!= col("rep"))
-          .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
-        val cands = pairCands.union(repPairs).distinct()
+        // shared skew discipline (operators/BandedPairs): singleton
+        // buckets can't pair, over-cap buckets (docs with identical
+        // fingerprint halves en masse) take the cluster-representative
+        // star — the Hamming<=3 exactness guarantee holds verbatim
+        // below the cap (the fixture's case, pinned in SimHashSpec)
+        val cands = graft.operators.BandedPairs.cappedCandidates(
+          banded, "doc_id", Seq("band", "v"), maxBucket, "doc_a", "doc_b")
         cands
           .join(fp.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
           .join(fp.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
@@ -783,32 +769,11 @@ object TextOps {
     sig.count()
     val banded = sig.select(col("doc_id"),
       explode(Text.lshBands(col("sig"))).as("b"))
-    // ONE aggregate computes both the bucket size (singleton/hot-key
-    // prefilters) and the bucket representative (min doc_id, map-side
-    // partial min so a hot key never concentrates rows on one task);
-    // bands tagged with (bn, rep) are persisted once and feed both
-    // branches plus both self-join sides.
-    val bucketAgg = banded.groupBy(col("b"))
-      .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("rep"))
-      .filter(col("bn") > 1)
-    val tagged = banded.join(bucketAgg, Seq("b")).persist()
-    tagged.count()
-    val pruned = tagged.filter(col("bn") <= maxBucket)
-    val pairCands = pruned.select(col("doc_id").as("doc_a"), col("b"))
-      .join(pruned.select(col("doc_id").as("doc_b"), col("b")), Seq("b"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-    // Over-cap buckets (dense duplicate clusters — members agree on a
-    // whole band, so they are near-identical by construction) take the
-    // CLUSTER-REPRESENTATIVE path instead of vanishing: each member
-    // pairs with the bucket's min doc_id only, m−1 star edges instead
-    // of m² — a 20k-copy cluster emits 19,999 verified pairs, not
-    // 2×10⁸ candidates. Every representative edge still passes the
-    // SAME estimate+verify chain as ordinary candidates.
-    val repPairs = tagged
-      .filter(col("bn") > maxBucket && col("doc_id") =!= col("rep"))
-      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
-    val cands = pairCands.union(repPairs).distinct()
+    // candidate pairs with the shared skew discipline — singleton
+    // prefilter, capped self-join, cluster-representative star for
+    // over-cap buckets (operators/BandedPairs has the full rationale)
+    val cands = graft.operators.BandedPairs.cappedCandidates(
+      banded, "doc_id", Seq("b"), maxBucket, "doc_a", "doc_b")
     val estimated = cands
       .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))

@@ -81,19 +81,24 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q79 vocab: the rank window runs on the top-K cut, never corpus cardinality") {
-    val plan = planOf(q("q79_vocab"))
-    // the Window's child chain must include the global limit — i.e.
-    // the limit executes BEFORE id assignment, so the single-partition
-    // window only ever sees K rows
-    val idx = plan.indexOf("Window")
-    assert(idx >= 0, s"expected a Window node in:\n$plan")
-    assert(plan.contains("GlobalLimit") || plan.contains("TakeOrderedAndProject"),
-      s"expected a limit to bound the window input in:\n$plan")
-    // the window itself must not be fed by a full hash-partition
-    // exchange of the aggregated tokens (a single-partition exchange
-    // of K rows is the designed shape)
-    assert(!plan.substring(0, idx).contains("hashpartitioning(token"),
-      "window input must be the limited row set, not the full token aggregate")
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Window => LWindow}
+    // assert on the optimized LOGICAL plan (explain text prints
+    // parent-first, so substring checks around the Window node are
+    // vacuous): the Window's own subtree must contain the limit —
+    // i.e. the top-K cut executes BEFORE id assignment, so the
+    // single-partition rank only ever sees K rows — and the corpus
+    // aggregate must sit BELOW that limit, not between limit and
+    // window
+    val optimized = q("q79_vocab").queryExecution.optimizedPlan
+    val windows = optimized.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, s"expected a Window in:\n$optimized")
+    windows.foreach { w =>
+      val limits = w.child.collect { case l: GlobalLimit => l }
+      assert(limits.nonEmpty,
+        s"the window must be fed by a limited subtree, got:\n${w.child}")
+      assert(limits.exists(_.collect { case a: Aggregate => a }.nonEmpty),
+        "the token aggregate must lie below the limit, not above it")
+    }
   }
 
   test("q80 quality band: percentile bounds broadcast; no corpus-wide window or sort-merge") {
