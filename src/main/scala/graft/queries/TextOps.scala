@@ -500,6 +500,37 @@ object TextOps {
         ORDER BY doc_id"""),
       "deterministic md5-bucket stratified sample (per-language rates)"),
 
+    // -- quality-WEIGHTED resampling: keep-probability proportional
+    //    to a per-doc quality score (here: lexical diversity =
+    //    distinct/total tokens), decided by comparing the score
+    //    against a deterministic per-doc md5 uniform — the importance
+    //    resampling step of modern pretraining-data pipelines, with
+    //    q75's repartition-stable hash in place of rand(seed). Both
+    //    engines derive the identical 4-hex-digit integer and the
+    //    identical int/int double, so the keep decision hash-matches.
+    Q("q81_weighted_sample",
+      (s, d) => {
+        val toks = Text.tokens(col("text"))
+        val score = size(array_distinct(toks)).cast("double") / size(toks)
+        val u = pmod(
+          conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("int"), lit(10000)).cast("double") / 10000.0
+        t(s, d).documents
+          .select(col("doc_id"), score.as("score"), u.as("u"))
+          .filter(col("u") < col("score"))
+          .select(col("doc_id"), col("score"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, score FROM (
+          SELECT doc_id,
+            CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS DOUBLE)
+              / len(string_split_regex(lower(trim(text)), '\s+')) AS score,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 10000 AS DOUBLE)
+              / 10000.0 AS u
+          FROM documents) t
+        WHERE u < score ORDER BY doc_id"""),
+      "quality-weighted deterministic resampling (keep-prob = lexical diversity)"),
+
     // -- sketch-based heavy hitters: corpus token frequencies WITHOUT
     //    the (token, count) shuffle. One count-min sketch aggregate —
     //    each task folds its tokens into a fixed 2000×5 counter grid,
