@@ -531,6 +531,73 @@ object TextOps {
         WHERE u < score ORDER BY doc_id"""),
       "quality-weighted deterministic resampling (keep-prob = lexical diversity)"),
 
+    // -- INCREMENTAL dedup: dedup a small new batch AGAINST the
+    //    existing corpus (vs q50/q54's whole-corpus symmetric forms) —
+    //    the daily-ingestion shape, matching the reference's daily
+    //    re-extract cadence (etl.yml:5-6). Asymmetric by design: the
+    //    new batch is tiny relative to the corpus, so its metadata
+    //    and shingles ride the BROADCAST side of every join while the
+    //    corpus streams — at 100 TB the corpus is never shuffled, only
+    //    scanned. Exact sha fast path first; survivors get the
+    //    blocked-Jaccard near-dup check against same-block existing
+    //    docs.
+    Q("q82_incremental_dedup",
+      (s, d) => {
+        val docs = t(s, d).documents
+        val isNew = col("doc_id") % 10 === 7
+        val existing = docs.filter(!isNew)
+        val fresh = docs.filter(isNew)
+        val exDup = fresh.select(col("doc_id"), sha2(col("text"), 256).as("sha"))
+          .join(broadcast(existing.select(sha2(col("text"), 256).as("sha")).distinct()),
+            Seq("sha"), "left_semi")
+          .select(col("doc_id"))
+        val block = (df: org.apache.spark.sql.DataFrame, idAs: String) =>
+          df.select(col("doc_id").as(idAs), col("lang"),
+            floor(col("n_chars") / 64).as("bucket"))
+        val sh = (df: org.apache.spark.sql.DataFrame, idAs: String, shAs: String) =>
+          df.select(col("doc_id").as(idAs),
+            Text.shingleHashes(col("text"), 3).as(shAs))
+        val nearDup = block(existing, "ex_id")
+          .join(broadcast(block(fresh, "doc_id")), Seq("lang", "bucket"))
+          .join(sh(existing, "ex_id", "sh_ex"), Seq("ex_id"))
+          .join(broadcast(sh(fresh, "doc_id", "sh_new")), Seq("doc_id"))
+          .filter(Text.jaccardLong(col("sh_ex"), col("sh_new")) >= 0.5)
+          .select(col("doc_id")).distinct()
+        fresh.select(col("doc_id"))
+          .join(exDup.withColumn("de", lit(1)), Seq("doc_id"), "left")
+          .join(nearDup.withColumn("dn", lit(1)), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("de"), lit(0)).as("drop_exact"),
+            coalesce(col("dn"), lit(0)).as("drop_neardup"),
+            (col("de").isNull && col("dn").isNull).cast("int").as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH docs AS (
+          SELECT doc_id, text, lang, CAST(FLOOR(n_chars / 64) AS BIGINT) AS bucket,
+            sha256(text) AS sha,
+            list_distinct(CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) >= 3
+              THEN list_transform(
+                range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+                i -> array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' '))
+              ELSE [] END) AS sh
+          FROM documents),
+        fresh AS (SELECT * FROM docs WHERE doc_id % 10 = 7),
+        existing AS (SELECT * FROM docs WHERE doc_id % 10 <> 7),
+        exdup AS (
+          SELECT DISTINCT f.doc_id FROM fresh f JOIN existing e ON e.sha = f.sha),
+        ndup AS (
+          SELECT DISTINCT f.doc_id FROM fresh f JOIN existing e
+            ON e.lang = f.lang AND e.bucket = f.bucket
+          WHERE CAST(len(list_intersect(e.sh, f.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(e.sh, f.sh))) >= 0.5)
+        SELECT f.doc_id,
+          CAST(f.doc_id IN (SELECT doc_id FROM exdup) AS INT) AS drop_exact,
+          CAST(f.doc_id IN (SELECT doc_id FROM ndup) AS INT) AS drop_neardup,
+          CAST(f.doc_id NOT IN (SELECT doc_id FROM exdup)
+            AND f.doc_id NOT IN (SELECT doc_id FROM ndup) AS INT) AS keep
+        FROM fresh f ORDER BY f.doc_id"""),
+      "incremental new-batch-vs-corpus dedup (exact sha + blocked near-dup)"),
+
     // -- sketch-based heavy hitters: corpus token frequencies WITHOUT
     //    the (token, count) shuffle. One count-min sketch aggregate —
     //    each task folds its tokens into a fixed 2000×5 counter grid,
