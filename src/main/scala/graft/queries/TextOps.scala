@@ -547,9 +547,16 @@ object TextOps {
         val isNew = col("doc_id") % 10 === 7
         val existing = docs.filter(!isNew)
         val fresh = docs.filter(isNew)
-        val exDup = fresh.select(col("doc_id"), sha2(col("text"), 256).as("sha"))
-          .join(broadcast(existing.select(sha2(col("text"), 256).as("sha")).distinct()),
+        // asymmetry matters in BOTH directions: broadcast the BATCH
+        // shas into the corpus scan (never corpus-sha-distinct into a
+        // broadcast — that ships the corpus), then semi-join the batch
+        // against the matched shas (bounded by the batch size)
+        val hitShas = existing.select(sha2(col("text"), 256).as("sha"))
+          .join(broadcast(fresh.select(sha2(col("text"), 256).as("sha")).distinct()),
             Seq("sha"), "left_semi")
+          .distinct()
+        val exDup = fresh.select(col("doc_id"), sha2(col("text"), 256).as("sha"))
+          .join(broadcast(hitShas), Seq("sha"), "left_semi")
           .select(col("doc_id"))
         val block = (df: org.apache.spark.sql.DataFrame, idAs: String) =>
           df.select(col("doc_id").as(idAs), col("lang"),
