@@ -348,6 +348,9 @@ object Similarity {
     // buckets — every candidate still cosine-verified below
     val cands = graft.operators.BandedPairs.cappedCandidates(
       banded, "vec_id", Seq("tbl", "b"), maxBucket, "vec_a", "vec_b")
+    banded.unpersist() // dead once the helper's tagged table is
+                       // materialized — holding both would pin the
+                       // n×L band rows in cache twice
     cands
       .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")),
         Seq("vec_a"))

@@ -558,16 +558,19 @@ object TextOps {
         val exDup = fresh.select(col("doc_id"), sha2(col("text"), 256).as("sha"))
           .join(broadcast(hitShas), Seq("sha"), "left_semi")
           .select(col("doc_id"))
-        val block = (df: org.apache.spark.sql.DataFrame, idAs: String) =>
-          df.select(col("doc_id").as(idAs), col("lang"),
-            floor(col("n_chars") / 64).as("bucket"))
-        val sh = (df: org.apache.spark.sql.DataFrame, idAs: String, shAs: String) =>
-          df.select(col("doc_id").as(idAs),
-            Text.shingleHashes(col("text"), 3).as(shAs))
-        val nearDup = block(existing, "ex_id")
-          .join(broadcast(block(fresh, "doc_id")), Seq("lang", "bucket"))
-          .join(sh(existing, "ex_id", "sh_ex"), Seq("ex_id"))
-          .join(broadcast(sh(fresh, "doc_id", "sh_new")), Seq("doc_id"))
+        // ONE fused corpus projection (block keys + shingles together)
+        // against ONE broadcast of the batch carrying its shingles:
+        // a single corpus scan, zero corpus shuffles. Splitting block
+        // keys and shingles into separate frames would force a second
+        // corpus scan and an ex_id shuffle of corpus-sized shingle
+        // arrays — the exact shuffle this query exists to avoid.
+        val exSide = existing.select(col("lang"),
+          floor(col("n_chars") / 64).as("bucket"),
+          Text.shingleHashes(col("text"), 3).as("sh_ex"))
+        val newSide = fresh.select(col("doc_id"), col("lang"),
+          floor(col("n_chars") / 64).as("bucket"),
+          Text.shingleHashes(col("text"), 3).as("sh_new"))
+        val nearDup = exSide.join(broadcast(newSide), Seq("lang", "bucket"))
           .filter(Text.jaccardLong(col("sh_ex"), col("sh_new")) >= 0.5)
           .select(col("doc_id")).distinct()
         fresh.select(col("doc_id"))

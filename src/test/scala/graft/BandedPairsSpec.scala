@@ -4,7 +4,15 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.BandedPairs
 
-class BandedPairsSpec extends SparkSpec {
+class BandedPairsSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterEach {
+
+  // cappedCandidates persists its tagged band table on every call;
+  // release after each test instead of leaking into the shared session
+  override def afterEach(): Unit = {
+    spark.catalog.clearCache()
+    super.afterEach()
+  }
 
   private def banded(rows: Seq[(Long, Int)]) = {
     import spark.implicits._
@@ -37,7 +45,6 @@ class BandedPairsSpec extends SparkSpec {
     val got = pairs(df, 10)
     assert(got.forall { case (a, b) => a < b })
     assert(got === (1L until 50L).map(0L -> _).toSet)
-    spark.catalog.clearCache()
   }
 
   test("bn/rep column collisions are rejected loudly") {

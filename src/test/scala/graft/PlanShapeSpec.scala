@@ -89,13 +89,30 @@ class PlanShapeSpec extends SparkSpec {
     // single-partition rank only ever sees K rows — and the corpus
     // aggregate must sit BELOW that limit, not between limit and
     // window
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan}
+    // nodes on the path from `from` down to the first GlobalLimit
+    // (exclusive of the limit itself); None if no limit is reachable
+    def pathToLimit(from: LogicalPlan): Option[Seq[LogicalPlan]] = from match {
+      case _: GlobalLimit => Some(Seq.empty)
+      case p => p.children.view.flatMap(pathToLimit).headOption.map(p +: _)
+    }
     val optimized = q("q79_vocab").queryExecution.optimizedPlan
     val windows = optimized.collect { case w: LWindow => w }
     assert(windows.nonEmpty, s"expected a Window in:\n$optimized")
     windows.foreach { w =>
-      val limits = w.child.collect { case l: GlobalLimit => l }
-      assert(limits.nonEmpty,
+      val path = pathToLimit(w.child)
+      assert(path.isDefined,
         s"the window must be fed by a limited subtree, got:\n${w.child}")
+      // nothing cardinality-expanding or re-aggregating may sit
+      // BETWEEN the window and its limit — otherwise the rank window
+      // is back at corpus cardinality even though a limit exists
+      // somewhere below
+      path.get.foreach {
+        case bad @ (_: Aggregate | _: Join | _: Generate) =>
+          fail(s"${bad.nodeName} between the Window and its limit:\n$optimized")
+        case _ =>
+      }
+      val limits = w.child.collect { case l: GlobalLimit => l }
       assert(limits.exists(_.collect { case a: Aggregate => a }.nonEmpty),
         "the token aggregate must lie below the limit, not above it")
     }
