@@ -78,10 +78,23 @@ object Sink {
     * executors resolve the same map through the shared JVM. A real
     * deployment plugs an HTTP/JDBC writer here instead.
     */
-  class InMemoryUpsertWriter(keyColumns: Seq[String],
-                             val id: String = java.util.UUID.randomUUID().toString)
+  class InMemoryUpsertWriter private (keyColumns: Seq[String],
+                                      val id: String,
+                                      owns: Boolean)
       extends ChunkWriter {
-    InMemoryUpsertWriter.registry.putIfAbsent(id, new ConcurrentHashMap)
+    /** Owning constructor — the ONLY path that may create the store.
+      * [[InMemoryUpsertWriter.attach]] must find it already present.
+      */
+    def this(keyColumns: Seq[String],
+             id: String = java.util.UUID.randomUUID().toString) =
+      this(keyColumns, id, owns = true)
+    if (owns)
+      InMemoryUpsertWriter.registry.putIfAbsent(id, new ConcurrentHashMap): Unit
+    else if (!InMemoryUpsertWriter.registry.containsKey(id))
+      throw new IllegalStateException(
+        s"attach($id): no live store with that id — the owning writer was " +
+          "never created in this JVM, was disposed, or the id is wrong. " +
+          "Refusing to create an orphan store that would swallow writes.")
     private def store = {
       val s = InMemoryUpsertWriter.registry.get(id)
       if (s == null)
@@ -116,9 +129,13 @@ object Sink {
       * ([[graft.sources.UpsertDataSource]]) reaches the store from a
       * write task: only the string id crosses the task boundary, and
       * attaching never clears rows already written (idempotent).
+      * Throws if no store with that id is live: a disposed/typo'd/
+      * cross-JVM writerId must fail the write task fast, not silently
+      * drop every row into a resurrected empty map (which also meant
+      * the "used after dispose" guard could never fire in a task).
       */
     def attach(id: String, keyColumns: Seq[String]): InMemoryUpsertWriter =
-      new InMemoryUpsertWriter(keyColumns, id)
+      new InMemoryUpsertWriter(keyColumns, id, owns = false)
   }
 
   /** Parquet-backed upsert for durable local runs: MERGE-like

@@ -24,10 +24,24 @@ import org.apache.spark.sql.functions._
   * here because it feeds three consumers (both self-join sides plus
   * the star branch) — an unmaterialized cache is recomputed by each
   * racing consumer (the measured 156s-vs-21s cascade, SURVEY §2.10).
-  * The persist is released by the harness's `clearCache()` between
-  * queries (Registry's caching contract).
+  *
+  * Cache lifetime: this object holds at most ONE live band-table
+  * persist. Each call releases the previous call's (by then the
+  * previous query's candidates are materialized), so a session
+  * running many dedup queries (q56→q68→q69→q78…) accumulates one
+  * n×L band table, not four — harness `clearCache()` or
+  * [[releaseCache]] drops the last one. Unpersisting a frame a
+  * still-lazy consumer references is safe in Spark (it recomputes).
   */
 object BandedPairs {
+
+  private var lastTagged: Option[DataFrame] = None
+
+  /** Drop the most recent call's persisted band table. */
+  def releaseCache(): Unit = synchronized {
+    lastTagged.foreach(_.unpersist(blocking = false))
+    lastTagged = None
+  }
 
   /** @param banded     one row per (id, band bucket) — columns `idCol`
     *                    and `bucketCols` (must not contain `bn`/`rep`)
@@ -48,6 +62,10 @@ object BandedPairs {
       .agg(count(lit(1)).as("bn"), min(col(idCol)).as("rep"))
       .filter(col("bn") > 1)
     val tagged = banded.join(bucketAgg, bucketCols).persist()
+    synchronized {
+      lastTagged.foreach(_.unpersist(blocking = false))
+      lastTagged = Some(tagged)
+    }
     tagged.count()
     val pruned = tagged.filter(col("bn") <= maxBucket)
     val pairCands = pruned.select(col(idCol).as(outA) +: bCols: _*)

@@ -410,8 +410,11 @@ object Similarity {
     // shape (shuffle = k×dim partials per task), NOT the rows×dim
     // posexplode. Decimal accumulation + sorted collect keep the
     // codebook bit-identical run-to-run regardless of task order.
+    // Filter on the CAST key: a label that is non-null but not
+    // int-castable (string labels, say) would otherwise survive the
+    // filter, collapse into one null c_id group, and NPE at getInt.
     def means(df: DataFrame, key: Column): Seq[(Int, Seq[Double])] = df
-      .filter(key.isNotNull)
+      .filter(key.cast("int").isNotNull)
       .groupBy(key.cast("int").as("c_id"))
       .agg(
         Vectors.vecDecimalSum(Vectors.asDouble(col("embedding"))).as("sums"),
@@ -436,9 +439,13 @@ object Similarity {
     // deterministic hash partition into `k` cells — the general
     // unlabeled case. Lloyd rounds then do the actual clustering
     // (SimilaritySpec measures the unlabeled path's recall too).
+    // Rows whose label doesn't cast to int fall back to the hash
+    // seed per-row instead of being dropped (or NPE-ing) wholesale.
+    val hashSeed = pmod(col("vec_id"), lit(k)).cast("int")
     val seedKey =
-      if (emb.columns.contains("label")) col("label")
-      else pmod(col("vec_id"), lit(k)).cast("int")
+      if (emb.columns.contains("label"))
+        coalesce(col("label").cast("int"), hashSeed)
+      else hashSeed
     var cents = means(emb, seedKey)
     for (_ <- 1 to lloydIters)
       cents = means(emb, cellOf(col("embedding"), cents))

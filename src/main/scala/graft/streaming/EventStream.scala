@@ -245,7 +245,19 @@ object EventStream {
             rows.foreach { d =>
               val dTs = if (d.ts == null) 0L else d.ts.getTime
               if (dTs > maxTs) maxTs = dTs
-              if (!seen.exists(_._1 == d.doc_id)) {
+              val idx = seen.indexWhere(_._1 == d.doc_id)
+              if (idx >= 0) {
+                // at-least-once redelivery: REFRESH the stored entry —
+                // move it to the ring head with the newer of its two
+                // timestamps — so a redelivered doc keeps its full
+                // documented horizon instead of staying pinned to its
+                // first-seen ts (earlier expiry). No emission needed:
+                // every entry stored since the first arrival already
+                // compared itself against this doc when IT arrived.
+                val (id, sig, oldTs) = seen(idx)
+                seen = (id, sig, math.max(oldTs, dTs)) ::
+                  seen.patch(idx, Nil, 1)
+              } else {
                 seen.foreach { case (otherId, otherSig, _) =>
                   var eq = 0
                   var i = 0

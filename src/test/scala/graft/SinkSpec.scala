@@ -65,6 +65,23 @@ class SinkSpec extends SparkSpec {
     assert(out === Map(("A", 2020) -> 99, ("B", 2020) -> 2, ("C", 2021) -> 3))
   }
 
+  test("attach to a disposed or unknown writerId fails fast, never resurrects a store") {
+    val owner = new Sink.InMemoryUpsertWriter(Seq("ticker"))
+    val df = spark.createDataFrame(Seq(Row("A", 2020, 1)).asJava, schema)
+    Sink.upsert(df, "t", owner): Unit
+    // live id: attach sees the existing rows
+    assert(Sink.InMemoryUpsertWriter.attach(owner.id, Seq("ticker")).size === 1)
+    owner.dispose()
+    // disposed id: a write task attaching must throw, not report
+    // success while dropping every row into a fresh empty map
+    intercept[IllegalStateException] {
+      Sink.InMemoryUpsertWriter.attach(owner.id, Seq("ticker"))
+    }
+    intercept[IllegalStateException] {
+      Sink.InMemoryUpsertWriter.attach("no-such-writer", Seq("ticker"))
+    }
+  }
+
   test("upsert fail-fast: writer exception aborts the job") {
     val rows = (1 to 10).map(i => Row("T", 2020, i))
     val df = spark.createDataFrame(rows.asJava, schema)

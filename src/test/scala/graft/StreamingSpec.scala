@@ -234,6 +234,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup redelivery: an at-least-once re-arrival refreshes the entry's horizon") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val copy = "identical boilerplate paragraph with plenty of shared " +
+      "tokens so every document lands in the same minhash bands"
+    val other = "entirely unrelated filler content about orbital mechanics " +
+      "and satellite constellations to advance the watermark only"
+    val t0 = 1700000000000L
+    def ts(offsetMin: Long) = new Timestamp(t0 + offsetMin * 60000)
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val q = EventStream.nearDupCandidates(
+        stream.toDF().toDF("doc_id", "text", "ts"),
+        threshold = 0.5, eventTimeHorizon = Some("1 hour"))
+      .writeStream.format("memory").queryName("s_redeliver").outputMode("append")
+      .start()
+    try {
+      // doc 1 @ 0:00 → horizon runs to 1:00
+      stream.addData(Seq((1L, copy, ts(0)))); q.processAllAvailable()
+      // upstream redelivers doc 1 @ 0:50: must refresh the stored
+      // entry to 0:50 (horizon now 1:50), not stay pinned to 0:00
+      stream.addData(Seq((1L, copy, ts(50)))); q.processAllAvailable()
+      // advance the watermark to 1:20 — past the FIRST-seen horizon,
+      // inside the refreshed one
+      stream.addData(Seq((50L, other, ts(140)))); q.processAllAvailable()
+      stream.addData(Seq((51L, other, ts(141)))); q.processAllAvailable()
+      // doc 2 @ 1:40 (above the watermark, within the refreshed
+      // horizon): with the pre-fix pinning, doc 1's entry is already
+      // pruned and this pair is silently lost
+      stream.addData(Seq((2L, copy, ts(100)))); q.processAllAvailable()
+      val got = spark.table("s_redeliver").select(col("doc_a"), col("doc_b"))
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((1L, 2L)),
+        s"redelivered doc lost its refreshed horizon: $got")
+    } finally q.stop()
+  }
+
   test("intervalMs: single-component strings parse; compound strings are rejected") {
     assert(EventStream.intervalMs("90 seconds") === 90000L)
     assert(EventStream.intervalMs("2 hours") === 7200000L)
