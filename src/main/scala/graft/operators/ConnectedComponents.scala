@@ -50,10 +50,27 @@ object ConnectedComponents {
     * @param maxIters safety cap; path halving converges in
     *                 O(log n) rounds, so 25 covers any n < 2^25
     *                 components-diameter even without clique structure
+    * @param checkpointDir when set, per-round label tables use
+    *                 RELIABLE `checkpoint` into this directory instead
+    *                 of `localCheckpoint` — the cluster-grade mode the
+    *                 scaladoc prescribes: localCheckpoint blocks live
+    *                 on executors, so one lost executor aborts a long
+    *                 loop; durable checkpoints survive it. Files from
+    *                 superseded rounds are reclaimed by Spark only
+    *                 with `spark.cleaner.referenceTracking.cleanCheckpoints=true`;
+    *                 otherwise the caller owns deleting the directory
+    *                 after consuming the result.
     * @return (id, comp) — one row per node that appears in any edge,
     *         comp = smallest node id in its component
     */
-  def components(edges: DataFrame, maxIters: Int = 25): DataFrame = {
+  def components(edges: DataFrame, maxIters: Int = 25,
+                 checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    // materialize + CUT lineage each round (see scaladoc); reliable
+    // variant writes to the configured checkpoint dir
+    def snap(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
     val Seq(ca, cb) = edges.columns.toSeq.take(2).map(col)
     // materialize the caller's edge plan ONCE: symmetrization embeds
     // it in both union branches, which would execute the (potentially
@@ -67,11 +84,10 @@ object ConnectedComponents {
     sym.count(): Unit // materialize: scanned once per round by the join
     e0.unpersist()
 
-    // eager localCheckpoint: materializes AND truncates lineage —
+    // eager checkpoint: materializes AND truncates lineage —
     // the loop's frames must not carry the previous rounds' plans
-    var labels = sym.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
-      .localCheckpoint(true)
+    var labels = snap(sym.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")))
 
     var changed = 1L
     var it = 0
@@ -90,11 +106,10 @@ object ConnectedComponents {
                       // scan this frame — unmaterialized it would be
                       // recomputed by each racing consumer
       // (2) pointer jumping: comp := comp(comp) — label chains halve
-      val next = stepped
+      val next = snap(stepped
         .join(stepped.select(col("id").as("cid"), col("comp").as("ccomp")),
           stepped("comp") === col("cid"), "left")
-        .select(col("id"), coalesce(col("ccomp"), col("comp")).as("comp"))
-        .localCheckpoint(true) // materialize + CUT lineage (see scaladoc)
+        .select(col("id"), coalesce(col("ccomp"), col("comp")).as("comp")))
       stepped.unpersist()
       changed = next
         .join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))

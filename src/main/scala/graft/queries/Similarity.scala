@@ -45,6 +45,13 @@ object Similarity {
     */
   val MaxVecBucket = 10000
 
+  /** Deterministic id-prefix cap for the EXACT quadratic baseline
+    * (q65): bounds the cartesian at ≤ Cap²/2 pairs no matter what sf
+    * the entry runs at, while every test corpus (vec_id < 2000 at
+    * sf0.1) passes through unchanged. SQL oracle carries the literal.
+    */
+  val ExactBaselineVecCap = 4096
+
   /** All XOR masks with at most `radius` bits set among `nBits` —
     * generated combinatorially (C(n,1)+C(n,2)+…), never by filtering
     * the 2^nBits code space, which stalls the driver at high nBits.
@@ -178,7 +185,15 @@ object Similarity {
     //    100 TB path.
     Q("q65_embedding_neardup",
       (s, d) => {
+        // Deterministic prefix cap: the baseline is ground truth for
+        // q69's recall spec, and recall measured on a fixed-size id
+        // prefix is just as meaningful — while an UNCAPPED cartesian
+        // is 4e10 pairs if this entry is ever run at 100× vectors.
+        // Every test sf has vec_id < 4096, so results there are
+        // bit-identical to the uncapped form (oracle carries the
+        // same predicate).
         val emb = t(s, d).embeddings
+          .filter(col("vec_id") < ExactBaselineVecCap)
         emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
           .crossJoin(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")))
           .filter(col("vec_a") < col("vec_b"))
@@ -187,12 +202,14 @@ object Similarity {
           .filter(col("cos") >= 0.45)
           .orderBy(col("vec_a"), col("vec_b"))
       },
-      Some("""WITH scored AS (
+      Some("""WITH emb AS (
+          SELECT * FROM embeddings WHERE vec_id < 4096),
+        scored AS (
           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
             list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
               / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cos
-          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+          FROM emb a JOIN emb b ON a.vec_id < b.vec_id)
         SELECT vec_a, vec_b, cos FROM scored WHERE cos >= 0.45
         ORDER BY vec_a, vec_b"""),
       "exact embedding-cosine near-dup pairs"),

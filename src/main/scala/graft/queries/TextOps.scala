@@ -29,6 +29,16 @@ object TextOps {
     */
   val MaxLshBucket = 10000
 
+  /** Deterministic id-prefix cap for the EXACT quadratic baselines
+    * (q54's blocked Jaccard and q78's pair stage): within-block pairs
+    * grow quadratically with corpus size, so the ground-truth entries
+    * run over `doc_id < Cap` only — bounded at any sf the driver
+    * picks, bit-identical at every test sf (doc_id < 5000 at sf0.1).
+    * The subquadratic production paths (q56/q68) stay uncapped; the
+    * SQL oracles carry the same literal predicate.
+    */
+  val ExactBaselineDocCap = 8192
+
   val queries: Seq[Q] = Seq(
 
     // -- exact dedup by content hash: one shuffle on sha256(text);
@@ -147,7 +157,8 @@ object TextOps {
     //    so the Jaccard value is identical at a fraction of the
     //    per-pair hashing cost.
     Q("q54_ngram_neardup",
-      (s, d) => ngramNearDupPairsOn(t(s, d).documents)
+      (s, d) => ngramNearDupPairsOn(
+          t(s, d).documents.filter(col("doc_id") < ExactBaselineDocCap))
         .orderBy(col("doc_a"), col("doc_b")),
       Some("""WITH docs AS (
           SELECT doc_id, lang, CAST(FLOOR(n_chars / 64) AS BIGINT) AS bucket,
@@ -156,7 +167,7 @@ object TextOps {
                 range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
                 i -> array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' '))
               ELSE [] END) AS sh
-          FROM documents)
+          FROM documents WHERE doc_id < 8192)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
             / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
@@ -675,7 +686,7 @@ object TextOps {
                 range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
                 i -> array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' '))
               ELSE [] END) AS sh
-          FROM documents),
+          FROM documents WHERE doc_id < 8192),
         pairs AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM docs a JOIN docs b

@@ -32,6 +32,25 @@ class ConnectedComponentsSpec extends SparkSpec {
       s"chain must collapse to component 0, got ${got.values.toSet}")
   }
 
+  test("reliable-checkpoint mode: the 64-chain converges through durable round snapshots") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    try {
+      val edges = (0L until 63L).map(i => (i, i + 1))
+      val got = ConnectedComponents
+        .components(edges.toDF("a", "b"), checkpointDir = Some(dir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size === 64)
+      assert(got.values.forall(_ === 0L),
+        s"chain must collapse to component 0, got ${got.values.toSet}")
+      // the rounds actually went through the durable path
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "reliable mode must write checkpoint files")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("transitive near-dup A~B~C keeps exactly one canonical doc") {
     // the dedup motivation: A~B and B~C but A!~C directly — all three
     // must land in one cluster with min id kept
