@@ -52,6 +52,9 @@ object GraftFunctions {
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       args => { val a = arity("cosine_sim", 2)(args); CosineSim(a(0), a(1)) }),
+    (FunctionIdentifier("media_dims"),
+      new ExpressionInfo(classOf[MediaDims].getName, "media_dims"),
+      args => MediaDims(arity("media_dims", 1)(args).head)),
     (FunctionIdentifier("hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),
       args => { val a = arity("hyperplane_buckets", 3)(args)

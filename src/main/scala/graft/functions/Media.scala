@@ -2,6 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 
+import graft.expressions.MediaDims
+
 /** Multimodal (binary-column) handling — SURVEY §2.9. Media assets
   * are opaque `binary` columns with typed metadata alongside; decode
   * and feature extraction run partition-parallel over the bytes with
@@ -9,26 +11,33 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * driver materialization), which is the Scala analog of a
   * `mapInPandas` batch UDF.
   *
-  * The DECODE step is a STUB: this container ships no image/audio
-  * codecs, so [[Media.decodeStub]] derives deterministic
-  * pseudo-metadata and a pseudo-feature vector from the raw bytes. A
-  * real deployment swaps in a codec-backed `Decoder` (javax.imageio,
-  * ffmpeg bindings, …) without touching the Spark plumbing — the
-  * schema, the partition-parallel batch shape, and the typed seam are
-  * the real, tested parts. Resize / frame-sample follow the same
-  * seam: bytes→bytes decoders composed before feature extraction.
+  * The HEADER decode is REAL: [[graft.expressions.MediaDims]] parses
+  * container kind, pixel dimensions, and frame count straight from
+  * the format headers (PNG/JPEG/GIF/BMP/WebP/WAV/Parquet) with pure
+  * byte arithmetic — no codec dependency. What remains a SEAM is the
+  * pixel/feature model: this container ships no image/audio codecs or
+  * embedding models, so [[Media.headerDecode]] pairs the real header
+  * geometry with a deterministic pseudo-feature vector derived from
+  * the raw bytes. A real deployment swaps the feature function for a
+  * codec+model-backed `Decoder` (javax.imageio, ffmpeg bindings, an
+  * ONNX encoder, …) without touching the Spark plumbing — the schema,
+  * the partition-parallel batch shape, and the typed seam stay as
+  * tested here. Resize / frame-sample follow the same seam:
+  * bytes→bytes decoders composed before feature extraction.
   */
 object Media {
 
-  /** Typed decode output: media kind sniffed from magic bytes, pseudo
-    * dimensions, and a fixed-width feature vector (FeatureDim).
+  /** Typed decode output: media kind sniffed from magic bytes, header
+    * dimensions (None where the format has no pixel geometry or the
+    * header is truncated), and a fixed-width feature vector
+    * (FeatureDim).
     */
   final case class MediaMeta(
       file_name: String,
       kind: String,
-      width: Int,
-      height: Int,
-      n_frames: Int,
+      width: Option[Int],
+      height: Option[Int],
+      n_frames: Option[Int],
       feature: Array[Float])
 
   val FeatureDim = 8
@@ -38,39 +47,32 @@ object Media {
     def decode(path: String, bytes: Array[Byte]): MediaMeta
   }
 
-  /** STUB decoder — deterministic pseudo-decode (NOT a real codec):
-    * kind from magic bytes, dimensions/frames/features from a rolling
-    * FNV-1a over the content. Deterministic across runs and
-    * partitionings so the pipeline around it is testable.
+  /** Default decoder: REAL header parse (kind/width/height/n_frames
+    * from [[MediaDims.parse]]) + STUB features (deterministic FNV-1a
+    * pseudo-embedding over the content — the model seam; see the
+    * object scaladoc). Deterministic across runs and partitionings so
+    * the pipeline around it is testable.
     */
-  object decodeStub extends Decoder {
+  object headerDecode extends Decoder {
     private def fnv(bytes: Array[Byte], seed: Long): Long = {
       var h = 0xcbf29ce484222325L ^ seed
       var i = 0
       while (i < bytes.length) { h = (h ^ (bytes(i) & 0xff)) * 0x100000001b3L; i += 1 }
       h
     }
+    private def opt(v: Int): Option[Int] = if (v < 0) None else Some(v)
     override def decode(path: String, bytes: Array[Byte]): MediaMeta = {
-      val kind =
-        if (bytes.length >= 4 && bytes(0) == 'P' && bytes(1) == 'A' &&
-          bytes(2) == 'R' && bytes(3) == '1') "parquet"
-        else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
-          (bytes(1) & 0xff) == 0xd8) "jpeg"
-        else if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 &&
-          bytes(1) == 'P') "png"
-        else "unknown"
-      val h = fnv(bytes, 0L)
-      val meta = MediaMeta(
+      val p = MediaDims.parse(bytes)
+      MediaMeta(
         file_name = path.substring(path.lastIndexOf('/') + 1),
-        kind = kind,
-        width = (math.floorMod(h, 1920L) + 1L).toInt,
-        height = (math.floorMod(h >>> 16, 1080L) + 1L).toInt,
-        n_frames = (math.floorMod(h >>> 32, 240L) + 1L).toInt,
+        kind = p.kind,
+        width = opt(p.width),
+        height = opt(p.height),
+        n_frames = opt(p.nFrames),
         feature = Array.tabulate(FeatureDim) { i =>
           val f = fnv(bytes, i + 1L)
           (math.floorMod(f, 2000L) - 1000L).toFloat / 1000.0f
         })
-      meta
     }
   }
 
@@ -79,7 +81,7 @@ object Media {
     * bytes in flight per task at a time; partitioning (and therefore
     * cluster parallelism) is preserved.
     */
-  def extractFeatures(files: DataFrame, decoder: Decoder = decodeStub): Dataset[MediaMeta] = {
+  def extractFeatures(files: DataFrame, decoder: Decoder = headerDecode): Dataset[MediaMeta] = {
     val spark = files.sparkSession
     import spark.implicits._
     files.select("path", "content").as[(String, Array[Byte])]

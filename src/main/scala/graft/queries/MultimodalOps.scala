@@ -1,8 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-
-import graft.functions.Media
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Multimodal/binary-column operators (SURVEY §2.9): files as opaque
   * binary columns with typed metadata. q70 is byte-level metadata
@@ -41,24 +40,34 @@ object MultimodalOps {
         ORDER BY file_name"""),
       "files as binary columns: name/size/sha256 vs read_blob"),
 
-    // -- decode + feature extraction through the typed partition-
-    //    parallel seam (stub decoder — see graft.functions.Media):
-    //    kind sniffing from magic bytes, pseudo dimensions, and an
-    //    8-float feature vector; surfaced with the feature norm so
-    //    the vector path is exercised end-to-end.
+    // -- REAL header decode via the native media_dims expression
+    //    (graft.expressions.MediaDims: PNG IHDR / JPEG SOFn / GIF LSD
+    //    / BMP DIB / WebP VP8(L) parsed with pure byte arithmetic,
+    //    inside whole-stage codegen). On the sf directory the assets
+    //    are parquet files — kind sniffs as 'parquet', geometry null —
+    //    which DuckDB can verify from the same bytes; image-format
+    //    geometry is pinned bit-exactly in MediaSpec on crafted
+    //    headers, and the feature-vector seam stays covered by
+    //    Media.extractFeatures (also MediaSpec).
     Q("q71_media_features",
-      (s, d) => {
-        val files = s.read.format("binaryFile")
-          .option("pathGlobFilter", "*.parquet")
-          .load(d)
-        Media.extractFeatures(files).toDF()
-          .select(col("file_name"), col("kind"), col("width"),
-            col("height"), col("n_frames"),
-            aggregate(transform(col("feature"), _.cast("double")),
-              lit(0.0), (a, x) => a + x * x).as("feature_sq_norm"))
-          .orderBy(col("file_name"))
-      },
-      None,
-      "stub decode -> typed metadata + feature vector (rows-only oracle)")
+      (s, d) => s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(d)
+        .select(
+          regexp_extract(col("path"), "[^/]+$", 0).as("file_name"),
+          ColumnBridge.column(graft.expressions.MediaDims(
+            ColumnBridge.expression(col("content")))).as("m"))
+        .select(col("file_name"), col("m.kind").as("kind"),
+          col("m.width").as("width"), col("m.height").as("height"),
+          col("m.n_frames").as("n_frames"))
+        .orderBy(col("file_name")),
+      Some("""SELECT regexp_extract(filename, '[^/]+$', 0) AS file_name,
+          CASE WHEN hex(content)[1:8] = '50415231' THEN 'parquet'
+               ELSE 'unknown' END AS kind,
+          CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+          CAST(NULL AS INT) AS n_frames
+        FROM read_blob('/root/testdata/sf0.01/*.parquet')
+        ORDER BY file_name"""),
+      "real header decode (media_dims native expression) vs read_blob")
   )
 }

@@ -1,20 +1,133 @@
 package graft
 
+import java.io.ByteArrayOutputStream
+
 import org.apache.spark.sql.functions._
 
+import graft.expressions.MediaDims
 import graft.functions.Media
 import graft.queries.Registry
 
-/** Pins the multimodal pipeline around the stub decoder: schema,
-  * determinism, partition-parallel shape, and magic-byte sniffing.
-  * The stub is the decode seam — these tests are what stays true when
-  * a real codec is plugged in.
+/** Pins the multimodal pipeline: REAL header decode (media_dims —
+  * kind/width/height/n_frames parsed from actual format headers),
+  * schema, determinism, partition-parallel shape. The remaining seam
+  * is the feature model (pseudo-embedding), and these tests are what
+  * stays true when a codec+model decoder is plugged in.
   */
 class MediaSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   private def files = spark.read.format("binaryFile")
     .option("pathGlobFilter", "*.parquet").load(dir)
+
+  // ---- crafted real-format headers (valid prefixes, not full codecs) ----
+
+  private def be16(v: Int) = Array[Byte](((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be32(v: Int) = Array[Byte](((v >> 24) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def cat(parts: Array[Byte]*): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    parts.foreach(out.write)
+    out.toByteArray
+  }
+  private def s2b(s: String) = s.getBytes("US-ASCII")
+
+  private val pngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+  private def pngChunk(typ: String, data: Array[Byte]) =
+    cat(be32(data.length), s2b(typ), data, be32(0)) // crc not validated
+  private def png(w: Int, h: Int) = cat(pngSig,
+    pngChunk("IHDR", cat(be32(w), be32(h), Array[Byte](8, 6, 0, 0, 0))))
+  private def apng(w: Int, h: Int, frames: Int) = cat(pngSig,
+    pngChunk("IHDR", cat(be32(w), be32(h), Array[Byte](8, 6, 0, 0, 0))),
+    pngChunk("acTL", cat(be32(frames), be32(0))),
+    pngChunk("IDAT", Array[Byte](0)))
+
+  private def jpegSof(w: Int, h: Int, sof: Int = 0xc0) = cat(
+    Array[Byte](0xff.toByte, 0xd8.toByte),
+    Array[Byte](0xff.toByte, 0xe0.toByte), be16(16), s2b("JFIF"),
+    Array[Byte](0, 1, 1, 0), be16(72), be16(72), Array[Byte](0, 0),
+    Array[Byte](0xff.toByte, sof.toByte), be16(17),
+    Array[Byte](8), be16(h), be16(w),
+    Array[Byte](3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+
+  private def gif(w: Int, h: Int, frames: Int) = {
+    val imageDesc = cat(Array[Byte](0x2c), le16(0), le16(0), le16(w), le16(h),
+      Array[Byte](0), // no local color table
+      Array[Byte](2), // LZW min code size
+      Array[Byte](1, 0x44, 0)) // one 1-byte data sub-block + terminator
+    cat(s2b("GIF89a"), le16(w), le16(h), Array[Byte](0, 0, 0), // no GCT
+      cat(Seq.fill(frames)(imageDesc): _*), Array[Byte](0x3b))
+  }
+
+  private def bmp(w: Int, h: Int) = cat(s2b("BM"), le32(54 + 16), le32(0), le32(54),
+    le32(40), le32(w), le32(h), le16(1), le16(24), le32(0), le32(16),
+    le32(2835), le32(2835), le32(0), le32(0))
+
+  private def webpLossless(w: Int, h: Int) = {
+    val bits = (w - 1) | ((h - 1) << 14) // 14-bit w-1, 14-bit h-1
+    cat(s2b("RIFF"), le32(20), s2b("WEBP"), s2b("VP8L"), le32(9),
+      Array[Byte](0x2f), le32(bits), Array[Byte](0))
+  }
+
+  private val wav = cat(s2b("RIFF"), le32(36), s2b("WAVE"), s2b("fmt "), le32(16),
+    Array.fill[Byte](16)(0))
+
+  test("media_dims parses real PNG / JPEG / GIF / BMP / WebP headers") {
+    def p(b: Array[Byte]) = MediaDims.parse(b)
+    assert(p(png(640, 480)) === MediaDims.Parsed("png", 640, 480, 1))
+    assert(p(apng(1920, 1080, 12)) === MediaDims.Parsed("png", 1920, 1080, 12))
+    assert(p(jpegSof(800, 600)) === MediaDims.Parsed("jpeg", 800, 600, 1))
+    // progressive JPEG uses SOF2; baseline-extended SOF1
+    assert(p(jpegSof(320, 240, sof = 0xc2)) === MediaDims.Parsed("jpeg", 320, 240, 1))
+    assert(p(jpegSof(64, 32, sof = 0xc1)) === MediaDims.Parsed("jpeg", 64, 32, 1))
+    assert(p(gif(101, 55, frames = 1)) === MediaDims.Parsed("gif", 101, 55, 1))
+    assert(p(gif(16, 16, frames = 7)) === MediaDims.Parsed("gif", 16, 16, 7))
+    assert(p(bmp(1024, 768)) === MediaDims.Parsed("bmp", 1024, 768, 1))
+    assert(p(webpLossless(100, 50)) === MediaDims.Parsed("webp", 100, 50, 1))
+    assert(p(wav) === MediaDims.Parsed("wav", -1, -1, -1))
+    assert(p(s2b("PAR1....")) === MediaDims.Parsed("parquet", -1, -1, -1))
+    assert(p(Array[Byte](1, 2, 3)) === MediaDims.Parsed("unknown", -1, -1, -1))
+    assert(p(Array.empty[Byte]) === MediaDims.Parsed("unknown", -1, -1, -1))
+  }
+
+  test("media_dims never throws on truncated or malformed headers") {
+    val wellFormed = Seq(png(640, 480), apng(8, 8, 3), jpegSof(800, 600),
+      gif(101, 55, 2), bmp(1024, 768), webpLossless(100, 50), wav)
+    for (full <- wellFormed; cut <- 0 to full.length) {
+      val d = MediaDims.parse(full.take(cut)) // must not throw
+      assert(d.kind ne null)
+    }
+    // dims absent (or well-formed-prefix) once the geometry bytes are cut
+    assert(MediaDims.parse(png(640, 480).take(20)).width === -1)
+    assert(MediaDims.parse(jpegSof(800, 600).take(21)).width === -1)
+  }
+
+  test("media_dims is registered for SQL and runs inside codegen") {
+    import spark.implicits._
+    org.apache.spark.sql.graftbridge.FunctionRegistration.registerAll(spark)
+    val df = Seq(
+      ("png", png(12, 34)), ("jpeg", jpegSof(56, 78)), ("gif", gif(9, 9, 3)),
+      ("bmp", bmp(44, 33)), ("other", Array[Byte](0, 1, 2)))
+      .toDF("tag", "content")
+    df.createOrReplaceTempView("media_blobs")
+    val rows = spark.sql(
+      """SELECT tag, media_dims(content).kind AS kind,
+           media_dims(content).width AS w, media_dims(content).height AS h,
+           media_dims(content).n_frames AS f
+         FROM media_blobs ORDER BY tag""").collect()
+    val byTag = rows.map(r => r.getString(0) ->
+      (r.getString(1), if (r.isNullAt(2)) -1 else r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3),
+        if (r.isNullAt(4)) -1 else r.getInt(4))).toMap
+    assert(byTag("png") === (("png", 12, 34, 1)))
+    assert(byTag("jpeg") === (("jpeg", 56, 78, 1)))
+    assert(byTag("gif") === (("gif", 9, 9, 3)))
+    assert(byTag("bmp") === (("bmp", 44, 33, 1)))
+    assert(byTag("other") === (("unknown", -1, -1, -1)))
+  }
 
   test("extractFeatures: one typed row per file, fixed feature width") {
     val ds = Media.extractFeatures(files)
@@ -23,7 +136,7 @@ class MediaSpec extends SparkSpec {
     rows.foreach { m =>
       assert(m.feature.length === Media.FeatureDim)
       assert(m.kind === "parquet") // fixture files all carry the PAR1 magic
-      assert(m.width >= 1 && m.height >= 1 && m.n_frames >= 1)
+      assert(m.width.isEmpty && m.height.isEmpty && m.n_frames.isEmpty)
     }
   }
 
@@ -45,14 +158,18 @@ class MediaSpec extends SparkSpec {
   test("kind sniffing reads magic bytes, not file extensions") {
     import spark.implicits._
     val fake = Seq(
-      ("a.bin", Array[Byte]('P', 'A', 'R', '1', 9)),
-      ("b.parquet", Array[Byte](0xff.toByte, 0xd8.toByte, 0x00)),
-      ("c.x", Array[Byte](0x89.toByte, 'P', 'N', 'G', 0, 0, 0, 0)),
+      ("a.bin", s2b("PAR1") :+ 9.toByte),
+      ("b.parquet", jpegSof(10, 20)),
+      ("c.x", png(5, 6)),
       ("d.x", Array[Byte](1, 2, 3))).toDF("path", "content")
-    val kinds = Media.extractFeatures(fake).collect()
-      .map(m => m.file_name -> m.kind).toMap
-    assert(kinds === Map("a.bin" -> "parquet", "b.parquet" -> "jpeg",
-      "c.x" -> "png", "d.x" -> "unknown"))
+    val metas = Media.extractFeatures(fake).collect()
+      .map(m => m.file_name -> m).toMap
+    assert(metas("a.bin").kind === "parquet")
+    assert(metas("b.parquet").kind === "jpeg")
+    assert(metas("b.parquet").width === Some(10))
+    assert(metas("c.x").kind === "png")
+    assert(metas("c.x").height === Some(6))
+    assert(metas("d.x").kind === "unknown")
   }
 
   test("frameSampleIndices: uniform, deterministic, bounded") {
@@ -71,5 +188,9 @@ class MediaSpec extends SparkSpec {
     q70.foreach(r => assert(r.getString(2).matches("[0-9a-f]{64}")))
     val q71 = Registry.queries("q71_media_features")(spark, dir).collect()
     assert(q71.length === q70.length)
+    q71.foreach { r =>
+      assert(r.getString(1) === "parquet")
+      assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+    }
   }
 }
