@@ -106,11 +106,19 @@ object Vectors {
     * one k×dim partial per map task (TypedImperativeAggregate gives
     * map-side partial merge), NOT rows×dim exploded rows.
     *
-    * Each input element is rounded exactly as Spark's
-    * `cast(x as decimal(38,6))` (BigDecimal.valueOf = string-based
-    * construction, then HALF_UP to scale 6), and the final sum is
-    * surfaced as double — bit-identical to
-    * `CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)` per element.
+    * Each input element is rounded to scale 6 from its EXACT binary
+    * value (`new BigDecimal(v)`, not `valueOf`'s shortest-string
+    * repr), and the final sum is surfaced as double. Exact-value
+    * rounding is the only engine-portable convention: no double can
+    * sit exactly on a .5×10⁻⁶ boundary (10⁻⁷ is not dyadic), so the
+    * tie-breaking mode is irrelevant and any engine that rounds the
+    * exact value — DuckDB's double→decimal cast included — agrees
+    * bit-for-bit. (String-repr rounding diverged from the oracle on
+    * ~2% of float-derived components: the shortest repr can print
+    * "…5" for a value strictly above/below the half-way point.
+    * The oracle must cast float columns to DOUBLE before the decimal
+    * cast — DuckDB's direct FLOAT→DECIMAL scales in float32, which
+    * manufactures exact .5 ties that round differently again.)
     */
   class VectorDecimalSum extends Aggregator[Seq[Double], Array[JBigDecimal], Seq[Double]] {
     override def zero: Array[JBigDecimal] = Array.empty
@@ -126,7 +134,7 @@ object Vectors {
         // oracle); SUM ignores null — mirror that instead of letting
         // BigDecimal.valueOf throw NumberFormatException
         if (!v.isNaN && !v.isInfinity)
-          b(i) = b(i).add(JBigDecimal.valueOf(v).setScale(6, RoundingMode.HALF_UP))
+          b(i) = b(i).add(new JBigDecimal(v).setScale(6, RoundingMode.HALF_UP))
         i += 1
       }
       b

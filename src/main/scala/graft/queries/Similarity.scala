@@ -134,14 +134,19 @@ object Similarity {
             Vectors.vecDecimalSum(Vectors.asDouble(col("embedding"))).as("sums"),
             count(col("embedding")).as("n"))
           .select(col("label"),
-            transform(col("sums"), x => x / col("n")).as("c_emb"))
+            // cast the order-independent decimal sums to double BEFORE
+            // the divide, exactly like the oracle's CAST(SUM AS
+            // DOUBLE)/COUNT: IEEE double division is bit-deterministic,
+            // while decimal division rounds at a Spark-chosen result
+            // scale that DuckDB does not replicate (~1e-9 norm drift).
+            transform(col("sums"), x => x.cast("double") / col("n")).as("c_emb"))
         cent.select(col("label"),
             sqrt(Vectors.dot(col("c_emb"), col("c_emb"))).as("centroid_norm"))
           .orderBy(col("label"))
       },
       Some("""WITH comp AS (
           SELECT label, i,
-            CAST(SUM(CAST(embedding[i + 1] AS DECIMAL(38,6))) AS DOUBLE)
+            CAST(SUM(CAST(CAST(embedding[i + 1] AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)
               / COUNT(embedding[i + 1]) AS m
           FROM embeddings, (SELECT unnest(range(0, 64)) AS i)
           GROUP BY label, i),

@@ -672,7 +672,13 @@ object TextOps {
     //    the oracle walks the same graph with a recursive CTE.
     Q("q78_dedup_clusters",
       (s, d) => {
-        val pairs = ngramNearDupPairsOn(t(s, d).documents)
+        // same deterministic prefix cap as q54: the exact pair stage
+        // is the quadratic-by-design ground truth, and the oracle's
+        // recursive CTE carries the identical predicate — without the
+        // cap here the two sides would diverge the moment the driver
+        // runs an sf with doc_id >= the cap.
+        val pairs = ngramNearDupPairsOn(
+            t(s, d).documents.filter(col("doc_id") < ExactBaselineDocCap))
           .select(col("doc_a"), col("doc_b"))
         graft.operators.ConnectedComponents.components(pairs)
           .select(col("id").as("doc_id"), col("comp").as("cluster_id"),

@@ -1,0 +1,96 @@
+package graft
+
+import java.security.MessageDigest
+import java.util.Locale
+
+import org.apache.spark.sql.Row
+
+import graft.queries.Registry
+
+/** Golden-output pins for the queries that have NO DuckDB oracle
+  * (approx sketches, LSH/ANN paths, signature dumps): their quality
+  * is gated by error-bound/recall specs (RelationalSpec, MinHashSpec,
+  * SimHashSpec, SimilaritySpec, SketchSpec, MediaSpec), but a recall
+  * bound alone would let the OUTPUT drift silently between rounds —
+  * e.g. a seed change reshuffling every LSH bucket while recall stays
+  * ≥0.9. Each pin is a sha256 over the canonicalized sf0.01 result
+  * (schema line + rows rendered with 6-significant-digit floats,
+  * sorted), so any behavioral change shows up as a failed pin that
+  * the author must consciously re-record.
+  *
+  * Pins are environment-deterministic: every pinned query either
+  * orders its output or is order-insensitive after the row sort here;
+  * floats are rounded to absorb sub-ulp reassociation, and the suite
+  * runs in the same fixed session config as the rest of the specs.
+  *
+  * To re-record after an INTENTIONAL behavior change:
+  *   SPARK_GRAFT_REGEN_PINS=1 sbt "testOnly graft.GoldenPinSpec"
+  * and paste the printed map back into `expected`.
+  */
+class GoldenPinSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.01"
+
+  private def render(v: Any): String = v match {
+    case null => "∅"
+    case d: Double =>
+      if (d.isNaN) "NaN"
+      else {
+        val z = if (d == 0.0) 0.0 else d // collapse -0.0
+        String.format(Locale.ROOT, "%.6e", Double.box(z))
+      }
+    case f: Float => render(f.toDouble)
+    case b: Array[Byte] => b.map(x => f"$x%02x").mkString
+    case a: scala.collection.Seq[_] => a.map(render).mkString("[", ",", "]")
+    case a: Array[_] => a.map(render).mkString("[", ",", "]")
+    case m: scala.collection.Map[_, _] =>
+      m.toSeq.map { case (k, w) => render(k) + "->" + render(w) }
+        .sorted.mkString("{", ",", "}")
+    case r: Row => r.toSeq.map(render).mkString("(", ",", ")")
+    case d: java.math.BigDecimal => d.stripTrailingZeros.toPlainString
+    case d: BigDecimal => d.underlying.stripTrailingZeros.toPlainString
+    case t: java.sql.Timestamp => t.toInstant.toString
+    case other => other.toString
+  }
+
+  private def pin(name: String): String = {
+    val df = Registry.queries(name)(spark, dir)
+    val schema = df.schema.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
+    val rows = df.collect().map(r => render(r)).sorted
+    val digest = MessageDigest.getInstance("SHA-256")
+    digest.update(schema.getBytes("UTF-8"))
+    rows.foreach { r => digest.update('\n'.toByte); digest.update(r.getBytes("UTF-8")) }
+    val hash = digest.digest().map(b => f"$b%02x").mkString
+    spark.catalog.clearCache() // queries may persist intermediates
+    hash
+  }
+
+  /** sha256(canonical sf0.01 output) per no-oracle query. */
+  private val expected = Map(
+    "q19_approx_distinct" -> "d30e6a125b01731a6ae19cfdace8b3e1bd026b2bff667ddc70f524535ed659e6",
+    "q29_approx_percentiles" -> "58c51a5462576cfe9d5e68667970d555dc4b32f0fcfabd9f95407ffb322f025b",
+    "q55_minhash_signatures" -> "34ce5c57cd976540427c4fdcadd83d697cae833f18ab133e2ed9a19ea0e85151",
+    "q56_lsh_near_dup" -> "5e6edd0a14bdb5a31736eec45ac4ed4d1d89e0787c186a528cb9493bbb284b05",
+    "q57_simhash" -> "be5dc890b65b7058fec61c7fc06cd343f7ee424f620db1cc29d085f6535e332f",
+    "q58_fingerprint" -> "a0add1ef8f173abaaa4b04d276366f0cce12157b7c61b5c5526738a086d5cea0",
+    "q63_ann_lsh" -> "2688640cb3a74ec64c85187e40443fef642de7535da99eb556b96d6d40ff4c38",
+    "q64_ann_ivf" -> "0f657231731ca79e08c494ddf5aaeb069861ba43d7345eed437ed22eca2d17c7",
+    "q68_simhash_neardup" -> "b191512dcc7516f6b61e8794d56f545f39a7cea8fc24f66649d220b57e276fb4",
+    "q69_embedding_neardup_lsh" -> "300f038752a3825c9c01833340d9f957a3b4d68518cbbf771233257b1276d7ac",
+    "q71_media_features" -> "7214c0c0d0886d63b1a4514d34f27de82915ed77bf22e071026943f740196e83",
+    "q72_token_cms" -> "d3722a7ee4d9214d965c456c93bd93c68978d56d841dbd03da2f2009e0bfc3c1")
+
+  private val regen = sys.env.get("SPARK_GRAFT_REGEN_PINS").contains("1")
+
+  test("no-oracle query outputs match their committed golden pins") {
+    val got = expected.keys.toSeq.sorted.map(n => n -> pin(n))
+    if (regen) {
+      println("---- golden pins (paste into GoldenPinSpec.expected) ----")
+      got.foreach { case (n, h) => println(s"""    "$n" -> "$h",""") }
+    } else {
+      val bad = got.filter { case (n, h) => expected(n) != h }
+      assert(bad.isEmpty,
+        s"golden pin drift (re-record ONLY for intentional changes): " +
+          bad.map { case (n, h) => s"$n=$h (pinned ${expected(n)})" }.mkString("; "))
+    }
+  }
+}

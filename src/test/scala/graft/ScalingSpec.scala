@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Registry
+
+/** Encodes the scale claims of SURVEY §2.10 as an executable spec:
+  * the bucketed/banded dedup paths (q56 LSH near-dup, q69 embedding
+  * LSH near-dup, q78 cluster pipeline, q82 incremental dedup) must
+  * grow ~linearly when the corpus grows 10× — a quadratic pair stage
+  * would show ~100× growth in both work and output.
+  *
+  * Corpus construction (from the sf0.01 fixtures, deterministic):
+  * 10 copies, where copy i gets doc_id += 800·i (stays under the
+  * exact-baseline prefix caps), a DISTINCT lang (`lang + "_i"`), and
+  * every token suffixed `_i` — so each copy reproduces the base
+  * corpus's internal near-dup structure exactly while sharing no
+  * block key and no shingle with any other copy: 10× the data, NOT
+  * 10× the block density (which would be a data-shape change, not a
+  * scale-up). Embeddings: copy i rotates the coordinate axes by i —
+  * cosine/norm-invariant within a copy, decorrelated across copies.
+  *
+  * Assertions:
+  *  - output size grows ~10× (quadratic pair stages would give ~100×);
+  *  - wall time grows ≤ 30× (linear-with-overhead lands well under;
+  *    a 100×-work quadratic blowup cannot).
+  */
+class ScalingSpec extends SparkSpec {
+
+  private val base = "/root/testdata/sf0.01"
+  private val Queries = Seq("q56_lsh_near_dup", "q69_embedding_neardup_lsh",
+    "q78_dedup_clusters", "q82_incremental_dedup")
+
+  private lazy val (dir1x, dir10x) = {
+    val root = Files.createTempDirectory("graft-scaling").toString
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val embs = spark.read.parquet(s"$base/embeddings.parquet")
+
+    def docCopy(i: Int): DataFrame = docs.select(
+      (col("doc_id") + lit(800L * i)).as("doc_id"),
+      // rename every token: same within-copy shingle structure, zero
+      // cross-copy shingle or sha collisions
+      regexp_replace(col("text"), "(\\S+)", "$1_" + i).as("text"),
+      concat(col("lang"), lit("_" + i)).as("lang"),
+      col("source"), col("n_chars"))
+
+    // per-copy deterministic SIGN FLIPS + COORDINATE PERMUTATION:
+    // both are orthogonal maps, so every within-copy dot product (and
+    // cosine) is preserved (up to fp summation order, ~1e-16), while a
+    // cross-copy cosine — including the SAME source vector in two
+    // copies — sees independently scrambled signs AND axes:
+    // expectation 0, rms ~1/√64. Measured on this corpus: flips alone
+    // leave ~0.7% of same-vector cross pairs above the 0.45 near-dup
+    // threshold (vector energy is mildly concentrated); flips+perm
+    // leave none. A plain rotation is far worse (shared centroid
+    // structure autocorrelates across shifted axes).
+    def embCopy(i: Int): DataFrame =
+      if (i == 0) embs
+      else {
+        val rnd = new scala.util.Random(42 + i)
+        val sign = Array.fill(64)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+        val perm = rnd.shuffle((0 until 64).toVector)
+        embs.select(
+          (col("vec_id") + lit(1000L * i)).as("vec_id"),
+          array(perm.map(p =>
+            (col("embedding").getItem(p) * lit(sign(p))).cast("float")): _*)
+            .as("embedding"),
+          col("label"))
+      }
+
+    def write(out: String, copies: Int): String = {
+      (0 until copies).map(docCopy).reduce(_.union(_))
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+      (0 until copies).map(embCopy).reduce(_.union(_))
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+      out
+    }
+    (write(s"$root/x1", 1), write(s"$root/x10", 10))
+  }
+
+  private def run(name: String, dir: String): Long = {
+    val n = Registry.queries(name)(spark, dir).count()
+    spark.catalog.clearCache() // queries may persist intermediates
+    graft.operators.BandedPairs.releaseCache()
+    n
+  }
+
+  private def timeOf(name: String, dir: String): Double = {
+    val t0 = System.nanoTime()
+    run(name, dir)
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  for (q <- Queries) test(s"$q grows ~linearly, not quadratically, on a 10x corpus") {
+    val rows1 = run(q, dir1x) // also JIT/codegen warmup for the timed runs
+    val rows10 = run(q, dir10x)
+    // each copy contributes the base corpus's output exactly once;
+    // cross-copy contamination or a densified block would inflate this.
+    // Exception: q69's OUTPUT is legitimately superlinear — at 64 dims
+    // a cross-copy (orthogonally scrambled) cosine is ~N(0, 1/64), so
+    // P(cos ≥ 0.45) ≈ 1.6e-4, and the ~11M cross pairs contribute
+    // ~10³ genuine above-threshold near-dups (measured: within-copy
+    // pairs are a clean 10×, 13–14 per copy; every cross pair is
+    // cosine-verified ≥ 0.45). That is the metric's tail at this
+    // dimensionality, not quadratic work — the time bound below is
+    // the scaling assertion that matters for it.
+    val rowCapMult = if (q == "q69_embedding_neardup_lsh") 100 else 20
+    assert(rows10 >= 8 * rows1 && rows10 <= rowCapMult * rows1,
+      s"$q: rows grew ${rows1} -> ${rows10}, expected ~10x")
+    val t1 = math.min(timeOf(q, dir1x), timeOf(q, dir1x))
+    val t10 = math.min(timeOf(q, dir10x), timeOf(q, dir10x))
+    val ratio = t10 / math.max(t1, 0.05)
+    info(f"$q: rows $rows1 -> $rows10, time $t1%.2fs -> $t10%.2fs (ratio $ratio%.1fx)")
+    assert(ratio < 30.0,
+      f"$q: 10x corpus cost $ratio%.1fx the 1x corpus — quadratic-shaped growth")
+  }
+}
