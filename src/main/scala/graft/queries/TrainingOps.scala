@@ -1,0 +1,288 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import QU._
+import graft.functions.Text
+import graft.operators.PrefixSum
+
+/** Training-data pipeline operators beyond the core text battery
+  * (SURVEY §2.9 extension surface): context-window sequence packing,
+  * PII redaction, corpus-statistics (Zipf fit, char entropy), and
+  * mixture-weight computation for multi-source training mixes.
+  *
+  * Scale posture: packing uses the distributed two-level prefix sum
+  * (`operators/PrefixSum`) so no full-corpus single-partition window
+  * exists anywhere; redaction/entropy are map-side projections or
+  * alphabet-bounded aggregates; Zipf and mixture stats reduce to
+  * vocabulary- or source-cardinality frames before any ordering.
+  * Determinism: ratios are int/int double divisions (bit-identical
+  * cross-engine); libm-dependent outputs (ln) are rounded before
+  * compare, the q74 convention.
+  */
+object TrainingOps {
+
+  /** Context-window size for q83's packing. */
+  val PackWindow = 2048L
+
+  /** Block size for the distributed prefix sum: one block per
+    * ~4k docs keeps the block-total frame tiny at every fixture sf
+    * while exercising multi-block merging (sf0.01 has >1 block).
+    */
+  val PackBlock = 128L
+
+  /** Redaction patterns in the Java∩RE2 common regex subset (no
+    * lookaround, no backreferences) so Spark and DuckDB agree.
+    */
+  val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhonePat = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+  val IpPat = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+
+  /** Deterministic synthetic contact line per doc: the fixtures carry
+    * no real PII, so q84 appends one (email + phone + IPv4 derived
+    * from doc_id) and the redactor must remove all of it.
+    */
+  def withSyntheticPii(text: org.apache.spark.sql.Column,
+      docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      text,
+      lit(" contact user"), docId.cast("string"),
+      lit("@mail"), (docId % 7).cast("string"),
+      lit(".example.com call +1-555-"),
+      lpad((docId % 10000).cast("string"), 4, "0"),
+      lit(" from 10."), (docId % 256).cast("string"),
+      lit("."), (docId.cast("long") / 256).cast("long").%(256).cast("string"),
+      lit(".77"))
+
+  /** The redaction operator: email → [EMAIL], phone → [PHONE],
+    * IPv4 → [IP], in that order (emails contain dotted hosts that the
+    * IP pattern must never see first).
+    */
+  def redactPii(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailPat, "[EMAIL]"),
+        PhonePat, "[PHONE]"),
+      IpPat, "[IP]")
+
+  val queries: Seq[Q] = Seq(
+
+    // -- q83: concat-and-chunk sequence packing (the GPT-style
+    //    pretraining shape: concatenate docs in deterministic order,
+    //    split into fixed token windows). Each doc's global start
+    //    offset comes from the distributed exclusive prefix sum —
+    //    NOT a global ORDER BY window, which would be a one-task scan
+    //    at scale. pack_id = window index where the doc starts;
+    //    straddles flags docs crossing a window boundary (what a
+    //    loader would split across samples).
+    Q("q83_sequence_pack",
+      (s, d) => {
+        val docs = t(s, d).documents.select(
+          col("doc_id"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+        PrefixSum.exclusive(docs, col("doc_id"), col("n_tokens"),
+            PackBlock, "start_tok")
+          .select(
+            col("doc_id"),
+            col("n_tokens"),
+            col("start_tok"),
+            expr(s"start_tok div $PackWindow").as("pack_id"),
+            (col("start_tok") % PackWindow).as("offset_in_pack"),
+            (expr(s"(start_tok + n_tokens - 1) div $PackWindow") >
+              expr(s"start_tok div $PackWindow")).cast("int").as("straddles"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (
+          SELECT doc_id,
+            CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+              AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT doc_id, n_tokens,
+            COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS start_tok
+          FROM d)
+        SELECT doc_id, n_tokens, start_tok,
+          start_tok // $PackWindow AS pack_id,
+          start_tok % $PackWindow AS offset_in_pack,
+          CAST((start_tok + n_tokens - 1) // $PackWindow
+            > start_tok // $PackWindow AS INT) AS straddles
+        FROM c ORDER BY doc_id"""),
+      "context-window sequence packing via distributed prefix sum"),
+
+    // -- q84: PII redaction. The fixtures are synthetic word streams
+    //    with no real PII, so the query first APPENDS a deterministic
+    //    contact line derived from doc_id (email + E.164-ish phone +
+    //    IPv4) and then redacts it — the redaction regexes are the
+    //    operator under test, and every doc exercises all three.
+    //    Patterns stay in the Java∩RE2 common subset (no lookaround,
+    //    no backreferences) so Spark and DuckDB agree byte-for-byte.
+    Q("q84_pii_redaction",
+      (s, d) => {
+        val contact = withSyntheticPii(col("text"), col("doc_id"))
+        val redacted = redactPii(contact)
+        t(s, d).documents.select(
+            col("doc_id"),
+            regexp_count(contact, lit(EmailPat)).cast("int").as("n_emails"),
+            regexp_count(contact, lit(PhonePat)).cast("int").as("n_phones"),
+            regexp_count(
+              regexp_replace(contact, EmailPat, "[EMAIL]"), lit(IpPat))
+              .cast("int").as("n_ips"),
+            length(redacted).as("redacted_len"),
+            sha2(redacted, 256).as("redacted_sha"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH aug AS (
+          SELECT doc_id,
+            text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+              || '.example.com call +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.' || CAST(doc_id // 256 % 256 AS VARCHAR)
+              || '.77' AS contact
+          FROM documents),
+        r AS (
+          SELECT doc_id, contact,
+            regexp_replace(contact,
+              '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g')
+              AS no_email
+          FROM aug),
+        r2 AS (
+          SELECT doc_id, contact, no_email,
+            regexp_replace(regexp_replace(no_email,
+              '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+              '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b', '[IP]', 'g') AS redacted
+          FROM r)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(contact,
+            '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+          CAST(len(regexp_extract_all(contact,
+            '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+          CAST(len(regexp_extract_all(no_email,
+            '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b')) AS INT) AS n_ips,
+          CAST(length(redacted) AS INT) AS redacted_len,
+          sha256(redacted) AS redacted_sha
+        FROM r2 ORDER BY doc_id"""),
+      "regex PII redaction (email/phone/IP) with match counts"),
+
+    // -- q85: Zipf's-law fit over the corpus vocabulary: token
+    //    frequencies → deterministic top-100 ranks → OLS slope of
+    //    ln(freq) on ln(rank). The group-by is vocabulary-bounded and
+    //    map-side combinable; ranking happens after the top-K cut so
+    //    the window never sees corpus-cardinality data (q79's rule).
+    //    Slope rounded to 4dp: regr_slope accumulates doubles in
+    //    partition order, so low bits are engine-specific (q74's
+    //    round-before-compare convention).
+    Q("q85_zipf_slope",
+      (s, d) => {
+        val freq = t(s, d).documents
+          .select(explode(Text.tokens(col("text"))).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("tok")).limit(100)
+        freq
+          .withColumn("rank",
+            row_number().over(Window.orderBy(col("freq").desc, col("tok"))))
+          .agg(
+            count(lit(1)).cast("long").as("n_ranks"),
+            round(regr_slope(log(col("freq")), log(col("rank"))), 4)
+              .as("zipf_slope"))
+      },
+      Some("""WITH tok AS (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+          FROM documents),
+        freq AS (
+          SELECT tok, COUNT(*) AS freq FROM tok WHERE length(tok) > 0
+          GROUP BY tok ORDER BY freq DESC, tok LIMIT 100),
+        ranked AS (
+          SELECT freq,
+            ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rank
+          FROM freq)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
+          ROUND(regr_slope(ln(freq), ln(rank)), 4) AS zipf_slope
+        FROM ranked"""),
+      "Zipf slope: OLS of ln(freq) on ln(rank) over top-100 vocab"),
+
+    // -- q86: per-doc character-level Shannon entropy (a cheap
+    //    gibberish/compression-quality signal). Char histogram via
+    //    (doc_id, ch) group-by: partial aggregation collapses each
+    //    partition to ≤|alphabet| rows per doc before the shuffle, so
+    //    the shuffle carries ~alphabet×docs rows, not chars. Entropy
+    //    as ln(N) − Σc·ln(c)/N avoids per-term division; 4dp round
+    //    for cross-engine libm safety.
+    Q("q86_char_entropy",
+      (s, d) => {
+        val chars = t(s, d).documents
+          .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+          .filter(length(col("ch")) > 0)
+        chars.groupBy(col("doc_id"), col("ch"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(col("cnt")).as("n_chars_counted"),
+            round(
+              (log(sum(col("cnt")))
+                - sum(col("cnt") * log(col("cnt"))) / sum(col("cnt")))
+                / log(lit(2.0)), 4).as("entropy_bits"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH ch AS (
+          SELECT doc_id, unnest(string_split(text, '')) AS ch
+          FROM documents),
+        cc AS (
+          SELECT doc_id, ch, COUNT(*) AS cnt FROM ch
+          WHERE length(ch) > 0 GROUP BY doc_id, ch)
+        SELECT doc_id,
+          SUM(cnt) AS n_chars_counted,
+          ROUND((ln(SUM(cnt)) - SUM(cnt * ln(cnt)) / SUM(cnt)) / ln(2), 4)
+            AS entropy_bits
+        FROM cc GROUP BY doc_id ORDER BY doc_id"""),
+      "per-doc character Shannon entropy"),
+
+    // -- q87: training-mix reweighting: per-source token counts vs a
+    //    uniform target share → sampling weight per source. One
+    //    source-cardinality aggregate + a 1-row broadcast (q80's
+    //    pattern); every ratio is exact-int-into-double with an
+    //    identical formula on both sides, so no rounding is needed
+    //    except the documented 6dp on the weight.
+    Q("q87_mix_weights",
+      (s, d) => {
+        val per = t(s, d).documents
+          .select(col("source"),
+            size(Text.tokens(col("text"))).cast("long").as("nt"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+        val tot = per.agg(
+          sum(col("n_tokens")).as("tot_tokens"),
+          count(lit(1)).as("n_sources"))
+        per.crossJoin(broadcast(tot))
+          .select(
+            col("source"),
+            col("n_docs"),
+            col("n_tokens"),
+            (col("n_tokens").cast("double") / col("tot_tokens"))
+              .as("token_share"),
+            round(
+              col("tot_tokens").cast("double")
+                / (col("n_sources") * col("n_tokens")), 6).as("mix_weight"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH per AS (
+          SELECT source, COUNT(*) AS n_docs,
+            SUM(CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+              AS BIGINT)) AS n_tokens
+          FROM documents GROUP BY source),
+        tot AS (
+          SELECT SUM(n_tokens) AS tot_tokens, COUNT(*) AS n_sources
+          FROM per)
+        SELECT source, n_docs, n_tokens,
+          CAST(n_tokens AS DOUBLE) / tot_tokens AS token_share,
+          ROUND(CAST(tot_tokens AS DOUBLE) / (n_sources * n_tokens), 6)
+            AS mix_weight
+        FROM per, tot ORDER BY source"""),
+      "uniform-target mixture weights per source")
+  )
+}

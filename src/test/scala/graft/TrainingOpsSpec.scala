@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.PrefixSum
+import graft.queries.{Registry, TrainingOps}
+
+/** The round-4 training-pipeline additions: the distributed prefix
+  * sum (correctness vs the naive global window, plus the plan-shape
+  * claim that earns it existence) and invariants of the packing /
+  * redaction queries that the DuckDB oracle can't phrase (the oracle
+  * pins values; these pin the semantics).
+  */
+class TrainingOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def q(name: String) = Registry.queries(name)(spark, sf)
+
+  test("PrefixSum.exclusive equals the naive global-window scan") {
+    import spark.implicits._
+    // keys deliberately sparse + shuffled write order; values signed
+    val df = Seq((7L, 3L), (0L, 5L), (129L, -2L), (128L, 10L),
+        (255L, 1L), (256L, 4L), (1000L, 7L), (12L, 0L))
+      .toDF("k", "v").repartition(3)
+    val got = PrefixSum.exclusive(df, col("k"), col("v"), 128L, "pre")
+      .select("k", "pre").as[(Long, Long)].collect().toMap
+    val naive = df.withColumn("pre",
+        coalesce(sum("v").over(Window.orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+      .select("k", "pre").as[(Long, Long)].collect().toMap
+    assert(got === naive)
+    assert(got(0L) === 0L) // first row: empty prefix
+  }
+
+  test("PrefixSum plan: no single-partition exchange over the input side") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("n_chars").as("v"))
+    val out = PrefixSum.exclusive(docs, col("doc_id"), col("v"), 128L, "pre")
+    out.collect() // force AQE finalization
+    val plan = out.queryExecution.executedPlan.toString
+    // The naive scan plans Exchange SinglePartition directly over the
+    // file scan; the two-level form only single-partitions the block
+    // AGGREGATE (one row per block). Assert every SinglePartition
+    // exchange in the plan sits above an aggregate, not the scan.
+    val sections = plan.split("Exchange SinglePartition").toSeq.drop(1)
+    assert(sections.nonEmpty, "expected the tiny block-offset exchange")
+    sections.foreach { below =>
+      val nextExchange = below.indexOf("Exchange ")
+      val head = if (nextExchange >= 0) below.take(nextExchange) else below
+      assert(head.contains("HashAggregate"),
+        s"SinglePartition exchange not over an aggregate:\n$plan")
+    }
+  }
+
+  test("q83 packing invariants: dense, ordered, in-bounds") {
+    import spark.implicits._
+    val rows = q("q83_sequence_pack")
+      .select("doc_id", "n_tokens", "start_tok", "pack_id",
+        "offset_in_pack", "straddles")
+      .as[(Long, Long, Long, Long, Long, Int)].collect().sortBy(_._1)
+    // starts are the exclusive cumsum: each start = prior start + tokens
+    rows.sliding(2).foreach {
+      case Array((_, nt, st, _, _, _), (_, _, st2, _, _, _)) =>
+        assert(st2 === st + nt)
+      case _ => ()
+    }
+    assert(rows.head._3 === 0L)
+    val w = TrainingOps.PackWindow
+    rows.foreach { case (_, nt, st, pack, off, straddles) =>
+      assert(off >= 0 && off < w)
+      assert(pack === st / w)
+      assert((straddles == 1) === ((st + nt - 1) / w > st / w))
+    }
+  }
+
+  test("q84 redaction: synthetic PII engaged and fully scrubbed") {
+    import spark.implicits._
+    val rows = q("q84_pii_redaction")
+      .select("n_emails", "n_phones", "n_ips").as[(Int, Int, Int)].collect()
+    // every doc got the appended contact line → at least one of each
+    assert(rows.forall { case (e, p, i) => e >= 1 && p >= 1 && i >= 1 })
+    // and the redacted text itself no longer matches any pattern
+    val redacted = TrainingOps.redactPii(
+      TrainingOps.withSyntheticPii(col("text"), col("doc_id")))
+    val residue = spark.read.parquet(s"$sf/documents.parquet")
+      .select(
+        (regexp_count(redacted, lit(TrainingOps.EmailPat))
+          + regexp_count(redacted, lit(TrainingOps.PhonePat))
+          + regexp_count(redacted, lit(TrainingOps.IpPat))).as("n"))
+      .agg(sum("n")).as[Long].head()
+    assert(residue === 0L, s"$residue un-redacted PII matches remain")
+  }
+
+  test("q86 entropy bounds: 0 <= H <= log2(alphabet)") {
+    import spark.implicits._
+    val rows = q("q86_char_entropy")
+      .select("n_chars_counted", "entropy_bits").as[(Long, Double)].collect()
+    rows.foreach { case (n, h) =>
+      assert(h >= 0.0 && h <= math.log(n.toDouble) / math.log(2.0) + 1e-9)
+    }
+  }
+
+  test("q87 mix weights: shares sum to 1, weights invert shares") {
+    import spark.implicits._
+    val rows = q("q87_mix_weights")
+      .select("token_share", "mix_weight").as[(Double, Double)].collect()
+    assert(math.abs(rows.map(_._1).sum - 1.0) < 1e-9)
+    val n = rows.length.toDouble
+    rows.foreach { case (share, w) =>
+      assert(math.abs(w - (1.0 / n) / share) < 1e-5)
+    }
+  }
+}
