@@ -34,6 +34,27 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got(0L) === 0L) // first row: empty prefix
   }
 
+  test("property: PrefixSum == sequential fold on generated data") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val gen = Gen.listOfN(60, for {
+      k <- Gen.choose(0L, 5000L)
+      v <- Gen.choose(-1000L, 1000L)
+    } yield (k, v))
+    for (seed <- 1L to 6L; blockSize <- Seq(1L, 7L, 512L, 100000L)) {
+      val rows = gen.apply(Gen.Parameters.default, Seed(seed)).get
+        .groupBy(_._1).map { case (k, vs) => (k, vs.head._2) }.toList // unique keys
+      val df = rows.toDF("k", "v").repartition(3)
+      val got = PrefixSum.exclusive(df, col("k"), col("v"), blockSize, "pre")
+        .select("k", "pre").as[(Long, Long)].collect().toMap
+      val sorted = rows.sortBy(_._1)
+      val expected = sorted.map(_._1)
+        .zip(sorted.map(_._2).scanLeft(0L)(_ + _)).toMap
+      assert(got === expected, s"seed=$seed blockSize=$blockSize")
+    }
+  }
+
   test("PrefixSum plan: no single-partition exchange over the input side") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("n_chars").as("v"))
