@@ -41,6 +41,26 @@ object Archive {
     out.write.mode("overwrite").option("header", "true").csv(path)
   }
 
+  /** Partitioned parquet archive with DYNAMIC partition overwrite —
+    * the 100 TB form of the reference's idempotent daily re-archive
+    * (`etl_supabase.py:139-141` rewrites whole CSVs each run; at
+    * scale a re-run must replace only the partitions it recomputed).
+    * With `partitionOverwriteMode=dynamic`, `mode("overwrite")`
+    * replaces exactly the partition directories present in `df` and
+    * leaves every other partition untouched — re-running yesterday's
+    * slice cannot clobber the rest of the archive. The setting is
+    * applied per-write via `.option`, not session-wide.
+    */
+  def toPartitionedParquet(df: DataFrame, path: String,
+                           partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    df.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
   /** Pluggable publisher — the `upload_to_storage` seam
     * (reference `:88-108`). Implementations must upsert (`:91`).
     */

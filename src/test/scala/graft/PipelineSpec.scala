@@ -127,6 +127,22 @@ class PipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("no ticker column"))
   }
 
+  test("partitioned archive: dynamic overwrite touches only re-run partitions") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-partarch").toString
+    val path = s"$base/archive"
+    val full = Seq((2023, 1L, "a"), (2023, 2L, "b"), (2024, 3L, "c"))
+      .toDF("year", "id", "v")
+    Archive.toPartitionedParquet(full, path, Seq("year"))
+    // re-run ONLY the 2024 slice with changed content: 2023 must survive
+    val slice = Seq((2024, 3L, "c2"), (2024, 4L, "d")).toDF("year", "id", "v")
+    Archive.toPartitionedParquet(slice, path, Seq("year"))
+    val got = spark.read.parquet(path)
+      .select("year", "id", "v").as[(Int, Long, String)].collect().toSet
+    assert(got === Set((2023, 1L, "a"), (2023, 2L, "b"),
+      (2024, 3L, "c2"), (2024, 4L, "d")))
+  }
+
   test("requiredEnv: fail-fast on missing key, passthrough on present") {
     assert(Sources.requiredEnv("K", Map("K" -> "v")) === "v")
     intercept[IllegalStateException](Sources.requiredEnv("MISSING", Map.empty))
