@@ -32,7 +32,11 @@ class ScalingSpec extends SparkSpec {
 
   private val base = "/root/testdata/sf0.01"
   private val Queries = Seq("q56_lsh_near_dup", "q69_embedding_neardup_lsh",
-    "q78_dedup_clusters", "q82_incremental_dedup")
+    "q78_dedup_clusters", "q82_incremental_dedup",
+    // prefix-sum packing: output is exactly one row per doc, so 10×
+    // rows; a global-window scan would still pass the row bound but
+    // the time bound catches any single-partition funneling.
+    "q83_sequence_pack")
 
   private lazy val (dir1x, dir10x) = {
     val root = Files.createTempDirectory("graft-scaling").toString
