@@ -20,6 +20,21 @@ class RegistrySpec extends SparkSpec {
     qnames.foreach(n => assert(n.matches("q[0-9]+_[a-z0-9_]+"), n))
   }
 
+  test("no declared query plans a CartesianProduct") {
+    // The capped exact baselines (q65/q54) deliberately cross-join,
+    // but their capped inputs must stay under the broadcast threshold
+    // so Spark plans BroadcastNestedLoopJoin — an unpartitioned
+    // CartesianProduct anywhere in the declared surface is a scale
+    // regression (full plan lint swept 2026-08: zero offenders).
+    val offenders = Registry.all.flatMap { q =>
+      val plan = q.fn(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      spark.catalog.clearCache()
+      if (plan.contains("CartesianProduct")) Some(q.name) else None
+    }
+    assert(offenders.isEmpty, s"CartesianProduct in: ${offenders.mkString(", ")}")
+  }
+
   test("every declared query executes at sf0.001") {
     val failures = Registry.all.flatMap { q =>
       try { q.fn(spark, "/root/testdata/sf0.001").count(); None }
