@@ -242,6 +242,50 @@ object TrainingOps {
         FROM cc GROUP BY doc_id ORDER BY doc_id"""),
       "per-doc character Shannon entropy"),
 
+    // -- q88: per-source token budgeting: walk each source's docs in
+    //    deterministic order and keep them until the source's token
+    //    budget is spent (the "cap each domain at N tokens" step of
+    //    mixture construction). The running total is a window
+    //    PARTITIONED by source — Spark parallelizes across sources
+    //    natively, and within a source the window is the per-key scan
+    //    (for a single pathological mega-source, PrefixSum applies —
+    //    q83's shape). Output is the per-source keep summary, so the
+    //    result stays source-cardinality at any sf.
+    Q("q88_token_budget",
+      (s, d) => {
+        val budget = 5000L
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d).documents
+          .select(col("source"), col("doc_id"),
+            size(Text.tokens(col("text"))).cast("long").as("nt"))
+          .withColumn("running", sum(col("nt")).over(w))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("running") <= budget, 1).otherwise(0))
+              .as("n_kept"),
+            sum(when(col("running") <= budget, col("nt")).otherwise(0))
+              .as("kept_tokens"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (
+          SELECT source, doc_id,
+            CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+              AS nt
+          FROM documents),
+        r AS (
+          SELECT source, nt,
+            SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+          FROM d)
+        SELECT source,
+          COUNT(*) AS n_docs,
+          SUM(CASE WHEN running <= 5000 THEN 1 ELSE 0 END) AS n_kept,
+          SUM(CASE WHEN running <= 5000 THEN nt ELSE 0 END) AS kept_tokens
+        FROM r GROUP BY source ORDER BY source"""),
+      "per-source token budget cut via partitioned running totals"),
+
     // -- q87: training-mix reweighting: per-source token counts vs a
     //    uniform target share → sampling weight per source. One
     //    source-cardinality aggregate + a 1-row broadcast (q80's

@@ -123,6 +123,18 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("q88 budget cut: kept prefix respects the budget, never exceeds docs") {
+    import spark.implicits._
+    val rows = q("q88_token_budget")
+      .select("n_docs", "n_kept", "kept_tokens").as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (docs, kept, toks) =>
+      assert(kept <= docs)
+      assert(toks <= 5000L)
+      assert(kept == 0 || toks > 0)
+    }
+  }
+
   test("q87 mix weights: shares sum to 1, weights invert shares") {
     import spark.implicits._
     val rows = q("q87_mix_weights")
