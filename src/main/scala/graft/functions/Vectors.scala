@@ -46,6 +46,48 @@ object Vectors {
     when(d === 0, lit(null).cast("double")).otherwise(dot(a, b) / d)
   }
 
+  /** Let-bind `e` once inside `body` — HOFs run interpreted with no
+    * common-subexpression elimination, so an aggregate referenced in
+    * a per-element lambda would otherwise re-run per element (the
+    * Text.bindOnce lesson).
+    */
+  private def bindOnce(e: Column)(body: Column => Column): Column =
+    element_at(transform(array(e), body), 1)
+
+  /** max |v_i| in double precision (0.0 for an empty vector). */
+  def maxAbs(v: Column): Column =
+    aggregate(asDouble(v), lit(0.0), (acc, x) => greatest(acc, abs(x)))
+
+  /** Symmetric int8 quantization scale: max|v|/127, or 1.0 for a
+    * zero vector (so quantization maps it to zeros instead of NaN).
+    */
+  def quantScale(v: Column): Column =
+    bindOnce(maxAbs(v)) { m =>
+      when(m === 0.0, lit(1.0)).otherwise(m / 127.0)
+    }
+
+  /** Int8 scalar quantization: q_i = round(v_i / scale) ∈ [−127,127].
+    * The 4× storage cut (float32 → int8) that makes a 100 TB ANN
+    * corpus hold its index in memory; reconstruction is q_i·scale
+    * with per-element error ≤ scale/2 by construction
+    * ([[int8MaxAbsErr]], pinned in spec). Ties round away from zero
+    * in both Spark (HALF_UP) and DuckDB, so the op is oracle-exact.
+    */
+  def quantizeInt8(v: Column): Column =
+    bindOnce(quantScale(v)) { s =>
+      transform(asDouble(v), x => round(x / s).cast("int"))
+    }
+
+  /** Max per-element reconstruction error |v_i − q_i·scale| (max is
+    * order-free, each term a deterministic double expression — no
+    * rounding needed for cross-engine compare).
+    */
+  def int8MaxAbsErr(v: Column): Column =
+    bindOnce(quantScale(v)) { s =>
+      aggregate(asDouble(v), lit(0.0),
+        (acc, x) => greatest(acc, abs(x - round(x / s) * s)))
+    }
+
   /** Random-hyperplane LSH bucket: `nBits` sign bits of dot products
     * with deterministic pseudo-hyperplanes. Hyperplane component
     * (i, j) is a fixed hash-derived value in [-1, 1) — stable across

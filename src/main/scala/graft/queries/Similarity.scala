@@ -249,7 +249,37 @@ object Similarity {
     //    cell partition and probe ranking) identical run-to-run.
     Q("q64_ann_ivf", (s, d) => ivfAnn(s, d),
       None,
-      "IVF multi-probe ANN: k-means literal-codebook assignment + top-nprobe cell search")
+      "IVF multi-probe ANN: k-means literal-codebook assignment + top-nprobe cell search"),
+
+    // -- int8 scalar quantization: the 4× storage compression
+    //    (float32 → int8 + one float scale per vector) that lets a
+    //    100 TB embedding corpus keep its ANN index in memory. Pure
+    //    map-side projection; per-element ops are identical double
+    //    expressions in both engines (ties round away from zero in
+    //    both), so even the reconstruction error needs no rounding.
+    Q("q89_quantize_int8",
+      (s, d) => t(s, d).embeddings
+        .select(
+          col("vec_id"),
+          graft.functions.Vectors.quantScale(col("embedding")).as("scale"),
+          graft.functions.Vectors.quantizeInt8(col("embedding")).as("qvec"),
+          graft.functions.Vectors.int8MaxAbsErr(col("embedding"))
+            .as("max_abs_err"))
+        .orderBy(col("vec_id")),
+      Some("""WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        s AS (
+          SELECT vec_id, emb,
+            CASE WHEN list_max(list_transform(emb, x -> abs(x))) = 0 THEN 1.0
+              ELSE list_max(list_transform(emb, x -> abs(x))) / 127.0
+            END AS scale
+          FROM v)
+        SELECT vec_id, scale,
+          list_transform(emb, x -> CAST(round(x / scale) AS INT)) AS qvec,
+          list_max(list_transform(emb,
+            x -> abs(x - round(x / scale) * scale))) AS max_abs_err
+        FROM s ORDER BY vec_id"""),
+      "int8 scalar quantization with per-vector scale + max error")
   )
 
   /** q63's candidate generator, exposed so SimilaritySpec can measure

@@ -32,6 +32,31 @@ class SimilaritySpec extends SparkSpec {
     perQuery.sum / perQuery.size
   }
 
+  test("q89 int8 quantization: codes in [-127,127], error <= scale/2, top-5 recall >= 0.9") {
+    import spark.implicits._
+    val rows = Registry.queries("q89_quantize_int8")(spark, dir)
+      .select(col("scale"), col("qvec"), col("max_abs_err"))
+      .as[(Double, Seq[Int], Double)].collect()
+    assert(rows.length > 0)
+    rows.foreach { case (scale, qvec, err) =>
+      assert(scale > 0.0)
+      assert(qvec.forall(q => q >= -127 && q <= 127))
+      // per-element |v - round(v/s)*s| <= s/2 by construction
+      assert(err <= scale / 2 * (1 + 1e-12), s"err $err > scale/2 ${scale / 2}")
+    }
+    // the compression must preserve neighborhoods: brute-force top-5
+    // on DEQUANTIZED vectors vs on the originals
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val deq = emb.select(col("vec_id"),
+      zip_with(
+        graft.functions.Vectors.quantizeInt8(col("embedding")),
+        array_repeat(graft.functions.Vectors.quantScale(col("embedding")),
+          size(col("embedding"))),
+        (q, s) => (q * s).cast("float")).as("embedding"))
+    val approx = topKOf(graft.queries.Similarity.knnBruteForceOn(deq))
+    assert(recallVsExact(approx) >= 0.9)
+  }
+
   test("hyperplane-LSH ANN (q63) recall >= 0.8 vs exact top-5") {
     val r = recallVsExact(topK("q63_ann_lsh"))
     assert(r >= 0.8, s"q63 recall $r")
