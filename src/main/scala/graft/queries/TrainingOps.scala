@@ -32,6 +32,14 @@ object TrainingOps {
     */
   val PackBlock = 128L
 
+  /** Token-window width for q90's duplicated-span coverage. 8 tokens
+    * over the fixtures' ~30-word vocabulary makes accidental repeats
+    * rare (30⁻⁸ per pair) while the corpus's near-dup clusters still
+    * share thousands of genuine 8-grams — coverage is informative,
+    * not saturated.
+    */
+  val SpanWindow = 8
+
   /** Redaction patterns in the Java∩RE2 common regex subset (no
     * lookaround, no backreferences) so Spark and DuckDB agree.
     */
@@ -327,6 +335,129 @@ object TrainingOps {
           ROUND(CAST(tot_tokens AS DOUBLE) / (n_sources * n_tokens), 6)
             AS mix_weight
         FROM per, tot ORDER BY source"""),
-      "uniform-target mixture weights per source")
+      "uniform-target mixture weights per source"),
+
+    // -- q90: duplicated-SPAN coverage (Lee et al.-style substring
+    //    dedup signal): every [[SpanWindow]]-token rolling window is
+    //    keyed; windows whose key occurs anywhere else in the corpus
+    //    (same doc or another) are "duplicated spans", and the per-doc
+    //    output is the fraction of token positions covered by the
+    //    UNION of its duplicated spans — the quantity a span-level
+    //    dedup pass would cut. Spark keys windows by xxhash64 of the
+    //    window string (16 bytes/row through the shuffle instead of
+    //    the ~50-byte string; injective w.h.p. — the q54 argument),
+    //    while the oracle groups the strings themselves: identical
+    //    results barring a ~1e-12 collision. Coverage is the classic
+    //    sorted-interval union: running max of span end over the
+    //    per-doc position order, each span contributing its extension
+    //    beyond that max. Scale: one corpus-keyed groupBy (partial
+    //    map-side count), one id-keyed join back, one per-doc window
+    //    — no pair join anywhere, so a 20k-copy cluster costs 20k
+    //    rows, not 2×10⁸ pairs.
+    Q("q90_span_coverage",
+      (s, d) => {
+        val W = SpanWindow
+        val toks = t(s, d).documents
+          .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+          .select(col("doc_id"), col("tk"),
+            size(col("tk")).cast("long").as("n"))
+        val wins = toks
+          .select(col("doc_id"), posexplode(
+            when(col("n") >= W,
+              transform(sequence(lit(1), (col("n") - (W - 1)).cast("int")),
+                i => xxhash64(concat_ws(" ",
+                  (0 until W).map(o => element_at(col("tk"), i + o)): _*))))
+              .otherwise(array().cast("array<bigint>"))))
+          .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+            col("col").as("h"))
+        val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).select(col("h"))
+        val wnd = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val agg = wins.join(dup, Seq("h"))
+          .withColumn("prev_end", max(col("p") + (W - 1)).over(wnd))
+          .withColumn("contrib", greatest(lit(0L),
+            (col("p") + (W - 1)) -
+              greatest(coalesce(col("prev_end"), lit(0L)), col("p") - 1)))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("dup_spans"),
+            sum(col("contrib")).as("covered"))
+        toks.select(col("doc_id"), col("n").as("n_tokens"))
+          .join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+            coalesce(col("covered"), lit(0L)).as("covered_tokens"),
+            (coalesce(col("covered"), lit(0L)).cast("double")
+              / col("n_tokens")).as("coverage"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents),
+        d AS (SELECT doc_id, tk, len(tk) AS n FROM toks),
+        w AS (
+          SELECT doc_id, i AS p, array_to_string(tk[i:i+7], ' ') AS win
+          FROM d, LATERAL unnest(range(1, n - 6)) AS r(i)
+          WHERE n >= 8),
+        dup AS (SELECT win FROM w GROUP BY win HAVING COUNT(*) > 1),
+        dw AS (SELECT w.doc_id, w.p FROM w JOIN dup USING (win)),
+        iv AS (
+          SELECT doc_id, p,
+            GREATEST(0, (p + 7) - GREATEST(COALESCE(MAX(p + 7) OVER (
+              PARTITION BY doc_id ORDER BY p
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0),
+              p - 1)) AS contrib
+          FROM dw),
+        agg AS (
+          SELECT doc_id, COUNT(*) AS dup_spans, SUM(contrib) AS covered
+          FROM iv GROUP BY doc_id)
+        SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_tokens,
+          CAST(COALESCE(agg.dup_spans, 0) AS BIGINT) AS dup_spans,
+          CAST(COALESCE(agg.covered, 0) AS BIGINT) AS covered_tokens,
+          CAST(COALESCE(agg.covered, 0) AS DOUBLE) / d.n AS coverage
+        FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""),
+      "duplicated 8-token-span coverage per document (substring dedup signal)"),
+
+    // -- q91: unigram cross-entropy scoring (the CCNet-style corpus-
+    //    model perplexity signal: docs whose token distribution is
+    //    far from the corpus unigram model score high). Three stages:
+    //    vocabulary-cardinality frequency table, a 1-row total, and
+    //    a token-keyed join back over the exploded corpus. Per-token
+    //    -ln p is rounded at 6dp (the q74 libm convention), summed in
+    //    DECIMAL(38,10) so partial-aggregation order can't wiggle low
+    //    bits, then normalized per doc. Scale: the freq join is a
+    //    plain token-keyed equi-join (broadcastable when the
+    //    vocabulary is small; AQE handles the hot-token skew that a
+    //    natural-language corpus would have).
+    Q("q91_unigram_xent",
+      (s, d) => {
+        val tok = t(s, d).documents.select(col("doc_id"),
+          explode(Text.tokens(col("text"))).as("token"))
+        val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        val tot = freq.agg(sum(col("cnt")).as("tot"))
+        tok.join(freq, Seq("token"))
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"),
+            round(log(col("tot").cast("double") / col("cnt")), 6).as("nll"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            round(sum(col("nll").cast("decimal(38,10)")).cast("double")
+              / count(lit(1)), 4).as("xent_nats"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          FROM documents),
+        freq AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+        tot AS (SELECT SUM(cnt) AS tot FROM freq),
+        nl AS (
+          SELECT doc_id, ROUND(LN(CAST(tot AS DOUBLE) / cnt), 6) AS nll
+          FROM tok JOIN freq USING (token), tot)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+          ROUND(CAST(SUM(CAST(nll AS DECIMAL(38,10))) AS DOUBLE)
+            / COUNT(*), 4) AS xent_nats
+        FROM nl GROUP BY doc_id ORDER BY doc_id"""),
+      "per-doc unigram cross-entropy vs the corpus model")
   )
 }
