@@ -279,8 +279,76 @@ object Similarity {
           list_max(list_transform(emb,
             x -> abs(x - round(x / scale) * scale))) AS max_abs_err
         FROM s ORDER BY vec_id"""),
-      "int8 scalar quantization with per-vector scale + max error")
+      "int8 scalar quantization with per-vector scale + max error"),
+
+    // -- SemDeDup-style semantic dedup: cluster the corpus with the
+    //    q64 k-means codebook, then near-dup ONLY within clusters —
+    //    the cluster assignment is the blocking key, turning the n²
+    //    cosine matrix into k cluster-bounded self-joins routed
+    //    through the shared capped candidate stage (same skew
+    //    contract as q56/q68/q69: singleton cells free, over-cap
+    //    cells take the star-representative path). Keep-lowest-id:
+    //    a vector is dropped iff some lower-id candidate partner has
+    //    exact cosine ≥ τ. Cross-cluster near-dups are the documented
+    //    approximation (the SemDeDup tradeoff); SimilaritySpec
+    //    measures that capture rate against the exact q65 baseline
+    //    instead of trusting it. Deterministic (codebook + exact
+    //    verify) → golden-pinned.
+    Q("q92_semantic_dedup",
+      (s, d) => semanticDedupOn(t(s, d).embeddings),
+      None,
+      "cluster-bucketed embedding dedup, keep-lowest-id (capture rate in spec)")
   )
+
+  /** q92's threshold — q65's, so the exact baseline doubles as this
+    * operator's ground truth.
+    */
+  val SemDedupTau = 0.45
+
+  /** q92's multi-probe width: each vector bands under its top-3
+    * nearest cells, so a near-dup pair is blocked together when their
+    * probe sets INTERSECT — single-assignment SemDeDup misses any
+    * pair straddling a Voronoi boundary, which on a weakly-clustered
+    * corpus is most of the tail (measured: capture 0.29 single vs
+    * 0.93 at p=3 on the near-random sf0.01 fixture; ~1.0 on a
+    * genuinely clustered corpus either way — SimilaritySpec measures
+    * both).
+    */
+  val SemDedupProbes = 3
+
+  def semanticDedupOn(emb: DataFrame, tau: Double = SemDedupTau,
+                      k: Int = IvfCells, lloydIters: Int = IvfLloydIters,
+                      nprobe: Int = SemDedupProbes,
+                      maxBucket: Int = MaxVecBucket): DataFrame = {
+    val cents = kmeansCodebook(emb, lloydIters, k)
+    // top-nprobe probe cells as a pure expression over the literal
+    // codebook (q64's probe shape): sort k (−cos, c_id) structs,
+    // slice, explode — k fused kernels per row, no window shuffle.
+    val banded = emb.select(col("vec_id"),
+        explode(slice(array_sort(transform(centsLit(cents),
+          c => struct(
+            (-Vectors.cosine(col("embedding"), c.getField("c_emb")))
+              .as("negs"),
+            c.getField("c_id").as("c_id")))), 1, nprobe)).as("pc"))
+      .select(col("vec_id"), col("pc").getField("c_id").as("cell"))
+    val cands = graft.operators.BandedPairs.cappedCandidates(
+      banded, "vec_id", Seq("cell"), maxBucket, "vec_a", "vec_b")
+    // exact-cosine verify on candidate ids only — embeddings join
+    // back by id, so the pair shuffle carries ids, never vectors.
+    val drops = cands
+      .join(emb.select(col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b")), "vec_b")
+      .filter(Vectors.cosine(col("emb_a"), col("emb_b")) >= tau)
+      .select(col("vec_b").as("vec_id")).distinct()
+    // output carries the PRIMARY (nearest) cell per vector
+    emb.select(col("vec_id"), cellOf(col("embedding"), cents).as("cell"))
+      .join(drops.withColumn("dropped", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("dropped"), lit(0)).as("dropped"))
+      .orderBy(col("vec_id"))
+  }
 
   /** q63's candidate generator, exposed so SimilaritySpec can measure
     * the pruning claim instead of trusting it: (query_id, vec_id)
@@ -447,52 +515,56 @@ object Similarity {
              k: Int = IvfCells): DataFrame =
     ivfAnnOn(t(s, d).embeddings, lloydIters, nprobe, k)
 
-  def ivfAnnOn(emb: DataFrame,
-               lloydIters: Int = IvfLloydIters, nprobe: Int = IvfNProbe,
-               k: Int = IvfCells): DataFrame = {
-    // The codebook lives on the DRIVER between rounds — the one
-    // deliberate departure from the no-collect posture, and the same
-    // one Spark MLlib's KMeans makes: centers are k×dim (fixed model
-    // state, independent of corpus size), and holding them as plan
-    // literals makes every assignment a pure map-side projection with
-    // no broadcast-exchange/persist chain per round. Collecting model
-    // parameters is not collecting data.
-    //
-    // Element-wise decimal-sum means per cell key — the q62 centroid
-    // shape (shuffle = k×dim partials per task), NOT the rows×dim
-    // posexplode. Decimal accumulation + sorted collect keep the
-    // codebook bit-identical run-to-run regardless of task order.
-    // Filter on the CAST key: a label that is non-null but not
-    // int-castable (string labels, say) would otherwise survive the
-    // filter, collapse into one null c_id group, and NPE at getInt.
-    def means(df: DataFrame, key: Column): Seq[(Int, Seq[Double])] = df
-      .filter(key.cast("int").isNotNull)
-      .groupBy(key.cast("int").as("c_id"))
-      .agg(
-        Vectors.vecDecimalSum(Vectors.asDouble(col("embedding"))).as("sums"),
-        count(col("embedding")).as("n"))
-      .select(col("c_id"),
-        transform(col("sums"), x => x / col("n")).as("c_emb"))
-      .collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1))
-      .sortBy(_._1).toSeq
-    def centsLit(cents: Seq[(Int, Seq[Double])]): Column =
-      array(cents.map { case (id, c) =>
-        struct(lit(id).as("c_id"), array(c.map(lit(_)): _*).as("c_emb")) }: _*)
-    // Nearest-centroid argmax over the literal codebook (ties break
-    // to the larger c_id, deterministically) — constant-folded, so
-    // each row pays k fused cosine kernels and nothing else.
-    def cellOf(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
-      array_max(transform(centsLit(cents),
-        c => struct(Vectors.cosine(v, c.getField("c_emb")).as("s"),
-          c.getField("c_id").as("c_id"))))
-        .getField("c_id")
-    // Seed: per-label means when the corpus carries labels, else a
-    // deterministic hash partition into `k` cells — the general
-    // unlabeled case. Lloyd rounds then do the actual clustering
-    // (SimilaritySpec measures the unlabeled path's recall too).
-    // Rows whose label doesn't cast to int fall back to the hash
-    // seed per-row instead of being dropped (or NPE-ing) wholesale.
+  // The codebook lives on the DRIVER between rounds — the one
+  // deliberate departure from the no-collect posture, and the same
+  // one Spark MLlib's KMeans makes: centers are k×dim (fixed model
+  // state, independent of corpus size), and holding them as plan
+  // literals makes every assignment a pure map-side projection with
+  // no broadcast-exchange/persist chain per round. Collecting model
+  // parameters is not collecting data.
+  //
+  // Element-wise decimal-sum means per cell key — the q62 centroid
+  // shape (shuffle = k×dim partials per task), NOT the rows×dim
+  // posexplode. Decimal accumulation + sorted collect keep the
+  // codebook bit-identical run-to-run regardless of task order.
+  // Filter on the CAST key: a label that is non-null but not
+  // int-castable (string labels, say) would otherwise survive the
+  // filter, collapse into one null c_id group, and NPE at getInt.
+  private def means(df: DataFrame, key: Column): Seq[(Int, Seq[Double])] = df
+    .filter(key.cast("int").isNotNull)
+    .groupBy(key.cast("int").as("c_id"))
+    .agg(
+      Vectors.vecDecimalSum(Vectors.asDouble(col("embedding"))).as("sums"),
+      count(col("embedding")).as("n"))
+    .select(col("c_id"),
+      transform(col("sums"), x => x / col("n")).as("c_emb"))
+    .collect()
+    .map(r => r.getInt(0) -> r.getSeq[Double](1))
+    .sortBy(_._1).toSeq
+
+  private def centsLit(cents: Seq[(Int, Seq[Double])]): Column =
+    array(cents.map { case (id, c) =>
+      struct(lit(id).as("c_id"), array(c.map(lit(_)): _*).as("c_emb")) }: _*)
+
+  // Nearest-centroid argmax over the literal codebook (ties break
+  // to the larger c_id, deterministically) — constant-folded, so
+  // each row pays k fused cosine kernels and nothing else.
+  private[queries] def cellOf(v: Column,
+      cents: Seq[(Int, Seq[Double])]): Column =
+    array_max(transform(centsLit(cents),
+      c => struct(Vectors.cosine(v, c.getField("c_emb")).as("s"),
+        c.getField("c_id").as("c_id"))))
+      .getField("c_id")
+
+  /** Spherical-k-means codebook over `emb`: per-label seed when the
+    * corpus carries labels (hash-partition fallback per-row for
+    * non-castable labels), else a deterministic hash partition, then
+    * `lloydIters` Lloyd rounds. Deterministic by construction (see
+    * [[means]]), so every consumer — q64's IVF probe, q92's semantic
+    * dedup — is pin-stable.
+    */
+  private[queries] def kmeansCodebook(emb: DataFrame, lloydIters: Int,
+      k: Int): Seq[(Int, Seq[Double])] = {
     val hashSeed = pmod(col("vec_id"), lit(k)).cast("int")
     val seedKey =
       if (emb.columns.contains("label"))
@@ -501,6 +573,13 @@ object Similarity {
     var cents = means(emb, seedKey)
     for (_ <- 1 to lloydIters)
       cents = means(emb, cellOf(col("embedding"), cents))
+    cents
+  }
+
+  def ivfAnnOn(emb: DataFrame,
+               lloydIters: Int = IvfLloydIters, nprobe: Int = IvfNProbe,
+               k: Int = IvfCells): DataFrame = {
+    val cents = kmeansCodebook(emb, lloydIters, k)
     val assigned = emb.select(col("vec_id"), col("embedding"),
       cellOf(col("embedding"), cents).as("cell"))
     // Each query's top-`nprobe` probe cells are a pure EXPRESSION over

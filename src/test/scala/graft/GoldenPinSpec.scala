@@ -77,7 +77,8 @@ class GoldenPinSpec extends SparkSpec {
     "q68_simhash_neardup" -> "b191512dcc7516f6b61e8794d56f545f39a7cea8fc24f66649d220b57e276fb4",
     "q69_embedding_neardup_lsh" -> "300f038752a3825c9c01833340d9f957a3b4d68518cbbf771233257b1276d7ac",
     "q71_media_features" -> "7214c0c0d0886d63b1a4514d34f27de82915ed77bf22e071026943f740196e83",
-    "q72_token_cms" -> "d3722a7ee4d9214d965c456c93bd93c68978d56d841dbd03da2f2009e0bfc3c1")
+    "q72_token_cms" -> "d3722a7ee4d9214d965c456c93bd93c68978d56d841dbd03da2f2009e0bfc3c1",
+    "q92_semantic_dedup" -> "01a1a6a8d697786f1646c9cc0cf3b23b50dda50f488f271ab777378f4bbe8c74")
 
   private val regen = sys.env.get("SPARK_GRAFT_REGEN_PINS").contains("1")
 

@@ -182,6 +182,60 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q92 semantic dedup: no false drops; capture rate vs exact q65; keeps a representative") {
+    import graft.queries.Similarity
+    val d = "/root/testdata/sf0.01"
+    val exact = Registry.queries("q65_embedding_neardup")(spark, d)
+      .select(col("vec_a").cast("long"), col("vec_b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: a vector is droppable iff some LOWER-id vector is
+    // a >= tau neighbor (q65 pairs are already vec_a < vec_b)
+    val droppable = exact.map(_._2)
+    val out = Registry.queries("q92_semantic_dedup")(spark, d).collect()
+    val dropped = out.filter(_.getInt(2) == 1).map(_.getLong(0)).toSet
+    // soundness: the exact-cosine verify means every drop is a TRUE
+    // near-dup of some lower id — never a false drop
+    assert(dropped.subsetOf(droppable),
+      s"false drops: ${(dropped -- droppable).take(5)}")
+    // every non-singleton near-dup set keeps at least one member
+    assert((droppable -- dropped).nonEmpty || droppable.isEmpty)
+    // capture: within-cluster blocking must still catch most of the
+    // exact droppable set (cross-cluster misses are the documented
+    // SemDeDup approximation)
+    assert(droppable.nonEmpty)
+    val capture = droppable.count(dropped.contains).toDouble / droppable.size
+    info(f"capture rate ${capture}%.3f (${dropped.size}/${droppable.size})")
+    assert(capture >= 0.8, s"capture $capture")
+    spark.catalog.clearCache()
+  }
+
+  test("q92 semantic dedup on a clustered corpus: full capture, one keeper per cluster") {
+    import spark.implicits._
+    // 50 tight clusters of 8 members — one-hot base directions in 64
+    // dims (mutually orthogonal, so cross-cluster cosine is noise²
+    // scale) plus a small per-member perturbation (within-cluster
+    // cos ~0.998) — the corpus shape SemDeDup is designed for. Every
+    // cluster must keep exactly its min id and drop the other 7.
+    val corpus = (for {
+      c <- 0 until 50
+      m <- 0 until 8
+    } yield {
+      val v = Array.tabulate(64)(j =>
+        ((if (j == c) 1.0 else 0.0) +
+          0.05 * math.cos(c + m * 7 + j)).toFloat)
+      (c * 8L + m, v)
+    }).toDF("vec_id", "embedding")
+    val out = graft.queries.Similarity
+      .semanticDedupOn(corpus, tau = 0.9)
+      .collect()
+    val dropped = out.filter(_.getInt(2) == 1).map(_.getLong(0)).toSet
+    val expected = (for (c <- 0 until 50; m <- 1 until 8)
+      yield c * 8L + m).toSet
+    assert(dropped == expected,
+      s"missed ${(expected -- dropped).size}, extra ${(dropped -- expected).size}")
+    spark.catalog.clearCache()
+  }
+
   test("IVF ANN (q64) recall >= 0.8; Lloyd codebook >= per-label seed") {
     val seed = recallVsExact(topKOf(
       graft.queries.Similarity.ivfAnn(spark, dir, lloydIters = 0)))
