@@ -36,7 +36,12 @@ class ScalingSpec extends SparkSpec {
     // prefix-sum packing: output is exactly one row per doc, so 10×
     // rows; a global-window scan would still pass the row bound but
     // the time bound catches any single-partition funneling.
-    "q83_sequence_pack")
+    "q83_sequence_pack",
+    // span coverage and xent scoring: one output row per doc; their
+    // corpus-keyed groupBys (window hashes / token freq) must stay
+    // linear — token renaming keeps each copy's dup/freq structure
+    // self-contained, so values replicate per copy.
+    "q90_span_coverage", "q91_unigram_xent")
 
   private lazy val (dir1x, dir10x) = {
     val root = Files.createTempDirectory("graft-scaling").toString
@@ -120,5 +125,31 @@ class ScalingSpec extends SparkSpec {
     info(f"$q: rows $rows1 -> $rows10, time $t1%.2fs -> $t10%.2fs (ratio $ratio%.1fx)")
     assert(ratio < 30.0,
       f"$q: 10x corpus cost $ratio%.1fx the 1x corpus — quadratic-shaped growth")
+  }
+
+  test("q92 semantic dedup scales linearly when k grows with the corpus") {
+    // SemDeDup's scale contract: cluster COUNT grows with n so cluster
+    // SIZE stays bounded — with k ∝ n the within-cell candidate stage
+    // is linear (and maxBucket caps any pathological cell). Fixed k on
+    // a 10× corpus would densify every cell 10× — a parameter misuse,
+    // not an operator property.
+    import graft.queries.Similarity
+    def run(dir: String, k: Int): (Long, Double) = {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val t0 = System.nanoTime()
+      val n = Similarity.semanticDedupOn(emb, k = k).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      graft.operators.BandedPairs.releaseCache()
+      (n, dt)
+    }
+    run(dir1x, 10) // warmup
+    val (rows1, t1) = run(dir1x, 10)
+    val (rows10, t10) = run(dir10x, 100)
+    val ratio = t10 / math.max(t1, 0.05)
+    info(f"q92: rows $rows1 -> $rows10, time $t1%.2fs -> $t10%.2fs (ratio $ratio%.1fx)")
+    assert(rows10 == 10 * rows1, s"one row per vector: $rows1 -> $rows10")
+    assert(ratio < 30.0,
+      f"q92: 10x corpus cost $ratio%.1fx the 1x corpus — quadratic-shaped growth")
   }
 }

@@ -145,4 +145,53 @@ class TrainingOpsSpec extends SparkSpec {
       assert(math.abs(w - (1.0 / n) / share) < 1e-5)
     }
   }
+
+  test("q90 span coverage equals a brute-force recomputation") {
+    // independent ground truth: re-derive duplicated windows and the
+    // covered-position UNION in plain Scala over the sf0.001 corpus —
+    // this pins the interval-union window logic (overlapping spans
+    // must not double-count) against first principles, not just
+    // against DuckDB agreeing on the same SQL shape.
+    val W = TrainingOps.SpanWindow
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val wins = docs.toSeq.flatMap { case (id, text) =>
+      val tk = text.trim.toLowerCase.split("\\s+")
+      if (tk.length >= W)
+        (0 to tk.length - W).map(i => (id, i + 1, tk.slice(i, i + W).mkString(" ")))
+      else Nil
+    }
+    val dupSet = wins.groupBy(_._3).filter(_._2.size > 1).keySet
+    val expected = docs.map { case (id, text) =>
+      val tk = text.trim.toLowerCase.split("\\s+")
+      val dups = wins.filter(w => w._1 == id && dupSet(w._3))
+      val covered = dups.flatMap(w => w._2 until (w._2 + W)).toSet.size
+      id -> ((tk.length.toLong, dups.size.toLong, covered.toLong))
+    }
+    val got = q("q90_span_coverage").collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+    assert(expected.values.exists(_._2 > 0), "fixture has no duplicated spans")
+  }
+
+  test("q91 cross-entropy equals a brute-force recomputation") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase.split("\\s+").toSeq)
+    val freq = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val tot = freq.values.sum.toDouble
+    val expected = docs.map { case (id, tk) =>
+      val sum = tk.map { t =>
+        new JBD(math.log(tot / freq(t))).setScale(6, RoundingMode.HALF_UP)
+      }.reduce(_ add _)
+      val xent = new JBD(sum.doubleValue / tk.size)
+        .setScale(4, RoundingMode.HALF_UP).doubleValue
+      id -> ((tk.size.toLong, xent))
+    }.toMap
+    val got = q("q91_unigram_xent").collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === expected)
+  }
 }
