@@ -438,6 +438,92 @@ object TextOps {
         ORDER BY doc_id, bench_id"""),
       "train/eval 8-gram overlap decontamination"),
 
+    // -- per-doc contamination FRACTION: q77 detects train/eval
+    //    overlap pairs; this is the decision form a pipeline actually
+    //    filters on — for each training doc, the fraction of its
+    //    token positions covered by the UNION of 8-gram windows
+    //    shared with the benchmark set, and the drop verdict at the
+    //    20% threshold. Same machinery as q90 (positional hashed
+    //    windows + interval-union window), with the benchmark's
+    //    distinct shingle-hash set on the broadcast side of the
+    //    semi join — at 100 TB the benchmark is the small fixed side,
+    //    so the corpus is scanned once and never shuffled by pair.
+    Q("q93_contamination_frac",
+      (s, d) => {
+        val W = 8
+        val docs = t(s, d).documents
+        val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+          .select(col("doc_id"), col("tk"),
+            size(col("tk")).cast("long").as("n"))
+        val wins = corpus
+          .select(col("doc_id"), posexplode(
+            when(col("n") >= W,
+              transform(sequence(lit(1), (col("n") - (W - 1)).cast("int")),
+                i => xxhash64(concat_ws(" ",
+                  (0 until W).map(o => element_at(col("tk"), i + o)): _*))))
+              .otherwise(array().cast("array<bigint>"))))
+          .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+            col("col").as("h"))
+        val bench = docs.filter(col("doc_id") % 50 === 0)
+          .select(explode(Text.shingleHashes(col("text"), W)).as("h"))
+          .distinct()
+        val wnd = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("p"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val agg = wins.join(broadcast(bench), Seq("h"), "left_semi")
+          .withColumn("prev_end", max(col("p") + (W - 1)).over(wnd))
+          .withColumn("contrib", greatest(lit(0L),
+            (col("p") + (W - 1)) -
+              greatest(coalesce(col("prev_end"), lit(0L)), col("p") - 1)))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("contrib")).as("contaminated"))
+        corpus.select(col("doc_id"), col("n").as("n_tokens"))
+          .join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("contaminated"), lit(0L)).as("contaminated_tokens"),
+            (coalesce(col("contaminated"), lit(0L)).cast("double")
+              / col("n_tokens")).as("contaminated_frac"),
+            (coalesce(col("contaminated"), lit(0L)).cast("double")
+              / col("n_tokens") > 0.2).cast("int").as("dropped"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents),
+        d AS (SELECT doc_id, tk, len(tk) AS n FROM toks
+              WHERE doc_id % 50 <> 0),
+        w AS (
+          SELECT doc_id, i AS p, array_to_string(tk[i:i+7], ' ') AS win
+          FROM d, LATERAL unnest(range(1, n - 6)) AS r(i)
+          WHERE n >= 8),
+        bench AS (
+          SELECT DISTINCT unnest(list_distinct(
+            CASE WHEN len(tk) >= 8
+              THEN list_transform(range(1, len(tk) - 6),
+                i -> array_to_string(tk[i:i+7], ' '))
+              ELSE [] END)) AS win
+          FROM toks WHERE doc_id % 50 = 0),
+        cw AS (SELECT w.doc_id, w.p FROM w SEMI JOIN bench USING (win)),
+        iv AS (
+          SELECT doc_id, p,
+            GREATEST(0, (p + 7) - GREATEST(COALESCE(MAX(p + 7) OVER (
+              PARTITION BY doc_id ORDER BY p
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0),
+              p - 1)) AS contrib
+          FROM cw),
+        agg AS (SELECT doc_id, SUM(contrib) AS contaminated
+                FROM iv GROUP BY doc_id)
+        SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_tokens,
+          CAST(COALESCE(agg.contaminated, 0) AS BIGINT)
+            AS contaminated_tokens,
+          CAST(COALESCE(agg.contaminated, 0) AS DOUBLE) / d.n
+            AS contaminated_frac,
+          CAST(CAST(COALESCE(agg.contaminated, 0) AS DOUBLE) / d.n > 0.2
+            AS INT) AS dropped
+        FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""),
+      "per-doc benchmark-contamination fraction with drop verdict"),
+
     // -- overlapping token-window chunking: split each document into
     //    size-32 windows at stride 24 (8-token overlap) — the
     //    context-window prep step every LLM training pipeline runs
