@@ -41,6 +41,29 @@ object Archive {
     out.write.mode("overwrite").option("header", "true").csv(path)
   }
 
+  /** JSON-Lines corpus interchange (one JSON object per line, the
+    * standard LLM training-corpus wire format): the writer shards
+    * across tasks like any distributed sink (`singleFile` coalesces
+    * for small hand-off files), gzip-compressed by default — JSONL
+    * corpora ship compressed, and Spark splits .gz per FILE, so
+    * shard count = read parallelism downstream. The reader takes an
+    * explicit schema: schema inference on a 100 TB corpus is a full
+    * extra pass, and silently-merged drifting schemas are exactly
+    * the bug an ingest gate should fail loudly on — `mode=FAILFAST`
+    * makes a malformed line an error, not a silent null row.
+    */
+  def toJsonl(df: DataFrame, path: String, singleFile: Boolean = false,
+              compress: Boolean = true): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    val w = out.write.mode("overwrite")
+    (if (compress) w.option("compression", "gzip") else w).json(path)
+  }
+
+  def readJsonl(spark: org.apache.spark.sql.SparkSession,
+                path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
   /** Partitioned parquet archive with DYNAMIC partition overwrite —
     * the 100 TB form of the reference's idempotent daily re-archive
     * (`etl_supabase.py:139-141` rewrites whole CSVs each run; at

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Archive, Pipeline, Sink, Sources, Transform}
@@ -141,6 +143,26 @@ class PipelineSpec extends SparkSpec {
       .select("year", "id", "v").as[(Int, Long, String)].collect().toSet
     assert(got === Set((2023, 1L, "a"), (2023, 2L, "b"),
       (2024, 3L, "c2"), (2024, 4L, "d")))
+  }
+
+  test("JSONL archive: documents round-trip losslessly; malformed input fails fast") {
+    val base = Files.createTempDirectory("graft-jsonl").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Archive.toJsonl(docs, s"$base/corpus")
+    // gzip shards on disk (the compressed-corpus wire format)
+    assert(Files.list(Paths.get(s"$base/corpus")).iterator().asScala
+      .exists(_.toString.endsWith(".json.gz")))
+    val back = Archive.readJsonl(spark, s"$base/corpus", docs.schema)
+    assert(back.schema === docs.schema)
+    val key = (r: org.apache.spark.sql.Row) => r.getLong(0)
+    assert(back.collect().sortBy(key).toSeq ===
+      docs.collect().sortBy(key).toSeq)
+    // FAILFAST: a malformed line is an ingest error, not a null row
+    Files.write(Paths.get(s"$base/bad.jsonl"),
+      "{\"doc_id\": 1, \"text\": \"ok\"}\nnot json at all\n".getBytes)
+    intercept[org.apache.spark.SparkException] {
+      Archive.readJsonl(spark, s"$base/bad.jsonl", docs.schema).collect()
+    }
   }
 
   test("requiredEnv: fail-fast on missing key, passthrough on present") {
