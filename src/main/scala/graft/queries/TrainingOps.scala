@@ -434,7 +434,12 @@ object TrainingOps {
         val tok = t(s, d).documents.select(col("doc_id"),
           explode(Text.tokens(col("text"))).as("token"))
         val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-        val tot = freq.agg(sum(col("cnt")).as("tot"))
+        // corpus token total == sum of per-doc sizes: a map-side
+        // 1-row aggregate, NOT a second pass over the vocabulary
+        // groupBy (plan audit: sum-over-freq re-aggregated the whole
+        // corpus a second time)
+        val tot = t(s, d).documents
+          .agg(sum(size(Text.tokens(col("text")))).cast("long").as("tot"))
         tok.join(freq, Seq("token"))
           .crossJoin(broadcast(tot))
           .select(col("doc_id"),
@@ -450,7 +455,10 @@ object TrainingOps {
             unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
           FROM documents),
         freq AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
-        tot AS (SELECT SUM(cnt) AS tot FROM freq),
+        tot AS (
+          SELECT SUM(len(string_split_regex(lower(trim(text)), '\s+')))
+            AS tot
+          FROM documents),
         nl AS (
           SELECT doc_id, ROUND(LN(CAST(tot AS DOUBLE) / cnt), 6) AS nll
           FROM tok JOIN freq USING (token), tot)
