@@ -355,42 +355,7 @@ object TrainingOps {
     //    — no pair join anywhere, so a 20k-copy cluster costs 20k
     //    rows, not 2×10⁸ pairs.
     Q("q90_span_coverage",
-      (s, d) => {
-        val W = SpanWindow
-        val toks = t(s, d).documents
-          .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
-          .select(col("doc_id"), col("tk"),
-            size(col("tk")).cast("long").as("n"))
-        val wins = toks
-          .select(col("doc_id"), posexplode(
-            when(col("n") >= W,
-              transform(sequence(lit(1), (col("n") - (W - 1)).cast("int")),
-                i => xxhash64(concat_ws(" ",
-                  (0 until W).map(o => element_at(col("tk"), i + o)): _*))))
-              .otherwise(array().cast("array<bigint>"))))
-          .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
-            col("col").as("h"))
-        val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
-          .filter(col("c") > 1).select(col("h"))
-        val wnd = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val agg = wins.join(dup, Seq("h"))
-          .withColumn("prev_end", max(col("p") + (W - 1)).over(wnd))
-          .withColumn("contrib", greatest(lit(0L),
-            (col("p") + (W - 1)) -
-              greatest(coalesce(col("prev_end"), lit(0L)), col("p") - 1)))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("dup_spans"),
-            sum(col("contrib")).as("covered"))
-        toks.select(col("doc_id"), col("n").as("n_tokens"))
-          .join(agg, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_tokens"),
-            coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
-            coalesce(col("covered"), lit(0L)).as("covered_tokens"),
-            (coalesce(col("covered"), lit(0L)).cast("double")
-              / col("n_tokens")).as("coverage"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => spanCoverageOn(t(s, d).documents),
       Some("""WITH toks AS (
           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
           FROM documents),
@@ -468,4 +433,44 @@ object TrainingOps {
         FROM nl GROUP BY doc_id ORDER BY doc_id"""),
       "per-doc unigram cross-entropy vs the corpus model")
   )
+
+  /** q90's operator body over any (doc_id, text) frame — extracted so
+    * the property spec can run it on generated corpora.
+    */
+  def spanCoverageOn(docs: org.apache.spark.sql.DataFrame,
+                     w: Int = SpanWindow): org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"),
+        size(col("tk")).cast("long").as("n"))
+    val wins = toks
+      .select(col("doc_id"), posexplode(
+        when(col("n") >= w,
+          transform(sequence(lit(1), (col("n") - (w - 1)).cast("int")),
+            i => xxhash64(concat_ws(" ",
+              (0 until w).map(o => element_at(col("tk"), i + o)): _*))))
+          .otherwise(array().cast("array<bigint>"))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+        col("col").as("h"))
+    val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("h"))
+    val wnd = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agg = wins.join(dup, Seq("h"))
+      .withColumn("prev_end", max(col("p") + (w - 1)).over(wnd))
+      .withColumn("contrib", greatest(lit(0L),
+        (col("p") + (w - 1)) -
+          greatest(coalesce(col("prev_end"), lit(0L)), col("p") - 1)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dup_spans"),
+        sum(col("contrib")).as("covered"))
+    toks.select(col("doc_id"), col("n").as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("covered"), lit(0L)).as("covered_tokens"),
+        (coalesce(col("covered"), lit(0L)).cast("double")
+          / col("n_tokens")).as("coverage"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -110,4 +110,40 @@ class PropertySpec extends SparkSpec {
     val rows = df.select(Text.sigEstimate(sig, sig).as("self")).collect()
     rows.foreach(r => assert(r.getDouble(0) === 1.0))
   }
+
+  test("property: span coverage == brute-force interval union on generated corpora") {
+    // small vocab + short docs force heavy window collisions, doc
+    // clones force saturated coverage, and sub-W docs exercise the
+    // empty-window branch — shapes the fixture corpus doesn't hit.
+    val W = 4
+    val docGen: Gen[List[String]] = Gen.listOfN(40, for {
+      n <- Gen.choose(1, 20) // some docs shorter than W
+      ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    } yield ws.mkString(" "))
+    for (seed <- 1L to 6L) {
+      val texts = sample(docGen, seed)
+      // clone a few docs verbatim -> guaranteed full-coverage rows
+      val corpus = (texts ++ texts.take(5)).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val wins = corpus.flatMap { case (id, text) =>
+        val tk = text.trim.toLowerCase.split("\\s+")
+        if (tk.length >= W)
+          (0 to tk.length - W).map(i => (id, i + 1, tk.slice(i, i + W).mkString(" ")))
+        else Nil
+      }
+      val dupSet = wins.groupBy(_._3).filter(_._2.size > 1).keySet
+      val expected = corpus.map { case (id, text) =>
+        val tk = text.trim.toLowerCase.split("\\s+")
+        val dups = wins.filter(x => x._1 == id && dupSet(x._3))
+        val covered = dups.flatMap(x => x._2 until (x._2 + W)).toSet.size
+        id -> ((tk.length.toLong, dups.size.toLong, covered.toLong))
+      }.toMap
+      val got = graft.queries.TrainingOps
+        .spanCoverageOn(corpus.toDF("doc_id", "text"), W)
+        .collect().map(r =>
+          r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got === expected, s"seed $seed")
+      assert(expected.values.exists(_._3 > 0), s"seed $seed: degenerate fixture")
+    }
+  }
 }
