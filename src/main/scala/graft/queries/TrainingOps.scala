@@ -431,7 +431,39 @@ object TrainingOps {
           ROUND(CAST(SUM(CAST(nll AS DECIMAL(38,10))) AS DOUBLE)
             / COUNT(*), 4) AS xent_nats
         FROM nl GROUP BY doc_id ORDER BY doc_id"""),
-      "per-doc unigram cross-entropy vs the corpus model")
+      "per-doc unigram cross-entropy vs the corpus model"),
+
+    // -- q94: deterministic TRAINING ORDER — the shuffle-and-
+    //    interleave step that fixes what a loader reads when: docs
+    //    are pseudo-shuffled by the q75 md5 key (repartition-stable,
+    //    no rand(seed) whose draw order depends on task layout), then
+    //    round-robin interleaved across sources so round r holds one
+    //    doc per source — consecutive samples never share a source,
+    //    the mixing property curriculum loaders want. Per-source
+    //    row_number is a PARTITIONED window (parallel across
+    //    sources); the only global operation is the bounded
+    //    sort+limit prefix, which Spark plans as TakeOrdered — no
+    //    full-corpus single-partition sort at any sf.
+    Q("q94_training_order",
+      (s, d) => {
+        val sk = md5(col("doc_id").cast("string"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("sk"), col("doc_id"))
+        t(s, d).documents
+          .select(col("doc_id"), col("source"), sk.as("sk"))
+          .withColumn("round", row_number().over(w))
+          .orderBy(col("round"), col("source"), col("doc_id"))
+          .limit(200)
+      },
+      Some("""WITH r AS (
+          SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS sk,
+            CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT)
+              AS round
+          FROM documents)
+        SELECT doc_id, source, sk, round
+        FROM r ORDER BY round, source, doc_id LIMIT 200"""),
+      "deterministic md5-shuffled round-robin training order prefix")
   )
 
   /** q90's operator body over any (doc_id, text) frame — extracted so
