@@ -463,7 +463,62 @@ object TrainingOps {
           FROM documents)
         SELECT doc_id, source, sk, round
         FROM r ORDER BY round, source, doc_id LIMIT 200"""),
-      "deterministic md5-shuffled round-robin training order prefix")
+      "deterministic md5-shuffled round-robin training order prefix"),
+
+    // -- q95: per-source KL divergence from the corpus unigram
+    //    distribution — the domain-shift signal mixture tuning reads
+    //    (a source whose token distribution diverges hard from the
+    //    mix gets its weight revisited). ONE corpus scan builds the
+    //    (source, token) counts; the source totals, corpus token
+    //    counts, and grand total are all rollups of that aggregate,
+    //    never a re-scan (the q91 lesson). Shuffles are bounded by
+    //    |sources|×|vocab|. Determinism: probability ratios are
+    //    exact-int double divisions, ln is rounded at 6dp, each term
+    //    at 9dp, and the per-source sum accumulates in
+    //    DECIMAL(38,12) — order- and engine-stable throughout.
+    Q("q95_source_kl",
+      (s, d) => {
+        val cst = t(s, d).documents
+          .select(col("source"), explode(Text.tokens(col("text"))).as("token"))
+          .groupBy(col("source"), col("token"))
+          .agg(count(lit(1)).as("c_st"))
+        val ns = cst.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+        val ct = cst.groupBy(col("token")).agg(sum(col("c_st")).as("c_t"))
+        val n = ns.agg(sum(col("n_s")).as("n"))
+        val term = round(
+          (col("c_st").cast("double") / col("n_s")) *
+            round(log((col("c_st").cast("double") * col("n")) /
+              (col("n_s").cast("double") * col("c_t"))), 6), 9)
+        cst.join(broadcast(ns), Seq("source"))
+          .join(ct, Seq("token"))
+          .crossJoin(broadcast(n))
+          .select(col("source"), col("n_s"), term.as("term"))
+          .groupBy(col("source"))
+          .agg(min(col("n_s")).as("n_tokens"),
+            round(sum(col("term").cast("decimal(38,12)")).cast("double"), 6)
+              .as("kl_nats"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH tok AS (
+          SELECT source,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          FROM documents),
+        cst AS (
+          SELECT source, token, COUNT(*) AS c_st FROM tok GROUP BY 1, 2),
+        ns AS (SELECT source, SUM(c_st) AS n_s FROM cst GROUP BY source),
+        ct AS (SELECT token, SUM(c_st) AS c_t FROM cst GROUP BY token),
+        n AS (SELECT SUM(n_s) AS n FROM ns),
+        terms AS (
+          SELECT cst.source, ns.n_s,
+            ROUND((CAST(c_st AS DOUBLE) / n_s) *
+              ROUND(LN((CAST(c_st AS DOUBLE) * n.n) /
+                (CAST(n_s AS DOUBLE) * c_t)), 6), 9) AS term
+          FROM cst JOIN ns USING (source) JOIN ct USING (token), n)
+        SELECT source, CAST(MIN(n_s) AS BIGINT) AS n_tokens,
+          ROUND(CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6)
+            AS kl_nats
+        FROM terms GROUP BY source ORDER BY source"""),
+      "per-source KL divergence from the corpus unigram model")
   )
 
   /** q90's operator body over any (doc_id, text) frame — extracted so
