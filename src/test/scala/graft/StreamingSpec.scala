@@ -305,6 +305,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming JSONL corpus append: file-sink shards equal the batch archive content") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    // the streaming ingest shape for a training corpus: micro-batches
+    // append gzip JSONL shards exactly-once (file sink + checkpoint
+    // manifest), and a batch reader over the shard directory sees
+    // precisely the union of all batches
+    val base = java.nio.file.Files.createTempDirectory("graft-sjsonl").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    val stream = MemoryStream[(Long, String, String, String, Long)]
+    val sdf = stream.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+    val q = sdf.writeStream.format("json")
+      .option("compression", "gzip")
+      .option("path", s"$base/corpus")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    try {
+      stream.addData(docs.take(200)); q.processAllAvailable()
+      stream.addData(docs.drop(200)); q.processAllAvailable()
+    } finally q.stop()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType)))
+    val back = graft.engine.Archive.readJsonl(spark, s"$base/corpus", schema)
+    assert(back.count() === docs.length.toLong)
+    assert(back.select("doc_id", "text").collect().map(r =>
+        (r.getLong(0), r.getString(1))).toSet ===
+      docs.map(d => (d._1, d._2)).toSet)
+  }
+
   test("stream-stream interval join == batch attribution join (q44 logic)") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
