@@ -471,7 +471,11 @@ object TrainingOps {
     //    mix gets its weight revisited). ONE corpus scan builds the
     //    (source, token) counts; the source totals, corpus token
     //    counts, and grand total are all rollups of that aggregate,
-    //    never a re-scan (the q91 lesson). Shuffles are bounded by
+    //    never a re-scan (the q91 lesson). The pair aggregate is
+    //    persisted AND eagerly materialized: Spark shares no plan
+    //    subtree across its four consumers, so the unpersisted form
+    //    re-scans the corpus per consumer (measured: 12 parquet scans
+    //    vs 1 — PlanShapeSpec pins the 1). Shuffles are bounded by
     //    |sources|×|vocab|. Determinism: probability ratios are
     //    exact-int double divisions, ln is rounded at 6dp, each term
     //    at 9dp, and the per-source sum accumulates in
@@ -482,6 +486,8 @@ object TrainingOps {
           .select(col("source"), explode(Text.tokens(col("text"))).as("token"))
           .groupBy(col("source"), col("token"))
           .agg(count(lit(1)).as("c_st"))
+          .persist()
+        cst.count() // materialize before the racing consumers
         val ns = cst.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
         val ct = cst.groupBy(col("token")).agg(sum(col("c_st")).as("c_t"))
         val n = ns.agg(sum(col("n_s")).as("n"))

@@ -127,4 +127,49 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"),
       "the band filter must not be computed via a corpus-wide window")
   }
+
+  test("q93 contamination: benchmark shingles ride a broadcast semi join") {
+    val plan = planOf(q("q93_contamination_frac"))
+    assert(plan.contains("LeftSemi"),
+      s"benchmark membership must be a semi join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "the benchmark shingle set is the bounded side and must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "corpus windows must never sort-merge against the benchmark")
+  }
+
+  test("q94 training order: global prefix is TakeOrdered, never a full sort") {
+    val plan = planOf(q("q94_training_order"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the bounded prefix must plan as TakeOrderedAndProject:\n$plan")
+    // the only exchange is the per-source hash partition for the window
+    val exchanges = "Exchange (\\w+)".r.findAllMatchIn(plan).map(_.group(1)).toList
+    assert(exchanges.nonEmpty && exchanges.forall(_.startsWith("hashpartitioning")),
+      s"unexpected exchange(s) — a rangepartitioning here is a global sort: $exchanges")
+  }
+
+  test("q95 source KL: consumers read the cached pair aggregate, never re-scan the corpus") {
+    // the source totals, corpus token counts, and grand total must all
+    // derive from the persisted (source, token) aggregate — without the
+    // persist, Spark shares no plan subtree and the corpus is re-read
+    // per consumer (measured: 12 parquet scans). Structural traversal
+    // because the cached plan's own scan renders inside every
+    // InMemoryRelation string.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def collectAll[A](p: SparkPlan)(f: PartialFunction[SparkPlan, A]): Seq[A] = {
+      val below = p match {
+        case a: AdaptiveSparkPlanExec => collectAll(a.inputPlan)(f)
+        case _ => p.children.flatMap(c => collectAll(c)(f))
+      }
+      (if (f.isDefinedAt(p)) Seq(f(p)) else Nil) ++ below
+    }
+    val plan = q("q95_source_kl").queryExecution.executedPlan
+    val fileScans = collectAll(plan) { case s: FileSourceScanExec => s }.size
+    val cacheReads = collectAll(plan) { case m: InMemoryTableScanExec => m }.size
+    assert(fileScans == 0, s"direct corpus re-scan leaked into the plan ($fileScans)")
+    assert(cacheReads == 4, s"expected 4 cached-aggregate readers, found $cacheReads")
+    spark.catalog.clearCache()
+  }
 }
