@@ -419,6 +419,59 @@ object Relational {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
       "per-group mode and exact median"),
 
+    // -- robust outlier detection: per-group median + MAD (median
+    //    absolute deviation) and the |x − med| > 3·1.4826·MAD count —
+    //    the outlier screen that, unlike mean/stddev (q46), a few
+    //    extreme values can't drag. Two exact-median passes with the
+    //    group-cardinality model frames broadcast back; the MAD is
+    //    written out as nested medians on both engines (never a
+    //    built-in mad(), whose scaling conventions differ). All
+    //    arithmetic is double with one multiplication order, so the
+    //    boundary comparison is bit-identical cross-engine.
+    Q("q97_robust_outliers",
+      (s, d) => {
+        val li = t(s, d).lineitem.select(col("l_returnflag"),
+          col("l_extendedprice").cast("double").as("x"))
+        val med = li.groupBy(col("l_returnflag"))
+          .agg(median(col("x")).as("med_price"))
+        val dev = li.join(broadcast(med), Seq("l_returnflag"))
+          .withColumn("adev", abs(col("x") - col("med_price")))
+        val mad = dev.groupBy(col("l_returnflag"))
+          .agg(median(col("adev")).as("mad_price"))
+        val out = when(col("adev") > lit(3.0) * lit(1.4826) * col("mad_price"),
+          1L).otherwise(0L)
+        dev.join(broadcast(mad), Seq("l_returnflag"))
+          .groupBy(col("l_returnflag"))
+          .agg(min(col("med_price")).as("med_price"),
+            min(col("mad_price")).as("mad_price"),
+            sum(out).as("n_outliers"),
+            (sum(out).cast("double") / count(lit(1))).as("outlier_frac"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH li AS (
+          SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS x
+          FROM lineitem),
+        med AS (
+          SELECT l_returnflag, median(x) AS med_price
+          FROM li GROUP BY 1),
+        dev AS (
+          SELECT li.l_returnflag, li.x, med.med_price,
+            abs(li.x - med.med_price) AS adev
+          FROM li JOIN med USING (l_returnflag)),
+        mad AS (
+          SELECT l_returnflag, median(adev) AS mad_price
+          FROM dev GROUP BY 1)
+        SELECT dev.l_returnflag,
+          MIN(dev.med_price) AS med_price,
+          MIN(mad.mad_price) AS mad_price,
+          CAST(SUM(CASE WHEN dev.adev > 3 * 1.4826 * mad.mad_price
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+          CAST(SUM(CASE WHEN dev.adev > 3 * 1.4826 * mad.mad_price
+            THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS outlier_frac
+        FROM dev JOIN mad USING (l_returnflag)
+        GROUP BY dev.l_returnflag ORDER BY dev.l_returnflag"""),
+      "per-group median/MAD robust outlier screen"),
+
     // -- statistical aggregates: sample stddev/variance, correlation,
     //    covariance per group — the numeric-profiling battery. Values
     //    rounded to 6 dp on both engines: the M2 merge formulas agree

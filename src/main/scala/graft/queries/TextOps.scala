@@ -628,6 +628,29 @@ object TextOps {
         WHERE u < score ORDER BY doc_id"""),
       "quality-weighted deterministic resampling (keep-prob = lexical diversity)"),
 
+    // -- exact QUOTA sampling: exactly N docs per stratum in the
+    //    deterministic md5 order (doc_id tiebreak) — the eval-set
+    //    carving step where rate-based sampling (q75) can't promise
+    //    exact counts. The window is PARTITIONED by stratum, so
+    //    strata rank in parallel; no global sort exists (final
+    //    orderBy is the bounded output's presentation order).
+    Q("q96_quota_sample",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        t(s, d).documents.select(col("doc_id"), col("lang"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 20)
+          .orderBy(col("lang"), col("rk"))
+      },
+      Some("""SELECT doc_id, lang, CAST(rk AS INT) AS rk FROM (
+          SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents) t
+        WHERE rk <= 20 ORDER BY lang, rk"""),
+      "exact per-stratum quota sample in deterministic md5 order"),
+
     // -- INCREMENTAL dedup: dedup a small new batch AGAINST the
     //    existing corpus (vs q50/q54's whole-corpus symmetric forms) —
     //    the daily-ingestion shape, matching the reference's daily
