@@ -64,6 +64,41 @@ object Archive {
                 schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).option("mode", "FAILFAST").json(path)
 
+  /** Parquet small-file compaction: rewrite a directory into
+    * ~`targetBytes` files (computed from the CURRENT on-disk size, so
+    * compression ratio carries over), then atomically swap via the
+    * tmp+rename idiom. The operational fix for the small-files
+    * problem a chunked/streaming writer accumulates at scale — a
+    * million 1 MB shards cost a NameNode/listing pass and a task per
+    * file downstream; compacted 128 MB files restore scan
+    * parallelism economics. `coalesce` (not `repartition`) keeps the
+    * rewrite shuffle-free when shrinking file counts — each output
+    * task concatenates input splits.
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession,
+                     path: String,
+                     targetBytes: Long = 128L * 1024 * 1024): Long = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get(path)
+    val bytes = Files.walk(dir).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map(Files.size).sum
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    val tmp = path.stripSuffix("/") + ".compact-tmp"
+    val old = path.stripSuffix("/") + ".compact-old"
+    spark.read.parquet(path)
+      .coalesce(nFiles.toInt)
+      .write.mode("overwrite").parquet(tmp)
+    Files.move(dir, Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), dir, StandardCopyOption.ATOMIC_MOVE)
+    // best-effort cleanup of the displaced originals
+    Files.walk(Paths.get(old)).iterator().asScala.toSeq.reverse
+      .foreach(p => Files.deleteIfExists(p))
+    nFiles
+  }
+
   /** Partitioned parquet archive with DYNAMIC partition overwrite —
     * the 100 TB form of the reference's idempotent daily re-archive
     * (`etl_supabase.py:139-141` rewrites whole CSVs each run; at

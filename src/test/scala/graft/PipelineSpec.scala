@@ -165,6 +165,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("compactParquet: many small shards become few files, content preserved") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-compact").toString
+    val path = s"$base/t"
+    // 64 tiny shards — the small-files shape a chunked writer leaves
+    (1L to 2048L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(64).write.parquet(path)
+    val before = Files.list(Paths.get(path)).iterator().asScala
+      .count(_.toString.endsWith(".parquet"))
+    assert(before == 64)
+    val n = graft.engine.Archive.compactParquet(spark, path,
+      targetBytes = 1024L * 1024)
+    val after = Files.list(Paths.get(path)).iterator().asScala
+      .count(_.toString.endsWith(".parquet"))
+    assert(after.toLong == n && after < 8, s"still $after files")
+    val got = spark.read.parquet(path).as[(Long, String)].collect().toSet
+    assert(got == (1L to 2048L).map(i => (i, s"v$i")).toSet)
+    assert(!Files.exists(Paths.get(s"$path.compact-tmp")) &&
+      !Files.exists(Paths.get(s"$path.compact-old")))
+  }
+
   test("requiredEnv: fail-fast on missing key, passthrough on present") {
     assert(Sources.requiredEnv("K", Map("K" -> "v")) === "v")
     intercept[IllegalStateException](Sources.requiredEnv("MISSING", Map.empty))
