@@ -81,6 +81,13 @@ object Archive {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     val dir = Paths.get(path)
+    // a hive-partitioned dir (key=value subdirs) would read back with
+    // partition columns and REWRITE FLAT — silently changing layout
+    // and pruning behavior. Compact those per-partition instead.
+    val partitioned = Files.list(dir).iterator().asScala.exists(p =>
+      Files.isDirectory(p) && p.getFileName.toString.contains("="))
+    require(!partitioned,
+      s"$path is hive-partitioned; compact each partition directory instead")
     val bytes = Files.walk(dir).iterator().asScala
       .filter(p => Files.isRegularFile(p) &&
         p.getFileName.toString.endsWith(".parquet"))

@@ -427,7 +427,11 @@ object Relational {
     //    written out as nested medians on both engines (never a
     //    built-in mad(), whose scaling conventions differ). All
     //    arithmetic is double with one multiplication order, so the
-    //    boundary comparison is bit-identical cross-engine.
+    //    boundary comparison is bit-identical cross-engine. Exact
+    //    medians are per-group sorts — at corpus scale swap in
+    //    approx_percentile(0.5) (the q29 path) for both passes; the
+    //    3·1.4826·MAD screen is robust to that approximation by
+    //    construction.
     Q("q97_robust_outliers",
       (s, d) => {
         val li = t(s, d).lineitem.select(col("l_returnflag"),

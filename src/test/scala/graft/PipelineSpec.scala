@@ -184,6 +184,13 @@ class PipelineSpec extends SparkSpec {
     assert(got == (1L to 2048L).map(i => (i, s"v$i")).toSet)
     assert(!Files.exists(Paths.get(s"$path.compact-tmp")) &&
       !Files.exists(Paths.get(s"$path.compact-old")))
+    // a hive-partitioned dir must be refused, not silently flattened
+    val part = s"$base/part"
+    Seq((2023, 1L), (2024, 2L)).toDF("year", "id")
+      .write.partitionBy("year").parquet(part)
+    intercept[IllegalArgumentException] {
+      graft.engine.Archive.compactParquet(spark, part)
+    }
   }
 
   test("requiredEnv: fail-fast on missing key, passthrough on present") {
