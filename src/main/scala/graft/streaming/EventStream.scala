@@ -217,7 +217,105 @@ object EventStream {
       .select(col("b.band").as("band"), col("b.h").as("bandHash"),
         col("doc_id"), col("sig"), col("ts"))
       .as[BandedDoc]
-    val horizonMs = eventTimeHorizon.map(intervalMs)
+    statefulBandCandidates(banded, sigAgreement, threshold, maxPerBand,
+      eventTimeHorizon.map(intervalMs))
+  }
+
+  /** MinHash agreement fraction — the estimate [[nearDupCandidates]]
+    * emits (same formula as the batch q56 prefilter).
+    */
+  private def sigAgreement(a: Array[Long], b: Array[Long]): Double = {
+    var eq = 0
+    var i = 0
+    while (i < a.length) {
+      if (a(i) == b(i)) eq += 1
+      i += 1
+    }
+    eq.toDouble / a.length
+  }
+
+  /** Exact cosine over float payloads stored as raw IEEE-754 bits —
+    * operation-for-operation the batch CosineSim kernel
+    * (`expressions/CosineSim.compute`: index-order double fold,
+    * dot/(√sa·√sb)), so the streaming verdict is bit-identical to the
+    * batch one. Returns −∞ for zero norms / length mismatch (never
+    * emits).
+    */
+  private def bitsCosine(a: Array[Long], b: Array[Long]): Double = {
+    if (a.length != b.length) return Double.NegativeInfinity
+    var dot = 0.0
+    var sa = 0.0
+    var sb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = java.lang.Float.intBitsToFloat(a(i).toInt).toDouble
+      val y = java.lang.Float.intBitsToFloat(b(i).toInt).toDouble
+      dot += x * y
+      sa += x * x
+      sb += y * y
+      i += 1
+    }
+    val d = math.sqrt(sa) * math.sqrt(sb)
+    if (d == 0.0) Double.NegativeInfinity else dot / d
+  }
+
+  /** Streaming EMBEDDING near-dup — q69's hyperplane-banded pipeline
+    * made continuous with the same state machine as
+    * [[nearDupCandidates]] (recency ring, event-time expiry,
+    * redelivery refresh): vectors band under the q69 bucket-equality
+    * tables ((table, bucket) is the state key), and each arrival is
+    * EXACT-cosine-verified against the band's stored vectors — unlike
+    * the text path there is no estimate/verify split, because the
+    * verdict itself is O(dim) per stored entry. Float payloads ride
+    * the shared `Array[Long]` state slot as raw IEEE bits, decoded in
+    * the kernel, so the emitted score is bit-identical to batch
+    * CosineSim. Emission is at-least-once per pair (multi-band
+    * collisions); consumers dedupe by (doc_a, doc_b).
+    */
+  def embNearDupCandidates(vecs: DataFrame, minCos: Double = 0.45,
+                           nBits: Int = 8, tables: Int = 70,
+                           maxPerBand: Int = 1000,
+                           eventTimeHorizon: Option[String] = None,
+                           tsCol: String = "ts"): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val input = eventTimeHorizon.map(h => vecs.withWatermark(tsCol, h))
+      .getOrElse(vecs)
+    val tsExpr =
+      if (eventTimeHorizon.isDefined) col(tsCol)
+      else lit(null).cast("timestamp")
+    val banded = input
+      .select(col("vec_id").cast("long").as("doc_id"),
+        col("embedding").as("vec"), tsExpr.as("ts"))
+      .select(col("doc_id"), col("vec"), col("ts"),
+        posexplode(graft.functions.Vectors
+          .hyperplaneBuckets(col("vec"), nBits, tables))
+          .as(Seq("tbl", "b")))
+      .select(col("tbl"), col("b"), col("doc_id"), col("vec"), col("ts"))
+      .as[(Int, Long, Long, Array[Float], java.sql.Timestamp)]
+      .map { case (tbl, b, id, vec, ts) =>
+        BandedDoc(tbl, b, id,
+          vec.map(f =>
+            java.lang.Float.floatToRawIntBits(f).toLong & 0xffffffffL),
+          ts)
+      }
+    statefulBandCandidates(banded, bitsCosine, minCos, maxPerBand,
+      eventTimeHorizon.map(intervalMs))
+  }
+
+  /** The shared stateful band machine of [[nearDupCandidates]] and
+    * [[embNearDupCandidates]]: per-band recency ring, event-time
+    * expiry against the watermark, at-least-once redelivery refresh.
+    * `sim` scores an arriving payload against a stored one; pairs
+    * clearing `threshold` are emitted.
+    */
+  private def statefulBandCandidates(
+      banded: org.apache.spark.sql.Dataset[BandedDoc],
+      sim: (Array[Long], Array[Long]) => Double,
+      threshold: Double, maxPerBand: Int,
+      horizonMs: Option[Long]): DataFrame = {
+    val spark = banded.sparkSession
+    import spark.implicits._
     val timeoutConf =
       if (horizonMs.isDefined) GroupStateTimeout.EventTimeTimeout
       else GroupStateTimeout.NoTimeout
@@ -259,13 +357,7 @@ object EventStream {
                   seen.patch(idx, Nil, 1)
               } else {
                 seen.foreach { case (otherId, otherSig, _) =>
-                  var eq = 0
-                  var i = 0
-                  while (i < d.sig.length) {
-                    if (d.sig(i) == otherSig(i)) eq += 1
-                    i += 1
-                  }
-                  val est = eq.toDouble / d.sig.length
+                  val est = sim(d.sig, otherSig)
                   if (est >= threshold)
                     out += DupCandidate(math.min(d.doc_id, otherId),
                       math.max(d.doc_id, otherId), est)

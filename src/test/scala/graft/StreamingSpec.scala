@@ -305,6 +305,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming embedding near-dup == batch banded near-dup (q69 logic)") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val stream = MemoryStream[(Long, Array[Float])]
+    val sdf = stream.toDF().toDF("vec_id", "embedding")
+    val q = EventStream.embNearDupCandidates(sdf)
+      .writeStream.format("memory").queryName("s_embdup")
+      .outputMode("append").start()
+    try {
+      stream.addData(emb.take(250)); q.processAllAvailable()
+      stream.addData(emb.drop(250)); q.processAllAvailable()
+    } finally q.stop()
+    // multi-band collisions emit at-least-once; dedupe like a consumer
+    val got = spark.table("s_embdup").select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.queries.Similarity
+      .embNearDupLshOn(spark.read.parquet(s"$dir/embeddings.parquet"))
+      .select(col("vec_a").cast("long"), col("vec_b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "fixture has no embedding near-dups")
+    assert(got === batch)
+    spark.catalog.clearCache()
+    graft.operators.BandedPairs.releaseCache()
+  }
+
   test("streaming JSONL corpus append: file-sink shards equal the batch archive content") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
