@@ -237,6 +237,53 @@ object MediaDims {
     Parsed("webp", None3, None3, None3)
   }
 
+  /** MP4 / ISO-BMFF: box walk moov → trak → tkhd. Width/height are
+    * 16.16 fixed-point at byte 84 (tkhd v0) / 96 (v1) from the box
+    * start; the first trak with nonzero dims wins (audio traks carry
+    * 0×0). Boxes with size < 8 (0 = to-end, 1 = 64-bit largesize)
+    * stop the walk — headers that large are beyond a sniff. Frame
+    * count would need the stbl/stsz sample table; reported as null.
+    */
+  private def mp4(b: Array[Byte]): Parsed = {
+    val n = b.length
+    def next(p: Int, end: Int): Int = {
+      val sz = be32(b, p)
+      if (sz < 8) return -1
+      val np = p.toLong + sz
+      if (np <= p || np > end) -1 else np.toInt
+    }
+    def findBox(name: String, from: Int, end: Int): Int = {
+      var p = from
+      while (p >= 0 && p + 8 <= end) {
+        if (ascii(b, p + 4, name)) return p
+        p = next(p, end)
+      }
+      -1
+    }
+    val moov = findBox("moov", 0, n)
+    if (moov < 0) return Parsed("mp4", None3, None3, None3)
+    val mEnd = math.min(n.toLong,
+      moov.toLong + math.max(8, be32(b, moov))).toInt
+    var p = moov + 8
+    while (p >= 0 && p + 8 <= mEnd) {
+      if (ascii(b, p + 4, "trak")) {
+        val tEnd = math.min(mEnd.toLong,
+          p.toLong + math.max(8, be32(b, p))).toInt
+        val tk = findBox("tkhd", p + 8, tEnd)
+        if (tk >= 0 && tk + 9 <= n) {
+          val off = if ((b(tk + 8) & 0xff) == 1) tk + 96 else tk + 84
+          if (off + 8 <= tEnd) {
+            val w = be32(b, off) >>> 16
+            val h = be32(b, off + 4) >>> 16
+            if (w > 0 && h > 0) return Parsed("mp4", w, h, None3)
+          }
+        }
+      }
+      p = next(p, mEnd)
+    }
+    Parsed("mp4", None3, None3, None3)
+  }
+
   /** Sniff + parse. Never throws on arbitrary bytes: every branch is
     * bounds-checked and malformed headers degrade to null dims.
     */
@@ -249,6 +296,7 @@ object MediaDims {
       (b(2) & 0xff) == 0xff) jpeg(b)
     else if (ascii(b, 0, "GIF87a") || ascii(b, 0, "GIF89a")) gif(b)
     else if (n >= 12 && ascii(b, 0, "RIFF")) riff(b)
+    else if (n >= 12 && ascii(b, 4, "ftyp")) mp4(b)
     else if (ascii(b, 0, "BM") && n >= 26) bmp(b)
     else if (ascii(b, 0, "PAR1")) Parsed("parquet", None3, None3, None3)
     else Parsed("unknown", None3, None3, None3)

@@ -75,6 +75,24 @@ class MediaSpec extends SparkSpec {
   private val wav = cat(s2b("RIFF"), le32(36), s2b("WAVE"), s2b("fmt "), le32(16),
     Array.fill[Byte](16)(0))
 
+  /** Minimal ISO-BMFF: ftyp + moov{ trak(audio 0x0){tkhd}, trak(video){tkhd} }
+    * — the audio trak first proves the walk skips zero-dim traks.
+    */
+  private def mp4(w: Int, h: Int, version: Int = 0) = {
+    def box(typ: String, payload: Array[Byte]) =
+      cat(be32(8 + payload.length), s2b(typ), payload)
+    def tkhd(tw: Int, th: Int) = {
+      val pre = if (version == 1) 8 + 8 + 4 + 4 + 8 else 4 + 4 + 4 + 4 + 4
+      box("tkhd", cat(Array[Byte](version.toByte, 0, 0, 0),
+        Array.fill[Byte](pre + 8 + 2 + 2 + 2 + 2 + 36)(0),
+        be32(tw << 16), be32(th << 16)))
+    }
+    cat(box("ftyp", cat(s2b("isom"), be32(512))),
+      box("moov", cat(
+        box("trak", tkhd(0, 0)),      // audio trak: 0x0 dims
+        box("trak", tkhd(w, h)))))
+  }
+
   test("media_dims parses real PNG / JPEG / GIF / BMP / WebP headers") {
     def p(b: Array[Byte]) = MediaDims.parse(b)
     assert(p(png(640, 480)) === MediaDims.Parsed("png", 640, 480, 1))
@@ -88,6 +106,8 @@ class MediaSpec extends SparkSpec {
     assert(p(bmp(1024, 768)) === MediaDims.Parsed("bmp", 1024, 768, 1))
     assert(p(webpLossless(100, 50)) === MediaDims.Parsed("webp", 100, 50, 1))
     assert(p(wav) === MediaDims.Parsed("wav", -1, -1, -1))
+    assert(p(mp4(1280, 720)) === MediaDims.Parsed("mp4", 1280, 720, -1))
+    assert(p(mp4(640, 360, version = 1)) === MediaDims.Parsed("mp4", 640, 360, -1))
     assert(p(s2b("PAR1....")) === MediaDims.Parsed("parquet", -1, -1, -1))
     assert(p(Array[Byte](1, 2, 3)) === MediaDims.Parsed("unknown", -1, -1, -1))
     assert(p(Array.empty[Byte]) === MediaDims.Parsed("unknown", -1, -1, -1))
@@ -95,7 +115,8 @@ class MediaSpec extends SparkSpec {
 
   test("media_dims never throws on truncated or malformed headers") {
     val wellFormed = Seq(png(640, 480), apng(8, 8, 3), jpegSof(800, 600),
-      gif(101, 55, 2), bmp(1024, 768), webpLossless(100, 50), wav)
+      gif(101, 55, 2), bmp(1024, 768), webpLossless(100, 50), wav,
+      mp4(1280, 720), mp4(64, 48, version = 1))
     for (full <- wellFormed; cut <- 0 to full.length) {
       val d = MediaDims.parse(full.take(cut)) // must not throw
       assert(d.kind ne null)
