@@ -524,7 +524,70 @@ object TrainingOps {
           ROUND(CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6)
             AS kl_nats
         FROM terms GROUP BY source ORDER BY source"""),
-      "per-source KL divergence from the corpus unigram model")
+      "per-source KL divergence from the corpus unigram model"),
+
+    // -- q98: BIGRAM conditional cross-entropy — the n-gram LM
+    //    perplexity filter one step past q91's unigram (CCNet runs a
+    //    5-gram KenLM; the join shape is identical from bigrams up):
+    //    per-doc mean −ln p(tᵢ | tᵢ₋₁) with add-1 smoothing over the
+    //    corpus vocabulary. The exploded-bigram table is persisted
+    //    (it feeds the per-token join AND the bigram-count model;
+    //    unpersisted, each consumer re-runs the corpus scan + per-doc
+    //    window — the q95 lesson), context counts are a ROLLUP of the
+    //    bigram counts (Σ_w2 c12 ≡ the context count, no third pass),
+    //    and vocab size rides the 1-row broadcast. Same determinism
+    //    stack as q91: exact-int ratios, 6dp ln, decimal accumulation.
+    Q("q98_bigram_xent",
+      (s, d) => {
+        val docs = t(s, d).documents
+        val big = docs.select(col("doc_id"), posexplode(Text.tokens(col("text")))
+            .as(Seq("p", "w2")))
+          .withColumn("w1", lag(col("w2"), 1)
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("doc_id")).orderBy(col("p"))))
+          .filter(col("w1").isNotNull)
+          .persist()
+        big.count() // materialize before the racing consumers
+        val bc = big.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c12"))
+        val uc = bc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+        val v = docs.select(explode(Text.tokens(col("text"))).as("w"))
+          .agg(countDistinct(col("w")).as("v"))
+        big.join(bc, Seq("w1", "w2"))
+          .join(uc, Seq("w1"))
+          .crossJoin(broadcast(v))
+          .select(col("doc_id"),
+            round(log((col("c1") + col("v")).cast("double")
+              / (col("c12") + 1)), 6).as("nll"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(sum(col("nll").cast("decimal(38,10)")).cast("double")
+              / count(lit(1)), 4).as("xent_nats"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, i AS p, tk[i] AS w2,
+            CASE WHEN i > 1 THEN tk[i - 1] END AS w1
+          FROM (SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\s+') AS tk
+                FROM documents) t,
+            LATERAL unnest(range(1, len(tk) + 1)) AS r(i)),
+        big AS (SELECT doc_id, w1, w2 FROM tok WHERE w1 IS NOT NULL),
+        bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+        uc AS (SELECT w1, SUM(c12) AS c1 FROM bc GROUP BY 1),
+        v AS (
+          SELECT COUNT(DISTINCT w) AS v FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+            FROM documents) t),
+        nl AS (
+          SELECT doc_id,
+            ROUND(LN(CAST(c1 + v.v AS DOUBLE) / (c12 + 1)), 6) AS nll
+          FROM big JOIN bc USING (w1, w2) JOIN uc USING (w1), v)
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+          ROUND(CAST(SUM(CAST(nll AS DECIMAL(38,10))) AS DOUBLE)
+            / COUNT(*), 4) AS xent_nats
+        FROM nl GROUP BY doc_id ORDER BY doc_id"""),
+      "per-doc add-1-smoothed bigram cross-entropy")
   )
 
   /** q90's operator body over any (doc_id, text) frame — extracted so
