@@ -356,32 +356,24 @@ object TrainingOps {
     //    rows, not 2×10⁸ pairs.
     Q("q90_span_coverage",
       (s, d) => spanCoverageOn(t(s, d).documents),
-      Some("""WITH toks AS (
-          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
-          FROM documents),
-        d AS (SELECT doc_id, tk, len(tk) AS n FROM toks),
-        w AS (
-          SELECT doc_id, i AS p, array_to_string(tk[i:i+7], ' ') AS win
-          FROM d, LATERAL unnest(range(1, n - 6)) AS r(i)
-          WHERE n >= 8),
-        dup AS (SELECT win FROM w GROUP BY win HAVING COUNT(*) > 1),
-        dw AS (SELECT w.doc_id, w.p FROM w JOIN dup USING (win)),
-        iv AS (
-          SELECT doc_id, p,
-            GREATEST(0, (p + 7) - GREATEST(COALESCE(MAX(p + 7) OVER (
-              PARTITION BY doc_id ORDER BY p
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0),
-              p - 1)) AS contrib
-          FROM dw),
-        agg AS (
-          SELECT doc_id, COUNT(*) AS dup_spans, SUM(contrib) AS covered
-          FROM iv GROUP BY doc_id)
-        SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_tokens,
-          CAST(COALESCE(agg.dup_spans, 0) AS BIGINT) AS dup_spans,
-          CAST(COALESCE(agg.covered, 0) AS BIGINT) AS covered_tokens,
-          CAST(COALESCE(agg.covered, 0) AS DOUBLE) / d.n AS coverage
-        FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""),
+      Some(SpanCoverageSql),
       "duplicated 8-token-span coverage per document (substring dedup signal)"),
+
+    // -- q99: q90's SCALE path — identical semantics (and the
+    //    IDENTICAL oracle: the count-min prefilter can only shrink
+    //    the shuffle, never change the answer — see
+    //    [[spanCoverageOn]]), with the executor-side `cms_at_least`
+    //    probe pruning singleton windows before the duplicate
+    //    groupBy. At sf0.1 this RECORDS SLOWER than q90 (~3.9s vs
+    //    ~1.9s): the sketch build is an extra full pass and the
+    //    shuffle it prunes is a few MB — the q63-vs-q60 arithmetic
+    //    again. The trade inverts when the all-windows shuffle is
+    //    the bottleneck (at 100 TB, ~tokens×16 bytes vs the few
+    //    percent that might repeat).
+    Q("q99_span_coverage_cms",
+      (s, d) => spanCoverageOn(t(s, d).documents, cmsPrefilter = true),
+      Some(SpanCoverageSql),
+      "span coverage with count-min singleton prefilter (q90's scale path)"),
 
     // -- q91: unigram cross-entropy scoring (the CCNet-style corpus-
     //    model perplexity signal: docs whose token distribution is
@@ -590,11 +582,54 @@ object TrainingOps {
       "per-doc add-1-smoothed bigram cross-entropy")
   )
 
+  /** Shared oracle for q90 and q99 (same answer by construction).
+    * Lazy: referenced from `queries`, which initializes earlier in
+    * the object body.
+    */
+  private lazy val SpanCoverageSql = """WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents),
+        d AS (SELECT doc_id, tk, len(tk) AS n FROM toks),
+        w AS (
+          SELECT doc_id, i AS p, array_to_string(tk[i:i+7], ' ') AS win
+          FROM d, LATERAL unnest(range(1, n - 6)) AS r(i)
+          WHERE n >= 8),
+        dup AS (SELECT win FROM w GROUP BY win HAVING COUNT(*) > 1),
+        dw AS (SELECT w.doc_id, w.p FROM w JOIN dup USING (win)),
+        iv AS (
+          SELECT doc_id, p,
+            GREATEST(0, (p + 7) - GREATEST(COALESCE(MAX(p + 7) OVER (
+              PARTITION BY doc_id ORDER BY p
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0),
+              p - 1)) AS contrib
+          FROM dw),
+        agg AS (
+          SELECT doc_id, COUNT(*) AS dup_spans, SUM(contrib) AS covered
+          FROM iv GROUP BY doc_id)
+        SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_tokens,
+          CAST(COALESCE(agg.dup_spans, 0) AS BIGINT) AS dup_spans,
+          CAST(COALESCE(agg.covered, 0) AS BIGINT) AS covered_tokens,
+          CAST(COALESCE(agg.covered, 0) AS DOUBLE) / d.n AS coverage
+        FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""
+
   /** q90's operator body over any (doc_id, text) frame — extracted so
     * the property spec can run it on generated corpora.
+    *
+    * `cmsPrefilter` engages the SCALE path (q99): a count-min sketch
+    * over the window hashes is built first (map-side mergeable, one
+    * small driver collect — IVF-codebook posture), and only windows
+    * whose estimate is ≥ 2 enter the duplicate groupBy. Count-min
+    * only over-counts, so every truly-duplicated window survives the
+    * filter and the exact groupBy after it removes the false
+    * positives — the output is IDENTICAL to the exact path (q99
+    * carries q90's oracle verbatim) while the shuffle shrinks from
+    * all windows to candidates. On a mostly-unique 100 TB corpus
+    * that is the difference between shuffling every token window and
+    * shuffling the few percent that might repeat.
     */
   def spanCoverageOn(docs: org.apache.spark.sql.DataFrame,
-                     w: Int = SpanWindow): org.apache.spark.sql.DataFrame = {
+                     w: Int = SpanWindow,
+                     cmsPrefilter: Boolean = false): org.apache.spark.sql.DataFrame = {
     val toks = docs
       .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
       .select(col("doc_id"), col("tk"),
@@ -608,7 +643,20 @@ object TrainingOps {
           .otherwise(array().cast("array<bigint>"))))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
         col("col").as("h"))
-    val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    val dupInput =
+      if (!cmsPrefilter) wins
+      else {
+        // eps 1e-5 keeps the additive over-count (~eps·N) well under
+        // the ≥2 threshold at every fixture sf; ~1.4 MB sketch
+        val bytes = wins
+          .agg(expr("count_min_sketch(h, CAST(0.00001 AS DOUBLE), " +
+            "CAST(0.99 AS DOUBLE), 42)").as("cms"))
+          .head().getAs[Array[Byte]](0)
+        import org.apache.spark.sql.graftbridge.ColumnBridge
+        wins.filter(ColumnBridge.column(graft.expressions.CmsAtLeast(
+          ColumnBridge.expression(col("h")), bytes, 2L)))
+      }
+    val dup = dupInput.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select(col("h"))
     val wnd = Window.partitionBy(col("doc_id")).orderBy(col("p"))
       .rowsBetween(Window.unboundedPreceding, -1)

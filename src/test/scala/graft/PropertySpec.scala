@@ -143,6 +143,15 @@ class PropertySpec extends SparkSpec {
         .collect().map(r =>
           r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
       assert(got === expected, s"seed $seed")
+      // the count-min prefilter path must be answer-identical — on
+      // these tiny-vocab corpora nearly every window repeats, the
+      // sketch's worst case for pruning and the best stress for the
+      // no-false-negatives contract
+      val gotCms = graft.queries.TrainingOps
+        .spanCoverageOn(corpus.toDF("doc_id", "text"), W, cmsPrefilter = true)
+        .collect().map(r =>
+          r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(gotCms === expected, s"seed $seed (cms path)")
       assert(expected.values.exists(_._3 > 0), s"seed $seed: degenerate fixture")
     }
   }
