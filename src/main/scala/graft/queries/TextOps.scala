@@ -820,6 +820,58 @@ object TextOps {
         FROM walk GROUP BY id ORDER BY doc_id"""),
       "near-dup pair graph -> connected components -> canonical keep"),
 
+    // -- q100: the composed DEDUP VERDICT table — what a dedup pass
+    //    actually ships: every doc gets keep/exact/near with its
+    //    canonical id, from q50's content-hash stage feeding q54's
+    //    blocked pair stage feeding q78's component clustering (see
+    //    [[dedupVerdictsOn]]). Same prefix cap + oracle predicate
+    //    discipline as q54/q78.
+    Q("q100_dedup_verdicts",
+      (s, d) => dedupVerdictsOn(
+        t(s, d).documents.filter(col("doc_id") < ExactBaselineDocCap)),
+      Some("""WITH RECURSIVE capped AS (
+          SELECT * FROM documents WHERE doc_id < 8192),
+        keyed AS (SELECT doc_id, sha256(text) AS k FROM capped),
+        exact AS (SELECT k, MIN(doc_id) AS exact_canon FROM keyed GROUP BY k),
+        tagged AS (
+          SELECT keyed.doc_id, exact.exact_canon
+          FROM keyed JOIN exact USING (k)),
+        surv AS (SELECT doc_id FROM tagged WHERE doc_id = exact_canon),
+        docs AS (
+          SELECT c.doc_id, c.lang, CAST(FLOOR(c.n_chars / 64) AS BIGINT) AS bucket,
+            list_distinct(CASE WHEN len(string_split_regex(lower(trim(c.text)), '\s+')) >= 3
+              THEN list_transform(
+                range(1, len(string_split_regex(lower(trim(c.text)), '\s+')) - 1),
+                i -> array_to_string(string_split_regex(lower(trim(c.text)), '\s+')[i:i+2], ' '))
+              ELSE [] END) AS sh
+          FROM capped c SEMI JOIN surv ON c.doc_id = surv.doc_id),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM docs a JOIN docs b
+            ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        walk AS (
+          SELECT a AS id, a AS reach FROM edges
+          UNION
+          SELECT w.id, e.b AS reach FROM walk w JOIN edges e ON e.a = w.reach),
+        comp AS (SELECT id AS doc_id, MIN(reach) AS near_canon
+                 FROM walk GROUP BY id)
+        SELECT t.doc_id,
+          CASE WHEN t.doc_id <> t.exact_canon THEN 'exact'
+               WHEN c.near_canon IS NOT NULL AND t.doc_id <> c.near_canon
+                 THEN 'near'
+               ELSE 'keep' END AS verdict,
+          CASE WHEN t.doc_id <> t.exact_canon THEN t.exact_canon
+               WHEN c.near_canon IS NOT NULL THEN c.near_canon
+               ELSE t.doc_id END AS canonical_id
+        FROM tagged t LEFT JOIN comp c USING (doc_id)
+        ORDER BY doc_id"""),
+      "composed dedup pass: exact -> near clusters -> per-doc verdicts"),
+
     // -- vocabulary building: token -> dense id ordered by (count
     //    desc, token), the tokenizer-vocab seeding op. The corpus
     //    aggregate map-combines per task; the id-assignment window
@@ -944,6 +996,41 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"),
         Text.jaccardLong(col("sh_a"), col("sh_b")).as("jac"))
       .filter(col("jac") >= thresh)
+  }
+
+  /** q100's composed dedup pass over any documents frame: exact
+    * content-hash dedup first (q50's key, keep-min), then blocked
+    * n-gram near-dup pairs (q54) over the exact SURVIVORS clustered
+    * into components (q78), non-canonical members dropped. One
+    * verdict row per doc: `exact` (canonical = its content-hash
+    * group's min), `near` (canonical = its component's min), or
+    * `keep`. Canonical ids resolve ONE level — an exact-dropped
+    * doc points at its hash-group min even when that min is itself
+    * near-dropped (chains collapse in a trivial downstream self-join;
+    * emitting them flat keeps every row's provenance explicit).
+    */
+  def dedupVerdictsOn(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val keyed = docs.select(col("doc_id"), sha2(col("text"), 256).as("k"))
+    val exact = keyed.groupBy(col("k")).agg(min(col("doc_id")).as("exact_canon"))
+    val tagged = keyed.join(exact, Seq("k"))
+      .select(col("doc_id"), col("exact_canon"))
+    val survivorDocs = docs.join(
+      tagged.filter(col("doc_id") === col("exact_canon")).select(col("doc_id")),
+      Seq("doc_id"))
+    val comps = graft.operators.ConnectedComponents
+      .components(ngramNearDupPairsOn(survivorDocs)
+        .select(col("doc_a"), col("doc_b")))
+      .select(col("id").as("doc_id"), col("comp").as("near_canon"))
+    tagged.join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("exact_canon"), lit("exact"))
+          .when(col("near_canon").isNotNull &&
+            col("doc_id") =!= col("near_canon"), lit("near"))
+          .otherwise(lit("keep")).as("verdict"),
+        when(col("doc_id") =!= col("exact_canon"), col("exact_canon"))
+          .when(col("near_canon").isNotNull, col("near_canon"))
+          .otherwise(col("doc_id")).as("canonical_id"))
+      .orderBy(col("doc_id"))
   }
 
   /** q68's plan over any documents frame, with the bucket cap

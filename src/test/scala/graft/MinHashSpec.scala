@@ -150,6 +150,27 @@ class MinHashSpec extends SparkSpec {
     assert(r.getInt(0) === 0 && r.getInt(1) === 0) // not the sequence(0,-1) trap
   }
 
+  test("q100 composed verdicts: exact, near, and keep all fire on a crafted corpus") {
+    import spark.implicits._
+    // fixture corpora carry no exact duplicates, so the exact branch
+    // is exercised here: A(0), its verbatim copy B(1), a one-token
+    // variant C(2) in A's (lang, length) block, and an unrelated D(3)
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val near = ((1 to 29).map(i => s"tok$i") :+ "changed").mkString(" ")
+    val other = (100 to 129).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (0L, base, "en", base.length.toLong),
+      (1L, base, "en", base.length.toLong),
+      (2L, near, "en", base.length.toLong),
+      (3L, other, "en", 9999L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val got = graft.queries.TextOps.dedupVerdictsOn(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList
+    assert(got === List(
+      (0L, "keep", 0L), (1L, "exact", 0L), (2L, "near", 0L), (3L, "keep", 3L)))
+    spark.catalog.clearCache()
+  }
+
   test("q55 signatures: deterministic, k=48, empty docs get sentinel") {
     val sig = docs.select(col("doc_id"),
       Text.minHash(Text.shingles(col("text"), 3)).as("sig"))
