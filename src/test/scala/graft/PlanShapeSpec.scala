@@ -148,13 +148,10 @@ class PlanShapeSpec extends SparkSpec {
       s"unexpected exchange(s) — a rangepartitioning here is a global sort: $exchanges")
   }
 
-  test("q95 source KL: consumers read the cached pair aggregate, never re-scan the corpus") {
-    // the source totals, corpus token counts, and grand total must all
-    // derive from the persisted (source, token) aggregate — without the
-    // persist, Spark shares no plan subtree and the corpus is re-read
-    // per consumer (measured: 12 parquet scans). Structural traversal
-    // because the cached plan's own scan renders inside every
-    // InMemoryRelation string.
+  // Structural scan census: direct parquet scans vs cached-table
+  // reads. Traversal, not string matching, because a cached plan's
+  // own scan renders inside every InMemoryRelation string.
+  private def scanCensus(name: String): (Int, Int) = {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
@@ -165,11 +162,29 @@ class PlanShapeSpec extends SparkSpec {
       }
       (if (f.isDefinedAt(p)) Seq(f(p)) else Nil) ++ below
     }
-    val plan = q("q95_source_kl").queryExecution.executedPlan
-    val fileScans = collectAll(plan) { case s: FileSourceScanExec => s }.size
-    val cacheReads = collectAll(plan) { case m: InMemoryTableScanExec => m }.size
+    val plan = q(name).queryExecution.executedPlan
+    val files = collectAll(plan) { case s: FileSourceScanExec => s }.size
+    val caches = collectAll(plan) { case m: InMemoryTableScanExec => m }.size
+    spark.catalog.clearCache()
+    (files, caches)
+  }
+
+  test("q95 source KL: consumers read the cached pair aggregate, never re-scan the corpus") {
+    // the source totals, corpus token counts, and grand total must all
+    // derive from the persisted (source, token) aggregate — without the
+    // persist, Spark shares no plan subtree and the corpus is re-read
+    // per consumer (measured: 12 parquet scans)
+    val (fileScans, cacheReads) = scanCensus("q95_source_kl")
     assert(fileScans == 0, s"direct corpus re-scan leaked into the plan ($fileScans)")
     assert(cacheReads == 4, s"expected 4 cached-aggregate readers, found $cacheReads")
-    spark.catalog.clearCache()
+  }
+
+  test("q98 bigram xent: one corpus scan beyond the cached bigram table") {
+    // the per-token join and both model tables derive from the
+    // persisted exploded-bigram table; the only direct scan left is
+    // the vocabulary-size aggregation
+    val (fileScans, cacheReads) = scanCensus("q98_bigram_xent")
+    assert(fileScans == 1, s"expected only the vocab scan, found $fileScans")
+    assert(cacheReads == 3, s"expected 3 cached-bigram readers, found $cacheReads")
   }
 }

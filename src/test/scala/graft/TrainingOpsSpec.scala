@@ -194,4 +194,36 @@ class TrainingOpsSpec extends SparkSpec {
       r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(got === expected)
   }
+
+  test("corpus-prep chain composes: dedup verdicts -> span filter -> packing") {
+    // the operators are built to feed each other; prove it end-to-end
+    // on the public helpers: keep-verdict docs, drop high-coverage
+    // (boilerplate-like) ones, pack the survivors into context
+    // windows — asserting each stage only narrows and the final
+    // offsets are dense and ordered
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val verdicts = graft.queries.TextOps.dedupVerdictsOn(docs)
+    val keeps = docs.join(
+      verdicts.filter(col("verdict") === "keep").select("doc_id"), Seq("doc_id"))
+    val nKeep = keeps.count()
+    assert(nKeep > 0 && nKeep <= docs.count())
+    val clean = keeps.join(
+      TrainingOps.spanCoverageOn(keeps)
+        .filter(col("coverage") < 0.5).select("doc_id"), Seq("doc_id"))
+    val nClean = clean.count()
+    assert(nClean > 0 && nClean <= nKeep)
+    val packed = PrefixSum.exclusive(
+      clean.select(col("doc_id"),
+        size(graft.functions.Text.tokens(col("text"))).cast("long").as("nt")),
+      col("doc_id"), col("nt"), 128L, "start_tok")
+      .orderBy(col("doc_id")).collect()
+    assert(packed.length.toLong == nClean)
+    // offsets are an exclusive running sum in doc order
+    var expect = 0L
+    packed.foreach { r =>
+      assert(r.getAs[Long]("start_tok") == expect)
+      expect += r.getAs[Long]("nt")
+    }
+    spark.catalog.clearCache()
+  }
 }
