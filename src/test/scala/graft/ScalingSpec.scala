@@ -41,7 +41,13 @@ class ScalingSpec extends SparkSpec {
     // corpus-keyed groupBys (window hashes / token freq) must stay
     // linear — token renaming keeps each copy's dup/freq structure
     // self-contained, so values replicate per copy.
-    "q90_span_coverage", "q91_unigram_xent")
+    "q90_span_coverage", "q91_unigram_xent",
+    // contamination fractions, bigram xent, and the composed dedup
+    // verdicts are likewise row-per-doc (the 10× ids stay under
+    // q100's prefix cap; doc_id % 50 bench membership survives the
+    // +800·i shift); their joins are key-blocked or cache-fed, so a
+    // quadratic stage would blow the time bound.
+    "q93_contamination_frac", "q98_bigram_xent", "q100_dedup_verdicts")
 
   private lazy val (dir1x, dir10x) = {
     val root = Files.createTempDirectory("graft-scaling").toString
