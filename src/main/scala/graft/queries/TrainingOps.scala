@@ -579,7 +579,55 @@ object TrainingOps {
           ROUND(CAST(SUM(CAST(nll AS DECIMAL(38,10))) AS DOUBLE)
             / COUNT(*), 4) AS xent_nats
         FROM nl GROUP BY doc_id ORDER BY doc_id"""),
-      "per-doc add-1-smoothed bigram cross-entropy")
+      "per-doc add-1-smoothed bigram cross-entropy"),
+
+    // -- q101: hashed-linear CLASSIFIER INFERENCE — the "apply a
+    //    trained quality model to the whole corpus" step (fastText /
+    //    DCLM-style bag-of-hashed-tokens): each token hashes to one
+    //    of K weight buckets, the doc's score is the mean bucket
+    //    weight, and the verdict thresholds the raw mean (folding the
+    //    monotone sigmoid into the threshold keeps libm out of the
+    //    decision entirely). Pure map-side projection + per-doc
+    //    aggregate — the inference scan shape that tiles to any
+    //    corpus size. The weights here are a synthetic but
+    //    integer-exact function of the bucket index (identical in
+    //    both engines, no 1024-literal table); production swaps in a
+    //    broadcast weight array, same plan. Buckets use the q75
+    //    md5-prefix idiom since the hash value feeds arithmetic,
+    //    not just grouping, so Spark and DuckDB must agree on it.
+    Q("q101_classifier_score",
+      (s, d) => {
+        val k = 1024L
+        val tok = t(s, d).documents.select(col("doc_id"),
+          explode(Text.tokens(col("text"))).as("token"))
+        val bucket = pmod(
+          conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"), lit(k))
+        val w = (bucket * 2654435761L % 1000003L).cast("double")
+          ./(1000003.0).-(0.5)
+        tok.select(col("doc_id"), w.as("w"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            round(sum(col("w").cast("decimal(38,12)")).cast("double")
+              / count(lit(1)), 6).as("score"))
+          .withColumn("keep", (col("score") > 0).cast("int"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          FROM documents),
+        scored AS (
+          SELECT doc_id,
+            CAST(('0x' || substr(md5(token), 1, 8))::BIGINT % 1024
+              * 2654435761 % 1000003 AS DOUBLE) / 1000003.0 - 0.5 AS w
+          FROM tok)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+          ROUND(CAST(SUM(CAST(w AS DECIMAL(38,12))) AS DOUBLE)
+            / COUNT(*), 6) AS score,
+          CAST(ROUND(CAST(SUM(CAST(w AS DECIMAL(38,12))) AS DOUBLE)
+            / COUNT(*), 6) > 0 AS INT) AS keep
+        FROM scored GROUP BY doc_id ORDER BY doc_id"""),
+      "hashed linear classifier inference (corpus-scale quality scoring)")
   )
 
   /** Shared oracle for q90 and q99 (same answer by construction).
