@@ -180,6 +180,36 @@ object EventOps {
         HAVING first_view IS NOT NULL AND first_purchase IS NOT NULL
           AND first_view < first_purchase
         ORDER BY user_id"""),
-      "view→purchase funnel via conditional agg")
+      "view→purchase funnel via conditional agg"),
+
+    // -- q102: MERGEABLE SKETCH ROLLUP — the pre-aggregation pattern
+    //    that makes distinct-count dashboards tractable at 100 TB:
+    //    one pass builds a per-day HyperLogLog sketch (Apache
+    //    DataSketches via `hll_sketch_agg`, commutative/idempotent →
+    //    deterministic under any partitioning), and ANY date range's
+    //    distinct-user estimate is then a cheap union of day sketches
+    //    — never a re-scan of raw events. Output carries each day's
+    //    estimate plus the all-days union; the per-day frame is
+    //    persisted (two consumers: the row output and the union
+    //    aggregate). Estimates are sketch-defined, not
+    //    SQL-expressible → rows-only driver check; SketchSpec gates
+    //    the ≤5% error vs exact and GoldenPinSpec pins the output.
+    Q("q102_hll_rollup",
+      (s, d) => {
+        val daily = t(s, d).events
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"),
+            count(lit(1)).as("n_events"))
+          .persist()
+        daily.count() // two consumers scan this
+        val total = daily.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_total_users"))
+        daily.select(col("day"), col("n_events"),
+            hll_sketch_estimate(col("sk")).as("est_users"))
+          .crossJoin(broadcast(total))
+          .orderBy(col("day"))
+      },
+      None,
+      "per-day HLL sketches + union rollup (mergeable pre-aggregation)")
   )
 }

@@ -78,7 +78,8 @@ class GoldenPinSpec extends SparkSpec {
     "q69_embedding_neardup_lsh" -> "300f038752a3825c9c01833340d9f957a3b4d68518cbbf771233257b1276d7ac",
     "q71_media_features" -> "7214c0c0d0886d63b1a4514d34f27de82915ed77bf22e071026943f740196e83",
     "q72_token_cms" -> "d3722a7ee4d9214d965c456c93bd93c68978d56d841dbd03da2f2009e0bfc3c1",
-    "q92_semantic_dedup" -> "01a1a6a8d697786f1646c9cc0cf3b23b50dda50f488f271ab777378f4bbe8c74")
+    "q92_semantic_dedup" -> "01a1a6a8d697786f1646c9cc0cf3b23b50dda50f488f271ab777378f4bbe8c74",
+    "q102_hll_rollup" -> "713f7abcecaeb74fb1d09a039608020c21e5063a4377f45d9a3687842b2998f2")
 
   private val regen = sys.env.get("SPARK_GRAFT_REGEN_PINS").contains("1")
 

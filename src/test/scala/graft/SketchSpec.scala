@@ -61,6 +61,27 @@ class SketchSpec extends SparkSpec {
     assert(fpRate <= 0.1, s"false-positive rate $fpRate")
   }
 
+  test("q102 HLL rollup: per-day and union estimates within 5% of exact") {
+    val dir = "/root/testdata/sf0.01"
+    val got = Registry.queries("q102_hll_rollup")(spark, dir).collect()
+    spark.catalog.clearCache()
+    val ev = graft.engine.Sources.Tables(spark, dir).events
+    val exactByDay = ev
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy("day").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val exactTotal = ev.select("user_id").distinct().count().toDouble
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val day = r.getDate(0).toString
+      val est = r.getLong(2).toDouble
+      val exact = exactByDay(day).toDouble
+      assert(math.abs(est - exact) / exact <= 0.05, s"$day: $est vs $exact")
+      // the union column repeats per row; check it once per row anyway
+      assert(math.abs(r.getLong(3).toDouble - exactTotal) / exactTotal <= 0.05)
+    }
+  }
+
   test("q72 is deterministic for fixed input (fixed sketch seed)") {
     val a = Registry.queries("q72_token_cms")(spark, dir).collect().toSeq
     val b = Registry.queries("q72_token_cms")(spark, dir).collect().toSeq
