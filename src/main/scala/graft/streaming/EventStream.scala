@@ -406,4 +406,48 @@ object EventStream {
         Sink.upsert(batch, table, writer, chunkSize): Unit
       }
       .start()
+
+  /** Incremental maintenance of q102's per-day HLL sketch table: each
+    * micro-batch folds its events into day sketches and MERGES them
+    * into the stored table (tmp+rename swap, the Sink idiom), so the
+    * distinct-count dashboard never re-scans raw events — the
+    * streaming form of mergeable pre-aggregation. At-least-once
+    * delivery is safe WITHOUT keyed dedup because HLL union is
+    * register-wise max: merging the same batch twice is a no-op
+    * (idempotent), the sketch analog of the upsert sink's
+    * last-write-wins convergence (StreamingSpec pins both: parity
+    * with the batch q102 sketches, and redelivery convergence).
+    */
+  def sketchRollupStream(events: DataFrame, tablePath: String,
+                         checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val daily = batch
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val dir = java.nio.file.Paths.get(tablePath)
+        val merged =
+          if (java.nio.file.Files.exists(dir))
+            spark.read.parquet(tablePath).union(daily)
+              .groupBy(col("day")).agg(hll_union_agg(col("sk")).as("sk"))
+          else daily
+        val tmp = tablePath + ".tmp"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val old = java.nio.file.Paths.get(tablePath + ".old")
+        if (java.nio.file.Files.exists(dir))
+          java.nio.file.Files.move(dir, old,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        java.nio.file.Files.move(java.nio.file.Paths.get(tmp), dir,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        if (java.nio.file.Files.exists(old)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(old).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+        (): Unit
+      }
+      .start()
 }

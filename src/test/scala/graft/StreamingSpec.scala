@@ -334,6 +334,36 @@ class StreamingSpec extends SparkSpec {
     graft.operators.BandedPairs.releaseCache()
   }
 
+  test("streaming HLL sketch maintenance == batch sketches; redelivery is a no-op") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-hll").toString
+    val rows = fixtureEvents
+    val stream = MemoryStream[Ev]
+    val q = EventStream.sketchRollupStream(
+      stream.toDF(), s"$base/sketches", s"$base/ckpt")
+    try {
+      stream.addData(rows.take(400)); q.processAllAvailable()
+      stream.addData(rows.drop(400)); q.processAllAvailable()
+      // at-least-once: replay an already-merged slice — HLL union is
+      // register-max, so the table must not change
+      val before = spark.read.parquet(s"$base/sketches")
+        .select(col("day"), expr("hll_sketch_estimate(sk)").as("est"))
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      stream.addData(rows.take(400)); q.processAllAvailable()
+      val after = spark.read.parquet(s"$base/sketches")
+        .select(col("day"), expr("hll_sketch_estimate(sk)").as("est"))
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      assert(after === before, "redelivered batch changed the sketch table")
+      // parity: per-day estimates equal the one-shot batch sketches
+      val batch = batchDf(rows)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est"))
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      assert(after === batch)
+    } finally q.stop()
+  }
+
   test("streaming JSONL corpus append: file-sink shards equal the batch archive content") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
