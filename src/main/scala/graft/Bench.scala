@@ -65,8 +65,15 @@ object Bench {
         // queries may persist() intermediates; release between reps so
         // later runs aren't measured under dead-cache memory pressure
         // (and rep 2+ re-does the persists — a real timing, not a
-        // cache hit)
+        // cache hit). BLOCKING unpersist, then a GC nudge: the
+        // default async release lets dead blocks linger into the next
+        // measurement, which showed up as neighbor-order-dependent
+        // 2–3× swings on individual query medians across otherwise
+        // identical runs.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        System.gc()
         dt
       }
       name -> times.sorted.apply(times.size / 2)
