@@ -46,6 +46,10 @@ object Bench {
       selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
         catch { case _: Throwable => () } // a real failure surfaces in the timed run
+        // warmup queries persist intermediates too — don't let ~100
+        // queries' worth of dead sf0.001 caches pile onto the first
+        // timed measurement
+        spark.catalog.clearCache()
       }
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
     var errors = List.empty[(String, String)]
