@@ -210,6 +210,75 @@ object EventOps {
           .orderBy(col("day"))
       },
       None,
-      "per-day HLL sketches + union rollup (mergeable pre-aggregation)")
+      "per-day HLL sketches + union rollup (mergeable pre-aggregation)"),
+
+    // -- cohort retention: users bucketed by first-seen week, counted
+    //    in each subsequent active week. Two aggregations + one
+    //    equi-join, all keyed on user_id — the distinct() and the
+    //    first-seen agg reuse the same hash partitioning, and the
+    //    final rollup groups ~#cohorts×#weeks rows. No per-user state
+    //    on the driver; scales with users, not events.
+    Q("q104_cohort_retention",
+      (s, d) => {
+        val ev = t(s, d).events
+        val firstSeen = ev.groupBy(col("user_id"))
+          .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+        ev.select(col("user_id"),
+            date_trunc("week", col("ts")).as("active_week"))
+          .distinct()
+          .join(firstSeen, Seq("user_id"))
+          .groupBy(col("cohort_week"),
+            (datediff(col("active_week"), col("cohort_week")) / 7)
+              .cast("int").as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some("""WITH first_seen AS (
+          -- DuckDB's week-grain DATE_TRUNC yields DATE; cast back to
+          -- TIMESTAMP to match Spark's date_trunc output type
+          SELECT user_id,
+            CAST(DATE_TRUNC('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+          FROM events GROUP BY user_id),
+        active AS (
+          SELECT DISTINCT user_id,
+            CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) AS active_week
+          FROM events)
+        SELECT f.cohort_week AS cohort_week,
+          CAST(DATEDIFF('day', f.cohort_week, a.active_week) / 7 AS INT)
+            AS week_offset,
+          COUNT(DISTINCT a.user_id) AS n_active
+        FROM active a JOIN first_seen f USING (user_id)
+        GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""),
+      "weekly cohort retention (first-seen bucketing + activity rollup)"),
+
+    // -- windowed event dedup: at-least-once delivery cleanup — drop
+    //    an event arriving within 60s of the PREVIOUS raw event of
+    //    the same (user, type). One shuffle + per-partition sort
+    //    (lag window); comparison in exact microseconds on both
+    //    engines. The deterministic (ts, event_id) order makes the
+    //    keep-set unique even under timestamp ties.
+    Q("q105_event_dedup_window",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        t(s, d).events
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .filter(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") >= 60000000L)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_kept"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH lagged AS (
+          SELECT event_type, ts,
+            LAG(epoch_us(ts)) OVER (
+              PARTITION BY user_id, event_type ORDER BY ts, event_id)
+              AS prev_us
+          FROM events)
+        SELECT event_type, COUNT(*) AS n_kept FROM lagged
+        WHERE prev_us IS NULL OR epoch_us(ts) - prev_us >= 60000000
+        GROUP BY event_type ORDER BY event_type"""),
+      "windowed dedup of near-duplicate event deliveries (60s horizon)")
   )
 }

@@ -719,6 +719,42 @@ object Relational {
         SELECT p_partkey, p_type, p_retailprice, avg_price
         FROM part JOIN avg_by_type ON p_type = t_type
         WHERE p_retailprice > avg_price ORDER BY p_partkey"""),
-      "decorrelated scalar subquery as aggregate+join")
+      "decorrelated scalar subquery as aggregate+join"),
+
+    // -- range (interval) join via the binned rewrite
+    //    (operators/RangeJoin): peer-balance census — for every
+    //    supplier, the customers whose account balance falls in the
+    //    supplier's ±10 band. Both sides grow with sf, so the naive
+    //    non-equi join is a nested-loop scale-killer; RangeJoin turns
+    //    it into an equi-join on bin ids (binWidth 20 = the band
+    //    span → ≤2 bins per interval). DuckDB's IEJoin computes the
+    //    same relation exactly for the oracle.
+    Q("q103_range_join",
+      (s, d) => {
+        val x = t(s, d)
+        val pts = x.customer.select(col("c_custkey"), col("c_acctbal"))
+        val iv = x.supplier.select(col("s_suppkey"),
+          (col("s_acctbal") - 10).as("lo"), (col("s_acctbal") + 10).as("hi"))
+        val peers = graft.operators.RangeJoin
+          .binned(pts, "c_acctbal", iv, "lo", "hi", binWidth = 20.0)
+          .groupBy(col("s_suppkey"))
+          .agg(count(col("c_custkey")).as("n_peers"),
+            dsum(col("c_acctbal")).as("peer_bal_sum"))
+        // left join back so zero-peer suppliers keep their row, like
+        // the oracle's LEFT JOIN + COUNT(column)
+        x.supplier.select(col("s_suppkey"))
+          .join(peers, Seq("s_suppkey"), "left")
+          .select(col("s_suppkey"),
+            coalesce(col("n_peers"), lit(0L)).as("n_peers"),
+            col("peer_bal_sum"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some(s"""SELECT s.s_suppkey AS s_suppkey,
+        COUNT(c.c_custkey) AS n_peers,
+        ${sqlDsum("c.c_acctbal")} AS peer_bal_sum
+        FROM supplier s LEFT JOIN customer c
+          ON c.c_acctbal >= s.s_acctbal - 10 AND c.c_acctbal < s.s_acctbal + 10
+        GROUP BY s.s_suppkey ORDER BY s.s_suppkey"""),
+      "binned range join: per-supplier customer-balance peer census")
   )
 }
