@@ -64,6 +64,37 @@ class RangeJoinSpec extends SparkSpec {
     assert(got === Set((1L, 1L)))
   }
 
+  test("10x data on both sides costs ~10x, not the nested loop's 100x") {
+    // constant density: the value domain grows with n, so matches per
+    // interval stay O(1) and output grows ~10x. The naive non-equi
+    // join does 100x the COMPARISONS regardless of output; the binned
+    // rewrite's work follows output. Generators are spec-local (the
+    // corpus-backed ScalingSpec covers the doc/embedding operators;
+    // range join's sides come from relational tables).
+    def pts(n: Int) = (0 until n)
+      .map(i => (i.toLong, (i * 7919 % n).toDouble)).toDF("pid", "v")
+    def ivs(n: Int) = (0 until n / 8).map { i =>
+      val lo = (i * 104729 % n).toDouble
+      (i.toLong, lo, lo + 4.0)
+    }.toDF("iid", "lo", "hi")
+    def timeAndCount(n: Int): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = RangeJoin.binned(pts(n), "v", ivs(n), "lo", "hi", 4.0).count()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    timeAndCount(20000) // JIT/codegen warmup
+    val (t1, r1) = { val a = timeAndCount(20000); val b = timeAndCount(20000)
+      (math.min(a._1, b._1), a._2) }
+    val (t10, r10) = { val a = timeAndCount(200000); val b = timeAndCount(200000)
+      (math.min(a._1, b._1), a._2) }
+    assert(r10 >= 8 * r1 && r10 <= 13 * r1,
+      s"output should track data size: $r1 -> $r10")
+    val ratio = t10 / math.max(t1, 0.05)
+    info(f"range join: rows $r1 -> $r10, time $t1%.2fs -> $t10%.2fs (ratio $ratio%.1fx)")
+    assert(ratio < 30.0,
+      f"10x data cost $ratio%.1fx — quadratic-shaped growth")
+  }
+
   test("plan is an equi-join on the bin key, never a nested loop") {
     val plan = RangeJoin
       .binned(points(400), "v", intervals(60), "lo", "hi", binWidth = 15.0)
