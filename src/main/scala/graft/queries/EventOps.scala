@@ -279,6 +279,61 @@ object EventOps {
         SELECT event_type, COUNT(*) AS n_kept FROM lagged
         WHERE prev_us IS NULL OR epoch_us(ts) - prev_us >= 60000000
         GROUP BY event_type ORDER BY event_type"""),
-      "windowed dedup of near-duplicate event deliveries (60s horizon)")
+      "windowed dedup of near-duplicate event deliveries (60s horizon)"),
+
+    // -- peak concurrent sessions per hour: the interval-overlap
+    //    COUNTING problem in its sweep formulation — ±1 deltas at
+    //    session boundaries, one distributed prefix sum
+    //    (operators/PrefixSum: per-block windows + tiny block-total
+    //    cumsum + broadcast bases — never a single-partition window
+    //    over the data), hourly max of the running count. Linear at
+    //    any sf with bounded output, where the pair-join formulation
+    //    of "overlapping sessions" grows with concurrency². Deltas
+    //    are pre-aggregated per instant (net transition applies
+    //    atomically), which also gives PrefixSum its unique key.
+    Q("q106_session_concurrency",
+      (s, d) => {
+        val sess = graft.streaming.EventStream.sessionAgg(t(s, d).events)
+        val deltas = sess
+          .select(unix_micros(col("session_start")).as("t"), lit(1L).as("d"))
+          .unionAll(sess
+            .select(unix_micros(col("session_end")).as("t"), lit(-1L).as("d")))
+          .groupBy(col("t")).agg(sum(col("d")).as("d"))
+        graft.operators.PrefixSum
+          .exclusive(deltas, col("t"), col("d"),
+            blockSize = 3600L * 1000000L, out = "prev")
+          .withColumn("conc", col("prev") + col("d"))
+          .groupBy(date_trunc("hour", timestamp_micros(col("t"))).as("hour"))
+          .agg(max(col("conc")).as("peak_concurrency"))
+          .orderBy(col("hour"))
+      },
+      Some(s"""WITH marked AS (
+          SELECT user_id, ts,
+            CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+          FROM events),
+        numbered AS (
+          SELECT *, SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM marked),
+        sessions AS (
+          SELECT MIN(ts) AS session_start,
+            MAX(ts) + INTERVAL 30 MINUTE AS session_end
+          FROM numbered GROUP BY user_id, session_id),
+        deltas AS (
+          SELECT epoch_us(session_start) AS t, 1 AS d FROM sessions
+          UNION ALL
+          SELECT epoch_us(session_end) AS t, -1 AS d FROM sessions),
+        agg AS (SELECT t, SUM(d) AS d FROM deltas GROUP BY t),
+        run AS (
+          SELECT t, SUM(d) OVER (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+          FROM agg)
+        SELECT CAST(DATE_TRUNC('hour', make_timestamp(t)) AS TIMESTAMP)
+            AS hour,
+          MAX(conc) AS peak_concurrency
+        FROM run GROUP BY 1 ORDER BY hour"""),
+      "peak concurrent sessions per hour (sweep-line via distributed prefix sum)")
   )
 }
