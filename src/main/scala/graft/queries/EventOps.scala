@@ -334,6 +334,98 @@ object EventOps {
             AS hour,
           MAX(conc) AS peak_concurrency
         FROM run GROUP BY 1 ORDER BY hour"""),
-      "peak concurrent sessions per hour (sweep-line via distributed prefix sum)")
+      "peak concurrent sessions per hour (sweep-line via distributed prefix sum)"),
+
+    // -- market-basket co-occurrence: which event types happen in the
+    //    SAME session. The self-join is keyed on (user, session) and
+    //    each side is the session's DISTINCT types — ≤ |type-alphabet|
+    //    rows per session — so pairs per session are alphabet², a
+    //    constant, and the whole query is linear in sessions. Support
+    //    denominator rides the q74/q80 1-row-broadcast pattern.
+    Q("q107_type_cooccurrence",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"))
+        val numbered = t(s, d).events
+          .withColumn("new_s",
+            when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+              < 1800000000L, 0).otherwise(1))
+          .withColumn("session_id", sum(col("new_s")).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        val st = numbered
+          .select(col("user_id"), col("session_id"), col("event_type"))
+          .distinct()
+        val totals = st.select(col("user_id"), col("session_id")).distinct()
+          .agg(count(lit(1)).as("total_sessions"))
+        st.as("a").join(st.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+            col("a.session_id") === col("b.session_id") &&
+            col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("type_a"),
+            col("b.event_type").as("type_b"))
+          .agg(count(lit(1)).as("n_sessions"))
+          .crossJoin(broadcast(totals))
+          .withColumn("support",
+            col("n_sessions").cast("double") / col("total_sessions"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      Some("""WITH marked AS (
+          SELECT user_id, ts, event_type,
+            CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+          FROM events),
+        numbered AS (
+          SELECT *, SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM marked),
+        st AS (SELECT DISTINCT user_id, session_id, event_type FROM numbered),
+        tot AS (SELECT COUNT(*) AS total_sessions FROM
+          (SELECT DISTINCT user_id, session_id FROM st)),
+        pairs AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+            COUNT(*) AS n_sessions
+          FROM st a JOIN st b
+            ON a.user_id = b.user_id AND a.session_id = b.session_id
+              AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+        SELECT type_a, type_b, n_sessions, total_sessions,
+          CAST(n_sessions AS DOUBLE) / total_sessions AS support
+        FROM pairs, tot ORDER BY type_a, type_b"""),
+      "session-level event-type co-occurrence (market-basket pairs + support)"),
+
+    // -- rolling 7-day distinct actives, EXACT, in the
+    //    explode-contributions formulation: each (day, user) activity
+    //    contributes itself to the 7 calendar days it's visible from,
+    //    then one hash aggregate per day counts distinct users. No
+    //    non-equi day-range join anywhere (the naive grid BETWEEN
+    //    join is a nested loop); work is 7× the distinct (day, user)
+    //    pairs — linear. The sketch-based cousin for arbitrary
+    //    windows at higher cardinality is q102's mergeable HLL table.
+    Q("q108_rolling_distinct_users",
+      (s, d) => {
+        val ud = t(s, d).events
+          .select(to_date(col("ts")).as("uday"), col("user_id")).distinct()
+        val bounds = ud.agg(min(col("uday")).as("lo"), max(col("uday")).as("hi"))
+        val grid = bounds
+          .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+        ud.select(explode(sequence(col("uday"), date_add(col("uday"), 6)))
+              .as("day"), col("user_id"))
+          .join(broadcast(grid), Seq("day")) // clip to the corpus range
+          .groupBy(col("day"))
+          .agg(countDistinct(col("user_id")).as("active_7d"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH ud AS (
+          SELECT DISTINCT CAST(ts AS DATE) AS uday, user_id FROM events),
+        grid AS (
+          SELECT CAST(UNNEST(generate_series(
+            (SELECT MIN(uday) FROM ud), (SELECT MAX(uday) FROM ud),
+            INTERVAL 1 DAY)) AS DATE) AS day)
+        SELECT g.day AS day, COUNT(DISTINCT u.user_id) AS active_7d
+        FROM grid g JOIN ud u
+          ON g.day BETWEEN u.uday AND u.uday + 6
+        GROUP BY g.day ORDER BY g.day"""),
+      "exact rolling 7-day distinct users (explode-contributions, no range join)")
   )
 }
