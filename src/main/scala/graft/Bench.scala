@@ -69,14 +69,15 @@ object Bench {
         // queries may persist() intermediates; release between reps so
         // later runs aren't measured under dead-cache memory pressure
         // (and rep 2+ re-does the persists — a real timing, not a
-        // cache hit). BLOCKING unpersist, then a GC nudge: the
-        // default async release lets dead blocks linger into the next
-        // measurement, which showed up as neighbor-order-dependent
-        // 2–3× swings on individual query medians across otherwise
-        // identical runs.
-        spark.catalog.clearCache()
+        // cache hit). Blocking unpersist must run FIRST: clearCache()
+        // releases asynchronously AND drops its entries from the
+        // persistentRDDs map, so running it first would leave the
+        // blocking pass nothing to block on — dead blocks would
+        // linger into the next measurement (seen as neighbor-order-
+        // dependent 2–3× swings on individual query medians).
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
+        spark.catalog.clearCache() // metadata for already-freed blocks
         System.gc()
         dt
       }

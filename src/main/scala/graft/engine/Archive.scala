@@ -81,28 +81,53 @@ object Archive {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     val dir = Paths.get(path)
+    val tmp = Paths.get(path.stripSuffix("/") + ".compact-tmp")
+    val old = Paths.get(path.stripSuffix("/") + ".compact-old")
+    // Crash recovery BEFORE doing anything: the swap below is two
+    // renames, so a crash between them leaves the data only under
+    // .compact-old. If that state is on disk, restore it first; a
+    // surviving .compact-old NEXT TO a live dir means the previous
+    // run died after the swap but before cleanup — the displaced
+    // originals are garbage. A stale .compact-tmp is always garbage.
+    def deleteTree(p: Path): Unit = if (Files.exists(p)) {
+      val w = Files.walk(p)
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+      finally w.close()
+    }
+    if (Files.exists(old) && !Files.exists(dir))
+      Files.move(old, dir, StandardCopyOption.ATOMIC_MOVE)
+    else deleteTree(old)
+    deleteTree(tmp)
     // a hive-partitioned dir (key=value subdirs) would read back with
     // partition columns and REWRITE FLAT — silently changing layout
     // and pruning behavior. Compact those per-partition instead.
-    val partitioned = Files.list(dir).iterator().asScala.exists(p =>
-      Files.isDirectory(p) && p.getFileName.toString.contains("="))
+    val ls = Files.list(dir)
+    val partitioned =
+      try ls.iterator().asScala.exists(p =>
+        Files.isDirectory(p) && p.getFileName.toString.contains("="))
+      finally ls.close()
     require(!partitioned,
       s"$path is hive-partitioned; compact each partition directory instead")
-    val bytes = Files.walk(dir).iterator().asScala
-      .filter(p => Files.isRegularFile(p) &&
-        p.getFileName.toString.endsWith(".parquet"))
-      .map(Files.size).sum
+    val walk = Files.walk(dir)
+    val bytes =
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(Files.size).sum
+      finally walk.close()
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
-    val tmp = path.stripSuffix("/") + ".compact-tmp"
-    val old = path.stripSuffix("/") + ".compact-old"
     spark.read.parquet(path)
       .coalesce(nFiles.toInt)
-      .write.mode("overwrite").parquet(tmp)
-    Files.move(dir, Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(tmp), dir, StandardCopyOption.ATOMIC_MOVE)
-    // best-effort cleanup of the displaced originals
-    Files.walk(Paths.get(old)).iterator().asScala.toSeq.reverse
-      .foreach(p => Files.deleteIfExists(p))
+      .write.mode("overwrite").parquet(tmp.toString)
+    // NOT one atomic swap: readers racing between the two moves see a
+    // missing directory for that instant, and a crash there parks the
+    // data under .compact-old (healed by the recovery block above on
+    // the next call). Acceptable for an offline maintenance pass; a
+    // concurrent-reader table needs a manifest/catalog pointer flip
+    // instead of directory renames.
+    Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+    deleteTree(old) // best-effort cleanup of the displaced originals
     nFiles
   }
 

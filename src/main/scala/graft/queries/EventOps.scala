@@ -332,7 +332,7 @@ object EventOps {
           FROM agg)
         SELECT CAST(DATE_TRUNC('hour', make_timestamp(t)) AS TIMESTAMP)
             AS hour,
-          MAX(conc) AS peak_concurrency
+          CAST(MAX(conc) AS BIGINT) AS peak_concurrency
         FROM run GROUP BY 1 ORDER BY hour"""),
       "peak concurrent sessions per hour (sweep-line via distributed prefix sum)"),
 

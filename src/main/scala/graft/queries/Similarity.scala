@@ -75,9 +75,9 @@ object Similarity {
     //    no shuffle until the per-query top-k window.
     Q("q60_knn_brute_force",
       (s, d) => knnBruteForceOn(t(s, d).embeddings),
-      Some("""WITH q AS (
+      Some(s"""WITH q AS (
           SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
-          WHERE vec_id % 100 = 0),
+          WHERE vec_id % 100 = 0 AND vec_id < $ExactBaselineVecCap),
         scored AS (
           SELECT q.query_id, e.vec_id AS neighbor_id,
             list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
@@ -257,12 +257,18 @@ object Similarity {
     //    map-side projection; per-element ops are identical double
     //    expressions in both engines (ties round away from zero in
     //    both), so even the reconstruction error needs no rounding.
+    //    The quantized vector is DECLARED as a sha256 digest of its
+    //    comma-joined elements rather than the raw int array — the
+    //    driver's comparator can't sort rows containing list columns,
+    //    and the digest is an equally exact witness of every element.
     Q("q89_quantize_int8",
       (s, d) => t(s, d).embeddings
         .select(
           col("vec_id"),
           graft.functions.Vectors.quantScale(col("embedding")).as("scale"),
-          graft.functions.Vectors.quantizeInt8(col("embedding")).as("qvec"),
+          sha2(concat_ws(",",
+            graft.functions.Vectors.quantizeInt8(col("embedding"))
+              .cast("array<string>")), 256).as("qvec_sha"),
           graft.functions.Vectors.int8MaxAbsErr(col("embedding"))
             .as("max_abs_err"))
         .orderBy(col("vec_id")),
@@ -275,7 +281,9 @@ object Similarity {
             END AS scale
           FROM v)
         SELECT vec_id, scale,
-          list_transform(emb, x -> CAST(round(x / scale) AS INT)) AS qvec,
+          sha256(array_to_string(
+            list_transform(emb, x -> CAST(CAST(round(x / scale) AS INT)
+              AS VARCHAR)), ',')) AS qvec_sha,
           list_max(list_transform(emb,
             x -> abs(x - round(x / scale) * scale))) AS max_abs_err
         FROM s ORDER BY vec_id"""),
@@ -485,9 +493,16 @@ object Similarity {
   /** q60's exact plan over any embeddings frame (the crossover spec
     * runs it against a scaled corpus where compute, not fixed
     * overhead, decides the comparison with [[annLshOn]]).
+    *
+    * The 1%-of-corpus query subset is additionally capped at
+    * [[ExactBaselineVecCap]] ids — without the cap the BROADCAST side
+    * grows with the corpus (1% of 100 TB is not broadcastable); with
+    * it the query set is ≤ Cap/100 vectors at any sf, and every test
+    * corpus (vec_id < 2000) passes through unchanged.
     */
   def knnBruteForceOn(emb: DataFrame): DataFrame = {
-    val q = emb.filter(col("vec_id") % 100 === 0)
+    val q = emb.filter(col("vec_id") % 100 === 0 &&
+        col("vec_id") < ExactBaselineVecCap)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val scored = emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))

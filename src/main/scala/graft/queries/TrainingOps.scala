@@ -108,13 +108,13 @@ object TrainingOps {
           FROM documents),
         c AS (
           SELECT doc_id, n_tokens,
-            COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+            CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-              AS start_tok
+              AS BIGINT) AS start_tok
           FROM d)
         SELECT doc_id, n_tokens, start_tok,
-          start_tok // $PackWindow AS pack_id,
-          start_tok % $PackWindow AS offset_in_pack,
+          CAST(start_tok // $PackWindow AS BIGINT) AS pack_id,
+          CAST(start_tok % $PackWindow AS BIGINT) AS offset_in_pack,
           CAST((start_tok + n_tokens - 1) // $PackWindow
             > start_tok // $PackWindow AS INT) AS straddles
         FROM c ORDER BY doc_id"""),
@@ -244,7 +244,7 @@ object TrainingOps {
           SELECT doc_id, ch, COUNT(*) AS cnt FROM ch
           WHERE length(ch) > 0 GROUP BY doc_id, ch)
         SELECT doc_id,
-          SUM(cnt) AS n_chars_counted,
+          CAST(SUM(cnt) AS BIGINT) AS n_chars_counted,
           ROUND((ln(SUM(cnt)) - SUM(cnt * ln(cnt)) / SUM(cnt)) / ln(2), 4)
             AS entropy_bits
         FROM cc GROUP BY doc_id ORDER BY doc_id"""),
@@ -289,8 +289,10 @@ object TrainingOps {
           FROM d)
         SELECT source,
           COUNT(*) AS n_docs,
-          SUM(CASE WHEN running <= 5000 THEN 1 ELSE 0 END) AS n_kept,
-          SUM(CASE WHEN running <= 5000 THEN nt ELSE 0 END) AS kept_tokens
+          CAST(SUM(CASE WHEN running <= 5000 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_kept,
+          CAST(SUM(CASE WHEN running <= 5000 THEN nt ELSE 0 END) AS BIGINT)
+            AS kept_tokens
         FROM r GROUP BY source ORDER BY source"""),
       "per-source token budget cut via partitioned running totals"),
 
@@ -324,8 +326,8 @@ object TrainingOps {
       },
       Some("""WITH per AS (
           SELECT source, COUNT(*) AS n_docs,
-            SUM(CAST(len(string_split_regex(lower(trim(text)), '\s+'))
-              AS BIGINT)) AS n_tokens
+            CAST(SUM(CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+              AS BIGINT)) AS BIGINT) AS n_tokens
           FROM documents GROUP BY source),
         tot AS (
           SELECT SUM(n_tokens) AS tot_tokens, COUNT(*) AS n_sources

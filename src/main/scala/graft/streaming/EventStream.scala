@@ -417,6 +417,15 @@ object EventStream {
     * (idempotent), the sketch analog of the upsert sink's
     * last-write-wins convergence (StreamingSpec pins both: parity
     * with the batch q102 sketches, and redelivery convergence).
+    *
+    * Cost model: every micro-batch re-reads and rewrites the WHOLE
+    * sketch table — O(|table|) per batch, which is fine because the
+    * table is day-keyed (≤ a few thousand rows after years); for a
+    * high-cardinality key swap this for partitioned dynamic
+    * overwrite of only the touched partitions. The swap is two
+    * renames, not atomic: a crash between them parks the table under
+    * `.old`, which the NEXT batch heals below before merging — the
+    * stream self-recovers, no manual repair.
     */
   def sketchRollupStream(events: DataFrame, tablePath: String,
                          checkpointDir: String): StreamingQuery =
@@ -424,29 +433,37 @@ object EventStream {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        import scala.jdk.CollectionConverters._
         val spark = batch.sparkSession
+        val dir = Paths.get(tablePath)
+        val old = Paths.get(tablePath + ".old")
+        val tmp = Paths.get(tablePath + ".tmp")
+        def deleteTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+          val w = Files.walk(p)
+          try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+          finally w.close()
+        }
+        // heal a mid-swap crash from a previous batch: table only
+        // under .old → restore it; .old beside a live table → stale
+        // displaced copy; .tmp is always a dead partial write.
+        if (Files.exists(old) && !Files.exists(dir))
+          Files.move(old, dir, StandardCopyOption.ATOMIC_MOVE)
+        else deleteTree(old)
+        deleteTree(tmp)
         val daily = batch
           .groupBy(to_date(col("ts")).as("day"))
           .agg(hll_sketch_agg(col("user_id")).as("sk"))
-        val dir = java.nio.file.Paths.get(tablePath)
         val merged =
-          if (java.nio.file.Files.exists(dir))
+          if (Files.exists(dir))
             spark.read.parquet(tablePath).union(daily)
               .groupBy(col("day")).agg(hll_union_agg(col("sk")).as("sk"))
           else daily
-        val tmp = tablePath + ".tmp"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val old = java.nio.file.Paths.get(tablePath + ".old")
-        if (java.nio.file.Files.exists(dir))
-          java.nio.file.Files.move(dir, old,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        java.nio.file.Files.move(java.nio.file.Paths.get(tmp), dir,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        if (java.nio.file.Files.exists(old)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(old).iterator().asScala.toSeq.reverse
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        }
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        if (Files.exists(dir))
+          Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+        deleteTree(old)
         (): Unit
       }
       .start()

@@ -59,9 +59,41 @@ def main():
             continue
         try:
             exp = con.sql(sql)
+            exp_types = dict(zip(exp.columns, [str(t) for t in exp.types]))
             exp_cols, exp_rows = canon(exp.fetchall(), exp.columns)
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            bad += 1
+            continue
+        # The driver's comparator hashes pandas dtypes and row-sorts
+        # with hashable cells — HUGEINT (vs Spark's BIGINT) and any
+        # list-typed column fail there even when values are identical.
+        # Replicate that strictness locally so it can't ship red.
+        type_bad = False
+        for c, t in exp_types.items():
+            if "HUGEINT" in t:
+                print(f"FAIL {name}: oracle column {c} is {t} "
+                      f"(driver hash-mismatches vs Spark BIGINT — "
+                      f"CAST(... AS BIGINT) in the oracle SQL)")
+                type_bad = True
+            if t.endswith("[]") or "STRUCT" in t or "MAP" in t:
+                print(f"FAIL {name}: oracle column {c} is {t} "
+                      f"(driver comparator can't sort list/struct cells — "
+                      f"declare a scalar digest instead)")
+                type_bad = True
+        for c, t in zip(got.columns, [str(t) for t in got.types]):
+            if t.endswith("[]") or "STRUCT" in t or "MAP" in t:
+                print(f"FAIL {name}: spark column {c} is {t} "
+                      f"(declared outputs must be scalar — digest it)")
+                type_bad = True
+        for c in got.columns:
+            if c in exp_types and not type_bad:
+                gt = str(dict(zip(got.columns,
+                                  [str(t) for t in got.types]))[c])
+                if gt != exp_types[c]:
+                    print(f"WARN {name}: column {c} typed {gt} (spark) "
+                          f"vs {exp_types[c]} (oracle)")
+        if type_bad:
             bad += 1
             continue
         if got_cols != exp_cols:
