@@ -198,4 +198,36 @@ object Vectors {
   /** `vecDecimalSum(array<double>)` aggregate column function. */
   val vecDecimalSum: org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(new VectorDecimalSum, ExpressionEncoder[Seq[Double]]())
+
+  /** Bounded top-`n` selector over (score, id) pairs — the reduction
+    * behind codebook-as-RELATION cell assignment
+    * ([[graft.queries.Similarity]] above `CodebookLiteralMaxCells`):
+    * each row's k broadcast-join candidates collapse through this
+    * buffer MAP-SIDE (partial aggregation), so the shuffle carries
+    * one n-slot row per input row and per-group state is O(n), never
+    * O(k). Keeps the n smallest (score, id) pairs under tuple order
+    * — a commutative/associative bounded merge, so the result is
+    * independent of task order (deterministic like the literal-path
+    * argsort, which uses the same (negScore, c_id) ordering).
+    */
+  class TopCellsAgg(n: Int)
+      extends Aggregator[(Double, Int), Seq[(Double, Int)], Seq[Int]] {
+    private def trim(s: Seq[(Double, Int)]): Seq[(Double, Int)] =
+      s.sorted.take(n)
+    override def zero: Seq[(Double, Int)] = Nil
+    override def reduce(b: Seq[(Double, Int)], a: (Double, Int)): Seq[(Double, Int)] =
+      trim(b :+ a)
+    override def merge(x: Seq[(Double, Int)], y: Seq[(Double, Int)]): Seq[(Double, Int)] =
+      trim(x ++ y)
+    override def finish(b: Seq[(Double, Int)]): Seq[Int] = b.map(_._2)
+    override def bufferEncoder: Encoder[Seq[(Double, Int)]] =
+      Encoders.kryo[Seq[(Double, Int)]]
+    override def outputEncoder: Encoder[Seq[Int]] = ExpressionEncoder()
+  }
+
+  /** `topCells(n)(score, id)` aggregate column function: ids of the
+    * n smallest scores, nearest-first (pass a NEGATED similarity).
+    */
+  def topCells(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new TopCellsAgg(n), ExpressionEncoder[(Double, Int)]())
 }

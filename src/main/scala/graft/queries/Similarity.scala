@@ -329,16 +329,11 @@ object Similarity {
                       nprobe: Int = SemDedupProbes,
                       maxBucket: Int = MaxVecBucket): DataFrame = {
     val cents = kmeansCodebook(emb, lloydIters, k)
-    // top-nprobe probe cells as a pure expression over the literal
-    // codebook (q64's probe shape): sort k (−cos, c_id) structs,
-    // slice, explode — k fused kernels per row, no window shuffle.
-    val banded = emb.select(col("vec_id"),
-        explode(slice(array_sort(transform(centsLit(cents),
-          c => struct(
-            (-Vectors.cosine(col("embedding"), c.getField("c_emb")))
-              .as("negs"),
-            c.getField("c_id").as("c_id")))), 1, nprobe)).as("pc"))
-      .select(col("vec_id"), col("pc").getField("c_id").as("cell"))
+    // top-nprobe probe cells via [[probeCells]] (q64's probe shape):
+    // literal argsort below the codebook threshold, broadcast
+    // relation + bounded top-n aggregate above it.
+    val banded = probeCells(emb.select(col("vec_id"), col("embedding")),
+      Seq("vec_id"), "embedding", cents, nprobe)
     val cands = graft.operators.BandedPairs.cappedCandidates(
       banded, "vec_id", Seq("cell"), maxBucket, "vec_a", "vec_b")
     // exact-cosine verify on candidate ids only — embeddings join
@@ -351,7 +346,8 @@ object Similarity {
       .filter(Vectors.cosine(col("emb_a"), col("emb_b")) >= tau)
       .select(col("vec_b").as("vec_id")).distinct()
     // output carries the PRIMARY (nearest) cell per vector
-    emb.select(col("vec_id"), cellOf(col("embedding"), cents).as("cell"))
+    probeCells(emb.select(col("vec_id"), col("embedding")),
+        Seq("vec_id"), "embedding", cents, 1)
       .join(drops.withColumn("dropped", lit(1)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         coalesce(col("dropped"), lit(0)).as("dropped"))
@@ -571,6 +567,55 @@ object Similarity {
         c.getField("c_id").as("c_id"))))
       .getField("c_id")
 
+  /** Above this many cells the codebook stops being a plan LITERAL:
+    * k×dim struct literals inside one expression tree blow up
+    * codegen and plan size, and q92's k ∝ n contract grows k with
+    * the corpus — at 100 TB that is 10⁵–10⁶ structs per expression.
+    * Past the threshold [[probeCells]] broadcasts the codebook as a
+    * RELATION instead: assignment is a broadcast-nested-loop join
+    * whose k candidates per row collapse through the bounded
+    * [[Vectors.topCells]] partial aggregate map-side — plan size
+    * O(1) in k, per-group state O(nprobe), shuffle one row per
+    * input row. The literal stays below the threshold because
+    * constant-folded fused kernels are faster there (no join, no
+    * aggregation machinery).
+    */
+  val CodebookLiteralMaxCells = 2048
+
+  private def centsRel(df: DataFrame,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    cents.toDF("c_id", "c_emb")
+  }
+
+  /** Top-`nprobe` nearest cells per row of `df` — `keep` columns
+    * plus one exploded `cell` per probe, nearest-first. Dispatches
+    * on codebook size (see [[CodebookLiteralMaxCells]]); both paths
+    * order candidates by the same (−cosine, c_id) key, so they
+    * produce identical rows — only the plan shape differs.
+    */
+  private[queries] def probeCells(df: DataFrame, keep: Seq[String],
+      vecCol: String, cents: Seq[(Int, Seq[Double])],
+      nprobe: Int): DataFrame =
+    if (cents.size <= CodebookLiteralMaxCells)
+      df.select(keep.map(col) :+ explode(transform(
+        slice(array_sort(transform(centsLit(cents),
+          c => struct(
+            (-Vectors.cosine(col(vecCol), c.getField("c_emb"))).as("negs"),
+            c.getField("c_id").as("c_id")))), 1, nprobe),
+        p => p.getField("c_id"))).as("cell"): _*)
+    else
+      df.crossJoin(broadcast(centsRel(df, cents)))
+        .groupBy(keep.map(col): _*)
+        .agg(Vectors.topCells(nprobe)(
+          // zero-norm cosine is null; rank those candidates last
+          // (the literal path's array_sort is nulls-last too)
+          -coalesce(Vectors.cosine(col(vecCol), col("c_emb")),
+            lit(Double.MinValue)),
+          col("c_id")).as("cells"))
+        .select(keep.map(col) :+ explode(col("cells")).as("cell"): _*)
+
   /** Spherical-k-means codebook over `emb`: per-label seed when the
     * corpus carries labels (hash-partition fallback per-row for
     * non-castable labels), else a deterministic hash partition, then
@@ -587,7 +632,12 @@ object Similarity {
       else hashSeed
     var cents = means(emb, seedKey)
     for (_ <- 1 to lloydIters)
-      cents = means(emb, cellOf(col("embedding"), cents))
+      cents =
+        if (cents.size <= CodebookLiteralMaxCells)
+          means(emb, cellOf(col("embedding"), cents))
+        else // big codebook: assign via the relation path, then group
+          means(probeCells(emb.select(col("vec_id"), col("embedding")),
+            Seq("vec_id", "embedding"), "embedding", cents, 1), col("cell"))
     cents
   }
 
@@ -595,23 +645,20 @@ object Similarity {
                lloydIters: Int = IvfLloydIters, nprobe: Int = IvfNProbe,
                k: Int = IvfCells): DataFrame = {
     val cents = kmeansCodebook(emb, lloydIters, k)
-    val assigned = emb.select(col("vec_id"), col("embedding"),
-      cellOf(col("embedding"), cents).as("cell"))
-    // Each query's top-`nprobe` probe cells are a pure EXPRESSION over
-    // the literal codebook (sort k (−cs, c_id) structs, slice, explode)
-    // — no window shuffle, no separate probe-cell job — and q_emb
-    // rides along in the one broadcast the probe join needs, so the
-    // search plan is scan ⋈ broadcast → window top-k, the same shape
-    // as q60 plus the cell filter.
+    val assigned = probeCells(emb.select(col("vec_id"), col("embedding")),
+      Seq("vec_id", "embedding"), "embedding", cents, 1)
+    // Each query's top-`nprobe` probe cells come from [[probeCells]]:
+    // below the codebook threshold a pure EXPRESSION over the literal
+    // (sort k (−cs, c_id) structs, slice, explode — no window
+    // shuffle, no separate probe-cell job), above it the broadcast
+    // relation + bounded top-n aggregate. q_emb rides along in the
+    // one broadcast the probe join needs, so the search plan is
+    // scan ⋈ broadcast → window top-k, the same shape as q60 plus
+    // the cell filter.
     val q = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val qcells = q.select(col("query_id"), col("q_emb"),
-      explode(transform(
-        slice(array_sort(transform(centsLit(cents),
-          c => struct(
-            (-Vectors.cosine(col("q_emb"), c.getField("c_emb"))).as("negs"),
-            c.getField("c_id").as("c_id")))), 1, nprobe),
-        p => p.getField("c_id"))).as("cell"))
+    val qcells = probeCells(q, Seq("query_id", "q_emb"), "q_emb",
+      cents, nprobe)
     val scored = assigned.join(broadcast(qcells), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

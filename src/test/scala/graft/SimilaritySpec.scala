@@ -244,6 +244,52 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("codebook relation path: q92 pipeline at k=4096 is join-shaped with exact drops") {
+    import spark.implicits._
+    // Above CodebookLiteralMaxCells the codebook must become a
+    // broadcast RELATION (plan-literal structs would be ~k per
+    // expression — the 100 TB scale killer), and the pipeline must
+    // still make exactly the right drop decisions. Corpus: 1500
+    // pseudo-random 32-dim cluster directions × 2 members each
+    // (within-cluster cos ~0.999, cross-cluster cos ~N(0, 1/√32)),
+    // so the expected outcome is exact: every odd vec_id drops
+    // against its even twin, nothing else drops.
+    // per-element values from an AVALANCHED integer hash (splitmix64
+    // finalizer) — sin(a_c+b_j) phase vectors all lie in a 2-D
+    // subspace, and a merely-multiplied hash leaves an arithmetic-
+    // progression structure where v_{c+d} ≈ v_c + const; both make
+    // cross-cluster cosines arbitrary instead of ~N(0, 1/√dim).
+    def u(c: Int, j: Int): Double = {
+      var z = c.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      ((z >>> 40) & 0xffffff).toDouble / 0xffffff.toDouble * 2 - 1
+    }
+    val corpus = (for {
+      c <- 0 until 1500
+      m <- 0 until 2
+    } yield {
+      val v = Array.tabulate(32)(j =>
+        (u(c, j) + 0.01 * m * u(c + 7919, j)).toFloat)
+      (c * 2L + m, v)
+    }).toDF("vec_id", "embedding")
+    val out = graft.queries.Similarity
+      .semanticDedupOn(corpus, tau = 0.9, k = 4096, lloydIters = 1)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "big-codebook assignment should be a broadcast-relation join")
+    assert(!plan.contains("named_struct"),
+      "big codebook must not appear as plan-literal structs")
+    val rows = out.collect()
+    assert(rows.length == 3000)
+    val dropped = rows.filter(_.getInt(2) == 1).map(_.getLong(0)).toSet
+    val expected = (0 until 1500).map(c => c * 2L + 1).toSet
+    assert(dropped == expected,
+      s"missed ${(expected -- dropped).size}, extra ${(dropped -- expected).size}")
+    spark.catalog.clearCache()
+  }
+
   test("IVF ANN (q64) recall >= 0.8; Lloyd codebook >= per-label seed") {
     val seed = recallVsExact(topKOf(
       graft.queries.Similarity.ivfAnn(spark, dir, lloydIters = 0)))
