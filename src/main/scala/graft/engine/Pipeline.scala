@@ -52,4 +52,43 @@ object Pipeline {
   def runAll(spark: SparkSession, specs: Seq[Spec], writer: Sink.ChunkWriter,
              publisher: Archive.Publisher): Seq[Result] =
     specs.map(run(spark, _, writer, publisher))
+
+  /** The scheduler analog (reference `etl.yml:5-6` daily cron) AS
+    * CODE: each invocation drains whatever statement files have
+    * appeared under `<base>/<statement>` since the last run —
+    * `Trigger.AvailableNow` processes everything available, then
+    * stops — transforms them through the same dropna + JSONB pack,
+    * and loads through [[graft.streaming.EventStream.upsertStream]]'s
+    * foreachBatch upsert. The checkpoint is the "last run" memory:
+    * file-source offsets live there, so a re-run (or a crashed run's
+    * retry) never re-reads files it already committed, and the
+    * idempotent keyed sink converges replayed in-flight batches —
+    * cron + re-run safety without any external scheduler state.
+    *
+    * Cumulative semantics note: the keyed upsert means N incremental
+    * runs over a growing directory end in the same store as ONE
+    * batch [[run]] over the final directory (PipelineSpec pins this).
+    */
+  def runIncremental(spark: SparkSession, base: String, symbol: String,
+                     statement: Sources.Statement, targetTable: String,
+                     writer: Sink.ChunkWriter, checkpointDir: String,
+                     chunkSize: Int = Sink.DefaultChunkSize): Unit = {
+    val dir = s"$base/${statement.name}"
+    // file streams need an explicit schema; the directory's own
+    // footer schema is authoritative (and one driver-side read)
+    val schema = spark.read.parquet(dir).schema
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    val symCol = Schema.resolve(raw, Schema.TickerNames).getOrElse(throw
+      new IllegalArgumentException(
+        s"statement table ${statement.name} has no ticker column " +
+          s"(looked for ${Schema.TickerNames.mkString("/")})"))
+    val wide = Sources.dropAllNullRows(
+      raw.filter(org.apache.spark.sql.functions.col(s"`$symCol`") === symbol))
+    val packed = Transform.packJsonb(wide)
+    val q = graft.streaming.EventStream.upsertStream(
+      packed, targetTable, writer, checkpointDir, chunkSize,
+      outputMode = "append",
+      trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+    q.awaitTermination()
+  }
 }

@@ -75,6 +75,29 @@ object Sources {
         .drop("statement")
   }
 
+  /** Live HTTP connector — the read-side twin of
+    * [[HttpChunkWriter]], closing the reference's extract seam
+    * (`etl_supabase.py:115-119`): same DSv2 plan as
+    * [[Dsv2StatementSource]] (per-(symbol, statement) partitions,
+    * column pruning, partition-pruning filters) but each partition
+    * performs a real GET against `<baseUrl>/<statement>` ON THE
+    * EXECUTOR — the driver never holds response bodies, and task
+    * retry gives at-least-once fetch.
+    */
+  final class HttpStatementSource(baseUrl: String,
+                                  years: String = "2015-2024")
+      extends StatementSource {
+    override def load(spark: SparkSession, symbol: String,
+                      statement: Statement): DataFrame =
+      spark.read.format("graft.sources.StatementDataSource")
+        .option("url", baseUrl)
+        .option("symbols", symbol)
+        .option("statements", statement.name)
+        .option("years", years)
+        .load()
+        .drop("statement")
+  }
+
   // ---- fixture tables (TESTDATA.md) -------------------------------
 
   val TableNames: Seq[String] = Seq(

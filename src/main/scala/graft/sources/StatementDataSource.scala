@@ -25,13 +25,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * into partition pruning (fewer fetches planned, not rows dropped
   * after the fact).
   *
-  * The per-partition fetch is the connector seam. This
-  * implementation generates deterministic synthetic statements
-  * (hash-derived metric values — a stand-in for the HTTP client,
-  * which is the only piece a production deployment swaps); the
-  * DSv2 machinery around it (table, scan builder, pruning,
-  * partition planning, row building) is the real surface, exercised
-  * by StatementDataSourceSpec.
+  * The per-partition fetch is the connector seam, with TWO bindings:
+  * without a `url` option the reader generates deterministic
+  * synthetic statements (hash-derived metric values); with `url` it
+  * performs a real HTTP GET per partition —
+  * `<url>/<statement>?symbol=<s>&year_from=<a>&year_to=<b>` — and
+  * parses the JSON-array response into rows (the VNStock-shaped
+  * live read side, reference `etl_supabase.py:115-119`). The fetch
+  * runs ON THE EXECUTOR inside the partition reader, so a 10k-call
+  * universe parallelizes like any scan, task retry gives
+  * at-least-once fetch semantics, and the pushed year range rides
+  * the query string so the SERVER prunes too. Non-2xx responses
+  * throw — a failed pull is a failed task, never silent empty data.
   *
   * Usage:
   * {{{
@@ -39,6 +44,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   .option("symbols", "FPT,VNM")
   *   .option("statements", "income_statement,balance_sheet")
   *   .option("years", "2015-2024")
+  *   .option("url", "http://api.example.com/statements") // live mode
   *   .load()
   * }}}
   */
@@ -98,11 +104,13 @@ private[sources] class StatementTable(options: CaseInsensitiveStringMap)
       options.getOrDefault("symbols", "FPT").split(",").map(_.trim).toSeq,
       options.getOrDefault("statements",
         "income_statement,balance_sheet,cash_flow").split(",").map(_.trim).toSeq,
-      StatementDataSource.parseYears(options.getOrDefault("years", "2015-2024")))
+      StatementDataSource.parseYears(options.getOrDefault("years", "2015-2024")),
+      Option(options.get("url")))
 }
 
 private[sources] class StatementScanBuilder(
-    symbols: Seq[String], statements: Seq[String], years: Range.Inclusive)
+    symbols: Seq[String], statements: Seq[String], years: Range.Inclusive,
+    url: Option[String])
   extends ScanBuilder
   with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
@@ -160,12 +168,12 @@ private[sources] class StatementScanBuilder(
     attr.equalsIgnoreCase(col)
 
   override def build(): Scan =
-    new StatementScan(symbolsF, statementsF, yearFrom to yearTo, required)
+    new StatementScan(symbolsF, statementsF, yearFrom to yearTo, required, url)
 }
 
 private[sources] class StatementScan(
     symbols: Seq[String], statements: Seq[String], years: Range.Inclusive,
-    required: StructType) extends Scan with Batch {
+    required: StructType, url: Option[String]) extends Scan with Batch {
 
   override def readSchema(): StructType = required
 
@@ -177,18 +185,26 @@ private[sources] class StatementScan(
       yield StatementPartition(s, st, years.start, years.end)).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new StatementReaderFactory(required)
+    new StatementReaderFactory(required, url)
 }
 
 private[sources] case class StatementPartition(
     symbol: String, statement: String, yearFrom: Int, yearTo: Int)
   extends InputPartition
 
-private[sources] class StatementReaderFactory(required: StructType)
+private[sources] class StatementReaderFactory(required: StructType,
+    url: Option[String])
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[StatementPartition]
+    url match {
+      case Some(base) => new HttpStatementReader(base, p, required)
+      case None       => syntheticReader(p)
+    }
+  }
+
+  private def syntheticReader(p: StatementPartition): PartitionReader[InternalRow] = {
     val fields = required.fields
     new PartitionReader[InternalRow] {
       private var year = p.yearFrom - 1
@@ -206,4 +222,62 @@ private[sources] class StatementReaderFactory(required: StructType)
       override def close(): Unit = ()
     }
   }
+}
+
+/** Executor-side HTTP fetch for one (symbol, statement) partition:
+  * one GET per partition, response = JSON array of flat objects
+  * (year + metric fields). Rows are built against the PRUNED schema
+  * — a metric the query never selects is simply not read out of the
+  * parsed tree. Jackson (already on Spark's classpath) does the
+  * parsing; any non-2xx status or malformed body throws, failing the
+  * task so Spark's retry gives at-least-once fetch semantics.
+  */
+private[sources] class HttpStatementReader(base: String,
+    p: StatementPartition, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private lazy val rows: Iterator[InternalRow] = fetch()
+  private var current: InternalRow = _
+
+  private def fetch(): Iterator[InternalRow] = {
+    val uri = java.net.URI.create(
+      s"${base.stripSuffix("/")}/${p.statement}" +
+        s"?symbol=${java.net.URLEncoder.encode(p.symbol, "UTF-8")}" +
+        s"&year_from=${p.yearFrom}&year_to=${p.yearTo}")
+    val client = java.net.http.HttpClient.newHttpClient()
+    val resp = client.send(
+      java.net.http.HttpRequest.newBuilder(uri)
+        .timeout(java.time.Duration.ofSeconds(60)).GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() < 200 || resp.statusCode() >= 300)
+      throw new java.io.IOException(
+        s"statement fetch $uri failed: HTTP ${resp.statusCode()} " +
+          resp.body().take(500))
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(resp.body())
+    if (!root.isArray)
+      throw new java.io.IOException(
+        s"statement fetch $uri: expected JSON array, got ${root.getNodeType}")
+    root.elements().asScala.map { node =>
+      val values: Array[Any] = required.fields.map { f =>
+        f.name match {
+          case "cp" => UTF8String.fromString(p.symbol)
+          case "statement" => UTF8String.fromString(p.statement)
+          case "year" => node.path("year").asInt()
+          case metric =>
+            val v = node.path(metric)
+            if (v.isMissingNode || v.isNull) null else v.asDouble()
+        }
+      }
+      new GenericInternalRow(values): InternalRow
+    }
+  }
+
+  override def next(): Boolean = {
+    val has = rows.hasNext
+    if (has) current = rows.next()
+    has
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }

@@ -398,14 +398,17 @@ object EventStream {
   def upsertStream(df: DataFrame, table: String, writer: Sink.ChunkWriter,
                    checkpointDir: String,
                    chunkSize: Int = Sink.DefaultChunkSize,
-                   outputMode: String = "update"): StreamingQuery =
-    df.writeStream
+                   outputMode: String = "update",
+                   trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): StreamingQuery = {
+    val w = df.writeStream
       .outputMode(outputMode)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         Sink.upsert(batch, table, writer, chunkSize): Unit
       }
-      .start()
+    trigger.foreach(w.trigger)
+    w.start()
+  }
 
   /** Incremental maintenance of q102's per-day HLL sketch table: each
     * micro-batch folds its events into day sketches and MERGES them

@@ -119,6 +119,118 @@ class PipelineSpec extends SparkSpec {
     assert(Files.list(Paths.get(pubRoot, Archive.DefaultBucket, "income")).count() > 0)
   }
 
+  test("live HTTP both ends: executor-side statement GET -> pipeline -> PostgREST POST") {
+    // Stub server hosts BOTH ends of the reference flow: the VNStock-
+    // shaped statement API (GET, JSON array per (symbol, statement))
+    // and the PostgREST upsert endpoint (POST). The statement rows
+    // include one all-null-metric row extraction must drop (dropna
+    // parity), and metric values reuse the synthetic generator so the
+    // HTTP path is value-comparable with the DSv2 synthetic mode.
+    import com.sun.net.httpserver.HttpServer
+    import graft.sources.StatementDataSource.{Metrics, metricValue}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val gets = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val posts = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    server.createContext("/api", { exchange =>
+      gets.add(exchange.getRequestURI.toString)
+      val params = Option(exchange.getRequestURI.getQuery).getOrElse("")
+        .split("&").map(_.split("=", 2))
+        .collect { case Array(k, v) => k -> v }.toMap
+      val stmt = exchange.getRequestURI.getPath.stripPrefix("/api/")
+      val sym = java.net.URLDecoder.decode(params("symbol"), "UTF-8")
+      val rows = (params("year_from").toInt to params("year_to").toInt).map {
+        y =>
+          val ms = Metrics.map(m => s""""$m":${metricValue(sym, stmt, y, m)}""")
+          (Seq(s""""year":$y""") ++ ms).mkString("{", ",", "}")
+      } :+ (Seq(""""year":2099""") ++ Metrics.map(m => s""""$m":null"""))
+        .mkString("{", ",", "}")
+      val body = rows.mkString("[", ",", "]").getBytes("UTF-8")
+      exchange.getResponseHeaders.add("Content-Type", "application/json")
+      exchange.sendResponseHeaders(200, body.length)
+      exchange.getResponseBody.write(body)
+      exchange.close()
+    })
+    server.createContext("/rest/v1", { exchange =>
+      val body = new String(exchange.getRequestBody.readAllBytes(), "UTF-8")
+      posts.add((exchange.getRequestURI.getPath, body))
+      exchange.sendResponseHeaders(201, -1)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val source = new Sources.HttpStatementSource(
+        s"http://127.0.0.1:$port/api", years = "2019-2023")
+      val writer = new graft.engine.HttpChunkWriter(
+        s"http://127.0.0.1:$port/rest/v1")
+      val archBase = Files.createTempDirectory("pipehttp").toString
+      val pubRoot = Files.createTempDirectory("pipehttppub").toString
+      val spec = Pipeline.Spec(source, "FPT", Sources.Income,
+        "fin_income", s"$archBase/income", "income")
+      val r = Pipeline.run(spark, spec, writer,
+        new Archive.LocalFsPublisher(pubRoot))
+      // 2019..2023 survive; the 2099 all-null row is dropna'd
+      assert(r.recordsUpserted === 5)
+      // the reader's GET carried symbol + year range (server prunes too)
+      assert(gets.asScala.exists(u => u.contains("/api/income_statement")
+        && u.contains("symbol=FPT") && u.contains("year_from=2019")
+        && u.contains("year_to=2023")), s"GETs: ${gets.asScala.toSeq}")
+      // packed records landed as JSON arrays at <base>/<table>
+      assert(posts.asScala.nonEmpty)
+      assert(posts.asScala.forall(_._1 == "/rest/v1/fin_income"))
+      val payload = posts.asScala.map(_._2).mkString
+      assert(payload.contains(""""ticker":"FPT""""))
+      assert(!payload.contains("2099"))
+      // value parity with the synthetic DSv2 mode: same generator
+      assert(payload.contains(metricValue("FPT", "income_statement",
+        2019, "revenue").toString))
+    } finally server.stop(0)
+  }
+
+  test("runIncremental (AvailableNow): two incremental runs == one batch run") {
+    // The cron analog as code: files land in the statement dir
+    // between runs; each runIncremental drains only what's new
+    // (checkpointed file offsets) and the keyed upsert makes the
+    // final store identical to ONE batch run over everything.
+    import spark.implicits._
+    val base = Files.createTempDirectory("pipeincr").toString
+    val ckpt = Files.createTempDirectory("pipeincrckpt").toString
+    val dir = s"$base/${Sources.Income.name}"
+    def batchOf(years: Range): org.apache.spark.sql.DataFrame =
+      years.map(y => ("FPT", y, y * 100.0, s"s$y")).toDF(
+        "CP", "Year", "total_price", "status")
+    batchOf(2015 to 2018).write.mode("append").parquet(dir)
+
+    val incWriter = new Sink.InMemoryUpsertWriter(Seq("ticker", "year"))
+    Pipeline.runIncremental(spark, base, "FPT", Sources.Income,
+      "fin_income", incWriter, ckpt)
+    assert(incWriter.size === 4)
+
+    // day 2: more files appear; a re-run picks up ONLY those
+    batchOf(2019 to 2021).write.mode("append").parquet(dir)
+    Pipeline.runIncremental(spark, base, "FPT", Sources.Income,
+      "fin_income", incWriter, ckpt)
+    assert(incWriter.size === 7)
+
+    // equivalence with one batch run over the final directory
+    val batchWriter = new Sink.InMemoryUpsertWriter(Seq("ticker", "year"))
+    val archBase = Files.createTempDirectory("pipeincrarch").toString
+    val pubRoot = Files.createTempDirectory("pipeincrpub").toString
+    Pipeline.run(spark,
+      Pipeline.Spec(new Sources.ParquetStatementSource(base), "FPT",
+        Sources.Income, "fin_income", s"$archBase/income", "income"),
+      batchWriter, new Archive.LocalFsPublisher(pubRoot))
+    def snapshot(w: Sink.InMemoryUpsertWriter): Set[String] =
+      w.rows.map(_.toString).toSet
+    assert(snapshot(incWriter) === snapshot(batchWriter))
+
+    // a third run with nothing new is a no-op (idempotent cron tick)
+    Pipeline.runIncremental(spark, base, "FPT", Sources.Income,
+      "fin_income", incWriter, ckpt)
+    assert(snapshot(incWriter) === snapshot(batchWriter))
+  }
+
   test("connector fails loudly when the statement table lacks a ticker column") {
     val base = Files.createTempDirectory("pipebad").toString
     import spark.implicits._
