@@ -967,7 +967,137 @@ object TextOps {
           list_position(toks, 'table') AS pos_table,
           array_to_string(list_sort(list_distinct(toks)), ',') AS sorted_vocab
         FROM tk ORDER BY doc_id"""),
-      "array/collection function battery over token arrays")
+      "array/collection function battery over token arrays"),
+
+    // -- BM25 relevance scoring: the probabilistic ranking function
+    //    behind retrieval-based quality filtering and dataset search.
+    //    Query = the top-3 corpus-frequency tokens (deterministic
+    //    tie-break), so the operator needs no external literal. One
+    //    token explode feeds doc lengths, the query-term cut, and
+    //    per-(doc, term) tf; df and (N, avgdl) are term-bounded /
+    //    1-row broadcasts, so nothing shuffles at corpus scale except
+    //    the (doc, term) aggregate itself. Every constant is written
+    //    as the SAME literal on both sides (1.2+1.0 at plan time is
+    //    not bit-identical to the literal 2.2); per-term contributions
+    //    round to 4dp then sum in DECIMAL so per-doc totals are
+    //    partition-order-free (q74's convention).
+    Q("q109_bm25",
+      (s, d) => {
+        val toks = t(s, d).documents.select(col("doc_id"),
+            explode(Text.tokens(col("text"))).as("token"))
+          .filter(length(col("token")) > 0)
+        val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"),
+          davg(col("dl")).as("avgdl"))
+        val qterms = toks.groupBy(col("token"))
+          .agg(count(lit(1)).as("cf"))
+          .orderBy(col("cf").desc, col("token")).limit(3)
+          .select(col("token"))
+        val tf = toks.join(broadcast(qterms), Seq("token"))
+          .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+        val dfd = tf.groupBy(col("token")).agg(count(lit(1)).as("df_docs"))
+        val contrib = tf.join(broadcast(dfd), Seq("token"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"),
+            round(
+              log((col("n_docs") - col("df_docs") + 0.5)
+                  / (col("df_docs") + 0.5) + 1.0)
+                * (col("tf") * lit(2.2))
+                / (col("tf")
+                  + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))),
+              4).as("contrib"))
+        contrib.groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("int").as("n_terms_hit"),
+            round(sum(col("contrib").cast("decimal(38,6)")).cast("double"), 4)
+              .as("bm25"))
+          .filter(col("doc_id") < 200)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tok AS (
+          SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+          FROM documents),
+        tok2 AS (SELECT * FROM tok WHERE length(token) > 0),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY 1),
+        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+            ${sqlDavg("dl")} AS avgdl FROM dl),
+        qterms AS (SELECT token FROM tok2 GROUP BY token
+          ORDER BY COUNT(*) DESC, token LIMIT 3),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok2
+          SEMI JOIN qterms USING (token) GROUP BY 1, 2),
+        dfd AS (SELECT token, COUNT(*) AS df_docs FROM tf GROUP BY 1),
+        contrib AS (
+          SELECT tf.doc_id,
+            ROUND(LN((stats.n_docs - dfd.df_docs + 0.5)
+                / (dfd.df_docs + 0.5) + 1.0)
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)),
+              4) AS contrib
+          FROM tf JOIN dfd USING (token) JOIN dl USING (doc_id), stats)
+        SELECT doc_id, CAST(COUNT(*) AS INT) AS n_terms_hit,
+          ROUND(CAST(SUM(CAST(contrib AS DECIMAL(38,6))) AS DOUBLE), 4) AS bm25
+        FROM contrib WHERE doc_id < 200 GROUP BY doc_id ORDER BY doc_id"""),
+      "BM25 scoring vs the top-3 corpus terms (retrieval-based filter)"),
+
+    // -- dedup AUDIT: the cluster-size histogram a dedup pass ships
+    //    alongside its verdicts — how much of the corpus sits in
+    //    2-member clusters vs 1000-member boilerplate explosions
+    //    decides which dedup knobs to turn next. Composes q78's
+    //    components with the capped corpus (docs in no pair are
+    //    singleton clusters); output is size-cardinality, tiny at any
+    //    sf. n_docs is cluster_size × n_clusters — a BIGINT product
+    //    on both engines, avoiding the HUGEINT SUM trap.
+    Q("q110_cluster_size_histogram",
+      (s, d) => {
+        val capped = t(s, d).documents
+          .filter(col("doc_id") < ExactBaselineDocCap)
+        val pairs = ngramNearDupPairsOn(capped)
+          .select(col("doc_a"), col("doc_b"))
+        val comps = graft.operators.ConnectedComponents.components(pairs)
+          .select(col("id").as("doc_id"), col("comp"))
+        capped.select(col("doc_id"))
+          .join(comps, Seq("doc_id"), "left")
+          .select(coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+          .groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz").as("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"))
+          .select(col("cluster_size"), col("n_clusters"),
+            (col("cluster_size") * col("n_clusters")).as("n_docs"))
+          .orderBy(col("cluster_size"))
+      },
+      Some("""WITH RECURSIVE docs AS (
+          SELECT doc_id, lang, CAST(FLOOR(n_chars / 64) AS BIGINT) AS bucket,
+            list_distinct(CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) >= 3
+              THEN list_transform(
+                range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+                i -> array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' '))
+              ELSE [] END) AS sh
+          FROM documents WHERE doc_id < 8192),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM docs a JOIN docs b
+            ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        walk AS (
+          SELECT a AS id, a AS reach FROM edges
+          UNION
+          SELECT w.id, e.b AS reach FROM walk w JOIN edges e ON e.a = w.reach),
+        comp AS (SELECT id AS doc_id, MIN(reach) AS comp FROM walk GROUP BY id),
+        assigned AS (
+          SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
+          FROM (SELECT doc_id FROM documents WHERE doc_id < 8192) d
+          LEFT JOIN comp c USING (doc_id)),
+        sizes AS (SELECT cluster_id, COUNT(*) AS sz FROM assigned GROUP BY 1)
+        SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+          sz * COUNT(*) AS n_docs
+        FROM sizes GROUP BY sz ORDER BY cluster_size"""),
+      "dedup audit: cluster-size histogram over q78's components + singletons")
   )
 
   /** q54's scored pair plan over any documents frame: candidate pairs
