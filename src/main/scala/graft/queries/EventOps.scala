@@ -17,7 +17,7 @@ import QU._
   */
 object EventOps {
 
-  val queries: Seq[Q] = Seq(
+  lazy val queries: Seq[Q] = Seq(
 
     // -- tumbling 1h window: window().start == date_trunc('hour').
     Q("q40_tumbling_hourly",

@@ -17,7 +17,7 @@ import graft.engine.Transform
   */
 object JsonOps {
 
-  val queries: Seq[Q] = Seq(
+  lazy val queries: Seq[Q] = Seq(
 
     // -- signature op end-to-end: wide (orders⋈customer) → packJsonb →
     //    probe the map. One shuffle (the join); the pack is map-side.

@@ -18,7 +18,7 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   */
 object MultimodalOps {
 
-  val queries: Seq[Q] = Seq(
+  lazy val queries: Seq[Q] = Seq(
 
     // -- binary file read as a table: name, size, content hash. The
     //    `path` column is normalized to the bare file name so both

@@ -37,7 +37,7 @@ object Relational {
       ORDER BY revenue DESC, o_orderdate, l_orderkey
       LIMIT 10"""
 
-  val queries: Seq[Q] = Seq(
+  lazy val queries: Seq[Q] = Seq(
 
     // -- hash aggregate with partial (map-side) combine; 6 groups →
     //    tiny shuffle regardless of input size.

@@ -68,7 +68,10 @@ object Similarity {
         .map(_.map(1L << _).reduce(_ | _)))
   }
 
-  val queries: Seq[Q] = Seq(
+  // lazy: q111's oracle string interpolates SemDedupTau, which is
+  // declared BELOW — an eager val would capture the pre-init 0.0
+  // (caught by the local oracle gate as a contaminated-flag flip).
+  lazy val queries: Seq[Q] = Seq(
 
     // -- exact top-k: the small query set is broadcast, so the
     //    "cross join" is a map-side nested loop over candidates —
@@ -305,7 +308,61 @@ object Similarity {
     Q("q92_semantic_dedup",
       (s, d) => semanticDedupOn(t(s, d).embeddings),
       None,
-      "cluster-bucketed embedding dedup, keep-lowest-id (capture rate in spec)")
+      "cluster-bucketed embedding dedup, keep-lowest-id (capture rate in spec)"),
+
+    // -- semantic DECONTAMINATION: the embedding analog of q77's
+    //    shingle check — flag eval-set vectors whose nearest TRAINING
+    //    vector is ≥ τ cosine (an eval item semantically present in
+    //    the training corpus, the leakage no string match catches).
+    //    Eval = the capped 2%-of-id subset riding the broadcast side
+    //    (bounded like q60's queries), so the scan is linear in the
+    //    corpus at any sf; the corpus-scale swap is q63/q64's banded
+    //    candidate generation with this same exact-cosine verify.
+    //    Cosines round to 4dp BEFORE the argmax rank (q74's
+    //    convention) so a 1-ulp libm divergence can't flip the
+    //    nearest-neighbor choice across engines.
+    Q("q111_semantic_decontamination",
+      (s, d) => {
+        val emb = t(s, d).embeddings
+        val ev = emb.filter(col("vec_id") % 50 === 0 &&
+            col("vec_id") < ExactBaselineVecCap)
+          .select(col("vec_id").as("eval_id"), col("embedding").as("e_emb"))
+        val scored = emb.filter(col("vec_id") % 50 =!= 0)
+          .crossJoin(broadcast(ev))
+          .select(col("eval_id"), col("vec_id").as("train_id"),
+            round(Vectors.cosine(col("e_emb"), col("embedding")), 4)
+              .as("cos"))
+        val w = Window.partitionBy(col("eval_id"))
+          .orderBy(col("cos").desc, col("train_id"))
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("eval_id"), col("train_id").as("nearest_train_id"),
+            col("cos").as("nearest_cos"),
+            (col("cos") >= SemDedupTau).cast("int").as("contaminated"))
+          .orderBy(col("eval_id"))
+      },
+      Some(s"""WITH ev AS (
+          SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings
+          WHERE vec_id % 50 = 0 AND vec_id < $ExactBaselineVecCap),
+        tr AS (
+          SELECT vec_id AS train_id, CAST(embedding AS DOUBLE[]) AS t
+          FROM embeddings WHERE vec_id % 50 <> 0),
+        scored AS (
+          SELECT ev.eval_id, tr.train_id,
+            ROUND(list_dot_product(ev.e, tr.t)
+              / (sqrt(list_dot_product(ev.e, ev.e))
+               * sqrt(list_dot_product(tr.t, tr.t))), 4) AS cos
+          FROM ev, tr),
+        ranked AS (
+          SELECT eval_id, train_id, cos,
+            ROW_NUMBER() OVER (PARTITION BY eval_id
+              ORDER BY cos DESC, train_id) AS rk
+          FROM scored)
+        SELECT eval_id, train_id AS nearest_train_id, cos AS nearest_cos,
+          CAST(cos >= $SemDedupTau AS INT) AS contaminated
+        FROM ranked WHERE rk = 1 ORDER BY eval_id"""),
+      "semantic decontamination: nearest training vector per eval vector")
   )
 
   /** q92's threshold — q65's, so the exact baseline doubles as this

@@ -39,7 +39,7 @@ object TextOps {
     */
   val ExactBaselineDocCap = 8192
 
-  val queries: Seq[Q] = Seq(
+  lazy val queries: Seq[Q] = Seq(
 
     // -- exact dedup by content hash: one shuffle on sha256(text);
     //    at 100 TB the 64-hex key shuffles instead of the document
@@ -1097,7 +1097,103 @@ object TextOps {
         SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
           sz * COUNT(*) AS n_docs
         FROM sizes GROUP BY sz ORDER BY cluster_size"""),
-      "dedup audit: cluster-size histogram over q78's components + singletons")
+      "dedup audit: cluster-size histogram over q78's components + singletons"),
+
+    // -- tokenizer FERTILITY per language: subwords per whitespace
+    //    word (q51's BPE-ish regex as the subword stand-in) and chars
+    //    per subword — the metric that decides whether a tokenizer's
+    //    vocab fits a language (high fertility = the language pays
+    //    more sequence length per word). Language-cardinality
+    //    aggregate, map-side combinable; exact integer sums (cast off
+    //    DuckDB's HUGEINT path) divided in double space, so no
+    //    rounding is needed anywhere.
+    Q("q112_tokenizer_fertility",
+      (s, d) => {
+        val ws = size(Text.tokens(col("text")))
+        val bpe = size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+        val chars = length(regexp_replace(col("text"), "\\s", ""))
+        t(s, d).documents
+          .select(col("lang"), ws.cast("long").as("ws"),
+            bpe.cast("long").as("bpe"), chars.cast("long").as("chars"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ws")).as("n_words"),
+            sum(col("bpe")).as("n_subwords"),
+            (sum(col("bpe")).cast("double") / sum(col("ws")))
+              .as("fertility"),
+            (sum(col("chars")).cast("double") / sum(col("bpe")))
+              .as("chars_per_subword"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH per AS (
+          SELECT lang,
+            CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+              AS ws,
+            CAST(len(regexp_extract_all(lower(text),
+              '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe,
+            CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
+              AS chars
+          FROM documents)
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(ws) AS BIGINT) AS n_words,
+          CAST(SUM(bpe) AS BIGINT) AS n_subwords,
+          CAST(SUM(bpe) AS DOUBLE) / SUM(ws) AS fertility,
+          CAST(SUM(chars) AS DOUBLE) / SUM(bpe) AS chars_per_subword
+        FROM per GROUP BY lang ORDER BY lang"""),
+      "per-language tokenizer fertility (subwords/word, chars/subword)"),
+
+    // -- cross-source content OVERLAP: exact Jaccard between every
+    //    pair of sources' distinct 3-gram shingle sets — the corpus
+    //    composition audit that catches one source mirroring another
+    //    (mirrored content defeats per-source mix weights and leaks
+    //    across dedup shards). Shape: distinct (source, shingle)
+    //    rows, a self-equi-join ON THE SHINGLE (pairs per shingle ≤
+    //    |sources|², a constant), per-source set sizes joined back —
+    //    linear in distinct shingles at any sf, never doc×doc.
+    Q("q113_source_overlap",
+      (s, d) => {
+        val sh = t(s, d).documents
+          .select(col("source"), explode(array_distinct(
+            Text.shingles(col("text"), 3))).as("sh"))
+          .distinct()
+        val per = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+        val pairs = sh.as("a").join(sh.as("b"),
+            col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("n_common"))
+        pairs
+          .join(per.select(col("source").as("src_a"), col("n_sh").as("n_a")),
+            Seq("src_a"))
+          .join(per.select(col("source").as("src_b"), col("n_sh").as("n_b")),
+            Seq("src_b"))
+          .select(col("src_a"), col("src_b"), col("n_common"),
+            col("n_a"), col("n_b"),
+            round(col("n_common").cast("double")
+              / (col("n_a") + col("n_b") - col("n_common")), 4).as("jaccard"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some("""WITH sh0 AS (
+          SELECT source, unnest(list_distinct(
+            CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) >= 3
+              THEN list_transform(
+                range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+                i -> array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' '))
+              ELSE [] END)) AS sh
+          FROM documents),
+        sh AS (SELECT DISTINCT source, sh FROM sh0),
+        per AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+        pairs AS (
+          SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT src_a, src_b, n_common, p1.n_sh AS n_a, p2.n_sh AS n_b,
+          ROUND(CAST(n_common AS DOUBLE)
+            / (p1.n_sh + p2.n_sh - n_common), 4) AS jaccard
+        FROM pairs JOIN per p1 ON pairs.src_a = p1.source
+          JOIN per p2 ON pairs.src_b = p2.source
+        ORDER BY src_a, src_b"""),
+      "cross-source 3-gram Jaccard overlap matrix (composition audit)")
   )
 
   /** q54's scored pair plan over any documents frame: candidate pairs

@@ -74,7 +74,7 @@ object TrainingOps {
         PhonePat, "[PHONE]"),
       IpPat, "[IP]")
 
-  val queries: Seq[Q] = Seq(
+  lazy val queries: Seq[Q] = Seq(
 
     // -- q83: concat-and-chunk sequence packing (the GPT-style
     //    pretraining shape: concatenate docs in deterministic order,

@@ -16,7 +16,7 @@ import QU._
   */
 object Windows {
 
-  val queries: Seq[Q] = Seq(
+  lazy val queries: Seq[Q] = Seq(
 
     // -- top-N per group via row_number.
     Q("q20_top_orders_per_customer",

@@ -118,6 +118,24 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q109 BM25: query terms, df, and corpus stats all broadcast; no sort-merge join") {
+    val plan = planOf(q("q109_bm25"))
+    // the bounded sides (top-3 terms, term-cardinality df, 1-row
+    // stats) must ride broadcasts; the tf ⋈ dl doc-keyed join is the
+    // one legitimately corpus-scale shuffle in the plan
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"no broadcast join in q109 plan:\n$plan")
+  }
+
+  test("q111 decontamination: capped eval side broadcasts like q60") {
+    val plan = planOf(q("q111_semantic_decontamination"))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"eval side should broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      "decontamination scan must never be a cartesian product")
+  }
+
   test("q80 quality band: percentile bounds broadcast; no corpus-wide window or sort-merge") {
     val plan = planOf(q("q80_quality_band"))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
