@@ -133,6 +133,25 @@ class ScalingSpec extends SparkSpec {
       f"$q: 10x corpus cost $ratio%.1fx the 1x corpus — quadratic-shaped growth")
   }
 
+  test("q113 source overlap: pair cardinality constant, time ~linear on a 10x corpus") {
+    // q113's output is source-pair-cardinality, so the generic row
+    // bound doesn't apply; the risk is its shingle-keyed self-join
+    // densifying. Token renaming keeps copies' shingle sets disjoint:
+    // distinct (source, shingle) rows grow 10×, pairs-per-shingle
+    // stays bounded by |sources|², so time must stay ~linear.
+    val r1 = run("q113_source_overlap", dir1x)
+    val r10 = run("q113_source_overlap", dir10x)
+    assert(r1 == r10, s"source-pair cardinality must not grow: $r1 -> $r10")
+    val t1 = math.min(timeOf("q113_source_overlap", dir1x),
+      timeOf("q113_source_overlap", dir1x))
+    val t10 = math.min(timeOf("q113_source_overlap", dir10x),
+      timeOf("q113_source_overlap", dir10x))
+    val ratio = t10 / math.max(t1, 0.05)
+    info(f"q113: time $t1%.2fs -> $t10%.2fs (ratio $ratio%.1fx)")
+    assert(ratio < 30.0,
+      f"q113: 10x corpus cost $ratio%.1fx the 1x corpus — quadratic-shaped growth")
+  }
+
   test("q92 semantic dedup scales linearly when k grows with the corpus") {
     // SemDeDup's scale contract: cluster COUNT grows with n so cluster
     // SIZE stays bounded — with k ∝ n the within-cell candidate stage
