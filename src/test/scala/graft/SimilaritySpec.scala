@@ -290,6 +290,28 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("IvfIndex: persisted build/query == in-memory q64; probe scan partition-prunes") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val ip = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    graft.queries.IvfIndex.build(emb, ip)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val out = graft.queries.IvfIndex.query(spark, ip, queries)
+    // the cells scan must carry a dynamic-partition-pruning filter on
+    // the broadcast probe cells — only probed partitions are read
+    val plan = out.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the cells scan:\n$plan")
+    def keyOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id").cast("long"),
+          col("neighbor_id").cast("long"), col("rk").cast("int"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = keyOf(Registry.queries("q64_ann_ivf")(spark, dir))
+    assert(expected.nonEmpty)
+    assert(keyOf(out) === expected)
+    spark.catalog.clearCache()
+  }
+
   test("IVF ANN (q64) recall >= 0.8; Lloyd codebook >= per-label seed") {
     val seed = recallVsExact(topKOf(
       graft.queries.Similarity.ivfAnn(spark, dir, lloydIters = 0)))
