@@ -155,4 +155,31 @@ class PropertySpec extends SparkSpec {
       assert(expected.values.exists(_._3 > 0), s"seed $seed: degenerate fixture")
     }
   }
+
+  test("property: TopCellsAgg == sorted.take(n), merge-order invariant") {
+    // The bounded top-n buffer behind the relation-path codebook
+    // assignment must be a commutative/associative monoid — that is
+    // what makes big-codebook cell assignment deterministic under any
+    // task order and partial-aggregation split.
+    val agg = new graft.functions.Vectors.TopCellsAgg(3)
+    val gen = Gen.listOf(for {
+      s <- Gen.choose(-100, 100).map(_ / 16.0)
+      id <- Gen.choose(0, 50)
+    } yield (s, id))
+    for (seed <- 1L to 8L) {
+      val xs = sample(gen, seed)
+      val expected = xs.sorted.take(3).map(_._2)
+      // sequential reduce in listed order
+      val seqBuf = xs.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.finish(seqBuf) === expected, s"seed $seed sequential")
+      // arbitrary split + merge (partial aggregation), reversed order
+      val (l, r) = xs.splitAt(xs.length / 3)
+      val merged = agg.merge(
+        r.reverse.foldLeft(agg.zero)(agg.reduce),
+        l.reverse.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(merged) === expected, s"seed $seed merged")
+      // merging with zero is identity
+      assert(agg.finish(agg.merge(seqBuf, agg.zero)) === expected)
+    }
+  }
 }
