@@ -983,18 +983,24 @@ object TextOps {
     //    partition-order-free (q74's convention).
     Q("q109_bm25",
       (s, d) => {
-        val toks = t(s, d).documents.select(col("doc_id"),
+        // ONE corpus explode+aggregate, reused three ways: doc
+        // lengths, the query-term cut, and per-(doc, term) tf all
+        // roll up from the persisted (doc, token) counts — three
+        // separate explodes would be three corpus scans at 100 TB.
+        val tfAll = t(s, d).documents.select(col("doc_id"),
             explode(Text.tokens(col("text"))).as("token"))
           .filter(length(col("token")) > 0)
-        val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+          .groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+          .persist()
+        val dl = tfAll.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
         val stats = dl.agg(count(lit(1)).as("n_docs"),
           davg(col("dl")).as("avgdl"))
-        val qterms = toks.groupBy(col("token"))
-          .agg(count(lit(1)).as("cf"))
+        val qterms = tfAll.groupBy(col("token"))
+          .agg(sum(col("tf")).as("cf"))
           .orderBy(col("cf").desc, col("token")).limit(3)
           .select(col("token"))
-        val tf = toks.join(broadcast(qterms), Seq("token"))
-          .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+        val tf = tfAll.join(broadcast(qterms), Seq("token"))
         val dfd = tf.groupBy(col("token")).agg(count(lit(1)).as("df_docs"))
         val contrib = tf.join(broadcast(dfd), Seq("token"))
           .join(dl, Seq("doc_id"))
@@ -1153,10 +1159,14 @@ object TextOps {
     //    linear in distinct shingles at any sf, never doc×doc.
     Q("q113_source_overlap",
       (s, d) => {
+        // persisted: the distinct (source, shingle) set feeds the
+        // self-join twice plus the per-source sizes — recomputing it
+        // three times is three corpus explodes at scale
         val sh = t(s, d).documents
           .select(col("source"), explode(array_distinct(
             Text.shingles(col("text"), 3))).as("sh"))
           .distinct()
+          .persist()
         val per = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
         val pairs = sh.as("a").join(sh.as("b"),
             col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
