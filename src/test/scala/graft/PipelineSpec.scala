@@ -305,6 +305,33 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("compactParquet heals a mid-swap crash and clears stale leftovers") {
+    import spark.implicits._
+    import java.nio.file.{Files => F, Paths, StandardCopyOption}
+    val root = Files.createTempDirectory("compactheal").toString
+    val path = s"$root/table"
+    (1 to 100).toDF("x").repartition(8).write.parquet(path)
+    val expected = spark.read.parquet(path).as[Int].collect().sorted.toSeq
+    // crash window: first rename done, second never happened — data
+    // lives only under .compact-old, plus a dead partial tmp
+    F.move(Paths.get(path), Paths.get(path + ".compact-old"),
+      StandardCopyOption.ATOMIC_MOVE)
+    Seq(999).toDF("x").write.parquet(path + ".compact-tmp")
+    val n = graft.engine.Archive.compactParquet(spark, path,
+      targetBytes = Long.MaxValue)
+    assert(n === 1)
+    assert(spark.read.parquet(path).as[Int].collect().sorted.toSeq === expected)
+    assert(!F.exists(Paths.get(path + ".compact-old")))
+    assert(!F.exists(Paths.get(path + ".compact-tmp")))
+    // a .compact-old BESIDE a live table is a stale displaced copy
+    // from a crash after the swap: removed, live data untouched
+    Seq(1000).toDF("x").write.parquet(path + ".compact-old")
+    graft.engine.Archive.compactParquet(spark, path,
+      targetBytes = Long.MaxValue)
+    assert(spark.read.parquet(path).as[Int].collect().sorted.toSeq === expected)
+    assert(!F.exists(Paths.get(path + ".compact-old")))
+  }
+
   test("requiredEnv: fail-fast on missing key, passthrough on present") {
     assert(Sources.requiredEnv("K", Map("K" -> "v")) === "v")
     intercept[IllegalStateException](Sources.requiredEnv("MISSING", Map.empty))

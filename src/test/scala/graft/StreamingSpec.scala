@@ -364,6 +364,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sketch rollup heals a mid-swap crash before merging the next batch") {
+    implicit val ctx = spark.sqlContext
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft-hll-heal").toString
+    val rows = fixtureEvents
+    val stream = MemoryStream[Ev]
+    val table = s"$base/sketches"
+    val q = EventStream.sketchRollupStream(stream.toDF(), table, s"$base/ckpt")
+    try {
+      stream.addData(rows.take(400)); q.processAllAvailable()
+      // simulate dying between the two renames: the table survives
+      // ONLY under .old — the next batch must restore it before
+      // merging, or the first 400 events' counts silently vanish
+      Files.move(Paths.get(table), Paths.get(table + ".old"),
+        StandardCopyOption.ATOMIC_MOVE)
+      stream.addData(rows.drop(400)); q.processAllAvailable()
+      val healed = spark.read.parquet(table)
+        .select(col("day"), expr("hll_sketch_estimate(sk)").as("est"))
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      val batch = batchDf(rows)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est"))
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      assert(healed === batch,
+        "mid-swap crash lost the pre-crash sketch state")
+      assert(!Files.exists(Paths.get(table + ".old")))
+      assert(!Files.exists(Paths.get(table + ".tmp")))
+    } finally q.stop()
+  }
+
   test("streaming JSONL corpus append: file-sink shards equal the batch archive content") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
