@@ -25,7 +25,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    // The committed BENCH_LOCAL.json is the default-config full-surface
+    // record. Guard it against the two accidental-clobber classes that
+    // have actually happened: an ad-hoc subset run (args given) and a
+    // different-parallelism run (driver uses local[32]) both default to
+    // side files instead. SPARK_GRAFT_BENCH_OUT still overrides.
+    val defaultOut =
+      if (args.nonEmpty) "BENCH_PARTIAL.json"
+      else if (cpus != "4") s"BENCH_LOCAL_cpus$cpus.json"
+      else "BENCH_LOCAL.json"
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
