@@ -38,11 +38,55 @@ object IvfIndex {
     import spark.implicits._
     cents.toDF("c_id", "c_emb").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/codebook")
-    Similarity.probeCells(emb.select(col("vec_id"), col("embedding")),
-        Seq("vec_id", "embedding"), "embedding", cents, 1)
+    assign(emb, cents)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/cells")
   }
+
+  /** Nearest-cell assignment of (`vec_id`, `embedding`) rows under a
+    * given codebook — [[Similarity.probeCells]] at nprobe=1, exposed
+    * so consumers (and the parity spec) can reproduce exactly what
+    * [[build]]/[[appendStream]] store.
+    */
+  def assign(vectors: DataFrame,
+             cents: Seq[(Int, Seq[Double])]): DataFrame =
+    Similarity.probeCells(vectors.select(col("vec_id"), col("embedding")),
+      Seq("vec_id", "embedding"), "embedding", cents, 1)
+
+  /** The stored codebook, sorted — model state, k×dim small. */
+  def loadCodebook(spark: SparkSession, path: String): Seq[(Int, Seq[Double])] =
+    spark.read.parquet(s"$path/codebook")
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1))
+      .sortBy(_._1).toSeq
+
+  /** Streaming index maintenance — the growing-corpus path: each
+    * micro-batch of new vectors (`vec_id`, `embedding`) is assigned
+    * with the STORED codebook and appended to the cell-partitioned
+    * layout, so the index absorbs daily arrivals without a rebuild.
+    * Appends are per-partition parquet file adds (no rewrite of
+    * existing cells). Codebook staleness is the documented IVF
+    * tradeoff: assignments stay self-consistent because search
+    * probes with the same stored codebook; the rebuild cadence (re-
+    * running [[build]]) is an operational knob, not a correctness
+    * one. Exactly-once per micro-batch comes from the checkpoint;
+    * a replayed batch re-appends files, which dedup-by-vec_id
+    * downstream or idempotent file naming would absorb — the spec
+    * pins assignment parity, the core invariant.
+    */
+  def appendStream(vectors: DataFrame, path: String,
+                   checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        assign(batch, loadCodebook(spark, path))
+          .write.mode("append").partitionBy("cell")
+          .parquet(s"$path/cells")
+        (): Unit
+      }
+      .start()
 
   /** Top-`topK` neighbors per query row (`query_id`, `q_emb`) against
     * a built index. Output matches q64's shape: (query_id,
@@ -51,10 +95,7 @@ object IvfIndex {
   def query(spark: SparkSession, path: String, queries: DataFrame,
             nprobe: Int = Similarity.IvfNProbe,
             topK: Int = 5): DataFrame = {
-    val cents = spark.read.parquet(s"$path/codebook")
-      .collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1))
-      .sortBy(_._1).toSeq
+    val cents = loadCodebook(spark, path)
     val qcells = Similarity.probeCells(queries,
       Seq("query_id", "q_emb"), "q_emb", cents, nprobe)
     val assigned = spark.read.parquet(s"$path/cells")

@@ -394,6 +394,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("IvfIndex.appendStream: streamed vectors land in the same cells as batch assignment") {
+    implicit val ctx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = java.nio.file.Files.createTempDirectory("graft-ivf-stream").toString
+    val idx = s"$base/index"
+    // build on the resident half; stream in the arrivals
+    graft.queries.IvfIndex.build(emb.filter(col("vec_id") < 250), idx)
+    val rest = emb.filter(col("vec_id") >= 250)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    assert(rest.nonEmpty)
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = graft.queries.IvfIndex.appendStream(
+      stream.toDF().toDF("vec_id", "embedding"), idx, s"$base/ckpt")
+    try {
+      stream.addData(rest.take(100)); q.processAllAvailable()
+      stream.addData(rest.drop(100)); q.processAllAvailable()
+    } finally q.stop()
+    val cells = spark.read.parquet(s"$idx/cells")
+      .select(col("vec_id").cast("long"), col("cell").cast("int"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells.size === emb.count())
+    // parity: every stored cell — resident AND streamed — equals the
+    // direct batch assignment under the stored codebook
+    val cents = graft.queries.IvfIndex.loadCodebook(spark, idx)
+    val expected = graft.queries.IvfIndex.assign(emb, cents)
+      .select(col("vec_id").cast("long"), col("cell").cast("int"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells === expected)
+  }
+
   test("streaming JSONL corpus append: file-sink shards equal the batch archive content") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
