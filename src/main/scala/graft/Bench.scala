@@ -22,9 +22,15 @@ import org.apache.spark.sql.SparkSession
   * one-off spike.
   */
 object Bench {
+  /** Default local parallelism — single source for the session AND
+    * the artifact-routing guard below (divergence would silently
+    * stale the committed BENCH_LOCAL.json).
+    */
+  private val DefaultCpus = "4"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", DefaultCpus).trim
     // The committed BENCH_LOCAL.json is the default-config full-surface
     // record. Guard it against the two accidental-clobber classes that
     // have actually happened: an ad-hoc subset run (args given) and a
@@ -32,7 +38,7 @@ object Bench {
     // side files instead. SPARK_GRAFT_BENCH_OUT still overrides.
     val defaultOut =
       if (args.nonEmpty) "BENCH_PARTIAL.json"
-      else if (cpus != "4") s"BENCH_LOCAL_cpus$cpus.json"
+      else if (cpus != DefaultCpus) s"BENCH_LOCAL_cpus$cpus.json"
       else "BENCH_LOCAL.json"
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     val spark = SparkSession.builder()

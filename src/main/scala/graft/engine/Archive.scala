@@ -75,29 +75,50 @@ object Archive {
     * rewrite shuffle-free when shrinking file counts — each output
     * task concatenates input splits.
     */
+  private[graft] def deleteTree(p: Path): Unit = if (Files.exists(p)) {
+    import scala.jdk.CollectionConverters._
+    val w = Files.walk(p)
+    try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+    finally w.close()
+  }
+
+  /** Crash healing for the two-rename in-place swap, shared by
+    * [[compactParquet]] and the streaming sketch rollup — run BEFORE
+    * writing `tmp`: a table that exists only under `old` (death
+    * between the two renames) is restored; an `old` beside a live
+    * `dir` is the stale displaced copy of a death after the swap;
+    * a surviving `tmp` is always a dead partial write.
+    */
+  private[graft] def healSwap(dir: Path, old: Path, tmp: Path): Unit = {
+    if (Files.exists(old) && !Files.exists(dir))
+      Files.move(old, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    else deleteTree(old)
+    deleteTree(tmp)
+  }
+
+  /** The swap itself: NOT one atomic rename — readers racing between
+    * the two moves see a missing directory for that instant, and a
+    * crash there parks the data under `old` (healed by [[healSwap]]
+    * on the next call). Acceptable for offline maintenance and
+    * single-writer streams; a concurrent-reader table needs a
+    * manifest/catalog pointer flip instead of directory renames.
+    */
+  private[graft] def swapInPlace(dir: Path, old: Path, tmp: Path): Unit = {
+    if (Files.exists(dir))
+      Files.move(dir, old, java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    Files.move(tmp, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    deleteTree(old) // best-effort cleanup of the displaced originals
+  }
+
   def compactParquet(spark: org.apache.spark.sql.SparkSession,
                      path: String,
                      targetBytes: Long = 128L * 1024 * 1024): Long = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.Paths
     import scala.jdk.CollectionConverters._
     val dir = Paths.get(path)
     val tmp = Paths.get(path.stripSuffix("/") + ".compact-tmp")
     val old = Paths.get(path.stripSuffix("/") + ".compact-old")
-    // Crash recovery BEFORE doing anything: the swap below is two
-    // renames, so a crash between them leaves the data only under
-    // .compact-old. If that state is on disk, restore it first; a
-    // surviving .compact-old NEXT TO a live dir means the previous
-    // run died after the swap but before cleanup — the displaced
-    // originals are garbage. A stale .compact-tmp is always garbage.
-    def deleteTree(p: Path): Unit = if (Files.exists(p)) {
-      val w = Files.walk(p)
-      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
-      finally w.close()
-    }
-    if (Files.exists(old) && !Files.exists(dir))
-      Files.move(old, dir, StandardCopyOption.ATOMIC_MOVE)
-    else deleteTree(old)
-    deleteTree(tmp)
+    healSwap(dir, old, tmp)
     // a hive-partitioned dir (key=value subdirs) would read back with
     // partition columns and REWRITE FLAT — silently changing layout
     // and pruning behavior. Compact those per-partition instead.
@@ -119,15 +140,7 @@ object Archive {
     spark.read.parquet(path)
       .coalesce(nFiles.toInt)
       .write.mode("overwrite").parquet(tmp.toString)
-    // NOT one atomic swap: readers racing between the two moves see a
-    // missing directory for that instant, and a crash there parks the
-    // data under .compact-old (healed by the recovery block above on
-    // the next call). Acceptable for an offline maintenance pass; a
-    // concurrent-reader table needs a manifest/catalog pointer flip
-    // instead of directory renames.
-    Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
-    deleteTree(old) // best-effort cleanup of the displaced originals
+    swapInPlace(dir, old, tmp)
     nFiles
   }
 

@@ -75,18 +75,23 @@ object IvfIndex {
     * pins assignment parity, the core invariant.
     */
   def appendStream(vectors: DataFrame, path: String,
-                   checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+                   checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    // load once at stream start: the codebook is immutable for the
+    // index lifetime (rebuilding while appending is already unsafe),
+    // so re-reading it per micro-batch would add a driver-side job
+    // per batch for identical data
+    val cents = loadCodebook(vectors.sparkSession, path)
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        assign(batch, loadCodebook(spark, path))
+        assign(batch, cents)
           .write.mode("append").partitionBy("cell")
           .parquet(s"$path/cells")
         (): Unit
       }
       .start()
+  }
 
   /** Top-`topK` neighbors per query row (`query_id`, `q_emb`) against
     * a built index. Output matches q64's shape: (query_id,

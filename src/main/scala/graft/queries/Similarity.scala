@@ -439,12 +439,12 @@ object Similarity {
 
   def annLshCandidatesOn(emb: DataFrame,
                          nBits: Int = AnnNBits, tables: Int = AnnTables,
-                         probeRadius: Int = AnnProbeRadius): DataFrame = {
+                         probeRadius: Int = AnnProbeRadius,
+                         queryCap: Long = ExactBaselineVecCap): DataFrame = {
     val banded = emb.select(col("vec_id"),
       posexplode(Vectors.hyperplaneBuckets(col("embedding"), nBits, tables))
         .as(Seq("tbl", "b")))
-    val q = emb.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val q = querySubset(emb, queryCap)
     // bucket the ~1% query subset directly — joining the full banded
     // table would recompute the whole corpus bucketing a second time
     // just to look up a handful of rows. Each (tbl, code) fans out to
@@ -473,10 +473,10 @@ object Similarity {
 
   def annLshOn(emb: DataFrame,
                nBits: Int = AnnNBits, tables: Int = AnnTables,
-               probeRadius: Int = AnnProbeRadius): DataFrame = {
-    val q = emb.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val scored = annLshCandidatesOn(emb, nBits, tables, probeRadius)
+               probeRadius: Int = AnnProbeRadius,
+               queryCap: Long = ExactBaselineVecCap): DataFrame = {
+    val q = querySubset(emb, queryCap)
+    val scored = annLshCandidatesOn(emb, nBits, tables, probeRadius, queryCap)
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -550,13 +550,16 @@ object Similarity {
     * The 1%-of-corpus query subset is additionally capped at
     * [[ExactBaselineVecCap]] ids — without the cap the BROADCAST side
     * grows with the corpus (1% of 100 TB is not broadcastable); with
-    * it the query set is ≤ Cap/100 vectors at any sf, and every test
-    * corpus (vec_id < 2000) passes through unchanged.
+    * it the query set is ≤ Cap/100 vectors at any sf, and the sf
+    * fixtures (vec_id < 2000) pass through unchanged. Specs that
+    * compare search paths on LARGER generated corpora must pass the
+    * same explicit `queryCap` to every path under comparison, or the
+    * wall-clock/recall comparison silently measures different
+    * workloads (the crossover spec does exactly this).
     */
-  def knnBruteForceOn(emb: DataFrame): DataFrame = {
-    val q = emb.filter(col("vec_id") % 100 === 0 &&
-        col("vec_id") < ExactBaselineVecCap)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+  def knnBruteForceOn(emb: DataFrame,
+                      queryCap: Long = ExactBaselineVecCap): DataFrame = {
+    val q = querySubset(emb, queryCap)
     val scored = emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -639,6 +642,18 @@ object Similarity {
     */
   val CodebookLiteralMaxCells = 2048
 
+  /** The shared 1%-of-ids query subset, capped at
+    * [[ExactBaselineVecCap]]: 1% of a 100 TB corpus is not
+    * broadcastable, and every search path (exact baseline q60, LSH
+    * q63, IVF q64) must score the SAME query set — otherwise recall
+    * and crossover comparisons silently compare different workloads.
+    * Test corpora with vec_id < 2000 pass through unchanged.
+    */
+  private[queries] def querySubset(emb: DataFrame,
+      cap: Long = ExactBaselineVecCap): DataFrame =
+    emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < cap)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+
   private def centsRel(df: DataFrame,
       cents: Seq[(Int, Seq[Double])]): DataFrame = {
     val spark = df.sparkSession
@@ -651,6 +666,14 @@ object Similarity {
     * on codebook size (see [[CodebookLiteralMaxCells]]); both paths
     * order candidates by the same (−cosine, c_id) key, so they
     * produce identical rows — only the plan shape differs.
+    *
+    * Null cosines (a ZERO-NORM centroid — e.g. a seed cell whose
+    * members cancel — scores null against every vector) are
+    * coalesced to rank LAST on BOTH paths. Without the coalesce the
+    * literal path would rank them FIRST: `array_sort`'s nulls-last
+    * rule applies to null ELEMENTS, while a struct with a null
+    * field sorts by the struct field order, nulls-first — so every
+    * vector would probe the dead centroid before any live one.
     */
   private[queries] def probeCells(df: DataFrame, keep: Seq[String],
       vecCol: String, cents: Seq[(Int, Seq[Double])],
@@ -659,7 +682,8 @@ object Similarity {
       df.select(keep.map(col) :+ explode(transform(
         slice(array_sort(transform(centsLit(cents),
           c => struct(
-            (-Vectors.cosine(col(vecCol), c.getField("c_emb"))).as("negs"),
+            coalesce(-Vectors.cosine(col(vecCol), c.getField("c_emb")),
+              lit(Double.MaxValue)).as("negs"),
             c.getField("c_id").as("c_id")))), 1, nprobe),
         p => p.getField("c_id"))).as("cell"): _*)
     else
@@ -712,8 +736,7 @@ object Similarity {
     // one broadcast the probe join needs, so the search plan is
     // scan ⋈ broadcast → window top-k, the same shape as q60 plus
     // the cell filter.
-    val q = emb.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val q = querySubset(emb)
     val qcells = probeCells(q, Seq("query_id", "q_emb"), "q_emb",
       cents, nprobe)
     val scored = assigned.join(broadcast(qcells), Seq("cell"))

@@ -244,8 +244,7 @@ private[sources] class HttpStatementReader(base: String,
       s"${base.stripSuffix("/")}/${p.statement}" +
         s"?symbol=${java.net.URLEncoder.encode(p.symbol, "UTF-8")}" +
         s"&year_from=${p.yearFrom}&year_to=${p.yearTo}")
-    val client = java.net.http.HttpClient.newHttpClient()
-    val resp = client.send(
+    val resp = HttpStatementReader.client.send(
       java.net.http.HttpRequest.newBuilder(uri)
         .timeout(java.time.Duration.ofSeconds(60)).GET().build(),
       java.net.http.HttpResponse.BodyHandlers.ofString())
@@ -280,4 +279,17 @@ private[sources] class HttpStatementReader(base: String,
   }
   override def get(): InternalRow = current
   override def close(): Unit = ()
+}
+
+private[sources] object HttpStatementReader {
+  /** One client per executor JVM: HttpClient is thread-safe and owns
+    * a selector thread + connection pool, so per-partition instances
+    * would leak both across a 10k-partition scan (JDK 17 has no
+    * close()). Connect timeout bounds a black-holed server; the
+    * request timeout rides each request.
+    */
+  lazy val client: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(20))
+      .build()
 }

@@ -436,24 +436,14 @@ object EventStream {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        import java.nio.file.{Files, Paths, StandardCopyOption}
-        import scala.jdk.CollectionConverters._
+        import java.nio.file.{Files, Paths}
         val spark = batch.sparkSession
         val dir = Paths.get(tablePath)
         val old = Paths.get(tablePath + ".old")
         val tmp = Paths.get(tablePath + ".tmp")
-        def deleteTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
-          val w = Files.walk(p)
-          try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
-          finally w.close()
-        }
-        // heal a mid-swap crash from a previous batch: table only
-        // under .old → restore it; .old beside a live table → stale
-        // displaced copy; .tmp is always a dead partial write.
-        if (Files.exists(old) && !Files.exists(dir))
-          Files.move(old, dir, StandardCopyOption.ATOMIC_MOVE)
-        else deleteTree(old)
-        deleteTree(tmp)
+        // heal a mid-swap crash from a previous batch, then swap —
+        // the shared Archive machinery (one copy of the subtle part)
+        graft.engine.Archive.healSwap(dir, old, tmp)
         val daily = batch
           .groupBy(to_date(col("ts")).as("day"))
           .agg(hll_sketch_agg(col("user_id")).as("sk"))
@@ -463,10 +453,7 @@ object EventStream {
               .groupBy(col("day")).agg(hll_union_agg(col("sk")).as("sk"))
           else daily
         merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        if (Files.exists(dir))
-          Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
-        Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
-        deleteTree(old)
+        graft.engine.Archive.swapInPlace(dir, old, tmp)
         (): Unit
       }
       .start()

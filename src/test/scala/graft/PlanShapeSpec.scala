@@ -118,7 +118,7 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("q109 BM25: query terms, df, and corpus stats all broadcast; no sort-merge join") {
+  test("q109 BM25: query terms, df, and corpus stats ride broadcasts") {
     val plan = planOf(q("q109_bm25"))
     // the bounded sides (top-3 terms, term-cardinality df, 1-row
     // stats) must ride broadcasts; the tf ⋈ dl doc-keyed join is the

@@ -142,10 +142,8 @@ class ScalingSpec extends SparkSpec {
     val r1 = run("q113_source_overlap", dir1x)
     val r10 = run("q113_source_overlap", dir10x)
     assert(r1 == r10, s"source-pair cardinality must not grow: $r1 -> $r10")
-    val t1 = math.min(timeOf("q113_source_overlap", dir1x),
-      timeOf("q113_source_overlap", dir1x))
-    val t10 = math.min(timeOf("q113_source_overlap", dir10x),
-      timeOf("q113_source_overlap", dir10x))
+    val t1 = Seq.fill(2)(timeOf("q113_source_overlap", dir1x)).min
+    val t10 = Seq.fill(2)(timeOf("q113_source_overlap", dir10x)).min
     val ratio = t10 / math.max(t1, 0.05)
     info(f"q113: time $t1%.2fs -> $t10%.2fs (ratio $ratio%.1fx)")
     assert(ratio < 30.0,

@@ -48,10 +48,19 @@ class SimilaritySpec extends SparkSpec {
       assert(err <= scale / 2 * (1 + 1e-12), s"err $err > scale/2 ${scale / 2}")
     }
     val codes = spark.read.parquet(s"$dir/embeddings.parquet")
+      .orderBy(col("vec_id")) // align with the query's vec_id order
       .select(graft.functions.Vectors.quantizeInt8(col("embedding")).as("q"))
       .as[Seq[Int]].collect()
     assert(codes.nonEmpty)
     codes.foreach(q => assert(q.forall(c => c >= -127 && c <= 127)))
+    // the digest must actually BE sha256 of the comma-joined codes —
+    // length-64 alone would accept a digest of the wrong column,
+    // separator, or element order
+    val recomputed = codes.map(q =>
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(q.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+    assert(rows.map(_._2).toSeq === recomputed.toSeq)
     // the compression must preserve neighborhoods: brute-force top-5
     // on DEQUANTIZED vectors vs on the originals
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -126,19 +135,26 @@ class SimilaritySpec extends SparkSpec {
     // warm both paths (JIT + codegen) at the original scale first
     timeNoop(knnBruteForceOn(spark.read.parquet(s"$dir/embeddings.parquet")))
     timeNoop(annLshOn(spark.read.parquet(s"$dir/embeddings.parquet"), 14, 8, 1))
+    // BOTH paths get the same uncapped query set (160 queries at 16k
+    // ids): the production default caps queries at ExactBaselineVecCap
+    // for broadcast safety, which on THIS corpus would shrink brute
+    // force to 41 queries while the crossover regime under test is
+    // query volume amortizing the LSH index build — an asymmetric or
+    // shrunken query set measures a different comparison entirely.
+    val uncapped = Long.MaxValue
     // min of two runs each: a single GC pause or noisy-neighbor spike
     // must not flip a 3-5x measured gap into a spurious failure
-    val tBrute = Seq.fill(2)(timeNoop(knnBruteForceOn(scaled))).min
-    val tLsh = Seq.fill(2)(timeNoop(annLshOn(scaled, 14, 8, 1))).min
+    val tBrute = Seq.fill(2)(timeNoop(knnBruteForceOn(scaled, uncapped))).min
+    val tLsh = Seq.fill(2)(timeNoop(annLshOn(scaled, 14, 8, 1, uncapped))).min
     info(f"16k clustered: brute $tBrute%.2f s, LSH $tLsh%.2f s (min of 2)")
     assert(tLsh < tBrute,
       f"LSH ($tLsh%.2f s) must beat brute force ($tBrute%.2f s) on a clustered corpus")
-    val cands = annLshCandidatesOn(scaled, 14, 8, 1)
+    val cands = annLshCandidatesOn(scaled, 14, 8, 1, uncapped)
       .groupBy(col("query_id")).agg(count(lit(1)).as("c"))
       .agg(avg(col("c"))).first().getDouble(0)
     assert(cands / (n - 1) < 0.05, s"candidate fraction ${cands / (n - 1)}")
-    val exact = topKOf(knnBruteForceOn(scaled))
-    val approx = topKOf(annLshOn(scaled, 14, 8, 1))
+    val exact = topKOf(knnBruteForceOn(scaled, uncapped))
+    val approx = topKOf(annLshOn(scaled, 14, 8, 1, uncapped))
     val perQuery = exact.map { case (q, truth) =>
       approx.getOrElse(q, Set.empty).count(truth.contains).toDouble / truth.size }
     val r = perQuery.sum / perQuery.size
