@@ -39,6 +39,18 @@ object TextOps {
     */
   val ExactBaselineDocCap = 8192
 
+  /** Corpus-side document-frequency cap for the q114 shingle
+    * inverted index: a shingle carried by more corpus documents than
+    * this is dropped from CANDIDATE GENERATION (not from the per-doc
+    * set sizes). Hot shingles are boilerplate — they fan a batch doc
+    * out to every corpus doc sharing them while contributing ~zero
+    * Jaccard mass; dropping them bounds per-shingle join fanout at
+    * batch×cap. Far above any fixture's corpus DF, so test results
+    * equal the uncapped exact measure (engagement pinned in
+    * MinHashIndexSpec on a synthetic boilerplate corpus).
+    */
+  val MaxShingleDf = 1000
+
   lazy val queries: Seq[Q] = Seq(
 
     // -- exact dedup by content hash: one shuffle on sha256(text);
@@ -1203,8 +1215,110 @@ object TextOps {
         FROM pairs JOIN per p1 ON pairs.src_a = p1.source
           JOIN per p2 ON pairs.src_b = p2.source
         ORDER BY src_a, src_b"""),
-      "cross-source 3-gram Jaccard overlap matrix (composition audit)")
+      "cross-source 3-gram Jaccard overlap matrix (composition audit)"),
+
+    // -- INCREMENTAL near-dup: a "new batch" (doc_id % 5 == 0 stands
+    //    in for today's crawl) checked against the existing corpus
+    //    via a shingle INVERTED-INDEX equi-join — the exact
+    //    complement to q82's incremental exact dedup. Candidate
+    //    pairs arise only from a SHARED shingle (join on the shingle
+    //    itself, never doc×doc); per-shingle fanout is batch-docs ×
+    //    corpus-docs carrying it, and corpus shingles hotter than
+    //    [[MaxShingleDf]] documents are dropped from candidate
+    //    generation (a boilerplate trigram shared by 10⁵ docs emits
+    //    10⁵×batch candidates and zero dedup signal — the measure
+    //    becomes intersection-over-informative-shingles, mirrored
+    //    in the oracle). Jaccard rounds to 4dp BEFORE the ≥ τ filter
+    //    and the per-doc best-match rank, so both engines rank
+    //    identical values. At 100 TB the string shingle key swaps
+    //    for Text.shingleHashes (8-byte join keys, same topology);
+    //    strings here keep the oracle exactly mirrorable.
+    Q("q114_incremental_neardup",
+      (s, d) => incrementalNearDupOn(t(s, d).documents),
+      Some(s"""WITH sh0 AS (
+          SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) >= 3
+              THEN list_transform(
+                range(1, len(string_split_regex(lower(trim(text)), '\\s+')) - 1),
+                i -> array_to_string(string_split_regex(lower(trim(text)), '\\s+')[i:i+2], ' '))
+              ELSE [] END)) AS sh
+          FROM documents),
+        sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+        per AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        batch AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
+        corpus AS (SELECT doc_id AS match_id, sh FROM sh WHERE doc_id % 5 <> 0),
+        informative AS (
+          SELECT sh FROM corpus GROUP BY sh HAVING COUNT(*) <= $MaxShingleDf),
+        cand AS (
+          SELECT b.doc_id, c.match_id, COUNT(*) AS n_common
+          FROM batch b JOIN corpus c ON b.sh = c.sh
+          JOIN informative i ON c.sh = i.sh
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT cand.doc_id, cand.match_id, cand.n_common,
+            pa.n AS n_a, pb.n AS n_b,
+            ROUND(CAST(cand.n_common AS DOUBLE)
+              / (pa.n + pb.n - cand.n_common), 4) AS jaccard
+          FROM cand JOIN per pa ON cand.doc_id = pa.doc_id
+            JOIN per pb ON cand.match_id = pb.doc_id)
+        SELECT doc_id, match_id, n_common, n_a, n_b, jaccard
+        FROM scored WHERE jaccard >= 0.2
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+          ORDER BY jaccard DESC, match_id) = 1
+        ORDER BY doc_id"""),
+      "incremental near-dup: new batch vs corpus via shingle inverted index")
   )
+
+  /** q114's incremental near-dup plan over any documents frame: the
+    * batch (doc_id % `batchMod` == 0) joined against the rest of the
+    * corpus on the shingle itself (inverted index — candidate pairs
+    * exist only where a shingle is shared, never doc×doc), corpus
+    * shingles hotter than `maxDf` documents dropped from candidate
+    * generation, exact Jaccard on the full distinct sets rounded to
+    * 4dp before the ≥ `tau` filter and the per-doc best-match rank.
+    * Parameterized so MinHashSpec can engage the DF cap on a
+    * synthetic boilerplate corpus; the q114 entry runs the defaults.
+    */
+  def incrementalNearDupOn(docs: org.apache.spark.sql.DataFrame,
+                           batchMod: Int = 5,
+                           tau: Double = 0.2,
+                           maxDf: Long = MaxShingleDf): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // one distinct (doc_id, shingle) relation feeds the batch side,
+    // the corpus side, and both per-doc set sizes — persist or pay
+    // four corpus explodes
+    val sh = docs
+      .select(col("doc_id"), explode(array_distinct(
+        Text.shingles(col("text"), 3))).as("sh"))
+      .distinct()
+      .persist()
+    sh.count() // materialize: four consumers scan this cache
+    val per = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val batch = sh.filter(col("doc_id") % batchMod === 0)
+    val corpus = sh.filter(col("doc_id") % batchMod =!= 0)
+      .select(col("doc_id").as("match_id"), col("sh"))
+    val informative = corpus.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("sh"))
+    val cand = batch.join(corpus.join(informative, Seq("sh")), Seq("sh"))
+      .groupBy(col("doc_id"), col("match_id"))
+      .agg(count(lit(1)).as("n_common"))
+    val scored = cand
+      .join(per.select(col("doc_id"), col("n").as("n_a")), Seq("doc_id"))
+      .join(per.select(col("doc_id").as("match_id"), col("n").as("n_b")),
+        Seq("match_id"))
+      .withColumn("jaccard", round(col("n_common").cast("double")
+        / (col("n_a") + col("n_b") - col("n_common")), 4))
+      .filter(col("jaccard") >= tau)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("jaccard").desc, col("match_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("match_id"), col("n_common"),
+        col("n_a"), col("n_b"), col("jaccard"))
+      .orderBy(col("doc_id"))
+  }
 
   /** q54's scored pair plan over any documents frame: candidate pairs
     * blocked on (lang, length bucket), shingles computed once and
