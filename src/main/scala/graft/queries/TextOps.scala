@@ -1266,7 +1266,97 @@ object TextOps {
         QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
           ORDER BY jaccard DESC, match_id) = 1
         ORDER BY doc_id"""),
-      "incremental near-dup: new batch vs corpus via shingle inverted index")
+      "incremental near-dup: new batch vs corpus via shingle inverted index"),
+
+    // -- ESTIMATED cross-source overlap via Theta sketches: q113's
+    //    exact Jaccard matrix needs the full distinct-shingle
+    //    relation through a self-join; the Theta sketch (the
+    //    mergeable K-minimum-values family that, unlike HLL,
+    //    supports INTERSECTION and DIFFERENCE) answers the same
+    //    question from one bounded-state aggregate — per-source
+    //    state is ≤4096 retained hashes regardless of corpus size,
+    //    partials merge map-side, and the pair matrix is a
+    //    broadcast of the source-cardinality sketch table. The
+    //    sketch is order-insensitive (retained set = K smallest
+    //    hashes), so results are deterministic — golden-pinned, and
+    //    SketchSpec bounds the estimates against q113's exact
+    //    values. No DuckDB theta → rows-only driver check.
+    Q("q115_theta_source_overlap",
+      (s, d) => {
+        val sh = t(s, d).documents
+          .select(col("source"), explode(array_distinct(
+            Text.shingles(col("text"), 3))).as("sh"))
+        val sk = sh.groupBy(col("source"))
+          .agg(call_function("theta_sketch_agg", col("sh")).as("sk"))
+        val a = sk.select(col("source").as("src_a"), col("sk").as("sk_a"))
+        val b = sk.select(col("source").as("src_b"), col("sk").as("sk_b"))
+        a.crossJoin(broadcast(b))
+          .filter(col("src_a") < col("src_b"))
+          .select(col("src_a"), col("src_b"),
+            call_function("theta_sketch_estimate",
+              call_function("theta_intersection", col("sk_a"), col("sk_b")))
+              .as("n_common_est"),
+            call_function("theta_sketch_estimate", col("sk_a")).as("n_a_est"),
+            call_function("theta_sketch_estimate", col("sk_b")).as("n_b_est"),
+            call_function("theta_sketch_estimate",
+              call_function("theta_union", col("sk_a"), col("sk_b")))
+              .as("n_union_est"))
+          .withColumn("jaccard_est",
+            round(col("n_common_est").cast("double") / col("n_union_est"), 4))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      None,
+      "estimated cross-source shingle overlap via theta sketch set ops"),
+
+    // -- per-source content NOVELTY: how much of a source's distinct
+    //    shingle set appears in NO other source — the acquisition
+    //    metric ("does buying this corpus add anything?"). Exact
+    //    form needs shingle×source co-occurrence; the theta form is
+    //    difference(sk_s, union of every other source's sketch),
+    //    with the union-of-others built from the same bounded
+    //    per-source sketches (source-cardinality broadcast pair
+    //    frame, theta_union_agg rollup — never a second corpus
+    //    scan). Deterministic → golden-pinned; SketchSpec bounds
+    //    novelty_rate against the exact co-occurrence answer.
+    //
+    //    Sketch sizing: the DIFFERENCE estimate's error is driven by
+    //    the union-of-others sketch, which holds ~|sources|× a
+    //    single source's cardinality — at the default lgK 12 (4096
+    //    retained) that union is deep in sampling and the novelty
+    //    rate drifted 0.07 off exact on the fixture. lgK 14 (16384
+    //    retained, 128 KB per source — trivial state at
+    //    source-cardinality groups) keeps the rate within 0.05 at
+    //    any corpus size; precision is a knob, not a rewrite.
+    Q("q116_theta_novelty",
+      (s, d) => {
+        val sh = t(s, d).documents
+          .select(col("source"), explode(array_distinct(
+            Text.shingles(col("text"), 3))).as("sh"))
+        val sk = sh.groupBy(col("source"))
+          .agg(call_function("theta_sketch_agg", col("sh"), lit(14)).as("sk"))
+          .persist() // feeds both sides of the pair frame + the join back
+        sk.count()
+        val a = sk.select(col("source").as("src"), col("sk").as("sk_s"))
+        val others = a.crossJoin(broadcast(
+            sk.select(col("source").as("other"), col("sk").as("sk_o"))))
+          .filter(col("src") =!= col("other"))
+          .groupBy(col("src"))
+          // the union agg trims to ITS OWN lgK (default 12) whatever
+          // the input sketches hold — size it to match
+          .agg(call_function("theta_union_agg", col("sk_o"), lit(14))
+            .as("sk_others"))
+        a.join(others, Seq("src"))
+          .select(col("src").as("source"),
+            call_function("theta_sketch_estimate", col("sk_s")).as("n_est"),
+            call_function("theta_sketch_estimate",
+              call_function("theta_difference", col("sk_s"), col("sk_others")))
+              .as("n_novel_est"))
+          .withColumn("novelty_rate",
+            round(col("n_novel_est").cast("double") / col("n_est"), 4))
+          .orderBy(col("source"))
+      },
+      None,
+      "per-source novel-content estimate via theta difference")
   )
 
   /** q114's incremental near-dup plan over any documents frame: the

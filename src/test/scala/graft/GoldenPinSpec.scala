@@ -79,9 +79,20 @@ class GoldenPinSpec extends SparkSpec {
     "q71_media_features" -> "7214c0c0d0886d63b1a4514d34f27de82915ed77bf22e071026943f740196e83",
     "q72_token_cms" -> "d3722a7ee4d9214d965c456c93bd93c68978d56d841dbd03da2f2009e0bfc3c1",
     "q92_semantic_dedup" -> "01a1a6a8d697786f1646c9cc0cf3b23b50dda50f488f271ab777378f4bbe8c74",
-    "q102_hll_rollup" -> "713f7abcecaeb74fb1d09a039608020c21e5063a4377f45d9a3687842b2998f2")
+    "q102_hll_rollup" -> "713f7abcecaeb74fb1d09a039608020c21e5063a4377f45d9a3687842b2998f2",
+    "q115_theta_source_overlap" -> "3a4654e2e3fdf8d92961d1da95b2029a75cd898df7cc119419af99b8eaaaa989",
+    "q116_theta_novelty" -> "7f94db1c39ad30a462bbea16f80f8a3cbcb164f60d8ec562f7db4adc107bb4a2")
 
   private val regen = sys.env.get("SPARK_GRAFT_REGEN_PINS").contains("1")
+
+  test("every declared no-oracle query is golden-pinned") {
+    // a no-oracle query without a pin gets only the driver's weak
+    // rows-only check — exactly the drift window this suite exists
+    // to close (q115/q116 initially shipped unpinned this way)
+    val noOracle = Registry.all.filter(_.sql.isEmpty).map(_.name).toSet
+    val unpinned = noOracle -- expected.keySet
+    assert(unpinned.isEmpty, s"no-oracle queries without a pin: $unpinned")
+  }
 
   test("no-oracle query outputs match their committed golden pins") {
     val got = expected.keys.toSeq.sorted.map(n => n -> pin(n))

@@ -82,6 +82,63 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("q115 theta overlap: every estimate within 5% of q113's exact values") {
+    // q113 is the exact source-pair Jaccard matrix over the same
+    // distinct 3-gram shingle relation — the ground truth for the
+    // sketch estimates. Theta default nominal entries (4096) against
+    // sf0.01 per-source shingle cardinalities puts the sketches in
+    // genuine estimation mode, not exact mode.
+    val exact = Registry.queries("q113_source_overlap")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    spark.catalog.clearCache()
+    val est = Registry.queries("q115_theta_source_overlap")(spark, dir).collect()
+    assert(est.length === exact.size, "pair matrices must cover the same pairs")
+    est.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      val (nCommon, nA, nB) = exact(key)
+      def within(e: Long, x: Long, what: String): Unit =
+        assert(math.abs(e - x) <= math.max(0.05 * x, 2.0),
+          s"$key $what: est $e vs exact $x")
+      within(r.getLong(2), nCommon, "intersection")
+      within(r.getLong(3), nA, "n_a")
+      within(r.getLong(4), nB, "n_b")
+      within(r.getLong(5), nA + nB - nCommon, "union")
+    }
+  }
+
+  test("q116 theta novelty: rates within 0.05 of the exact co-occurrence answer") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val sh = docs.select(col("source"), explode(array_distinct(
+        Text.shingles(col("text"), 3))).as("sh"))
+      .distinct().persist()
+    sh.count()
+    val per = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    // a shingle is novel to its source iff no OTHER source carries it
+    val novel = sh.groupBy(col("sh"))
+      .agg(countDistinct(col("source")).as("ns"), first(col("source")).as("source"))
+      .filter(col("ns") === 1)
+      .groupBy(col("source")).agg(count(lit(1)).as("novel"))
+    val exact = per.join(novel, Seq("source"), "left")
+      .select(col("source"), col("n"),
+        coalesce(col("novel"), lit(0L)).as("novel"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    sh.unpersist()
+    val est = Registry.queries("q116_theta_novelty")(spark, dir).collect()
+    assert(est.length === exact.size)
+    est.foreach { r =>
+      val (n, novel) = exact(r.getString(0))
+      assert(math.abs(r.getLong(1) - n) <= math.max(0.05 * n, 2.0),
+        s"${r.getString(0)} n_est ${r.getLong(1)} vs exact $n")
+      val exactRate = novel.toDouble / n
+      assert(math.abs(r.getDouble(3) - exactRate) <= 0.05,
+        s"${r.getString(0)} novelty_rate ${r.getDouble(3)} vs exact $exactRate")
+    }
+  }
+
   test("q72 is deterministic for fixed input (fixed sketch seed)") {
     val a = Registry.queries("q72_token_cms")(spark, dir).collect().toSeq
     val b = Registry.queries("q72_token_cms")(spark, dir).collect().toSeq
