@@ -426,6 +426,95 @@ object EventOps {
         FROM grid g JOIN ud u
           ON g.day BETWEEN u.uday AND u.uday + 6
         GROUP BY g.day ORDER BY g.day"""),
-      "exact rolling 7-day distinct users (explode-contributions, no range join)")
+      "exact rolling 7-day distinct users (explode-contributions, no range join)"),
+
+    // -- q117: MERGEABLE HISTOGRAM QUANTILE ROLLUP — q102's
+    //    pre-aggregation pattern applied to percentiles, with one
+    //    property HLL/KLL sketches can't offer: the sketch state here
+    //    is a plain (day, bucket, count) RELATION under a pure-integer
+    //    HDR-style bucketing (floor(log2) via length(bin(x)), 7
+    //    sub-bucket mantissa bits → relative bucket width ≤ 1/128),
+    //    so it is deterministic, exactly mirrorable in ANSI SQL
+    //    (DuckDB hash-matches the whole pipeline — no rows-only
+    //    check), mergeable by integer addition (any day range's
+    //    histogram is a groupBy-sum of day rows, never a re-scan of
+    //    raw events), and streaming-maintainable by appending counts.
+    //    DataSketches KLL would give rank-error bounds but randomizes
+    //    compaction — untestable against an oracle and nondeterministic
+    //    under retry; the value-error histogram trades that for exact
+    //    reproducibility. Per-day state is bounded by the bucket count
+    //    (~2k buckets spans 9 decades), the quantile walk runs over a
+    //    range-cardinality frame, and every shuffle key is (day,
+    //    bucket) or (range, bucket) — nothing scales with raw rows
+    //    past the first aggregate. Values are bucketed in centi-units
+    //    (floor(value·100)) so the exact region covers [0, 2.56) at
+    //    0.01 granularity; midpoint decode halves the width bound.
+    Q("q117_hist_quantile_rollup",
+      (s, d) => {
+        // the stored mergeable table (shared with histRollupStream,
+        // which maintains the same relation incrementally)
+        val hist = graft.operators.HdrHistogram
+          .dailyHist(t(s, d).events, col("ts"), col("value"))
+        val bounds = hist.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        val ranges = bounds.select(lit("all").as("range_name"),
+            col("lo").as("d_lo"), col("hi").as("d_hi"))
+          .union(bounds.select(lit("first_week"), col("lo"), date_add(col("lo"), 6)))
+          .union(bounds.select(lit("rest"), date_add(col("lo"), 7), col("hi")))
+        val merged = hist
+          .join(broadcast(ranges), col("day").between(col("d_lo"), col("d_hi")))
+          .groupBy(col("range_name"), col("bucket"))
+          .agg(sum(col("cnt")).as("cnt"))
+        val wCum = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("range_name")).orderBy(col("bucket"))
+        val wAll = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("range_name"))
+        val cum = merged
+          .withColumn("cum", sum(col("cnt")).over(wCum))
+          .withColumn("n", sum(col("cnt")).over(wAll))
+        val qs = ranges.sparkSession.range(1) // 3-row quantile literal frame
+          .select(explode(array(lit(0.5), lit(0.95), lit(0.99))).as("p"))
+        cum.crossJoin(broadcast(qs))
+          .filter(col("cum") >= ceil(col("n") * col("p")))
+          .groupBy(col("range_name"), col("p"))
+          .agg(min(col("bucket")).as("bucket"), max(col("n")).as("n_events"))
+          .select(col("range_name"), col("p"), col("n_events"),
+            graft.operators.HdrHistogram.midpoint(col("bucket"))
+              .as("est_value"))
+          .orderBy(col("range_name"), col("p"))
+      },
+      Some("""WITH pts AS (
+          SELECT CAST(ts AS DATE) AS day,
+            CAST(FLOOR(value * 100) AS BIGINT) AS x FROM events),
+        b AS (
+          SELECT day, CASE WHEN x < 256 THEN x
+            ELSE ((length(bin(x)) - 1) - 7) * 128
+              + (x >> ((length(bin(x)) - 1) - 7)) - 128 + 256 END AS bucket
+          FROM pts),
+        hist AS (SELECT day, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+        bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM hist),
+        ranges AS (
+          SELECT 'all' AS range_name, lo AS d_lo, hi AS d_hi FROM bounds
+          UNION ALL SELECT 'first_week', lo, lo + 6 FROM bounds
+          UNION ALL SELECT 'rest', lo + 7, hi FROM bounds),
+        merged AS (
+          SELECT range_name, bucket, CAST(SUM(cnt) AS BIGINT) AS cnt
+          FROM hist JOIN ranges ON day BETWEEN d_lo AND d_hi
+          GROUP BY 1, 2),
+        cum AS (
+          SELECT range_name, bucket,
+            CAST(SUM(cnt) OVER (PARTITION BY range_name ORDER BY bucket) AS BIGINT) AS cum,
+            CAST(SUM(cnt) OVER (PARTITION BY range_name) AS BIGINT) AS n
+          FROM merged),
+        qs AS (SELECT UNNEST([0.5::DOUBLE, 0.95::DOUBLE, 0.99::DOUBLE]) AS p),
+        sel AS (
+          SELECT range_name, p, MIN(bucket) AS bucket, MAX(n) AS n_events
+          FROM cum CROSS JOIN qs WHERE cum >= CEIL(n * p)
+          GROUP BY 1, 2)
+        SELECT range_name, p, n_events,
+          CASE WHEN bucket < 256 THEN (2 * bucket + 1) / 200.0
+            ELSE (2.0 * ((128 + (bucket - 256) % 128) << ((bucket - 256) // 128))
+              + (1 << ((bucket - 256) // 128))) / 200.0 END AS est_value
+        FROM sel ORDER BY range_name, p"""),
+      "mergeable integer-histogram percentile rollup (deterministic, oracle-exact)")
   )
 }

@@ -629,7 +629,100 @@ object TrainingOps {
           CAST(ROUND(CAST(SUM(CAST(w AS DECIMAL(38,12))) AS DOUBLE)
             / COUNT(*), 6) > 0 AS INT) AS keep
         FROM scored GROUP BY doc_id ORDER BY doc_id"""),
-      "hashed linear classifier inference (corpus-scale quality scoring)")
+      "hashed linear classifier inference (corpus-scale quality scoring)"),
+
+    // -- q118: HEAPS'-LAW VOCABULARY GROWTH per source — V(N) ≈ K·N^β,
+    //    the companion diagnostic to q85's Zipf slope: β near 1 means
+    //    the source keeps minting new types (OCR noise, IDs, markup
+    //    soup — tokenizer-hostile), β near 0 means template/boilerplate
+    //    text whose vocabulary saturates (the synthetic fixture's
+    //    ~31-word vocabulary pins β ≈ 0 — the oracle verifies the
+    //    machinery, TrainingOpsSpec verifies real growth on a corpus
+    //    that has some). Docs are split into 8 cumulative prefixes by
+    //    integer rank arithmetic ((8·(r−1)) div n_docs — repartition-
+    //    stable, both engines floor), and both curves come from ONE
+    //    (source, token, bucket) aggregate: token totals roll up as a
+    //    sum, vocabulary as first-occurrence-bucket counts (min-bucket
+    //    per type, q95's one-scan rule). Every frame after the first
+    //    groupBy is vocab- or source-cardinality; the OLS runs over 8
+    //    points per source. ln/regr_slope are 4dp-rounded (q85's
+    //    convention) and +0.0 normalizes the -0.0 a zero slope rounds
+    //    to (IEEE negative zero hashes differently than 0.0).
+    Q("q118_heaps_vocab_growth",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val ranked = t(s, d).documents
+          .select(col("doc_id"), col("source"), Text.tokens(col("text")).as("toks"))
+          .withColumn("r", row_number().over(
+            w.partitionBy(col("source")).orderBy(col("doc_id"))))
+          .withColumn("nd", count(lit(1)).over(w.partitionBy(col("source"))))
+          .withColumn("b", expr("(8 * (r - 1)) div nd").cast("int"))
+        val g = ranked
+          .select(col("source"), col("b"), explode(col("toks")).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .groupBy(col("source"), col("tok"), col("b"))
+          .agg(count(lit(1)).as("c"))
+        val tokCounts = g.groupBy(col("source"), col("b"))
+          .agg(sum(col("c")).as("toks_in_b"))
+        val newTypes = g.groupBy(col("source"), col("tok"))
+          .agg(min(col("b")).as("fb"))
+          .groupBy(col("source"), col("fb").as("b"))
+          .agg(count(lit(1)).as("types_in_b"))
+        val spine = ranked.select(col("source")).distinct()
+          .crossJoin(broadcast(ranked.sparkSession.range(8)
+            .select(col("id").cast("int").as("b"))))
+        val wCum = w.partitionBy(col("source")).orderBy(col("b"))
+        val cum = spine
+          .join(tokCounts, Seq("source", "b"), "left")
+          .join(newTypes, Seq("source", "b"), "left")
+          .withColumn("n_cum", sum(coalesce(col("toks_in_b"), lit(0L))).over(wCum))
+          .withColumn("v_cum", sum(coalesce(col("types_in_b"), lit(0L))).over(wCum))
+          .filter(col("n_cum") > 0 && col("v_cum") > 0)
+        cum.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_points"),
+            (round(regr_slope(log(col("v_cum")), log(col("n_cum"))), 4) + 0.0)
+              .as("heaps_beta"),
+            (round(exp(regr_intercept(log(col("v_cum")), log(col("n_cum")))), 4)
+              + 0.0).as("heaps_k"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH ranked AS (
+          SELECT doc_id, source,
+            string_split_regex(lower(trim(text)), '\s+') AS toks,
+            ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS r,
+            COUNT(*) OVER (PARTITION BY source) AS nd
+          FROM documents),
+        bucketed AS (
+          SELECT source, (8 * (r - 1)) // nd AS b, toks FROM ranked),
+        g AS (
+          SELECT source, tok, b, COUNT(*) AS c FROM (
+            SELECT source, b, UNNEST(toks) AS tok FROM bucketed) t
+          WHERE length(tok) > 0 GROUP BY 1, 2, 3),
+        tok_counts AS (
+          SELECT source, b, CAST(SUM(c) AS BIGINT) AS toks_in_b
+          FROM g GROUP BY 1, 2),
+        new_types AS (
+          SELECT source, fb AS b, CAST(COUNT(*) AS BIGINT) AS types_in_b
+          FROM (SELECT source, tok, MIN(b) AS fb FROM g GROUP BY 1, 2) f
+          GROUP BY 1, 2),
+        spine AS (
+          SELECT source, b FROM (SELECT DISTINCT source FROM ranked) s
+          CROSS JOIN (SELECT UNNEST([0,1,2,3,4,5,6,7]) AS b) q),
+        cum AS (
+          SELECT s.source, s.b,
+            CAST(SUM(COALESCE(tc.toks_in_b, 0)) OVER
+              (PARTITION BY s.source ORDER BY s.b) AS BIGINT) AS n_cum,
+            CAST(SUM(COALESCE(nt.types_in_b, 0)) OVER
+              (PARTITION BY s.source ORDER BY s.b) AS BIGINT) AS v_cum
+          FROM spine s
+          LEFT JOIN tok_counts tc ON s.source = tc.source AND s.b = tc.b
+          LEFT JOIN new_types nt ON s.source = nt.source AND s.b = nt.b)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_points,
+          ROUND(regr_slope(ln(v_cum), ln(n_cum)), 4) + 0.0 AS heaps_beta,
+          ROUND(EXP(regr_intercept(ln(v_cum), ln(n_cum))), 4) + 0.0 AS heaps_k
+        FROM cum WHERE n_cum > 0 AND v_cum > 0
+        GROUP BY source ORDER BY source"""),
+      "Heaps'-law vocabulary growth fit per source (8-prefix OLS)")
   )
 
   /** Shared oracle for q90 and q99 (same answer by construction).

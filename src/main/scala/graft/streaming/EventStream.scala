@@ -457,4 +457,66 @@ object EventStream {
         (): Unit
       }
       .start()
+
+  /** Incremental maintenance of q117's per-day HDR-histogram table —
+    * the quantile twin of [[sketchRollupStream]] with one extra piece
+    * of machinery the HLL stream doesn't need: count merging is NOT
+    * idempotent (HLL union is register-max, so redelivering a batch
+    * is a no-op there; re-summing the same counts doubles them).
+    * Idempotence here comes from the batch-id marker: each merge
+    * writes Spark's monotonically increasing `batchId` as an
+    * underscore-prefixed file INSIDE the tmp table directory before
+    * the swap, so the marker travels atomically with the data (a
+    * post-swap marker write would leave a crash window in which the
+    * same batch merges twice). On crash-redelivery foreachBatch
+    * re-runs the last batch with the SAME id — `batchId <= marker`
+    * skips the merge, and the stream converges exactly-once.
+    *
+    * Cost model matches sketchRollupStream: O(|table|) per batch,
+    * day-keyed tables stay in the thousands of rows × ~2k buckets;
+    * the same tmp+rename swap with healSwap self-recovery applies.
+    */
+  def histRollupStream(events: DataFrame, tablePath: String,
+                       checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeHistBatch(batch, tablePath, batchId): Unit
+      }
+      .start()
+
+  /** One histogram merge step (exposed for direct redelivery tests:
+    * MemoryStream can't replay a batch id, a crashed driver can).
+    * Returns true when the batch was merged, false when the marker
+    * proved it already was.
+    */
+  private[graft] def mergeHistBatch(batch: DataFrame, tablePath: String,
+                                    batchId: Long): Boolean = {
+    import java.nio.file.{Files, Paths}
+    val spark = batch.sparkSession
+    val dir = Paths.get(tablePath)
+    val old = Paths.get(tablePath + ".old")
+    val tmp = Paths.get(tablePath + ".tmp")
+    graft.engine.Archive.healSwap(dir, old, tmp)
+    val marker = dir.resolve("_GRAFT_BATCH")
+    val lastMerged =
+      if (Files.exists(marker)) Files.readString(marker).trim.toLong else -1L
+    if (batchId <= lastMerged) false
+    else {
+      val daily = graft.operators.HdrHistogram
+        .dailyHist(batch, col("ts"), col("value"))
+      val merged =
+        if (Files.exists(dir))
+          spark.read.parquet(tablePath).union(daily)
+            .groupBy(col("day"), col("bucket"))
+            .agg(sum(col("cnt")).as("cnt"))
+        else daily
+      merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      // marker inside tmp: swaps into place atomically with the data
+      Files.writeString(tmp.resolve("_GRAFT_BATCH"), batchId.toString)
+      graft.engine.Archive.swapInPlace(dir, old, tmp)
+      true
+    }
+  }
 }

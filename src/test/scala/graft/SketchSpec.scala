@@ -144,4 +144,50 @@ class SketchSpec extends SparkSpec {
     val b = Registry.queries("q72_token_cms")(spark, dir).collect().toSeq
     assert(a === b && a.nonEmpty)
   }
+
+  test("q117 histogram quantiles: ≤1% relative error vs exact, bounded state, additive merge") {
+    val events = graft.engine.Sources.Tables(spark, dir).events
+    val rows = events.select(to_date(col("ts")).as("day"), col("value"))
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getDouble(1)))
+    val ord = Ordering.by[java.time.LocalDate, Long](_.toEpochDay)
+    val lo = rows.map(_._1).min(ord)
+    val hi = rows.map(_._1).max(ord)
+    val ranges = Map(
+      "all" -> ((lo, hi)),
+      "first_week" -> ((lo, lo.plusDays(6))),
+      "rest" -> ((lo.plusDays(7), hi)))
+    val got = Registry.queries("q117_hist_quantile_rollup")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.size === 9, "3 ranges x 3 quantiles")
+    got.foreach { case ((rn, p), (n, est)) =>
+      val (a, b) = ranges(rn)
+      val sub = rows.filter { case (d, _) =>
+        !d.isBefore(a) && !d.isAfter(b) }.map(_._2).sorted
+      assert(n === sub.length.toLong, s"$rn row count")
+      // exact lower quantile: least v with rank >= ceil(p*n)
+      val exact = sub(math.ceil(p * sub.length).toInt - 1)
+      val rel = math.abs(est - exact) / exact
+      info(f"$rn%-11s p=$p exact=$exact%.4f est=$est%.4f rel=$rel%.5f")
+      // bucket width is <= 1/128 relative (plus centi-unit floor);
+      // the midpoint decode halves it — 1% is a loose deterministic
+      // ceiling for any value >= 1
+      assert(rel <= 0.01, s"$rn p=$p rel error $rel")
+    }
+    // additive merge: disjoint sub-range counts partition the total
+    assert(got(("first_week", 0.5))._1 + got(("rest", 0.5))._1 ===
+      got(("all", 0.5))._1)
+    // bounded sketch state: per-day histogram rows are capped by the
+    // bucket count, not the event count (9 decades < 2048 buckets)
+    val buckets = events.select(
+        expr("CAST(FLOOR(value * 100) AS BIGINT)").as("x"))
+      .withColumn("e", length(bin(col("x"))) - 1)
+      .select(expr("CASE WHEN x < 256 THEN x ELSE " +
+        "(e - 7) * 128 + shiftright(x, e - 7) - 128 + 256 END").as("b"))
+      .distinct().count()
+    info(s"distinct buckets over the whole corpus: $buckets")
+    assert(buckets <= 2048, s"bucket-count state bound violated: $buckets")
+  }
 }

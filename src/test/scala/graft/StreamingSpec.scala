@@ -394,6 +394,70 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hist rollup stream equals the one-shot batch histogram exactly") {
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-hist-stream").toString
+    val rows = fixtureEvents
+    val stream = MemoryStream[Ev]
+    val table = s"$base/hist"
+    val q = EventStream.histRollupStream(stream.toDF(), table, s"$base/ckpt")
+    try {
+      stream.addData(rows.take(400)); q.processAllAvailable()
+      stream.addData(rows.drop(400)); q.processAllAvailable()
+      def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+      val got = toMap(spark.read.parquet(table))
+      // counts are exact integers: streamed-and-merged must equal the
+      // single-pass batch histogram BIT-exactly, not approximately
+      val want = toMap(graft.operators.HdrHistogram
+        .dailyHist(batchDf(rows), col("ts"), col("value")))
+      assert(got === want, "streamed histogram != batch histogram")
+    } finally q.stop()
+  }
+
+  test("hist rollup merge skips an already-merged batch id (crash redelivery)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-hist-redeliver").toString
+    val table = s"$base/hist"
+    val (a, b) = fixtureEvents.splitAt(300)
+    assert(EventStream.mergeHistBatch(batchDf(a), table, 0L))
+    val before = spark.read.parquet(table).collect().toSet
+    // count merging is not idempotent by algebra (unlike HLL's
+    // register-max) — the batch-id marker must make it so
+    assert(!EventStream.mergeHistBatch(batchDf(a), table, 0L),
+      "same batch id must be skipped")
+    assert(spark.read.parquet(table).collect().toSet === before,
+      "redelivered batch changed the histogram table")
+    assert(EventStream.mergeHistBatch(batchDf(b), table, 1L))
+    val total = spark.read.parquet(table)
+      .agg(sum(col("cnt"))).head().getLong(0)
+    assert(total === fixtureEvents.size.toLong,
+      "histogram mass != event count after distinct-id merges")
+  }
+
+  test("hist rollup heals a mid-swap crash before merging the next batch") {
+    implicit val ctx = spark.sqlContext
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft-hist-heal").toString
+    val rows = fixtureEvents
+    val stream = MemoryStream[Ev]
+    val table = s"$base/hist"
+    val q = EventStream.histRollupStream(stream.toDF(), table, s"$base/ckpt")
+    try {
+      stream.addData(rows.take(400)); q.processAllAvailable()
+      // die between the two renames: table (and its batch-id marker)
+      // survive only under .old — the next batch must restore both
+      Files.move(Paths.get(table), Paths.get(table + ".old"),
+        StandardCopyOption.ATOMIC_MOVE)
+      stream.addData(rows.drop(400)); q.processAllAvailable()
+      val healed = spark.read.parquet(table)
+        .agg(sum(col("cnt"))).head().getLong(0)
+      assert(healed === rows.size.toLong,
+        "mid-swap crash lost pre-crash histogram mass")
+      assert(!Files.exists(Paths.get(table + ".old")))
+      assert(!Files.exists(Paths.get(table + ".tmp")))
+    } finally q.stop()
+  }
+
   test("IvfIndex.appendStream: streamed vectors land in the same cells as batch assignment") {
     implicit val ctx = spark.sqlContext
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

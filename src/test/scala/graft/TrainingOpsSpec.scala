@@ -226,4 +226,39 @@ class TrainingOpsSpec extends SparkSpec {
     }
     spark.catalog.clearCache()
   }
+
+  test("q118 Heaps fit separates growing from saturated vocabularies") {
+    import spark.implicits._
+    // the fixture corpus has a ~31-word closed vocabulary, so its
+    // beta pins ~0 (the oracle checks that); the spec generates a
+    // corpus where the law is actually exercised. Source "grow": doc
+    // i carries 40 common tokens plus ~20/sqrt(i) never-seen types,
+    // so V(d) ~ 40*sqrt(d) while N(d) ~ 45d -> beta ~ 0.5. Source
+    // "flat": common tokens only -> V saturates at 40 -> beta ~ 0.
+    val common = (0 until 40).map(j => s"w$j")
+    val docs = (1 to 240).map { i =>
+      val fresh = (0 until math.max(1, (20.0 / math.sqrt(i)).toInt))
+        .map(j => s"u${i}_$j")
+      val growText = (common ++ fresh).mkString(" ")
+      val flatText = (common ++ common.take(5)).mkString(" ")
+      if (i % 2 == 0) (i.toLong, growText, "en", "grow", growText.length.toLong)
+      else (i.toLong, flatText, "en", "flat", flatText.length.toLong)
+    }
+    val out = s"/tmp/graft-heaps-${System.nanoTime()}"
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$out/documents.parquet")
+    val fit = Registry.queries("q118_heaps_vocab_growth")(spark, out)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val (nGrow, betaGrow, kGrow) = fit("grow")
+    val (nFlat, betaFlat, _) = fit("flat")
+    info(s"grow beta=$betaGrow k=$kGrow; flat beta=$betaFlat")
+    assert(nGrow === 8L && nFlat === 8L, "8 prefix points per source")
+    assert(betaGrow > 0.2 && betaGrow < 0.8,
+      s"growing vocabulary should fit a sublinear power law: $betaGrow")
+    assert(betaFlat >= 0.0 && betaFlat < 0.05,
+      s"closed vocabulary should fit beta ~ 0: $betaFlat")
+    assert(kGrow > 0.0, "K = exp(intercept) is positive by construction")
+    spark.catalog.clearCache()
+  }
 }
