@@ -60,4 +60,35 @@ object HdrHistogram {
     events.select(to_date(ts).as("day"), bucket(centi(value)).as("bucket"))
       .groupBy(col("day"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** Quantiles of arbitrary day ranges from a stored histogram table
+    * (q117's walk, public so the `histRollupStream`-maintained table
+    * is queryable without re-deriving it). `ranges` is a tiny
+    * `(range_name, d_lo, d_hi)` frame (broadcast); output is one row
+    * per (range, p): lower quantile — least bucket whose cumulative
+    * count reaches ceil(p·n) — decoded to the bucket midpoint. Every
+    * frame after the merge is (ranges × buckets)-cardinality; raw
+    * events are never touched.
+    */
+  def rangeQuantiles(hist: DataFrame, ranges: DataFrame,
+                     ps: Seq[Double]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val merged = hist
+      .join(broadcast(ranges), col("day").between(col("d_lo"), col("d_hi")))
+      .groupBy(col("range_name"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val cum = merged
+      .withColumn("cum", sum(col("cnt")).over(
+        w.partitionBy(col("range_name")).orderBy(col("bucket"))))
+      .withColumn("n", sum(col("cnt")).over(w.partitionBy(col("range_name"))))
+    val qs = hist.sparkSession.range(1)
+      .select(explode(array(ps.map(lit(_)): _*)).as("p"))
+    cum.crossJoin(broadcast(qs))
+      .filter(col("cum") >= ceil(col("n") * col("p")))
+      .groupBy(col("range_name"), col("p"))
+      .agg(min(col("bucket")).as("bucket"), max(col("n")).as("n_events"))
+      .select(col("range_name"), col("p"), col("n_events"),
+        midpoint(col("bucket")).as("est_value"))
+      .orderBy(col("range_name"), col("p"))
+  }
 }

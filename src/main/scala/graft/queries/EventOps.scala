@@ -460,27 +460,8 @@ object EventOps {
             col("lo").as("d_lo"), col("hi").as("d_hi"))
           .union(bounds.select(lit("first_week"), col("lo"), date_add(col("lo"), 6)))
           .union(bounds.select(lit("rest"), date_add(col("lo"), 7), col("hi")))
-        val merged = hist
-          .join(broadcast(ranges), col("day").between(col("d_lo"), col("d_hi")))
-          .groupBy(col("range_name"), col("bucket"))
-          .agg(sum(col("cnt")).as("cnt"))
-        val wCum = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("range_name")).orderBy(col("bucket"))
-        val wAll = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("range_name"))
-        val cum = merged
-          .withColumn("cum", sum(col("cnt")).over(wCum))
-          .withColumn("n", sum(col("cnt")).over(wAll))
-        val qs = ranges.sparkSession.range(1) // 3-row quantile literal frame
-          .select(explode(array(lit(0.5), lit(0.95), lit(0.99))).as("p"))
-        cum.crossJoin(broadcast(qs))
-          .filter(col("cum") >= ceil(col("n") * col("p")))
-          .groupBy(col("range_name"), col("p"))
-          .agg(min(col("bucket")).as("bucket"), max(col("n")).as("n_events"))
-          .select(col("range_name"), col("p"), col("n_events"),
-            graft.operators.HdrHistogram.midpoint(col("bucket"))
-              .as("est_value"))
-          .orderBy(col("range_name"), col("p"))
+        graft.operators.HdrHistogram
+          .rangeQuantiles(hist, ranges, Seq(0.5, 0.95, 0.99))
       },
       Some("""WITH pts AS (
           SELECT CAST(ts AS DATE) AS day,

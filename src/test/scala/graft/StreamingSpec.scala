@@ -412,6 +412,19 @@ class StreamingSpec extends SparkSpec {
       val want = toMap(graft.operators.HdrHistogram
         .dailyHist(batchDf(rows), col("ts"), col("value")))
       assert(got === want, "streamed histogram != batch histogram")
+      // the public quantile walk answers from the MAINTAINED table
+      // exactly as from a one-shot histogram (q117's consumer path)
+      val stored = spark.read.parquet(table)
+      val bounds = stored.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val ranges = bounds.select(lit("all").as("range_name"),
+        col("lo").as("d_lo"), col("hi").as("d_hi"))
+      val fromStream = graft.operators.HdrHistogram
+        .rangeQuantiles(stored, ranges, Seq(0.5, 0.99)).collect().toSeq
+      val fromBatch = graft.operators.HdrHistogram
+        .rangeQuantiles(graft.operators.HdrHistogram
+          .dailyHist(batchDf(rows), col("ts"), col("value")), ranges,
+          Seq(0.5, 0.99)).collect().toSeq
+      assert(fromStream === fromBatch && fromStream.size === 2)
     } finally q.stop()
   }
 
