@@ -116,21 +116,36 @@ object Sources {
     def part: DataFrame = table(spark, sfDir, "part")
     def orders: DataFrame = table(spark, sfDir, "orders")
     def lineitem: DataFrame = table(spark, sfDir, "lineitem")
-    /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS),
-      * which Spark's vectorized reader rejects. Values are micro-
-      * exact (sub-microsecond part is always 0), so read nanos as
-      * long and convert losslessly — integer `div`, not double
-      * division, because nanos exceed 2^53.
+    /** The events fixture's `ts` physical type has varied across
+      * driver rounds: TIMESTAMP(NANOS) (which Spark's vectorized
+      * reader rejects — read as long via the legacy conf, then
+      * convert with integer `div`, not double division, because
+      * nanos exceed 2^53) vs plain TIMESTAMP micros (NTZ). Values
+      * are micro-exact in both layouts, so normalize by inspecting
+      * the read schema rather than assuming either.
       */
     def events: DataFrame = {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      table(spark, sfDir, "events")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+      normalizeEventTs(table(spark, sfDir, "events"))
     }
     def documents: DataFrame = table(spark, sfDir, "documents")
     def embeddings: DataFrame = table(spark, sfDir, "embeddings")
+  }
+
+  /** Bring an `events.ts` column read from any fixture layout to
+    * session-zoned micro-precision TimestampType: nanos-as-long →
+    * `timestamp_micros(ts div 1000)`; TIMESTAMP_NTZ (or LTZ) →
+    * plain cast, value-preserving under the engine's pinned UTC
+    * session timezone.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Env-config source with fail-fast on missing keys — reference

@@ -589,10 +589,9 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       java.nio.file.Paths.get(dir, "events.parquet"))
-    // same nanos->micros conversion the batch Tables.events applies
+    // same ts normalization the batch Tables.events applies
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val sdf = EventStream.readEvents(spark, dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val sdf = Sources.normalizeEventTs(EventStream.readEvents(spark, dir))
     val q = EventStream.tumblingAgg(sdf)
       .writeStream.format("memory").queryName("s_avail")
       .outputMode("complete")
