@@ -496,6 +496,185 @@ object EventOps {
             ELSE (2.0 * ((128 + (bucket - 256) % 128) << ((bucket - 256) // 128))
               + (1 << ((bucket - 256) // 128))) / 200.0 END AS est_value
         FROM sel ORDER BY range_name, p"""),
-      "mergeable integer-histogram percentile rollup (deterministic, oracle-exact)")
+      "mergeable integer-histogram percentile rollup (deterministic, oracle-exact)"),
+
+    // -- q120: hourly VOLUME ANOMALY per event type — the ops-side
+    //    "did ingestion spike/die" check every pipeline dashboard
+    //    needs. Counts are densified over a types × hours spine (q45's
+    //    gap-fill stance: a missing hour IS the anomaly, so it must
+    //    score, not vanish), then z-scored against the type's own
+    //    hourly distribution. Determinism is arithmetic, not luck:
+    //    z = (c·n − S) / √(n·Q − S²) uses ONLY integer aggregates
+    //    (S = Σc, Q = Σc² in DECIMAL(38,0) — BIGINT-safe at any
+    //    scale), with exactly one cast-to-double on each side of the
+    //    division and a 4dp round, so Spark and DuckDB agree bit-for-
+    //    bit. Every frame after the first aggregate is bounded by
+    //    types × hours; per-type stats ride the 1-row-per-key
+    //    broadcast back over the dense grid.
+    Q("q120_hourly_anomaly",
+      (s, d) => {
+        val ev = t(s, d).events
+        val counts = ev
+          .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+          .agg(count(lit(1)).as("c"))
+        val hours = ev
+          .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+            date_trunc("hour", max(col("ts"))).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"),
+            expr("INTERVAL 1 HOUR"))).as("hour"))
+        val dense = ev.select(col("event_type")).distinct()
+          .crossJoin(broadcast(hours))
+          .join(counts, Seq("hour", "event_type"), "left")
+          .withColumn("c", coalesce(col("c"), lit(0L)))
+        val stats = dense.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_hours"),
+            sum(col("c")).as("s"),
+            sum((col("c").cast("decimal(38,0)") * col("c"))).as("q"))
+        dense.join(broadcast(stats), Seq("event_type"))
+          .filter(col("n_hours").cast("decimal(38,0)") * col("q") >
+            col("s").cast("decimal(38,0)") * col("s"))
+          .withColumn("z", round(
+            (col("c") * col("n_hours") - col("s")).cast("decimal(38,0)")
+              .cast("double") /
+            sqrt((col("n_hours").cast("decimal(38,0)") * col("q")
+              - col("s").cast("decimal(38,0)") * col("s")).cast("double")), 4))
+          .filter(abs(col("z")) >= 2.0)
+          .select(col("event_type"), col("hour"), col("c").as("n"), col("z"))
+          .orderBy(col("event_type"), col("hour"))
+      },
+      Some("""WITH counts AS (
+          SELECT DATE_TRUNC('hour', ts) AS hour, event_type, COUNT(*) AS c
+          FROM events GROUP BY 1, 2),
+        hours AS (
+          SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+          FROM (SELECT DATE_TRUNC('hour', MIN(ts)) AS lo,
+                  DATE_TRUNC('hour', MAX(ts)) AS hi FROM events)),
+        dense AS (
+          SELECT h.hour, t.event_type, COALESCE(c.c, 0) AS c
+          FROM hours h
+          CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+          LEFT JOIN counts c ON c.hour = h.hour AND c.event_type = t.event_type),
+        stats AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+            CAST(SUM(c) AS BIGINT) AS s,
+            CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS q
+          FROM dense GROUP BY 1),
+        scored AS (
+          SELECT d.event_type, d.hour, CAST(d.c AS BIGINT) AS n,
+            ROUND(CAST(CAST(d.c * st.n_hours - st.s AS DECIMAL(38,0)) AS DOUBLE)
+              / SQRT(CAST(CAST(st.n_hours AS DECIMAL(38,0)) * st.q
+                - CAST(st.s AS DECIMAL(38,0)) * st.s AS DOUBLE)), 4) AS z
+          FROM dense d JOIN stats st USING (event_type)
+          WHERE CAST(st.n_hours AS DECIMAL(38,0)) * st.q
+            > CAST(st.s AS DECIMAL(38,0)) * st.s)
+        SELECT event_type, hour, n, z FROM scored
+        WHERE ABS(z) >= 2.0 ORDER BY event_type, hour"""),
+      "hourly per-type volume anomaly z-scores over a gap-filled grid"),
+
+    // -- q121: ORDERED multi-step funnel — q43 answers "did view ever
+    //    precede purchase"; this answers the product question "of the
+    //    users who viewed, how many then clicked, and of those, how
+    //    many then purchased — and how long did the full path take".
+    //    Each step is a conditional min STRICTLY AFTER the previous
+    //    step's timestamp (three user-keyed aggregates chained by
+    //    equi-joins — no window over raw events, no driver state),
+    //    then three 1-row frames broadcast-combine into one summary
+    //    row. Rates divide exact counts in double with one 4dp round;
+    //    mean time-to-convert sums exact microsecond diffs in
+    //    DECIMAL(38,6) before the single double division chain.
+    Q("q121_funnel_steps",
+      (s, d) => {
+        val ev = t(s, d).events
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("fv"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, Seq("user_id")).filter(col("ts") > col("fv"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("fc"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, Seq("user_id")).filter(col("ts") > col("fc"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("fp"))
+        val nv = v.agg(count(lit(1)).as("n_view"))
+        val nc = c.agg(count(lit(1)).as("n_click"))
+        val np = p.join(v, Seq("user_id"))
+          .agg(count(lit(1)).as("n_purchase"),
+            sum((unix_micros(col("fp")) - unix_micros(col("fv")))
+              .cast("decimal(38,6)")).as("us"))
+        nv.crossJoin(broadcast(nc)).crossJoin(broadcast(np))
+          .select(col("n_view"), col("n_click"), col("n_purchase"),
+            round(col("n_click").cast("double") / col("n_view"), 4)
+              .as("click_rate"),
+            round(col("n_purchase").cast("double") / col("n_click"), 4)
+              .as("purchase_rate"),
+            round(col("us").cast("double") / col("n_purchase")
+              / 3600000000.0, 4).as("avg_hours_to_convert"))
+      },
+      Some("""WITH v AS (
+          SELECT user_id, MIN(ts) AS fv FROM events
+          WHERE event_type = 'view' GROUP BY 1),
+        c AS (
+          SELECT e.user_id, MIN(e.ts) AS fc
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.fv GROUP BY 1),
+        p AS (
+          SELECT e.user_id, MIN(e.ts) AS fp
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.fc GROUP BY 1),
+        nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_view FROM v),
+        nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_click FROM c),
+        np AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_purchase,
+            SUM(CAST(epoch_us(fp) - epoch_us(fv) AS DECIMAL(38,6))) AS us
+          FROM p JOIN v USING (user_id))
+        SELECT n_view, n_click, n_purchase,
+          ROUND(CAST(n_click AS DOUBLE) / n_view, 4) AS click_rate,
+          ROUND(CAST(n_purchase AS DOUBLE) / n_click, 4) AS purchase_rate,
+          ROUND(CAST(us AS DOUBLE) / n_purchase / 3600000000.0, 4)
+            AS avg_hours_to_convert
+        FROM nv, nc, np"""),
+      "ordered view→click→purchase funnel with step rates and mean latency"),
+
+    // -- q122: per-user event-type MARKOV TRANSITION matrix — "what
+    //    happens next" flow analytics (and the generative model behind
+    //    session simulation). One user-partitioned sort window
+    //    produces each event's predecessor type (ties broken by
+    //    event_id so the lag is total-ordered and replay-stable),
+    //    then everything downstream is alphabet²-bounded: transition
+    //    counts, per-source-state totals (a rollup of the counts, not
+    //    a second scan), and row probabilities as one 4dp-rounded
+    //    double division. Scale: the only data-sized shuffle is the
+    //    (user, ts) sort the window needs; the matrix itself is
+    //    constant-size whatever the corpus.
+    Q("q122_markov_transitions",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val tr = t(s, d).events
+          .withColumn("from_type", lag(col("event_type"), 1).over(w))
+          .filter(col("from_type").isNotNull)
+          .groupBy(col("from_type"), col("event_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val tot = tr.groupBy(col("from_type")).agg(sum(col("n")).as("out_n"))
+        tr.join(broadcast(tot), Seq("from_type"))
+          .select(col("from_type"), col("to_type"), col("n"), col("out_n"),
+            round(col("n").cast("double") / col("out_n"), 4).as("p"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH tr AS (
+          SELECT LAG(event_type) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+            event_type AS to_type
+          FROM events),
+        c AS (
+          SELECT from_type, to_type, COUNT(*) AS n FROM tr
+          WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        tot AS (
+          SELECT from_type, CAST(SUM(n) AS BIGINT) AS out_n
+          FROM c GROUP BY 1)
+        SELECT c.from_type, c.to_type, c.n, tot.out_n,
+          ROUND(CAST(c.n AS DOUBLE) / tot.out_n, 4) AS p
+        FROM c JOIN tot USING (from_type)
+        ORDER BY from_type, to_type"""),
+      "per-user event-type Markov transition matrix (next-event probabilities)")
   )
 }

@@ -1356,7 +1356,131 @@ object TextOps {
           .orderBy(col("source"))
       },
       None,
-      "per-source novel-content estimate via theta difference")
+      "per-source novel-content estimate via theta difference"),
+
+    // -- q119: adjacent-bigram PMI — phrase/collocation mining (the
+    //    word2vec-style phrase-merge signal, and the association score
+    //    behind "these tokens behave as one unit" vocabulary
+    //    decisions). Reuses q98's bigram construction (per-doc lag
+    //    window over positioned tokens) but scores association rather
+    //    than surprise: pmi = ln(c12·N² / (B·c1·c2)) from five exact
+    //    integer aggregates — c12 vocab²-bounded, c1/c2 vocab-bounded
+    //    (broadcast into the join), N/B one broadcast row. The ratio
+    //    is assembled in doubles with a FIXED left-to-right operation
+    //    order spelled identically in both engines and 4dp-rounded
+    //    BEFORE the rank, so libm's last ulp can't reorder the top-k
+    //    (q74's round-before-rank rule). Output is the top 50 by
+    //    (pmi, pair) over pairs seen ≥5 times — TakeOrderedAndProject,
+    //    never a global sort.
+    Q("q119_bigram_pmi",
+      (s, d) => {
+        val toks = t(s, d).documents
+          .select(col("doc_id"), posexplode(Text.tokens(col("text")))
+            .as(Seq("p", "w2")))
+          .withColumn("w1", lag(col("w2"), 1)
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("doc_id")).orderBy(col("p"))))
+        val uni = toks.groupBy(col("w2").as("w")).agg(count(lit(1)).as("c"))
+          .persist() // feeds both unigram joins + the N total
+        uni.count()
+        val bi = toks.filter(col("w1").isNotNull)
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+          .persist() // feeds the join + the B total
+        bi.count()
+        val totals = uni.agg(sum(col("c")).as("n_tok"))
+          .crossJoin(bi.agg(sum(col("c12")).as("n_big")))
+        bi.filter(col("c12") >= 5)
+          .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))),
+            Seq("w1"))
+          .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))),
+            Seq("w2"))
+          .crossJoin(broadcast(totals))
+          .select(col("w1"), col("w2"), col("c12"),
+            round(log(col("c12").cast("double") * col("n_tok") * col("n_tok")
+              / (col("n_big").cast("double") * col("c1") * col("c2"))), 4)
+              .as("pmi"))
+          .orderBy(col("pmi").desc, col("w1"), col("w2"))
+          .limit(50)
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, i AS p, tk[i] AS w2,
+            CASE WHEN i > 1 THEN tk[i - 1] END AS w1
+          FROM (SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\s+') AS tk
+                FROM documents) t,
+            LATERAL unnest(range(1, len(tk) + 1)) AS r(i)),
+        uni AS (SELECT w2 AS w, COUNT(*) AS c FROM tok GROUP BY 1),
+        bi AS (
+          SELECT w1, w2, COUNT(*) AS c12 FROM tok
+          WHERE w1 IS NOT NULL GROUP BY 1, 2),
+        totals AS (
+          SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS n_tok,
+            (SELECT CAST(SUM(c12) AS BIGINT) FROM bi) AS n_big)
+        SELECT w1, w2, c12,
+          ROUND(LN(CAST(c12 AS DOUBLE) * n_tok * n_tok
+            / (CAST(n_big AS DOUBLE) * u1.c * u2.c)), 4) AS pmi
+        FROM bi
+        JOIN uni u1 ON bi.w1 = u1.w
+        JOIN uni u2 ON bi.w2 = u2.w, totals
+        WHERE c12 >= 5
+        ORDER BY pmi DESC, w1, w2 LIMIT 50"""),
+      "top adjacent-bigram PMI collocations (round-before-rank)"),
+
+    // -- q123: crawl-order SHINGLE NOVELTY per document — the exact,
+    //    per-doc complement of q116's per-source theta estimate: with
+    //    doc_id as crawl order, what fraction of each document's
+    //    distinct 3-gram shingles has never appeared in any earlier
+    //    document? The dedup-pipeline use is ordering-aware corpus
+    //    valuation (novelty decays as a crawl saturates) and
+    //    diminishing-returns curves for data acquisition. One
+    //    aggregate computes each shingle's FIRST carrier (min doc_id
+    //    — q118's min-first-bucket rule), one equi-join back marks
+    //    novel shingles; no pair join, no window over the corpus.
+    //    Work is linear in distinct (doc, shingle) pairs.
+    Q("q123_shingle_novelty",
+      (s, d) => {
+        val docs = t(s, d).documents
+        val sh = docs
+          .select(col("doc_id"), explode(array_distinct(
+            Text.shingles(col("text"), 3))).as("sh"))
+          .persist() // feeds the first-carrier agg AND the per-doc count
+        sh.count()
+        val first = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+        val perDoc = sh.join(first, Seq("sh"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            count(when(col("first_doc") === col("doc_id"), lit(1)))
+              .as("n_novel"))
+        docs.select(col("doc_id"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+            round(col("n_novel").cast("double") / col("n_shingles"), 4)
+              .as("novelty"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH sh AS (
+          SELECT DISTINCT doc_id,
+            array_to_string(tk[i:i+2], ' ') AS sh
+          FROM (SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\s+') AS tk
+                FROM documents) t,
+            LATERAL unnest(range(1, len(tk) - 1)) AS r(i)
+          WHERE len(tk) >= 3),
+        first AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+        per_doc AS (
+          SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+            CAST(COUNT(CASE WHEN f.first_doc = sh.doc_id THEN 1 END)
+              AS BIGINT) AS n_novel
+          FROM sh JOIN first f USING (sh) GROUP BY 1)
+        SELECT d.doc_id,
+          COALESCE(p.n_shingles, 0) AS n_shingles,
+          COALESCE(p.n_novel, 0) AS n_novel,
+          ROUND(CAST(p.n_novel AS DOUBLE) / p.n_shingles, 4) AS novelty
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        ORDER BY d.doc_id"""),
+      "per-document crawl-order shingle novelty (exact first-carrier join)")
   )
 
   /** q114's incremental near-dup plan over any documents frame: the
