@@ -675,58 +675,6 @@ object EventOps {
           ROUND(CAST(c.n AS DOUBLE) / tot.out_n, 4) AS p
         FROM c JOIN tot USING (from_type)
         ORDER BY from_type, to_type"""),
-      "per-user event-type Markov transition matrix (next-event probabilities)"),
-
-    // -- q124: PIVOT — wide daily matrix of counts by event type. The
-    //    value list is DECLARED, not discovered: a pivot over inferred
-    //    values needs a distinct-scan before the plan can even be
-    //    built (a blocking extra job at 100 TB) and makes the output
-    //    schema data-dependent; pinning the alphabet keeps this one
-    //    hash aggregate with a constant-width conditional projection.
-    //    Missing (day, type) combos surface as 0, matching the dense
-    //    grid a dashboard expects.
-    Q("q124_pivot_daily_types",
-      (s, d) => {
-        val types = Seq("click", "error", "purchase", "signup", "view")
-        val piv = t(s, d).events
-          .groupBy(to_date(col("ts")).as("day"))
-          .pivot("event_type", types)
-          .agg(count(lit(1)))
-        piv.select(col("day") +: types.map(ty =>
-            coalesce(col(ty), lit(0L)).as(ty)): _*)
-          .orderBy(col("day"))
-      },
-      Some("""SELECT CAST(ts AS DATE) AS day,
-          COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
-          COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
-          COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
-          COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
-          COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
-        FROM events GROUP BY 1 ORDER BY day"""),
-      "daily counts pivoted wide by declared event-type alphabet"),
-
-    // -- q125: UNPIVOT — the inverse reshaping, driven through
-    //    Spark's native unpivot (melt) over q124's wide frame and
-    //    verified against the direct long-form aggregate as the
-    //    oracle: the hash-match IS the pivot→unpivot roundtrip proof.
-    //    Zero-filled cells are dropped on both sides so the long form
-    //    returns exactly the observed combinations.
-    Q("q125_unpivot_roundtrip",
-      (s, d) => {
-        val types = Seq("click", "error", "purchase", "signup", "view")
-        val piv = t(s, d).events
-          .groupBy(to_date(col("ts")).as("day"))
-          .pivot("event_type", types)
-          .agg(count(lit(1)))
-          .select(col("day") +: types.map(ty =>
-            coalesce(col(ty), lit(0L)).as(ty)): _*)
-        piv.unpivot(Array(col("day")), types.map(col).toArray,
-            "event_type", "n")
-          .filter(col("n") > 0)
-          .orderBy(col("day"), col("event_type"))
-      },
-      Some("""SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
-        FROM events GROUP BY 1, 2 ORDER BY day, event_type"""),
-      "unpivot (melt) of the daily matrix; oracle proves the roundtrip")
+      "per-user event-type Markov transition matrix (next-event probabilities)")
   )
 }
