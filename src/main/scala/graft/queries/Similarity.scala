@@ -362,8 +362,143 @@ object Similarity {
         SELECT eval_id, train_id AS nearest_train_id, cos AS nearest_cos,
           CAST(cos >= $SemDedupTau AS INT) AS contaminated
         FROM ranked WHERE rk = 1 ORDER BY eval_id"""),
-      "semantic decontamination: nearest training vector per eval vector")
+      "semantic decontamination: nearest training vector per eval vector"),
+
+    // -- q124: distributed COVARIANCE matrix of the embedding space —
+    //    the PCA/whitening prep step every embedding post-processing
+    //    pipeline starts with (retrieval-quality whitening, dimension
+    //    pruning, drift monitoring). The q62 shape, one order up:
+    //    each row maps to its d(d+1)/2 upper-triangle centered
+    //    products (the centered vector is LAMBDA-BOUND once so the
+    //    HOF can't re-evaluate it per pair), and ONE
+    //    `Vectors.vecDecimalSum` typed aggregate folds whole term
+    //    arrays with map-side partial merge — the shuffle carries one
+    //    2080-slot decimal buffer per task, NOT rows×d² exploded
+    //    tuples (the oracle's join formulation is exactly what this
+    //    plan avoids at 100 TB; the d² blowup happens once, on the
+    //    single post-aggregate row). Means come first from the same
+    //    decimal-sum aggregate (1-row broadcast). Determinism: q62's
+    //    stack — per-term DECIMAL(38,6) half-up rounding inside the
+    //    aggregator mirrored by the oracle's CAST AS DECIMAL(38,6),
+    //    double division only at the end, 6dp output round.
+    Q("q124_embedding_covariance",
+      (s, d) => covarianceMatrix(t(s, d).embeddings),
+      Some(s"""WITH m AS (
+          SELECT i, CAST(SUM(CAST(CAST(embedding[i + 1] AS DOUBLE)
+              AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mu
+          FROM embeddings, (SELECT unnest(range(0, $Dim)) AS i)
+          GROUP BY i),
+        x AS (
+          SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) - mu AS xc
+          FROM embeddings, (SELECT unnest(range(0, $Dim)) AS i) r
+          JOIN m USING (i)),
+        n AS (SELECT COUNT(*) AS n FROM embeddings)
+        SELECT CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j,
+          ROUND(CAST(SUM(CAST(a.xc * b.xc AS DECIMAL(38,6))) AS DOUBLE)
+            / n.n, 6) + 0.0 AS cov
+        FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i, n
+        GROUP BY a.i, b.i, n.n ORDER BY i, j"""),
+      "distributed covariance matrix of the embedding space (PCA prep)"),
+
+    // -- q125: top CORRELATED dimension pairs — the redundancy audit
+    //    over q124's matrix: r_ij = cov_ij / √(var_i·var_j) from the
+    //    (already 6dp-deterministic) covariance relation, diagonal
+    //    variances broadcast back onto the off-diagonal entries.
+    //    Everything after the covariance aggregate is d²-bounded;
+    //    the top-20 is rank-by-rounded (q74's rule) and plans as
+    //    TakeOrderedAndProject.
+    Q("q125_dim_correlation",
+      (s, d) => {
+        val cov = covarianceMatrix(t(s, d).embeddings)
+        val diag = cov.filter(col("i") === col("j"))
+          .select(col("i").as("k"), col("cov").as("v"))
+        cov.filter(col("i") < col("j"))
+          .join(broadcast(diag.withColumnRenamed("k", "i")
+            .withColumnRenamed("v", "var_i")), Seq("i"))
+          .join(broadcast(diag.withColumnRenamed("k", "j")
+            .withColumnRenamed("v", "var_j")), Seq("j"))
+          .filter(col("var_i") > 0 && col("var_j") > 0)
+          .select(col("i"), col("j"),
+            (round(col("cov") / sqrt(col("var_i") * col("var_j")), 4) + 0.0)
+              .as("r"))
+          .orderBy(abs(col("r")).desc, col("i"), col("j"))
+          .limit(20)
+      },
+      Some(s"""WITH m AS (
+          SELECT i, CAST(SUM(CAST(CAST(embedding[i + 1] AS DOUBLE)
+              AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mu
+          FROM embeddings, (SELECT unnest(range(0, $Dim)) AS i)
+          GROUP BY i),
+        x AS (
+          SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) - mu AS xc
+          FROM embeddings, (SELECT unnest(range(0, $Dim)) AS i) r
+          JOIN m USING (i)),
+        n AS (SELECT COUNT(*) AS n FROM embeddings),
+        cov AS (
+          SELECT CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j,
+            ROUND(CAST(SUM(CAST(a.xc * b.xc AS DECIMAL(38,6))) AS DOUBLE)
+              / n.n, 6) AS cov
+          FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i, n
+          GROUP BY a.i, b.i, n.n),
+        diag AS (SELECT i AS k, cov AS v FROM cov WHERE i = j)
+        SELECT c.i, c.j,
+          ROUND(c.cov / SQRT(di.v * dj.v), 4) + 0.0 AS r
+        FROM cov c
+        JOIN diag di ON c.i = di.k JOIN diag dj ON c.j = dj.k
+        WHERE c.i < c.j AND di.v > 0 AND dj.v > 0
+        ORDER BY ABS(ROUND(c.cov / SQRT(di.v * dj.v), 4)) DESC, c.i, c.j
+        LIMIT 20"""),
+      "top correlated embedding dimension pairs (redundancy audit)")
   )
+
+  /** Fixture embedding dimensionality (declared, like q37's pivot
+    * alphabet: discovering it needs a pre-plan scan and makes the
+    * output schema data-dependent).
+    */
+  val Dim = 64
+
+  /** q124's operator body: population covariance of the embedding
+    * space as an (i, j, cov) upper-triangle relation. One decimal-sum
+    * aggregate for the means (1-row broadcast), one for the
+    * d(d+1)/2 centered products — each row's term array is built by
+    * an O(d²) HOF over the ONCE-BOUND centered vector and folded
+    * map-side by `Vectors.vecDecimalSum`, so nothing row-scaled ever
+    * carries a d² blowup through a shuffle. The d² explode happens on
+    * the single post-aggregate row.
+    */
+  def covarianceMatrix(emb: org.apache.spark.sql.DataFrame,
+                       dim: Int = Dim): org.apache.spark.sql.DataFrame = {
+    val means = emb
+      .agg(Vectors.vecDecimalSum(Vectors.asDouble(col("embedding"))).as("sums"),
+        count(lit(1)).as("n"))
+      .select(transform(col("sums"), s => s / col("n")).as("mu"),
+        col("n"))
+    val pairs = filter(
+      transform(sequence(lit(0), lit(dim * dim - 1)),
+        k => struct((k / dim).cast("int").as("i"), pmod(k, lit(dim)).cast("int").as("j"))),
+      p => p.getField("i") <= p.getField("j"))
+    val terms = emb.crossJoin(broadcast(means))
+      .select(col("n"),
+        // bind the centered vector once: referenced raw inside the
+        // pair lambda it would re-evaluate (cast+subtract over the
+        // whole array) for every one of the d(d+1)/2 terms
+        element_at(transform(array(
+            zip_with(Vectors.asDouble(col("embedding")), col("mu"), _ - _)),
+          xc => flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
+            transform(sequence(i, lit(dim - 1)), j =>
+              element_at(xc, i + 1) * element_at(xc, j + 1))))), 1)
+          .as("t"))
+    terms
+      .groupBy(col("n"))
+      .agg(Vectors.vecDecimalSum(col("t")).as("sums"))
+      .select(posexplode(arrays_zip(pairs.as("p"), col("sums").as("s"))),
+        col("n"))
+      .select(col("col.p.i").as("i"), col("col.p.j").as("j"),
+        // +0.0 normalizes the -0.0 a tiny negative cov rounds to
+        // (q118's rule: IEEE negative zero hashes differently)
+        (round(col("col.s") / col("n"), 6) + 0.0).as("cov"))
+      .orderBy(col("i"), col("j"))
+  }
 
   /** q92's threshold — q65's, so the exact baseline doubles as this
     * operator's ground truth.
