@@ -58,5 +58,9 @@ object GraftFunctions {
     (FunctionIdentifier("hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),
       args => { val a = arity("hyperplane_buckets", 3)(args)
-        HyperplaneBuckets(a(0), litInt(a(1), "nBits"), litInt(a(2), "tables")) }))
+        HyperplaneBuckets(a(0), litInt(a(1), "nBits"), litInt(a(2), "tables")) }),
+    (FunctionIdentifier("upper_tri_products"),
+      new ExpressionInfo(classOf[UpperTriProducts].getName, "upper_tri_products"),
+      args => { val a = arity("upper_tri_products", 2)(args)
+        UpperTriProducts(a(0), a(1)) }))
 }

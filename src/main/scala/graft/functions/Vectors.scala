@@ -162,36 +162,78 @@ object Vectors {
     * cast — DuckDB's direct FLOAT→DECIMAL scales in float32, which
     * manufactures exact .5 ties that round differently again.)
     */
-  class VectorDecimalSum extends Aggregator[Seq[Double], Array[JBigDecimal], Seq[Double]] {
-    override def zero: Array[JBigDecimal] = Array.empty
-    private def widen(b: Array[JBigDecimal], n: Int): Array[JBigDecimal] =
-      if (b.length >= n) b else b ++ Array.fill(n - b.length)(JBigDecimal.ZERO)
-    override def reduce(b0: Array[JBigDecimal], a: Seq[Double]): Array[JBigDecimal] = {
+  /** Exact 6dp half-up rounding of a double's BINARY value, returned
+    * as a ×10⁶-scaled long. Equivalent to
+    * `new BigDecimal(v).setScale(6, HALF_UP).movePointRight(6)` but
+    * ~100× cheaper: the exact-expansion route does a multi-precision
+    * divide per element (~5 µs — it put the sf0.1 covariance
+    * aggregate at 37 s), while here the rounding decision is made on
+    * the double product `|v|·10⁶` whenever it lands farther than
+    * 1e-7 from a rounding boundary — the double multiply's absolute
+    * error is < 3e-8 at the magnitudes the guard admits, so those
+    * decisions provably agree with the exact expansion — and only
+    * the rare boundary-band values (and anything ≥ 1e13, where
+    * double integer resolution decays) take the exact BigDecimal
+    * path. True ties cannot exist (10⁻⁷ is not dyadic), so HALF_UP
+    * here is a labeling, not a behavior difference.
+    */
+  def scaled6(v: Double): Long = {
+    val neg = v < 0
+    val a = if (neg) -v else v
+    val y = a * 1e6
+    val l =
+      if (y >= 1e13)
+        new JBigDecimal(a).setScale(6, RoundingMode.HALF_UP)
+          .movePointRight(6).longValueExact()
+      else {
+        val fl = Math.floor(y)
+        val f = y - fl
+        if (f > 0.5 + 1e-7) fl.toLong + 1L
+        else if (f < 0.5 - 1e-7) fl.toLong
+        else new JBigDecimal(a).setScale(6, RoundingMode.HALF_UP)
+          .movePointRight(6).longValueExact()
+      }
+    if (neg) -l else l
+  }
+
+  class VectorDecimalSum extends Aggregator[Seq[Double], Array[Long], Seq[Double]] {
+    override def zero: Array[Long] = Array.empty
+    private def widen(b: Array[Long], n: Int): Array[Long] =
+      if (b.length >= n) b else b ++ Array.fill(n - b.length)(0L)
+    override def reduce(b0: Array[Long], a: Seq[Double]): Array[Long] = {
       if (a == null) return b0
+      // iterator, NOT while(i < a.length){ a(i) }: the deserializer
+      // hands a List, where indexed access is O(n) — the indexed loop
+      // is O(n²) per row, which at q124's 2080-term arrays was 40 s
+      // of List.length walking for a 1 s aggregate
       val b = widen(b0, a.length)
+      val it = a.iterator
       var i = 0
-      while (i < a.length) {
-        val v = a(i)
+      while (it.hasNext) {
+        val v = it.next()
         // NaN/Infinity cast to DECIMAL is null in Spark (and the
-        // oracle); SUM ignores null — mirror that instead of letting
-        // BigDecimal.valueOf throw NumberFormatException
+        // oracle); SUM ignores null — mirror that
         if (!v.isNaN && !v.isInfinity)
-          b(i) = b(i).add(new JBigDecimal(v).setScale(6, RoundingMode.HALF_UP))
+          // addExact: the scaled-long state caps |sum| at ~9.2e12
+          // (DECIMAL(19,6) capacity) — overflow throws instead of
+          // wrapping; swap back to a BigDecimal buffer if an
+          // aggregate ever legitimately exceeds it
+          b(i) = Math.addExact(b(i), scaled6(v))
         i += 1
       }
       b
     }
-    override def merge(x: Array[JBigDecimal], y: Array[JBigDecimal]): Array[JBigDecimal] = {
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
       val (big, small) = if (x.length >= y.length) (x, y) else (y, x)
       val out = big.clone()
       var i = 0
-      while (i < small.length) { out(i) = out(i).add(small(i)); i += 1 }
+      while (i < small.length) { out(i) = Math.addExact(out(i), small(i)); i += 1 }
       out
     }
-    override def finish(b: Array[JBigDecimal]): Seq[Double] =
-      b.toSeq.map(_.doubleValue)
-    override def bufferEncoder: Encoder[Array[JBigDecimal]] =
-      Encoders.kryo[Array[JBigDecimal]]
+    override def finish(b: Array[Long]): Seq[Double] =
+      b.toSeq.map(l => JBigDecimal.valueOf(l, 6).doubleValue)
+    override def bufferEncoder: Encoder[Array[Long]] =
+      Encoders.kryo[Array[Long]]
     override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
   }
 

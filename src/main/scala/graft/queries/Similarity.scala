@@ -459,15 +459,24 @@ object Similarity {
 
   /** q124's operator body: population covariance of the embedding
     * space as an (i, j, cov) upper-triangle relation. One decimal-sum
-    * aggregate for the means (1-row broadcast), one for the
-    * d(d+1)/2 centered products — each row's term array is built by
-    * an O(d²) HOF over the ONCE-BOUND centered vector and folded
-    * map-side by `Vectors.vecDecimalSum`, so nothing row-scaled ever
-    * carries a d² blowup through a shuffle. The d² explode happens on
-    * the single post-aggregate row.
+    * aggregate for the means (1-row broadcast), then per row ONE call
+    * to the native `upper_tri_products` kernel
+    * ([[graft.expressions.UpperTriProducts]]: centered i ≤ j products
+    * in a fused compiled loop) folded elementwise by
+    * `Vectors.vecDecimalSum` with map-side partial merge — the
+    * shuffle carries one d(d+1)/2-slot decimal buffer per task, never
+    * rows×d² exploded tuples, and the d² explode onto (i, j) rows
+    * happens on the single post-aggregate row. Two rejected
+    * formulations, measured at sf0.1: nested interpreted HOFs for the
+    * term array (27 s — ~2·d² lambda evals per row), and d(d+1)/2
+    * separate built-in `sum` slots in one wide aggregate (20 s —
+    * past `spark.sql.codegen.maxFields` the 2080-expression plan
+    * drops out of whole-stage codegen and pays ~13 s of fixed
+    * optimizer/fallback cost before the first row).
     */
   def covarianceMatrix(emb: org.apache.spark.sql.DataFrame,
                        dim: Int = Dim): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val means = emb
       .agg(Vectors.vecDecimalSum(Vectors.asDouble(col("embedding"))).as("sums"),
         count(lit(1)).as("n"))
@@ -479,15 +488,9 @@ object Similarity {
       p => p.getField("i") <= p.getField("j"))
     val terms = emb.crossJoin(broadcast(means))
       .select(col("n"),
-        // bind the centered vector once: referenced raw inside the
-        // pair lambda it would re-evaluate (cast+subtract over the
-        // whole array) for every one of the d(d+1)/2 terms
-        element_at(transform(array(
-            zip_with(Vectors.asDouble(col("embedding")), col("mu"), _ - _)),
-          xc => flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
-            transform(sequence(i, lit(dim - 1)), j =>
-              element_at(xc, i + 1) * element_at(xc, j + 1))))), 1)
-          .as("t"))
+        ColumnBridge.column(graft.expressions.UpperTriProducts(
+          ColumnBridge.expression(col("embedding")),
+          ColumnBridge.expression(col("mu")))).as("t"))
     terms
       .groupBy(col("n"))
       .agg(Vectors.vecDecimalSum(col("t")).as("sums"))

@@ -47,7 +47,11 @@ class ScalingSpec extends SparkSpec {
     // q100's prefix cap; doc_id % 50 bench membership survives the
     // +800·i shift); their joins are key-blocked or cache-fed, so a
     // quadratic stage would blow the time bound.
-    "q93_contamination_frac", "q98_bigram_xent", "q100_dedup_verdicts")
+    "q93_contamination_frac", "q98_bigram_xent", "q100_dedup_verdicts",
+    // crawl-order novelty: one row per doc; per-copy token renaming
+    // keeps first-carriers within-copy, so novelty replicates and the
+    // first-carrier aggregate must stay linear in (doc, shingle).
+    "q123_shingle_novelty")
 
   private lazy val (dir1x, dir10x) = {
     val root = Files.createTempDirectory("graft-scaling").toString
@@ -149,6 +153,23 @@ class ScalingSpec extends SparkSpec {
     assert(ratio < 30.0,
       f"q113: 10x corpus cost $ratio%.1fx the 1x corpus — quadratic-shaped growth")
   }
+
+  // constant-output statistics: the result is corpus-size-independent
+  // (d² covariance cells / top-50 collocations), so the scaling claim
+  // is purely that COST stays linear — the map-side aggregate shapes
+  // must not degrade into row-scaled shuffles.
+  for (q <- Seq("q119_bigram_pmi", "q124_embedding_covariance"))
+    test(s"$q: constant output, time ~linear on a 10x corpus") {
+      val r1 = run(q, dir1x)
+      val r10 = run(q, dir10x)
+      assert(r1 === r10, s"$q: output cardinality must not grow: $r1 -> $r10")
+      val t1 = math.min(timeOf(q, dir1x), timeOf(q, dir1x))
+      val t10 = math.min(timeOf(q, dir10x), timeOf(q, dir10x))
+      val ratio = t10 / math.max(t1, 0.05)
+      info(f"$q: time $t1%.2fs -> $t10%.2fs (ratio $ratio%.1fx)")
+      assert(ratio < 30.0,
+        f"$q: 10x corpus cost $ratio%.1fx the 1x corpus — quadratic-shaped growth")
+    }
 
   test("q92 semantic dedup scales linearly when k grows with the corpus") {
     // SemDeDup's scale contract: cluster COUNT grows with n so cluster

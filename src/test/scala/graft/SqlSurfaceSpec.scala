@@ -45,10 +45,24 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 0.5) < 1e-12)
   }
 
+  test("upper_tri_products emits centered row-major i<=j products") {
+    val r = spark.sql(
+      """SELECT upper_tri_products(
+           array(CAST(3.0 AS FLOAT), CAST(5.0 AS FLOAT)),
+           array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE))) AS t""").first()
+    // centered = [2, 3] → products (0,0)=4, (0,1)=6, (1,1)=9
+    assert(r.getSeq[Double](0) === Seq(4.0, 6.0, 9.0))
+    // length mismatch → null, mirroring SUM-ignores-null semantics
+    val n = spark.sql(
+      """SELECT upper_tri_products(array(CAST(1.0 AS DOUBLE)),
+           array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE))) AS t""").first()
+    assert(n.isNullAt(0))
+  }
+
   test("GraftExtensions accepts every function descriptor") {
     val e = new SparkSessionExtensions
     new GraftExtensions().apply(e) // throws on any malformed descriptor
-    assert(graft.expressions.GraftFunctions.all.size === 7)
+    assert(graft.expressions.GraftFunctions.all.size === 8)
   }
 
   test("q27 shared-text SQL entry runs and is deterministically ordered") {
