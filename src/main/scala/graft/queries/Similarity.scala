@@ -448,7 +448,80 @@ object Similarity {
         WHERE c.i < c.j AND di.v > 0 AND dj.v > 0
         ORDER BY ABS(ROUND(c.cov / SQRT(di.v * dj.v), 4)) DESC, c.i, c.j
         LIMIT 20"""),
-      "top correlated embedding dimension pairs (redundancy audit)")
+      "top correlated embedding dimension pairs (redundancy audit)"),
+
+    // -- q126: per-dimension STANDARDIZATION (whitening apply) with
+    //    outlier flags — the apply step after q124's covariance: each
+    //    vector's components are z-scored against the corpus
+    //    per-dimension mean/variance (diagonal of the covariance
+    //    relation, folded to one broadcast row via a sort-then-
+    //    transform collect_list so the array order is deterministic),
+    //    then reduced map-side to a standardized norm and max |z|.
+    //    The embedding-space cousin of q80's percentile-band filter:
+    //    a vector whose max |z| exceeds 3 is distributionally
+    //    anomalous (dead dimension, scaling bug, adversarial input).
+    //    Determinism: z² terms are 6dp-rounded THEN decimal-summed
+    //    (q109's round-then-DECIMAL-sum rule) so the index-ordered
+    //    HOF fold and the oracle's unordered SUM agree exactly; the
+    //    diagonal reuses covarianceMatrix verbatim so both engines
+    //    inherit q124's already-proven variance values.
+    Q("q126_standardize_embeddings",
+      (s, d) => {
+        val emb = t(s, d).embeddings
+        val stats = covarianceMatrix(emb)
+          .filter(col("i") === col("j"))
+          .agg(collect_list(struct(col("i"), col("cov"))).as("vs"))
+          .select(transform(array_sort(col("vs")), v => v.getField("cov"))
+            .as("vars"))
+        val means = emb
+          .agg(Vectors.vecDecimalSum(Vectors.asDouble(col("embedding"))).as("sums"),
+            count(lit(1)).as("n"))
+          .select(transform(col("sums"), s0 => s0 / col("n")).as("mu"))
+        val z = emb.crossJoin(broadcast(means)).crossJoin(broadcast(stats))
+          .select(col("vec_id"),
+            zip_with(
+              zip_with(Vectors.asDouble(col("embedding")), col("mu"), _ - _),
+              col("vars"),
+              (xc, v) => when(v > 0, xc / sqrt(v)).otherwise(lit(0.0)))
+              .as("z"))
+        z.select(col("vec_id"),
+            round(sqrt(aggregate(col("z"),
+              lit(java.math.BigDecimal.ZERO).cast("decimal(38,6)"),
+              (acc, zk) => acc + round(zk * zk, 6).cast("decimal(38,6)"))
+              .cast("double")), 4).as("norm_std"),
+            round(aggregate(col("z"), lit(0.0),
+              (acc, zk) => greatest(acc, abs(zk))), 4).as("max_abs_z"))
+          .withColumn("is_outlier", (col("max_abs_z") > 3.0).cast("int"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH m AS (
+          SELECT i, CAST(SUM(CAST(CAST(embedding[i + 1] AS DOUBLE)
+              AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mu
+          FROM embeddings, (SELECT unnest(range(0, $Dim)) AS i)
+          GROUP BY i),
+        x AS (
+          SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) - mu AS xc
+          FROM embeddings, (SELECT unnest(range(0, $Dim)) AS i) r
+          JOIN m USING (i)),
+        n AS (SELECT COUNT(*) AS n FROM embeddings),
+        v AS (
+          SELECT i, ROUND(CAST(SUM(CAST(xc * xc AS DECIMAL(38,6))) AS DOUBLE)
+            / n.n, 6) + 0.0 AS var
+          FROM x, n GROUP BY i, n.n),
+        z AS (
+          SELECT x.vec_id,
+            CASE WHEN v.var > 0 THEN x.xc / SQRT(v.var) ELSE 0.0 END AS z
+          FROM x JOIN v USING (i)),
+        agg AS (
+          SELECT vec_id,
+            CAST(SUM(CAST(ROUND(z * z, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+            MAX(ABS(z)) AS mz
+          FROM z GROUP BY vec_id)
+        SELECT vec_id, ROUND(SQRT(s2), 4) AS norm_std,
+          ROUND(mz, 4) AS max_abs_z,
+          CAST(ROUND(mz, 4) > 3.0 AS INT) AS is_outlier
+        FROM agg ORDER BY vec_id"""),
+      "per-dimension standardization with z-score outlier flags")
   )
 
   /** Fixture embedding dimensionality (declared, like q37's pivot
