@@ -205,4 +205,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(fileScans == 1, s"expected only the vocab scan, found $fileScans")
     assert(cacheReads == 3, s"expected 3 cached-bigram readers, found $cacheReads")
   }
+
+  test("q124 covariance: the d² explode sits ABOVE the aggregate, not below") {
+    // the scale contract: rows fold into the 2080-slot buffer map-side
+    // (ObjectHashAggregate partial merge), and the pair explode runs on
+    // the single post-aggregate row — a refactor that explodes terms
+    // before aggregating would shuffle rows×d² tuples at 100 TB
+    val plan = q("q124_embedding_covariance").queryExecution.executedPlan.toString
+    val aggIdx = plan.indexOf("ObjectHashAggregate")
+    val genIdx = plan.indexOf("Generate")
+    assert(aggIdx >= 0, s"expected an ObjectHashAggregate in:\n$plan")
+    assert(genIdx >= 0 && genIdx < aggIdx,
+      // treeString prints parents first: the Generate (explode) must
+      // appear ABOVE (= before, in print order) the aggregate
+      s"explode must consume the aggregate output, not feed it:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
