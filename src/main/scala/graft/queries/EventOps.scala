@@ -675,6 +675,60 @@ object EventOps {
           ROUND(CAST(c.n AS DOUBLE) / tot.out_n, 4) AS p
         FROM c JOIN tot USING (from_type)
         ORDER BY from_type, to_type"""),
-      "per-user event-type Markov transition matrix (next-event probabilities)")
+      "per-user event-type Markov transition matrix (next-event probabilities)"),
+
+    // -- q127: session JOURNEY trigrams — path analysis one order past
+    //    q122's transition matrix: the most common three-step
+    //    event-type sequences WITHIN a session (q42's 30-minute
+    //    gaps-and-islands numbering), the "how do users actually move
+    //    through the product" and session-simulation-validation
+    //    readout. Two user-keyed sort windows (session numbering,
+    //    then the two in-session lags — ties total-ordered by
+    //    event_id), then everything alphabet³-bounded. Top-20 is
+    //    rank-by-(count, path) → TakeOrderedAndProject.
+    Q("q127_session_trigrams",
+      (s, d) => {
+        val uw = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val numbered = t(s, d).events
+          .withColumn("new_s",
+            when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(uw)
+              < 1800000000L, 0).otherwise(1))
+          .withColumn("session_id", sum(col("new_s")).over(
+            uw.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        val sw = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("session_id"))
+          .orderBy(col("ts"), col("event_id"))
+        numbered
+          .withColumn("t1", lag(col("event_type"), 2).over(sw))
+          .withColumn("t2", lag(col("event_type"), 1).over(sw))
+          .filter(col("t1").isNotNull)
+          .groupBy(col("t1"), col("t2"), col("event_type").as("t3"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+          .limit(20)
+      },
+      Some("""WITH marked AS (
+          SELECT user_id, event_id, ts, event_type,
+            CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+          FROM events),
+        numbered AS (
+          SELECT *, SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM marked),
+        tri AS (
+          SELECT
+            LAG(event_type, 2) OVER (
+              PARTITION BY user_id, session_id ORDER BY ts, event_id) AS t1,
+            LAG(event_type, 1) OVER (
+              PARTITION BY user_id, session_id ORDER BY ts, event_id) AS t2,
+            event_type AS t3
+          FROM numbered)
+        SELECT t1, t2, t3, COUNT(*) AS n FROM tri
+        WHERE t1 IS NOT NULL GROUP BY 1, 2, 3
+        ORDER BY n DESC, t1, t2, t3 LIMIT 20"""),
+      "top in-session event-type trigram journeys (path analysis)")
   )
 }
