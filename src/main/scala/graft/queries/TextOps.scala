@@ -1389,11 +1389,14 @@ object TextOps {
         bi.count()
         val totals = uni.agg(sum(col("c")).as("n_tok"))
           .crossJoin(bi.agg(sum(col("c12")).as("n_big")))
+        // no broadcast hint on the unigram joins: "vocab-bounded" is
+        // small at fixture scale (AQE broadcasts it on its own) but a
+        // real 100 TB crawl's vocabulary is 10⁷–10⁸ types — forcing
+        // the hint would pin a maybe-GBs relation to every executor,
+        // while a plain vocab-keyed shuffle join is always safe
         bi.filter(col("c12") >= 5)
-          .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))),
-            Seq("w1"))
-          .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))),
-            Seq("w2"))
+          .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+          .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
           .crossJoin(broadcast(totals))
           .select(col("w1"), col("w2"), col("c12"),
             round(log(col("c12").cast("double") * col("n_tok") * col("n_tok")
