@@ -169,13 +169,27 @@ object Vectors {
     * divide per element (~5 µs — it put the sf0.1 covariance
     * aggregate at 37 s), while here the rounding decision is made on
     * the double product `|v|·10⁶` whenever it lands farther than
-    * 1e-7 from a rounding boundary — the double multiply's absolute
-    * error is < 3e-8 at the magnitudes the guard admits, so those
-    * decisions provably agree with the exact expansion — and only
-    * the rare boundary-band values (and anything ≥ 1e13, where
-    * double integer resolution decays) take the exact BigDecimal
-    * path. True ties cannot exist (10⁻⁷ is not dyadic), so HALF_UP
-    * here is a labeling, not a behavior difference.
+    * 1e-7 from a rounding boundary, and only boundary-band values
+    * (and anything ≥ 1e13, where double integer resolution decays)
+    * take the exact BigDecimal path.
+    *
+    * Why the fast path agrees with the exact expansion is NOT a
+    * small-error bound on the multiply — near the 1e13 cutoff a
+    * half-ulp of `y` is ~1e-3, far wider than the 1e-7 band. The
+    * real invariant is representability: every x.5 offset lies ON
+    * the double grid for y < 2^52 (0.5 = 2⁻¹ is dyadic, and the
+    * 0.5-step grid extends to 2^52), and round-to-nearest can never
+    * carry a value ACROSS a representable point — if the exact
+    * product a·10⁶ ≤ x.5 then fl(a·1e6) ≤ x.5, and symmetrically
+    * above. So whenever `y` sits strictly beyond the 1e-7 band from
+    * x.5, the exact product is on the same side and the floor/side
+    * decision matches the exact expansion; the band (and the 1e13
+    * cutoff, comfortably below 2^52) only routes the ambiguous
+    * near-boundary cases to BigDecimal. Do not "tighten" this by
+    * raising the cutoff past 2^52 or shrinking the band below ulp
+    * resolution — the argument above is what breaks. True ties
+    * cannot exist (10⁻⁷ is not dyadic), so HALF_UP here is a
+    * labeling, not a behavior difference.
     */
   def scaled6(v: Double): Long = {
     val neg = v < 0

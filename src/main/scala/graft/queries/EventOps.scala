@@ -504,9 +504,11 @@ object EventOps {
     //    gap-fill stance: a missing hour IS the anomaly, so it must
     //    score, not vanish), then z-scored against the type's own
     //    hourly distribution. Determinism is arithmetic, not luck:
-    //    z = (c·n − S) / √(n·Q − S²) uses ONLY integer aggregates
-    //    (S = Σc, Q = Σc² in DECIMAL(38,0) — BIGINT-safe at any
-    //    scale), with exactly one cast-to-double on each side of the
+    //    z = (c·n − S) / √(n·Q − S²) uses ONLY integer aggregates,
+    //    every multiply entering in DECIMAL(38,0) (S = Σc, Q = Σc²,
+    //    and c·n itself — exact at any scale, where a 64-bit product
+    //    would wrap in Spark and error in DuckDB), with exactly one
+    //    cast-to-double on each side of the
     //    division and a 4dp round, so Spark and DuckDB agree bit-for-
     //    bit. Every frame after the first aggregate is bounded by
     //    types × hours; per-type stats ride the 1-row-per-key
@@ -534,7 +536,11 @@ object EventOps {
           .filter(col("n_hours").cast("decimal(38,0)") * col("q") >
             col("s").cast("decimal(38,0)") * col("s"))
           .withColumn("z", round(
-            (col("c") * col("n_hours") - col("s")).cast("decimal(38,0)")
+            // c enters the multiply already DECIMAL(38,0): a BIGINT
+            // c·n_hours would wrap silently in Spark (and error in
+            // DuckDB) once c·n_hours exceeds 2^63 — decimal keeps
+            // both engines exact at any scale
+            (col("c").cast("decimal(38,0)") * col("n_hours") - col("s"))
               .cast("double") /
             sqrt((col("n_hours").cast("decimal(38,0)") * col("q")
               - col("s").cast("decimal(38,0)") * col("s")).cast("double")), 4))
@@ -561,7 +567,7 @@ object EventOps {
           FROM dense GROUP BY 1),
         scored AS (
           SELECT d.event_type, d.hour, CAST(d.c AS BIGINT) AS n,
-            ROUND(CAST(CAST(d.c * st.n_hours - st.s AS DECIMAL(38,0)) AS DOUBLE)
+            ROUND(CAST(CAST(d.c AS DECIMAL(38,0)) * st.n_hours - st.s AS DOUBLE)
               / SQRT(CAST(CAST(st.n_hours AS DECIMAL(38,0)) * st.q
                 - CAST(st.s AS DECIMAL(38,0)) * st.s AS DOUBLE)), 4) AS z
           FROM dense d JOIN stats st USING (event_type)

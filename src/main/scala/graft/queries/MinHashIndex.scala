@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
@@ -138,5 +139,60 @@ object MinHashIndex {
         Text.jaccardLong(col("sh_a"), col("sh_b")).as("jac"))
       .filter(col("jac") >= jacThresh)
       .orderBy(col("doc_id"), col("match_id"))
+  }
+
+  /** EXACT incremental matching against the index via a shingle
+    * inverted index — q114's semantics served from the store: the
+    * incoming batch is shingled (it's today's crawl — small), the
+    * CORPUS side is the already-persisted `docs/` hash arrays
+    * exploded to (shingle, doc) postings, and candidates exist only
+    * where an informative shingle is shared (corpus shingles carried
+    * by more than `maxDf` documents are dropped from candidate
+    * generation — boilerplate fanout, ~zero Jaccard mass; the per-doc
+    * set sizes keep every shingle). Unlike [[matches]] (LSH banding —
+    * probabilistic recall at bounded cost), this path is exact w.r.t.
+    * the informative-shingle Jaccard, at inverted-index join cost.
+    *
+    * The point of serving it from the index: the corpus TEXT is never
+    * re-read and never re-shingled — the three corpus-side consumers
+    * (posting explode, DF count, set sizes) scan the compact stored
+    * hash arrays. Output matches [[TextOps.incrementalNearDupOn]]
+    * row-for-row on a disjoint batch/corpus split: (doc_id, match_id,
+    * n_common, n_a, n_b, jaccard ≥ `tau`), best match per batch doc
+    * (jaccard desc, match_id), jaccard 4dp-rounded BEFORE the filter
+    * and the rank.
+    */
+  def invertedMatches(spark: SparkSession, path: String, batch: DataFrame,
+                      tau: Double = 0.2,
+                      maxDf: Long = TextOps.MaxShingleDf): DataFrame = {
+    val probeSh = batch
+      .select(col("doc_id"), explode(Text.shingleHashes(col("text"), 3)).as("sh"))
+      .persist() // candidate join + n_a: shingle the batch once
+    probeSh.count()
+    val nA = probeSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
+    val stored = spark.read.parquet(s"$path/docs")
+      .select(col("doc_id").as("match_id"), col("sh"))
+    val corpusSh = stored.select(col("match_id"), explode(col("sh")).as("sh"))
+    val informative = corpusSh.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("sh"))
+    val cand = probeSh.join(corpusSh.join(informative, Seq("sh")), Seq("sh"))
+      .groupBy(col("doc_id"), col("match_id"))
+      .agg(count(lit(1)).as("n_common"))
+    val scored = cand
+      .join(nA, Seq("doc_id"))
+      .join(stored.select(col("match_id"),
+        size(col("sh")).cast("bigint").as("n_b")), Seq("match_id"))
+      .withColumn("jaccard", round(col("n_common").cast("double")
+        / (col("n_a") + col("n_b") - col("n_common")), 4))
+      .filter(col("jaccard") >= tau)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("jaccard").desc, col("match_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("match_id"), col("n_common"),
+        col("n_a"), col("n_b"), col("jaccard"))
+      .orderBy(col("doc_id"))
   }
 }

@@ -27,7 +27,7 @@ object Registry {
   def all: Seq[Q] =
     Relational.queries ++ Windows.queries ++ JsonOps.queries ++
       EventOps.queries ++ TextOps.queries ++ Similarity.queries ++
-      MultimodalOps.queries ++ TrainingOps.queries
+      MultimodalOps.queries ++ TrainingOps.queries ++ TokenizerOps.queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -191,25 +191,12 @@ object Similarity {
     //    is one fused native kernel (CosineSim), and the n² pair space
     //    is the documented reason q63/q64's banded equi-joins are the
     //    100 TB path.
+    //    The pair stage itself is session-shared (SharedStages): q131
+    //    composes the same exact pair set into its cross-modal
+    //    verdicts, so a Verify/Bench session computes it once.
     Q("q65_embedding_neardup",
-      (s, d) => {
-        // Deterministic prefix cap: the baseline is ground truth for
-        // q69's recall spec, and recall measured on a fixed-size id
-        // prefix is just as meaningful — while an UNCAPPED cartesian
-        // is 4e10 pairs if this entry is ever run at 100× vectors.
-        // Every test sf has vec_id < 4096, so results there are
-        // bit-identical to the uncapped form (oracle carries the
-        // same predicate).
-        val emb = t(s, d).embeddings
-          .filter(col("vec_id") < ExactBaselineVecCap)
-        emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-          .crossJoin(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")))
-          .filter(col("vec_a") < col("vec_b"))
-          .select(col("vec_a"), col("vec_b"),
-            Vectors.cosine(col("emb_a"), col("emb_b")).as("cos"))
-          .filter(col("cos") >= 0.45)
-          .orderBy(col("vec_a"), col("vec_b"))
-      },
+      (s, d) => SharedStages.cappedEmbNearDupPairs(s, d)
+        .orderBy(col("vec_a"), col("vec_b")),
       Some("""WITH emb AS (
           SELECT * FROM embeddings WHERE vec_id < 4096),
         scored AS (
@@ -409,7 +396,16 @@ object Similarity {
     //    TakeOrderedAndProject.
     Q("q125_dim_correlation",
       (s, d) => {
-        val cov = covarianceMatrix(t(s, d).embeddings)
+        // persist + materialize the covariance relation EAGERLY: it
+        // fans out into three subtrees (the i<j filter plus the two
+        // diagonal broadcast joins), and the repo's own q54/q56
+        // lesson is that racing consumers of a lazy shared subtree
+        // each recompute its lineage — here that would re-run the
+        // corpus scan + upper_tri_products + 2080-slot aggregate up
+        // to three times. The relation is d(d+1)/2 rows — trivial to
+        // cache at any corpus size.
+        val cov = covarianceMatrix(t(s, d).embeddings).persist()
+        cov.count()
         val diag = cov.filter(col("i") === col("j"))
           .select(col("i").as("k"), col("cov").as("v"))
         cov.filter(col("i") < col("j"))
@@ -465,6 +461,43 @@ object Similarity {
     //    HOF fold and the oracle's unordered SUM agree exactly; the
     //    diagonal reuses covarianceMatrix verbatim so both engines
     //    inherit q124's already-proven variance values.
+    // -- q128: PERSISTED-INDEX ANN — the build-once/query-many serving
+    //    shape on the driver's correctness surface. The session-shared
+    //    IvfIndex (SharedStages builds it once per sf dir: codebook
+    //    parquet + cell-PARTITIONED vectors) answers the shared capped
+    //    query subset through the DPP probe join — the plan reads the
+    //    stored cells scan under a dynamicpruning filter from the
+    //    broadcast (query, cell) pairs (asserted in PlanShapeSpec).
+    //    Declared at nprobe = k: probing every cell makes IVF
+    //    EXHAUSTIVE, so the output is exactly q60's brute-force top-5
+    //    and the DuckDB oracle hash-matches in full — the driver
+    //    verifies the whole index machinery (build → store → probe →
+    //    score → rank), not just row counts. The production
+    //    nprobe < k regime (same plan, pruned partitions) keeps its
+    //    recall ≥ 0.8 + partition-pruning spec in SimilaritySpec; the
+    //    100 TB arithmetic for WHY the persisted index is the only
+    //    amortizable ANN shape is in [[IvfIndex]]'s doc.
+    Q("q128_ivf_index_search",
+      (s, d) => IvfIndex.query(s, SharedStages.ivfIndexPath(s, d),
+        querySubset(t(s, d).embeddings), nprobe = IvfCells, topK = 5),
+      Some(s"""WITH q AS (
+          SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+          WHERE vec_id % 100 = 0 AND vec_id < $ExactBaselineVecCap),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+            list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+              / (sqrt(list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])))
+               * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS score
+          FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, score,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id) AS rk
+          FROM scored)
+        SELECT query_id, neighbor_id, score, CAST(rk AS INT) AS rk
+        FROM ranked WHERE rk <= 5 ORDER BY query_id, rk"""),
+      "persisted-IVF-index ANN at nprobe=k (exhaustive -> exact top-5, full hash oracle)"),
+
     Q("q126_standardize_embeddings",
       (s, d) => {
         val emb = t(s, d).embeddings
@@ -752,6 +785,29 @@ object Similarity {
         Vectors.cosine(col("emb_a"), col("emb_b")).as("cos"))
       .filter(col("cos") >= minCos)
       .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** q65's exact pair plan over any embeddings frame: every
+    * (vec_a < vec_b) pair with cosine ≥ `minCos` over the
+    * `vec_id < cap` prefix. Deterministic prefix cap: the baseline is
+    * ground truth for q69's recall spec, and recall measured on a
+    * fixed-size id prefix is just as meaningful — while an UNCAPPED
+    * cartesian is 4e10 pairs if this entry is ever run at 100×
+    * vectors. Every test sf has vec_id < 4096, so results there are
+    * bit-identical to the uncapped form (oracle carries the same
+    * predicate).
+    */
+  def embNearDupExactOn(emb: DataFrame,
+                        minCos: Double = SemDedupTau,
+                        cap: Long = ExactBaselineVecCap): DataFrame = {
+    val capped = emb.filter(col("vec_id") < cap)
+    capped.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+      .crossJoin(capped.select(col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b")))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        Vectors.cosine(col("emb_a"), col("emb_b")).as("cos"))
+      .filter(col("cos") >= minCos)
   }
 
   /** q60's exact plan over any embeddings frame (the crossover spec

