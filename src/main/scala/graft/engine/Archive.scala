@@ -100,8 +100,9 @@ object Archive {
     * the two moves see a missing directory for that instant, and a
     * crash there parks the data under `old` (healed by [[healSwap]]
     * on the next call). Acceptable for offline maintenance and
-    * single-writer streams; a concurrent-reader table needs a
-    * manifest/catalog pointer flip instead of directory renames.
+    * single-writer streams; a concurrent-reader table needs the
+    * manifest pointer flip instead — [[writeVersionedParquet]] /
+    * [[compactVersionedParquet]] below close exactly this window.
     */
   private[graft] def swapInPlace(dir: Path, old: Path, tmp: Path): Unit = {
     if (Files.exists(dir))
@@ -141,6 +142,115 @@ object Archive {
       .coalesce(nFiles.toInt)
       .write.mode("overwrite").parquet(tmp.toString)
     swapInPlace(dir, old, tmp)
+    nFiles
+  }
+
+  // ---- manifest-pointer versioned table ---------------------------
+  //
+  // [[compactParquet]]'s in-place two-rename swap has a documented
+  // reader window (see [[swapInPlace]]): between the two moves the
+  // directory does not exist. The closed form: data lives in
+  // IMMUTABLE versioned subdirs `<root>/v<N>/` and a one-line
+  // `<root>/MANIFEST` file names the live version. Writers build the
+  // next version dir completely, then flip the manifest with ONE
+  // atomic rename (write-temp + rename(2), which POSIX replaces
+  // atomically) — a reader resolving through the manifest sees the
+  // old version or the new one, never an absent table. This is the
+  // one-pointer core of what table formats (Iceberg/Delta-style
+  // metadata pointers) do at full scale.
+  //
+  // Crash safety without a log: a writer that dies before the flip
+  // leaves an orphan `v<k>` ABOVE the manifest version — dead by
+  // definition (never referenced) and deleted by the next writer
+  // before it claims the version number. After a successful flip the
+  // writer GCs versions BELOW the displaced one, keeping exactly one
+  // back version so a reader that resolved just before the flip can
+  // finish its scan; the retention window is therefore one full
+  // write cycle, an explicit operational contract (lengthen by
+  // keeping more versions on object stores with slow readers).
+
+  private val ManifestName = "MANIFEST"
+
+  private def versionsIn(root: Path): Seq[Long] =
+    if (!Files.exists(root)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(root)
+      try s.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.matches("v\\d+"))
+        .map(_.getFileName.toString.drop(1).toLong).toSeq
+      finally s.close()
+    }
+
+  /** The committed version number, if the table exists. */
+  def currentVersion(root: String): Option[Long] = {
+    val m = Paths.get(root, ManifestName)
+    if (!Files.exists(m)) None
+    else Some(Files.readString(m).trim.stripPrefix("v").toLong)
+  }
+
+  /** The live data directory, resolved through the manifest. */
+  def resolveVersioned(root: String): String =
+    currentVersion(root) match {
+      case Some(v) => Paths.get(root, s"v$v").toString
+      case None => sys.error(s"no committed version under $root")
+    }
+
+  def readVersionedParquet(spark: org.apache.spark.sql.SparkSession,
+                           root: String): DataFrame =
+    spark.read.parquet(resolveVersioned(root))
+
+  private def commitVersion(root: Path, v: Long): Unit = {
+    val tmp = root.resolve(s".$ManifestName.tmp")
+    Files.writeString(tmp, s"v$v")
+    // rename over the live manifest: atomic on POSIX; ATOMIC_MOVE
+    // makes a filesystem that cannot promise it fail loudly instead
+    Files.move(tmp, root.resolve(ManifestName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+  }
+
+  /** Write `df` as the next version of the table and flip the
+    * manifest. Returns the committed version number.
+    */
+  def writeVersionedParquet(df: DataFrame, root: String): Long = {
+    val rootP = Paths.get(root)
+    Files.createDirectories(rootP)
+    val cur = currentVersion(root)
+    // dead partials: any version above the committed one is a
+    // crashed writer's leftover — never referenced, safe to drop
+    versionsIn(rootP).filter(v => v > cur.getOrElse(-1L))
+      .foreach(v => deleteTree(rootP.resolve(s"v$v")))
+    val next = cur.getOrElse(-1L) + 1
+    df.write.mode("overwrite").parquet(rootP.resolve(s"v$next").toString)
+    commitVersion(rootP, next)
+    // keep exactly the displaced version for in-flight readers
+    versionsIn(rootP).filter(v => v < cur.getOrElse(next))
+      .foreach(v => deleteTree(rootP.resolve(s"v$v")))
+    next
+  }
+
+  /** [[compactParquet]] for a versioned table: compact the live
+    * version into the next one and flip — readers racing the swap
+    * resolve either version, never nothing (PipelineSpec races a
+    * reader thread against repeated compactions to pin exactly
+    * that). Returns the new file count.
+    */
+  def compactVersionedParquet(spark: org.apache.spark.sql.SparkSession,
+                              root: String,
+                              targetBytes: Long = 128L * 1024 * 1024): Long = {
+    import scala.jdk.CollectionConverters._
+    val live = Paths.get(resolveVersioned(root))
+    val walk = Files.walk(live)
+    val bytes =
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(Files.size).sum
+      finally walk.close()
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    writeVersionedParquet(
+      spark.read.parquet(live.toString).coalesce(nFiles.toInt), root)
     nFiles
   }
 

@@ -13,8 +13,11 @@ import graft.functions.Vectors
   * can never amortize (q60's brute force wins), so the index must be
   * BUILT ONCE and stored. Layout:
   *
-  *   <path>/codebook/   (c_id, c_emb)          — k rows, driver-small
-  *   <path>/cells/      (vec_id, embedding) PARTITIONED BY cell
+  *   <path>/codebook/            (c_id, c_emb) — k rows, driver-small
+  *   <path>/cells/epoch=<e>/cell=<c>/  (vec_id, embedding)
+  *     — epoch = the storage exactly-once unit ("base" for the
+  *       build, the batchId for each streamed append), cell = the
+  *       probe-pruning partition column
   *
   * Partitioning by cell is the scale design: a query probing nprobe
   * cells reads only those partition directories. The probe-side join
@@ -38,9 +41,12 @@ object IvfIndex {
     import spark.implicits._
     cents.toDF("c_id", "c_emb").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/codebook")
+    // the base build is epoch "base"; streamed arrivals land as
+    // sibling epoch=<batchId> dirs (see [[appendEpoch]]) — epoch is
+    // the exactly-once unit, cell below it stays the pruning column
     assign(emb, cents)
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/cells")
+      .parquet(s"$path/cells/epoch=base")
   }
 
   /** Nearest-cell assignment of (`vec_id`, `embedding`) rows under a
@@ -69,10 +75,14 @@ object IvfIndex {
     * tradeoff: assignments stay self-consistent because search
     * probes with the same stored codebook; the rebuild cadence (re-
     * running [[build]]) is an operational knob, not a correctness
-    * one. Exactly-once per micro-batch comes from the checkpoint;
-    * a replayed batch re-appends files, which dedup-by-vec_id
-    * downstream or idempotent file naming would absorb — the spec
-    * pins assignment parity, the core invariant.
+    * one. Exactly-once per micro-batch is STORAGE-level: each batch
+    * lands as its own `epoch=<batchId>` directory via
+    * [[appendEpoch]] — staged fully, then one atomic dir rename —
+    * so a redelivered batchId finds its epoch already present and
+    * is a no-op (StreamingSpec pins the identical-file-set
+    * contract). Consequence (same as the histRollup marker): one
+    * stream LINEAGE owns an index — a fresh checkpoint restarts
+    * batchIds at 0, which the store would treat as replays.
     */
   def appendStream(vectors: DataFrame, path: String,
                    checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
@@ -84,13 +94,33 @@ object IvfIndex {
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        assign(batch, cents)
-          .write.mode("append").partitionBy("cell")
-          .parquet(s"$path/cells")
-        (): Unit
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendEpoch(batch, cents, path, batchId)
       }
       .start()
+  }
+
+  /** Append one micro-batch as the `epoch=<batchId>` directory of the
+    * cells store: stage the assigned, cell-partitioned output under a
+    * tmp dir, then ONE atomic rename into place. Replay-idempotent by
+    * NAMING, not by marker: a redelivered batchId sees its epoch dir
+    * already committed and does nothing, and a crash mid-stage leaves
+    * only a tmp (overwritten on retry) — the file set after any
+    * number of replays equals the file set after one delivery.
+    */
+  private[graft] def appendEpoch(batch: DataFrame,
+                                   cents: Seq[(Int, Seq[Double])],
+                                   path: String, batchId: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    val target = Paths.get(s"$path/cells/epoch=$batchId")
+    if (!Files.exists(target)) {
+      val tmp = s"$path/.cells-epoch-$batchId.tmp"
+      graft.engine.Archive.deleteTree(Paths.get(tmp))
+      assign(batch, cents)
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+      Files.move(Paths.get(tmp), target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    }
   }
 
   /** Top-`topK` neighbors per query row (`query_id`, `q_emb`) against

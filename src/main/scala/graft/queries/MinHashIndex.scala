@@ -68,29 +68,71 @@ object MinHashIndex {
   def append(docs: DataFrame, path: String): Unit =
     write(docs, path, "append")
 
+  // batch build/append write into the "base" epoch; streamed batches
+  // land as sibling epoch=<batchId> dirs ([[appendEpoch]]) — the
+  // epoch level is the storage exactly-once unit, and `band` below
+  // it stays the probe-pruning partition column
   private def write(docs: DataFrame, path: String, mode: String): Unit = {
     val sigs = signatures(docs).persist() // feeds both tables; sign once
     sigs.count()
-    sigs.write.mode(mode).parquet(s"$path/docs")
+    sigs.write.mode(mode).parquet(s"$path/docs/epoch=base")
     bandsOf(sigs).write.mode(mode).partitionBy("band")
-      .parquet(s"$path/bands")
+      .parquet(s"$path/bands/epoch=base")
     sigs.unpersist(): Unit
   }
 
   /** Streaming maintenance: micro-batches of (doc_id, text) appended
     * under the same deterministic hash params — streamed index rows
     * are byte-identical to a batch [[append]] of the same docs
-    * (spec-pinned parity).
+    * (spec-pinned parity). Exactly-once is STORAGE-level: each batch
+    * commits as its own `epoch=<batchId>` dirs via [[appendEpoch]],
+    * so a redelivered batchId is a no-op (StreamingSpec pins the
+    * identical-file-set contract). One stream lineage owns an index:
+    * a fresh checkpoint restarts batchIds at 0, which the store
+    * would treat as replays.
     */
   def appendStream(docs: DataFrame, path: String,
                    checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        append(batch, path)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendEpoch(batch, path, batchId)
       }
       .start()
+
+  /** Append one micro-batch as the `epoch=<batchId>` dirs of both
+    * stores: sign once, stage each table fully under a tmp dir, then
+    * one atomic rename per table. Replay-idempotent by NAMING (the
+    * [[IvfIndex.appendEpoch]] contract): a committed epoch dir is
+    * never rewritten, a crash mid-stage leaves only tmp dirs that the
+    * retry overwrites, and a crash BETWEEN the two renames commits
+    * docs but not bands — the redelivery completes exactly the
+    * missing table (same deterministic rows), converging both stores
+    * to the single-delivery file set.
+    */
+  private[graft] def appendEpoch(batch: DataFrame, path: String,
+                                   batchId: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    val sigs = signatures(batch).persist()
+    sigs.count()
+    def commit(table: String, df: DataFrame,
+               partitionCols: Seq[String]): Unit = {
+      val target = Paths.get(s"$path/$table/epoch=$batchId")
+      if (!Files.exists(target)) {
+        val tmp = s"$path/.$table-epoch-$batchId.tmp"
+        graft.engine.Archive.deleteTree(Paths.get(tmp))
+        val w = df.write.mode("overwrite")
+        (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
+          .parquet(tmp)
+        Files.move(Paths.get(tmp), target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+      }
+    }
+    commit("docs", sigs, Seq.empty)
+    commit("bands", bandsOf(sigs), Seq("band"))
+    sigs.unpersist(): Unit
+  }
 
   /** Match a new (doc_id, text) batch against the index: banded
     * candidate generation (equi-join on (band, h)), signature

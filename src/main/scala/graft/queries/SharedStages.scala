@@ -75,6 +75,41 @@ object SharedStages {
     spark.read.parquet(p)
   }
 
+  /** Connected components of [[cappedNearDupPairs]] — the persisted
+    * CLUSTER table of the exact near-dup graph, computed once per
+    * (session, sf dir). Columns (id, comp). Consumers: q78 (the
+    * cluster assignment itself) and q110 (its size histogram) — the
+    * round-5 verdict's point that a dedup audit should read the
+    * persisted cluster relation, not re-run the verification.
+    */
+  def cappedNearDupComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = cached(spark, sfDir, "neardup-comps") { path =>
+      graft.operators.ConnectedComponents
+        .components(cappedNearDupPairs(spark, sfDir)
+          .select(col("doc_a"), col("doc_b")))
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(p)
+  }
+
+  /** The composed q100 verdict table (exact → survivor-filtered near
+    * pairs → components → one keep/exact/near row per doc), computed
+    * once per (session, sf dir). Columns (doc_id, verdict,
+    * canonical_id). Consumers: q100 (the table itself) and q131 (its
+    * text half) — the ship-table a dedup pass writes once and every
+    * downstream consumer reads.
+    */
+  def dedupVerdictsTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = cached(spark, sfDir, "dedup-verdicts") { path =>
+      TextOps.dedupVerdictsOn(
+          QU.t(spark, sfDir).documents
+            .filter(col("doc_id") < TextOps.ExactBaselineDocCap),
+          sharedPairs = Some(cappedNearDupPairs(spark, sfDir)))
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(p)
+  }
+
   /** The exact capped embedding near-dup pair table
     * ([[Similarity.embNearDupExactOn]] at the declared τ and id cap),
     * computed once per (session, sf dir). Columns (vec_a, vec_b,

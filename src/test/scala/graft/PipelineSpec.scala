@@ -332,6 +332,49 @@ class PipelineSpec extends SparkSpec {
     assert(!F.exists(Paths.get(path + ".compact-old")))
   }
 
+  test("versioned table: reader racing repeated compactions sees old or new, never nothing") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-versioned").toString + "/t"
+    val data = (1L to 512L).map(i => (i, s"v$i"))
+    Archive.writeVersionedParquet(
+      data.toDF("id", "v").repartition(16), root)
+    assert(Archive.currentVersion(root) === Some(0L))
+    val expected = data.toSet
+    // reader thread: resolve through the manifest and READ, in a hot
+    // loop, while the main thread swaps versions via compaction — the
+    // in-place swap this replaces had a provable missing-directory
+    // window here; the manifest flip must never expose one
+    @volatile var failure: Option[Throwable] = None
+    @volatile var stop = false
+    var reads = 0
+    val reader = new Thread(() => {
+      try while (!stop) {
+        val got = spark.read.parquet(Archive.resolveVersioned(root))
+          .as[(Long, String)].collect().toSet
+        assert(got == expected, s"partial read: ${got.size} rows")
+        reads += 1
+      } catch { case t: Throwable => failure = Some(t) }
+    })
+    reader.start()
+    try (1 to 4).foreach { _ =>
+      Archive.compactVersionedParquet(spark, root, targetBytes = 1024L * 1024)
+    } finally { stop = true; reader.join(30000) }
+    failure.foreach(throw _)
+    assert(reads > 0, "reader thread never completed a read")
+    assert(Archive.currentVersion(root) === Some(4L))
+    // retention contract: live version + exactly one back version
+    val dirs = Files.list(Paths.get(root)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("v")).toSeq.sorted
+    assert(dirs == Seq("v3", "v4"), s"unexpected versions: $dirs")
+    // a crashed writer's orphan above the manifest is GC'd on next write
+    Seq(9L -> "dead").toDF("id", "v").write.parquet(s"$root/v9")
+    Archive.writeVersionedParquet(data.toDF("id", "v"), root)
+    assert(Archive.currentVersion(root) === Some(5L))
+    assert(!Files.exists(Paths.get(s"$root/v9")))
+    assert(Archive.readVersionedParquet(spark, root)
+      .as[(Long, String)].collect().toSet == expected)
+  }
+
   test("requiredEnv: fail-fast on missing key, passthrough on present") {
     assert(Sources.requiredEnv("K", Map("K" -> "v")) === "v")
     intercept[IllegalStateException](Sources.requiredEnv("MISSING", Map.empty))

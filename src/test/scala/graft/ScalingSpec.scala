@@ -171,6 +171,62 @@ class ScalingSpec extends SparkSpec {
         f"$q: 10x corpus cost $ratio%.1fx the 1x corpus — quadratic-shaped growth")
     }
 
+  test("salted join beats the unsalted shuffle join on a hot-key corpus (no-AQE regime)") {
+    // Salting's declared wins (operators/Salted doc) are the regimes
+    // AQE cannot re-plan: streaming joins, large-partial aggregations,
+    // known-stable hot keys. This measures the join case in exactly
+    // that regime — AQE off (the streaming condition), broadcast off
+    // (a broadcastable right side has no skew problem to begin with).
+    // One key carries 95% of the left rows, so the unsalted shuffle
+    // join funnels ~95% of probe+aggregate work into ONE task while
+    // the salted plan spreads it over `factor` tasks; the spec
+    // asserts the salted path actually wins wall-clock, not just that
+    // it is row-equivalent (SaltedSpec already pins equivalence).
+    val conf = spark.conf
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold", "spark.sql.shuffle.partitions")
+      .map(k => k -> conf.get(k))
+    val left = spark.range(1500000L).select(
+      when(pmod(col("id"), lit(100)) < 99, lit(0L))
+        .otherwise(pmod(col("id"), lit(1000)) + 1).as("k"),
+      col("id").as("v")).persist()
+    val right = spark.range(1001L)
+      .select(col("id").as("k"), (col("id") * 7).as("w")).persist()
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.shuffle.partitions", "8")
+      left.count(); right.count()
+      // the per-row term must COST something (sha256 per joined row):
+      // at trivial per-row work the fixed job overhead — paid equally
+      // by both plans — swamps the serialization the skew causes, and
+      // the measurement shows nothing. The expression runs in the
+      // shuffle-join's reduce stage, i.e. inside the skewed task.
+      def total(df: DataFrame): Long =
+        df.agg(sum(crc32(sha2(concat_ws(":",
+          col("v").cast("string"), col("v").cast("string"),
+          col("v").cast("string"), col("w").cast("string")), 256))))
+          .collect()(0).getLong(0)
+      def plain(): Long = total(left.join(right, Seq("k")))
+      def salted(): Long = total(
+        graft.operators.Salted.saltedJoin(left, right, Seq("k"), factor = 16))
+      val (a, b) = (plain(), salted()) // warmup both plans; equivalence
+      assert(a === b)
+      def timed(f: () => Long): Double = {
+        val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+      }
+      val tu = Seq.fill(2)(timed(plain _)).min
+      val ts = Seq.fill(2)(timed(salted _)).min
+      val ratio = ts / tu
+      info(f"hot-key join: unsalted $tu%.2fs, salted $ts%.2fs (${ratio}%.2fx)")
+      assert(ratio < 0.95,
+        f"salting must beat the skewed join here: $ts%.2fs vs $tu%.2fs")
+    } finally {
+      left.unpersist(); right.unpersist()
+      saved.foreach { case (k, v) => conf.set(k, v) }
+    }
+  }
+
   test("q92 semantic dedup scales linearly when k grows with the corpus") {
     // SemDeDup's scale contract: cluster COUNT grows with n so cluster
     // SIZE stays bounded — with k ∝ n the within-cell candidate stage

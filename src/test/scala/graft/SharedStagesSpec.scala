@@ -31,6 +31,26 @@ class SharedStagesSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("shared cluster + verdict tables == their from-scratch computations") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < TextOps.ExactBaselineDocCap)
+    val sharedComps = SharedStages.cappedNearDupComponents(spark, dir)
+      .select(col("id"), col("comp")).collect().map(_.toSeq).toSet
+    val directComps = graft.operators.ConnectedComponents
+      .components(TextOps.ngramNearDupPairsOn(docs)
+        .select(col("doc_a"), col("doc_b")))
+      .select(col("id"), col("comp")).collect().map(_.toSeq).toSet
+    assert(directComps.nonEmpty)
+    assert(sharedComps === directComps)
+    spark.catalog.clearCache()
+    val sharedVerdicts = SharedStages.dedupVerdictsTable(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val directVerdicts = TextOps.dedupVerdictsOn(docs)
+      .collect().map(_.toSeq).toSet
+    assert(sharedVerdicts === directVerdicts)
+    spark.catalog.clearCache()
+  }
+
   test("dedupVerdictsOn(sharedPairs) == dedupVerdictsOn from scratch") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .filter(col("doc_id") < TextOps.ExactBaselineDocCap)

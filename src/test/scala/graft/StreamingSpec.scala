@@ -502,6 +502,79 @@ class StreamingSpec extends SparkSpec {
     assert(cells === expected)
   }
 
+  /** Relative (path, size) set of every data file under a dir. */
+  private def fileSet(root: String): Set[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val rp = java.nio.file.Paths.get(root)
+    val w = java.nio.file.Files.walk(rp)
+    try w.iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map(p => rp.relativize(p).toString -> java.nio.file.Files.size(p))
+      .toSet
+    finally w.close()
+  }
+
+  test("IvfIndex epoch append: replayed batchId is a storage-level no-op") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = java.nio.file.Files.createTempDirectory("graft-ivf-replay").toString
+    val idx = s"$base/index"
+    graft.queries.IvfIndex.build(emb.filter(col("vec_id") < 250), idx)
+    val cents = graft.queries.IvfIndex.loadCodebook(spark, idx)
+    val batch = emb.filter(col("vec_id") >= 250)
+      .select(col("vec_id"), col("embedding"))
+    graft.queries.IvfIndex.appendEpoch(batch, cents, idx, 7L)
+    val once = fileSet(s"$idx/cells")
+    assert(once.exists(_._1.startsWith("epoch=7")))
+    // redelivery of the same epoch: byte-identical store, no new files
+    graft.queries.IvfIndex.appendEpoch(batch, cents, idx, 7L)
+    assert(fileSet(s"$idx/cells") === once)
+    // a crashed stage (dead tmp) is overwritten by the retry, and the
+    // final store equals the single-delivery file set
+    val tmp = s"$idx/.cells-epoch-8.tmp"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$tmp/garbage.parquet"), "x")
+    graft.queries.IvfIndex.appendEpoch(batch.limit(10), cents, idx, 8L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(tmp)))
+    assert(fileSet(s"$idx/cells").exists(_._1.startsWith("epoch=8")))
+  }
+
+  test("MinHashIndex epoch append: replay and mid-commit crash both converge") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft-mh-replay").toString
+    val ix = s"$base/ix"
+    graft.queries.MinHashIndex.build(docs.filter(col("doc_id") < 250), ix)
+    val batch = docs.filter(col("doc_id") >= 250 && col("doc_id") < 300)
+    graft.queries.MinHashIndex.appendEpoch(batch, ix, 3L)
+    val docsOnce = fileSet(s"$ix/docs")
+    val bandsOnce = fileSet(s"$ix/bands")
+    graft.queries.MinHashIndex.appendEpoch(batch, ix, 3L) // replay
+    assert(fileSet(s"$ix/docs") === docsOnce)
+    assert(fileSet(s"$ix/bands") === bandsOnce)
+    // crash between the two renames: docs committed, bands not — the
+    // redelivery completes exactly the missing table
+    graft.engine.Archive.deleteTree(java.nio.file.Paths.get(s"$ix/bands/epoch=3"))
+    graft.queries.MinHashIndex.appendEpoch(batch, ix, 3L)
+    assert(fileSet(s"$ix/docs") === docsOnce)
+    val healedBands = spark.read.parquet(s"$ix/bands")
+      .select(col("band"), col("h"), col("doc_id"))
+      .collect().map(_.toSeq).toSet
+    // row-level equality for bands: part-file byte layout after a
+    // heal may legitimately differ (different task split), the
+    // CONTENT may not
+    graft.engine.Archive.deleteTree(java.nio.file.Paths.get(s"$ix/bands/epoch=3"))
+    graft.queries.MinHashIndex.appendEpoch(batch, ix, 3L)
+    assert(spark.read.parquet(s"$ix/bands")
+      .select(col("band"), col("h"), col("doc_id"))
+      .collect().map(_.toSeq).toSet === healedBands)
+    // and the matching surface sees one copy of everything
+    val m = graft.queries.MinHashIndex.matches(spark, ix,
+      docs.filter(col("doc_id") >= 300 && col("doc_id") < 310))
+    m.collect() // must simply run clean over the epoch-partitioned store
+  }
+
   test("streaming JSONL corpus append: file-sink shards equal the batch archive content") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
