@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.{SharedStages, TextOps}
+import graft.queries.{Registry, SharedStages, TextOps}
 
 /** The session-shared stage table must be a pure materialization: the
   * round-6 change routed q54/q78/q100/q110 through ONE persisted pair
@@ -48,6 +48,41 @@ class SharedStagesSpec extends SparkSpec {
     val directVerdicts = TextOps.dedupVerdictsOn(docs)
       .collect().map(_.toSeq).toSet
     assert(sharedVerdicts === directVerdicts)
+    spark.catalog.clearCache()
+  }
+
+  test("q131: docs without vectors never draw a semantic verdict; embedded near-dups do") {
+    // the fixture dirs only exercise the full-coverage case at sf0.01
+    // (every doc has a vector); at sf0.1 the doc cap exceeds the
+    // vector count, so the left-join null path must be correct — pin
+    // it on a synthetic dir where half the docs have no embedding
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-q131").toString
+    def text(i: Long): String =
+      if (i == 6L) text(5L) // exact text duplicate pair (5, 6)
+      else s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i"
+    (0L until 20L).map(i => (i, text(i), "en", "src", text(i).length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$root/documents.parquet")
+    // 16-dim one-hots: all pairs orthogonal except vec 7 sharing
+    // vec 2's axis (cosine 1 ≥ τ) — docs 10..19 have NO vector
+    def vec(i: Long): Array[Float] = {
+      val d = if (i == 7L) 2 else i.toInt
+      Array.tabulate(16)(j => if (j == d) 1f else 0f)
+    }
+    (0L until 10L).map(i => (i, vec(i), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$root/embeddings.parquet")
+    val out = Registry.queries("q131_crossmodal_verdicts")(spark, root)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out.size == 20)
+    assert(out(6L) === ("text_exact", 5L))
+    assert(out(7L) === ("semantic", 2L))
+    (0L until 20L).filter(i => i != 6L && i != 7L).foreach { i =>
+      assert(out(i) === ("keep", i), s"doc $i: ${out(i)}")
+    }
+    // no vector → no semantic opinion, ever
+    (10L until 20L).foreach(i => assert(out(i)._1 != "semantic"))
     spark.catalog.clearCache()
   }
 
