@@ -206,6 +206,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(cacheReads == 3, s"expected 3 cached-bigram readers, found $cacheReads")
   }
 
+  test("q54/q100 read the shared stage tables: no shingling, no Jaccard, no corpus scan in-plan") {
+    // the session-shared stages exist so the composed dedup family
+    // computes its pair/verdict relations ONCE — the consumers' plans
+    // must therefore be pure reads of the materialized tables, with
+    // zero trace of the verification machinery
+    val p54 = planOf(q("q54_ngram_neardup")).toLowerCase
+    assert(!p54.contains("shingle_hashes") && !p54.contains("jaccard"),
+      s"q54 must read the shared pair table, not recompute it:\n$p54")
+    assert(!p54.contains("documents.parquet"),
+      "q54's plan must not touch the corpus at all")
+    val p100 = planOf(q("q100_dedup_verdicts")).toLowerCase
+    assert(!p100.contains("shingle_hashes") && !p100.contains("jaccard") &&
+      !p100.contains("sha2"),
+      s"q100 must read the shared verdict table:\n$p100")
+    spark.catalog.clearCache()
+  }
+
+  test("q114 serves from the stored index: the corpus text is scanned zero times") {
+    // exactly ONE documents.parquet scan (the probe batch); the corpus
+    // side must come from the index's stored hash arrays — shingling
+    // appears only on the probe projection
+    // count physical scan NODES in the formatted section (each scan
+    // prints its Location exactly once there; the AQE tree dump
+    // repeats nodes, so it can't be counted)
+    val fmt = q("q114_incremental_neardup").queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val docScans = "documents\\.parquet".r.findAllIn(fmt).length
+    assert(docScans == 1,
+      s"q114 must scan documents.parquet exactly once (the probe batch), saw $docScans:\n$fmt")
+    assert(fmt.toLowerCase.contains("shingle_hashes"),
+      "the probe batch is shingled in-plan")
+    // the corpus side reads the index store's hash arrays
+    assert(fmt.contains("minhash-index"),
+      s"the corpus side must come from the stored index:\n$fmt")
+    spark.catalog.clearCache()
+  }
+
   test("q124 covariance: the d² explode sits ABOVE the aggregate, not below") {
     // the scale contract: rows fold into the 2080-slot buffer map-side
     // (ObjectHashAggregate partial merge), and the pair explode runs on
