@@ -1,0 +1,349 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import QU._
+import graft.functions.Text
+
+/** Within-document quality / repetition signals and content-defined
+  * chunking — the Gopher/C4-style filter battery that sits in front
+  * of every LLM training-data pipeline, downstream of the corpus
+  * sources the reference's ETL models (`etl_supabase.py:117-119`)
+  * and upstream of the dedup stages (q50/q54/q90).
+  *
+  * Everything here is deliberately MAP-SIDE: the repetition counts
+  * and chunk boundaries are higher-order-function folds over each
+  * row's own token array, so no shuffle touches token-cardinality
+  * data — the only exchanges are the final doc- or chunk-keyed
+  * aggregates. Per-doc work is O(len · distinct) for the mode
+  * counts; documents are context-window-bounded in this pipeline,
+  * and a megadoc corpus would swap the HOF mode count for the
+  * posexplode + groupBy((doc, token)) shape (same result, token-
+  * cardinality shuffle) — the oracle SQL is written in exactly that
+  * shape, which doubles as the swap's specification.
+  */
+object QualityOps {
+
+  /** Count of the most frequent element of an array column. */
+  private def modeCount(arr: Column): Column =
+    array_max(transform(array_distinct(arr),
+      t => size(filter(arr, x => x === t))))
+
+  /** Total positions covered by elements occurring more than once. */
+  private def dupPositions(arr: Column): Column = {
+    val counts = transform(array_distinct(arr),
+      t => size(filter(arr, x => x === t)))
+    aggregate(counts, lit(0),
+      (acc, c) => acc + when(c > lit(1), c).otherwise(lit(0)))
+  }
+
+  /** Adjacent-bigram strings of a token array. The size guard keeps
+    * single-token docs legal: sequence(1, 0) would count DOWN and
+    * element_at(tk, 0) ANSI-throws.
+    */
+  private def bigrams(tk: Column): Column =
+    when(size(tk) >= 2,
+      transform(sequence(lit(1), size(tk) - 1),
+        i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  // Thresholds for the composite filter (q133), chosen to engage on
+  // the fixture corpus (each rule fires on ~5-10% of documents) so
+  // the oracle actually exercises every branch.
+  val MinTokens = 16
+  val MinStopwordRatio = 0.015
+  val MaxTopUnigramFrac = 0.12
+  val MaxDupBigramFrac = 0.10
+
+  /** A chunk occurring in at least this many places corpus-wide is
+    * boilerplate (q138); the fixture's census tail reaches 9 copies,
+    * so the rule engages on ~20% of documents.
+    */
+  val BoilerplateMinCopies = 3
+
+  lazy val queries: Seq[Q] = Seq(
+
+    // -- Gopher-style repetition signals, per document: share of the
+    //    most common unigram / adjacent bigram, and the fraction of
+    //    bigram positions whose bigram repeats within the doc. All
+    //    int/int ratios -> bit-identical doubles on both engines;
+    //    rounded 4dp for display only.
+    Q("q132_repetition_signals",
+      (s, d) => {
+        val tk = Text.tokens(col("text"))
+        t(s, d).documents
+          .select(col("doc_id"), tk.as("tk"))
+          .select(col("doc_id"),
+            round(modeCount(col("tk")).cast("double") / size(col("tk")), 4)
+              .as("top_unigram_frac"),
+            bigrams(col("tk")).as("bg"))
+          .select(col("doc_id"), col("top_unigram_frac"),
+            round(modeCount(col("bg")).cast("double") / size(col("bg")), 4)
+              .as("top_bigram_frac"),
+            round(dupPositions(col("bg")).cast("double") / size(col("bg")), 4)
+              .as("dup_bigram_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents),
+        uni AS (
+          SELECT doc_id, MAX(c) AS topc, SUM(c) AS n FROM (
+            SELECT doc_id, t, COUNT(*) AS c
+            FROM toks, UNNEST(tk) AS u(t) GROUP BY doc_id, t)
+          GROUP BY doc_id),
+        bi AS (
+          SELECT doc_id, MAX(c) AS topc,
+            SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_pos, SUM(c) AS n
+          FROM (
+            SELECT doc_id, g, COUNT(*) AS c FROM (
+              SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
+              FROM toks, UNNEST(range(1, len(tk))) AS r(i)) GROUP BY doc_id, g)
+          GROUP BY doc_id)
+        SELECT uni.doc_id,
+          ROUND(CAST(uni.topc AS DOUBLE) / uni.n, 4) AS top_unigram_frac,
+          ROUND(CAST(bi.topc AS DOUBLE) / bi.n, 4) AS top_bigram_frac,
+          ROUND(CAST(bi.dup_pos AS DOUBLE) / bi.n, 4) AS dup_bigram_frac
+        FROM uni JOIN bi USING (doc_id) ORDER BY doc_id"""),
+      "Gopher-style within-doc repetition signals"),
+
+    // -- Composite C4/Gopher quality filter: reason-coded keep/drop
+    //    with FIRST-failing-rule precedence (too_short > low_stopword
+    //    > high_top_unigram > high_dup_bigram > keep). The rule
+    //    comparisons run on the UNROUNDED int/int ratios — identical
+    //    doubles on both engines — so no threshold can straddle a
+    //    rounding edge; the surfaced signal columns are 4dp.
+    Q("q133_quality_filter_verdicts",
+      (s, d) => {
+        val tk = Text.tokens(col("text"))
+        val stop = Text.stopwordCount(tk, Text.StopwordProfiles.head._2)
+        val base = t(s, d).documents.select(
+          col("doc_id"), tk.as("tk"),
+          stop.cast("double").as("n_stop"))
+        val sig = base.select(
+          col("doc_id"), size(col("tk")).as("n_tokens"),
+          (col("n_stop") / size(col("tk"))).as("stop_ratio"),
+          (modeCount(col("tk")).cast("double") / size(col("tk")))
+            .as("uni_frac"),
+          bigrams(col("tk")).as("bg"))
+          .withColumn("dup_frac",
+            dupPositions(col("bg")).cast("double") / size(col("bg")))
+          .drop("bg")
+        sig.select(
+            col("doc_id"),
+            when(col("n_tokens") < MinTokens, "too_short")
+              .when(col("stop_ratio") < MinStopwordRatio, "low_stopword")
+              .when(col("uni_frac") > MaxTopUnigramFrac, "high_top_unigram")
+              .when(col("dup_frac") > MaxDupBigramFrac, "high_dup_bigram")
+              .otherwise("keep").as("verdict"),
+            col("n_tokens"),
+            round(col("stop_ratio"), 4).as("stopword_ratio"),
+            round(col("uni_frac"), 4).as("top_unigram_frac"),
+            round(col("dup_frac"), 4).as("dup_bigram_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+          FROM documents),
+        uni AS (
+          SELECT doc_id, MAX(c) AS topc, SUM(c) AS n FROM (
+            SELECT doc_id, t, COUNT(*) AS c
+            FROM toks, UNNEST(tk) AS u(t) GROUP BY doc_id, t)
+          GROUP BY doc_id),
+        bi AS (
+          SELECT doc_id,
+            SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_pos, SUM(c) AS n
+          FROM (
+            SELECT doc_id, g, COUNT(*) AS c FROM (
+              SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
+              FROM toks, UNNEST(range(1, len(tk))) AS r(i)) GROUP BY doc_id, g)
+          GROUP BY doc_id),
+        sig AS (
+          SELECT t.doc_id, len(t.tk) AS n_tokens,
+            CAST(len(list_filter(t.tk, x -> x IN
+              ('the','a','of','and','to','in','is','it','that','for')))
+              AS DOUBLE) / len(t.tk) AS stop_ratio,
+            CAST(uni.topc AS DOUBLE) / uni.n AS uni_frac,
+            CAST(bi.dup_pos AS DOUBLE) / bi.n AS dup_frac
+          FROM toks t JOIN uni ON t.doc_id = uni.doc_id
+            JOIN bi ON t.doc_id = bi.doc_id)
+        SELECT doc_id,
+          CASE WHEN n_tokens < $MinTokens THEN 'too_short'
+               WHEN stop_ratio < $MinStopwordRatio THEN 'low_stopword'
+               WHEN uni_frac > $MaxTopUnigramFrac THEN 'high_top_unigram'
+               WHEN dup_frac > $MaxDupBigramFrac THEN 'high_dup_bigram'
+               ELSE 'keep' END AS verdict,
+          CAST(n_tokens AS INT) AS n_tokens,
+          ROUND(stop_ratio, 4) AS stopword_ratio,
+          ROUND(uni_frac, 4) AS top_unigram_frac,
+          ROUND(dup_frac, 4) AS dup_bigram_frac
+        FROM sig ORDER BY doc_id"""),
+      "reason-coded composite quality filter (C4/Gopher rules)"),
+
+    // -- Content-defined chunking: Rabin-style rolling hash over a
+    //    3-word window; a position whose hash ≡ 0 (mod 16) STARTS a
+    //    new chunk, so chunk boundaries move with content, not
+    //    offsets — an insertion early in a document shifts every
+    //    fixed-width block but only the one containing chunk here
+    //    (the storage-dedup property; q137 measures the resulting
+    //    cross-doc chunk sharing). Word values are md5-derived
+    //    (q75's engine-portable md5→int convention); everything is
+    //    integer arithmetic inside one codegen'd projection.
+    Q("q136_cdc_chunking",
+      (s, d) => {
+        val withStarts = chunkStarts(t(s, d).documents)
+        withStarts.select(
+            col("doc_id"),
+            size(col("starts")).cast("long").as("n_chunks"),
+            round(size(col("tk")).cast("double") / size(col("starts")), 4)
+              .as("avg_chunk_words"),
+            array_max(chunkSizes(col("tk"), col("starts"))).cast("long")
+              .as("max_chunk_words"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"WITH $ChunkCtes " +
+        """SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+          ROUND(CAST(SUM(n_words) AS DOUBLE) / COUNT(*), 4) AS avg_chunk_words,
+          CAST(MAX(n_words) AS BIGINT) AS max_chunk_words
+        FROM chunk_sizes GROUP BY doc_id ORDER BY doc_id"""),
+      "content-defined chunking (rolling-hash boundaries)"),
+
+    // -- Cross-document chunk-level dedup census: how many chunks
+    //    occur in 1, 2, ... places corpus-wide — the dedup-ratio a
+    //    content-addressed store would realize. Only the chunk
+    //    strings shuffle (bounded by chunk size), and the output is
+    //    a copies-histogram, constant-sized at any corpus scale.
+    Q("q137_chunk_dedup_census",
+      (s, d) => {
+        val withStarts = chunkStarts(t(s, d).documents)
+        val chunks = withStarts.select(col("doc_id"),
+            explode(chunkStrings(col("tk"), col("starts"))).as("chunk_str"))
+        chunks.groupBy(col("chunk_str"))
+          .agg(count(lit(1)).as("n_copies"))
+          .groupBy(col("n_copies"))
+          .agg(count(lit(1)).as("n_chunks"))
+          .orderBy(col("n_copies"))
+      },
+      Some(s"WITH $ChunkCtes, $ChunkTextCte " +
+        """SELECT n_copies, COUNT(*) AS n_chunks FROM freq
+        GROUP BY n_copies ORDER BY n_copies"""),
+      "corpus-wide chunk sharing histogram"),
+
+    // -- C4-style boilerplate removal at CHUNK granularity: a chunk
+    //    occurring in >= 3 places corpus-wide is boilerplate (the
+    //    census above shows the fixture's own tail reaches 9); docs
+    //    are REASSEMBLED from their surviving chunks in order — the
+    //    actual cleaning transform, not just a report. The only
+    //    token-cardinality shuffle is the chunk-string frequency
+    //    join; reassembly is one doc-keyed aggregate whose
+    //    per-group state is the doc's own chunks.
+    Q("q138_boilerplate_removal",
+      (s, d) => {
+        val withStarts = chunkStarts(t(s, d).documents)
+        val chunks = withStarts.select(col("doc_id"),
+          posexplode(chunkStrings(col("tk"), col("starts")))
+            .as(Seq("chunk_id", "chunk_str")))
+        val freq = chunks.groupBy(col("chunk_str"))
+          .agg(count(lit(1)).as("n_copies"))
+        chunks.join(freq, Seq("chunk_str"))
+          .withColumn("keep", col("n_copies") < BoilerplateMinCopies)
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(col("keep").cast("int")).cast("long").as("n_chunks_kept"),
+            sum((!col("keep")).cast("int")).cast("long")
+              .as("n_chunks_dropped"),
+            array_join(transform(
+              array_sort(collect_list(when(col("keep"),
+                struct(col("chunk_id"), col("chunk_str"))))),
+              x => x.getField("chunk_str")), " ").as("cleaned_text"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"WITH $ChunkCtes, $ChunkTextCte, " +
+        s"""verdicts AS (
+          SELECT ctext.doc_id, ctext.chunk_id, ctext.chunk_str,
+            (freq.n_copies >= $BoilerplateMinCopies) AS drop_it
+          FROM ctext JOIN freq USING (chunk_str))
+        SELECT doc_id,
+          CAST(COUNT(*) FILTER (WHERE NOT drop_it) AS BIGINT) AS n_chunks_kept,
+          CAST(COUNT(*) FILTER (WHERE drop_it) AS BIGINT) AS n_chunks_dropped,
+          COALESCE(string_agg(chunk_str, ' ' ORDER BY chunk_id)
+            FILTER (WHERE NOT drop_it), '') AS cleaned_text
+        FROM verdicts GROUP BY doc_id ORDER BY doc_id"""),
+      "C4-style boilerplate-chunk removal with reassembled text"))
+
+  /** md5-derived word value in [0, 1021) — q75's portable md5→int. */
+  private def wordVal(w: Column): Column =
+    pmod(conv(substring(md5(w), 1, 6), 16, 10).cast("long"), lit(1021L))
+
+  /** Chunk START indices (1-based): position 1 plus every i >= 3
+    * where the rolling hash of words (i-2, i-1, i) ≡ 0 mod 16.
+    */
+  private def chunkStarts(docs: org.apache.spark.sql.DataFrame) = {
+    val tk = Text.tokens(col("text"))
+    docs.select(col("doc_id"), tk.as("tk"))
+      .withColumn("vals", transform(col("tk"), w => wordVal(w)))
+      // The i >= 3 conjunct guards the window; greatest() keeps the
+      // probe indices legal (element_at is 1-based and ANSI-throws at
+      // 0) on sub-window docs where the conjunct is already false.
+      .withColumn("starts",
+        concat(array(lit(1)),
+          filter(sequence(lit(1), size(col("tk"))),
+            i => i >= 3 &&
+              (element_at(col("vals"), greatest(i - 2, lit(1))) * 961L
+                + element_at(col("vals"), greatest(i - 1, lit(1))) * 31L
+                + element_at(col("vals"), i)) % 16 === 0)))
+      .drop("vals")
+  }
+
+  /** Word counts per chunk, from the starts array. */
+  private def chunkSizes(tk: Column, starts: Column): Column =
+    transform(sequence(lit(1), size(starts)),
+      j => when(j < size(starts),
+          element_at(starts, j + 1) - element_at(starts, j))
+        .otherwise(size(tk) + 1 - element_at(starts, j)))
+
+  /** The chunk substrings themselves (space-joined token runs). */
+  private def chunkStrings(tk: Column, starts: Column): Column =
+    transform(sequence(lit(1), size(starts)),
+      j => array_join(
+        slice(tk, element_at(starts, j),
+          when(j < size(starts),
+            element_at(starts, j + 1) - element_at(starts, j))
+          .otherwise(size(tk) + 1 - element_at(starts, j))), " "))
+
+  /** Shared DuckDB CTE chain mirroring chunkStarts via lag windows —
+    * also the documented megadoc swap shape for the Spark side.
+    */
+  private val ChunkCtes: String =
+    raw"""toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+      FROM documents),
+    vals AS (
+      SELECT doc_id, i, ('0x' || substr(md5(tk[i]), 1, 6))::BIGINT % 1021 AS v
+      FROM toks, UNNEST(range(1, len(tk)+1)) AS r(i)),
+    marks AS (
+      SELECT doc_id, i,
+        CASE WHEN i >= 3 AND
+          (LAG(v, 2) OVER w * 961 + LAG(v, 1) OVER w * 31 + v) % 16 = 0
+          THEN 1 ELSE 0 END AS boundary
+      FROM vals WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+    chunks AS (
+      SELECT doc_id, i,
+        SUM(boundary) OVER (PARTITION BY doc_id ORDER BY i) AS chunk_id
+      FROM marks),
+    chunk_sizes AS (
+      SELECT doc_id, chunk_id, COUNT(*) AS n_words
+      FROM chunks GROUP BY doc_id, chunk_id)"""
+
+  /** Chunk text + corpus frequency CTEs (append after [[ChunkCtes]]). */
+  private val ChunkTextCte: String =
+    raw"""ctext AS (
+      SELECT c.doc_id, c.chunk_id, string_agg(t.tok, ' ' ORDER BY c.i) AS chunk_str
+      FROM chunks c JOIN (
+        SELECT doc_id, i, tk[i] AS tok
+        FROM toks, UNNEST(range(1, len(tk)+1)) AS r(i)) t
+        ON c.doc_id = t.doc_id AND c.i = t.i
+      GROUP BY c.doc_id, c.chunk_id),
+    freq AS (SELECT chunk_str, COUNT(*) AS n_copies FROM ctext GROUP BY chunk_str)"""
+}

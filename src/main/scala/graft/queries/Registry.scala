@@ -27,7 +27,8 @@ object Registry {
   def all: Seq[Q] =
     Relational.queries ++ Windows.queries ++ JsonOps.queries ++
       EventOps.queries ++ TextOps.queries ++ Similarity.queries ++
-      MultimodalOps.queries ++ TrainingOps.queries ++ TokenizerOps.queries
+      MultimodalOps.queries ++ TrainingOps.queries ++
+      TokenizerOps.queries ++ QualityOps.queries ++ LayoutOps.queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

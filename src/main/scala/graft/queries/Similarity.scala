@@ -554,7 +554,53 @@ object Similarity {
           ROUND(mz, 4) AS max_abs_z,
           CAST(ROUND(mz, 4) > 3.0 AS INT) AS is_outlier
         FROM agg ORDER BY vec_id"""),
-      "per-dimension standardization with z-score outlier flags")
+      "per-dimension standardization with z-score outlier flags"),
+
+    // -- hard-negative mining: for each (capped, q60-convention)
+    //    query vector, the top-3 most similar vectors carrying a
+    //    DIFFERENT label — the contrastive-training counterpart of
+    //    q60's plain top-k. Same plan shape: the query side (with
+    //    its label) broadcasts, scoring is a map-side nested loop,
+    //    and the only shuffle is the per-query top-k window.
+    Q("q135_hard_negatives",
+      (s, d) => {
+        val emb = t(s, d).embeddings
+        val q = emb
+          .filter(col("vec_id") % 100 === 0 &&
+            col("vec_id") < ExactBaselineVecCap)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("q_emb"), col("label").as("q_label"))
+        val scored = emb.crossJoin(broadcast(q))
+          .filter(col("label") =!= col("q_label"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            Vectors.cosine(col("q_emb"), col("embedding")).as("score"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id"))
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("query_id"), col("neighbor_id"), col("score"),
+            col("rk").cast("int").as("rk"))
+          .orderBy(col("query_id"), col("rk"))
+      },
+      Some(s"""WITH q AS (
+          SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+          FROM embeddings
+          WHERE vec_id % 100 = 0 AND vec_id < $ExactBaselineVecCap),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+            list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+              / (sqrt(list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])))
+               * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS score
+          FROM embeddings e, q WHERE e.label <> q.q_label),
+        ranked AS (
+          SELECT query_id, neighbor_id, score,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id) AS rk
+          FROM scored)
+        SELECT query_id, neighbor_id, score, CAST(rk AS INT) AS rk
+        FROM ranked WHERE rk <= 3 ORDER BY query_id, rk"""),
+      "cross-label hard-negative mining (contrastive training prep)")
   )
 
   /** Fixture embedding dimensionality (declared, like q37's pivot
