@@ -241,9 +241,16 @@ object QualityOps {
     Q("q138_boilerplate_removal",
       (s, d) => {
         val withStarts = chunkStarts(t(s, d).documents)
+        // persist + materialize eagerly: the chunk relation fans out
+        // into the frequency aggregate AND the join probe side, and
+        // racing consumers of a lazy shared subtree each recompute
+        // its lineage (the q54/q56/q125 lesson) — here that would
+        // re-chunk the whole corpus. At production scale this is the
+        // written chunk relation every downstream store reads.
         val chunks = withStarts.select(col("doc_id"),
           posexplode(chunkStrings(col("tk"), col("starts")))
-            .as(Seq("chunk_id", "chunk_str")))
+            .as(Seq("chunk_id", "chunk_str"))).persist()
+        chunks.count()
         val freq = chunks.groupBy(col("chunk_str"))
           .agg(count(lit(1)).as("n_copies"))
         chunks.join(freq, Seq("chunk_str"))

@@ -258,4 +258,49 @@ class PlanShapeSpec extends SparkSpec {
       s"explode must consume the aggregate output, not feed it:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("q132/q136 per-doc signals are map-side: the only exchange is " +
+      "the final sort's range partition") {
+    // the repetition counts / chunk boundaries are HOF folds over
+    // each row's own token array — a refactor that swaps in the
+    // explode + groupBy formulation would add a token-cardinality
+    // shuffle and fail here
+    for (name <- Seq("q132_repetition_signals", "q136_cdc_chunking")) {
+      val plan = q(name).queryExecution.executedPlan.toString
+      val exchanges =
+        "Exchange (\\w+)".r.findAllMatchIn(plan).map(_.group(1)).toList
+      assert(exchanges.forall(_.startsWith("rangepartitioning")) &&
+        exchanges.size == 1,
+        s"$name: expected one range exchange, got $exchanges")
+    }
+  }
+
+  test("q134 z-order census: pruned scan, one aggregation shuffle") {
+    val plan = planOf(q("q134_zorder_key_census"))
+    // the interleave needs only the two key columns + the measure
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(readSchemas.nonEmpty && readSchemas.forall(_.split(",").length <= 3),
+      s"census scan reads too many columns: $readSchemas")
+    val exchanges =
+      "Exchange (\\w+)".r.findAllMatchIn(plan).map(_.group(1)).toList
+    assert(exchanges.count(_.startsWith("hashpartitioning")) == 1,
+      s"expected exactly one aggregation shuffle, got $exchanges")
+  }
+
+  test("q135 hard negatives broadcast the query side like q60") {
+    val plan = q("q135_hard_negatives").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"capped query side must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q138 consumers read the persisted chunk relation, not the corpus") {
+    val plan = q("q138_boilerplate_removal")
+      .queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
+    val cachedReads = "InMemoryTableScan".r.findAllMatchIn(plan).size
+    assert(cachedReads >= 2,
+      s"frequency and probe sides must both read the cached chunks:\n$plan")
+  }
 }

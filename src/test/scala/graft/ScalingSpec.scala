@@ -51,7 +51,14 @@ class ScalingSpec extends SparkSpec {
     // crawl-order novelty: one row per doc; per-copy token renaming
     // keeps first-carriers within-copy, so novelty replicates and the
     // first-carrier aggregate must stay linear in (doc, shingle).
-    "q123_shingle_novelty")
+    "q123_shingle_novelty",
+    // content-defined chunking + boilerplate removal: one row per
+    // doc. Renamed tokens move the rolling-hash boundaries per copy
+    // (row bound is per-doc, so still 10×); the chunk-string
+    // frequency join is keyed on the chunk itself, so a quadratic
+    // candidate stage is impossible by construction and the time
+    // bound polices the chunking HOFs + the two chunk shuffles.
+    "q136_cdc_chunking", "q138_boilerplate_removal")
 
   private lazy val (dir1x, dir10x) = {
     val root = Files.createTempDirectory("graft-scaling").toString
