@@ -211,14 +211,14 @@ object QualityOps {
 
     // -- Cross-document chunk-level dedup census: how many chunks
     //    occur in 1, 2, ... places corpus-wide — the dedup-ratio a
-    //    content-addressed store would realize. Only the chunk
-    //    strings shuffle (bounded by chunk size), and the output is
-    //    a copies-histogram, constant-sized at any corpus scale.
+    //    content-addressed store would realize. Reads the session-
+    //    shared persisted chunk store (built once by [[ChunkIndex]];
+    //    q138 reads the same stage) — the corpus text is never
+    //    re-chunked per consumer. The output is a copies-histogram,
+    //    constant-sized at any corpus scale.
     Q("q137_chunk_dedup_census",
       (s, d) => {
-        val withStarts = chunkStarts(t(s, d).documents)
-        val chunks = withStarts.select(col("doc_id"),
-            explode(chunkStrings(col("tk"), col("starts"))).as("chunk_str"))
+        val chunks = SharedStages.chunkStore(s, d)
         chunks.groupBy(col("chunk_str"))
           .agg(count(lit(1)).as("n_copies"))
           .groupBy(col("n_copies"))
@@ -234,23 +234,17 @@ object QualityOps {
     //    occurring in >= 3 places corpus-wide is boilerplate (the
     //    census above shows the fixture's own tail reaches 9); docs
     //    are REASSEMBLED from their surviving chunks in order — the
-    //    actual cleaning transform, not just a report. The only
-    //    token-cardinality shuffle is the chunk-string frequency
-    //    join; reassembly is one doc-keyed aggregate whose
-    //    per-group state is the doc's own chunks.
+    //    actual cleaning transform, not just a report. Both fan-out
+    //    consumers (the frequency aggregate and the join probe side)
+    //    read the session-shared persisted chunk store — the
+    //    q54/q56/q125 lesson: a lazy shared subtree would re-chunk
+    //    the corpus per consumer. The only token-cardinality shuffle
+    //    is the chunk-string frequency join; reassembly is one
+    //    doc-keyed aggregate whose per-group state is the doc's own
+    //    chunks.
     Q("q138_boilerplate_removal",
       (s, d) => {
-        val withStarts = chunkStarts(t(s, d).documents)
-        // persist + materialize eagerly: the chunk relation fans out
-        // into the frequency aggregate AND the join probe side, and
-        // racing consumers of a lazy shared subtree each recompute
-        // its lineage (the q54/q56/q125 lesson) — here that would
-        // re-chunk the whole corpus. At production scale this is the
-        // written chunk relation every downstream store reads.
-        val chunks = withStarts.select(col("doc_id"),
-          posexplode(chunkStrings(col("tk"), col("starts")))
-            .as(Seq("chunk_id", "chunk_str"))).persist()
-        chunks.count()
+        val chunks = SharedStages.chunkStore(s, d)
         val freq = chunks.groupBy(col("chunk_str"))
           .agg(count(lit(1)).as("n_copies"))
         chunks.join(freq, Seq("chunk_str"))
@@ -277,7 +271,78 @@ object QualityOps {
           COALESCE(string_agg(chunk_str, ' ' ORDER BY chunk_id)
             FILTER (WHERE NOT drop_it), '') AS cleaned_text
         FROM verdicts GROUP BY doc_id ORDER BY doc_id"""),
-      "C4-style boilerplate-chunk removal with reassembled text"))
+      "C4-style boilerplate-chunk removal with reassembled text"),
+
+    // -- Per-LANGUAGE calibrated quality filtering (the CCNet move):
+    //    an absolute score threshold keeps 95% of one language and
+    //    5% of another, so the keep rule is a per-language RANK
+    //    cutoff — top 80% of each language by the q101 hashed-linear
+    //    score. The rank window partitions by lang (per-key scans
+    //    parallelize natively; a pathological mega-language falls
+    //    back to the q83 PrefixSum shape); the cutoff is pure
+    //    integer arithmetic (rank·5 ≤ 4n+4 ⟺ rank ≤ ceil(0.8n)), so
+    //    no fp threshold can straddle engines, and the score is
+    //    6dp-rounded BEFORE the rank (q74's round-before-rank rule)
+    //    with doc_id breaking ties.
+    Q("q139_calibrated_quality",
+      (s, d) => {
+        val k = 1024L
+        val tok = t(s, d).documents.select(col("doc_id"), col("lang"),
+          explode(Text.tokens(col("text"))).as("token"))
+        val bucket = pmod(
+          conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"),
+          lit(k))
+        val w = (bucket * 2654435761L % 1000003L).cast("double")
+          ./(1000003.0).-(0.5)
+        val scored = tok.select(col("doc_id"), col("lang"), w.as("w"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(round(sum(col("w").cast("decimal(38,12)")).cast("double")
+            / count(lit(1)), 6).as("score"))
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy(col("score").desc, col("doc_id"))
+        val cwin = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+        scored
+          .withColumn("lang_rank", row_number().over(win))
+          .withColumn("n_lang", count(lit(1)).over(cwin))
+          .select(col("doc_id"), col("lang"), col("score"),
+            col("lang_rank").cast("int").as("lang_rank"),
+            (col("lang_rank") * 5 <= col("n_lang") * 4 + 4).cast("int")
+              .as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""WITH tok AS (
+          SELECT doc_id, lang,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          FROM documents),
+        scored AS (
+          SELECT doc_id, lang,
+            ROUND(CAST(SUM(CAST(
+              CAST(('0x' || substr(md5(token), 1, 8))::BIGINT % 1024
+                * 2654435761 % 1000003 AS DOUBLE) / 1000003.0 - 0.5
+              AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS score
+          FROM tok GROUP BY doc_id, lang),
+        ranked AS (
+          SELECT doc_id, lang, score,
+            ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY score DESC, doc_id) AS lang_rank,
+            COUNT(*) OVER (PARTITION BY lang) AS n_lang
+          FROM scored)
+        SELECT doc_id, lang, score, CAST(lang_rank AS INT) AS lang_rank,
+          CAST(lang_rank * 5 <= n_lang * 4 + 4 AS INT) AS keep
+        FROM ranked ORDER BY doc_id"""),
+      "per-language rank-calibrated quality filter (top 80% per lang)"))
+
+  /** The chunk relation of a documents frame: one (doc_id, chunk_id,
+    * chunk_str) row per content-defined chunk. The unit of the
+    * persisted [[ChunkIndex]] and of the q137/q138 shared stage.
+    */
+  private[graft] def chunkRelationOf(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    chunkStarts(docs).select(col("doc_id"),
+      posexplode(chunkStrings(col("tk"), col("starts")))
+        .as(Seq("chunk_id", "chunk_str")))
 
   /** md5-derived word value in [0, 1021) — q75's portable md5→int. */
   private def wordVal(w: Column): Column =

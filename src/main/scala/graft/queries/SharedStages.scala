@@ -162,4 +162,18 @@ object SharedStages {
           .select(col("doc_id"), col("text")),
         path)
     }
+
+  /** A built [[ChunkIndex]] over the sf dir's documents — the
+    * persisted content-defined chunk relation, chunked once per
+    * (session, sf dir). Consumers: q137 (frequency census) and q138
+    * (boilerplate removal) — neither re-chunks the corpus.
+    */
+  def chunkStore(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = cached(spark, sfDir, "chunk-index") { path =>
+      ChunkIndex.build(
+        QU.t(spark, sfDir).documents.select(col("doc_id"), col("text")),
+        path): Unit
+    }
+    ChunkIndex.chunks(spark, p)
+  }
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.queries.ChunkIndex
+
+/** The persisted content-defined-chunk store: build/append/stream
+  * parity and the epoch exactly-once contract (the IvfIndex/
+  * MinHashIndex storage conventions applied to the chunk relation).
+  */
+class ChunkIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select(col("doc_id"), col("text"))
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, String)] =
+    df.select(col("doc_id").cast("long"), col("chunk_id").cast("int"),
+        col("chunk_str"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+
+  private def fileSet(root: String): Set[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val rp = java.nio.file.Paths.get(root)
+    val w = java.nio.file.Files.walk(rp)
+    try w.iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map(p => rp.relativize(p).toString -> java.nio.file.Files.size(p))
+      .toSet
+    finally w.close()
+  }
+
+  test("build + epoch append == build over the union, row-identical") {
+    val base = java.nio.file.Files.createTempDirectory("chunkix").toString
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+
+    ChunkIndex.build(corpus, s"$base/incr")
+    ChunkIndex.appendEpoch(batch, s"$base/incr", 1L)
+    ChunkIndex.build(docs, s"$base/full")
+
+    assert(rowsOf(ChunkIndex.chunks(spark, s"$base/incr")) ===
+      rowsOf(ChunkIndex.chunks(spark, s"$base/full")))
+  }
+
+  test("appendStream == batch chunking; replayed epoch is a no-op") {
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("chunkix-s").toString
+    val idx = s"$base/ix"
+    ChunkIndex.build(docs.filter(col("doc_id") < 400), idx)
+
+    val arrivals = docs.filter(col("doc_id") >= 400)
+      .as[(Long, String)].collect().toSeq
+    assert(arrivals.nonEmpty)
+    val stream = MemoryStream[(Long, String)]
+    val q = ChunkIndex.appendStream(
+      stream.toDF().toDF("doc_id", "text"), idx, s"$base/ckpt")
+    try {
+      stream.addData(arrivals.take(30)); q.processAllAvailable()
+      stream.addData(arrivals.drop(30)); q.processAllAvailable()
+    } finally q.stop()
+
+    assert(rowsOf(ChunkIndex.chunks(spark, idx)) ===
+      rowsOf(graft.queries.QualityOps.chunkRelationOf(docs)))
+
+    // redelivery of a committed epoch: byte-identical store
+    val once = fileSet(s"$idx/chunks")
+    ChunkIndex.appendEpoch(docs.filter(col("doc_id") >= 400).limit(10), idx, 0L)
+    assert(fileSet(s"$idx/chunks") === once)
+    // crash mid-stage (stale tmp left behind) is overwritten by retry
+    val tmp = s"$idx/.chunks-epoch-9.tmp"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/garbage"), "x")
+    ChunkIndex.appendEpoch(docs.filter(col("doc_id") === 1), idx, 9L)
+    assert(fileSet(s"$idx/chunks").exists(_._1.startsWith("epoch=9")))
+  }
+}

@@ -295,12 +295,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
-  test("q138 consumers read the persisted chunk relation, not the corpus") {
-    val plan = q("q138_boilerplate_removal")
-      .queryExecution.executedPlan.toString
+  test("q137/q138 read the shared chunk store: the corpus text is " +
+      "never re-chunked in-plan") {
+    for (name <- Seq("q137_chunk_dedup_census", "q138_boilerplate_removal")) {
+      val plan = planOf(q(name))
+      assert(!plan.contains("documents.parquet"),
+        s"$name must read the persisted chunk relation, not the corpus:\n$plan")
+      assert(plan.contains("chunk-index"),
+        s"$name must scan the shared chunk store:\n$plan")
+      assert(!plan.toLowerCase.contains("md5"),
+        s"$name's plan must carry no chunk-boundary machinery:\n$plan")
+    }
     spark.catalog.clearCache()
-    val cachedReads = "InMemoryTableScan".r.findAllMatchIn(plan).size
-    assert(cachedReads >= 2,
-      s"frequency and probe sides must both read the cached chunks:\n$plan")
   }
 }
