@@ -332,7 +332,143 @@ object QualityOps {
         SELECT doc_id, lang, score, CAST(lang_rank AS INT) AS lang_rank,
           CAST(lang_rank * 5 <= n_lang * 4 + 4 AS INT) AS keep
         FROM ranked ORDER BY doc_id"""),
-      "per-language rank-calibrated quality filter (top 80% per lang)"))
+      "per-language rank-calibrated quality filter (top 80% per lang)"),
+
+    // -- Chunk-level decontamination: the chunk-store complement of
+    //    q77's 8-gram overlap — for each training doc, what fraction
+    //    of its content-defined chunks also appear in the eval split
+    //    (doc_id % 50 == 0, q77's convention), and the drop verdict
+    //    at >= 25% (integer rule: 4·shared >= total, so no fp
+    //    threshold exists). Both sides read the persisted chunk
+    //    store; the eval chunk set is the small fixed side and rides
+    //    the broadcast, so the training corpus is scanned once and
+    //    never pair-shuffled.
+    Q("q140_chunk_decontamination",
+      (s, d) => {
+        val chunks = SharedStages.chunkStore(s, d)
+        val evalSet = chunks.filter(col("doc_id") % 50 === 0)
+          .select(col("chunk_str")).distinct()
+          .withColumn("shared", lit(1))
+        chunks.filter(col("doc_id") % 50 =!= 0)
+          .join(broadcast(evalSet), Seq("chunk_str"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(coalesce(col("shared"), lit(0))).as("n_shared"))
+          .select(col("doc_id"), col("n_chunks"), col("n_shared"),
+            round(col("n_shared").cast("double") / col("n_chunks"), 4)
+              .as("shared_frac"),
+            (col("n_shared") * 4 >= col("n_chunks")).cast("int")
+              .as("contaminated"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"WITH $ChunkCtes, $ChunkTextCte, " +
+        raw"""ev AS (SELECT DISTINCT chunk_str FROM ctext WHERE doc_id % 50 = 0),
+        agg AS (
+          SELECT t.doc_id, COUNT(*) AS n_chunks,
+            SUM(CASE WHEN ev.chunk_str IS NOT NULL THEN 1 ELSE 0 END) AS n_shared
+          FROM (SELECT * FROM ctext WHERE doc_id % 50 <> 0) t
+          LEFT JOIN ev ON t.chunk_str = ev.chunk_str
+          GROUP BY t.doc_id)
+        SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+          CAST(n_shared AS BIGINT) AS n_shared,
+          ROUND(CAST(n_shared AS DOUBLE) / n_chunks, 4) AS shared_frac,
+          CAST(4 * n_shared >= n_chunks AS INT) AS contaminated
+        FROM agg ORDER BY doc_id"""),
+      "chunk-granularity train/eval decontamination via the chunk store"),
+
+    // -- Quality-aware canonical selection: dedup normally keeps the
+    //    MIN-id member of each near-dup cluster (q78/q100); the
+    //    better pipeline keeps the HIGHEST-QUALITY member. One row
+    //    per cluster (singletons included via the left join) with
+    //    the best member by the q101 hashed-linear score — argmax
+    //    realized window-free as max-score + min-id-among-ties (two
+    //    cluster-keyed aggregates, deterministic because the score
+    //    is 6dp-rounded before the equality). Reads the session-
+    //    shared component table; only doc-cardinality keys shuffle.
+    Q("q141_quality_canonical",
+      (s, d) => {
+        val capped = t(s, d).documents
+          .filter(col("doc_id") < TextOps.ExactBaselineDocCap)
+        val clusters = capped.select(col("doc_id"))
+          .join(SharedStages.cappedNearDupComponents(s, d)
+            .select(col("id").as("doc_id"), col("comp")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+        val tok = capped.select(col("doc_id"),
+          explode(Text.tokens(col("text"))).as("token"))
+        val bucket = pmod(
+          conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"),
+          lit(1024L))
+        val w = (bucket * 2654435761L % 1000003L).cast("double")
+          ./(1000003.0).-(0.5)
+        val scored = tok.select(col("doc_id"), w.as("w"))
+          .groupBy(col("doc_id"))
+          .agg(round(sum(col("w").cast("decimal(38,12)")).cast("double")
+            / count(lit(1)), 6).as("score"))
+        val joined = clusters.join(scored, Seq("doc_id"))
+        val maxs = joined.groupBy(col("cluster_id"))
+          .agg(max(col("score")).as("best_score"),
+            count(lit(1)).as("n_members"))
+        joined.join(maxs, Seq("cluster_id"))
+          .filter(col("score") === col("best_score"))
+          .groupBy(col("cluster_id"), col("n_members"), col("best_score"))
+          .agg(min(col("doc_id")).as("best_id"))
+          .select(col("cluster_id"), col("n_members"), col("best_id"),
+            col("best_score"))
+          .orderBy(col("cluster_id"))
+      },
+      Some(raw"""WITH RECURSIVE docs AS (
+          SELECT doc_id, lang, CAST(FLOOR(n_chars / 64) AS BIGINT) AS bucket,
+            list_distinct(CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) >= 3
+              THEN list_transform(
+                range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+                i -> array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' '))
+              ELSE [] END) AS sh
+          FROM documents WHERE doc_id < 8192),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM docs a JOIN docs b
+            ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        walk AS (
+          SELECT a AS id, a AS reach FROM edges
+          UNION
+          SELECT w.id, e.b AS reach FROM walk w JOIN edges e ON e.a = w.reach),
+        comp AS (SELECT id AS doc_id, MIN(reach) AS cluster_id
+                 FROM walk GROUP BY id),
+        clusters AS (
+          SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+          FROM (SELECT doc_id FROM documents WHERE doc_id < 8192) d
+          LEFT JOIN comp c ON d.doc_id = c.doc_id),
+        tok AS (
+          SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          FROM documents WHERE doc_id < 8192),
+        scored AS (
+          SELECT doc_id,
+            ROUND(CAST(SUM(CAST(
+              CAST(('0x' || substr(md5(token), 1, 8))::BIGINT % 1024
+                * 2654435761 % 1000003 AS DOUBLE) / 1000003.0 - 0.5
+              AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS score
+          FROM tok GROUP BY doc_id),
+        joined AS (
+          SELECT cl.cluster_id, cl.doc_id, s.score
+          FROM clusters cl JOIN scored s ON cl.doc_id = s.doc_id),
+        maxs AS (
+          SELECT cluster_id, MAX(score) AS best_score, COUNT(*) AS n_members
+          FROM joined GROUP BY cluster_id)
+        SELECT j.cluster_id, CAST(m.n_members AS BIGINT) AS n_members,
+          MIN(j.doc_id) AS best_id, m.best_score
+        FROM joined j JOIN maxs m ON j.cluster_id = m.cluster_id
+        WHERE j.score = m.best_score
+        GROUP BY j.cluster_id, m.n_members, m.best_score
+        ORDER BY j.cluster_id"""),
+      "quality-aware canonical selection per dedup cluster"))
 
   /** The chunk relation of a documents frame: one (doc_id, chunk_id,
     * chunk_str) row per content-defined chunk. The unit of the

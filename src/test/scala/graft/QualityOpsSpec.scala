@@ -156,4 +156,34 @@ class QualityOpsSpec extends SparkSpec {
     assert(got(3).getLong(2) === 0L)
     assert(got(3).getString(3) === clean)
   }
+
+  test("q140: a training doc identical to an eval doc is fully " +
+      "contaminated; an unrelated one is clean") {
+    val evalText = "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10"
+    val dir = docsDir(Seq(
+      evalText, // doc 0: eval split (doc_id % 50 == 0)
+      evalText, // doc 1: train, identical -> every chunk shared
+      "c1 c2 c3 c4 c5 c6 c7 c8")) // doc 2: train, disjoint
+    val got = q("q140_chunk_decontamination")(spark, dir)
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(got(0).getLong(2) === got(0).getLong(1)) // all chunks shared
+    assert(got(0).getInt(4) === 1)
+    assert(got(1).getLong(2) === 0L)
+    assert(got(1).getInt(4) === 0)
+  }
+
+  test("q141: clusters partition the capped corpus; the chosen best " +
+      "is a member carrying the cluster's max score") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = q("q141_quality_canonical")(spark, dir).collect()
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < graft.queries.TextOps.ExactBaselineDocCap)
+      .count()
+    assert(rows.map(_.getLong(1)).sum === nDocs)
+    // best member must sit in its own cluster (cluster_id is the
+    // component min, so best_id >= cluster_id always)
+    assert(rows.forall(r => r.getLong(2) >= r.getLong(0)))
+    spark.catalog.clearCache()
+  }
 }
