@@ -47,5 +47,31 @@ object LayoutOps {
           ${sqlDsum("l_quantity")} AS sum_qty,
           MIN(zkey) AS min_z, MAX(zkey) AS max_z
         FROM z GROUP BY 1 ORDER BY zbucket"""),
-      "Morton (z-order) interleave key census"))
+      "Morton (z-order) interleave key census"),
+
+    // -- q20's top-3-per-customer computed WITHOUT a sort window:
+    //    [[graft.operators.TopKPerGroup]] keeps a bounded k-element
+    //    heap per group inside a typed Aggregator, so partial
+    //    aggregation trims map-side and the shuffle carries at most
+    //    k rows per (partition, group) — on a skewed corpus the
+    //    window form sorts the hottest group in one task; this form
+    //    never materializes a group at all. Ordering (score DESC,
+    //    id ASC) is row_number's exact tie-break, so the window-form
+    //    oracle applies verbatim (and the driver hash-verifies the
+    //    heap path against it). PlanShapeSpec pins the no-Window
+    //    plan; TopKSpec measures the skew win.
+    Q("q142_topk_heap_agg",
+      (s, d) => graft.operators.TopKPerGroup.topK(
+          t(s, d).orders, Seq("o_custkey"),
+          col("o_totalprice"), col("o_orderkey"), 3)
+        .select(col("o_custkey"), col("id").as("o_orderkey"),
+          col("score").as("o_totalprice"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn")),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+            ROW_NUMBER() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+        WHERE rn <= 3 ORDER BY o_custkey, rn"""),
+      "per-group top-k via bounded-heap aggregate (no sort window)"))
 }

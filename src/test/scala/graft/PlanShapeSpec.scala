@@ -308,4 +308,21 @@ class PlanShapeSpec extends SparkSpec {
     }
     spark.catalog.clearCache()
   }
+
+  test("q142 heap top-k plans as an aggregate: no Window, no full-" +
+      "group sort") {
+    val plan = q("q142_topk_heap_agg").queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"the bounded-heap form must not fall back to a sort window:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") ||
+      plan.contains("SortAggregate"),
+      s"expected the typed-aggregate plan:\n$plan")
+    // the only exchanges: one hash shuffle for the aggregate, one
+    // range partition for the output ordering
+    val exchanges =
+      "Exchange (\\w+)".r.findAllMatchIn(plan).map(_.group(1)).toList
+    assert(exchanges.count(_.startsWith("hashpartitioning")) == 1 &&
+      exchanges.count(_.startsWith("rangepartitioning")) == 1,
+      s"unexpected exchange set: $exchanges")
+  }
 }
