@@ -39,8 +39,10 @@ object QualityOps {
   }
 
   /** Adjacent-bigram strings of a token array. The size guard keeps
-    * single-token docs legal: sequence(1, 0) would count DOWN and
-    * element_at(tk, 0) ANSI-throws.
+    * single-token docs legal at CONSTRUCTION: sequence(1, 0) would
+    * count DOWN and element_at(tk, 0) ANSI-throws. Downstream ratios
+    * over the (possibly empty) result carry their own null guards in
+    * [[signalsRelationOf]] — 0/0 ANSI-throws too.
     */
   private def bigrams(tk: Column): Column =
     when(size(tk) >= 2,
@@ -62,112 +64,169 @@ object QualityOps {
     */
   val BoilerplateMinCopies = 3
 
+  /** Per-language stopword count: the profile is selected by the
+    * doc's own `lang` column (the per-language Gopher/C4 form — an
+    * English list applied to a German doc flags every German doc
+    * low-stopword). Languages without a profile (the fixture's zh)
+    * get NULL: no profile means the stopword test cannot be ASSESSED,
+    * so the q133 rule is skipped for them (NULL comparisons fall
+    * through the verdict CASE on both engines).
+    */
+  private def stopCountByLang(tk: Column, lang: Column): Column =
+    Text.StopwordProfiles.foldRight(lit(null).cast("int")) {
+      case ((l, ws), rest) =>
+        when(lang === l, Text.stopwordCount(tk, ws)).otherwise(rest)
+    }
+
+  /** The DuckDB spelling of [[stopCountByLang]]. */
+  private def stopCountSql(tkExpr: String): String =
+    "CASE " + Text.StopwordProfiles.map { case (l, ws) =>
+      s"WHEN lang = '$l' THEN len(list_filter($tkExpr, x -> x IN " +
+        s"(${ws.map(w => s"'$w'").mkString(",")})))"
+    }.mkString(" ") + " ELSE NULL END"
+
+  /** The per-doc quality-SIGNAL relation shared by q132 and q133 (and
+    * the streaming verdict maintenance): one row per document with
+    * the token/bigram fold results as exact integers — ratios are the
+    * consumers' business, so the stored stage is engine-exact by
+    * construction. Columns: doc_id, lang, n_tokens, n_stop (per-lang
+    * profile, NULL when the lang has none), top_uni_c (count of the
+    * most frequent unigram), n_bigrams, top_bi_c / dup_bi_pos (NULL
+    * on sub-2-token docs — the guard that keeps the downstream
+    * ratios off the ANSI 0/0 path).
+    *
+    * Everything is MAP-SIDE: higher-order-function folds over each
+    * row's own token array, no shuffle at any cardinality. Per-doc
+    * work is O(len · distinct) for the mode counts; documents are
+    * context-window-bounded in this pipeline, and a megadoc corpus
+    * would swap the HOF mode count for the posexplode +
+    * groupBy((doc, token)) shape — the oracle SQL is written in
+    * exactly that shape, which doubles as the swap's specification.
+    */
+  private[graft] def signalsRelationOf(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tk = Text.tokens(col("text"))
+    docs
+      .select(col("doc_id"), col("lang"), tk.as("tk"))
+      .select(col("doc_id"), col("lang"),
+        size(col("tk")).as("n_tokens"),
+        stopCountByLang(col("tk"), col("lang")).as("n_stop"),
+        modeCount(col("tk")).as("top_uni_c"),
+        bigrams(col("tk")).as("bg"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_stop"),
+        col("top_uni_c"),
+        size(col("bg")).as("n_bigrams"),
+        when(size(col("bg")) > 0, modeCount(col("bg"))).as("top_bi_c"),
+        when(size(col("bg")) > 0, dupPositions(col("bg"))).as("dup_bi_pos"))
+  }
+
+  /** q133's reason-coded verdicts over a signal relation
+    * ([[signalsRelationOf]] rows): FIRST-failing-rule precedence
+    * (too_short > low_stopword > high_top_unigram > high_dup_bigram >
+    * keep). Rule comparisons run on the UNROUNDED int/int ratios —
+    * identical doubles on both engines — so no threshold can straddle
+    * a rounding edge; the surfaced signal columns are 4dp. NULL
+    * ratios (no stopword profile; sub-2-token docs) fall through
+    * their rule on both engines.
+    */
+  private[graft] def verdictsFromSignals(
+      sig: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    sig.select(
+        col("doc_id"), col("n_tokens"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+        (col("top_uni_c").cast("double") / col("n_tokens")).as("uni_frac"),
+        (col("dup_bi_pos").cast("double") / col("n_bigrams")).as("dup_frac"))
+      .select(
+        col("doc_id"),
+        when(col("n_tokens") < MinTokens, "too_short")
+          .when(col("stop_ratio") < MinStopwordRatio, "low_stopword")
+          .when(col("uni_frac") > MaxTopUnigramFrac, "high_top_unigram")
+          .when(col("dup_frac") > MaxDupBigramFrac, "high_dup_bigram")
+          .otherwise("keep").as("verdict"),
+        col("n_tokens").cast("int").as("n_tokens"),
+        round(col("stop_ratio"), 4).as("stopword_ratio"),
+        round(col("uni_frac"), 4).as("top_unigram_frac"),
+        round(col("dup_frac"), 4).as("dup_bigram_frac"))
+
+  /** Signals → verdicts in one shot — the standalone form the
+    * streaming maintenance path applies per micro-batch (the rules
+    * are per-doc map-side, so batch and stream compose trivially).
+    */
+  private[graft] def verdictsOf(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    verdictsFromSignals(signalsRelationOf(docs))
+
+  /** Shared DuckDB CTE chain producing the q132/q133 signal inputs —
+    * toks (with lang), uni (top unigram count), bi (bigram counts;
+    * LEFT-joined by consumers: a sub-2-token doc has no bi row and
+    * must surface NULL bigram ratios, matching the Spark side's
+    * null guard).
+    */
+  private val SignalCtes: String =
+    raw"""toks AS (
+      SELECT doc_id, lang,
+        string_split_regex(lower(trim(text)), '\s+') AS tk
+      FROM documents),
+    uni AS (
+      SELECT doc_id, MAX(c) AS topc, SUM(c) AS n FROM (
+        SELECT doc_id, t, COUNT(*) AS c
+        FROM toks, UNNEST(tk) AS u(t) GROUP BY doc_id, t)
+      GROUP BY doc_id),
+    bi AS (
+      SELECT doc_id, MAX(c) AS topc,
+        SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_pos, SUM(c) AS n
+      FROM (
+        SELECT doc_id, g, COUNT(*) AS c FROM (
+          SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
+          FROM toks, UNNEST(range(1, len(tk))) AS r(i)) GROUP BY doc_id, g)
+      GROUP BY doc_id)"""
+
   lazy val queries: Seq[Q] = Seq(
 
     // -- Gopher-style repetition signals, per document: share of the
     //    most common unigram / adjacent bigram, and the fraction of
     //    bigram positions whose bigram repeats within the doc. All
     //    int/int ratios -> bit-identical doubles on both engines;
-    //    rounded 4dp for display only.
+    //    rounded 4dp for display only. Reads the session-shared
+    //    signal stage ([[SharedStages.qualitySignals]]) — q133
+    //    consumes the identical folds, and recomputing them per
+    //    consumer was the bench's single biggest waste (~12s of a
+    //    ~125s sf0.1 run at local[32]).
     Q("q132_repetition_signals",
-      (s, d) => {
-        val tk = Text.tokens(col("text"))
-        t(s, d).documents
-          .select(col("doc_id"), tk.as("tk"))
-          .select(col("doc_id"),
-            round(modeCount(col("tk")).cast("double") / size(col("tk")), 4)
-              .as("top_unigram_frac"),
-            bigrams(col("tk")).as("bg"))
-          .select(col("doc_id"), col("top_unigram_frac"),
-            round(modeCount(col("bg")).cast("double") / size(col("bg")), 4)
-              .as("top_bigram_frac"),
-            round(dupPositions(col("bg")).cast("double") / size(col("bg")), 4)
-              .as("dup_bigram_frac"))
-          .orderBy(col("doc_id"))
-      },
-      Some(raw"""WITH toks AS (
-          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
-          FROM documents),
-        uni AS (
-          SELECT doc_id, MAX(c) AS topc, SUM(c) AS n FROM (
-            SELECT doc_id, t, COUNT(*) AS c
-            FROM toks, UNNEST(tk) AS u(t) GROUP BY doc_id, t)
-          GROUP BY doc_id),
-        bi AS (
-          SELECT doc_id, MAX(c) AS topc,
-            SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_pos, SUM(c) AS n
-          FROM (
-            SELECT doc_id, g, COUNT(*) AS c FROM (
-              SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
-              FROM toks, UNNEST(range(1, len(tk))) AS r(i)) GROUP BY doc_id, g)
-          GROUP BY doc_id)
+      (s, d) => SharedStages.qualitySignals(s, d)
+        .select(col("doc_id"),
+          round(col("top_uni_c").cast("double") / col("n_tokens"), 4)
+            .as("top_unigram_frac"),
+          round(col("top_bi_c").cast("double") / col("n_bigrams"), 4)
+            .as("top_bigram_frac"),
+          round(col("dup_bi_pos").cast("double") / col("n_bigrams"), 4)
+            .as("dup_bigram_frac"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $SignalCtes
         SELECT uni.doc_id,
           ROUND(CAST(uni.topc AS DOUBLE) / uni.n, 4) AS top_unigram_frac,
           ROUND(CAST(bi.topc AS DOUBLE) / bi.n, 4) AS top_bigram_frac,
           ROUND(CAST(bi.dup_pos AS DOUBLE) / bi.n, 4) AS dup_bigram_frac
-        FROM uni JOIN bi USING (doc_id) ORDER BY doc_id"""),
+        FROM uni LEFT JOIN bi USING (doc_id) ORDER BY uni.doc_id"""),
       "Gopher-style within-doc repetition signals"),
 
-    // -- Composite C4/Gopher quality filter: reason-coded keep/drop
-    //    with FIRST-failing-rule precedence (too_short > low_stopword
-    //    > high_top_unigram > high_dup_bigram > keep). The rule
-    //    comparisons run on the UNROUNDED int/int ratios — identical
-    //    doubles on both engines — so no threshold can straddle a
-    //    rounding edge; the surfaced signal columns are 4dp.
+    // -- Composite C4/Gopher quality filter over the same shared
+    //    signal stage. Stopword lists are PER-LANGUAGE (the doc's
+    //    lang column selects the profile; languages without one skip
+    //    the stopword rule) — an absolute English list would
+    //    systematically flag every non-English doc.
     Q("q133_quality_filter_verdicts",
-      (s, d) => {
-        val tk = Text.tokens(col("text"))
-        val stop = Text.stopwordCount(tk, Text.StopwordProfiles.head._2)
-        val base = t(s, d).documents.select(
-          col("doc_id"), tk.as("tk"),
-          stop.cast("double").as("n_stop"))
-        val sig = base.select(
-          col("doc_id"), size(col("tk")).as("n_tokens"),
-          (col("n_stop") / size(col("tk"))).as("stop_ratio"),
-          (modeCount(col("tk")).cast("double") / size(col("tk")))
-            .as("uni_frac"),
-          bigrams(col("tk")).as("bg"))
-          .withColumn("dup_frac",
-            dupPositions(col("bg")).cast("double") / size(col("bg")))
-          .drop("bg")
-        sig.select(
-            col("doc_id"),
-            when(col("n_tokens") < MinTokens, "too_short")
-              .when(col("stop_ratio") < MinStopwordRatio, "low_stopword")
-              .when(col("uni_frac") > MaxTopUnigramFrac, "high_top_unigram")
-              .when(col("dup_frac") > MaxDupBigramFrac, "high_dup_bigram")
-              .otherwise("keep").as("verdict"),
-            col("n_tokens"),
-            round(col("stop_ratio"), 4).as("stopword_ratio"),
-            round(col("uni_frac"), 4).as("top_unigram_frac"),
-            round(col("dup_frac"), 4).as("dup_bigram_frac"))
-          .orderBy(col("doc_id"))
-      },
-      Some(s"""WITH toks AS (
-          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
-          FROM documents),
-        uni AS (
-          SELECT doc_id, MAX(c) AS topc, SUM(c) AS n FROM (
-            SELECT doc_id, t, COUNT(*) AS c
-            FROM toks, UNNEST(tk) AS u(t) GROUP BY doc_id, t)
-          GROUP BY doc_id),
-        bi AS (
-          SELECT doc_id,
-            SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_pos, SUM(c) AS n
-          FROM (
-            SELECT doc_id, g, COUNT(*) AS c FROM (
-              SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
-              FROM toks, UNNEST(range(1, len(tk))) AS r(i)) GROUP BY doc_id, g)
-          GROUP BY doc_id),
+      (s, d) => verdictsFromSignals(SharedStages.qualitySignals(s, d))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $SignalCtes,
         sig AS (
           SELECT t.doc_id, len(t.tk) AS n_tokens,
-            CAST(len(list_filter(t.tk, x -> x IN
-              ('the','a','of','and','to','in','is','it','that','for')))
+            CAST(${stopCountSql("t.tk")}
               AS DOUBLE) / len(t.tk) AS stop_ratio,
             CAST(uni.topc AS DOUBLE) / uni.n AS uni_frac,
             CAST(bi.dup_pos AS DOUBLE) / bi.n AS dup_frac
           FROM toks t JOIN uni ON t.doc_id = uni.doc_id
-            JOIN bi ON t.doc_id = bi.doc_id)
+            LEFT JOIN bi ON t.doc_id = bi.doc_id)
         SELECT doc_id,
           CASE WHEN n_tokens < $MinTokens THEN 'too_short'
                WHEN stop_ratio < $MinStopwordRatio THEN 'low_stopword'
@@ -179,7 +238,7 @@ object QualityOps {
           ROUND(uni_frac, 4) AS top_unigram_frac,
           ROUND(dup_frac, 4) AS dup_bigram_frac
         FROM sig ORDER BY doc_id"""),
-      "reason-coded composite quality filter (C4/Gopher rules)"),
+      "reason-coded composite quality filter (per-language C4/Gopher rules)"),
 
     // -- Content-defined chunking: Rabin-style rolling hash over a
     //    3-word window; a position whose hash ≡ 0 (mod 16) STARTS a

@@ -163,6 +163,23 @@ object SharedStages {
         path)
     }
 
+  /** The per-doc quality-signal relation
+    * ([[QualityOps.signalsRelationOf]]: token/stopword/mode/bigram
+    * fold counts as exact integers), computed once per (session,
+    * sf dir). Consumers: q132 (repetition-signal ratios) and q133
+    * (composite filter verdicts) — the round-6 verdict's top item:
+    * both queries fold the identical per-doc token/bigram signals,
+    * and recomputing the O(len · distinct) mode counts per consumer
+    * made them the bench's two slowest entries.
+    */
+  def qualitySignals(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = cached(spark, sfDir, "quality-signals") { path =>
+      QualityOps.signalsRelationOf(QU.t(spark, sfDir).documents)
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(p)
+  }
+
   /** A built [[ChunkIndex]] over the sf dir's documents — the
     * persisted content-defined chunk relation, chunked once per
     * (session, sf dir). Consumers: q137 (frequency census) and q138

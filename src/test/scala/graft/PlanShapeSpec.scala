@@ -275,6 +275,21 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q132/q133 read the shared quality-signal stage: the corpus " +
+      "text is folded once, not per consumer") {
+    for (name <- Seq("q132_repetition_signals",
+        "q133_quality_filter_verdicts")) {
+      val plan = planOf(q(name))
+      assert(!plan.contains("documents.parquet"),
+        s"$name must read the persisted signal relation, not the corpus:\n$plan")
+      assert(plan.contains("quality-signals"),
+        s"$name must scan the shared signal stage:\n$plan")
+      assert(!plan.toLowerCase.contains("array_distinct"),
+        s"$name's plan must carry no per-doc fold machinery:\n$plan")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q134 z-order census: pruned scan, one aggregation shuffle") {
     val plan = planOf(q("q134_zorder_key_census"))
     // the interleave needs only the two key columns + the measure

@@ -68,6 +68,44 @@ class QualityOpsSpec extends SparkSpec {
       "high_dup_bigram", "keep", "too_short"))
   }
 
+  test("q132/q133 survive sub-2-token docs under ANSI mode: bigram " +
+      "ratios are NULL, not DIVIDE_BY_ZERO") {
+    // bigrams() of a 1-token doc is empty; the downstream ratios must
+    // null-guard the 0/0 (round-6 ADVICE: the construction guard
+    // alone left the divisions ANSI-throwing)
+    val dir = docsDir(Seq("solo", "two words",
+      "the " + (1 to 19).map(i => s"k$i").mkString(" ")))
+    val sig = q("q132_repetition_signals")(spark, dir)
+      .orderBy("doc_id").collect()
+    assert(sig(0).getDouble(1) === 1.0) // top unigram of a 1-token doc
+    assert(sig(0).isNullAt(2) && sig(0).isNullAt(3))
+    assert(!sig(1).isNullAt(2) && !sig(2).isNullAt(3))
+    val v = q("q133_quality_filter_verdicts")(spark, dir)
+      .orderBy("doc_id").collect()
+    assert(v(0).getString(1) === "too_short") // 1 token < MinTokens
+    assert(v(0).isNullAt(5)) // dup_bigram_frac NULL, surfaced as such
+    assert(v(2).getString(1) === "keep")
+  }
+
+  test("q133 stopword rule is per-language; no-profile langs skip it") {
+    val dir = java.nio.file.Files.createTempDirectory("qualspec").toString
+    // German stopwords, labeled de: must NOT flag low_stopword under
+    // the de profile (the old English-only rule would have); the same
+    // words labeled en DO flag; zh has no profile -> rule skipped
+    val deText = "der die das und " + (1 to 16).map(i => s"d$i").mkString(" ")
+    Seq(
+      (0L, deText, "de"), (1L, deText, "en"), (2L, deText, "zh"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val v = q("q133_quality_filter_verdicts")(spark, dir)
+      .orderBy("doc_id").collect()
+    assert(v(0).getString(1) === "keep")
+    assert(v(1).getString(1) === "low_stopword")
+    assert(v(2).getString(1) === "keep")
+    assert(!v(0).isNullAt(3) && v(2).isNullAt(3)) // zh ratio is NULL
+  }
+
   // Reference implementation of the q136 chunker.
   private def refWordVal(w: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
