@@ -244,17 +244,26 @@ object Relational {
 
     // -- exact interpolated percentiles per group: Spark `percentile`
     //    and the oracle's `quantile_cont` share the p·(n−1) linear-
-    //    interpolation formula, verified bit-identical. Exact
-    //    percentiles need the group's values sorted per task —
-    //    the scale path for coarse needs is `approx_percentile`
-    //    (fixed-size sketch, q19's posture applied to quantiles).
+    //    interpolation formula, verified bit-identical. ONE
+    //    array-argument percentile aggregate, not three scalar ones:
+    //    each scalar `percentile` holds (and sorts) its own copy of
+    //    the full group multiset — 3× the aggregation state and three
+    //    sorts for the same answer (the round-6 q28 regression
+    //    amplifier). Exact percentiles still need the group's values
+    //    materialized per task — the scale path for coarse needs is
+    //    `approx_percentile` (fixed-size sketch, q19's posture
+    //    applied to quantiles, q29 below).
     Q("q28_percentiles",
       (s, d) => t(s, d).orders
         .groupBy(col("o_orderpriority"))
-        .agg(percentile(col("o_totalprice"), lit(0.5)).as("p50"),
-             percentile(col("o_totalprice"), lit(0.9)).as("p90"),
-             percentile(col("o_totalprice"), lit(0.99)).as("p99"),
+        .agg(percentile(col("o_totalprice"),
+               array(lit(0.5), lit(0.9), lit(0.99))).as("ps"),
              count(lit(1)).as("n"))
+        .select(col("o_orderpriority"),
+          element_at(col("ps"), 1).as("p50"),
+          element_at(col("ps"), 2).as("p90"),
+          element_at(col("ps"), 3).as("p99"),
+          col("n"))
         .orderBy(col("o_orderpriority")),
       Some("""SELECT o_orderpriority,
         quantile_cont(o_totalprice, 0.5) AS p50,

@@ -63,8 +63,12 @@ class TopKSpec extends SparkSpec {
     // warmup both paths
     TopKPerGroup.topK(df, Seq("g"), col("s"), col("i"), 5).count()
     windowForm(df, 5).count()
-    val tHeap = time(TopKPerGroup.topK(df, Seq("g"), col("s"), col("i"), 5).count())
-    val tWin = time(windowForm(df, 5).count())
+    // min of 3 runs per path (the ScalingSpec stabilizer): a single
+    // run under CI load can flake even though the plan-shape advantage
+    // is structural (PlanShapeSpec already pins the no-Window plan)
+    val tHeap = (1 to 3).map(_ =>
+      time(TopKPerGroup.topK(df, Seq("g"), col("s"), col("i"), 5).count())).min
+    val tWin = (1 to 3).map(_ => time(windowForm(df, 5).count())).min
     info(f"heap $tHeap%.2fs vs window $tWin%.2fs (${tWin / tHeap}%.1fx)")
     assert(tHeap < tWin,
       f"bounded-heap ($tHeap%.2fs) should beat the one-task sort ($tWin%.2fs)")
