@@ -86,6 +86,12 @@ object TokenizerOps {
   def bpeSubwordCount(w: Column, merges: Seq[Merge]): Column =
     size(symbolsOf(applyBpe(w, merges)))
 
+  /** Subword symbol array of a word under the learned merges — the
+    * per-word encoding q143 joins back onto corpus positions.
+    */
+  def bpeSymbols(w: Column, merges: Seq[Merge]): Column =
+    symbolsOf(applyBpe(w, merges))
+
   /** Learn up to `rounds` BPE merges over the corpus. Stops early if
     * the pair relation drains (every word fully merged).
     */
@@ -233,6 +239,130 @@ object TokenizerOps {
           CAST(SUM(n * n_sub) AS DOUBLE) / SUM(n) AS bpe_fertility
         FROM lw JOIN sub USING (w)
         GROUP BY lang ORDER BY lang"""),
-      "fertility of the learned BPE tokenizer per language")
+      "fertility of the learned BPE tokenizer per language"),
+
+    // -- q143: corpus tokenization EMIT — the final step of the LLM
+    //    prep chain the round-6 verdict called out as missing: q129
+    //    learns the merges, q130 measures them, but nothing ENCODED
+    //    the corpus under the learned vocabulary and fed q83's
+    //    packing. This query composes all three: learned merges →
+    //    dense subword ids (q79's frequency-rank convention over the
+    //    VOCABULARY-bounded symbol set) → per-doc token-id sequences →
+    //    q83's packed context windows via the distributed prefix sum.
+    //
+    //    Scale shape: the merge chain is applied per DISTINCT word
+    //    (vocabulary-bounded, map-side plan-literal replaces), never
+    //    per occurrence; word→(n_sub, Σid, Σ(sp·id)) stats broadcast
+    //    back onto corpus positions, so per-token work is a broadcast
+    //    probe. The sequence itself is never materialized as a row —
+    //    the emitted evidence is `seq_checksum` = Σ subpos·id over
+    //    the doc's subtoken sequence (1-based doc-global positions),
+    //    which pins content AND order of the encoding as exact
+    //    integers (the driver comparator cannot sort array cells).
+    //    Per-token start offsets come from a doc-PARTITIONED running
+    //    sum (groups bounded by the context-window-sized docs);
+    //    doc-level pack offsets reuse q83's two-level PrefixSum —
+    //    no global single-task scan anywhere.
+    Q("q143_bpe_corpus_emit",
+      (s, d) => {
+        import graft.operators.PrefixSum
+        import org.apache.spark.sql.expressions.Window
+        val merges = SharedStages.bpeMergesModel(s, d)
+        val docTok = t(s, d).documents
+          .select(col("doc_id"),
+            posexplode(Text.tokens(col("text"))).as(Seq("pos", "w")))
+          .filter(length(col("w")) > 0)
+        val wordSyms = docTok.groupBy(col("w"))
+          .agg(count(lit(1)).as("freq"))
+          .select(col("w"), col("freq"),
+            bpeSymbols(col("w"), merges).as("syms"))
+          .persist() // vocab counts + per-word stats both read it
+        wordSyms.count()
+        val vocab = wordSyms
+          .select(col("freq"), explode(col("syms")).as("sym"))
+          .groupBy(col("sym")).agg(sum(col("freq")).as("n_occ"))
+        // id-assignment window runs on the vocabulary-bounded symbol
+        // set (≤ alphabet + merge rounds rows) — q79's posture
+        val vids = vocab.select(col("sym"),
+          row_number().over(Window.orderBy(col("n_occ").desc, col("sym")))
+            .as("id"))
+        val wstats = wordSyms
+          .select(col("w"), posexplode(col("syms")).as(Seq("sp0", "sym")))
+          .join(broadcast(vids), Seq("sym"))
+          .groupBy(col("w"))
+          .agg(count(lit(1)).as("n_sub"),
+            sum(col("id")).cast("bigint").as("sum_id"),
+            sum((col("sp0") + 1) * col("id")).cast("bigint").as("sum_spid"))
+        val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val perTok = docTok.join(broadcast(wstats), Seq("w"))
+          .withColumn("tok_start",
+            coalesce(sum(col("n_sub")).over(wDoc), lit(0L)))
+        val docStats = perTok.groupBy(col("doc_id"))
+          .agg(sum(col("n_sub")).cast("bigint").as("n_subtokens"),
+            sum(col("tok_start") * col("sum_id") + col("sum_spid"))
+              .cast("bigint").as("seq_checksum"))
+        PrefixSum.exclusive(docStats, col("doc_id"), col("n_subtokens"),
+            TrainingOps.PackBlock, "start_tok")
+          .select(col("doc_id"), col("n_subtokens"), col("seq_checksum"),
+            col("start_tok"),
+            expr(s"start_tok div ${TrainingOps.PackWindow}").as("pack_id"),
+            (col("start_tok") % TrainingOps.PackWindow).as("offset_in_pack"),
+            (expr(s"(start_tok + n_subtokens - 1) div ${TrainingOps.PackWindow}")
+              > expr(s"start_tok div ${TrainingOps.PackWindow}"))
+              .cast("int").as("straddles"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${bpeOracleCtes(BpeRounds)},
+        wsy AS (SELECT w, freq,
+          string_split(trim(s, chr(1)), chr(1) || chr(1)) AS sy
+          FROM w$BpeRounds),
+        vocab AS (
+          SELECT sy[i] AS sym, CAST(SUM(freq) AS BIGINT) AS n_occ
+          FROM wsy, UNNEST(range(1, len(sy) + 1)) AS r(i) GROUP BY 1),
+        vids AS (
+          SELECT sym, CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, sym)
+            AS INT) AS id
+          FROM vocab),
+        wstats AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sub,
+            CAST(SUM(id) AS BIGINT) AS sum_id,
+            CAST(SUM(i * id) AS BIGINT) AS sum_spid
+          FROM (SELECT w, sy[i] AS sym, i
+                FROM wsy, UNNEST(range(1, len(sy) + 1)) AS r(i)) t
+          JOIN vids USING (sym) GROUP BY w),
+        dtk AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+          FROM documents),
+        dtok AS (
+          SELECT doc_id, i AS pos, tk[i] AS w
+          FROM dtk, UNNEST(range(1, len(tk) + 1)) AS r(i)
+          WHERE tk[i] <> ''),
+        ptok AS (
+          SELECT d.doc_id, ws.n_sub, ws.sum_id, ws.sum_spid,
+            CAST(COALESCE(SUM(ws.n_sub) OVER (PARTITION BY d.doc_id
+              ORDER BY d.pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_start
+          FROM dtok d JOIN wstats ws ON d.w = ws.w),
+        dstats AS (
+          SELECT doc_id, CAST(SUM(n_sub) AS BIGINT) AS n_subtokens,
+            CAST(SUM(tok_start * sum_id + sum_spid) AS BIGINT)
+              AS seq_checksum
+          FROM ptok GROUP BY doc_id),
+        packed AS (
+          SELECT doc_id, n_subtokens, seq_checksum,
+            CAST(COALESCE(SUM(n_subtokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_tok
+          FROM dstats)
+        SELECT doc_id, n_subtokens, seq_checksum, start_tok,
+          CAST(start_tok // ${TrainingOps.PackWindow} AS BIGINT) AS pack_id,
+          CAST(start_tok % ${TrainingOps.PackWindow} AS BIGINT)
+            AS offset_in_pack,
+          CAST((start_tok + n_subtokens - 1) // ${TrainingOps.PackWindow}
+            > start_tok // ${TrainingOps.PackWindow} AS INT) AS straddles
+        FROM packed ORDER BY doc_id"""),
+      "corpus encoded under the learned BPE vocab, packed into context windows")
   )
 }

@@ -95,6 +95,60 @@ class BpeSpec extends SparkSpec {
     assert(got.size == 2)
   }
 
+  /** Apply a learned merge list to one word, left-to-right
+    * non-overlapping per rank — the standard BPE encode.
+    */
+  private def applyMerges(w: String,
+      merges: Seq[(Int, String, String, Long)]): Vector[String] =
+    merges.foldLeft(w.map(_.toString).toVector) { case (sy, (_, a, b, _)) =>
+      val nb = Vector.newBuilder[String]
+      var i = 0
+      while (i < sy.length) {
+        if (i + 1 < sy.length && sy(i) == a && sy(i + 1) == b) {
+          nb += (a + b); i += 2
+        } else { nb += sy(i); i += 1 }
+      }
+      nb.result()
+    }
+
+  test("q143 corpus emit matches a full plain-Scala encode+pack") {
+    val docs = Seq(
+      "low low low lower newest newest",
+      "widest newest low bc",
+      "aaaa bc cb aaaa low")
+    val dir = java.nio.file.Files.createTempDirectory("bpe-emit").toString
+    docs.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val merges = refBpe(wfOf(docs), TokenizerOps.BpeRounds)
+    val wf = wfOf(docs)
+    val symCounts = wf.toSeq
+      .flatMap { case (w, f) => applyMerges(w, merges).map(_ -> f) }
+      .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+    val ids = symCounts.toSeq.sortBy { case (s, n) => (-n, s) }
+      .zipWithIndex.map { case ((s, _), i) => s -> (i + 1) }.toMap
+    val perDoc = docs.zipWithIndex.map { case (t, i) =>
+      val seq = t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+        .flatMap(w => applyMerges(w, merges).map(ids))
+      (i.toLong, seq.size.toLong,
+        seq.zipWithIndex.map { case (id, p) => (p + 1).toLong * id }.sum)
+    }
+    val starts = perDoc.map(_._2).scanLeft(0L)(_ + _).init
+    val expected = perDoc.zip(starts).map { case ((d, n, ck), st) =>
+      (d, n, ck, st, st / 2048L, st % 2048L,
+        if ((st + n - 1) / 2048L > st / 2048L) 1 else 0)
+    }
+
+    val got = graft.queries.Registry
+      .queries("q143_bpe_corpus_emit")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getInt(6))).toSeq
+    assert(got === expected)
+    spark.catalog.clearCache()
+  }
+
   test("fixture run produces the declared round budget and strictly ranked rows") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val ms = TokenizerOps.learnBpe(docs, TokenizerOps.BpeRounds)
