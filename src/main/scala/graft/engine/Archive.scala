@@ -210,10 +210,16 @@ object Archive {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
   }
 
-  /** Write `df` as the next version of the table and flip the
-    * manifest. Returns the committed version number.
+  /** The generic stage-and-flip: populate the next version directory
+    * via `write` (handed the version dir path; it may lay out any
+    * file structure — [[graft.queries.ChunkIndex]]-style epoch dirs,
+    * hive partitions, sidecar files), then flip the manifest with one
+    * atomic rename. Crash semantics as documented above: a writer
+    * dying pre-flip leaves an orphan the next writer deletes; after
+    * the flip exactly one back version is retained for in-flight
+    * readers. Returns the committed version number.
     */
-  def writeVersionedParquet(df: DataFrame, root: String): Long = {
+  def stageVersion(root: String)(write: String => Unit): Long = {
     val rootP = Paths.get(root)
     Files.createDirectories(rootP)
     val cur = currentVersion(root)
@@ -222,13 +228,21 @@ object Archive {
     versionsIn(rootP).filter(v => v > cur.getOrElse(-1L))
       .foreach(v => deleteTree(rootP.resolve(s"v$v")))
     val next = cur.getOrElse(-1L) + 1
-    df.write.mode("overwrite").parquet(rootP.resolve(s"v$next").toString)
+    write(rootP.resolve(s"v$next").toString)
     commitVersion(rootP, next)
     // keep exactly the displaced version for in-flight readers
     versionsIn(rootP).filter(v => v < cur.getOrElse(next))
       .foreach(v => deleteTree(rootP.resolve(s"v$v")))
     next
   }
+
+  /** Write `df` as the next version of the table and flip the
+    * manifest. Returns the committed version number.
+    */
+  def writeVersionedParquet(df: DataFrame, root: String): Long =
+    stageVersion(root) { dir =>
+      df.write.mode("overwrite").parquet(dir)
+    }
 
   /** [[compactParquet]] for a versioned table: compact the live
     * version into the next one and flip — readers racing the swap

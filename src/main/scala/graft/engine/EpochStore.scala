@@ -1,0 +1,138 @@
+package graft.engine
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Epoch-dir table under a versioned manifest root — the shared
+  * storage contract of the three persisted indexes
+  * ([[graft.queries.IvfIndex]] cells, [[graft.queries.MinHashIndex]]
+  * docs/bands, [[graft.queries.ChunkIndex]] chunks). Layout:
+  *
+  *   <root>/MANIFEST            one line, the live version (vN)
+  *   <root>/v<N>/epoch=base     the batch build / compacted base
+  *   <root>/v<N>/epoch=<id>     one dir per committed append batch
+  *   <root>/v<N>/_folded_epochs ids folded into this base (see below)
+  *
+  * Two orthogonal guarantees compose here:
+  *
+  *   - EPOCH commits are the streaming exactly-once unit: each batch
+  *     stages fully under a hidden tmp dir inside the live version,
+  *     then lands with ONE atomic rename. A redelivered batchId finds
+  *     its epoch present and is a storage no-op; a crash mid-stage
+  *     leaves only a tmp the retry overwrites.
+  *   - VERSION flips are the maintenance unit ([[Archive]]'s manifest
+  *     machinery): compaction builds the next version dir completely
+  *     — every epoch folded into one `epoch=base` — and flips the
+  *     manifest with one atomic rename, so a reader resolving through
+  *     the manifest sees the old epoch set or the new base, never a
+  *     half-folded table. Without this, a year of daily appends costs
+  *     one directory listing per batch per query — the listing,
+  *     not the data, becomes the scan bottleneck.
+  *
+  * The two interact at replay: compaction REMOVES the epoch dirs
+  * whose presence made redelivery a no-op. `_folded_epochs` closes
+  * that hole — the compacted version records every numeric epoch id
+  * folded into its base (accumulating across compactions), and
+  * [[committed]] checks it alongside the dir probe, so a batch
+  * redelivered after an intervening compaction is STILL a no-op.
+  *
+  * Single-maintenance-writer contract (same as rebuilding an index):
+  * compaction must not race an in-flight append — run it between
+  * micro-batches (foreachBatch is serial per stream) or while the
+  * stream is stopped. Readers need no coordination.
+  */
+object EpochStore {
+
+  private val FoldedName = "_folded_epochs"
+
+  /** Create the store: write the base epoch of version 0 and commit
+    * the manifest. `writeBase` receives the `epoch=base` dir path.
+    */
+  def create(root: String)(writeBase: String => Unit): Unit =
+    Archive.stageVersion(root) { dir =>
+      writeBase(s"$dir/epoch=base")
+    }: Unit
+
+  /** The live version directory, resolved through the manifest. */
+  def liveDir(root: String): String = Archive.resolveVersioned(root)
+
+  /** All committed rows across every epoch of the live version. The
+    * `epoch` partition column rides along (string-typed: `base` mixes
+    * with batch ids); callers select their data columns.
+    */
+  def read(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(liveDir(root))
+
+  private def foldedIds(live: String): Set[Long] = {
+    val f = Paths.get(live, FoldedName)
+    if (!Files.exists(f)) Set.empty
+    else Files.readString(f).split("\n").iterator
+      .filter(_.nonEmpty).map(_.toLong).toSet
+  }
+
+  /** True when epoch `id` is already in the store — as its own dir,
+    * or folded into the base by a past compaction.
+    */
+  def committed(root: String, id: Long): Boolean = {
+    val live = liveDir(root)
+    Files.exists(Paths.get(live, s"epoch=$id")) || foldedIds(live).contains(id)
+  }
+
+  /** Commit epoch `id` atomically: stage via `write` (handed a tmp
+    * dir inside the live version — dot-prefixed, invisible to
+    * readers), then one rename. No-op if [[committed]].
+    */
+  def commitEpoch(root: String, id: Long)(write: String => Unit): Unit =
+    if (!committed(root, id)) {
+      val live = liveDir(root)
+      val tmp = s"$live/.epoch-$id.tmp"
+      Archive.deleteTree(Paths.get(tmp))
+      write(tmp)
+      Files.move(Paths.get(tmp), Paths.get(live, s"epoch=$id"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    }
+
+  /** Numeric epoch ids present as dirs in the live version. */
+  private def liveEpochIds(live: String): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(Paths.get(live))
+    try s.iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.matches("epoch=\\d+"))
+      .map(_.stripPrefix("epoch=").toLong).toSeq
+    finally s.close()
+  }
+
+  /** Count of epoch dirs in the live version (listing-cost proxy). */
+  def epochCount(root: String): Int = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(Paths.get(liveDir(root)))
+    try s.iterator().asScala
+      .count(_.getFileName.toString.startsWith("epoch="))
+    finally s.close()
+  }
+
+  /** Fold every committed epoch into one `epoch=base` of the next
+    * version and flip the manifest. Values are preserved exactly
+    * (union of immutable epoch contents, no dedup — epoch membership
+    * was already the exactly-once unit); `partitionCols` re-applies
+    * the store's pruning layout (cell / band) to the new base.
+    * Readers racing the flip resolve the old or the new version,
+    * never a missing table; the folded-id ledger keeps post-compaction
+    * replays no-ops.
+    */
+  def compact(spark: SparkSession, root: String,
+              partitionCols: Seq[String] = Nil): Unit = {
+    val live = liveDir(root)
+    val folded = foldedIds(live) ++ liveEpochIds(live)
+    val data = read(spark, root).drop("epoch")
+    Archive.stageVersion(root) { dir =>
+      val w = data.write.mode("overwrite")
+      (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
+        .parquet(s"$dir/epoch=base")
+      Files.writeString(Paths.get(dir, FoldedName),
+        folded.toSeq.sorted.mkString("\n"))
+    }: Unit
+  }
+}

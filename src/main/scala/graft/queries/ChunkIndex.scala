@@ -1,8 +1,8 @@
 package graft.queries
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.engine.EpochStore
 
 /** Persisted content-defined-chunk store — the third build-once/
   * query-many index alongside [[IvfIndex]] (vectors) and
@@ -15,37 +15,41 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * a 100 TB pipeline cannot afford; chunking a daily crawl batch and
   * APPENDING is cheap.
   *
-  * Storage layout: `<path>/chunks/epoch=<id>` — the batch build
-  * writes `epoch=base`; each streamed micro-batch commits as its own
-  * `epoch=<batchId>` dir via one atomic rename (the
-  * [[IvfIndex]]/[[MinHashIndex]] epoch contract), so a replayed
-  * batch is a storage-level no-op by naming and a crash mid-stage
-  * leaves only a tmp dir the retry overwrites. Chunking is per-doc
-  * deterministic, so build-then-append and build-over-union produce
-  * identical rows.
+  * Storage: a versioned [[EpochStore]] at `<path>/chunks` — the batch
+  * build writes `epoch=base` of v0; each streamed micro-batch commits
+  * as its own `epoch=<batchId>` dir via one atomic rename, so a
+  * replayed batch is a storage-level no-op and a crash mid-stage
+  * leaves only a tmp dir the retry overwrites; [[compact]] folds the
+  * accumulated epoch dirs back into one base under a manifest flip
+  * (readers stay live; post-compaction replays stay no-ops via the
+  * folded-id ledger). Chunking is per-doc deterministic, so
+  * build-then-append and build-over-union produce identical rows.
   */
 object ChunkIndex {
 
   /** Chunk `docs` (columns doc_id, text) and write the base epoch. */
   def build(docs: DataFrame, path: String): String = {
-    QualityOps.chunkRelationOf(docs)
-      .write.mode("overwrite").parquet(s"$path/chunks/epoch=base")
+    EpochStore.create(s"$path/chunks") { base =>
+      QualityOps.chunkRelationOf(docs)
+        .write.mode("overwrite").parquet(base)
+    }
     path
   }
 
   /** Append a batch of new documents as one epoch dir. */
   private[graft] def appendEpoch(batch: DataFrame, path: String,
-                                 batchId: Long): Unit = {
-    val target = Paths.get(s"$path/chunks/epoch=$batchId")
-    if (!Files.exists(target)) {
-      val tmp = s"$path/.chunks-epoch-$batchId.tmp"
-      graft.engine.Archive.deleteTree(Paths.get(tmp))
+                                 batchId: Long): Unit =
+    EpochStore.commitEpoch(s"$path/chunks", batchId) { tmp =>
       QualityOps.chunkRelationOf(batch)
         .write.mode("overwrite").parquet(tmp)
-      Files.move(Paths.get(tmp), target,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
     }
-  }
+
+  /** Fold all committed epochs into one base (a new manifest version;
+    * readers never see a half-folded store). Run between batches —
+    * the single-maintenance-writer contract in [[EpochStore]].
+    */
+  def compact(spark: SparkSession, path: String): Unit =
+    EpochStore.compact(spark, s"$path/chunks")
 
   /** Incremental maintenance: each micro-batch of new documents
     * chunks under the same boundary function and commits as its own
@@ -64,7 +68,7 @@ object ChunkIndex {
 
   /** The full chunk relation across every committed epoch. */
   def chunks(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/chunks")
+    EpochStore.read(spark, s"$path/chunks")
       .select("doc_id", "chunk_id", "chunk_str")
 
   /** The corpus-wide chunk-frequency index (chunk_str, n_copies) —

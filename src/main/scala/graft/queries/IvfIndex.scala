@@ -41,13 +41,25 @@ object IvfIndex {
     import spark.implicits._
     cents.toDF("c_id", "c_emb").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/codebook")
-    // the base build is epoch "base"; streamed arrivals land as
-    // sibling epoch=<batchId> dirs (see [[appendEpoch]]) — epoch is
-    // the exactly-once unit, cell below it stays the pruning column
-    assign(emb, cents)
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/cells/epoch=base")
+    // the base build is epoch "base" of a versioned EpochStore;
+    // streamed arrivals land as sibling epoch=<batchId> dirs (see
+    // [[appendEpoch]]) — epoch is the exactly-once unit, cell below
+    // it stays the pruning column, and [[compact]] folds epochs back
+    // into one base under a manifest flip
+    graft.engine.EpochStore.create(s"$path/cells") { base =>
+      assign(emb, cents)
+        .write.mode("overwrite").partitionBy("cell").parquet(base)
+    }
   }
+
+  /** Fold all committed cell epochs into one base (new manifest
+    * version; readers and replays stay safe — see
+    * [[graft.engine.EpochStore.compact]]). The cell partitioning is
+    * re-applied so probe-side dynamic partition pruning keeps its
+    * layout.
+    */
+  def compact(spark: SparkSession, path: String): Unit =
+    graft.engine.EpochStore.compact(spark, s"$path/cells", Seq("cell"))
 
   /** Nearest-cell assignment of (`vec_id`, `embedding`) rows under a
     * given codebook — [[Similarity.probeCells]] at nprobe=1, exposed
@@ -110,18 +122,11 @@ object IvfIndex {
     */
   private[graft] def appendEpoch(batch: DataFrame,
                                    cents: Seq[(Int, Seq[Double])],
-                                   path: String, batchId: Long): Unit = {
-    import java.nio.file.{Files, Paths}
-    val target = Paths.get(s"$path/cells/epoch=$batchId")
-    if (!Files.exists(target)) {
-      val tmp = s"$path/.cells-epoch-$batchId.tmp"
-      graft.engine.Archive.deleteTree(Paths.get(tmp))
+                                   path: String, batchId: Long): Unit =
+    graft.engine.EpochStore.commitEpoch(s"$path/cells", batchId) { tmp =>
       assign(batch, cents)
         .write.mode("overwrite").partitionBy("cell").parquet(tmp)
-      Files.move(Paths.get(tmp), target,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
     }
-  }
 
   /** Top-`topK` neighbors per query row (`query_id`, `q_emb`) against
     * a built index. Output matches q64's shape: (query_id,
@@ -133,7 +138,7 @@ object IvfIndex {
     val cents = loadCodebook(spark, path)
     val qcells = Similarity.probeCells(queries,
       Seq("query_id", "q_emb"), "q_emb", cents, nprobe)
-    val assigned = spark.read.parquet(s"$path/cells")
+    val assigned = graft.engine.EpochStore.read(spark, s"$path/cells")
     val scored = assigned.join(broadcast(qcells), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

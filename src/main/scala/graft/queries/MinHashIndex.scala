@@ -68,17 +68,45 @@ object MinHashIndex {
   def append(docs: DataFrame, path: String): Unit =
     write(docs, path, "append")
 
-  // batch build/append write into the "base" epoch; streamed batches
-  // land as sibling epoch=<batchId> dirs ([[appendEpoch]]) — the
-  // epoch level is the storage exactly-once unit, and `band` below
-  // it stays the probe-pruning partition column
+  // batch build/append write into the "base" epoch of a versioned
+  // EpochStore per table; streamed batches land as sibling
+  // epoch=<batchId> dirs ([[appendEpoch]]) — the epoch level is the
+  // storage exactly-once unit, `band` below it stays the
+  // probe-pruning partition column, and [[compact]] folds epochs
+  // back into one base per table under a manifest flip
   private def write(docs: DataFrame, path: String, mode: String): Unit = {
+    import graft.engine.EpochStore
     val sigs = signatures(docs).persist() // feeds both tables; sign once
     sigs.count()
-    sigs.write.mode(mode).parquet(s"$path/docs/epoch=base")
-    bandsOf(sigs).write.mode(mode).partitionBy("band")
-      .parquet(s"$path/bands/epoch=base")
+    if (mode == "append") {
+      // incremental batch append: add files to the existing base
+      // epoch of the live version (no new version, no new epoch dir)
+      sigs.write.mode("append")
+        .parquet(s"${EpochStore.liveDir(s"$path/docs")}/epoch=base")
+      bandsOf(sigs).write.mode("append").partitionBy("band")
+        .parquet(s"${EpochStore.liveDir(s"$path/bands")}/epoch=base")
+    } else {
+      EpochStore.create(s"$path/docs") { base =>
+        sigs.write.mode("overwrite").parquet(base)
+      }
+      EpochStore.create(s"$path/bands") { base =>
+        bandsOf(sigs).write.mode("overwrite").partitionBy("band")
+          .parquet(base)
+      }
+    }
     sigs.unpersist(): Unit
+  }
+
+  /** Fold the committed epochs of both tables into one base each
+    * (new manifest versions; readers and post-compaction replays stay
+    * safe — [[graft.engine.EpochStore.compact]]). A crash between the
+    * two per-table compactions leaves one table folded and the other
+    * not — both remain exactly the same rows, so matching stays
+    * correct and the next compact converges the layouts.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    graft.engine.EpochStore.compact(spark, s"$path/docs")
+    graft.engine.EpochStore.compact(spark, s"$path/bands", Seq("band"))
   }
 
   /** Streaming maintenance: micro-batches of (doc_id, text) appended
@@ -113,24 +141,14 @@ object MinHashIndex {
     */
   private[graft] def appendEpoch(batch: DataFrame, path: String,
                                    batchId: Long): Unit = {
-    import java.nio.file.{Files, Paths}
     val sigs = signatures(batch).persist()
     sigs.count()
-    def commit(table: String, df: DataFrame,
-               partitionCols: Seq[String]): Unit = {
-      val target = Paths.get(s"$path/$table/epoch=$batchId")
-      if (!Files.exists(target)) {
-        val tmp = s"$path/.$table-epoch-$batchId.tmp"
-        graft.engine.Archive.deleteTree(Paths.get(tmp))
-        val w = df.write.mode("overwrite")
-        (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
-          .parquet(tmp)
-        Files.move(Paths.get(tmp), target,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
-      }
+    graft.engine.EpochStore.commitEpoch(s"$path/docs", batchId) { tmp =>
+      sigs.write.mode("overwrite").parquet(tmp)
     }
-    commit("docs", sigs, Seq.empty)
-    commit("bands", bandsOf(sigs), Seq("band"))
+    graft.engine.EpochStore.commitEpoch(s"$path/bands", batchId) { tmp =>
+      bandsOf(sigs).write.mode("overwrite").partitionBy("band").parquet(tmp)
+    }
     sigs.unpersist(): Unit
   }
 
@@ -151,7 +169,7 @@ object MinHashIndex {
               maxBucket: Long = TextOps.MaxLshBucket): DataFrame = {
     val probe = signatures(batch).persist() // bands + estimate + verify
     probe.count()
-    val stored = spark.read.parquet(s"$path/bands")
+    val stored = graft.engine.EpochStore.read(spark, s"$path/bands")
     // cap hot buckets to one representative: count per (band, h) is
     // a band-keyed aggregate (the table is already band-partitioned),
     // and only over-cap buckets lose members
@@ -166,7 +184,7 @@ object MinHashIndex {
       .filter(col("doc_id") =!= col("match_id"))
       .select(col("doc_id"), col("match_id"))
       .distinct()
-    val sigs = spark.read.parquet(s"$path/docs")
+    val sigs = graft.engine.EpochStore.read(spark, s"$path/docs")
     val estimated = cands
       .join(probe.select(col("doc_id"), col("sig").as("sig_a")), Seq("doc_id"))
       .join(sigs.select(col("doc_id").as("match_id"), col("sig").as("sig_b")),
@@ -212,7 +230,7 @@ object MinHashIndex {
       .persist() // candidate join + n_a: shingle the batch once
     probeSh.count()
     val nA = probeSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
-    val stored = spark.read.parquet(s"$path/docs")
+    val stored = graft.engine.EpochStore.read(spark, s"$path/docs")
       .select(col("doc_id").as("match_id"), col("sh"))
     val corpusSh = stored.select(col("match_id"), explode(col("sh")).as("sh"))
     val informative = corpusSh.groupBy(col("sh"))

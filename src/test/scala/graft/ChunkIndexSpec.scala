@@ -71,11 +71,64 @@ class ChunkIndexSpec extends SparkSpec {
     ChunkIndex.appendEpoch(docs.filter(col("doc_id") >= 400).limit(10), idx, 0L)
     assert(fileSet(s"$idx/chunks") === once)
     // crash mid-stage (stale tmp left behind) is overwritten by retry
-    val tmp = s"$idx/.chunks-epoch-9.tmp"
+    val tmp =
+      s"${graft.engine.EpochStore.liveDir(s"$idx/chunks")}/.epoch-9.tmp"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$tmp/garbage"), "x")
     ChunkIndex.appendEpoch(docs.filter(col("doc_id") === 1), idx, 9L)
-    assert(fileSet(s"$idx/chunks").exists(_._1.startsWith("epoch=9")))
+    assert(fileSet(s"$idx/chunks").exists(_._1.contains("epoch=9")))
+  }
+
+  test("compaction folds epochs into one base: values identical, " +
+      "readers live through the flip, replays still no-ops") {
+    import graft.engine.EpochStore
+    val base = java.nio.file.Files.createTempDirectory("chunkix-c").toString
+    val idx = s"$base/ix"
+    ChunkIndex.build(docs.filter(col("doc_id") < 300), idx)
+    ChunkIndex.appendEpoch(docs.filter(
+      col("doc_id") >= 300 && col("doc_id") < 400), idx, 1L)
+    ChunkIndex.appendEpoch(docs.filter(col("doc_id") >= 400), idx, 2L)
+    val root = s"$idx/chunks"
+    assert(EpochStore.epochCount(root) === 3)
+    val before = rowsOf(ChunkIndex.chunks(spark, idx))
+
+    // a reader thread hammering the store across repeated compactions
+    // must never observe an error or a wrong count (the manifest-flip
+    // guarantee, racing the maintenance writer)
+    val expectedN = before.size.toLong
+    @volatile var readerErr: Option[Throwable] = None
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop && readerErr.isEmpty) {
+        try {
+          val n = ChunkIndex.chunks(spark, idx).count()
+          if (n != expectedN)
+            readerErr = Some(new AssertionError(s"reader saw $n rows"))
+        } catch { case e: Throwable => readerErr = Some(e) }
+      }
+    })
+    reader.start()
+    try {
+      ChunkIndex.compact(spark, idx)
+      ChunkIndex.compact(spark, idx) // idempotent re-compact
+    } finally { stop = true; reader.join(30000) }
+    readerErr.foreach(throw _)
+
+    assert(EpochStore.epochCount(root) === 1)
+    // N appends + compact == one build, row-identical
+    assert(rowsOf(ChunkIndex.chunks(spark, idx)) === before)
+    val full = java.nio.file.Files.createTempDirectory("chunkix-f").toString
+    ChunkIndex.build(docs, s"$full/ix")
+    assert(rowsOf(ChunkIndex.chunks(spark, idx)) ===
+      rowsOf(ChunkIndex.chunks(spark, s"$full/ix")))
+    // a batchId folded into the base is STILL a replay no-op
+    val files = fileSet(root)
+    ChunkIndex.appendEpoch(docs.filter(col("doc_id") >= 400), idx, 2L)
+    assert(fileSet(root) === files)
+    // a genuinely new epoch still appends
+    assert(!EpochStore.committed(root, 5L))
+    ChunkIndex.appendEpoch(docs.filter(col("doc_id") === 2), idx, 5L)
+    assert(EpochStore.epochCount(root) === 2)
   }
 }

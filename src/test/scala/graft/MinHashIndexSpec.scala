@@ -63,10 +63,10 @@ class MinHashIndexSpec extends SparkSpec {
       corpus.filter(col("doc_id") % 2 === 0))
     MinHashIndex.build(h1, incr)
     MinHashIndex.append(h2, incr)
-    def docRows(p: String) = spark.read.parquet(s"$p/docs")
+    def docRows(p: String) = graft.engine.EpochStore.read(spark, s"$p/docs")
       .select(col("doc_id"), col("sig").cast("string"), col("sh").cast("string"))
       .collect().map(_.toSeq).toSet
-    def bandRows(p: String) = spark.read.parquet(s"$p/bands")
+    def bandRows(p: String) = graft.engine.EpochStore.read(spark, s"$p/bands")
       .select(col("band"), col("h"), col("doc_id"))
       .collect().map(_.toSeq).toSet
     assert(docRows(incr) === docRows(oneShot))
@@ -96,7 +96,7 @@ class MinHashIndexSpec extends SparkSpec {
       stream.addData(a); q.processAllAvailable()
       stream.addData(b); q.processAllAvailable()
     } finally q.stop()
-    def docRows(p: String) = spark.read.parquet(s"$p/docs")
+    def docRows(p: String) = graft.engine.EpochStore.read(spark, s"$p/docs")
       .select(col("doc_id"), col("sig").cast("string"), col("sh").cast("string"))
       .collect().map(_.toSeq).toSet
     assert(docRows(streamed) === docRows(batched))

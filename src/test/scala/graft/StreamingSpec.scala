@@ -489,7 +489,7 @@ class StreamingSpec extends SparkSpec {
       stream.addData(rest.take(100)); q.processAllAvailable()
       stream.addData(rest.drop(100)); q.processAllAvailable()
     } finally q.stop()
-    val cells = spark.read.parquet(s"$idx/cells")
+    val cells = graft.engine.EpochStore.read(spark, s"$idx/cells")
       .select(col("vec_id").cast("long"), col("cell").cast("int"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(cells.size === emb.count())
@@ -525,18 +525,19 @@ class StreamingSpec extends SparkSpec {
       .select(col("vec_id"), col("embedding"))
     graft.queries.IvfIndex.appendEpoch(batch, cents, idx, 7L)
     val once = fileSet(s"$idx/cells")
-    assert(once.exists(_._1.startsWith("epoch=7")))
+    assert(once.exists(_._1.contains("epoch=7")))
     // redelivery of the same epoch: byte-identical store, no new files
     graft.queries.IvfIndex.appendEpoch(batch, cents, idx, 7L)
     assert(fileSet(s"$idx/cells") === once)
     // a crashed stage (dead tmp) is overwritten by the retry, and the
     // final store equals the single-delivery file set
-    val tmp = s"$idx/.cells-epoch-8.tmp"
+    val tmp =
+      s"${graft.engine.EpochStore.liveDir(s"$idx/cells")}/.epoch-8.tmp"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$tmp/garbage.parquet"), "x")
     graft.queries.IvfIndex.appendEpoch(batch.limit(10), cents, idx, 8L)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(tmp)))
-    assert(fileSet(s"$idx/cells").exists(_._1.startsWith("epoch=8")))
+    assert(fileSet(s"$idx/cells").exists(_._1.contains("epoch=8")))
   }
 
   test("MinHashIndex epoch append: replay and mid-commit crash both converge") {
@@ -555,18 +556,21 @@ class StreamingSpec extends SparkSpec {
     assert(fileSet(s"$ix/bands") === bandsOnce)
     // crash between the two renames: docs committed, bands not — the
     // redelivery completes exactly the missing table
-    graft.engine.Archive.deleteTree(java.nio.file.Paths.get(s"$ix/bands/epoch=3"))
+    val liveBands = graft.engine.EpochStore.liveDir(s"$ix/bands")
+    graft.engine.Archive.deleteTree(
+      java.nio.file.Paths.get(s"$liveBands/epoch=3"))
     graft.queries.MinHashIndex.appendEpoch(batch, ix, 3L)
     assert(fileSet(s"$ix/docs") === docsOnce)
-    val healedBands = spark.read.parquet(s"$ix/bands")
+    val healedBands = graft.engine.EpochStore.read(spark, s"$ix/bands")
       .select(col("band"), col("h"), col("doc_id"))
       .collect().map(_.toSeq).toSet
     // row-level equality for bands: part-file byte layout after a
     // heal may legitimately differ (different task split), the
     // CONTENT may not
-    graft.engine.Archive.deleteTree(java.nio.file.Paths.get(s"$ix/bands/epoch=3"))
+    graft.engine.Archive.deleteTree(
+      java.nio.file.Paths.get(s"$liveBands/epoch=3"))
     graft.queries.MinHashIndex.appendEpoch(batch, ix, 3L)
-    assert(spark.read.parquet(s"$ix/bands")
+    assert(graft.engine.EpochStore.read(spark, s"$ix/bands")
       .select(col("band"), col("h"), col("doc_id"))
       .collect().map(_.toSeq).toSet === healedBands)
     // and the matching surface sees one copy of everything
