@@ -600,8 +600,115 @@ object Similarity {
           FROM scored)
         SELECT query_id, neighbor_id, score, CAST(rk AS INT) AS rk
         FROM ranked WHERE rk <= 3 ORDER BY query_id, rk"""),
-      "cross-label hard-negative mining (contrastive training prep)")
+      "cross-label hard-negative mining (contrastive training prep)"),
+
+    // -- q144: IVF index HEALTH audit — the operational complement of
+    //    q128: codebook staleness is the documented IVF tradeoff
+    //    ([[IvfIndex]]'s appendStream note), and this query makes it
+    //    MEASURABLE from the stored index alone: per-cell member
+    //    count, skew (n·k/total — 1.0 is perfectly balanced; a probe
+    //    of a skew-4 cell reads 4× its share of bytes), and mean
+    //    cosine of members to their own centroid (drifting corpus →
+    //    falling cohesion). Operational rule documented here: rebuild
+    //    the codebook when max skew exceeds ~4 or mean cohesion of a
+    //    heavy cell falls well below the build-time value — both
+    //    thresholds are readable straight off this output.
+    //
+    //    Scale shape: one scan of the stored cells (never the raw
+    //    corpus), the k-row codebook broadcast, one cell-keyed
+    //    aggregate, one 1-row total broadcast. The DuckDB oracle has
+    //    no stored index, so it REPLAYS the whole build — per-label
+    //    seed means, two Lloyd rounds (argmax ties to the LARGER
+    //    c_id, [[cellOf]]'s array_max rule), final assignment (ties
+    //    to the SMALLER c_id, [[probeCells]]'s argsort rule) — in
+    //    unrolled CTEs, q129's oracle pattern; matching it end-to-end
+    //    verifies the stored assignment IS the k-means the build
+    //    claims. Mean cohesion follows q126: 6dp-round each cosine,
+    //    decimal-sum, divide once in double, surface 4dp.
+    Q("q144_ivf_index_health",
+      (s, d) => {
+        val path = SharedStages.ivfIndexPath(s, d)
+        val cents = IvfIndex.loadCodebook(s, path)
+        val spark = s
+        import spark.implicits._
+        val cb = cents.toDF("cell", "c_emb")
+        val stored = graft.engine.EpochStore.read(s, s"$path/cells")
+          .select(col("cell").cast("int").as("cell"), col("embedding"))
+        val perCell = stored.join(broadcast(cb), Seq("cell"))
+          .select(col("cell"),
+            round(Vectors.cosine(col("embedding"), col("c_emb")), 6)
+              .as("cos6"))
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_vectors"),
+            (sum(col("cos6").cast("decimal(38,6)")).cast("double")
+              / count(lit(1))).as("mc"))
+        val tot = perCell.agg(sum(col("n_vectors")).as("total"))
+        perCell.crossJoin(broadcast(tot))
+          .select(col("cell"), col("n_vectors"),
+            ((col("n_vectors") * IvfCells).cast("double") / col("total"))
+              .as("skew"),
+            round(col("mc"), 4).as("mean_cos_centroid"))
+          .orderBy(col("cell"))
+      },
+      Some(ivfHealthOracleSql),
+      "per-cell IVF index health: size skew + centroid cohesion " +
+        "(rebuild signal)")
   )
+
+  /** One k-means Lloyd replay step in DuckDB: assignment of every
+    * vector to its best cell of codebook CTE `cIn` (ties by `tieDir`
+    * on c — DESC mirrors [[cellOf]], ASC mirrors [[probeCells]]),
+    * emitted as CTE `aOut`; optionally followed by the next round's
+    * means/codebook CTEs `mOut`/`cOut`.
+    */
+  private def lloydStepSql(cIn: String, aOut: String, tieDir: String,
+                           mOut: String, cOut: String): String = {
+    val cos = s"list_dot_product(e.v, $cIn.cv) / " +
+      s"(sqrt(list_dot_product(e.v, e.v)) * " +
+      s"sqrt(list_dot_product($cIn.cv, $cIn.cv)))"
+    val assign = s"""$aOut AS (
+      SELECT vec_id, c, cos FROM (
+        SELECT e.vec_id, $cIn.c, $cos AS cos,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY $cos DESC NULLS LAST, $cIn.c $tieDir) AS rk
+        FROM e CROSS JOIN $cIn) t WHERE rk = 1)"""
+    if (mOut.isEmpty) assign
+    else assign + s""",
+    $mOut AS (
+      SELECT a.c, r.i,
+        CAST(SUM(CAST(e.v[r.i + 1] AS DECIMAL(38,6))) AS DOUBLE)
+          / COUNT(*) AS mu
+      FROM $aOut a JOIN e USING (vec_id),
+        (SELECT unnest(range(0, $Dim)) AS i) r
+      GROUP BY a.c, r.i),
+    $cOut AS (SELECT c, list(mu ORDER BY i) AS cv FROM $mOut GROUP BY c)"""
+  }
+
+  /** The q144 oracle: full k-means build replay + per-cell health. */
+  private def ivfHealthOracleSql: String =
+    s"""WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        COALESCE(CAST(label AS INT), CAST(vec_id % $IvfCells AS INT)) AS seed
+      FROM embeddings),
+    m0 AS (
+      SELECT seed AS c, r.i,
+        CAST(SUM(CAST(v[r.i + 1] AS DECIMAL(38,6))) AS DOUBLE)
+          / COUNT(*) AS mu
+      FROM e, (SELECT unnest(range(0, $Dim)) AS i) r GROUP BY seed, r.i),
+    c0 AS (SELECT c, list(mu ORDER BY i) AS cv FROM m0 GROUP BY c),
+    ${lloydStepSql("c0", "a1", "DESC", "m1", "c1")},
+    ${lloydStepSql("c1", "a2", "DESC", "m2", "c2")},
+    ${lloydStepSql("c2", "af", "ASC", "", "")},
+    agg AS (
+      SELECT c AS cell, COUNT(*) AS n,
+        CAST(SUM(CAST(ROUND(cos, 6) AS DECIMAL(38,6))) AS DOUBLE)
+          / COUNT(*) AS mc
+      FROM af GROUP BY c),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM agg)
+    SELECT CAST(cell AS INT) AS cell, CAST(n AS BIGINT) AS n_vectors,
+      CAST(n * $IvfCells AS DOUBLE) / total AS skew,
+      ROUND(mc, 4) + 0.0 AS mean_cos_centroid
+    FROM agg, tot ORDER BY cell"""
 
   /** Fixture embedding dimensionality (declared, like q37's pivot
     * alphabet: discovering it needs a pre-plan scan and makes the

@@ -328,6 +328,22 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q144 health audit: partition of the corpus, bounded cohesion, " +
+      "balanced-skew identity") {
+    val rows = Registry.queries("q144_ivf_index_health")(spark, dir).collect()
+    val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.map(_.getLong(1)).sum === nVecs,
+      "every stored vector must be counted in exactly one cell")
+    // skew = n·k/total, so Σ skew over cells = k·(Σn)/total = k
+    assert(math.abs(rows.map(_.getDouble(2)).sum -
+      graft.queries.Similarity.IvfCells) < 1e-9)
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0.0)
+      assert(r.getDouble(3) >= -1.0 && r.getDouble(3) <= 1.0)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q128: declared index-backed plan partition-prunes and equals q60 row-for-row") {
     val out = Registry.queries("q128_ivf_index_search")(spark, dir)
     // the stored cells scan must sit under a dynamic-partition-pruning
