@@ -398,15 +398,16 @@ object QualityOps {
     //    of its content-defined chunks also appear in the eval split
     //    (doc_id % 50 == 0, q77's convention), and the drop verdict
     //    at >= 25% (integer rule: 4·shared >= total, so no fp
-    //    threshold exists). Both sides read the persisted chunk
-    //    store; the eval chunk set is the small fixed side and rides
-    //    the broadcast, so the training corpus is scanned once and
-    //    never pair-shuffled.
+    //    threshold exists). The training side reads the persisted
+    //    chunk store; the eval side reads the PERSISTED eval chunk
+    //    set ([[SharedStages.evalChunkSet]] — the fixed side of every
+    //    decontamination run, distinct'd once per session, not per
+    //    run) and rides the broadcast, so the training corpus is
+    //    scanned once and never pair-shuffled.
     Q("q140_chunk_decontamination",
       (s, d) => {
         val chunks = SharedStages.chunkStore(s, d)
-        val evalSet = chunks.filter(col("doc_id") % 50 === 0)
-          .select(col("chunk_str")).distinct()
+        val evalSet = SharedStages.evalChunkSet(s, d)
           .withColumn("shared", lit(1))
         chunks.filter(col("doc_id") % 50 =!= 0)
           .join(broadcast(evalSet), Seq("chunk_str"), "left")

@@ -163,6 +163,24 @@ object SharedStages {
         path)
     }
 
+  /** The DISTINCT eval-split chunk set (doc_id % 50 == 0, q77's
+    * convention) off the chunk store — persisted once per (session,
+    * sf dir) because the eval suite is the FIXED side of every
+    * decontamination run: training batches change daily, the eval
+    * chunk set does not, so recomputing its distinct per q140 run is
+    * pure waste (and at 100 TB the distinct is a full index scan).
+    * Column: chunk_str.
+    */
+  def evalChunkSet(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = cached(spark, sfDir, "eval-chunks") { path =>
+      chunkStore(spark, sfDir)
+        .filter(col("doc_id") % 50 === 0)
+        .select(col("chunk_str")).distinct()
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(p)
+  }
+
   /** The per-doc quality-signal relation
     * ([[QualityOps.signalsRelationOf]]: token/stopword/mode/bigram
     * fold counts as exact integers), computed once per (session,

@@ -310,9 +310,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
-  test("q137/q138 read the shared chunk store: the corpus text is " +
-      "never re-chunked in-plan") {
-    for (name <- Seq("q137_chunk_dedup_census", "q138_boilerplate_removal")) {
+  test("q137/q138/q140 read the shared chunk store: the corpus text " +
+      "is never re-chunked in-plan") {
+    for (name <- Seq("q137_chunk_dedup_census", "q138_boilerplate_removal",
+        "q140_chunk_decontamination")) {
       val plan = planOf(q(name))
       assert(!plan.contains("documents.parquet"),
         s"$name must read the persisted chunk relation, not the corpus:\n$plan")
@@ -321,6 +322,11 @@ class PlanShapeSpec extends SparkSpec {
       assert(!plan.toLowerCase.contains("md5"),
         s"$name's plan must carry no chunk-boundary machinery:\n$plan")
     }
+    // q140's eval side additionally reads the persisted eval chunk
+    // set, not a per-run distinct over the store
+    val p140 = planOf(q("q140_chunk_decontamination"))
+    assert(p140.contains("eval-chunks"),
+      s"q140 must read the persisted eval chunk set:\n$p140")
     spark.catalog.clearCache()
   }
 
