@@ -156,6 +156,48 @@ object QualityOps {
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     verdictsFromSignals(signalsRelationOf(docs))
 
+  /** Batch-build the persisted verdict table (epoch `base` of a
+    * versioned [[graft.engine.EpochStore]] at `<path>/verdicts`) —
+    * the quality-filter ship-table a pipeline writes once and every
+    * downstream consumer (sampling, mixing, reporting) reads.
+    */
+  def buildVerdicts(docs: org.apache.spark.sql.DataFrame,
+                    path: String): String = {
+    graft.engine.EpochStore.create(s"$path/verdicts") { base =>
+      verdictsOf(docs).write.mode("overwrite").parquet(base)
+    }
+    path
+  }
+
+  /** Streaming maintenance of the verdict table: each micro-batch of
+    * (doc_id, text, lang) documents gets the identical q133 rule
+    * battery (per-doc map-side — no cross-batch state, so streamed
+    * verdicts are bit-identical to a batch run over the same docs)
+    * and commits as its own epoch under the
+    * [[graft.engine.EpochStore]] exactly-once contract: replayed
+    * batchIds are storage no-ops, [[graft.engine.EpochStore.compact]]
+    * folds the accumulated epochs. The quality table grows with the
+    * crawl exactly like the three indexes.
+    */
+  def verdictsStream(docs: org.apache.spark.sql.DataFrame, path: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.engine.EpochStore.commitEpoch(s"$path/verdicts", batchId) {
+          tmp => verdictsOf(batch).write.mode("overwrite").parquet(tmp)
+        }
+      }
+      .start()
+
+  /** The full verdict table across every committed epoch. */
+  def verdicts(spark: org.apache.spark.sql.SparkSession,
+               path: String): org.apache.spark.sql.DataFrame =
+    graft.engine.EpochStore.read(spark, s"$path/verdicts")
+      .select("doc_id", "verdict", "n_tokens", "stopword_ratio",
+        "top_unigram_frac", "dup_bigram_frac")
+
   /** Shared DuckDB CTE chain producing the q132/q133 signal inputs —
     * toks (with lang), uni (top unigram count), bi (bigram counts;
     * LEFT-joined by consumers: a sub-2-token doc has no bi row and

@@ -579,6 +579,45 @@ class StreamingSpec extends SparkSpec {
     m.collect() // must simply run clean over the epoch-partitioned store
   }
 
+  test("streaming quality verdicts == batch q133 rules; replayed epoch " +
+      "is a no-op; compaction preserves the table") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val base = java.nio.file.Files.createTempDirectory("graft-qual-s").toString
+    val store = s"$base/q"
+    // resident corpus filtered at build; daily batches streamed in
+    graft.queries.QualityOps.buildVerdicts(
+      docs.filter(col("doc_id") < 200), store)
+    val arrivals = docs.filter(col("doc_id") >= 200)
+      .as[(Long, String, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String, String)]
+    val q = graft.queries.QualityOps.verdictsStream(
+      stream.toDF().toDF("doc_id", "text", "lang"), store, s"$base/ckpt")
+    try {
+      val (a, b) = arrivals.splitAt(arrivals.size / 2)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    val streamed = rows(graft.queries.QualityOps.verdicts(spark, store))
+    val batch = rows(graft.queries.QualityOps.verdictsOf(docs))
+    assert(batch.nonEmpty && streamed === batch)
+    // replayed epoch (a committed batchId redelivered): storage no-op
+    val root = s"$store/verdicts"
+    val files0 = fileSet(root)
+    graft.engine.EpochStore.commitEpoch(root, 0L) { tmp =>
+      graft.queries.QualityOps.verdictsOf(docs.limit(5))
+        .write.mode("overwrite").parquet(tmp)
+    }
+    assert(fileSet(root) === files0)
+    // compaction folds the daily epochs; values unchanged
+    graft.engine.EpochStore.compact(spark, root)
+    assert(graft.engine.EpochStore.epochCount(root) === 1)
+    assert(rows(graft.queries.QualityOps.verdicts(spark, store)) === batch)
+  }
+
   test("streaming JSONL corpus append: file-sink shards equal the batch archive content") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
