@@ -58,7 +58,13 @@ class ScalingSpec extends SparkSpec {
     // frequency join is keyed on the chunk itself, so a quadratic
     // candidate stage is impossible by construction and the time
     // bound polices the chunking HOFs + the two chunk shuffles.
-    "q136_cdc_chunking", "q138_boilerplate_removal")
+    "q136_cdc_chunking", "q138_boilerplate_removal",
+    // BPE corpus emit: one row per doc. Per-copy token renaming grows
+    // the distinct-word vocabulary 10×, so the time bound polices the
+    // vocabulary-bounded merge apply + the doc-partitioned windows —
+    // a per-OCCURRENCE encode (instead of per distinct word) or a
+    // global-window offset scan would blow it.
+    "q143_bpe_corpus_emit")
 
   private lazy val (dir1x, dir10x) = {
     val root = Files.createTempDirectory("graft-scaling").toString
@@ -165,7 +171,10 @@ class ScalingSpec extends SparkSpec {
   // (d² covariance cells / top-50 collocations), so the scaling claim
   // is purely that COST stays linear — the map-side aggregate shapes
   // must not degrade into row-scaled shuffles.
-  for (q <- Seq("q119_bigram_pmi", "q124_embedding_covariance"))
+  for (q <- Seq("q119_bigram_pmi", "q124_embedding_covariance",
+      // k cells regardless of corpus size; polices the index build
+      // (k-means passes) + the stored-cells audit staying linear
+      "q144_ivf_index_health"))
     test(s"$q: constant output, time ~linear on a 10x corpus") {
       val r1 = run(q, dir1x)
       val r10 = run(q, dir10x)
