@@ -150,6 +150,44 @@ class MediaSpec extends SparkSpec {
     assert(byTag("other") === (("unknown", -1, -1, -1)))
   }
 
+  test("fitWithin: aspect-preserving, never upscales, clamps to 1px") {
+    assert(Media.fitWithin(640, 480, 128, 128) === ((128, 96)))
+    assert(Media.fitWithin(480, 640, 128, 128) === ((96, 128)))
+    assert(Media.fitWithin(100, 50, 128, 128) === ((100, 50))) // no upscale
+    assert(Media.fitWithin(4000, 2, 128, 128) === ((128, 1))) // clamp
+    assert(Media.fitWithin(2, 4000, 128, 128) === ((1, 128)))
+    // limiting-axis choice: 1000x500 into 100x90 -> width-limited
+    assert(Media.fitWithin(1000, 500, 100, 90) === ((100, 50)))
+    // ...but into 300x90 -> height-limited
+    assert(Media.fitWithin(1000, 500, 300, 90) === ((180, 90)))
+    intercept[IllegalArgumentException](Media.fitWithin(0, 10, 5, 5))
+  }
+
+  test("resizeAssets: real geometry plumbing, stub pixels, " +
+      "geometry-less assets dropped") {
+    import spark.implicits._
+    val df = Seq(
+      ("a/big.png", png(640, 480)),
+      ("a/small.gif", gif(9, 9, 3)),
+      ("a/audio.bin", Array[Byte](0, 1, 2))) // no pixel geometry
+      .toDF("path", "content")
+    val out = Media.resizeAssets(df, 128, 128).collect()
+      .sortBy(_.file_name)
+    assert(out.map(_.file_name).toSeq === Seq("big.png", "small.gif"))
+    val big = out(0)
+    assert((big.in_w, big.in_h, big.out_w, big.out_h) === ((640, 480, 128, 96)))
+    val small = out(1)
+    assert((small.out_w, small.out_h) === ((9, 9))) // under the box: untouched
+    // stub payload: deterministic, content-addressed, carries geometry
+    val thumb = java.nio.ByteBuffer.wrap(big.thumb)
+    val magic = new Array[Byte](4); thumb.get(magic)
+    assert(new String(magic, "US-ASCII") === "THMB")
+    assert(thumb.getInt === 128 && thumb.getInt === 96)
+    val again = Media.resizeAssets(df.repartition(3), 128, 128).collect()
+      .sortBy(_.file_name)
+    assert(again(0).thumb.toSeq === big.thumb.toSeq)
+  }
+
   test("extractFeatures: one typed row per file, fixed feature width") {
     val ds = Media.extractFeatures(files)
     val rows = ds.collect()
