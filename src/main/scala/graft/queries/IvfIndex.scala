@@ -87,7 +87,11 @@ object IvfIndex {
     * tradeoff: assignments stay self-consistent because search
     * probes with the same stored codebook; the rebuild cadence (re-
     * running [[build]]) is an operational knob, not a correctness
-    * one. Exactly-once per micro-batch is STORAGE-level: each batch
+    * one — and q144 (the index-health audit in
+    * [[Similarity.queries]]) makes the knob measurable: per-cell
+    * size skew and centroid cohesion off the stored index tell an
+    * operator when drift warrants the rebuild.
+    * Exactly-once per micro-batch is STORAGE-level: each batch
     * lands as its own `epoch=<batchId>` directory via
     * [[appendEpoch]] — staged fully, then one atomic dir rename —
     * so a redelivered batchId finds its epoch already present and
