@@ -478,6 +478,121 @@ object QualityOps {
         FROM agg ORDER BY doc_id"""),
       "chunk-granularity train/eval decontamination via the chunk store"),
 
+    // -- Composed CONTAMINATION verdicts: the q100/q131 composition
+    //    pattern applied to decontamination — every serious pipeline
+    //    runs several leakage checks, and the ship-table is ONE
+    //    reason-coded row per training doc, not three reports to
+    //    reconcile. Precedence: verbatim 8-gram overlap with the eval
+    //    split (q77's rule — the strongest evidence) > semantic
+    //    nearest-eval cosine ≥ τ (q111's rule, embedding joined by
+    //    doc_id = vec_id; docs without a vector skip the rule via
+    //    NULL fall-through, q131's convention) > chunk-level sharing
+    //    ≥ 25% (q140's integer rule) > clean. Diagnostics surfaced
+    //    per doc: distinct bench docs hit, max eval cosine (4dp
+    //    BEFORE the max and the compare — q111's rounding rule), and
+    //    the chunk shared fraction.
+    //
+    //    Scale shape: three independent bounded probes over one
+    //    corpus pass each — bench shingles and capped eval vectors
+    //    broadcast (q77/q111's shapes), the chunk side reads the
+    //    persisted store + persisted eval set (q140's shape) — then
+    //    doc-keyed left joins; nothing pair-shuffles.
+    Q("q145_contamination_verdicts",
+      (s, d) => {
+        import graft.functions.Vectors
+        val docs = t(s, d).documents
+        val train = docs.filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"))
+        val corpusSh = docs.filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"),
+            explode(array_distinct(Text.shingles(col("text"), 8))).as("sh"))
+        val benchSh = docs.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("bench_id"),
+            explode(array_distinct(Text.shingles(col("text"), 8))).as("sh"))
+        val ngram = corpusSh.join(broadcast(benchSh), Seq("sh"))
+          .groupBy(col("doc_id"))
+          .agg(count_distinct(col("bench_id")).as("n_bench_docs"))
+        val emb = t(s, d).embeddings
+        val ev = emb.filter(col("vec_id") % 50 === 0 &&
+            col("vec_id") < Similarity.ExactBaselineVecCap)
+          .select(col("embedding").as("e_emb"))
+        val sem = emb.filter(col("vec_id") % 50 =!= 0)
+          .crossJoin(broadcast(ev))
+          .groupBy(col("vec_id"))
+          .agg(max(round(Vectors.cosine(col("embedding"), col("e_emb")), 4))
+            .as("max_eval_cos"))
+          .select(col("vec_id").as("doc_id"), col("max_eval_cos"))
+        val chunks = SharedStages.chunkStore(s, d)
+        val evalSet = SharedStages.evalChunkSet(s, d)
+          .withColumn("shared", lit(1))
+        val chunk = chunks.filter(col("doc_id") % 50 =!= 0)
+          .join(broadcast(evalSet), Seq("chunk_str"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(coalesce(col("shared"), lit(0))).as("n_shared"))
+        train
+          .join(ngram, Seq("doc_id"), "left")
+          .join(sem, Seq("doc_id"), "left")
+          .join(chunk, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("n_bench_docs") >= 1, "ngram")
+              .when(col("max_eval_cos") >= Similarity.SemDedupTau, "semantic")
+              .when(col("n_shared") * 4 >= col("n_chunks"), "chunk")
+              .otherwise("clean").as("verdict"),
+            coalesce(col("n_bench_docs"), lit(0L)).as("n_bench_docs"),
+            col("max_eval_cos"),
+            round(col("n_shared").cast("double") / col("n_chunks"), 4)
+              .as("chunk_shared_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"WITH $ChunkCtes, $ChunkTextCte, " +
+        raw"""sh8 AS (
+          SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) >= 8
+              THEN list_transform(
+                range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 6),
+                i -> array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+7], ' '))
+              ELSE [] END)) AS sh
+          FROM documents),
+        ng AS (
+          SELECT c.doc_id, COUNT(DISTINCT b.doc_id) AS n_bench_docs
+          FROM (SELECT * FROM sh8 WHERE doc_id % 50 <> 0) c
+          JOIN (SELECT * FROM sh8 WHERE doc_id % 50 = 0) b USING (sh)
+          GROUP BY c.doc_id),
+        ev AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+          WHERE vec_id % 50 = 0 AND vec_id < ${Similarity.ExactBaselineVecCap}),
+        sem AS (
+          SELECT tr.vec_id AS doc_id,
+            MAX(ROUND(list_dot_product(tr.t, ev.e)
+              / (sqrt(list_dot_product(tr.t, tr.t))
+               * sqrt(list_dot_product(ev.e, ev.e))), 4)) AS max_eval_cos
+          FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS t
+                FROM embeddings WHERE vec_id % 50 <> 0) tr, ev
+          GROUP BY tr.vec_id),
+        evch AS (SELECT DISTINCT chunk_str FROM ctext WHERE doc_id % 50 = 0),
+        ch AS (
+          SELECT t.doc_id, COUNT(*) AS n_chunks,
+            SUM(CASE WHEN evch.chunk_str IS NOT NULL THEN 1 ELSE 0 END) AS n_shared
+          FROM (SELECT * FROM ctext WHERE doc_id % 50 <> 0) t
+          LEFT JOIN evch ON t.chunk_str = evch.chunk_str
+          GROUP BY t.doc_id)
+        SELECT b.doc_id,
+          CASE WHEN ng.n_bench_docs >= 1 THEN 'ngram'
+               WHEN sem.max_eval_cos >= ${Similarity.SemDedupTau} THEN 'semantic'
+               WHEN ch.n_shared * 4 >= ch.n_chunks THEN 'chunk'
+               ELSE 'clean' END AS verdict,
+          CAST(COALESCE(ng.n_bench_docs, 0) AS BIGINT) AS n_bench_docs,
+          sem.max_eval_cos,
+          ROUND(CAST(ch.n_shared AS DOUBLE) / ch.n_chunks, 4)
+            AS chunk_shared_frac
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) b
+        LEFT JOIN ng ON b.doc_id = ng.doc_id
+        LEFT JOIN sem ON b.doc_id = sem.doc_id
+        LEFT JOIN ch ON b.doc_id = ch.doc_id
+        ORDER BY b.doc_id"""),
+      "reason-coded composed contamination verdicts (8-gram > semantic > chunk)"),
+
     // -- Quality-aware canonical selection: dedup normally keeps the
     //    MIN-id member of each near-dup cluster (q78/q100); the
     //    better pipeline keeps the HIGHEST-QUALITY member. One row

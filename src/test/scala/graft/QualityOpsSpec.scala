@@ -211,6 +211,33 @@ class QualityOpsSpec extends SparkSpec {
     assert(got(1).getInt(4) === 0)
   }
 
+  test("q145: each contamination rule fires; verbatim overlap " +
+      "outranks semantic") {
+    val evalText = "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10" // doc 0: eval split
+    val unrelated = (1 to 10).map(i => s"u$i").mkString(" ")
+    val alsoClean = (1 to 10).map(i => s"v$i").mkString(" ")
+    val dir = docsDir(Seq(
+      evalText, // 0: eval
+      evalText, // 1: verbatim copy AND similar vector -> ngram wins
+      unrelated, // 2: no text overlap, eval-identical vector -> semantic
+      alsoClean)) // 3: nothing -> clean
+    def vec(xs: Double*) =
+      (xs ++ Seq.fill(8 - xs.size)(0.0)).map(_.toFloat)
+    Seq(
+      (0L, vec(1.0), 0), (1L, vec(1.0), 0),
+      (2L, vec(1.0), 0), (3L, vec(0.0, 1.0), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = q("q145_contamination_verdicts")(spark, dir)
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L)) // train docs only
+    assert(got.map(_.getString(1)).toSeq === Seq("ngram", "semantic", "clean"))
+    assert(got(0).getLong(2) === 1L) // one bench doc hit
+    assert(got(1).getDouble(3) === 1.0) // eval-identical vector
+    assert(got(2).getDouble(4) === 0.0) // no chunks shared
+    spark.catalog.clearCache()
+  }
+
   test("q141: clusters partition the capped corpus; the chosen best " +
       "is a member carrying the cluster's max score") {
     val dir = "/root/testdata/sf0.001"
