@@ -498,100 +498,73 @@ object QualityOps {
     //    persisted store + persisted eval set (q140's shape) — then
     //    doc-keyed left joins; nothing pair-shuffles.
     Q("q145_contamination_verdicts",
+      (s, d) => contaminationVerdictsOn(s, d).orderBy(col("doc_id")),
+      Some(ContaminationOracleSql),
+      "reason-coded composed contamination verdicts (8-gram > semantic > chunk)"),
+
+    // -- The TRAINING MANIFEST: the engine's end-to-end ship artifact
+    //    — one decision row per training document composing the whole
+    //    prep chain: quality filter (q133's shared-signal verdicts) >
+    //    dedup (q100's shared exact→near verdict table) >
+    //    decontamination (q145's composed verdicts) > keep, with the
+    //    first-failing stage as the decision and its sub-verdict as
+    //    the reason. Survivors get their q83 context-window packing
+    //    (start_tok / pack_id / offset via the distributed PrefixSum
+    //    over kept docs only); dropped docs carry NULL pack columns.
+    //    This is the table a training job actually reads: which docs,
+    //    why the rest were dropped, and where each kept doc lands.
+    //
+    //    Scale shape: every input is a session-shared persisted stage
+    //    (signal relation, dedup verdict table, chunk store + eval
+    //    set) or a bounded broadcast probe — composing the manifest
+    //    adds only doc-keyed joins and the two-level prefix scan.
+    //    Scope: the capped corpus prefix ∩ training split (the dedup
+    //    table's declared domain; both fixture sfs sit fully inside
+    //    the cap).
+    Q("q146_training_manifest",
       (s, d) => {
-        import graft.functions.Vectors
-        val docs = t(s, d).documents
-        val train = docs.filter(col("doc_id") % 50 =!= 0)
+        import graft.operators.PrefixSum
+        val qual = verdictsFromSignals(SharedStages.qualitySignals(s, d))
+          .select(col("doc_id"), col("verdict").as("q_v"), col("n_tokens"))
+        val dedup = SharedStages.dedupVerdictsTable(s, d)
+          .select(col("doc_id"), col("verdict").as("d_v"))
+        val cont = contaminationVerdictsOn(s, d)
+          .select(col("doc_id"), col("verdict").as("c_v"))
+        val base = t(s, d).documents
+          .filter(col("doc_id") % 50 =!= 0 &&
+            col("doc_id") < TextOps.ExactBaselineDocCap)
           .select(col("doc_id"))
-        val corpusSh = docs.filter(col("doc_id") % 50 =!= 0)
-          .select(col("doc_id"),
-            explode(array_distinct(Text.shingles(col("text"), 8))).as("sh"))
-        val benchSh = docs.filter(col("doc_id") % 50 === 0)
-          .select(col("doc_id").as("bench_id"),
-            explode(array_distinct(Text.shingles(col("text"), 8))).as("sh"))
-        val ngram = corpusSh.join(broadcast(benchSh), Seq("sh"))
-          .groupBy(col("doc_id"))
-          .agg(count_distinct(col("bench_id")).as("n_bench_docs"))
-        val emb = t(s, d).embeddings
-        val ev = emb.filter(col("vec_id") % 50 === 0 &&
-            col("vec_id") < Similarity.ExactBaselineVecCap)
-          .select(col("embedding").as("e_emb"))
-        val sem = emb.filter(col("vec_id") % 50 =!= 0)
-          .crossJoin(broadcast(ev))
-          .groupBy(col("vec_id"))
-          .agg(max(round(Vectors.cosine(col("embedding"), col("e_emb")), 4))
-            .as("max_eval_cos"))
-          .select(col("vec_id").as("doc_id"), col("max_eval_cos"))
-        val chunks = SharedStages.chunkStore(s, d)
-        val evalSet = SharedStages.evalChunkSet(s, d)
-          .withColumn("shared", lit(1))
-        val chunk = chunks.filter(col("doc_id") % 50 =!= 0)
-          .join(broadcast(evalSet), Seq("chunk_str"), "left")
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_chunks"),
-            sum(coalesce(col("shared"), lit(0))).as("n_shared"))
-        train
-          .join(ngram, Seq("doc_id"), "left")
-          .join(sem, Seq("doc_id"), "left")
-          .join(chunk, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            when(col("n_bench_docs") >= 1, "ngram")
-              .when(col("max_eval_cos") >= Similarity.SemDedupTau, "semantic")
-              .when(col("n_shared") * 4 >= col("n_chunks"), "chunk")
-              .otherwise("clean").as("verdict"),
-            coalesce(col("n_bench_docs"), lit(0L)).as("n_bench_docs"),
-            col("max_eval_cos"),
-            round(col("n_shared").cast("double") / col("n_chunks"), 4)
-              .as("chunk_shared_frac"))
+        val joined = base
+          .join(qual, Seq("doc_id"))
+          .join(dedup, Seq("doc_id"), "left")
+          .join(cont, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"), col("q_v"),
+            coalesce(col("d_v"), lit("keep")).as("d_v"),
+            coalesce(col("c_v"), lit("clean")).as("c_v"))
+          .select(col("doc_id"), col("n_tokens"),
+            when(col("q_v") =!= "keep", lit("drop_quality"))
+              .when(col("d_v") =!= "keep", lit("drop_duplicate"))
+              .when(col("c_v") =!= "clean", lit("drop_contaminated"))
+              .otherwise(lit("keep")).as("decision"),
+            when(col("q_v") =!= "keep", col("q_v"))
+              .when(col("d_v") =!= "keep", col("d_v"))
+              .when(col("c_v") =!= "clean", col("c_v"))
+              .otherwise(lit("keep")).as("reason"))
+        val packs = PrefixSum.exclusive(
+            joined.filter(col("decision") === "keep")
+              .select(col("doc_id"), col("n_tokens").cast("long").as("nt")),
+            col("doc_id"), col("nt"), TrainingOps.PackBlock, "start_tok")
+          .select(col("doc_id"), col("start_tok"),
+            expr(s"start_tok div ${TrainingOps.PackWindow}").as("pack_id"),
+            (col("start_tok") % TrainingOps.PackWindow).as("offset_in_pack"))
+        joined.join(packs, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("decision"), col("reason"),
+            col("n_tokens"), col("start_tok"), col("pack_id"),
+            col("offset_in_pack"))
           .orderBy(col("doc_id"))
       },
-      Some(s"WITH $ChunkCtes, $ChunkTextCte, " +
-        raw"""sh8 AS (
-          SELECT doc_id, unnest(list_distinct(
-            CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) >= 8
-              THEN list_transform(
-                range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 6),
-                i -> array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+7], ' '))
-              ELSE [] END)) AS sh
-          FROM documents),
-        ng AS (
-          SELECT c.doc_id, COUNT(DISTINCT b.doc_id) AS n_bench_docs
-          FROM (SELECT * FROM sh8 WHERE doc_id % 50 <> 0) c
-          JOIN (SELECT * FROM sh8 WHERE doc_id % 50 = 0) b USING (sh)
-          GROUP BY c.doc_id),
-        ev AS (
-          SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-          WHERE vec_id % 50 = 0 AND vec_id < ${Similarity.ExactBaselineVecCap}),
-        sem AS (
-          SELECT tr.vec_id AS doc_id,
-            MAX(ROUND(list_dot_product(tr.t, ev.e)
-              / (sqrt(list_dot_product(tr.t, tr.t))
-               * sqrt(list_dot_product(ev.e, ev.e))), 4)) AS max_eval_cos
-          FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS t
-                FROM embeddings WHERE vec_id % 50 <> 0) tr, ev
-          GROUP BY tr.vec_id),
-        evch AS (SELECT DISTINCT chunk_str FROM ctext WHERE doc_id % 50 = 0),
-        ch AS (
-          SELECT t.doc_id, COUNT(*) AS n_chunks,
-            SUM(CASE WHEN evch.chunk_str IS NOT NULL THEN 1 ELSE 0 END) AS n_shared
-          FROM (SELECT * FROM ctext WHERE doc_id % 50 <> 0) t
-          LEFT JOIN evch ON t.chunk_str = evch.chunk_str
-          GROUP BY t.doc_id)
-        SELECT b.doc_id,
-          CASE WHEN ng.n_bench_docs >= 1 THEN 'ngram'
-               WHEN sem.max_eval_cos >= ${Similarity.SemDedupTau} THEN 'semantic'
-               WHEN ch.n_shared * 4 >= ch.n_chunks THEN 'chunk'
-               ELSE 'clean' END AS verdict,
-          CAST(COALESCE(ng.n_bench_docs, 0) AS BIGINT) AS n_bench_docs,
-          sem.max_eval_cos,
-          ROUND(CAST(ch.n_shared AS DOUBLE) / ch.n_chunks, 4)
-            AS chunk_shared_frac
-        FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) b
-        LEFT JOIN ng ON b.doc_id = ng.doc_id
-        LEFT JOIN sem ON b.doc_id = sem.doc_id
-        LEFT JOIN ch ON b.doc_id = ch.doc_id
-        ORDER BY b.doc_id"""),
-      "reason-coded composed contamination verdicts (8-gram > semantic > chunk)"),
+      Some(manifestOracleSql),
+      "end-to-end training manifest: quality > dedup > contamination > pack"),
 
     // -- Quality-aware canonical selection: dedup normally keeps the
     //    MIN-id member of each near-dup cluster (q78/q100); the
@@ -686,6 +659,225 @@ object QualityOps {
         GROUP BY j.cluster_id, m.n_members, m.best_score
         ORDER BY j.cluster_id"""),
       "quality-aware canonical selection per dedup cluster"))
+
+  /** q145's operator body: the composed per-training-doc
+    * contamination verdict table (see the query comment for the
+    * precedence and scale rationale). Exposed so q146's manifest can
+    * reuse the verdicts without re-declaring the machinery.
+    */
+  private[graft] def contaminationVerdictsOn(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import graft.functions.Vectors
+    val docs = t(s, d).documents
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"))
+    val corpusSh = docs.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"),
+        explode(array_distinct(Text.shingles(col("text"), 8))).as("sh"))
+    val benchSh = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("bench_id"),
+        explode(array_distinct(Text.shingles(col("text"), 8))).as("sh"))
+    val ngram = corpusSh.join(broadcast(benchSh), Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("bench_id")).as("n_bench_docs"))
+    val emb = t(s, d).embeddings
+    val ev = emb.filter(col("vec_id") % 50 === 0 &&
+        col("vec_id") < Similarity.ExactBaselineVecCap)
+      .select(col("embedding").as("e_emb"))
+    val sem = emb.filter(col("vec_id") % 50 =!= 0)
+      .crossJoin(broadcast(ev))
+      .groupBy(col("vec_id"))
+      .agg(max(round(Vectors.cosine(col("embedding"), col("e_emb")), 4))
+        .as("max_eval_cos"))
+      .select(col("vec_id").as("doc_id"), col("max_eval_cos"))
+    val chunks = SharedStages.chunkStore(s, d)
+    val evalSet = SharedStages.evalChunkSet(s, d)
+      .withColumn("shared", lit(1))
+    val chunk = chunks.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(evalSet), Seq("chunk_str"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("shared"), lit(0))).as("n_shared"))
+    train
+      .join(ngram, Seq("doc_id"), "left")
+      .join(sem, Seq("doc_id"), "left")
+      .join(chunk, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("n_bench_docs") >= 1, "ngram")
+          .when(col("max_eval_cos") >= Similarity.SemDedupTau, "semantic")
+          .when(col("n_shared") * 4 >= col("n_chunks"), "chunk")
+          .otherwise("clean").as("verdict"),
+        coalesce(col("n_bench_docs"), lit(0L)).as("n_bench_docs"),
+        col("max_eval_cos"),
+        round(col("n_shared").cast("double") / col("n_chunks"), 4)
+          .as("chunk_shared_frac"))
+  }
+
+  /** The q145 contamination CTE chain (everything through `ch`) —
+    * shared verbatim by the q145 oracle and q146's manifest oracle.
+    */
+  private def contaminationCtes: String =
+    s"$ChunkCtes, $ChunkTextCte, " +
+      raw"""sh8 AS (
+        SELECT doc_id, unnest(list_distinct(
+          CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) >= 8
+            THEN list_transform(
+              range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 6),
+              i -> array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+7], ' '))
+            ELSE [] END)) AS sh
+        FROM documents),
+      ng AS (
+        SELECT c.doc_id, COUNT(DISTINCT b.doc_id) AS n_bench_docs
+        FROM (SELECT * FROM sh8 WHERE doc_id % 50 <> 0) c
+        JOIN (SELECT * FROM sh8 WHERE doc_id % 50 = 0) b USING (sh)
+        GROUP BY c.doc_id),
+      ev AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        WHERE vec_id % 50 = 0 AND vec_id < ${Similarity.ExactBaselineVecCap}),
+      sem AS (
+        SELECT tr.vec_id AS doc_id,
+          MAX(ROUND(list_dot_product(tr.t, ev.e)
+            / (sqrt(list_dot_product(tr.t, tr.t))
+             * sqrt(list_dot_product(ev.e, ev.e))), 4)) AS max_eval_cos
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS t
+              FROM embeddings WHERE vec_id % 50 <> 0) tr, ev
+        GROUP BY tr.vec_id),
+      evch AS (SELECT DISTINCT chunk_str FROM ctext WHERE doc_id % 50 = 0),
+      ch AS (
+        SELECT t.doc_id, COUNT(*) AS n_chunks,
+          SUM(CASE WHEN evch.chunk_str IS NOT NULL THEN 1 ELSE 0 END) AS n_shared
+        FROM (SELECT * FROM ctext WHERE doc_id % 50 <> 0) t
+        LEFT JOIN evch ON t.chunk_str = evch.chunk_str
+        GROUP BY t.doc_id),
+      contv AS (
+        SELECT b.doc_id,
+          CASE WHEN ng.n_bench_docs >= 1 THEN 'ngram'
+               WHEN sem.max_eval_cos >= ${Similarity.SemDedupTau} THEN 'semantic'
+               WHEN ch.n_shared * 4 >= ch.n_chunks THEN 'chunk'
+               ELSE 'clean' END AS verdict,
+          CAST(COALESCE(ng.n_bench_docs, 0) AS BIGINT) AS n_bench_docs,
+          sem.max_eval_cos,
+          ROUND(CAST(ch.n_shared AS DOUBLE) / ch.n_chunks, 4)
+            AS chunk_shared_frac
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) b
+        LEFT JOIN ng ON b.doc_id = ng.doc_id
+        LEFT JOIN sem ON b.doc_id = sem.doc_id
+        LEFT JOIN ch ON b.doc_id = ch.doc_id)"""
+
+  private def ContaminationOracleSql: String =
+    s"""WITH $contaminationCtes
+      SELECT doc_id, verdict, n_bench_docs, max_eval_cos,
+        chunk_shared_frac
+      FROM contv ORDER BY doc_id"""
+
+  /** The q146 oracle: the full chain — contamination CTEs (above) +
+    * the q133 quality verdicts rebuilt off the shared `toks` CTE +
+    * q100's recursive exact→near dedup machinery + keep-only packing.
+    */
+  private def manifestOracleSql: String =
+    s"""WITH RECURSIVE $contaminationCtes,
+      uni2 AS (
+        SELECT doc_id, MAX(c) AS topc FROM (
+          SELECT doc_id, t, COUNT(*) AS c
+          FROM toks, UNNEST(tk) AS u(t) GROUP BY doc_id, t)
+        GROUP BY doc_id),
+      bi2 AS (
+        SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_pos,
+          SUM(c) AS n
+        FROM (
+          SELECT doc_id, g, COUNT(*) AS c FROM (
+            SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
+            FROM toks, UNNEST(range(1, len(tk))) AS r(i)) GROUP BY doc_id, g)
+        GROUP BY doc_id),
+      sigq AS (
+        SELECT t.doc_id, len(t.tk) AS n_tokens,
+          CAST(${stopCountSql("t.tk")}
+            AS DOUBLE) / len(t.tk) AS stop_ratio,
+          CAST(uni2.topc AS DOUBLE) / len(t.tk) AS uni_frac,
+          CAST(bi2.dup_pos AS DOUBLE) / bi2.n AS dup_frac
+        FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+        JOIN uni2 ON t.doc_id = uni2.doc_id
+        LEFT JOIN bi2 ON t.doc_id = bi2.doc_id),
+      qv AS (
+        SELECT doc_id, n_tokens,
+          CASE WHEN n_tokens < $MinTokens THEN 'too_short'
+               WHEN stop_ratio < $MinStopwordRatio THEN 'low_stopword'
+               WHEN uni_frac > $MaxTopUnigramFrac THEN 'high_top_unigram'
+               WHEN dup_frac > $MaxDupBigramFrac THEN 'high_dup_bigram'
+               ELSE 'keep' END AS verdict
+        FROM sigq),
+      capped AS (
+        SELECT * FROM documents WHERE doc_id < ${TextOps.ExactBaselineDocCap}),
+      keyed AS (SELECT doc_id, sha256(text) AS k FROM capped),
+      exact AS (SELECT k, MIN(doc_id) AS exact_canon FROM keyed GROUP BY k),
+      tagged AS (
+        SELECT keyed.doc_id, exact.exact_canon
+        FROM keyed JOIN exact USING (k)),
+      surv AS (SELECT doc_id FROM tagged WHERE doc_id = exact_canon),
+      ddocs AS (
+        SELECT c.doc_id, c.lang, CAST(FLOOR(c.n_chars / 64) AS BIGINT) AS bucket,
+          list_distinct(CASE WHEN len(string_split_regex(lower(trim(c.text)), '\\s+')) >= 3
+            THEN list_transform(
+              range(1, len(string_split_regex(lower(trim(c.text)), '\\s+')) - 1),
+              i -> array_to_string(string_split_regex(lower(trim(c.text)), '\\s+')[i:i+2], ' '))
+            ELSE [] END) AS sh
+        FROM capped c SEMI JOIN surv ON c.doc_id = surv.doc_id),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ddocs a JOIN ddocs b
+          ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2),
+      edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+      walk AS (
+        SELECT a AS id, a AS reach FROM edges
+        UNION
+        SELECT w.id, e.b AS reach FROM walk w JOIN edges e ON e.a = w.reach),
+      comp AS (SELECT id AS doc_id, MIN(reach) AS near_canon
+               FROM walk GROUP BY id),
+      dv AS (
+        SELECT t.doc_id,
+          CASE WHEN t.doc_id <> t.exact_canon THEN 'exact'
+               WHEN c.near_canon IS NOT NULL AND t.doc_id <> c.near_canon
+                 THEN 'near'
+               ELSE 'keep' END AS verdict
+        FROM tagged t LEFT JOIN comp c USING (doc_id)),
+      mbase AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id % 50 <> 0 AND doc_id < ${TextOps.ExactBaselineDocCap}),
+      mrow AS (
+        SELECT b.doc_id, CAST(qv.n_tokens AS INT) AS n_tokens,
+          CASE WHEN qv.verdict <> 'keep' THEN 'drop_quality'
+               WHEN COALESCE(dv.verdict, 'keep') <> 'keep'
+                 THEN 'drop_duplicate'
+               WHEN COALESCE(contv.verdict, 'clean') <> 'clean'
+                 THEN 'drop_contaminated'
+               ELSE 'keep' END AS decision,
+          CASE WHEN qv.verdict <> 'keep' THEN qv.verdict
+               WHEN COALESCE(dv.verdict, 'keep') <> 'keep' THEN dv.verdict
+               WHEN COALESCE(contv.verdict, 'clean') <> 'clean'
+                 THEN contv.verdict
+               ELSE 'keep' END AS reason
+        FROM mbase b
+        JOIN qv ON b.doc_id = qv.doc_id
+        LEFT JOIN dv ON b.doc_id = dv.doc_id
+        LEFT JOIN contv ON b.doc_id = contv.doc_id),
+      packs AS (
+        SELECT doc_id,
+          CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS start_tok
+        FROM mrow WHERE decision = 'keep')
+      SELECT m.doc_id, m.decision, m.reason, m.n_tokens,
+        p.start_tok,
+        CAST(p.start_tok // ${TrainingOps.PackWindow} AS BIGINT) AS pack_id,
+        CAST(p.start_tok % ${TrainingOps.PackWindow} AS BIGINT)
+          AS offset_in_pack
+      FROM mrow m LEFT JOIN packs p ON m.doc_id = p.doc_id
+      ORDER BY m.doc_id"""
 
   /** The chunk relation of a documents frame: one (doc_id, chunk_id,
     * chunk_str) row per content-defined chunk. The unit of the

@@ -238,6 +238,43 @@ class QualityOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q146 manifest: packing is gapless over keeps, drops carry no " +
+      "pack, decisions agree with the stage tables") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = q("q146_training_manifest")(spark, dir)
+      .orderBy("doc_id").collect()
+    assert(rows.nonEmpty)
+    // keeps: start_tok is the exclusive prefix sum of kept n_tokens
+    var expect = 0L
+    rows.filter(_.getString(1) == "keep").foreach { r =>
+      assert(r.getLong(4) === expect, s"gap at doc ${r.getLong(0)}")
+      assert(r.getLong(5) === expect / 2048L)
+      assert(r.getLong(6) === expect % 2048L)
+      expect += r.getInt(3)
+    }
+    // drops: no pack assignment, reason matches the decision family
+    rows.filter(_.getString(1) != "keep").foreach { r =>
+      assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6))
+      val (dec, reason) = (r.getString(1), r.getString(2))
+      if (dec == "drop_quality")
+        assert(Set("too_short", "low_stopword", "high_top_unigram",
+          "high_dup_bigram")(reason))
+      else if (dec == "drop_duplicate") assert(Set("exact", "near")(reason))
+      else assert(Set("ngram", "semantic", "chunk")(reason))
+    }
+    // cross-check a sample against the source verdict tables
+    val qual = graft.queries.QualityOps
+      .verdictsOf(spark.read.parquet(s"$dir/documents.parquet"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.take(100).foreach { r =>
+      val id = r.getLong(0)
+      if (qual(id) != "keep")
+        assert(r.getString(1) === "drop_quality" &&
+          r.getString(2) === qual(id))
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q141: clusters partition the capped corpus; the chosen best " +
       "is a member carrying the cluster's max score") {
     val dir = "/root/testdata/sf0.001"
