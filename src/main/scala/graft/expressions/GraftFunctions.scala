@@ -55,6 +55,9 @@ object GraftFunctions {
     (FunctionIdentifier("media_dims"),
       new ExpressionInfo(classOf[MediaDims].getName, "media_dims"),
       args => MediaDims(arity("media_dims", 1)(args).head)),
+    (FunctionIdentifier("token_stats"),
+      new ExpressionInfo(classOf[TokenStats].getName, "token_stats"),
+      args => TokenStats(arity("token_stats", 1)(args).head)),
     (FunctionIdentifier("hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),
       args => { val a = arity("hyperplane_buckets", 3)(args)

@@ -105,6 +105,33 @@ object QualityOps {
     */
   private[graft] def signalsRelationOf(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val tk = Text.tokens(col("text"))
+    docs
+      .select(col("doc_id"), col("lang"), tk.as("tk"))
+      .select(col("doc_id"), col("lang"),
+        // the mode/bigram folds run in the native one-pass kernel
+        // ([[graft.expressions.TokenStats]]); the interpreted-HOF
+        // formulation below ([[signalsRelationHof]]) is its pinned
+        // reference semantics
+        ColumnBridge.column(graft.expressions.TokenStats(
+          ColumnBridge.expression(col("tk")))).as("st"),
+        stopCountByLang(col("tk"), col("lang")).as("n_stop"))
+      .select(col("doc_id"), col("lang"),
+        col("st.n_tokens").as("n_tokens"), col("n_stop"),
+        col("st.top_uni_c").as("top_uni_c"),
+        col("st.n_bigrams").as("n_bigrams"),
+        col("st.top_bi_c").as("top_bi_c"),
+        col("st.dup_bi_pos").as("dup_bi_pos"))
+  }
+
+  /** The higher-order-function formulation of [[signalsRelationOf]] —
+    * O(len · distinct) interpreted lambda evaluations per doc, kept
+    * as the executable reference the native kernel is spec-pinned
+    * against (the minHashHof pattern).
+    */
+  private[graft] def signalsRelationHof(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val tk = Text.tokens(col("text"))
     docs
       .select(col("doc_id"), col("lang"), tk.as("tk"))

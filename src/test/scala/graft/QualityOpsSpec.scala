@@ -68,6 +68,27 @@ class QualityOpsSpec extends SparkSpec {
       "high_dup_bigram", "keep", "too_short"))
   }
 
+  test("native token_stats kernel == the HOF signal formulation, " +
+      "fixture + edge docs") {
+    val crafted = docsDir(Seq(
+      "solo", "two words", "a a a b c", "x y x y x y z",
+      "the the the", "one two three four five six seven eight"))
+    for (dir <- Seq(crafted, "/root/testdata/sf0.001")) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSet
+      assert(rows(graft.queries.QualityOps.signalsRelationOf(docs)) ===
+        rows(graft.queries.QualityOps.signalsRelationHof(docs)))
+    }
+    // and the SQL registration works inside codegen
+    org.apache.spark.sql.graftbridge.FunctionRegistration.registerAll(spark)
+    val r = spark.sql(
+      """SELECT token_stats(array('a','b','a','b','a')) AS st""").collect()(0)
+      .getStruct(0)
+    assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      === ((5, 3, 4, 2, 4)))
+  }
+
   test("q132/q133 survive sub-2-token docs under ANSI mode: bigram " +
       "ratios are NULL, not DIVIDE_BY_ZERO") {
     // bigrams() of a 1-token doc is empty; the downstream ratios must
