@@ -58,6 +58,16 @@ object GraftFunctions {
     (FunctionIdentifier("token_stats"),
       new ExpressionInfo(classOf[TokenStats].getName, "token_stats"),
       args => TokenStats(arity("token_stats", 1)(args).head)),
+    (FunctionIdentifier("positional_shingle_hashes"),
+      new ExpressionInfo(classOf[PositionalShingleHashes].getName,
+        "positional_shingle_hashes"),
+      {
+        case Seq(c) => PositionalShingleHashes(c)
+        case Seq(c, n) =>
+          PositionalShingleHashes(c, litInt(n, "shingle width"))
+        case args => throw new IllegalArgumentException(
+          s"positional_shingle_hashes takes 1-2 arguments, got ${args.size}")
+      }),
     (FunctionIdentifier("hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),
       args => { val a = arity("hyperplane_buckets", 3)(args)

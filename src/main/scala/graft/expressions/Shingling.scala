@@ -75,6 +75,70 @@ object ShingleHashes {
   }
 }
 
+/** Positional variant of [[ShingleHashes]]: one xxhash64 per window
+  * POSITION (no dedup) — `h[i]` hashes tokens `i..i+n-1` — feeding
+  * the span-coverage machinery (q90/q93/q99), whose interval-union
+  * needs every position, not the distinct set. Identical tokenizer
+  * and hash pipeline, so values are join-compatible with
+  * [[ShingleHashes]] output (q93 probes a ShingleHashes bench set
+  * with these) and bit-identical to the interpreted
+  * `transform(sequence, i => xxhash64(concat_ws(" ", ...)))`
+  * formulation this replaces — which paid ~n boxed lambda evals and
+  * 8 `element_at` calls per position; this is one JIT loop per doc.
+  */
+case class PositionalShingleHashes(child: Expression, n: Int = 3)
+    extends UnaryExpression {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"positional_shingle_hashes requires string input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "positional_shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    PositionalShingleHashes.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.PositionalShingleHashes.compute($c, $n)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PositionalShingleHashes =
+    copy(child = newChild)
+}
+
+object PositionalShingleHashes {
+  private val Space = UTF8String.fromString(" ")
+  private val WhitespaceRx = UTF8String.fromString("\\s+")
+
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    // identical pipeline to split(trim(lower(text)), "\s+")
+    val toks = text.toLowerCase.trim.split(WhitespaceRx, -1)
+    val count = toks.length - (n - 1)
+    if (count < 1) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      val gram =
+        if (n == 1) toks(i)
+        else {
+          val parts = new Array[UTF8String](n)
+          var j = 0
+          while (j < n) { parts(j) = toks(i + j); j += 1 }
+          UTF8String.concatWs(Space, parts: _*)
+        }
+      out(i) = XXH64.hashUTF8String(gram, 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Native set-Jaccard over two DISTINCT `array<bigint>` columns:
   * |A∩B| / (|A|+|B| − |A∩B|), hash-probe intersection in one kernel —
   * no array_intersect/array_union materialization, evaluated once per

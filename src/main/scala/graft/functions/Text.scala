@@ -76,6 +76,16 @@ object Text {
       graft.expressions.ShingleHashes(ColumnBridge.expression(text), n))
   }
 
+  /** Per-POSITION window hashes (no dedup) — the span-coverage
+    * machinery's input; values join-compatible with [[shingleHashes]].
+    */
+  def positionalShingleHashes(text: Column, n: Int = 3): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.expressions.PositionalShingleHashes(
+        ColumnBridge.expression(text), n))
+  }
+
   /** Set-Jaccard of two distinct `array<bigint>` columns — the native
     * [[graft.expressions.JaccardLong]] hash-probe kernel (use with
     * [[shingleHashes]] on hot pair-verify paths).

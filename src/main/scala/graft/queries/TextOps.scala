@@ -467,13 +467,11 @@ object TextOps {
           .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
           .select(col("doc_id"), col("tk"),
             size(col("tk")).cast("long").as("n"))
-        val wins = corpus
-          .select(col("doc_id"), posexplode(
-            when(col("n") >= W,
-              transform(sequence(lit(1), (col("n") - (W - 1)).cast("int")),
-                i => xxhash64(concat_ws(" ",
-                  (0 until W).map(o => element_at(col("tk"), i + o)): _*))))
-              .otherwise(array().cast("array<bigint>"))))
+        // native per-position window hashes (one JIT loop per doc;
+        // values join-compatible with the bench side's shingleHashes)
+        val wins = docs.filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"),
+            posexplode(Text.positionalShingleHashes(col("text"), W)))
           .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
             col("col").as("h"))
         val bench = docs.filter(col("doc_id") % 50 === 0)

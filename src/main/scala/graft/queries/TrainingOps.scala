@@ -777,13 +777,12 @@ object TrainingOps {
       .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
       .select(col("doc_id"), col("tk"),
         size(col("tk")).cast("long").as("n"))
-    val wins = toks
-      .select(col("doc_id"), posexplode(
-        when(col("n") >= w,
-          transform(sequence(lit(1), (col("n") - (w - 1)).cast("int")),
-            i => xxhash64(concat_ws(" ",
-              (0 until w).map(o => element_at(col("tk"), i + o)): _*))))
-          .otherwise(array().cast("array<bigint>"))))
+    // per-position window hashes via the native kernel (bit-identical
+    // to the interpreted transform-over-sequence formulation it
+    // replaced; parity spec-pinned in TrainingOpsSpec)
+    val wins = docs
+      .select(col("doc_id"),
+        posexplode(Text.positionalShingleHashes(col("text"), w)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
         col("col").as("h"))
     val dupInput =

@@ -18,6 +18,47 @@ class TrainingOpsSpec extends SparkSpec {
 
   private def q(name: String) = Registry.queries(name)(spark, sf)
 
+  test("positional_shingle_hashes == the interpreted window-hash HOF; " +
+      "distinct set == shingleHashes") {
+    import graft.functions.Text
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val w = 8
+    // the formulation q90/q93 used before the native kernel
+    val tk = Text.tokens(col("text"))
+    val hof = docs
+      .select(col("doc_id"), tk.as("tk"), size(tk).cast("long").as("n"))
+      .select(col("doc_id"), posexplode(
+        when(col("n") >= w,
+          transform(sequence(lit(1), (col("n") - (w - 1)).cast("int")),
+            i => xxhash64(concat_ws(" ",
+              (0 until w).map(o => element_at(col("tk"), i + o)): _*))))
+          .otherwise(array().cast("array<bigint>"))))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
+    val native = docs
+      .select(col("doc_id"),
+        posexplode(Text.positionalShingleHashes(col("text"), w)))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(native).nonEmpty && rows(native) === rows(hof))
+    // sub-window and whitespace-only edge docs
+    import spark.implicits._
+    val edge = Seq((0L, "one two three"), (1L, "   "), (2L, ""))
+      .toDF("doc_id", "text")
+    assert(edge.select(
+      size(Text.positionalShingleHashes(col("text"), w))).collect()
+      .forall(_.getInt(0) == 0))
+    // distinct positional values == the set-semantics kernel
+    val setA = docs.select(explode(
+        Text.positionalShingleHashes(col("text"), 3)).as("h"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val setB = docs.select(explode(
+        Text.shingleHashes(col("text"), 3)).as("h"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(setA === setB)
+  }
+
   test("PrefixSum.exclusive equals the naive global-window scan") {
     import spark.implicits._
     // keys deliberately sparse + shuffled write order; values signed
