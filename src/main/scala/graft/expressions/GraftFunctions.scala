@@ -58,6 +58,9 @@ object GraftFunctions {
     (FunctionIdentifier("token_stats"),
       new ExpressionInfo(classOf[TokenStats].getName, "token_stats"),
       args => TokenStats(arity("token_stats", 1)(args).head)),
+    (FunctionIdentifier("cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
+      args => CdcChunks(arity("cdc_chunks", 1)(args).head)),
     (FunctionIdentifier("positional_shingle_hashes"),
       new ExpressionInfo(classOf[PositionalShingleHashes].getName,
         "positional_shingle_hashes"),

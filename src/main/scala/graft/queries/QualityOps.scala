@@ -319,17 +319,19 @@ object QualityOps {
     //    (q75's engine-portable md5→int convention); everything is
     //    integer arithmetic inside one codegen'd projection.
     Q("q136_cdc_chunking",
-      (s, d) => {
-        val withStarts = chunkStarts(t(s, d).documents)
-        withStarts.select(
-            col("doc_id"),
-            size(col("starts")).cast("long").as("n_chunks"),
-            round(size(col("tk")).cast("double") / size(col("starts")), 4)
-              .as("avg_chunk_words"),
-            array_max(chunkSizes(col("tk"), col("starts"))).cast("long")
-              .as("max_chunk_words"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => t(s, d).documents
+        .select(col("doc_id"), cdcChunks(col("text")).as("ch"))
+        .select(
+          col("doc_id"),
+          size(col("ch")).cast("long").as("n_chunks"),
+          // every token lands in exactly one chunk, so Σ n_words over
+          // the (small, per-doc) chunk array is the token count
+          round(aggregate(col("ch"), lit(0),
+            (a, c) => a + c.getField("n_words")).cast("double")
+            / size(col("ch")), 4).as("avg_chunk_words"),
+          array_max(transform(col("ch"), _.getField("n_words")))
+            .cast("long").as("max_chunk_words"))
+        .orderBy(col("doc_id")),
       Some(s"WITH $ChunkCtes " +
         """SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
           ROUND(CAST(SUM(n_words) AS DOUBLE) / COUNT(*), 4) AS avg_chunk_words,
@@ -912,9 +914,28 @@ object QualityOps {
     */
   private[graft] def chunkRelationOf(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(transform(cdcChunks(col("text")), _.getField("chunk_str")))
+        .as(Seq("chunk_id", "chunk_str")))
+
+  /** The HOF formulation of [[chunkRelationOf]], kept as the
+    * executable reference the native [[graft.expressions.CdcChunks]]
+    * kernel is spec-pinned against.
+    */
+  private[graft] def chunkRelationHof(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     chunkStarts(docs).select(col("doc_id"),
       posexplode(chunkStrings(col("tk"), col("starts")))
         .as(Seq("chunk_id", "chunk_str")))
+
+  /** Native content-defined chunker column (one MD5 + one boundary
+    * pass per doc inside codegen — see [[graft.expressions.CdcChunks]]).
+    */
+  private def cdcChunks(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.expressions.CdcChunks(
+      ColumnBridge.expression(text)))
+  }
 
   /** md5-derived word value in [0, 1021) — q75's portable md5→int. */
   private def wordVal(w: Column): Column =

@@ -148,6 +148,20 @@ class QualityOpsSpec extends SparkSpec {
     }
   }
 
+  test("native cdc_chunks kernel == the HOF chunk relation") {
+    for (dir <- Seq(
+        docsDir(Seq("solo", "two words", "a b c d e",
+          (1 to 60).map(i => s"w${i % 23}").mkString(" "))),
+        "/root/testdata/sf0.001")) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSet
+      assert(rows(graft.queries.QualityOps.chunkRelationOf(docs)) ===
+        rows(graft.queries.QualityOps.chunkRelationHof(docs)))
+    }
+  }
+
   test("q136 chunking matches the reference chunker on the fixture") {
     val sample = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
