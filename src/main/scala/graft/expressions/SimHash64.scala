@@ -28,10 +28,20 @@ case class SimHash64(child: Expression, seed: Long = 42L)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) | ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"simhash64 requires array<string> input, got ${other.catalogString}")
+      "simhash64 requires array<string> (tokens) or array<bigint> " +
+        s"(pre-hashed tokens), got ${other.catalogString}")
   }
+
+  /** array<bigint> input: elements are the 64-bit token hashes
+    * themselves (any hash family — e.g. the md5-derived portable
+    * hashes the oracle-replayable queries use), voted bit-for-bit
+    * with no further hashing.
+    */
+  private def fromHashes: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == LongType
 
   override def dataType: DataType = StructType(Seq(
     StructField("hi", LongType, nullable = false),
@@ -40,10 +50,17 @@ case class SimHash64(child: Expression, seed: Long = 42L)
   override def prettyName: String = "simhash64"
 
   override def nullSafeEval(input: Any): Any =
-    SimHash64.compute(input.asInstanceOf[ArrayData], seed)
+    if (fromHashes)
+      SimHash64.computeFromHashes(input.asInstanceOf[ArrayData])
+    else SimHash64.compute(input.asInstanceOf[ArrayData], seed)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expressions.SimHash64.compute($c, ${seed}L)")
+    if (fromHashes)
+      defineCodeGen(ctx, ev,
+        c => s"graft.expressions.SimHash64.computeFromHashes($c)")
+    else
+      defineCodeGen(ctx, ev,
+        c => s"graft.expressions.SimHash64.compute($c, ${seed}L)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
@@ -59,14 +76,36 @@ object SimHash64 {
     while (t < n) {
       if (!tokens.isNullAt(t)) {
         val h = XXH64.hashUTF8String(tokens.getUTF8String(t), seed)
-        var i = 0
-        while (i < 64) {
-          votes(i) += ((((h >>> i) & 1L) << 1) - 1L).toInt
-          i += 1
-        }
+        vote(votes, h)
       }
       t += 1
     }
+    fold(votes)
+  }
+
+  /** Kernel over pre-hashed tokens (64-bit longs): identical voting
+    * and fold, hash supplied by the caller.
+    */
+  def computeFromHashes(hashes: ArrayData): InternalRow = {
+    val n = hashes.numElements()
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < n) {
+      if (!hashes.isNullAt(t)) vote(votes, hashes.getLong(t))
+      t += 1
+    }
+    fold(votes)
+  }
+
+  private def vote(votes: Array[Int], h: Long): Unit = {
+    var i = 0
+    while (i < 64) {
+      votes(i) += ((((h >>> i) & 1L) << 1) - 1L).toInt
+      i += 1
+    }
+  }
+
+  private def fold(votes: Array[Int]): InternalRow = {
     var hi = 0L
     var i = 0
     while (i < 32) { hi = hi * 2 + (if (votes(i) > 0) 1L else 0L); i += 1 }

@@ -64,6 +64,37 @@ object Text {
     */
   def baseHash(s: Column): Column = pmod(xxhash64(s), lit(P))
 
+  /** ENGINE-PORTABLE 31-bit base hash: first 8 md5 hex digits mod P —
+    * exactly `('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647`
+    * in DuckDB/ANSI SQL. The portable hash family exists so the
+    * MinHash/LSH/fingerprint queries can carry FULL value oracles
+    * (the driver's DuckDB compare replays every hash bit); the
+    * xxhash64 family ([[baseHash]]/[[shingleHashes]]) remains the
+    * scale path for the persisted-index pipelines (one hash
+    * invocation vs md5's full digest). Same algorithm either way —
+    * MinHashSpec pins recall on both.
+    */
+  def md5BaseHash(s: Column): Column =
+    pmod(conv(substring(md5(s), 1, 8), 16, 10).cast("long"), lit(P))
+
+  /** Distinct md5-derived shingle hashes — the portable analog of
+    * [[shingleHashes]]. `array_distinct` runs AFTER hashing on both
+    * engines so the two sides hold the identical hash SET even if
+    * two distinct shingles collide in the 32-bit prefix space.
+    */
+  def md5ShingleHashes(text: Column, n: Int = 3): Column =
+    array_distinct(transform(shingles(text, n), md5BaseHash(_)))
+
+  /** Per-token 64-bit md5-derived hashes (first 16 md5 hex digits as
+    * a signed-wrapped long) — the portable input to [[simHash]]'s
+    * pre-hashed path. DuckDB mirror:
+    * `('0x' || substr(md5(t), 1, 16))::UBIGINT` read bit-by-bit.
+    */
+  def md5TokenHash64(toks: Column): Column =
+    transform(toks, t =>
+      shiftleft(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), 32)
+        .bitwiseOR(conv(substring(md5(t), 9, 8), 16, 10).cast("long")))
+
   /** Distinct word-n-gram shingles as raw xxhash64 longs — the native
     * codegen'd [[graft.expressions.ShingleHashes]]. The preferred form
     * for dedup pipelines: set-identical to hashing [[shingles]]'s
@@ -164,8 +195,14 @@ object Text {
     * expression's bit-exact semantics against an independent
     * implementation).
     */
-  def simHashHof(toks: Column): Column = {
-    val hashes = transform(toks, t => xxhash64(t))
+  def simHashHof(toks: Column): Column =
+    simHashHofFromHashes(transform(toks, t => xxhash64(t)))
+
+  /** Interpreted reference fold over pre-hashed 64-bit tokens — pins
+    * the native kernel's pre-hashed path the same way [[simHashHof]]
+    * pins its string path.
+    */
+  def simHashHofFromHashes(hashes: Column): Column = {
     // counts[i] = sum over tokens of (bit i ? +1 : -1), i in 0..63
     val counts = aggregate(
       hashes,
@@ -192,6 +229,33 @@ object Text {
   def fingerprint(toks: Column): Column =
     aggregate(toks, lit(0L),
       (acc, t) => pmod(acc * 31 + baseHash(t), lit(P)))
+
+  /** [[fingerprint]] over the portable hash family — DuckDB replays
+    * the fold verbatim with `list_reduce` (acc < P, so acc·31 + h
+    * stays < 2^37: no overflow on either engine).
+    */
+  def fingerprintPortable(toks: Column): Column =
+    aggregate(toks, lit(0L),
+      (acc, t) => pmod(acc * 31 + md5BaseHash(t), lit(P)))
+
+  /** LSH band keys over a MinHash signature in PORTABLE form: the
+    * band's r signature values joined as a string key instead of
+    * [[lshBands]]'s xxhash64 — two docs bucket together iff their
+    * slices are EQUAL, which ANSI SQL can replay exactly (the hashed
+    * form buckets on hash equality — same buckets minus a ~2^-64
+    * collision, but not bit-replayable). At 100 TB the hashed form
+    * wins (8-byte vs ~40-byte shuffle keys); the string form is the
+    * oracle-carrying one.
+    */
+  def lshBandKeys(sig: Column, r: Int = 4): Column = {
+    val nBands = floor(size(sig) / r).cast("int")
+    when(nBands >= 1,
+      transform(sequence(lit(0), nBands - 1),
+        b => struct(b.cast("int").as("band"),
+          concat_ws(",", transform(slice(sig, b * r + 1, lit(r)),
+            _.cast("string"))).as("k"))))
+      .otherwise(array().cast("array<struct<band:int,k:string>>"))
+  }
 
   /** MinHash Jaccard ESTIMATE: fraction of equal signature components.
     * E[estimate] = true Jaccard; with k=48 components the standard

@@ -237,8 +237,11 @@ object Similarity {
     //    (lloydIters+1) linear scans, never a rows×dim explode.
     //    Decimal accumulation keeps every centroid (and therefore the
     //    cell partition and probe ranking) identical run-to-run.
+    //    Round 8: full hash oracle — the build is deterministic
+    //    decimal-mean k-means, so the oracle replays it in unrolled
+    //    CTEs (q144's pattern) and value-checks the search output.
     Q("q64_ann_ivf", (s, d) => ivfAnn(s, d),
-      None,
+      Some(ivfAnnOracleSql),
       "IVF multi-probe ANN: k-means literal-codebook assignment + top-nprobe cell search"),
 
     // -- int8 scalar quantization: the 4× storage compression
@@ -292,9 +295,13 @@ object Similarity {
     //    measures that capture rate against the exact q65 baseline
     //    instead of trusting it. Deterministic (codebook + exact
     //    verify) → golden-pinned.
+    //    Round 8: full hash oracle — build replay + probe-cell pair
+    //    generation + exact-cosine verify, all in unrolled CTEs
+    //    (valid below MaxVecBucket, which every fixture is; capture
+    //    rate vs the exact q65 baseline stays spec-measured).
     Q("q92_semantic_dedup",
       (s, d) => semanticDedupOn(t(s, d).embeddings),
-      None,
+      Some(semanticDedupOracleSql),
       "cluster-bucketed embedding dedup, keep-lowest-id (capture rate in spec)"),
 
     // -- semantic DECONTAMINATION: the embedding analog of q77's
@@ -684,9 +691,14 @@ object Similarity {
     $cOut AS (SELECT c, list(mu ORDER BY i) AS cv FROM $mOut GROUP BY c)"""
   }
 
-  /** The q144 oracle: full k-means build replay + per-cell health. */
-  private def ivfHealthOracleSql: String =
-    s"""WITH e AS (
+  /** The shared k-means build replay (q144's oracle pattern): CTE
+    * chain `e` (vectors + per-label seeds) → `c0` (seed means) → two
+    * Lloyd rounds → final codebook CTE `c2`. Shared by the q144
+    * health, q64 IVF-ANN, and q92 semantic-dedup oracles — one
+    * spelling of the build, three consumers.
+    */
+  private def kmeansBuildCtes: String =
+    s"""e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         COALESCE(CAST(label AS INT), CAST(vec_id % $IvfCells AS INT)) AS seed
       FROM embeddings),
@@ -697,7 +709,28 @@ object Similarity {
       FROM e, (SELECT unnest(range(0, $Dim)) AS i) r GROUP BY seed, r.i),
     c0 AS (SELECT c, list(mu ORDER BY i) AS cv FROM m0 GROUP BY c),
     ${lloydStepSql("c0", "a1", "DESC", "m1", "c1")},
-    ${lloydStepSql("c1", "a2", "DESC", "m2", "c2")},
+    ${lloydStepSql("c1", "a2", "DESC", "m2", "c2")}"""
+
+  /** Top-`nprobe` probe cells of codebook `cIn` for every vector of
+    * CTE `e`, with the rank retained — [[probeCells]]'s ordering
+    * rule verbatim (cos DESC with nulls last, then smaller c_id).
+    * `WHERE rk = 1` on the output CTE is the primary assignment.
+    */
+  private def probeSql(cIn: String, out: String, nprobe: Int): String = {
+    val cos = s"list_dot_product(e.v, $cIn.cv) / " +
+      s"(sqrt(list_dot_product(e.v, e.v)) * " +
+      s"sqrt(list_dot_product($cIn.cv, $cIn.cv)))"
+    s"""$out AS (
+      SELECT vec_id, c, cos, rk FROM (
+        SELECT e.vec_id, $cIn.c, $cos AS cos,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY $cos DESC NULLS LAST, $cIn.c ASC) AS rk
+        FROM e CROSS JOIN $cIn) t WHERE rk <= $nprobe)"""
+  }
+
+  /** The q144 oracle: full k-means build replay + per-cell health. */
+  private def ivfHealthOracleSql: String =
+    s"""WITH $kmeansBuildCtes,
     ${lloydStepSql("c2", "af", "ASC", "", "")},
     agg AS (
       SELECT c AS cell, COUNT(*) AS n,
@@ -709,6 +742,59 @@ object Similarity {
       CAST(n * $IvfCells AS DOUBLE) / total AS skew,
       ROUND(mc, 4) + 0.0 AS mean_cos_centroid
     FROM agg, tot ORDER BY cell"""
+
+  /** The q64 oracle: k-means build replay, primary assignment (rk=1
+    * of the probe ranking), each query's top-$IvfNProbe probe cells,
+    * exact scoring of the probed cells' members, top-5. Raw cosine
+    * scores surface unrounded — the q60 precedent shows the two
+    * engines' dot/norm arithmetic is bit-identical on this fixture.
+    */
+  private def ivfAnnOracleSql: String =
+    s"""WITH $kmeansBuildCtes,
+    ${probeSql("c2", "pr", IvfNProbe)},
+    assigned AS (SELECT vec_id, c AS cell FROM pr WHERE rk = 1),
+    qc AS (
+      SELECT vec_id AS query_id, c AS cell FROM pr
+      WHERE vec_id % 100 = 0 AND vec_id < $ExactBaselineVecCap),
+    scored AS (
+      SELECT qc.query_id, a.vec_id AS neighbor_id,
+        list_dot_product(eq.v, ev.v)
+          / (sqrt(list_dot_product(eq.v, eq.v))
+           * sqrt(list_dot_product(ev.v, ev.v))) AS score
+      FROM qc JOIN assigned a ON a.cell = qc.cell
+        JOIN e eq ON eq.vec_id = qc.query_id
+        JOIN e ev ON ev.vec_id = a.vec_id
+      WHERE a.vec_id <> qc.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY score DESC, neighbor_id) AS rk
+      FROM scored)
+    SELECT query_id, neighbor_id, score, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 5 ORDER BY query_id, rk"""
+
+  /** The q92 oracle: k-means build replay, top-$SemDedupProbes probe
+    * cells per vector, candidate pairs = probe-cell intersection
+    * (a < b, deduped — BandedPairs' pair set below the cap), exact
+    * cosine ≥ τ drops the larger id, output = primary cell + verdict.
+    */
+  private def semanticDedupOracleSql: String =
+    s"""WITH $kmeansBuildCtes,
+    ${probeSql("c2", "pr", SemDedupProbes)},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+      FROM pr a JOIN pr b ON a.c = b.c AND a.vec_id < b.vec_id),
+    drops AS (
+      SELECT DISTINCT c.vb FROM cand c
+        JOIN e ea ON ea.vec_id = c.va
+        JOIN e eb ON eb.vec_id = c.vb
+      WHERE list_dot_product(ea.v, eb.v)
+          / (sqrt(list_dot_product(ea.v, ea.v))
+           * sqrt(list_dot_product(eb.v, eb.v))) >= $SemDedupTau)
+    SELECT p.vec_id, CAST(p.c AS INT) AS cell,
+      CAST(CASE WHEN d.vb IS NOT NULL THEN 1 ELSE 0 END AS INT) AS dropped
+    FROM pr p LEFT JOIN drops d ON d.vb = p.vec_id
+    WHERE p.rk = 1 ORDER BY p.vec_id"""
 
   /** Fixture embedding dimensionality (declared, like q37's pivot
     * alphabet: discovering it needs a pre-plan scan and makes the

@@ -288,24 +288,33 @@ object TextOps {
         FROM deduped GROUP BY lang ORDER BY lang"""),
       "composite corpus prep: quality gate -> exact dedup -> per-lang stats"),
 
-    // -- MinHash signatures (xxhash64-based — no SQL oracle; driver
-    //    rows-only check; recall verified in MinHashSpec). Map-side
-    //    only: signature is 48 array-mins over the shingle hashes.
+    // -- MinHash signatures over the PORTABLE hash family
+    //    (Text.md5BaseHash): the affine permutations run in the same
+    //    native codegen'd kernel (MinHash's pre-hashed path), and the
+    //    DuckDB oracle replays every bit — md5 → 31-bit fold → 48
+    //    unrolled permutations with the identical lcg constants (the
+    //    SQL is GENERATED from the kernel's own constant table, so
+    //    the two sides cannot drift). sig_hash witnesses the full
+    //    48-long signature as an md5 hex digest (same function both
+    //    engines). Map-side only; recall properties in MinHashSpec.
     Q("q55_minhash_signatures",
       (s, d) => {
-        val sig = Text.minHash(Text.shingles(col("text"), 3))
+        val sig = Text.minHash(Text.md5ShingleHashes(col("text"), 3))
         t(s, d).documents
           .select(col("doc_id"), sig.as("sig"))
           .select(col("doc_id"),
             element_at(col("sig"), 1).as("sig0"),
             element_at(col("sig"), 2).as("sig1"),
             element_at(col("sig"), 3).as("sig2"),
-            xxhash64(concat_ws(",", transform(col("sig"), _.cast("string"))))
+            md5(concat_ws(",", transform(col("sig"), _.cast("string"))))
               .as("sig_hash"))
           .orderBy(col("doc_id"))
       },
-      None,
-      "MinHash signatures (rows-only oracle)"),
+      Some(s"""WITH $portableSigCtes
+        SELECT doc_id, sig[1] AS sig0, sig[2] AS sig1, sig[3] AS sig2,
+          md5(array_to_string(sig, ',')) AS sig_hash
+        FROM sig ORDER BY doc_id"""),
+      "portable MinHash signatures (full value oracle)"),
 
     // -- full near-dup dedup via MinHash + LSH banding, candidates-
     //    then-verify, in four scale-disciplined steps:
@@ -325,25 +334,61 @@ object TextOps {
     //        false candidate at ~48 long-compares each (target pairs
     //        have jac ≥ 0.5; P[est < 0.25 | jac = 0.5] ≈ 1e-4);
     //    (4) only survivors pay the exact shingle-set Jaccard ≥ 0.5.
+    //    Round 8: the query runs the PORTABLE pipeline (md5 base
+    //    hashes, string band keys) so the DuckDB oracle can replay
+    //    candidates → estimate → exact verify end to end; the
+    //    xxhash64 form ([[lshNearDupOn]]) remains the scale path
+    //    (persisted index q114, MinHashSpec recall on both).
     Q("q56_lsh_near_dup",
-      (s, d) => lshNearDupOn(t(s, d).documents),
-      None,
-      "MinHash+LSH banding near-dup (rows-only oracle; recall in spec)"),
+      (s, d) => lshNearDupPortableOn(t(s, d).documents),
+      Some(s"""WITH $portableSigCtes,
+        banded AS (
+          SELECT s.doc_id, r.b AS band,
+            array_to_string(s.sig[4*r.b+1:4*r.b+4], ',') AS k
+          FROM sig s, (SELECT unnest(range(0, 12)) AS b) r),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.k = b.k AND a.doc_id < b.doc_id),
+        est AS (
+          SELECT c.doc_a, c.doc_b FROM cand c
+            JOIN sig sa ON sa.doc_id = c.doc_a
+            JOIN sig sb ON sb.doc_id = c.doc_b
+          WHERE CAST(list_sum(list_transform(range(1, 49),
+              i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+            AS DOUBLE) / 48 >= 0.25),
+        j AS (
+          SELECT e.doc_a, e.doc_b,
+            CASE WHEN len(ha.hs) + len(hb.hs) = 0 THEN 0.0
+              ELSE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+                / (len(ha.hs) + len(hb.hs)
+                   - len(list_intersect(ha.hs, hb.hs))) END AS jac
+          FROM est e
+            JOIN hs ha ON ha.doc_id = e.doc_a
+            JOIN hs hb ON hb.doc_id = e.doc_b)
+        SELECT doc_a, doc_b, jac FROM j WHERE jac >= 0.5
+        ORDER BY doc_a, doc_b"""),
+      "portable MinHash+LSH banding near-dup (full value oracle; recall in spec)"),
 
     // -- SimHash fingerprints: 64-bit (two 32-bit halves) sign-of-sum
-    //    over token-hash bits. Rows-only oracle; Hamming-near pairs in
+    //    over token-hash bits, in the PORTABLE hash family — per-token
+    //    64-bit hash = first 16 md5 hex digits, voted bit-for-bit in
+    //    the native kernel's pre-hashed path. The oracle rebuilds the
+    //    vote table per bit position in UBIGINT arithmetic, so every
+    //    output bit is value-checked; Hamming-near semantics in
     //    SimHashSpec.
     Q("q57_simhash",
       (s, d) => {
-        val sh = Text.simHash(Text.tokens(col("text")))
+        val sh = Text.simHash(Text.md5TokenHash64(Text.tokens(col("text"))))
         t(s, d).documents
           .select(col("doc_id"), sh.as("sh"))
           .select(col("doc_id"), col("sh.hi").as("simhash_hi"),
             col("sh.lo").as("simhash_lo"))
           .orderBy(col("doc_id"))
       },
-      None,
-      "SimHash fingerprints (rows-only oracle)"),
+      Some(s"""WITH $portableSimHashCtes
+        SELECT doc_id, simhash_hi, simhash_lo FROM fp ORDER BY doc_id"""),
+      "portable SimHash fingerprints (full value oracle)"),
 
     // -- SimHash Hamming near-dup pairs via the standard 4×16-bit band
     //    multi-index (Manku et al., WWW'07 — the production web-dedup
@@ -357,10 +402,35 @@ object TextOps {
     //    candidate. Completes the third dedup family: q54/q56 catch
     //    shingle-overlap near-dups, this catches token-multiset
     //    near-dups (e.g. reordered boilerplate) at O(1) per pair.
+    //    Round 8: runs over the PORTABLE fingerprints (q57's md5
+    //    hash family) so the oracle replays band → candidate →
+    //    XOR+popcount verify; the pigeonhole exactness guarantee is
+    //    hash-family-independent (SimHashSpec pins it on both).
     Q("q68_simhash_neardup",
-      (s, d) => simHashNearDupOn(t(s, d).documents),
-      None,
-      "SimHash 4x16-band Hamming<=3 near-dup pairs (exactness + recall in SimHashSpec)"),
+      (s, d) => simHashNearDupOn(t(s, d).documents, portable = true),
+      Some(s"""WITH $portableSimHashCtes,
+        banded AS (
+          SELECT doc_id, r.band,
+            CASE r.band
+              WHEN 0 THEN simhash_hi >> 16
+              WHEN 1 THEN simhash_hi & 65535
+              WHEN 2 THEN simhash_lo >> 16
+              ELSE simhash_lo & 65535 END AS v
+          FROM fp, (SELECT unnest(range(0, 4)) AS band) r),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, dist FROM (
+          SELECT c.doc_a, c.doc_b,
+            CAST(bit_count(xor(fa.simhash_hi, fb.simhash_hi))
+               + bit_count(xor(fa.simhash_lo, fb.simhash_lo)) AS INT)
+              AS dist
+          FROM cand c
+            JOIN fp fa ON fa.doc_id = c.doc_a
+            JOIN fp fb ON fb.doc_id = c.doc_b) t
+        WHERE dist <= 3 ORDER BY doc_a, doc_b"""),
+      "portable SimHash 4x16-band Hamming<=3 near-dup pairs (full value oracle)"),
 
     // -- TF-IDF: the canonical text-relevance scoring a training-data
     //    pipeline runs for keyword extraction / relevance filtering.
@@ -773,13 +843,22 @@ object TextOps {
 
     // -- rolling-hash document fingerprint: order-sensitive polynomial
     //    fold over tokens (permutation-distinguishing, unlike MinHash).
+    //    Round 8: portable hash family — the fold is plain integer
+    //    arithmetic, so DuckDB replays it verbatim with list_reduce
+    //    (0-seeded via list_prepend; acc < P keeps acc·31 + h < 2^37,
+    //    no overflow on either engine).
     Q("q58_fingerprint",
       (s, d) => t(s, d).documents
         .select(col("doc_id"),
-          Text.fingerprint(Text.tokens(col("text"))).as("fp"))
+          Text.fingerprintPortable(Text.tokens(col("text"))).as("fp"))
         .orderBy(col("doc_id")),
-      None,
-      "rolling polynomial fingerprint (rows-only oracle)"),
+      Some("""SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split_regex(lower(trim(text)), '\s+'),
+              s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647)),
+            (acc, h) -> (acc * 31 + h) % 2147483647) AS fp
+        FROM documents ORDER BY doc_id"""),
+      "portable rolling polynomial fingerprint (full value oracle)"),
 
     // -- dedup CLUSTERING: near-dup pairs are only half the dedup
     //    story — A~B and B~C must collapse to ONE kept document, so
@@ -1744,10 +1823,14 @@ object TextOps {
     * parameterized so SimHashSpec can engage the representative path.
     */
   def simHashNearDupOn(docs: org.apache.spark.sql.DataFrame,
-                       maxBucket: Int = MaxLshBucket): org.apache.spark.sql.DataFrame = {
+                       maxBucket: Int = MaxLshBucket,
+                       portable: Boolean = false): org.apache.spark.sql.DataFrame = {
+        val fpExpr =
+          if (portable)
+            Text.simHash(Text.md5TokenHash64(Text.tokens(col("text"))))
+          else Text.simHash(Text.tokens(col("text")))
         val fp = docs
-          .select(col("doc_id"),
-            Text.simHash(Text.tokens(col("text"))).as("sh"))
+          .select(col("doc_id"), fpExpr.as("sh"))
           .persist() // band explode + both verify sides
         fp.count() // materialize eagerly (see q54/q56: lazy caches
                    // with multiple consumers recompute under racing)
@@ -1815,4 +1898,104 @@ object TextOps {
       .filter(col("jac") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** q56's plan in the PORTABLE hash family: md5-derived 31-bit base
+    * hashes (Text.md5BaseHash) and string band keys
+    * (Text.lshBandKeys) instead of xxhash64 — algorithmically
+    * identical (same lcg permutations in the same native kernel,
+    * same BandedPairs skew discipline, same estimate + exact-verify
+    * chain), but every intermediate value is ANSI-SQL-replayable, so
+    * the driver's DuckDB oracle checks the whole pipeline by hash
+    * instead of rows-only. The xxhash64 form ([[lshNearDupOn]]) stays
+    * the 100 TB path — one 8-byte hash per shingle/band vs md5's
+    * 16-byte digest and ~40-byte band strings.
+    */
+  def lshNearDupPortableOn(docs: org.apache.spark.sql.DataFrame,
+                           maxBucket: Int = MaxLshBucket): org.apache.spark.sql.DataFrame = {
+    // same eager-materialization discipline as lshNearDupOn (the
+    // 156s-vs-21s racing-consumer cascade)
+    val hs = docs.select(col("doc_id"),
+        Text.md5ShingleHashes(col("text"), 3).as("hs"))
+      .persist()
+    hs.count()
+    val sig = hs.select(col("doc_id"), Text.minHash(col("hs")).as("sig"))
+      .persist()
+    sig.count()
+    val banded = sig.select(col("doc_id"),
+        explode(Text.lshBandKeys(col("sig"))).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.k").as("k"))
+    val cands = graft.operators.BandedPairs.cappedCandidates(
+      banded, "doc_id", Seq("band", "k"), maxBucket, "doc_a", "doc_b")
+    val estimated = cands
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .filter(Text.sigEstimate(col("sig_a"), col("sig_b")) >= 0.25)
+      .select(col("doc_a"), col("doc_b"))
+    estimated
+      .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("sh_a")), Seq("doc_a"))
+      .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        Text.jaccardLong(col("sh_a"), col("sh_b")).as("jac"))
+      .filter(col("jac") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DuckDB spelling of the portable MinHash pipeline's shared
+    * prefix: tokens → distinct 3-gram shingles → md5-derived 31-bit
+    * hashes (CTE `hs`) → 48 unrolled affine permutations (CTE `sig`).
+    * GENERATED from the native kernel's own constant table
+    * ([[graft.expressions.MinHash.lcg]]) — the two sides share one
+    * source of truth and cannot drift.
+    */
+  private def portableSigCtes: String = {
+    val a = graft.expressions.MinHash.lcg(42L, 48)
+    val b = graft.expressions.MinHash.lcg(43L, 48)
+    val sigList = (0 until 48).map(i =>
+      s"COALESCE(list_min(list_transform(hs, " +
+        s"h -> (${a(i)}*h + ${b(i)}) % 2147483647)), 2147483647)")
+      .mkString("[", ",\n            ", "]")
+    s"""tk AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+          FROM documents),
+        hs AS (
+          SELECT doc_id, list_distinct(list_transform(
+            CASE WHEN len(tk) >= 3
+              THEN list_transform(range(1, len(tk) - 1),
+                i -> array_to_string(tk[i:i+2], ' '))
+              ELSE [] END,
+            s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647)) AS hs
+          FROM tk),
+        sig AS (SELECT doc_id, $sigList AS sig FROM hs)"""
+  }
+
+  /** DuckDB spelling of the portable SimHash fingerprint (CTE `fp`):
+    * per-token 64-bit md5 hash (UBIGINT), ±1 vote per bit position
+    * (LSB-first, the kernel's order), fingerprint bit = sign of the
+    * vote sum, folded into the hi/lo 32-bit halves with the kernel's
+    * MSB-first weights.
+    */
+  private def portableSimHashCtes: String =
+    """tk AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents),
+        th AS (
+          SELECT doc_id, list_transform(tk,
+            t -> ('0x' || substr(md5(t), 1, 16))::UBIGINT) AS hs
+          FROM tk),
+        v AS (
+          SELECT doc_id, list_transform(range(0, 64), i ->
+            list_sum(list_transform(hs,
+              h -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END))) AS votes
+          FROM th),
+        fp AS (
+          SELECT doc_id,
+            CAST(list_sum(list_transform(range(0, 32),
+              i -> CASE WHEN votes[i + 1] > 0
+                THEN (CAST(1 AS BIGINT) << (31 - i)) ELSE 0 END))
+              AS BIGINT) AS simhash_hi,
+            CAST(list_sum(list_transform(range(0, 32),
+              i -> CASE WHEN votes[i + 33] > 0
+                THEN (CAST(1 AS BIGINT) << (31 - i)) ELSE 0 END))
+              AS BIGINT) AS simhash_lo
+          FROM v)"""
 }

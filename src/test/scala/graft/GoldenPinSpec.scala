@@ -68,13 +68,13 @@ class GoldenPinSpec extends SparkSpec {
   private val expected = Map(
     "q19_approx_distinct" -> "d30e6a125b01731a6ae19cfdace8b3e1bd026b2bff667ddc70f524535ed659e6",
     "q29_approx_percentiles" -> "58c51a5462576cfe9d5e68667970d555dc4b32f0fcfabd9f95407ffb322f025b",
-    "q55_minhash_signatures" -> "34ce5c57cd976540427c4fdcadd83d697cae833f18ab133e2ed9a19ea0e85151",
+    "q55_minhash_signatures" -> "c04e430a6abb6166e505888d15dc10747fc48385936489f1ab98992f84ddabcd",
     "q56_lsh_near_dup" -> "5e6edd0a14bdb5a31736eec45ac4ed4d1d89e0787c186a528cb9493bbb284b05",
-    "q57_simhash" -> "be5dc890b65b7058fec61c7fc06cd343f7ee424f620db1cc29d085f6535e332f",
-    "q58_fingerprint" -> "a0add1ef8f173abaaa4b04d276366f0cce12157b7c61b5c5526738a086d5cea0",
+    "q57_simhash" -> "8dfc1da2fc6d0d40eb35d627fa584ae863b5ec51c64ceb918ffe004b80a9537a",
+    "q58_fingerprint" -> "105f14e2aeebcaaf70f04aa56cb66d9557dfb516afaca9b96f23549ed44aec78",
     "q63_ann_lsh" -> "2688640cb3a74ec64c85187e40443fef642de7535da99eb556b96d6d40ff4c38",
     "q64_ann_ivf" -> "0f657231731ca79e08c494ddf5aaeb069861ba43d7345eed437ed22eca2d17c7",
-    "q68_simhash_neardup" -> "b191512dcc7516f6b61e8794d56f545f39a7cea8fc24f66649d220b57e276fb4",
+    "q68_simhash_neardup" -> "15dabf51c0a1dd07d2cdb5160b91c3eae93d04a42849da8c75db79a0c1011ad1",
     "q69_embedding_neardup_lsh" -> "300f038752a3825c9c01833340d9f957a3b4d68518cbbf771233257b1276d7ac",
     "q71_media_features" -> "7214c0c0d0886d63b1a4514d34f27de82915ed77bf22e071026943f740196e83",
     "q72_token_cms" -> "d3722a7ee4d9214d965c456c93bd93c68978d56d841dbd03da2f2009e0bfc3c1",

@@ -59,6 +59,22 @@ class SimHashSpec extends SparkSpec {
     }
   }
 
+  test("native SimHash64 pre-hashed path is bit-exact vs the HOF fold " +
+      "(portable md5 hash family, q57/q68's path)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .limit(200)
+    val hs = Text.md5TokenHash64(Text.tokens(col("text")))
+    val both = docs.select(
+      Text.simHash(hs).as("a"),
+      Text.simHashHofFromHashes(hs).as("b"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val (a, b) = (r.getStruct(0), r.getStruct(1))
+      assert(a.getLong(0) === b.getLong(0) && a.getLong(1) === b.getLong(1))
+    }
+  }
+
   test("Text.hamming column matches bit_count XOR semantics") {
     val df = Seq(("x", base, edited)).toDF("id", "t1", "t2")
     val got = df.select(Text.hamming(
@@ -86,8 +102,12 @@ class SimHashSpec extends SparkSpec {
     // output must EQUAL the brute-force all-pairs scan, not merely
     // approximate it.
     val dir = "/root/testdata/sf0.01"
+    // q68 runs the PORTABLE fingerprint family (round 8); the
+    // pigeonhole exactness claim is hash-family-independent, so the
+    // brute-force side uses the same family as the query under test
     val fp = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), Text.simHash(Text.tokens(col("text"))).as("sh"))
+      .select(col("doc_id"),
+        Text.simHash(Text.md5TokenHash64(Text.tokens(col("text")))).as("sh"))
       .cache()
     val brute = fp.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
       .crossJoin(fp.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")))
