@@ -67,8 +67,38 @@ object Bench {
         spark.catalog.clearCache()
       }
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
+    // Machine-state SENTINEL: a fixed CPU-bound range-agg timed
+    // immediately before each query's reps. Two rounds running, the
+    // committed medians have carried ≥1.5× "regressions" on queries
+    // untouched by any commit — machine drift, not code — and
+    // without a co-recorded reference there is no way to tell a real
+    // regression from a busy machine. Design choices, all measured:
+    // CPU-bound range (not a parquet scan — page cache state leaks
+    // into scans), MIN of 3 runs (uncontended time is a floor;
+    // contention only inflates, so min is the stable statistic where
+    // a single shot swings ±60%), per query rather than per rep
+    // (medians are per query; ~0.4s × queries ≈ 1 minute of total
+    // overhead at the full surface). The artifact ships the raw
+    // medians (`queries`, unchanged contract), the per-query
+    // sentinel floor (`sentinel` + `sentinel_ref` = median of
+    // floors), and `queries_norm` = raw × (sentinel_ref / sentinel):
+    // a query is only credibly regressed when its NORMALIZED median
+    // moves.
+    def sentinelOnce(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      spark.range(0, 8000000L, 1, cpus.toInt)
+        .select(pmod(xxhash64(col("id")), lit(1000000)).as("h"))
+        .agg(sum(col("h")))
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def sentinel(): Double = (1 to 3).map(_ => sentinelOnce()).min
+    (1 to 3).foreach(_ => sentinelOnce()) // JIT-warm the sentinel itself
     var errors = List.empty[(String, String)]
+    var sentinels = Map.empty[String, Double]
     val results = selected.map { case (name, fn) =>
+      val sFloor = sentinel()
       val times = (1 to reps).map { rep =>
         val t0 = System.nanoTime()
         // noop sink, NOT count(): count() lets Catalyst prune the
@@ -96,10 +126,21 @@ object Bench {
         System.gc()
         dt
       }
+      sentinels += name -> sFloor
       name -> times.sorted.apply(times.size / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val sentinelRef =
+      if (sentinels.isEmpty) 0.0
+      else sentinels.values.toSeq.sorted.apply(sentinels.size / 2)
+    val sentJson = sentinels.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val normJson = results.map { case (k, v) =>
+      val s = sentinels.getOrElse(k, sentinelRef)
+      val norm = if (s > 0) v * (sentinelRef / s) else v
+      "\"" + k + "\":" + norm
+    }.mkString("{", ",", "}")
     // escape EVERY control char, not just the common whitespace ones —
     // exception messages embed caret diagnostics and arbitrary input
     def esc(s: String): String = s.flatMap {
@@ -114,6 +155,8 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""queries_norm":$normJson,"sentinel":$sentJson,""" +
+        s""""sentinel_ref":$sentinelRef,""" +
         s""""errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     Files.writeString(Paths.get(out), line + "\n")
