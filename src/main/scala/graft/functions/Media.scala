@@ -14,16 +14,16 @@ import graft.expressions.MediaDims
   * The HEADER decode is REAL: [[graft.expressions.MediaDims]] parses
   * container kind, pixel dimensions, and frame count straight from
   * the format headers (PNG/JPEG/GIF/BMP/WebP/WAV/Parquet) with pure
-  * byte arithmetic — no codec dependency. What remains a SEAM is the
-  * pixel/feature model: this container ships no image/audio codecs or
-  * embedding models, so [[Media.headerDecode]] pairs the real header
-  * geometry with a deterministic pseudo-feature vector derived from
-  * the raw bytes. A real deployment swaps the feature function for a
-  * codec+model-backed `Decoder` (javax.imageio, ffmpeg bindings, an
-  * ONNX encoder, …) without touching the Spark plumbing — the schema,
-  * the partition-parallel batch shape, and the typed seam stay as
-  * tested here. Resize / frame-sample follow the same seam:
-  * bytes→bytes decoders composed before feature extraction.
+  * byte arithmetic — no codec dependency. The PIXEL path is real too
+  * (round 8): `javax.imageio` ships in the JDK, so
+  * [[Media.imageIoResizer]] decodes PNG/JPEG/GIF/BMP rasters and
+  * resizes by deterministic integer nearest-neighbor sampling, and
+  * [[Media.pixelDecode]] computes real image statistics as features.
+  * What remains a SEAM is the feature MODEL: an embedding model is
+  * out of scope for a query engine, so a deployment swaps its own
+  * `Decoder` (ffmpeg bindings, an ONNX encoder, …) without touching
+  * the Spark plumbing — schema, partition-parallel batch shape, and
+  * the typed seam stay as tested here.
   */
 object Media {
 
@@ -76,6 +76,59 @@ object Media {
     }
   }
 
+  /** REAL featurizer over decoded pixels: for assets the JDK codecs
+    * can raster, the feature vector is trivial-but-real image
+    * statistics — per-channel means, luma mean/stddev, horizontal
+    * edge density (fraction of adjacent pixel pairs with luma delta
+    * > 16), aspect ratio, and normalized log-area — each scaled to
+    * [-1, 1]. Non-raster kinds (audio, parquet, unknown) fall back to
+    * [[headerDecode]]'s content-addressed pseudo-features, so the
+    * output stays total. An embedding MODEL stays out of scope for a
+    * query engine — this exercises the partition-parallel batch shape
+    * on real pixels, which is the part the engine owns.
+    */
+  object pixelDecode extends Decoder {
+    override def decode(path: String, bytes: Array[Byte]): MediaMeta = {
+      val base = headerDecode.decode(path, bytes)
+      if (base.width.isEmpty || base.height.isEmpty) base
+      else try {
+        val img = decodeImage(bytes)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb, sl, sl2) = (0L, 0L, 0L, 0L, 0L)
+        var edges = 0L
+        var prevLuma = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+            // integer BT.601-ish luma — deterministic, no float accum
+            val luma = (299 * r + 587 * g + 114 * b) / 1000
+            sr += r; sg += g; sb += b; sl += luma; sl2 += luma.toLong * luma
+            if (x > 0 && math.abs(luma - prevLuma) > 16) edges += 1
+            prevLuma = luma
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        val mean = sl.toDouble / n
+        val variance = math.max(0.0, sl2.toDouble / n - mean * mean)
+        def unit(v: Double): Float = (v * 2 - 1).toFloat // [0,1] -> [-1,1]
+        MediaMeta(base.file_name, base.kind, base.width, base.height,
+          base.n_frames,
+          feature = Array(
+            unit(sr.toDouble / n / 255), unit(sg.toDouble / n / 255),
+            unit(sb.toDouble / n / 255), unit(mean / 255),
+            unit(math.sqrt(variance) / 128),
+            unit(if (n > h) edges.toDouble / (n - h) else 0.0),
+            unit(math.min(1.0, w.toDouble / (w + h))),
+            unit(math.min(1.0, math.log1p(n.toDouble) / 25))))
+      } catch { case _: IllegalArgumentException => base } // header lied; keep seam total
+    }
+  }
+
   /** Decode + feature-extract a `binaryFile` frame (columns `path`,
     * `content`) partition-parallel. Iterator-to-iterator: one asset's
     * bytes in flight per task at a time; partitioning (and therefore
@@ -109,10 +162,11 @@ object Media {
     }
   }
 
-  /** Pluggable resize seam (bytes + target geometry → bytes). The
-    * container ships no codecs, so [[stubResizer]] is the default;
-    * a real deployment swaps in an imageio/libvips-backed
-    * implementation without touching the plumbing.
+  /** Pluggable resize seam (bytes + target geometry → bytes).
+    * [[imageIoResizer]] (JDK codecs, real pixels) is the default; a
+    * deployment with richer codecs (libvips, ffmpeg) swaps its own in
+    * without touching the plumbing. Implementations signal
+    * undecodable input with `IllegalArgumentException`.
     */
   trait Resizer extends Serializable {
     def resize(bytes: Array[Byte], outW: Int, outH: Int): Array[Byte]
@@ -121,8 +175,9 @@ object Media {
   /** STUB pixel path: emits a deterministic pseudo-thumbnail (magic +
     * geometry + FNV digest of the source bytes — content-addressed,
     * so identical inputs produce identical outputs under any
-    * partitioning) instead of decoded pixels. The SEAM is the point:
-    * schema, batch shape, and geometry math around it are real.
+    * partitioning) instead of decoded pixels. Kept for formats
+    * [[imageIoResizer]] can't raster and as the zero-dependency test
+    * double; the REAL pixel path below is the default.
     */
   object stubResizer extends Resizer {
     override def resize(bytes: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
@@ -133,6 +188,60 @@ object Media {
       out.put("THMB".getBytes("US-ASCII")).putInt(outW).putInt(outH).putLong(h)
       out.array()
     }
+  }
+
+  /** REAL pixel path: decode with `javax.imageio` (in the JDK — PNG/
+    * JPEG/GIF/BMP/WBMP with no external codec), resize by
+    * deterministic integer NEAREST-NEIGHBOR sampling (output pixel
+    * (x, y) reads input pixel (x·inW/outW, y·inH/outH) — pure
+    * integer floor math, bit-identical on any JVM, unlike Graphics2D
+    * interpolation whose rounding is implementation-defined), and
+    * re-encode as PNG. Headless-safe; one asset's raster in flight
+    * per task. Undecodable bytes (codec-less format, truncated body)
+    * throw `IllegalArgumentException` — [[resizeAssets]] maps that to
+    * the same drop-with-count semantics as headerless assets.
+    */
+  object imageIoResizer extends Resizer {
+    override def resize(bytes: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+      val img = decodeImage(bytes)
+      val out = nearestNeighbor(img, outW, outH)
+      val bos = new java.io.ByteArrayOutputStream()
+      if (!javax.imageio.ImageIO.write(out, "png", bos))
+        throw new IllegalStateException("JDK PNG writer unavailable")
+      bos.toByteArray
+    }
+  }
+
+  /** ImageIO decode with a typed failure. */
+  private[graft] def decodeImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case e: java.io.IOException =>
+        throw new IllegalArgumentException(s"image decode failed: ${e.getMessage}") }
+    if (img == null)
+      throw new IllegalArgumentException("no ImageIO codec for these bytes")
+    img
+  }
+
+  /** Deterministic integer nearest-neighbor resample into RGB. */
+  private[graft] def nearestNeighbor(img: java.awt.image.BufferedImage,
+                                     outW: Int, outH: Int): java.awt.image.BufferedImage = {
+    require(outW > 0 && outH > 0, s"non-positive target ${outW}x$outH")
+    val (inW, inH) = (img.getWidth, img.getHeight)
+    val out = new java.awt.image.BufferedImage(
+      outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < outH) {
+      val sy = (y.toLong * inH / outH).toInt
+      var x = 0
+      while (x < outW) {
+        val sx = (x.toLong * inW / outW).toInt
+        out.setRGB(x, y, img.getRGB(sx, sy) | 0xff000000)
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 
   /** Typed resize output: original + target geometry and the
@@ -149,12 +258,16 @@ object Media {
     * `maxW`×`maxH`, partition-parallel with one asset's bytes in
     * flight per task (the [[extractFeatures]] shape). Assets whose
     * header carries no pixel geometry (audio, parquet, truncated
-    * headers) are dropped — a resize of an un-decodable asset has no
-    * meaning, and at 100 TB silently passing them through would
-    * double-store the corpus.
+    * headers) are dropped, as are assets whose BODY the resizer
+    * cannot decode (`IllegalArgumentException`) — a thumbnail of an
+    * un-decodable asset has no meaning, and at 100 TB silently
+    * passing the bytes through would double-store the corpus. Other
+    * resizer failures still fail the task: a missing codec for a
+    * whole format class should surface, not silently empty the
+    * output.
     */
   def resizeAssets(files: DataFrame, maxW: Int, maxH: Int,
-                   resizer: Resizer = stubResizer): Dataset[ResizedAsset] = {
+                   resizer: Resizer = imageIoResizer): Dataset[ResizedAsset] = {
     val spark = files.sparkSession
     import spark.implicits._
     files.select("path", "content").as[(String, Array[Byte])]
@@ -163,9 +276,12 @@ object Media {
         if (d.width <= 0 || d.height <= 0) None
         else {
           val (ow, oh) = fitWithin(d.width, d.height, maxW, maxH)
-          Some(ResizedAsset(
+          val thumb =
+            try Some(resizer.resize(b, ow, oh))
+            catch { case _: IllegalArgumentException => None }
+          thumb.map(t => ResizedAsset(
             p.substring(p.lastIndexOf('/') + 1), d.kind,
-            d.width, d.height, ow, oh, resizer.resize(b, ow, oh)))
+            d.width, d.height, ow, oh, t))
         }
       })
   }

@@ -171,7 +171,10 @@ class MediaSpec extends SparkSpec {
       ("a/small.gif", gif(9, 9, 3)),
       ("a/audio.bin", Array[Byte](0, 1, 2))) // no pixel geometry
       .toDF("path", "content")
-    val out = Media.resizeAssets(df, 128, 128).collect()
+    // header-only fixtures carry no raster, so this test pins the
+    // STUB seam explicitly; the real pixel path is pinned below on
+    // fully-encoded images
+    val out = Media.resizeAssets(df, 128, 128, Media.stubResizer).collect()
       .sortBy(_.file_name)
     assert(out.map(_.file_name).toSeq === Seq("big.png", "small.gif"))
     val big = out(0)
@@ -183,9 +186,84 @@ class MediaSpec extends SparkSpec {
     val magic = new Array[Byte](4); thumb.get(magic)
     assert(new String(magic, "US-ASCII") === "THMB")
     assert(thumb.getInt === 128 && thumb.getInt === 96)
-    val again = Media.resizeAssets(df.repartition(3), 128, 128).collect()
+    val again = Media.resizeAssets(df.repartition(3), 128, 128,
+        Media.stubResizer).collect()
       .sortBy(_.file_name)
     assert(again(0).thumb.toSeq === big.thumb.toSeq)
+  }
+
+  // ---- real pixel path (round 8): JDK ImageIO rasters ----
+
+  /** A deterministic 7×5 gradient raster encoded with the named JDK
+    * codec — a REAL image, not a header-only prefix.
+    */
+  private def realImage(fmt: String, w: Int = 7, h: Int = 5): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 36) << 16) | ((y * 50) << 8) | ((x + y) * 20))
+    val bos = new ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no JDK $fmt writer")
+    bos.toByteArray
+  }
+
+  test("imageIoResizer: real raster decode, exact output dims, " +
+      "deterministic NN pixels, PNG == BMP") {
+    import spark.implicits._
+    val df = Seq(
+      ("a/grad.png", realImage("png")),
+      ("a/grad.bmp", realImage("bmp")),
+      ("a/headeronly.png", png(640, 480))) // valid header, NO raster body
+      .toDF("path", "content")
+    val out = Media.resizeAssets(df, 4, 4).collect()
+      .map(r => r.file_name -> r).toMap
+    // undecodable body dropped, both real rasters kept
+    assert(out.keySet === Set("grad.png", "grad.bmp"))
+    val p = out("grad.png")
+    assert((p.in_w, p.in_h, p.out_w, p.out_h) === ((7, 5, 4, 2)))
+    // decode the emitted thumbnail and check every pixel against an
+    // INDEPENDENT nearest-neighbor reference over the source gradient
+    def pixels(bytes: Array[Byte]): Seq[Int] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        yield img.getRGB(x, y) & 0xffffff
+    }
+    val expected = for (y <- 0 until 2; x <- 0 until 4) yield {
+      val (sx, sy) = (x * 7 / 4, y * 5 / 2)
+      (((sx * 36) << 16) | ((sy * 50) << 8) | ((sx + sy) * 20)) & 0xffffff
+    }
+    assert(pixels(p.thumb) === expected)
+    // BMP source decodes to the identical raster -> identical thumb pixels
+    assert(pixels(out("grad.bmp").thumb) === expected)
+    // deterministic under repartitioning (byte-identical payload)
+    val again = Media.resizeAssets(df.repartition(3), 4, 4).collect()
+      .map(r => r.file_name -> r).toMap
+    assert(again("grad.png").thumb.toSeq === p.thumb.toSeq)
+  }
+
+  test("pixelDecode: exact channel statistics on a solid-color raster") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(
+      6, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 6)
+      img.setRGB(x, y, (200 << 16) | (100 << 8) | 50)
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = Seq(("a/solid.png", bos.toByteArray),
+      ("a/meta.bin", s2b("PAR1") :+ 0.toByte)) // non-raster: header fallback
+      .toDF("path", "content")
+    val m = Media.extractFeatures(df, Media.pixelDecode).collect()
+      .map(x => x.file_name -> x).toMap
+    val f = m("solid.png").feature
+    assert(math.abs(f(0) - (200.0 / 255 * 2 - 1)) < 1e-6) // r mean exact
+    assert(math.abs(f(1) - (100.0 / 255 * 2 - 1)) < 1e-6) // g mean
+    assert(math.abs(f(2) - (50.0 / 255 * 2 - 1)) < 1e-6)  // b mean
+    assert(f(4) === -1.0f) // zero luma stddev on a solid color
+    assert(f(5) === -1.0f) // zero edge density
+    // non-raster asset still yields a total row via the header fallback
+    assert(m("meta.bin").kind === "parquet")
+    assert(m("meta.bin").feature.length === Media.FeatureDim)
   }
 
   test("extractFeatures: one typed row per file, fixed feature width") {
