@@ -197,6 +197,9 @@ object Archive {
       case None => sys.error(s"no committed version under $root")
     }
 
+  /** True when `root` carries a committed manifest version. */
+  def hasVersion(root: String): Boolean = currentVersion(root).isDefined
+
   def readVersionedParquet(spark: org.apache.spark.sql.SparkSession,
                            root: String): DataFrame =
     spark.read.parquet(resolveVersioned(root))

@@ -48,11 +48,36 @@ object EpochStore {
 
   /** Create the store: write the base epoch of version 0 and commit
     * the manifest. `writeBase` receives the `epoch=base` dir path.
+    *
+    * On an ALREADY-BUILT root this fails unless `rebuild = true`: a
+    * silent re-create used to stage a fresh version with no
+    * `_folded_epochs` ledger, so a streaming checkpoint surviving the
+    * rebuild would re-commit previously-delivered batchIds as new
+    * epochs (the replay hole, re-opened). A deliberate rebuild
+    * CARRIES THE LEDGER FORWARD — every epoch id the old version had
+    * committed or folded is recorded as folded into the new base —
+    * which closes the hole outright: the rebuild's source corpus owns
+    * those batches' rows now, so their redelivery must stay a no-op.
     */
-  def create(root: String)(writeBase: String => Unit): Unit =
+  def create(root: String, rebuild: Boolean = false)(writeBase: String => Unit): Unit = {
+    val existing = Archive.hasVersion(root)
+    if (existing && !rebuild)
+      throw new IllegalStateException(
+        s"EpochStore at $root is already built; pass rebuild = true " +
+          "for a deliberate rebuild (the committed-epoch ledger is " +
+          "carried forward so surviving stream checkpoints stay safe)")
+    val carried: Set[Long] =
+      if (existing) {
+        val live = liveDir(root)
+        foldedIds(live) ++ liveEpochIds(live)
+      } else Set.empty
     Archive.stageVersion(root) { dir =>
       writeBase(s"$dir/epoch=base")
+      if (carried.nonEmpty)
+        Files.writeString(Paths.get(dir, FoldedName),
+          carried.toSeq.sorted.mkString("\n")): Unit
     }: Unit
+  }
 
   /** The live version directory, resolved through the manifest. */
   def liveDir(root: String): String = Archive.resolveVersioned(root)
@@ -90,8 +115,34 @@ object EpochStore {
       Archive.deleteTree(Paths.get(tmp))
       write(tmp)
       Files.move(Paths.get(tmp), Paths.get(live, s"epoch=$id"),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // A compact() racing this commit (single-maintenance-writer
+      // contract violated) flips the manifest mid-stage: the epoch
+      // just renamed into the DISPLACED version dir, which the next
+      // compaction deletes — silent data loss. Re-resolve and fail
+      // loudly instead, turning a contract violation into an error
+      // the caller can retry against the new live version.
+      val liveNow = liveDir(root)
+      if (liveNow != live)
+        throw new IllegalStateException(
+          s"epoch=$id committed into displaced version $live but the " +
+            s"manifest now points at $liveNow — a maintenance writer " +
+            "raced this append; retry the commit")
     }
+
+  /** Next free epoch id for ad-hoc BATCH appends, drawn from a high
+    * band (≥ 10^9) disjoint from streaming batchIds (micro-batch
+    * counters from 0): a derived batch id that collided with a
+    * future stream batchId would make that stream commit a silent
+    * no-op. Single-maintenance-writer contract applies (derive and
+    * commit must not race another appender).
+    */
+  def nextAppendEpochId(root: String): Long = {
+    val BatchFloor = 1000000000L
+    val live = liveDir(root)
+    val used = (foldedIds(live) ++ liveEpochIds(live)).filter(_ >= BatchFloor)
+    if (used.isEmpty) BatchFloor else used.max + 1
+  }
 
   /** Numeric epoch ids present as dirs in the live version. */
   private def liveEpochIds(live: String): Seq[Long] = {

@@ -57,13 +57,21 @@ object CdcChunks {
   private val Space = UTF8String.fromString(" ")
   private val WhitespaceRx = UTF8String.fromString("\\s+")
 
+  /** One MessageDigest per thread: `getInstance("MD5")` pays a JCA
+    * provider lookup plus allocation, and [[wordVal]] runs once per
+    * word of every document — exactly the constant factor this
+    * kernel exists to remove. `digest()` auto-resets, so one
+    * instance serves every call on its thread.
+    */
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
   /** md5-derived word value in [0, 1021) — identical to
     * `pmod(conv(substring(md5(w), 1, 6), 16, 10), 1021)`: the first
     * six hex nibbles of the digest are exactly its first three bytes
     * read big-endian.
     */
-  private def wordVal(w: UTF8String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+  private def wordVal(md: java.security.MessageDigest, w: UTF8String): Long = {
     val digest = md.digest(w.getBytes)
     var v = 0L
     var i = 0
@@ -78,8 +86,9 @@ object CdcChunks {
     val toks = text.toLowerCase.trim.split(WhitespaceRx, -1)
     val n = toks.length
     val vals = new Array[Long](n)
+    val md = md5.get()
     var i = 0
-    while (i < n) { vals(i) = wordVal(toks(i)); i += 1 }
+    while (i < n) { vals(i) = wordVal(md, toks(i)); i += 1 }
     // 1-based starts: 1, plus every i >= 3 with the window hash ≡ 0
     val starts = new scala.collection.mutable.ArrayBuffer[Int](8)
     starts += 1

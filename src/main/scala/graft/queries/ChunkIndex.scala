@@ -29,7 +29,7 @@ object ChunkIndex {
 
   /** Chunk `docs` (columns doc_id, text) and write the base epoch. */
   def build(docs: DataFrame, path: String): String = {
-    EpochStore.create(s"$path/chunks") { base =>
+    EpochStore.create(s"$path/chunks", rebuild = true) { base =>
       QualityOps.chunkRelationOf(docs)
         .write.mode("overwrite").parquet(base)
     }

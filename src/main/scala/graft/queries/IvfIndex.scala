@@ -46,7 +46,7 @@ object IvfIndex {
     // [[appendEpoch]]) — epoch is the exactly-once unit, cell below
     // it stays the pruning column, and [[compact]] folds epochs back
     // into one base under a manifest flip
-    graft.engine.EpochStore.create(s"$path/cells") { base =>
+    graft.engine.EpochStore.create(s"$path/cells", rebuild = true) { base =>
       assign(emb, cents)
         .write.mode("overwrite").partitionBy("cell").parquet(base)
     }

@@ -63,7 +63,12 @@ object MinHashIndex {
     * and added; existing rows are never rewritten. The caller owns
     * id-disjointness (re-appending an id duplicates its rows, as in
     * any append-only store — dedup upstream with q82's incremental
-    * exact stage).
+    * exact stage). Requires a prior [[build]] (the live version is
+    * resolved through the manifest), and commits as its OWN epoch
+    * dir — one atomic rename per table, so a racing reader sees the
+    * batch entirely or not at all (direct part-file appends into the
+    * live base were visible mid-write). Single-maintenance-writer
+    * contract, like [[compact]].
     */
   def append(docs: DataFrame, path: String): Unit =
     write(docs, path, "append")
@@ -79,17 +84,26 @@ object MinHashIndex {
     val sigs = signatures(docs).persist() // feeds both tables; sign once
     sigs.count()
     if (mode == "append") {
-      // incremental batch append: add files to the existing base
-      // epoch of the live version (no new version, no new epoch dir)
-      sigs.write.mode("append")
-        .parquet(s"${EpochStore.liveDir(s"$path/docs")}/epoch=base")
-      bandsOf(sigs).write.mode("append").partitionBy("band")
-        .parquet(s"${EpochStore.liveDir(s"$path/bands")}/epoch=base")
+      // incremental batch append: its own epoch in each table, from
+      // the high id band disjoint from streaming batchIds. A crash
+      // between the two commits leaves docs-only; re-running the
+      // append commits BOTH tables under a fresh id, so complete the
+      // crashed id manually (appendEpoch) rather than re-appending.
+      val id = EpochStore.nextAppendEpochId(s"$path/docs")
+      EpochStore.commitEpoch(s"$path/docs", id) { tmp =>
+        sigs.write.mode("overwrite").parquet(tmp)
+      }
+      EpochStore.commitEpoch(s"$path/bands", id) { tmp =>
+        bandsOf(sigs).write.mode("overwrite").partitionBy("band")
+          .parquet(tmp)
+      }
     } else {
-      EpochStore.create(s"$path/docs") { base =>
+      // build = deliberate rebuild: ledger carries forward (see
+      // EpochStore.create) so surviving stream checkpoints stay safe
+      EpochStore.create(s"$path/docs", rebuild = true) { base =>
         sigs.write.mode("overwrite").parquet(base)
       }
-      EpochStore.create(s"$path/bands") { base =>
+      EpochStore.create(s"$path/bands", rebuild = true) { base =>
         bandsOf(sigs).write.mode("overwrite").partitionBy("band")
           .parquet(base)
       }

@@ -190,7 +190,7 @@ object QualityOps {
     */
   def buildVerdicts(docs: org.apache.spark.sql.DataFrame,
                     path: String): String = {
-    graft.engine.EpochStore.create(s"$path/verdicts") { base =>
+    graft.engine.EpochStore.create(s"$path/verdicts", rebuild = true) { base =>
       verdictsOf(docs).write.mode("overwrite").parquet(base)
     }
     path

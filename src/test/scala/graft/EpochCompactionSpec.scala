@@ -90,6 +90,103 @@ class EpochCompactionSpec extends SparkSpec {
     assert(fileDirs(s"$ix/docs") === d && fileDirs(s"$ix/bands") === b)
   }
 
+  test("batch append() commits as its own epoch: base untouched, " +
+      "matches grow, id drawn from the high band") {
+    val base = java.nio.file.Files.createTempDirectory("mh-append").toString
+    val ix = s"$base/ix"
+    MinHashIndex.build(docs.filter(col("doc_id") < 300), ix)
+    val baseFiles = fileDirs(s"$ix/docs")
+    MinHashIndex.append(docs.filter(
+      col("doc_id") >= 300 && col("doc_id") < 400), ix)
+    // the pre-append base files are byte-identical (no part files
+    // were injected into epoch=base mid-flight); the batch is its
+    // own epoch from the >=10^9 band, disjoint from stream batchIds
+    assert(fileDirs(s"$ix/docs").filter(_.contains("epoch=base")) ===
+      baseFiles.filter(_.contains("epoch=base")))
+    assert(EpochStore.epochCount(s"$ix/docs") === 2)
+    assert(EpochStore.committed(s"$ix/docs", 1000000000L))
+    assert(EpochStore.committed(s"$ix/bands", 1000000000L))
+    // a second append takes the next id up
+    MinHashIndex.append(docs.filter(col("doc_id") >= 400).limit(50), ix)
+    assert(EpochStore.committed(s"$ix/docs", 1000000001L))
+    val n = EpochStore.read(spark, s"$ix/docs").count()
+    assert(n === docs.filter(col("doc_id") < 400).count() + 50)
+  }
+
+  test("append racing compact fails loudly instead of losing the epoch " +
+      "(engine-level: all three stores share this path)") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("race").toString + "/store"
+    EpochStore.create(root) { b =>
+      Seq((1L, "a")).toDF("id", "v").write.parquet(b)
+    }
+    EpochStore.commitEpoch(root, 1L) { t =>
+      Seq((2L, "b")).toDF("id", "v").write.parquet(t)
+    }
+    // deterministic interleave: the maintenance flip happens INSIDE
+    // the appender's stage window (after it resolved the live
+    // version, before its rename) — the single-maintenance-writer
+    // contract violated on purpose
+    val e = intercept[IllegalStateException] {
+      EpochStore.commitEpoch(root, 2L) { t =>
+        Seq((3L, "c")).toDF("id", "v").write.parquet(t)
+        EpochStore.compact(spark, root) // flips the manifest mid-stage
+      }
+    }
+    assert(e.getMessage.contains("displaced"))
+    // the store is intact: epoch 2 is NOT visible (it landed in the
+    // displaced version), nothing was lost from the live table...
+    assert(!EpochStore.committed(root, 2L))
+    assert(EpochStore.read(spark, root).count() === 2)
+    // ...and the documented recovery — retry the commit — lands it
+    EpochStore.commitEpoch(root, 2L) { t =>
+      Seq((3L, "c")).toDF("id", "v").write.parquet(t)
+    }
+    assert(EpochStore.read(spark, root).count() === 3)
+  }
+
+  test("create() refuses a silent rebuild; rebuild=true carries the " +
+      "committed-epoch ledger forward (stale checkpoints stay no-ops)") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("rebuild").toString + "/store"
+    EpochStore.create(root) { b =>
+      Seq((1L, "a")).toDF("id", "v").write.parquet(b)
+    }
+    EpochStore.commitEpoch(root, 7L) { t =>
+      Seq((2L, "b")).toDF("id", "v").write.parquet(t)
+    }
+    EpochStore.compact(spark, root) // 7 moves into the folded ledger
+    EpochStore.commitEpoch(root, 9L) { t =>
+      Seq((3L, "c")).toDF("id", "v").write.parquet(t)
+    }
+    // accidental re-create fails loudly
+    intercept[IllegalStateException] {
+      EpochStore.create(root) { b =>
+        Seq((4L, "d")).toDF("id", "v").write.parquet(b)
+      }
+    }
+    // deliberate rebuild: both the folded id (7) and the live epoch
+    // id (9) are remembered, so a stream checkpoint surviving the
+    // rebuild cannot re-commit either
+    EpochStore.create(root, rebuild = true) { b =>
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").write.parquet(b)
+    }
+    assert(EpochStore.committed(root, 7L) && EpochStore.committed(root, 9L))
+    val files = fileDirs(root)
+    EpochStore.commitEpoch(root, 7L) { t => // redelivery: storage no-op
+      Seq((99L, "x")).toDF("id", "v").write.parquet(t)
+    }
+    assert(fileDirs(root) === files)
+    assert(EpochStore.read(spark, root).count() === 3)
+    // genuinely new epochs still commit after the rebuild
+    EpochStore.commitEpoch(root, 10L) { t =>
+      Seq((4L, "d")).toDF("id", "v").write.parquet(t)
+    }
+    assert(EpochStore.read(spark, root).count() === 4)
+  }
+
   /** Relative paths of every data file under `root`. */
   private def fileDirs(root: String): Set[String] = {
     import scala.jdk.CollectionConverters._
