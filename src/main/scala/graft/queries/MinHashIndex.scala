@@ -259,7 +259,7 @@ object MinHashIndex {
     * The point of serving it from the index: the corpus TEXT is never
     * re-read and never re-shingled — the three corpus-side consumers
     * (posting explode, DF count, set sizes) scan the compact stored
-    * hash arrays. Output matches [[TextOps.incrementalNearDupOn]]
+    * hash arrays. Output matches [[NearDupOps.incrementalNearDupOn]]
     * row-for-row on a disjoint batch/corpus split: (doc_id, match_id,
     * n_common, n_a, n_b, jaccard ≥ `tau`), best match per batch doc
     * (jaccard desc, match_id), jaccard 4dp-rounded BEFORE the filter

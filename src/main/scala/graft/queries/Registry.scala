@@ -26,9 +26,11 @@ final case class Q(
 object Registry {
   def all: Seq[Q] =
     Relational.queries ++ Windows.queries ++ JsonOps.queries ++
-      EventOps.queries ++ TextOps.queries ++ Similarity.queries ++
-      MultimodalOps.queries ++ TrainingOps.queries ++
-      TokenizerOps.queries ++ QualityOps.queries ++ LayoutOps.queries
+      EventOps.queries ++ TextOps.queries ++ NearDupOps.queries ++
+      CorpusStatsOps.queries ++ SampleOps.queries ++
+      Similarity.queries ++ MultimodalOps.queries ++
+      TrainingOps.queries ++ TokenizerOps.queries ++
+      QualityOps.queries ++ LayoutOps.queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

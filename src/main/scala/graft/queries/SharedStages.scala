@@ -57,17 +57,17 @@ object SharedStages {
   }
 
   /** The exact blocked near-dup pair table over the capped corpus
-    * prefix ([[TextOps.ngramNearDupPairsOn]] at the declared
+    * prefix ([[NearDupOps.ngramNearDupPairsOn]] at the declared
     * [[TextOps.ExactBaselineDocCap]]), computed once per (session,
     * sf dir). Columns (doc_a, doc_b, jac). Consumers: q54 (the pairs
     * themselves), q78 (components), q110 (cluster histogram), q100
     * (survivor-filtered components — see
-    * [[TextOps.dedupVerdictsOn]] for why filtering this table equals
+    * [[NearDupOps.dedupVerdictsOn]] for why filtering this table equals
     * recomputing over survivors).
     */
   def cappedNearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val p = cached(spark, sfDir, "neardup-pairs") { path =>
-      TextOps.ngramNearDupPairsOn(
+      NearDupOps.ngramNearDupPairsOn(
           QU.t(spark, sfDir).documents
             .filter(col("doc_id") < TextOps.ExactBaselineDocCap))
         .write.mode("overwrite").parquet(path)
@@ -101,7 +101,7 @@ object SharedStages {
     */
   def dedupVerdictsTable(spark: SparkSession, sfDir: String): DataFrame = {
     val p = cached(spark, sfDir, "dedup-verdicts") { path =>
-      TextOps.dedupVerdictsOn(
+      NearDupOps.dedupVerdictsOn(
           QU.t(spark, sfDir).documents
             .filter(col("doc_id") < TextOps.ExactBaselineDocCap),
           sharedPairs = Some(cappedNearDupPairs(spark, sfDir)))

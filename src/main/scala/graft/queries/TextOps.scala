@@ -153,42 +153,6 @@ object TextOps {
         FROM scored GROUP BY 1, 2 ORDER BY tagged_lang, pred_lang"""),
       "stopword-profile language-ID confusion matrix"),
 
-    // -- n-gram Jaccard near-dup, candidates-then-verify: the blocking
-    //    self-join runs over the CHEAP columns only (doc_id, lang,
-    //    length bucket) — an equi-join, never a cross join — and the
-    //    candidate pairs then join BACK to a per-doc shingle table by
-    //    doc_id. Shingle arrays are computed once per doc in a leaf
-    //    projection and never dragged through the pair join; at 100 TB
-    //    the pair shuffle carries ids only. This is the EXACT baseline
-    //    (quadratic within blocks by definition — every within-block
-    //    pair is Jaccard-verified); the subquadratic scale path is the
-    //    LSH variant (q56), whose recall is measured against this.
-    //    Per-pair verification compares 64-bit shingle HASHES, not
-    //    strings: xxhash64 is injective on the distinct shingle set
-    //    w.h.p. (collision odds ~1e-10 at 400k pairs × ~100 shingles),
-    //    so the Jaccard value is identical at a fraction of the
-    //    per-pair hashing cost.
-    Q("q54_ngram_neardup",
-      (s, d) => SharedStages.cappedNearDupPairs(s, d)
-        .orderBy(col("doc_a"), col("doc_b")),
-      Some("""WITH docs AS (
-          SELECT doc_id, lang, CAST(FLOOR(n_chars / 64) AS BIGINT) AS bucket,
-            list_distinct(CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) >= 3
-              THEN list_transform(
-                range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
-                i -> array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' '))
-              ELSE [] END) AS sh
-          FROM documents WHERE doc_id < 8192)
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-            / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
-        FROM docs a JOIN docs b
-          ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
-        ORDER BY doc_a, doc_b"""),
-      "blocked n-gram Jaccard near-dup pairs"),
-
     // -- repetition signals (Gopher-style quality gates): fraction of
     //    repeated tokens and repeated bigrams per document — high
     //    values mark boilerplate/template text a training pipeline
@@ -288,680 +252,6 @@ object TextOps {
         FROM deduped GROUP BY lang ORDER BY lang"""),
       "composite corpus prep: quality gate -> exact dedup -> per-lang stats"),
 
-    // -- MinHash signatures over the PORTABLE hash family
-    //    (Text.md5BaseHash): the affine permutations run in the same
-    //    native codegen'd kernel (MinHash's pre-hashed path), and the
-    //    DuckDB oracle replays every bit — md5 → 31-bit fold → 48
-    //    unrolled permutations with the identical lcg constants (the
-    //    SQL is GENERATED from the kernel's own constant table, so
-    //    the two sides cannot drift). sig_hash witnesses the full
-    //    48-long signature as an md5 hex digest (same function both
-    //    engines). Map-side only; recall properties in MinHashSpec.
-    Q("q55_minhash_signatures",
-      (s, d) => {
-        val sig = Text.minHash(Text.md5ShingleHashes(col("text"), 3))
-        t(s, d).documents
-          .select(col("doc_id"), sig.as("sig"))
-          .select(col("doc_id"),
-            element_at(col("sig"), 1).as("sig0"),
-            element_at(col("sig"), 2).as("sig1"),
-            element_at(col("sig"), 3).as("sig2"),
-            md5(concat_ws(",", transform(col("sig"), _.cast("string"))))
-              .as("sig_hash"))
-          .orderBy(col("doc_id"))
-      },
-      Some(s"""WITH $portableSigCtes
-        SELECT doc_id, sig[1] AS sig0, sig[2] AS sig1, sig[3] AS sig2,
-          md5(array_to_string(sig, ',')) AS sig_hash
-        FROM sig ORDER BY doc_id"""),
-      "portable MinHash signatures (full value oracle)"),
-
-    // -- full near-dup dedup via MinHash + LSH banding, candidates-
-    //    then-verify, in four scale-disciplined steps:
-    //    (1) shingle + signature tables are computed ONCE and
-    //        persisted — the minhash tree is an interpreted HOF chain,
-    //        so recomputing it per join side (as a naive plan does)
-    //        multiplies the dominant cost;
-    //    (2) band explode → bucket-size prefilter: singleton buckets
-    //        (bn = 1, the vast majority) can't produce a pair and are
-    //        dropped BEFORE the self-join; buckets above MaxLshBucket
-    //        are dropped as the skewed-hot-key guard — one hot band
-    //        hash on a duplicate-heavy corpus otherwise yields m²
-    //        candidate pairs (m² = 10^8 pairs from one 10^4 bucket);
-    //    (3) candidate id pairs (16-byte rows, never arrays) join the
-    //        48-long SIGNATURES first: the MinHash agreement fraction
-    //        estimates Jaccard, and est < 0.25 prunes nearly every
-    //        false candidate at ~48 long-compares each (target pairs
-    //        have jac ≥ 0.5; P[est < 0.25 | jac = 0.5] ≈ 1e-4);
-    //    (4) only survivors pay the exact shingle-set Jaccard ≥ 0.5.
-    //    Round 8: the query runs the PORTABLE pipeline (md5 base
-    //    hashes, string band keys) so the DuckDB oracle can replay
-    //    candidates → estimate → exact verify end to end; the
-    //    xxhash64 form ([[lshNearDupOn]]) remains the scale path
-    //    (persisted index q114, MinHashSpec recall on both).
-    Q("q56_lsh_near_dup",
-      (s, d) => lshNearDupPortableOn(t(s, d).documents),
-      Some(s"""WITH $portableSigCtes,
-        banded AS (
-          SELECT s.doc_id, r.b AS band,
-            array_to_string(s.sig[4*r.b+1:4*r.b+4], ',') AS k
-          FROM sig s, (SELECT unnest(range(0, 12)) AS b) r),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM banded a JOIN banded b
-            ON a.band = b.band AND a.k = b.k AND a.doc_id < b.doc_id),
-        est AS (
-          SELECT c.doc_a, c.doc_b FROM cand c
-            JOIN sig sa ON sa.doc_id = c.doc_a
-            JOIN sig sb ON sb.doc_id = c.doc_b
-          WHERE CAST(list_sum(list_transform(range(1, 49),
-              i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
-            AS DOUBLE) / 48 >= 0.25),
-        j AS (
-          SELECT e.doc_a, e.doc_b,
-            CASE WHEN len(ha.hs) + len(hb.hs) = 0 THEN 0.0
-              ELSE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
-                / (len(ha.hs) + len(hb.hs)
-                   - len(list_intersect(ha.hs, hb.hs))) END AS jac
-          FROM est e
-            JOIN hs ha ON ha.doc_id = e.doc_a
-            JOIN hs hb ON hb.doc_id = e.doc_b)
-        SELECT doc_a, doc_b, jac FROM j WHERE jac >= 0.5
-        ORDER BY doc_a, doc_b"""),
-      "portable MinHash+LSH banding near-dup (full value oracle; recall in spec)"),
-
-    // -- SimHash fingerprints: 64-bit (two 32-bit halves) sign-of-sum
-    //    over token-hash bits, in the PORTABLE hash family — per-token
-    //    64-bit hash = first 16 md5 hex digits, voted bit-for-bit in
-    //    the native kernel's pre-hashed path. The oracle rebuilds the
-    //    vote table per bit position in UBIGINT arithmetic, so every
-    //    output bit is value-checked; Hamming-near semantics in
-    //    SimHashSpec.
-    Q("q57_simhash",
-      (s, d) => {
-        val sh = Text.simHash(Text.md5TokenHash64(Text.tokens(col("text"))))
-        t(s, d).documents
-          .select(col("doc_id"), sh.as("sh"))
-          .select(col("doc_id"), col("sh.hi").as("simhash_hi"),
-            col("sh.lo").as("simhash_lo"))
-          .orderBy(col("doc_id"))
-      },
-      Some(s"""WITH $portableSimHashCtes
-        SELECT doc_id, simhash_hi, simhash_lo FROM fp ORDER BY doc_id"""),
-      "portable SimHash fingerprints (full value oracle)"),
-
-    // -- SimHash Hamming near-dup pairs via the standard 4×16-bit band
-    //    multi-index (Manku et al., WWW'07 — the production web-dedup
-    //    design): any two 64-bit fingerprints within Hamming distance
-    //    3 differ in at most 3 of the 4 bands, so they agree EXACTLY
-    //    on at least one (pigeonhole) — banding is a guarantee here,
-    //    not a recall gamble, and SimHashSpec asserts output equality
-    //    with the brute-force all-pairs scan. Scale shape matches
-    //    q56: band equi-join on 16-byte id rows, singleton buckets
-    //    dropped before the self-join, verify = one XOR+popcount per
-    //    candidate. Completes the third dedup family: q54/q56 catch
-    //    shingle-overlap near-dups, this catches token-multiset
-    //    near-dups (e.g. reordered boilerplate) at O(1) per pair.
-    //    Round 8: runs over the PORTABLE fingerprints (q57's md5
-    //    hash family) so the oracle replays band → candidate →
-    //    XOR+popcount verify; the pigeonhole exactness guarantee is
-    //    hash-family-independent (SimHashSpec pins it on both).
-    Q("q68_simhash_neardup",
-      (s, d) => simHashNearDupOn(t(s, d).documents, portable = true),
-      Some(s"""WITH $portableSimHashCtes,
-        banded AS (
-          SELECT doc_id, r.band,
-            CASE r.band
-              WHEN 0 THEN simhash_hi >> 16
-              WHEN 1 THEN simhash_hi & 65535
-              WHEN 2 THEN simhash_lo >> 16
-              ELSE simhash_lo & 65535 END AS v
-          FROM fp, (SELECT unnest(range(0, 4)) AS band) r),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM banded a JOIN banded b
-            ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id)
-        SELECT doc_a, doc_b, dist FROM (
-          SELECT c.doc_a, c.doc_b,
-            CAST(bit_count(xor(fa.simhash_hi, fb.simhash_hi))
-               + bit_count(xor(fa.simhash_lo, fb.simhash_lo)) AS INT)
-              AS dist
-          FROM cand c
-            JOIN fp fa ON fa.doc_id = c.doc_a
-            JOIN fp fb ON fb.doc_id = c.doc_b) t
-        WHERE dist <= 3 ORDER BY doc_a, doc_b"""),
-      "portable SimHash 4x16-band Hamming<=3 near-dup pairs (full value oracle)"),
-
-    // -- TF-IDF: the canonical text-relevance scoring a training-data
-    //    pipeline runs for keyword extraction / relevance filtering.
-    //    Three aggregates composed in one plan: per-(doc, term)
-    //    frequency, document frequency over the FULL corpus, corpus
-    //    size via a one-row broadcast — then smooth idf and top-3
-    //    terms per doc (output bounded to doc_id < 50). Scores are
-    //    rounded to 4 dp BEFORE ranking on both engines, so a 1-ulp
-    //    libm divergence in ln() cannot flip a rank across engines.
-    Q("q74_tfidf",
-      (s, d) => {
-        val docs = t(s, d).documents
-        val tf = docs.select(col("doc_id"),
-            explode(Text.tokens(col("text"))).as("token"))
-          .groupBy(col("doc_id"), col("token"))
-          .agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df_docs"))
-        val n = docs.agg(count(lit(1)).as("n_docs"))
-        val scored = tf.join(df, Seq("token"))
-          .crossJoin(broadcast(n))
-          .select(col("doc_id"), col("token"), col("tf"), col("df_docs"),
-            round(col("tf") * (log((col("n_docs") + 1.0) / (col("df_docs") + 1.0))
-              + 1.0), 4).as("tfidf"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id"))
-          .orderBy(col("tfidf").desc, col("token"))
-        scored.withColumn("rk", row_number().over(w))
-          .filter(col("doc_id") < 50 && col("rk") <= 3)
-          .orderBy(col("doc_id"), col("rk"))
-      },
-      Some("""WITH tok AS (
-          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
-          FROM documents),
-        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
-        df AS (SELECT token, COUNT(*) AS df_docs FROM tf GROUP BY 1),
-        n AS (SELECT COUNT(*) AS n_docs FROM documents),
-        scored AS (
-          SELECT doc_id, token, tf, df_docs,
-            ROUND(tf * (LN((n.n_docs + 1.0) / (df_docs + 1.0)) + 1.0), 4) AS tfidf
-          FROM tf JOIN df USING (token), n),
-        ranked AS (
-          SELECT doc_id, token, tf, df_docs, tfidf,
-            ROW_NUMBER() OVER (PARTITION BY doc_id
-              ORDER BY tfidf DESC, token) AS rk
-          FROM scored)
-        SELECT doc_id, token, tf, df_docs, tfidf, CAST(rk AS INT) AS rk
-        FROM ranked WHERE doc_id < 50 AND rk <= 3 ORDER BY doc_id, rk"""),
-      "TF-IDF top terms per document"),
-
-    // -- decontamination: flag training documents sharing any 8-token
-    //    shingle with a benchmark/eval set (here: doc_id % 50 == 0
-    //    stands in for the heldout set) — the train/eval overlap
-    //    check every serious LLM data pipeline runs. Scale shape is
-    //    an exploded shingle EQUI-join (distinct shingles per doc,
-    //    benchmark side small → broadcast), never a doc×doc cross
-    //    join; at 100 TB the join key would be the 64-bit shingle
-    //    hash (q54's trick) — strings here so the oracle can replay
-    //    it verbatim.
-    Q("q77_decontamination",
-      (s, d) => {
-        val docs = t(s, d).documents
-        val corpus = docs.filter(col("doc_id") % 50 =!= 0)
-          .select(col("doc_id"),
-            explode(array_distinct(Text.shingles(col("text"), 8))).as("sh"))
-        val bench = docs.filter(col("doc_id") % 50 === 0)
-          .select(col("doc_id").as("bench_id"),
-            explode(array_distinct(Text.shingles(col("text"), 8))).as("sh"))
-        corpus.join(broadcast(bench), Seq("sh"))
-          .groupBy(col("doc_id"), col("bench_id"))
-          .agg(count(lit(1)).as("n_shared"))
-          .orderBy(col("doc_id"), col("bench_id"))
-      },
-      Some("""WITH sh AS (
-          SELECT doc_id, unnest(list_distinct(
-            CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) >= 8
-              THEN list_transform(
-                range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 6),
-                i -> array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+7], ' '))
-              ELSE [] END)) AS sh
-          FROM documents),
-        corpus AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
-        bench AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id % 50 = 0)
-        SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
-        FROM corpus c JOIN bench b USING (sh)
-        GROUP BY c.doc_id, b.bench_id
-        ORDER BY doc_id, bench_id"""),
-      "train/eval 8-gram overlap decontamination"),
-
-    // -- per-doc contamination FRACTION: q77 detects train/eval
-    //    overlap pairs; this is the decision form a pipeline actually
-    //    filters on — for each training doc, the fraction of its
-    //    token positions covered by the UNION of 8-gram windows
-    //    shared with the benchmark set, and the drop verdict at the
-    //    20% threshold. Same machinery as q90 (positional hashed
-    //    windows + interval-union window), with the benchmark's
-    //    distinct shingle-hash set on the broadcast side of the
-    //    semi join — at 100 TB the benchmark is the small fixed side,
-    //    so the corpus is scanned once and never shuffled by pair.
-    Q("q93_contamination_frac",
-      (s, d) => {
-        val W = 8
-        val docs = t(s, d).documents
-        val corpus = docs.filter(col("doc_id") % 50 =!= 0)
-          .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
-          .select(col("doc_id"), col("tk"),
-            size(col("tk")).cast("long").as("n"))
-        // native per-position window hashes (one JIT loop per doc;
-        // values join-compatible with the bench side's shingleHashes)
-        val wins = docs.filter(col("doc_id") % 50 =!= 0)
-          .select(col("doc_id"),
-            posexplode(Text.positionalShingleHashes(col("text"), W)))
-          .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
-            col("col").as("h"))
-        val bench = docs.filter(col("doc_id") % 50 === 0)
-          .select(explode(Text.shingleHashes(col("text"), W)).as("h"))
-          .distinct()
-        val wnd = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id")).orderBy(col("p"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-        val agg = wins.join(broadcast(bench), Seq("h"), "left_semi")
-          .withColumn("prev_end", max(col("p") + (W - 1)).over(wnd))
-          .withColumn("contrib", greatest(lit(0L),
-            (col("p") + (W - 1)) -
-              greatest(coalesce(col("prev_end"), lit(0L)), col("p") - 1)))
-          .groupBy(col("doc_id"))
-          .agg(sum(col("contrib")).as("contaminated"))
-        corpus.select(col("doc_id"), col("n").as("n_tokens"))
-          .join(agg, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_tokens"),
-            coalesce(col("contaminated"), lit(0L)).as("contaminated_tokens"),
-            (coalesce(col("contaminated"), lit(0L)).cast("double")
-              / col("n_tokens")).as("contaminated_frac"),
-            (coalesce(col("contaminated"), lit(0L)).cast("double")
-              / col("n_tokens") > 0.2).cast("int").as("dropped"))
-          .orderBy(col("doc_id"))
-      },
-      Some("""WITH toks AS (
-          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
-          FROM documents),
-        d AS (SELECT doc_id, tk, len(tk) AS n FROM toks
-              WHERE doc_id % 50 <> 0),
-        w AS (
-          SELECT doc_id, i AS p, array_to_string(tk[i:i+7], ' ') AS win
-          FROM d, LATERAL unnest(range(1, n - 6)) AS r(i)
-          WHERE n >= 8),
-        bench AS (
-          SELECT DISTINCT unnest(list_distinct(
-            CASE WHEN len(tk) >= 8
-              THEN list_transform(range(1, len(tk) - 6),
-                i -> array_to_string(tk[i:i+7], ' '))
-              ELSE [] END)) AS win
-          FROM toks WHERE doc_id % 50 = 0),
-        cw AS (SELECT w.doc_id, w.p FROM w SEMI JOIN bench USING (win)),
-        iv AS (
-          SELECT doc_id, p,
-            GREATEST(0, (p + 7) - GREATEST(COALESCE(MAX(p + 7) OVER (
-              PARTITION BY doc_id ORDER BY p
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0),
-              p - 1)) AS contrib
-          FROM cw),
-        agg AS (SELECT doc_id, SUM(contrib) AS contaminated
-                FROM iv GROUP BY doc_id)
-        SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_tokens,
-          CAST(COALESCE(agg.contaminated, 0) AS BIGINT)
-            AS contaminated_tokens,
-          CAST(COALESCE(agg.contaminated, 0) AS DOUBLE) / d.n
-            AS contaminated_frac,
-          CAST(CAST(COALESCE(agg.contaminated, 0) AS DOUBLE) / d.n > 0.2
-            AS INT) AS dropped
-        FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""),
-      "per-doc benchmark-contamination fraction with drop verdict"),
-
-    // -- overlapping token-window chunking: split each document into
-    //    size-32 windows at stride 24 (8-token overlap) — the
-    //    context-window prep step every LLM training pipeline runs
-    //    before tokenization. Pure map-side generate (chunk starts =
-    //    sequence(0, n−1, stride), slice per start, explode); trailing
-    //    partial windows kept. Output bounded to doc_id < 100.
-    Q("q76_token_chunks",
-      (s, d) => {
-        val size32 = 32
-        val stride = 24
-        val toks = Text.tokens(col("text"))
-        val n = size(toks)
-        t(s, d).documents
-          .filter(col("doc_id") < 100)
-          .select(col("doc_id"), toks.as("toks"), n.as("n"))
-          .filter(col("n") > 0)
-          .select(col("doc_id"), col("n"),
-            explode(transform(
-              sequence(lit(0), col("n") - 1, lit(stride)),
-              st => struct((st / stride).cast("int").as("chunk_idx"),
-                array_join(slice(col("toks"), st + 1, lit(size32)), " ")
-                  .as("chunk_text"),
-                least(lit(size32), col("n") - st).as("n_chunk_tokens"))))
-              .as("c"))
-          .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
-            col("c.n_chunk_tokens").as("n_chunk_tokens"),
-            col("c.chunk_text").as("chunk_text"))
-          .orderBy(col("doc_id"), col("chunk_idx"))
-      },
-      Some("""WITH t AS (
-          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
-          FROM documents WHERE doc_id < 100),
-        sized AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
-        starts AS (
-          SELECT doc_id, toks, n, unnest(range(0, n, 24)) AS st FROM sized),
-        chunks AS (
-          SELECT doc_id,
-            CAST(st / 24 AS INT) AS chunk_idx,
-            CAST(LEAST(32, n - st) AS INT) AS n_chunk_tokens,
-            array_to_string(toks[st + 1 : st + 32], ' ') AS chunk_text
-          FROM starts)
-        SELECT doc_id, chunk_idx, n_chunk_tokens, chunk_text
-        FROM chunks ORDER BY doc_id, chunk_idx"""),
-      "overlapping token-window chunking (size 32, stride 24)"),
-
-    // -- stratified sampling for training-data mixing: per-language
-    //    rates (50% en, 20% others) via DETERMINISTIC md5-bucket
-    //    assignment — bucket = first 4 hex digits of md5(doc_id) mod
-    //    100, identical in any engine computing standard MD5 and
-    //    stable under repartitioning. `sample()`/`rand(seed)` are NOT
-    //    reproducible across partitionings, which silently changes
-    //    the training set between runs; hash-assignment is, and it
-    //    keeps every decision a map-side projection.
-    Q("q75_stratified_sample",
-      (s, d) => {
-        val bucket = pmod(
-          conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-            .cast("int"), lit(100))
-        t(s, d).documents
-          .select(col("doc_id"), col("lang"), bucket.as("bucket"))
-          .filter(col("bucket") <
-            when(col("lang") === "en", 50).otherwise(20))
-          .select(col("doc_id"), col("lang"))
-          .orderBy(col("doc_id"))
-      },
-      Some("""SELECT doc_id, lang FROM (
-          SELECT doc_id, lang,
-            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 AS bucket
-          FROM documents) t
-        WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
-        ORDER BY doc_id"""),
-      "deterministic md5-bucket stratified sample (per-language rates)"),
-
-    // -- quality-WEIGHTED resampling: keep-probability proportional
-    //    to a per-doc quality score (here: lexical diversity =
-    //    distinct/total tokens), decided by comparing the score
-    //    against a deterministic per-doc md5 uniform — the importance
-    //    resampling step of modern pretraining-data pipelines, with
-    //    q75's repartition-stable hash in place of rand(seed). Both
-    //    engines derive the identical 4-hex-digit integer and the
-    //    identical int/int double, so the keep decision hash-matches.
-    Q("q81_weighted_sample",
-      (s, d) => {
-        val toks = Text.tokens(col("text"))
-        val score = size(array_distinct(toks)).cast("double") / size(toks)
-        val u = pmod(
-          conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-            .cast("int"), lit(10000)).cast("double") / 10000.0
-        t(s, d).documents
-          .select(col("doc_id"), score.as("score"), u.as("u"))
-          .filter(col("u") < col("score"))
-          .select(col("doc_id"), col("score"))
-          .orderBy(col("doc_id"))
-      },
-      Some("""SELECT doc_id, score FROM (
-          SELECT doc_id,
-            CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS DOUBLE)
-              / len(string_split_regex(lower(trim(text)), '\s+')) AS score,
-            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 10000 AS DOUBLE)
-              / 10000.0 AS u
-          FROM documents) t
-        WHERE u < score ORDER BY doc_id"""),
-      "quality-weighted deterministic resampling (keep-prob = lexical diversity)"),
-
-    // -- exact QUOTA sampling: exactly N docs per stratum in the
-    //    deterministic md5 order (doc_id tiebreak) — the eval-set
-    //    carving step where rate-based sampling (q75) can't promise
-    //    exact counts. The window is PARTITIONED by stratum, so
-    //    strata rank in parallel; no global sort exists (final
-    //    orderBy is the bounded output's presentation order).
-    Q("q96_quota_sample",
-      (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("lang"))
-          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-        t(s, d).documents.select(col("doc_id"), col("lang"))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 20)
-          .orderBy(col("lang"), col("rk"))
-      },
-      Some("""SELECT doc_id, lang, CAST(rk AS INT) AS rk FROM (
-          SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
-            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
-          FROM documents) t
-        WHERE rk <= 20 ORDER BY lang, rk"""),
-      "exact per-stratum quota sample in deterministic md5 order"),
-
-    // -- INCREMENTAL dedup: dedup a small new batch AGAINST the
-    //    existing corpus (vs q50/q54's whole-corpus symmetric forms) —
-    //    the daily-ingestion shape, matching the reference's daily
-    //    re-extract cadence (etl.yml:5-6). Asymmetric by design: the
-    //    new batch is tiny relative to the corpus, so its metadata
-    //    and shingles ride the BROADCAST side of every join while the
-    //    corpus streams — at 100 TB the corpus is never shuffled, only
-    //    scanned. Exact sha fast path first; survivors get the
-    //    blocked-Jaccard near-dup check against same-block existing
-    //    docs.
-    Q("q82_incremental_dedup",
-      (s, d) => {
-        val docs = t(s, d).documents
-        val isNew = col("doc_id") % 10 === 7
-        val existing = docs.filter(!isNew)
-        val fresh = docs.filter(isNew)
-        // asymmetry matters in BOTH directions: broadcast the BATCH
-        // shas into the corpus scan (never corpus-sha-distinct into a
-        // broadcast — that ships the corpus), then semi-join the batch
-        // against the matched shas (bounded by the batch size)
-        val hitShas = existing.select(sha2(col("text"), 256).as("sha"))
-          .join(broadcast(fresh.select(sha2(col("text"), 256).as("sha")).distinct()),
-            Seq("sha"), "left_semi")
-          .distinct()
-        val exDup = fresh.select(col("doc_id"), sha2(col("text"), 256).as("sha"))
-          .join(broadcast(hitShas), Seq("sha"), "left_semi")
-          .select(col("doc_id"))
-        // ONE fused corpus projection (block keys + shingles together)
-        // against ONE broadcast of the batch carrying its shingles:
-        // a single corpus scan, zero corpus shuffles. Splitting block
-        // keys and shingles into separate frames would force a second
-        // corpus scan and an ex_id shuffle of corpus-sized shingle
-        // arrays — the exact shuffle this query exists to avoid.
-        val exSide = existing.select(col("lang"),
-          floor(col("n_chars") / 64).as("bucket"),
-          Text.shingleHashes(col("text"), 3).as("sh_ex"))
-        val newSide = fresh.select(col("doc_id"), col("lang"),
-          floor(col("n_chars") / 64).as("bucket"),
-          Text.shingleHashes(col("text"), 3).as("sh_new"))
-        val nearDup = exSide.join(broadcast(newSide), Seq("lang", "bucket"))
-          .filter(Text.jaccardLong(col("sh_ex"), col("sh_new")) >= 0.5)
-          .select(col("doc_id")).distinct()
-        fresh.select(col("doc_id"))
-          .join(exDup.withColumn("de", lit(1)), Seq("doc_id"), "left")
-          .join(nearDup.withColumn("dn", lit(1)), Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("de"), lit(0)).as("drop_exact"),
-            coalesce(col("dn"), lit(0)).as("drop_neardup"),
-            (col("de").isNull && col("dn").isNull).cast("int").as("keep"))
-          .orderBy(col("doc_id"))
-      },
-      Some("""WITH docs AS (
-          SELECT doc_id, text, lang, CAST(FLOOR(n_chars / 64) AS BIGINT) AS bucket,
-            sha256(text) AS sha,
-            list_distinct(CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) >= 3
-              THEN list_transform(
-                range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
-                i -> array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' '))
-              ELSE [] END) AS sh
-          FROM documents),
-        fresh AS (SELECT * FROM docs WHERE doc_id % 10 = 7),
-        existing AS (SELECT * FROM docs WHERE doc_id % 10 <> 7),
-        exdup AS (
-          SELECT DISTINCT f.doc_id FROM fresh f JOIN existing e ON e.sha = f.sha),
-        ndup AS (
-          SELECT DISTINCT f.doc_id FROM fresh f JOIN existing e
-            ON e.lang = f.lang AND e.bucket = f.bucket
-          WHERE CAST(len(list_intersect(e.sh, f.sh)) AS DOUBLE)
-              / len(list_distinct(list_concat(e.sh, f.sh))) >= 0.5)
-        SELECT f.doc_id,
-          CAST(f.doc_id IN (SELECT doc_id FROM exdup) AS INT) AS drop_exact,
-          CAST(f.doc_id IN (SELECT doc_id FROM ndup) AS INT) AS drop_neardup,
-          CAST(f.doc_id NOT IN (SELECT doc_id FROM exdup)
-            AND f.doc_id NOT IN (SELECT doc_id FROM ndup) AS INT) AS keep
-        FROM fresh f ORDER BY f.doc_id"""),
-      "incremental new-batch-vs-corpus dedup (exact sha + blocked near-dup)"),
-
-    // -- sketch-based heavy hitters: corpus token frequencies WITHOUT
-    //    the (token, count) shuffle. One count-min sketch aggregate —
-    //    each task folds its tokens into a fixed 2000×5 counter grid,
-    //    partials merge associatively, and the driver holds the result
-    //    as model state (same posture as the IVF codebook). Candidate
-    //    tokens come from a 5% deterministic doc sample; the sketch
-    //    scores them. vs exact q67: this trades the full-token shuffle
-    //    (which q67 keeps map-combined anyway) for a CONSTANT-size
-    //    mergeable summary — the shape that composes with streaming
-    //    and repeated probing at 100 TB. CMS contract (est >= true,
-    //    est <= true + eps·N w.p. 0.99) is asserted in SketchSpec.
-    Q("q72_token_cms",
-      (s, d) => {
-        val docs = t(s, d).documents
-        val toks = docs.select(explode(Text.tokens(col("text"))).as("token"))
-        val bytes = toks
-          .agg(expr("count_min_sketch(token, 0.001d, 0.99d, 42)").as("cms"))
-          .head().getAs[Array[Byte]](0)
-        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-          new java.io.ByteArrayInputStream(bytes))
-        val cands = docs.filter(col("doc_id") % 20 === 0)
-          .select(explode(Text.tokens(col("text"))).as("token"))
-          .groupBy(col("token")).agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("token")).limit(40)
-          .select(col("token")).collect().map(_.getString(0)).toSeq
-        import s.implicits._
-        cands.map(tok => (tok, cms.estimateCount(tok)))
-          .toDF("token", "est_n")
-          .orderBy(col("est_n").desc, col("token"))
-          .limit(20)
-      },
-      None,
-      "count-min-sketch heavy hitters (contract + recall in SketchSpec)"),
-
-    // -- rolling-hash document fingerprint: order-sensitive polynomial
-    //    fold over tokens (permutation-distinguishing, unlike MinHash).
-    //    Round 8: portable hash family — the fold is plain integer
-    //    arithmetic, so DuckDB replays it verbatim with list_reduce
-    //    (0-seeded via list_prepend; acc < P keeps acc·31 + h < 2^37,
-    //    no overflow on either engine).
-    Q("q58_fingerprint",
-      (s, d) => t(s, d).documents
-        .select(col("doc_id"),
-          Text.fingerprintPortable(Text.tokens(col("text"))).as("fp"))
-        .orderBy(col("doc_id")),
-      Some("""SELECT doc_id,
-          list_reduce(list_prepend(CAST(0 AS BIGINT),
-            list_transform(string_split_regex(lower(trim(text)), '\s+'),
-              s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647)),
-            (acc, h) -> (acc * 31 + h) % 2147483647) AS fp
-        FROM documents ORDER BY doc_id"""),
-      "portable rolling polynomial fingerprint (full value oracle)"),
-
-    // -- dedup CLUSTERING: near-dup pairs are only half the dedup
-    //    story — A~B and B~C must collapse to ONE kept document, so
-    //    the pair graph's connected components pick the canonical
-    //    member (min doc_id) per cluster. Components via iterative
-    //    min-label propagation + pointer jumping (O(log n) rounds,
-    //    each keyed on 8-byte ids — see operators/ConnectedComponents);
-    //    the oracle walks the same graph with a recursive CTE.
-    Q("q78_dedup_clusters",
-      (s, d) => {
-        // same deterministic prefix cap as q54: the exact pair stage
-        // is the quadratic-by-design ground truth, and the oracle's
-        // recursive CTE carries the identical predicate — without the
-        // cap here the two sides would diverge the moment the driver
-        // runs an sf with doc_id >= the cap. Both the pair table AND
-        // its component clustering are session-shared stages
-        // (SharedStages — computed once, read here).
-        SharedStages.cappedNearDupComponents(s, d)
-          .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
-            (col("id") === col("comp")).cast("int").as("is_kept"))
-          .orderBy(col("doc_id"))
-      },
-      Some("""WITH RECURSIVE docs AS (
-          SELECT doc_id, lang, CAST(FLOOR(n_chars / 64) AS BIGINT) AS bucket,
-            list_distinct(CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) >= 3
-              THEN list_transform(
-                range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
-                i -> array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' '))
-              ELSE [] END) AS sh
-          FROM documents WHERE doc_id < 8192),
-        pairs AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM docs a JOIN docs b
-            ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2),
-        edges AS (
-          SELECT doc_a AS a, doc_b AS b FROM pairs
-          UNION ALL SELECT doc_b, doc_a FROM pairs),
-        walk AS (
-          SELECT a AS id, a AS reach FROM edges
-          UNION
-          SELECT w.id, e.b AS reach FROM walk w JOIN edges e ON e.a = w.reach)
-        SELECT id AS doc_id, MIN(reach) AS cluster_id,
-          CAST(id = MIN(reach) AS INT) AS is_kept
-        FROM walk GROUP BY id ORDER BY doc_id"""),
-      "near-dup pair graph -> connected components -> canonical keep"),
-
-    // -- q100: the composed DEDUP VERDICT table — what a dedup pass
-    //    actually ships: every doc gets keep/exact/near with its
-    //    canonical id, from q50's content-hash stage feeding q54's
-    //    blocked pair stage feeding q78's component clustering (see
-    //    [[dedupVerdictsOn]]). Same prefix cap + oracle predicate
-    //    discipline as q54/q78.
-    //    Round 6: the whole verdict table is itself a session-shared
-    //    stage (SharedStages.dedupVerdictsTable — built through the
-    //    shared pair table) read here and composed by q131.
-    Q("q100_dedup_verdicts",
-      (s, d) => SharedStages.dedupVerdictsTable(s, d)
-        .orderBy(col("doc_id")),
-      Some("""WITH RECURSIVE capped AS (
-          SELECT * FROM documents WHERE doc_id < 8192),
-        keyed AS (SELECT doc_id, sha256(text) AS k FROM capped),
-        exact AS (SELECT k, MIN(doc_id) AS exact_canon FROM keyed GROUP BY k),
-        tagged AS (
-          SELECT keyed.doc_id, exact.exact_canon
-          FROM keyed JOIN exact USING (k)),
-        surv AS (SELECT doc_id FROM tagged WHERE doc_id = exact_canon),
-        docs AS (
-          SELECT c.doc_id, c.lang, CAST(FLOOR(c.n_chars / 64) AS BIGINT) AS bucket,
-            list_distinct(CASE WHEN len(string_split_regex(lower(trim(c.text)), '\s+')) >= 3
-              THEN list_transform(
-                range(1, len(string_split_regex(lower(trim(c.text)), '\s+')) - 1),
-                i -> array_to_string(string_split_regex(lower(trim(c.text)), '\s+')[i:i+2], ' '))
-              ELSE [] END) AS sh
-          FROM capped c SEMI JOIN surv ON c.doc_id = surv.doc_id),
-        pairs AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM docs a JOIN docs b
-            ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2),
-        edges AS (
-          SELECT doc_a AS a, doc_b AS b FROM pairs
-          UNION ALL SELECT doc_b, doc_a FROM pairs),
-        walk AS (
-          SELECT a AS id, a AS reach FROM edges
-          UNION
-          SELECT w.id, e.b AS reach FROM walk w JOIN edges e ON e.a = w.reach),
-        comp AS (SELECT id AS doc_id, MIN(reach) AS near_canon
-                 FROM walk GROUP BY id)
-        SELECT t.doc_id,
-          CASE WHEN t.doc_id <> t.exact_canon THEN 'exact'
-               WHEN c.near_canon IS NOT NULL AND t.doc_id <> c.near_canon
-                 THEN 'near'
-               ELSE 'keep' END AS verdict,
-          CASE WHEN t.doc_id <> t.exact_canon THEN t.exact_canon
-               WHEN c.near_canon IS NOT NULL THEN c.near_canon
-               ELSE t.doc_id END AS canonical_id
-        FROM tagged t LEFT JOIN comp c USING (doc_id)
-        ORDER BY doc_id"""),
-      "composed dedup pass: exact -> near clusters -> per-doc verdicts"),
-
     // -- vocabulary building: token -> dense id ordered by (count
     //    desc, token), the tokenizer-vocab seeding op. The corpus
     //    aggregate map-combines per task; the id-assignment window
@@ -1058,944 +348,5 @@ object TextOps {
           array_to_string(list_sort(list_distinct(toks)), ',') AS sorted_vocab
         FROM tk ORDER BY doc_id"""),
       "array/collection function battery over token arrays"),
-
-    // -- BM25 relevance scoring: the probabilistic ranking function
-    //    behind retrieval-based quality filtering and dataset search.
-    //    Query = the top-3 corpus-frequency tokens (deterministic
-    //    tie-break), so the operator needs no external literal. One
-    //    token explode feeds doc lengths, the query-term cut, and
-    //    per-(doc, term) tf; df and (N, avgdl) are term-bounded /
-    //    1-row broadcasts, so nothing shuffles at corpus scale except
-    //    the (doc, term) aggregate itself. Every constant is written
-    //    as the SAME literal on both sides (1.2+1.0 at plan time is
-    //    not bit-identical to the literal 2.2); per-term contributions
-    //    round to 4dp then sum in DECIMAL so per-doc totals are
-    //    partition-order-free (q74's convention).
-    Q("q109_bm25",
-      (s, d) => {
-        // ONE corpus explode+aggregate, reused three ways: doc
-        // lengths, the query-term cut, and per-(doc, term) tf all
-        // roll up from the persisted (doc, token) counts — three
-        // separate explodes would be three corpus scans at 100 TB.
-        val tfAll = t(s, d).documents.select(col("doc_id"),
-            explode(Text.tokens(col("text"))).as("token"))
-          .filter(length(col("token")) > 0)
-          .groupBy(col("doc_id"), col("token"))
-          .agg(count(lit(1)).as("tf"))
-          .persist()
-        val dl = tfAll.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-        val stats = dl.agg(count(lit(1)).as("n_docs"),
-          davg(col("dl")).as("avgdl"))
-        val qterms = tfAll.groupBy(col("token"))
-          .agg(sum(col("tf")).as("cf"))
-          .orderBy(col("cf").desc, col("token")).limit(3)
-          .select(col("token"))
-        val tf = tfAll.join(broadcast(qterms), Seq("token"))
-        val dfd = tf.groupBy(col("token")).agg(count(lit(1)).as("df_docs"))
-        val contrib = tf.join(broadcast(dfd), Seq("token"))
-          .join(dl, Seq("doc_id"))
-          .crossJoin(broadcast(stats))
-          .select(col("doc_id"),
-            round(
-              log((col("n_docs") - col("df_docs") + 0.5)
-                  / (col("df_docs") + 0.5) + 1.0)
-                * (col("tf") * lit(2.2))
-                / (col("tf")
-                  + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))),
-              4).as("contrib"))
-        contrib.groupBy(col("doc_id"))
-          .agg(count(lit(1)).cast("int").as("n_terms_hit"),
-            round(sum(col("contrib").cast("decimal(38,6)")).cast("double"), 4)
-              .as("bm25"))
-          .filter(col("doc_id") < 200)
-          .orderBy(col("doc_id"))
-      },
-      Some(s"""WITH tok AS (
-          SELECT doc_id,
-            unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
-          FROM documents),
-        tok2 AS (SELECT * FROM tok WHERE length(token) > 0),
-        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY 1),
-        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-            ${sqlDavg("dl")} AS avgdl FROM dl),
-        qterms AS (SELECT token FROM tok2 GROUP BY token
-          ORDER BY COUNT(*) DESC, token LIMIT 3),
-        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok2
-          SEMI JOIN qterms USING (token) GROUP BY 1, 2),
-        dfd AS (SELECT token, COUNT(*) AS df_docs FROM tf GROUP BY 1),
-        contrib AS (
-          SELECT tf.doc_id,
-            ROUND(LN((stats.n_docs - dfd.df_docs + 0.5)
-                / (dfd.df_docs + 0.5) + 1.0)
-              * (tf.tf * 2.2)
-              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)),
-              4) AS contrib
-          FROM tf JOIN dfd USING (token) JOIN dl USING (doc_id), stats)
-        SELECT doc_id, CAST(COUNT(*) AS INT) AS n_terms_hit,
-          ROUND(CAST(SUM(CAST(contrib AS DECIMAL(38,6))) AS DOUBLE), 4) AS bm25
-        FROM contrib WHERE doc_id < 200 GROUP BY doc_id ORDER BY doc_id"""),
-      "BM25 scoring vs the top-3 corpus terms (retrieval-based filter)"),
-
-    // -- dedup AUDIT: the cluster-size histogram a dedup pass ships
-    //    alongside its verdicts — how much of the corpus sits in
-    //    2-member clusters vs 1000-member boilerplate explosions
-    //    decides which dedup knobs to turn next. Composes q78's
-    //    components with the capped corpus (docs in no pair are
-    //    singleton clusters); output is size-cardinality, tiny at any
-    //    sf. n_docs is cluster_size × n_clusters — a BIGINT product
-    //    on both engines, avoiding the HUGEINT SUM trap.
-    Q("q110_cluster_size_histogram",
-      (s, d) => {
-        val capped = t(s, d).documents
-          .filter(col("doc_id") < ExactBaselineDocCap)
-        // session-shared CLUSTER table (SharedStages): the audit reads
-        // the same persisted component relation q78 ships instead of
-        // re-verifying the corpus and re-running the component loop —
-        // the round-5 verdict's "weak" mark on this query was exactly
-        // its standalone recompute of q78's entire verification.
-        val comps = SharedStages.cappedNearDupComponents(s, d)
-          .select(col("id").as("doc_id"), col("comp"))
-        capped.select(col("doc_id"))
-          .join(comps, Seq("doc_id"), "left")
-          .select(coalesce(col("comp"), col("doc_id")).as("cluster_id"))
-          .groupBy(col("cluster_id"))
-          .agg(count(lit(1)).as("sz"))
-          .groupBy(col("sz").as("cluster_size"))
-          .agg(count(lit(1)).as("n_clusters"))
-          .select(col("cluster_size"), col("n_clusters"),
-            (col("cluster_size") * col("n_clusters")).as("n_docs"))
-          .orderBy(col("cluster_size"))
-      },
-      Some("""WITH RECURSIVE docs AS (
-          SELECT doc_id, lang, CAST(FLOOR(n_chars / 64) AS BIGINT) AS bucket,
-            list_distinct(CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) >= 3
-              THEN list_transform(
-                range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
-                i -> array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' '))
-              ELSE [] END) AS sh
-          FROM documents WHERE doc_id < 8192),
-        pairs AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM docs a JOIN docs b
-            ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2),
-        edges AS (
-          SELECT doc_a AS a, doc_b AS b FROM pairs
-          UNION ALL SELECT doc_b, doc_a FROM pairs),
-        walk AS (
-          SELECT a AS id, a AS reach FROM edges
-          UNION
-          SELECT w.id, e.b AS reach FROM walk w JOIN edges e ON e.a = w.reach),
-        comp AS (SELECT id AS doc_id, MIN(reach) AS comp FROM walk GROUP BY id),
-        assigned AS (
-          SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
-          FROM (SELECT doc_id FROM documents WHERE doc_id < 8192) d
-          LEFT JOIN comp c USING (doc_id)),
-        sizes AS (SELECT cluster_id, COUNT(*) AS sz FROM assigned GROUP BY 1)
-        SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
-          sz * COUNT(*) AS n_docs
-        FROM sizes GROUP BY sz ORDER BY cluster_size"""),
-      "dedup audit: cluster-size histogram over q78's components + singletons"),
-
-    // -- tokenizer FERTILITY per language: subwords per whitespace
-    //    word (q51's BPE-ish regex as the subword stand-in) and chars
-    //    per subword — the metric that decides whether a tokenizer's
-    //    vocab fits a language (high fertility = the language pays
-    //    more sequence length per word). Language-cardinality
-    //    aggregate, map-side combinable; exact integer sums (cast off
-    //    DuckDB's HUGEINT path) divided in double space, so no
-    //    rounding is needed anywhere.
-    Q("q112_tokenizer_fertility",
-      (s, d) => {
-        val ws = size(Text.tokens(col("text")))
-        val bpe = size(regexp_extract_all(lower(col("text")),
-          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
-        val chars = length(regexp_replace(col("text"), "\\s", ""))
-        t(s, d).documents
-          .select(col("lang"), ws.cast("long").as("ws"),
-            bpe.cast("long").as("bpe"), chars.cast("long").as("chars"))
-          .groupBy(col("lang"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("ws")).as("n_words"),
-            sum(col("bpe")).as("n_subwords"),
-            (sum(col("bpe")).cast("double") / sum(col("ws")))
-              .as("fertility"),
-            (sum(col("chars")).cast("double") / sum(col("bpe")))
-              .as("chars_per_subword"))
-          .orderBy(col("lang"))
-      },
-      Some("""WITH per AS (
-          SELECT lang,
-            CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
-              AS ws,
-            CAST(len(regexp_extract_all(lower(text),
-              '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe,
-            CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
-              AS chars
-          FROM documents)
-        SELECT lang, COUNT(*) AS n_docs,
-          CAST(SUM(ws) AS BIGINT) AS n_words,
-          CAST(SUM(bpe) AS BIGINT) AS n_subwords,
-          CAST(SUM(bpe) AS DOUBLE) / SUM(ws) AS fertility,
-          CAST(SUM(chars) AS DOUBLE) / SUM(bpe) AS chars_per_subword
-        FROM per GROUP BY lang ORDER BY lang"""),
-      "per-language tokenizer fertility (subwords/word, chars/subword)"),
-
-    // -- cross-source content OVERLAP: exact Jaccard between every
-    //    pair of sources' distinct 3-gram shingle sets — the corpus
-    //    composition audit that catches one source mirroring another
-    //    (mirrored content defeats per-source mix weights and leaks
-    //    across dedup shards). Shape: distinct (source, shingle)
-    //    rows, a self-equi-join ON THE SHINGLE (pairs per shingle ≤
-    //    |sources|², a constant), per-source set sizes joined back —
-    //    linear in distinct shingles at any sf, never doc×doc.
-    Q("q113_source_overlap",
-      (s, d) => {
-        // persisted: the distinct (source, shingle) set feeds the
-        // self-join twice plus the per-source sizes — recomputing it
-        // three times is three corpus explodes at scale
-        val sh = t(s, d).documents
-          .select(col("source"), explode(array_distinct(
-            Text.shingles(col("text"), 3))).as("sh"))
-          .distinct()
-          .persist()
-        val per = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
-        val pairs = sh.as("a").join(sh.as("b"),
-            col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
-          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
-          .agg(count(lit(1)).as("n_common"))
-        pairs
-          .join(per.select(col("source").as("src_a"), col("n_sh").as("n_a")),
-            Seq("src_a"))
-          .join(per.select(col("source").as("src_b"), col("n_sh").as("n_b")),
-            Seq("src_b"))
-          .select(col("src_a"), col("src_b"), col("n_common"),
-            col("n_a"), col("n_b"),
-            round(col("n_common").cast("double")
-              / (col("n_a") + col("n_b") - col("n_common")), 4).as("jaccard"))
-          .orderBy(col("src_a"), col("src_b"))
-      },
-      Some("""WITH sh0 AS (
-          SELECT source, unnest(list_distinct(
-            CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) >= 3
-              THEN list_transform(
-                range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
-                i -> array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' '))
-              ELSE [] END)) AS sh
-          FROM documents),
-        sh AS (SELECT DISTINCT source, sh FROM sh0),
-        per AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-        pairs AS (
-          SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
-          FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
-          GROUP BY 1, 2)
-        SELECT src_a, src_b, n_common, p1.n_sh AS n_a, p2.n_sh AS n_b,
-          ROUND(CAST(n_common AS DOUBLE)
-            / (p1.n_sh + p2.n_sh - n_common), 4) AS jaccard
-        FROM pairs JOIN per p1 ON pairs.src_a = p1.source
-          JOIN per p2 ON pairs.src_b = p2.source
-        ORDER BY src_a, src_b"""),
-      "cross-source 3-gram Jaccard overlap matrix (composition audit)"),
-
-    // -- INCREMENTAL near-dup: a "new batch" (doc_id % 5 == 0 stands
-    //    in for today's crawl) checked against the existing corpus
-    //    via a shingle INVERTED-INDEX equi-join — the exact
-    //    complement to q82's incremental exact dedup. Candidate
-    //    pairs arise only from a SHARED shingle (join on the shingle
-    //    itself, never doc×doc); per-shingle fanout is batch-docs ×
-    //    corpus-docs carrying it, and corpus shingles hotter than
-    //    [[MaxShingleDf]] documents are dropped from candidate
-    //    generation (a boilerplate trigram shared by 10⁵ docs emits
-    //    10⁵×batch candidates and zero dedup signal — the measure
-    //    becomes intersection-over-informative-shingles, mirrored
-    //    in the oracle). Jaccard rounds to 4dp BEFORE the ≥ τ filter
-    //    and the per-doc best-match rank, so both engines rank
-    //    identical values. At 100 TB the string shingle key swaps
-    //    for Text.shingleHashes (8-byte join keys, same topology);
-    //    strings here keep the oracle exactly mirrorable.
-    //    Round 6: the corpus side is served from the session-shared
-    //    PERSISTED MinHashIndex (SharedStages builds it once over the
-    //    doc_id % 5 != 0 slice) via [[MinHashIndex.invertedMatches]] —
-    //    the batch is shingled, the corpus never is (its stored hash
-    //    arrays are read), so the incremental-crawl invariant "never
-    //    re-scan the corpus" now holds per run. Values are unchanged
-    //    (same candidates, same Jaccard math — the stored hashes ARE
-    //    the distinct shingle set) and the oracle mirrors the same
-    //    string-shingle measure; [[incrementalNearDupOn]] remains the
-    //    from-scratch formulation, spec-pinned equal to this path.
-    Q("q114_incremental_neardup",
-      (s, d) => MinHashIndex.invertedMatches(s,
-        SharedStages.minHashIndexPath(s, d),
-        t(s, d).documents.filter(col("doc_id") % 5 === 0)),
-      Some(s"""WITH sh0 AS (
-          SELECT doc_id, unnest(list_distinct(
-            CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) >= 3
-              THEN list_transform(
-                range(1, len(string_split_regex(lower(trim(text)), '\\s+')) - 1),
-                i -> array_to_string(string_split_regex(lower(trim(text)), '\\s+')[i:i+2], ' '))
-              ELSE [] END)) AS sh
-          FROM documents),
-        sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
-        per AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-        batch AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
-        corpus AS (SELECT doc_id AS match_id, sh FROM sh WHERE doc_id % 5 <> 0),
-        informative AS (
-          SELECT sh FROM corpus GROUP BY sh HAVING COUNT(*) <= $MaxShingleDf),
-        cand AS (
-          SELECT b.doc_id, c.match_id, COUNT(*) AS n_common
-          FROM batch b JOIN corpus c ON b.sh = c.sh
-          JOIN informative i ON c.sh = i.sh
-          GROUP BY 1, 2),
-        scored AS (
-          SELECT cand.doc_id, cand.match_id, cand.n_common,
-            pa.n AS n_a, pb.n AS n_b,
-            ROUND(CAST(cand.n_common AS DOUBLE)
-              / (pa.n + pb.n - cand.n_common), 4) AS jaccard
-          FROM cand JOIN per pa ON cand.doc_id = pa.doc_id
-            JOIN per pb ON cand.match_id = pb.doc_id)
-        SELECT doc_id, match_id, n_common, n_a, n_b, jaccard
-        FROM scored WHERE jaccard >= 0.2
-        QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
-          ORDER BY jaccard DESC, match_id) = 1
-        ORDER BY doc_id"""),
-      "incremental near-dup: new batch vs corpus via shingle inverted index"),
-
-    // -- ESTIMATED cross-source overlap via Theta sketches: q113's
-    //    exact Jaccard matrix needs the full distinct-shingle
-    //    relation through a self-join; the Theta sketch (the
-    //    mergeable K-minimum-values family that, unlike HLL,
-    //    supports INTERSECTION and DIFFERENCE) answers the same
-    //    question from one bounded-state aggregate — per-source
-    //    state is ≤4096 retained hashes regardless of corpus size,
-    //    partials merge map-side, and the pair matrix is a
-    //    broadcast of the source-cardinality sketch table. The
-    //    sketch is order-insensitive (retained set = K smallest
-    //    hashes), so results are deterministic — golden-pinned, and
-    //    SketchSpec bounds the estimates against q113's exact
-    //    values. No DuckDB theta → rows-only driver check.
-    Q("q115_theta_source_overlap",
-      (s, d) => {
-        val sh = t(s, d).documents
-          .select(col("source"), explode(array_distinct(
-            Text.shingles(col("text"), 3))).as("sh"))
-        val sk = sh.groupBy(col("source"))
-          .agg(call_function("theta_sketch_agg", col("sh")).as("sk"))
-        val a = sk.select(col("source").as("src_a"), col("sk").as("sk_a"))
-        val b = sk.select(col("source").as("src_b"), col("sk").as("sk_b"))
-        a.crossJoin(broadcast(b))
-          .filter(col("src_a") < col("src_b"))
-          .select(col("src_a"), col("src_b"),
-            call_function("theta_sketch_estimate",
-              call_function("theta_intersection", col("sk_a"), col("sk_b")))
-              .as("n_common_est"),
-            call_function("theta_sketch_estimate", col("sk_a")).as("n_a_est"),
-            call_function("theta_sketch_estimate", col("sk_b")).as("n_b_est"),
-            call_function("theta_sketch_estimate",
-              call_function("theta_union", col("sk_a"), col("sk_b")))
-              .as("n_union_est"))
-          .withColumn("jaccard_est",
-            round(col("n_common_est").cast("double") / col("n_union_est"), 4))
-          .orderBy(col("src_a"), col("src_b"))
-      },
-      None,
-      "estimated cross-source shingle overlap via theta sketch set ops"),
-
-    // -- per-source content NOVELTY: how much of a source's distinct
-    //    shingle set appears in NO other source — the acquisition
-    //    metric ("does buying this corpus add anything?"). Exact
-    //    form needs shingle×source co-occurrence; the theta form is
-    //    difference(sk_s, union of every other source's sketch),
-    //    with the union-of-others built from the same bounded
-    //    per-source sketches (source-cardinality broadcast pair
-    //    frame, theta_union_agg rollup — never a second corpus
-    //    scan). Deterministic → golden-pinned; SketchSpec bounds
-    //    novelty_rate against the exact co-occurrence answer.
-    //
-    //    Sketch sizing: the DIFFERENCE estimate's error is driven by
-    //    the union-of-others sketch, which holds ~|sources|× a
-    //    single source's cardinality — at the default lgK 12 (4096
-    //    retained) that union is deep in sampling and the novelty
-    //    rate drifted 0.07 off exact on the fixture. lgK 14 (16384
-    //    retained, 128 KB per source — trivial state at
-    //    source-cardinality groups) keeps the rate within 0.05 at
-    //    any corpus size; precision is a knob, not a rewrite.
-    Q("q116_theta_novelty",
-      (s, d) => {
-        val sh = t(s, d).documents
-          .select(col("source"), explode(array_distinct(
-            Text.shingles(col("text"), 3))).as("sh"))
-        val sk = sh.groupBy(col("source"))
-          .agg(call_function("theta_sketch_agg", col("sh"), lit(14)).as("sk"))
-          .persist() // feeds both sides of the pair frame + the join back
-        sk.count()
-        val a = sk.select(col("source").as("src"), col("sk").as("sk_s"))
-        val others = a.crossJoin(broadcast(
-            sk.select(col("source").as("other"), col("sk").as("sk_o"))))
-          .filter(col("src") =!= col("other"))
-          .groupBy(col("src"))
-          // the union agg trims to ITS OWN lgK (default 12) whatever
-          // the input sketches hold — size it to match
-          .agg(call_function("theta_union_agg", col("sk_o"), lit(14))
-            .as("sk_others"))
-        a.join(others, Seq("src"))
-          .select(col("src").as("source"),
-            call_function("theta_sketch_estimate", col("sk_s")).as("n_est"),
-            call_function("theta_sketch_estimate",
-              call_function("theta_difference", col("sk_s"), col("sk_others")))
-              .as("n_novel_est"))
-          .withColumn("novelty_rate",
-            round(col("n_novel_est").cast("double") / col("n_est"), 4))
-          .orderBy(col("source"))
-      },
-      None,
-      "per-source novel-content estimate via theta difference"),
-
-    // -- q119: adjacent-bigram PMI — phrase/collocation mining (the
-    //    word2vec-style phrase-merge signal, and the association score
-    //    behind "these tokens behave as one unit" vocabulary
-    //    decisions). Reuses q98's bigram construction (per-doc lag
-    //    window over positioned tokens) but scores association rather
-    //    than surprise: pmi = ln(c12·N² / (B·c1·c2)) from five exact
-    //    integer aggregates — c12 vocab²-bounded, c1/c2 vocab-bounded
-    //    (broadcast into the join), N/B one broadcast row. The ratio
-    //    is assembled in doubles with a FIXED left-to-right operation
-    //    order spelled identically in both engines and 4dp-rounded
-    //    BEFORE the rank, so libm's last ulp can't reorder the top-k
-    //    (q74's round-before-rank rule). Output is the top 50 by
-    //    (pmi, pair) over pairs seen ≥5 times — TakeOrderedAndProject,
-    //    never a global sort.
-    Q("q119_bigram_pmi",
-      (s, d) => {
-        val toks = t(s, d).documents
-          .select(col("doc_id"), posexplode(Text.tokens(col("text")))
-            .as(Seq("p", "w2")))
-          .withColumn("w1", lag(col("w2"), 1)
-            .over(org.apache.spark.sql.expressions.Window
-              .partitionBy(col("doc_id")).orderBy(col("p"))))
-        val uni = toks.groupBy(col("w2").as("w")).agg(count(lit(1)).as("c"))
-          .persist() // feeds both unigram joins + the N total
-        uni.count()
-        val bi = toks.filter(col("w1").isNotNull)
-          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-          .persist() // feeds the join + the B total
-        bi.count()
-        val totals = uni.agg(sum(col("c")).as("n_tok"))
-          .crossJoin(bi.agg(sum(col("c12")).as("n_big")))
-        // no broadcast hint on the unigram joins: "vocab-bounded" is
-        // small at fixture scale (AQE broadcasts it on its own) but a
-        // real 100 TB crawl's vocabulary is 10⁷–10⁸ types — forcing
-        // the hint would pin a maybe-GBs relation to every executor,
-        // while a plain vocab-keyed shuffle join is always safe
-        bi.filter(col("c12") >= 5)
-          .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
-          .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
-          .crossJoin(broadcast(totals))
-          .select(col("w1"), col("w2"), col("c12"),
-            round(log(col("c12").cast("double") * col("n_tok") * col("n_tok")
-              / (col("n_big").cast("double") * col("c1") * col("c2"))), 4)
-              .as("pmi"))
-          .orderBy(col("pmi").desc, col("w1"), col("w2"))
-          .limit(50)
-      },
-      Some("""WITH tok AS (
-          SELECT doc_id, i AS p, tk[i] AS w2,
-            CASE WHEN i > 1 THEN tk[i - 1] END AS w1
-          FROM (SELECT doc_id,
-                  string_split_regex(lower(trim(text)), '\s+') AS tk
-                FROM documents) t,
-            LATERAL unnest(range(1, len(tk) + 1)) AS r(i)),
-        uni AS (SELECT w2 AS w, COUNT(*) AS c FROM tok GROUP BY 1),
-        bi AS (
-          SELECT w1, w2, COUNT(*) AS c12 FROM tok
-          WHERE w1 IS NOT NULL GROUP BY 1, 2),
-        totals AS (
-          SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS n_tok,
-            (SELECT CAST(SUM(c12) AS BIGINT) FROM bi) AS n_big)
-        SELECT w1, w2, c12,
-          ROUND(LN(CAST(c12 AS DOUBLE) * n_tok * n_tok
-            / (CAST(n_big AS DOUBLE) * u1.c * u2.c)), 4) AS pmi
-        FROM bi
-        JOIN uni u1 ON bi.w1 = u1.w
-        JOIN uni u2 ON bi.w2 = u2.w, totals
-        WHERE c12 >= 5
-        ORDER BY pmi DESC, w1, w2 LIMIT 50"""),
-      "top adjacent-bigram PMI collocations (round-before-rank)"),
-
-    // -- q123: crawl-order SHINGLE NOVELTY per document — the exact,
-    //    per-doc complement of q116's per-source theta estimate: with
-    //    doc_id as crawl order, what fraction of each document's
-    //    distinct 3-gram shingles has never appeared in any earlier
-    //    document? The dedup-pipeline use is ordering-aware corpus
-    //    valuation (novelty decays as a crawl saturates) and
-    //    diminishing-returns curves for data acquisition. One
-    //    aggregate computes each shingle's FIRST carrier (min doc_id
-    //    — q118's min-first-bucket rule), one equi-join back marks
-    //    novel shingles; no pair join, no window over the corpus.
-    //    Work is linear in distinct (doc, shingle) pairs.
-    Q("q123_shingle_novelty",
-      (s, d) => {
-        val docs = t(s, d).documents
-        val sh = docs
-          .select(col("doc_id"), explode(array_distinct(
-            Text.shingles(col("text"), 3))).as("sh"))
-          .persist() // feeds the first-carrier agg AND the per-doc count
-        sh.count()
-        val first = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
-        val perDoc = sh.join(first, Seq("sh"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_shingles"),
-            count(when(col("first_doc") === col("doc_id"), lit(1)))
-              .as("n_novel"))
-        docs.select(col("doc_id"))
-          .join(perDoc, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
-            coalesce(col("n_novel"), lit(0L)).as("n_novel"),
-            round(col("n_novel").cast("double") / col("n_shingles"), 4)
-              .as("novelty"))
-          .orderBy(col("doc_id"))
-      },
-      Some("""WITH sh AS (
-          SELECT DISTINCT doc_id,
-            array_to_string(tk[i:i+2], ' ') AS sh
-          FROM (SELECT doc_id,
-                  string_split_regex(lower(trim(text)), '\s+') AS tk
-                FROM documents) t,
-            LATERAL unnest(range(1, len(tk) - 1)) AS r(i)
-          WHERE len(tk) >= 3),
-        first AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
-        per_doc AS (
-          SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
-            CAST(COUNT(CASE WHEN f.first_doc = sh.doc_id THEN 1 END)
-              AS BIGINT) AS n_novel
-          FROM sh JOIN first f USING (sh) GROUP BY 1)
-        SELECT d.doc_id,
-          COALESCE(p.n_shingles, 0) AS n_shingles,
-          COALESCE(p.n_novel, 0) AS n_novel,
-          ROUND(CAST(p.n_novel AS DOUBLE) / p.n_shingles, 4) AS novelty
-        FROM documents d LEFT JOIN per_doc p USING (doc_id)
-        ORDER BY d.doc_id"""),
-      "per-document crawl-order shingle novelty (exact first-carrier join)"),
-
-    // -- q131: CROSS-MODAL dedup verdicts — the composed ship-table a
-    //    multimodal pipeline actually emits: one keep/drop row per
-    //    document combining the TEXT verdict chain (q100: content-hash
-    //    exact → blocked near-dup pairs → components) with the
-    //    SEMANTIC verdict (components over q65's exact capped
-    //    embedding near-dup pairs, joined doc_id = vec_id — the
-    //    fixtures' shared id space). Reason codes carry provenance
-    //    with fixed precedence text_exact > text_near > semantic >
-    //    keep (a textual duplicate is the cheaper, more certain
-    //    evidence; the semantic stage catches paraphrases text misses).
-    //    Semantic clustering is the TRANSITIVE closure (keep the
-    //    component min), consistent with the text stage; documents
-    //    without a vector (doc cap 8192 > vec cap 4096 at large sf)
-    //    simply get no semantic opinion via the left join. Both pair
-    //    stages are session-shared (SharedStages) — this query adds
-    //    two component loops and joins, never a corpus re-scan.
-    Q("q131_crossmodal_verdicts",
-      (s, d) => {
-        val text = SharedStages.dedupVerdictsTable(s, d)
-          .select(col("doc_id"), col("verdict").as("text_verdict"),
-            col("canonical_id").as("text_canonical"))
-        val semComps = graft.operators.ConnectedComponents.components(
-            SharedStages.cappedEmbNearDupPairs(s, d)
-              .select(col("vec_a"), col("vec_b")))
-          .select(col("id").as("doc_id"), col("comp").as("sem_canon"))
-        text.join(semComps, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            when(col("text_verdict") === "exact", lit("text_exact"))
-              .when(col("text_verdict") === "near", lit("text_near"))
-              .when(col("sem_canon").isNotNull &&
-                col("sem_canon") =!= col("doc_id"), lit("semantic"))
-              .otherwise(lit("keep")).as("reason"),
-            when(col("text_verdict") =!= "keep", col("text_canonical"))
-              .when(col("sem_canon").isNotNull &&
-                col("sem_canon") =!= col("doc_id"), col("sem_canon"))
-              .otherwise(col("doc_id")).as("canonical_id"))
-          .withColumn("dropped", (col("reason") =!= "keep").cast("int"))
-          .orderBy(col("doc_id"))
-      },
-      Some(s"""WITH RECURSIVE capped AS (
-          SELECT * FROM documents WHERE doc_id < $ExactBaselineDocCap),
-        keyed AS (SELECT doc_id, sha256(text) AS k FROM capped),
-        exact AS (SELECT k, MIN(doc_id) AS exact_canon FROM keyed GROUP BY k),
-        tagged AS (
-          SELECT keyed.doc_id, exact.exact_canon
-          FROM keyed JOIN exact USING (k)),
-        surv AS (SELECT doc_id FROM tagged WHERE doc_id = exact_canon),
-        docs AS (
-          SELECT c.doc_id, c.lang, CAST(FLOOR(c.n_chars / 64) AS BIGINT) AS bucket,
-            list_distinct(CASE WHEN len(string_split_regex(lower(trim(c.text)), '\\s+')) >= 3
-              THEN list_transform(
-                range(1, len(string_split_regex(lower(trim(c.text)), '\\s+')) - 1),
-                i -> array_to_string(string_split_regex(lower(trim(c.text)), '\\s+')[i:i+2], ' '))
-              ELSE [] END) AS sh
-          FROM capped c SEMI JOIN surv ON c.doc_id = surv.doc_id),
-        pairs AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM docs a JOIN docs b
-            ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2),
-        edges AS (
-          SELECT doc_a AS a, doc_b AS b FROM pairs
-          UNION ALL SELECT doc_b, doc_a FROM pairs),
-        walk AS (
-          SELECT a AS id, a AS reach FROM edges
-          UNION
-          SELECT w.id, e.b AS reach FROM walk w JOIN edges e ON e.a = w.reach),
-        comp AS (SELECT id AS doc_id, MIN(reach) AS near_canon
-                 FROM walk GROUP BY id),
-        emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-          FROM embeddings WHERE vec_id < ${Similarity.ExactBaselineVecCap}),
-        epairs AS (
-          SELECT a.vec_id AS ea, b.vec_id AS eb
-          FROM emb a JOIN emb b ON a.vec_id < b.vec_id
-          WHERE list_dot_product(a.e, b.e)
-              / (sqrt(list_dot_product(a.e, a.e))
-               * sqrt(list_dot_product(b.e, b.e))) >= ${Similarity.SemDedupTau}),
-        eedges AS (
-          SELECT ea AS a, eb AS b FROM epairs
-          UNION ALL SELECT eb, ea FROM epairs),
-        ewalk AS (
-          SELECT a AS id, a AS reach FROM eedges
-          UNION
-          SELECT w.id, e.b AS reach FROM ewalk w JOIN eedges e ON e.a = w.reach),
-        ecomp AS (SELECT id, MIN(reach) AS sem_canon FROM ewalk GROUP BY id),
-        scored AS (
-          SELECT t.doc_id,
-            CASE WHEN t.doc_id <> t.exact_canon THEN 'text_exact'
-                 WHEN c.near_canon IS NOT NULL AND t.doc_id <> c.near_canon
-                   THEN 'text_near'
-                 WHEN e.sem_canon IS NOT NULL AND e.sem_canon <> t.doc_id
-                   THEN 'semantic'
-                 ELSE 'keep' END AS reason,
-            CASE WHEN t.doc_id <> t.exact_canon THEN t.exact_canon
-                 WHEN c.near_canon IS NOT NULL AND t.doc_id <> c.near_canon
-                   THEN c.near_canon
-                 WHEN e.sem_canon IS NOT NULL AND e.sem_canon <> t.doc_id
-                   THEN e.sem_canon
-                 ELSE t.doc_id END AS canonical_id
-          FROM tagged t LEFT JOIN comp c USING (doc_id)
-            LEFT JOIN ecomp e ON e.id = t.doc_id)
-        SELECT doc_id, reason, canonical_id,
-          CAST(reason <> 'keep' AS INT) AS dropped
-        FROM scored ORDER BY doc_id"""),
-      "cross-modal dedup verdicts: text chain x semantic components, reason-coded")
   )
-
-  /** q114's incremental near-dup plan over any documents frame: the
-    * batch (doc_id % `batchMod` == 0) joined against the rest of the
-    * corpus on the shingle itself (inverted index — candidate pairs
-    * exist only where a shingle is shared, never doc×doc), corpus
-    * shingles hotter than `maxDf` documents dropped from candidate
-    * generation, exact Jaccard on the full distinct sets rounded to
-    * 4dp before the ≥ `tau` filter and the per-doc best-match rank.
-    * Parameterized so MinHashSpec can engage the DF cap on a
-    * synthetic boilerplate corpus; the q114 entry runs the defaults.
-    */
-  def incrementalNearDupOn(docs: org.apache.spark.sql.DataFrame,
-                           batchMod: Int = 5,
-                           tau: Double = 0.2,
-                           maxDf: Long = MaxShingleDf): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // one distinct (doc_id, shingle) relation feeds the batch side,
-    // the corpus side, and both per-doc set sizes — persist or pay
-    // four corpus explodes
-    val sh = docs
-      .select(col("doc_id"), explode(array_distinct(
-        Text.shingles(col("text"), 3))).as("sh"))
-      .distinct()
-      .persist()
-    sh.count() // materialize: four consumers scan this cache
-    val per = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val batch = sh.filter(col("doc_id") % batchMod === 0)
-    val corpus = sh.filter(col("doc_id") % batchMod =!= 0)
-      .select(col("doc_id").as("match_id"), col("sh"))
-    val informative = corpus.groupBy(col("sh"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select(col("sh"))
-    val cand = batch.join(corpus.join(informative, Seq("sh")), Seq("sh"))
-      .groupBy(col("doc_id"), col("match_id"))
-      .agg(count(lit(1)).as("n_common"))
-    val scored = cand
-      .join(per.select(col("doc_id"), col("n").as("n_a")), Seq("doc_id"))
-      .join(per.select(col("doc_id").as("match_id"), col("n").as("n_b")),
-        Seq("match_id"))
-      .withColumn("jaccard", round(col("n_common").cast("double")
-        / (col("n_a") + col("n_b") - col("n_common")), 4))
-      .filter(col("jaccard") >= tau)
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("jaccard").desc, col("match_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("doc_id"), col("match_id"), col("n_common"),
-        col("n_a"), col("n_b"), col("jaccard"))
-      .orderBy(col("doc_id"))
-  }
-
-  /** q54's scored pair plan over any documents frame: candidate pairs
-    * blocked on (lang, length bucket), shingles computed once and
-    * persisted, Jaccard verified on 64-bit shingle hashes. Shared by
-    * q54 (the near-dup baseline) and q78 (its component clustering).
-    */
-  def ngramNearDupPairsOn(docs: org.apache.spark.sql.DataFrame,
-                          thresh: Double = 0.2): org.apache.spark.sql.DataFrame = {
-    val meta = docs.select(col("doc_id"), col("lang"),
-      floor(col("n_chars") / 64).as("bucket"))
-    val cands = meta.select(col("doc_id").as("doc_a"), col("lang"), col("bucket"))
-      .join(meta.select(col("doc_id").as("doc_b"), col("lang"), col("bucket")),
-        Seq("lang", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-    val sh = docs.select(col("doc_id"),
-        Text.shingleHashes(col("text"), 3).as("sh"))
-      .persist() // joined on both pair sides; compute shingles once
-    sh.count() // materialize NOW: both pair-join sides scan this
-               // cache concurrently, and an unmaterialized cache
-               // is recomputed by each racing consumer
-    cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        Text.jaccardLong(col("sh_a"), col("sh_b")).as("jac"))
-      .filter(col("jac") >= thresh)
-  }
-
-  /** q100's composed dedup pass over any documents frame: exact
-    * content-hash dedup first (q50's key, keep-min), then blocked
-    * n-gram near-dup pairs (q54) over the exact SURVIVORS clustered
-    * into components (q78), non-canonical members dropped. One
-    * verdict row per doc: `exact` (canonical = its content-hash
-    * group's min), `near` (canonical = its component's min), or
-    * `keep`. Canonical ids resolve ONE level — an exact-dropped
-    * doc points at its hash-group min even when that min is itself
-    * near-dropped (chains collapse in a trivial downstream self-join;
-    * emitting them flat keeps every row's provenance explicit).
-    *
-    * `sharedPairs`: an optional precomputed pair table over a
-    * SUPERSET of `docs` (the session-shared q54 stage). Filtering it
-    * to pairs whose BOTH endpoints survive the exact stage equals
-    * recomputing [[ngramNearDupPairsOn]] over the survivors: the
-    * blocking keys (lang, length bucket) are per-document attributes
-    * and Jaccard is a pairwise function, so no third document's
-    * presence or absence can change whether a given pair blocks
-    * together or what it scores.
-    */
-  def dedupVerdictsOn(docs: org.apache.spark.sql.DataFrame,
-                      sharedPairs: Option[org.apache.spark.sql.DataFrame] = None): org.apache.spark.sql.DataFrame = {
-    val keyed = docs.select(col("doc_id"), sha2(col("text"), 256).as("k"))
-    val exact = keyed.groupBy(col("k")).agg(min(col("doc_id")).as("exact_canon"))
-    val tagged = keyed.join(exact, Seq("k"))
-      .select(col("doc_id"), col("exact_canon"))
-    val survivors = tagged.filter(col("doc_id") === col("exact_canon"))
-      .select(col("doc_id"))
-    val pairs = sharedPairs match {
-      case Some(p) => p
-        .join(survivors.withColumnRenamed("doc_id", "doc_a"),
-          Seq("doc_a"), "left_semi")
-        .join(survivors.withColumnRenamed("doc_id", "doc_b"),
-          Seq("doc_b"), "left_semi")
-        .select(col("doc_a"), col("doc_b"))
-      case None =>
-        ngramNearDupPairsOn(docs.join(survivors, Seq("doc_id")))
-          .select(col("doc_a"), col("doc_b"))
-    }
-    val comps = graft.operators.ConnectedComponents
-      .components(pairs)
-      .select(col("id").as("doc_id"), col("comp").as("near_canon"))
-    tagged.join(comps, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("doc_id") =!= col("exact_canon"), lit("exact"))
-          .when(col("near_canon").isNotNull &&
-            col("doc_id") =!= col("near_canon"), lit("near"))
-          .otherwise(lit("keep")).as("verdict"),
-        when(col("doc_id") =!= col("exact_canon"), col("exact_canon"))
-          .when(col("near_canon").isNotNull, col("near_canon"))
-          .otherwise(col("doc_id")).as("canonical_id"))
-      .orderBy(col("doc_id"))
-  }
-
-  /** q68's plan over any documents frame, with the bucket cap
-    * parameterized so SimHashSpec can engage the representative path.
-    */
-  def simHashNearDupOn(docs: org.apache.spark.sql.DataFrame,
-                       maxBucket: Int = MaxLshBucket,
-                       portable: Boolean = false): org.apache.spark.sql.DataFrame = {
-        val fpExpr =
-          if (portable)
-            Text.simHash(Text.md5TokenHash64(Text.tokens(col("text"))))
-          else Text.simHash(Text.tokens(col("text")))
-        val fp = docs
-          .select(col("doc_id"), fpExpr.as("sh"))
-          .persist() // band explode + both verify sides
-        fp.count() // materialize eagerly (see q54/q56: lazy caches
-                   // with multiple consumers recompute under racing)
-        val banded = fp.select(col("doc_id"), explode(array(
-            struct(lit(0).as("band"), shiftright(col("sh.hi"), 16).as("v")),
-            struct(lit(1).as("band"),
-              col("sh.hi").bitwiseAND(lit(0xFFFFL)).as("v")),
-            struct(lit(2).as("band"), shiftright(col("sh.lo"), 16).as("v")),
-            struct(lit(3).as("band"),
-              col("sh.lo").bitwiseAND(lit(0xFFFFL)).as("v")))).as("bv"))
-          .select(col("doc_id"), col("bv.band").as("band"), col("bv.v").as("v"))
-        // shared skew discipline (operators/BandedPairs): singleton
-        // buckets can't pair, over-cap buckets (docs with identical
-        // fingerprint halves en masse) take the cluster-representative
-        // star — the Hamming<=3 exactness guarantee holds verbatim
-        // below the cap (the fixture's case, pinned in SimHashSpec)
-        val cands = graft.operators.BandedPairs.cappedCandidates(
-          banded, "doc_id", Seq("band", "v"), maxBucket, "doc_a", "doc_b")
-        cands
-          .join(fp.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-          .join(fp.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
-            Text.hamming(col("sh_a"), col("sh_b")).as("dist"))
-          .filter(col("dist") <= 3)
-          .orderBy(col("doc_a"), col("doc_b"))
-  }
-
-  /** q56's plan over any documents frame (doc_id, text), with the
-    * bucket cap parameterized so MinHashSpec can engage it on a
-    * synthetic dense-duplicate cluster.
-    */
-  def lshNearDupOn(docs: org.apache.spark.sql.DataFrame,
-                   maxBucket: Int = MaxLshBucket): org.apache.spark.sql.DataFrame = {
-    // Each persisted table is materialized EAGERLY (count) before the
-    // next stage builds on it: the final single-action plan scans sh,
-    // sig, and the tagged band table two ways each, and concurrent
-    // scans of an UNMATERIALIZED cache each recompute its lineage —
-    // nested three deep, that cascade measured 156s vs 21s on a
-    // 40k-doc duplicate-heavy corpus. Eager materialization costs
-    // three tiny jobs and restores runtime proportional to true-pair
-    // output.
-    val sh = docs.select(col("doc_id"), Text.shingleHashes(col("text"), 3).as("sh"))
-      .persist()
-    sh.count()
-    val sig = sh.select(col("doc_id"), Text.minHash(col("sh")).as("sig"))
-      .persist()
-    sig.count()
-    val banded = sig.select(col("doc_id"),
-      explode(Text.lshBands(col("sig"))).as("b"))
-    // candidate pairs with the shared skew discipline — singleton
-    // prefilter, capped self-join, cluster-representative star for
-    // over-cap buckets (operators/BandedPairs has the full rationale)
-    val cands = graft.operators.BandedPairs.cappedCandidates(
-      banded, "doc_id", Seq("b"), maxBucket, "doc_a", "doc_b")
-    val estimated = cands
-      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
-      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
-      .filter(Text.sigEstimate(col("sig_a"), col("sig_b")) >= 0.25)
-      .select(col("doc_a"), col("doc_b"))
-    estimated
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        Text.jaccardLong(col("sh_a"), col("sh_b")).as("jac"))
-      .filter(col("jac") >= 0.5)
-      .orderBy(col("doc_a"), col("doc_b"))
-  }
-
-  /** q56's plan in the PORTABLE hash family: md5-derived 31-bit base
-    * hashes (Text.md5BaseHash) and string band keys
-    * (Text.lshBandKeys) instead of xxhash64 — algorithmically
-    * identical (same lcg permutations in the same native kernel,
-    * same BandedPairs skew discipline, same estimate + exact-verify
-    * chain), but every intermediate value is ANSI-SQL-replayable, so
-    * the driver's DuckDB oracle checks the whole pipeline by hash
-    * instead of rows-only. The xxhash64 form ([[lshNearDupOn]]) stays
-    * the 100 TB path — one 8-byte hash per shingle/band vs md5's
-    * 16-byte digest and ~40-byte band strings.
-    */
-  def lshNearDupPortableOn(docs: org.apache.spark.sql.DataFrame,
-                           maxBucket: Int = MaxLshBucket): org.apache.spark.sql.DataFrame = {
-    // same eager-materialization discipline as lshNearDupOn (the
-    // 156s-vs-21s racing-consumer cascade)
-    val hs = docs.select(col("doc_id"),
-        Text.md5ShingleHashes(col("text"), 3).as("hs"))
-      .persist()
-    hs.count()
-    val sig = hs.select(col("doc_id"), Text.minHash(col("hs")).as("sig"))
-      .persist()
-    sig.count()
-    val banded = sig.select(col("doc_id"),
-        explode(Text.lshBandKeys(col("sig"))).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.k").as("k"))
-    val cands = graft.operators.BandedPairs.cappedCandidates(
-      banded, "doc_id", Seq("band", "k"), maxBucket, "doc_a", "doc_b")
-    val estimated = cands
-      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
-      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
-      .filter(Text.sigEstimate(col("sig_a"), col("sig_b")) >= 0.25)
-      .select(col("doc_a"), col("doc_b"))
-    estimated
-      .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("sh_a")), Seq("doc_a"))
-      .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("sh_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        Text.jaccardLong(col("sh_a"), col("sh_b")).as("jac"))
-      .filter(col("jac") >= 0.5)
-      .orderBy(col("doc_a"), col("doc_b"))
-  }
-
-  /** DuckDB spelling of the portable MinHash pipeline's shared
-    * prefix: tokens → distinct 3-gram shingles → md5-derived 31-bit
-    * hashes (CTE `hs`) → 48 unrolled affine permutations (CTE `sig`).
-    * GENERATED from the native kernel's own constant table
-    * ([[graft.expressions.MinHash.lcg]]) — the two sides share one
-    * source of truth and cannot drift.
-    */
-  private def portableSigCtes: String = {
-    val a = graft.expressions.MinHash.lcg(42L, 48)
-    val b = graft.expressions.MinHash.lcg(43L, 48)
-    val sigList = (0 until 48).map(i =>
-      s"COALESCE(list_min(list_transform(hs, " +
-        s"h -> (${a(i)}*h + ${b(i)}) % 2147483647)), 2147483647)")
-      .mkString("[", ",\n            ", "]")
-    s"""tk AS (
-          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
-          FROM documents),
-        hs AS (
-          SELECT doc_id, list_distinct(list_transform(
-            CASE WHEN len(tk) >= 3
-              THEN list_transform(range(1, len(tk) - 1),
-                i -> array_to_string(tk[i:i+2], ' '))
-              ELSE [] END,
-            s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647)) AS hs
-          FROM tk),
-        sig AS (SELECT doc_id, $sigList AS sig FROM hs)"""
-  }
-
-  /** DuckDB spelling of the portable SimHash fingerprint (CTE `fp`):
-    * per-token 64-bit md5 hash (UBIGINT), ±1 vote per bit position
-    * (LSB-first, the kernel's order), fingerprint bit = sign of the
-    * vote sum, folded into the hi/lo 32-bit halves with the kernel's
-    * MSB-first weights.
-    */
-  private def portableSimHashCtes: String =
-    """tk AS (
-          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
-          FROM documents),
-        th AS (
-          SELECT doc_id, list_transform(tk,
-            t -> ('0x' || substr(md5(t), 1, 16))::UBIGINT) AS hs
-          FROM tk),
-        v AS (
-          SELECT doc_id, list_transform(range(0, 64), i ->
-            list_sum(list_transform(hs,
-              h -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END))) AS votes
-          FROM th),
-        fp AS (
-          SELECT doc_id,
-            CAST(list_sum(list_transform(range(0, 32),
-              i -> CASE WHEN votes[i + 1] > 0
-                THEN (CAST(1 AS BIGINT) << (31 - i)) ELSE 0 END))
-              AS BIGINT) AS simhash_hi,
-            CAST(list_sum(list_transform(range(0, 32),
-              i -> CASE WHEN votes[i + 33] > 0
-                THEN (CAST(1 AS BIGINT) << (31 - i)) ELSE 0 END))
-              AS BIGINT) AS simhash_lo
-          FROM v)"""
 }

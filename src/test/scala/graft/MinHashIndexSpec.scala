@@ -163,7 +163,7 @@ class MinHashIndexSpec extends SparkSpec {
         col("n_a"), col("n_b"), col("jaccard"))
       .collect().map(_.toSeq).toSeq
     val served = rows(MinHashIndex.invertedMatches(spark, ix, batch))
-    val scratch = rows(TextOps.incrementalNearDupOn(
+    val scratch = rows(NearDupOps.incrementalNearDupOn(
       spark.read.parquet(s"$dir/documents.parquet")))
     assert(served.nonEmpty, "fixture must produce incremental matches")
     assert(served === scratch)
@@ -207,7 +207,7 @@ class MinHashIndexSpec extends SparkSpec {
     // genuine near-dup through low-DF shingles
     val nearDup = (15L, s"$boiler body text variant 7 with words 21 77 120")
     val docs = (corpusDocs :+ boilerOnly :+ nearDup).toDF("doc_id", "text")
-    val capped = TextOps.incrementalNearDupOn(docs, tau = 0.15, maxDf = 3L)
+    val capped = NearDupOps.incrementalNearDupOn(docs, tau = 0.15, maxDf = 3L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // doc 10 matches nothing (its only shared shingles are over-cap);
     // doc 15 still finds doc 7 (their shared body shingles have DF 1)
@@ -216,7 +216,7 @@ class MinHashIndexSpec extends SparkSpec {
     assert(capped.exists(p => p._1 == 15L && p._2 == 7L),
       s"genuine near-dup must survive the cap: $capped")
     // uncapped: the boilerplate overlap is enough to clear τ
-    val uncapped = TextOps.incrementalNearDupOn(docs, tau = 0.15, maxDf = 100000L)
+    val uncapped = NearDupOps.incrementalNearDupOn(docs, tau = 0.15, maxDf = 100000L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(uncapped.exists(_._1 == 10L),
       s"without the cap the boilerplate overlap should match: $uncapped")

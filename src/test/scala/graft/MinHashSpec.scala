@@ -86,7 +86,7 @@ class MinHashSpec extends SparkSpec {
       s"with its own vocabulary item${i}a item${i}b item${i}c item${i}d"
     val corpus = ((0 until 200).map(i => (i.toLong, copyText)) ++
       (200 until 240).map(i => (i.toLong, distinctText(i)))).toDF("doc_id", "text")
-    val out = graft.queries.TextOps.lshNearDupOn(corpus, maxBucket = 50)
+    val out = graft.queries.NearDupOps.lshNearDupOn(corpus, maxBucket = 50)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // star edges: every copy pairs with doc 0 (the representative)
     val expected = (1 until 200).map(i => (0L, i.toLong)).toSet
@@ -164,7 +164,7 @@ class MinHashSpec extends SparkSpec {
       (2L, near, "en", base.length.toLong),
       (3L, other, "en", 9999L))
       .toDF("doc_id", "text", "lang", "n_chars")
-    val got = graft.queries.TextOps.dedupVerdictsOn(docs)
+    val got = graft.queries.NearDupOps.dedupVerdictsOn(docs)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList
     assert(got === List(
       (0L, "keep", 0L), (1L, "exact", 0L), (2L, "near", 0L), (3L, "keep", 3L)))

@@ -21,7 +21,7 @@ class SharedStagesSpec extends SparkSpec {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .filter(col("doc_id") < TextOps.ExactBaselineDocCap)
     val shared = pairRows(SharedStages.cappedNearDupPairs(spark, dir))
-    val direct = pairRows(TextOps.ngramNearDupPairsOn(docs))
+    val direct = pairRows(NearDupOps.ngramNearDupPairsOn(docs))
     assert(direct.nonEmpty, "fixture must contain near-dup pairs")
     assert(shared === direct)
     // second call must hit the memo (same path, no rebuild) — the
@@ -37,7 +37,7 @@ class SharedStagesSpec extends SparkSpec {
     val sharedComps = SharedStages.cappedNearDupComponents(spark, dir)
       .select(col("id"), col("comp")).collect().map(_.toSeq).toSet
     val directComps = graft.operators.ConnectedComponents
-      .components(TextOps.ngramNearDupPairsOn(docs)
+      .components(NearDupOps.ngramNearDupPairsOn(docs)
         .select(col("doc_a"), col("doc_b")))
       .select(col("id"), col("comp")).collect().map(_.toSeq).toSet
     assert(directComps.nonEmpty)
@@ -45,7 +45,7 @@ class SharedStagesSpec extends SparkSpec {
     spark.catalog.clearCache()
     val sharedVerdicts = SharedStages.dedupVerdictsTable(spark, dir)
       .collect().map(_.toSeq).toSet
-    val directVerdicts = TextOps.dedupVerdictsOn(docs)
+    val directVerdicts = NearDupOps.dedupVerdictsOn(docs)
       .collect().map(_.toSeq).toSet
     assert(sharedVerdicts === directVerdicts)
     spark.catalog.clearCache()
@@ -92,10 +92,10 @@ class SharedStagesSpec extends SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select(col("doc_id"), col("verdict"), col("canonical_id"))
         .collect().map(_.toSeq).toSeq
-    val viaShared = rows(TextOps.dedupVerdictsOn(docs,
+    val viaShared = rows(NearDupOps.dedupVerdictsOn(docs,
       sharedPairs = Some(SharedStages.cappedNearDupPairs(spark, dir))))
     spark.catalog.clearCache()
-    val scratch = rows(TextOps.dedupVerdictsOn(docs))
+    val scratch = rows(NearDupOps.dedupVerdictsOn(docs))
     assert(viaShared.nonEmpty)
     assert(viaShared === scratch)
     spark.catalog.clearCache()

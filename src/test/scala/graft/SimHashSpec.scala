@@ -152,7 +152,7 @@ class SimHashSpec extends SparkSpec {
       s"with vocabulary item${i}a item${i}b item${i}c item${i}d item${i}e"
     val corpus = ((0 until 200).map(i => (i.toLong, copy)) ++
       (200 until 240).map(i => (i.toLong, distinctText(i)))).toDF("doc_id", "text")
-    val out = graft.queries.TextOps.simHashNearDupOn(corpus, maxBucket = 50)
+    val out = graft.queries.NearDupOps.simHashNearDupOn(corpus, maxBucket = 50)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val expected = (1 until 200).map(i => (0L, i.toLong)).toSet
     assert(expected.subsetOf(out),

@@ -243,7 +243,7 @@ class TrainingOpsSpec extends SparkSpec {
     // windows — asserting each stage only narrows and the final
     // offsets are dense and ordered
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val verdicts = graft.queries.TextOps.dedupVerdictsOn(docs)
+    val verdicts = graft.queries.NearDupOps.dedupVerdictsOn(docs)
     val keeps = docs.join(
       verdicts.filter(col("verdict") === "keep").select("doc_id"), Seq("doc_id"))
     val nKeep = keeps.count()
