@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
-import graft.queries.{MinHashIndex, TextOps}
+import graft.queries.{MinHashIndex, NearDupOps, TextOps}
 
 /** The persisted MinHash/LSH index (build / append / appendStream /
   * matches) and q114's shingle-inverted-index incremental near-dup:

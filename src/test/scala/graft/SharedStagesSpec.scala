@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.{Registry, SharedStages, TextOps}
+import graft.queries.{NearDupOps, Registry, SharedStages, TextOps}
 
 /** The session-shared stage table must be a pure materialization: the
   * round-6 change routed q54/q78/q100/q110 through ONE persisted pair
