@@ -81,9 +81,15 @@ object Bench {
     // overhead at the full surface). The artifact ships the raw
     // medians (`queries`, unchanged contract), the per-query
     // sentinel floor (`sentinel` + `sentinel_ref` = median of
-    // floors), and `queries_norm` = raw × (sentinel_ref / sentinel):
-    // a query is only credibly regressed when its NORMALIZED median
-    // moves.
+    // floors), and `queries_norm` = raw × (nominal / sentinel_ref):
+    // ONE run-level factor for the whole run. Round 8 normalized by
+    // the PER-QUERY sentinel sample instead, and the round-8 verdict
+    // measured why that was wrong: individual ~0.08s floors span 3×
+    // within one run (0.045–0.14s), so per-query normalization ADDS
+    // noise to sub-2s queries (q106 raw 1.58s → "norm" 2.76s, a
+    // phantom 1.7×). The run MEDIAN of ~146 min-of-3 floors is the
+    // stable machine-speed statistic; the per-query floors stay in
+    // the artifact for drift diagnosis only.
     def sentinelOnce(): Double = {
       import org.apache.spark.sql.functions._
       val t0 = System.nanoTime()
@@ -136,10 +142,18 @@ object Bench {
       else sentinels.values.toSeq.sorted.apply(sentinels.size / 2)
     val sentJson = sentinels.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Pinned nominal sentinel per parallelism mode: the run-median
+    // floor of the first clean committed full run at that mode.
+    // queries_norm is "seconds on the nominal-speed machine" —
+    // comparable ACROSS runs of the same mode. A mode without a pin
+    // yet normalizes by 1 (norm == raw) rather than inventing one.
+    val sentinelNominal = Map("32" -> 0.0766).get(cpus)
+    val normFactor = sentinelNominal match {
+      case Some(nom) if sentinelRef > 0 => nom / sentinelRef
+      case _ => 1.0
+    }
     val normJson = results.map { case (k, v) =>
-      val s = sentinels.getOrElse(k, sentinelRef)
-      val norm = if (s > 0) v * (sentinelRef / s) else v
-      "\"" + k + "\":" + norm
+      "\"" + k + "\":" + (v * normFactor)
     }.mkString("{", ",", "}")
     // escape EVERY control char, not just the common whitespace ones —
     // exception messages embed caret diagnostics and arbitrary input
@@ -156,7 +170,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""queries_norm":$normJson,"sentinel":$sentJson,""" +
-        s""""sentinel_ref":$sentinelRef,""" +
+        s""""sentinel_ref":$sentinelRef,"norm_factor":$normFactor,""" +
         s""""errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     Files.writeString(Paths.get(out), line + "\n")

@@ -82,6 +82,22 @@ object Archive {
     finally w.close()
   }
 
+  /** Recursive file/dir copy (REPLACE_EXISTING per file) — used to
+    * carry version-scoped sidecars (e.g. an index codebook) into a
+    * staged next version before its manifest flip.
+    */
+  private[graft] def copyTree(src: Path, dst: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val w = Files.walk(src)
+    try w.iterator().asScala.foreach { p =>
+      val to = dst.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(to): Unit
+      else Files.copy(p, to,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+    finally w.close()
+  }
+
   /** Crash healing for the two-rename in-place swap, shared by
     * [[compactParquet]] and the streaming sketch rollup — run BEFORE
     * writing `tmp`: a table that exists only under `old` (death

@@ -121,7 +121,12 @@ object EpochStore {
       // just renamed into the DISPLACED version dir, which the next
       // compaction deletes — silent data loss. Re-resolve and fail
       // loudly instead, turning a contract violation into an error
-      // the caller can retry against the new live version.
+      // the caller can retry against the new live version. This is
+      // best-effort NARROWING, not a guarantee: a compact that
+      // listed epochs before this rename but flips after the
+      // re-read below still drops the epoch silently — only the
+      // single-maintenance-writer contract makes commits safe; this
+      // check just converts most violations into loud errors.
       val liveNow = liveDir(root)
       if (liveNow != live)
         throw new IllegalStateException(
@@ -174,7 +179,8 @@ object EpochStore {
     * replays no-ops.
     */
   def compact(spark: SparkSession, root: String,
-              partitionCols: Seq[String] = Nil): Unit = {
+              partitionCols: Seq[String] = Nil,
+              carryExtras: Seq[String] = Nil): Unit = {
     val live = liveDir(root)
     val folded = foldedIds(live) ++ liveEpochIds(live)
     val data = read(spark, root).drop("epoch")
@@ -184,6 +190,15 @@ object EpochStore {
         .parquet(s"$dir/epoch=base")
       Files.writeString(Paths.get(dir, FoldedName),
         folded.toSeq.sorted.mkString("\n"))
+      // version-scoped sidecars (e.g. IvfIndex's `_codebook`) ride
+      // the same manifest flip as the data they describe — names
+      // must be `_`/`.`-prefixed so Spark's file discovery over the
+      // version dir never reads them as epochs
+      carryExtras.foreach { name =>
+        val src = Paths.get(live, name)
+        if (Files.exists(src))
+          Archive.copyTree(src, Paths.get(dir, name))
+      }
     }: Unit
   }
 }

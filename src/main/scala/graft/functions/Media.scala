@@ -214,10 +214,23 @@ object Media {
 
   /** ImageIO decode with a typed failure. */
   private[graft] def decodeImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    // ImageIO on corrupt real-world bytes throws beyond IOException:
+    // CMMException / IllegalStateException from color management,
+    // NegativeArraySizeException from lying headers. All of those
+    // mean "this asset is undecodable", not "this executor is
+    // broken", so fold every NonFatal into the one typed exception
+    // callers treat as a per-asset drop — a single rotten file must
+    // not fail the whole partition task. Genuinely environmental
+    // failures (e.g. a missing PNG WRITER at re-encode time) happen
+    // outside this decode path and stay fatal.
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case e: java.io.IOException =>
-        throw new IllegalArgumentException(s"image decode failed: ${e.getMessage}") }
+      catch {
+        case e: IllegalArgumentException => throw e
+        case scala.util.control.NonFatal(e) =>
+          throw new IllegalArgumentException(
+            s"image decode failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
     if (img == null)
       throw new IllegalArgumentException("no ImageIO codec for these bytes")
     img

@@ -85,15 +85,21 @@ object Text {
   def md5ShingleHashes(text: Column, n: Int = 3): Column =
     array_distinct(transform(shingles(text, n), md5BaseHash(_)))
 
-  /** Per-token 64-bit md5-derived hashes (first 16 md5 hex digits as
-    * a signed-wrapped long) — the portable input to [[simHash]]'s
-    * pre-hashed path. DuckDB mirror:
+  /** Scalar 64-bit md5-derived hash (first 16 md5 hex digits as a
+    * signed-wrapped long). DuckDB mirror:
     * `('0x' || substr(md5(t), 1, 16))::UBIGINT` read bit-by-bit.
     */
+  def md5Hash64(t: Column): Column =
+    shiftleft(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(md5(t), 9, 8), 16, 10).cast("long"))
+
+  /** Per-token 64-bit md5-derived hashes — the portable input to
+    * [[simHash]]'s pre-hashed path. Per-OCCURRENCE md5; prefer the
+    * per-distinct-token form (q57's vocabulary pattern) when the
+    * token stream repeats heavily.
+    */
   def md5TokenHash64(toks: Column): Column =
-    transform(toks, t =>
-      shiftleft(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), 32)
-        .bitwiseOR(conv(substring(md5(t), 9, 8), 16, 10).cast("long")))
+    transform(toks, md5Hash64(_))
 
   /** Distinct word-n-gram shingles as raw xxhash64 longs — the native
     * codegen'd [[graft.expressions.ShingleHashes]]. The preferred form

@@ -13,8 +13,15 @@ import graft.functions.Vectors
   * can never amortize (q60's brute force wins), so the index must be
   * BUILT ONCE and stored. Layout:
   *
-  *   <path>/codebook/            (c_id, c_emb) — k rows, driver-small
-  *   <path>/cells/epoch=<e>/cell=<c>/  (vec_id, embedding)
+  *   <path>/cells/v<N>/_codebook/  (c_id, c_emb) — k rows,
+  *     driver-small, a version-scoped SIDECAR: the codebook lives
+  *     inside the cells store's manifest version (round 9), so a
+  *     rebuild flips codebook and assignments with ONE atomic
+  *     manifest rename — no window where a new codebook describes
+  *     old assignments (the `_` prefix hides it from Spark's data
+  *     discovery; [[graft.engine.EpochStore.compact]] carries it
+  *     into each compacted version)
+  *   <path>/cells/v<N>/epoch=<e>/cell=<c>/  (vec_id, embedding)
   *     — epoch = the storage exactly-once unit ("base" for the
   *       build, the batchId for each streamed append), cell = the
   *       probe-pruning partition column
@@ -39,18 +46,25 @@ object IvfIndex {
     val spark = emb.sparkSession
     val cents = Similarity.kmeansCodebook(emb, lloydIters, k)
     import spark.implicits._
-    cents.toDF("c_id", "c_emb").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/codebook")
     // the base build is epoch "base" of a versioned EpochStore;
     // streamed arrivals land as sibling epoch=<batchId> dirs (see
     // [[appendEpoch]]) — epoch is the exactly-once unit, cell below
     // it stays the pruning column, and [[compact]] folds epochs back
-    // into one base under a manifest flip
+    // into one base under a manifest flip. The codebook is staged
+    // INSIDE the same version dir, so on a rebuild the (codebook,
+    // assignments) pair becomes visible in one manifest rename —
+    // writing it beside the store would leave a crash window where
+    // a fresh codebook describes the previous version's cells.
     graft.engine.EpochStore.create(s"$path/cells", rebuild = true) { base =>
+      val verDir = base.stripSuffix("/epoch=base")
+      cents.toDF("c_id", "c_emb").coalesce(1)
+        .write.mode("overwrite").parquet(s"$verDir/$CodebookName")
       assign(emb, cents)
         .write.mode("overwrite").partitionBy("cell").parquet(base)
     }
   }
+
+  private val CodebookName = "_codebook"
 
   /** Fold all committed cell epochs into one base (new manifest
     * version; readers and replays stay safe — see
@@ -59,7 +73,8 @@ object IvfIndex {
     * layout.
     */
   def compact(spark: SparkSession, path: String): Unit =
-    graft.engine.EpochStore.compact(spark, s"$path/cells", Seq("cell"))
+    graft.engine.EpochStore.compact(spark, s"$path/cells", Seq("cell"),
+      carryExtras = Seq(CodebookName))
 
   /** Nearest-cell assignment of (`vec_id`, `embedding`) rows under a
     * given codebook — [[Similarity.probeCells]] at nprobe=1, exposed
@@ -71,9 +86,14 @@ object IvfIndex {
     Similarity.probeCells(vectors.select(col("vec_id"), col("embedding")),
       Seq("vec_id", "embedding"), "embedding", cents, 1)
 
-  /** The stored codebook, sorted — model state, k×dim small. */
+  /** The stored codebook, sorted — model state, k×dim small.
+    * Resolved through the cells manifest (the codebook is a
+    * version-scoped sidecar), so a reader always gets the codebook
+    * that produced the assignments it is about to scan.
+    */
   def loadCodebook(spark: SparkSession, path: String): Seq[(Int, Seq[Double])] =
-    spark.read.parquet(s"$path/codebook")
+    spark.read.parquet(
+        s"${graft.engine.EpochStore.liveDir(s"$path/cells")}/$CodebookName")
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1))
       .sortBy(_._1).toSeq
@@ -131,6 +151,78 @@ object IvfIndex {
       assign(batch, cents)
         .write.mode("overwrite").partitionBy("cell").parquet(tmp)
     }
+
+  /** Per-cell health metrics off the stored index alone (q144's
+    * body): member count, skew (n·k/total — 1.0 is perfectly
+    * balanced; a probe of a skew-4 cell reads 4× its share of
+    * bytes), and mean member-to-own-centroid cosine (drifting corpus
+    * → falling cohesion). One scan of the stored cells, the k-row
+    * codebook broadcast, one cell-keyed aggregate, one 1-row total
+    * broadcast — the raw corpus is never touched. Mean cohesion
+    * follows q126's determinism rule: 6dp-round each cosine,
+    * decimal-sum, divide once in double, surface 4dp.
+    */
+  def health(spark: SparkSession, path: String): DataFrame = {
+    val cents = loadCodebook(spark, path)
+    import spark.implicits._
+    val cb = cents.toDF("cell", "c_emb")
+    val k = cents.size
+    val stored = graft.engine.EpochStore.read(spark, s"$path/cells")
+      .select(col("cell").cast("int").as("cell"), col("embedding"))
+    val perCell = stored.join(broadcast(cb), Seq("cell"))
+      .select(col("cell"),
+        round(Vectors.cosine(col("embedding"), col("c_emb")), 6)
+          .as("cos6"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        (sum(col("cos6").cast("decimal(38,6)")).cast("double")
+          / count(lit(1))).as("mc"))
+    val tot = perCell.agg(sum(col("n_vectors")).as("total"))
+    perCell.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vectors"),
+        ((col("n_vectors") * k).cast("double") / col("total"))
+          .as("skew"),
+        round(col("mc"), 4).as("mean_cos_centroid"))
+      .orderBy(col("cell"))
+  }
+
+  /** Health-DRIVEN rebuild — closes the loop q144 left open: the
+    * audit made codebook staleness measurable; this acts on it.
+    * Stale iff max cell skew exceeds `maxSkew` (the documented
+    * operational rule: a probe of a skew-4 cell reads 4× its byte
+    * share) OR the mean cohesion of any HEAVY cell (skew ≥ 1 — a
+    * cell carrying at least its share; tiny cells have noisy means)
+    * falls below `minCohesion`. On stale: the codebook is re-learned
+    * from the STORED vectors (one scan of the cells store, never the
+    * raw corpus) and the whole index rewrites via [[build]] — one
+    * atomic manifest flip covering codebook + assignments, committed
+    * epoch ledger carried forward so surviving stream checkpoints
+    * stay replay-safe ([[graft.engine.EpochStore.create]]).
+    *
+    * Single-maintenance-writer contract (same as [[compact]]): call
+    * between micro-batches or with the append stream stopped.
+    * Returns true iff a rebuild ran; a healthy index is a pure-read
+    * no-op (manifest untouched — IvfIndexSpec pins both paths).
+    */
+  def rebuildIfStale(spark: SparkSession, path: String,
+                     maxSkew: Double = 4.0,
+                     minCohesion: Double = 0.0,
+                     k: Int = Similarity.IvfCells,
+                     lloydIters: Int = Similarity.IvfLloydIters): Boolean = {
+    val row = health(spark, path)
+      .agg(max(col("skew")).as("worst_skew"),
+        min(when(col("skew") >= 1.0, col("mean_cos_centroid")))
+          .as("worst_heavy_cohesion"))
+      .head()
+    val stale = (!row.isNullAt(0) && row.getDouble(0) > maxSkew) ||
+      (!row.isNullAt(1) && row.getDouble(1) < minCohesion)
+    if (stale) {
+      val vecs = graft.engine.EpochStore.read(spark, s"$path/cells")
+        .select(col("vec_id"), col("embedding"))
+      build(vecs, path, k, lloydIters)
+    }
+    stale
+  }
 
   /** Top-`topK` neighbors per query row (`query_id`, `q_emb`) against
     * a built index. Output matches q64's shape: (query_id,

@@ -86,10 +86,40 @@ object MinHashIndex {
     if (mode == "append") {
       // incremental batch append: its own epoch in each table, from
       // the high id band disjoint from streaming batchIds. A crash
-      // between the two commits leaves docs-only; re-running the
-      // append commits BOTH tables under a fresh id, so complete the
-      // crashed id manually (appendEpoch) rather than re-appending.
-      val id = EpochStore.nextAppendEpochId(s"$path/docs")
+      // between the two commits leaves docs-only; the RETRY is
+      // self-healing (round 9): when the docs table is one append id
+      // ahead of bands, re-running the append REUSES the crashed id
+      // — commitEpoch no-ops on the committed docs side and
+      // completes bands — instead of drawing a fresh id and silently
+      // duplicating the batch's docs rows. Healing is only safe when
+      // THIS batch is the crashed one, so the pending doc_id set is
+      // checked against the committed epoch first (one bounded
+      // epoch-vs-batch anti-join each way) and a DIFFERENT batch
+      // fails loudly: committing its bands under the old id would
+      // silently mismatch the two tables.
+      val docsNext = EpochStore.nextAppendEpochId(s"$path/docs")
+      val bandsNext = EpochStore.nextAppendEpochId(s"$path/bands")
+      val id =
+        if (docsNext > bandsNext) {
+          val crashed = docsNext - 1
+          val committed = EpochStore.read(docs.sparkSession, s"$path/docs")
+            .filter(col("epoch") === crashed.toString)
+            .select(col("doc_id"))
+          val pending = sigs.select(col("doc_id"))
+          val differ =
+            committed.join(pending, Seq("doc_id"), "left_anti").limit(1)
+              .count() +
+            pending.join(committed, Seq("doc_id"), "left_anti").limit(1)
+              .count() > 0
+          if (differ)
+            throw new IllegalStateException(
+              s"MinHashIndex at $path has a half-committed append " +
+                s"epoch=$crashed (docs committed, bands missing) whose " +
+                "doc_id set differs from this batch — re-run the append " +
+                "with the ORIGINAL crashed batch to heal it before " +
+                "appending new batches")
+          crashed
+        } else docsNext
       EpochStore.commitEpoch(s"$path/docs", id) { tmp =>
         sigs.write.mode("overwrite").parquet(tmp)
       }

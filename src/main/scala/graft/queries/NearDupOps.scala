@@ -145,15 +145,23 @@ object NearDupOps {
     //    vote table per bit position in UBIGINT arithmetic, so every
     //    output bit is value-checked; Hamming-near semantics in
     //    SimHashSpec.
+    //    Round 9: md5 runs once per DISTINCT token, not per
+    //    occurrence — the q143 vocabulary pattern. Round 8's swap to
+    //    the portable family made q57 4.4× its xxhash self because
+    //    the full md5 digest ran on every token occurrence; the
+    //    token stream is Zipf-distributed, so hashing the vocabulary
+    //    (distinct words) and broadcasting it back onto occurrences
+    //    removes ~all of that cost. The per-doc hash MULTISET is
+    //    unchanged (every occurrence still contributes its vote), so
+    //    the native SimHash64 kernel and the oracle's per-occurrence
+    //    replay see identical values. Scale shape: one partial-agg
+    //    distinct over words, vocabulary broadcast (Zipf-bounded),
+    //    map-side probe, one doc-keyed collect — no corpus self-join.
     Q("q57_simhash",
-      (s, d) => {
-        val sh = Text.simHash(Text.md5TokenHash64(Text.tokens(col("text"))))
-        t(s, d).documents
-          .select(col("doc_id"), sh.as("sh"))
-          .select(col("doc_id"), col("sh.hi").as("simhash_hi"),
-            col("sh.lo").as("simhash_lo"))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => portableSimHash(t(s, d).documents)
+        .select(col("doc_id"), col("sh.hi").as("simhash_hi"),
+          col("sh.lo").as("simhash_lo"))
+        .orderBy(col("doc_id")),
       Some(s"""WITH $portableSimHashCtes
         SELECT doc_id, simhash_hi, simhash_lo FROM fp ORDER BY doc_id"""),
       "portable SimHash fingerprints (full value oracle)"),
@@ -768,18 +776,35 @@ object NearDupOps {
   }
 
 
+  /** Portable (md5-family) SimHash fingerprints `(doc_id, sh)` with
+    * md5 run once per DISTINCT token — the q143 vocabulary pattern
+    * (q57's comment has the full rationale). The per-doc hash
+    * MULTISET equals the per-occurrence form's, so the native
+    * SimHash64 kernel sees identical votes; the doc-keyed left join
+    * keeps null-text docs as rows (null fingerprint), matching the
+    * per-row projection form.
+    */
+  def portableSimHash(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val docTok = docs.select(col("doc_id"),
+      explode(Text.tokens(col("text"))).as("w"))
+    val vocab = docTok.select(col("w")).distinct()
+      .select(col("w"), Text.md5Hash64(col("w")).as("h"))
+    val perDoc = docTok.join(broadcast(vocab), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("h")).as("hs"))
+      .select(col("doc_id"), Text.simHash(col("hs")).as("sh"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+  }
+
   /** q68's plan over any documents frame, with the bucket cap
     * parameterized so SimHashSpec can engage the representative path.
     */
   def simHashNearDupOn(docs: org.apache.spark.sql.DataFrame,
                        maxBucket: Int = MaxLshBucket,
                        portable: Boolean = false): org.apache.spark.sql.DataFrame = {
-        val fpExpr =
-          if (portable)
-            Text.simHash(Text.md5TokenHash64(Text.tokens(col("text"))))
-          else Text.simHash(Text.tokens(col("text")))
-        val fp = docs
-          .select(col("doc_id"), fpExpr.as("sh"))
+        val fp = (if (portable) portableSimHash(docs)
+          else docs.select(col("doc_id"),
+            Text.simHash(Text.tokens(col("text"))).as("sh")))
           .persist() // band explode + both verify sides
         fp.count() // materialize eagerly (see q54/q56: lazy caches
                    // with multiple consumers recompute under racing)

@@ -632,31 +632,11 @@ object Similarity {
     //    verifies the stored assignment IS the k-means the build
     //    claims. Mean cohesion follows q126: 6dp-round each cosine,
     //    decimal-sum, divide once in double, surface 4dp.
+    //    Body lives in [[IvfIndex.health]] (round 9) so the
+    //    maintenance op [[IvfIndex.rebuildIfStale]] reads the SAME
+    //    metrics it acts on — audit and trigger cannot drift.
     Q("q144_ivf_index_health",
-      (s, d) => {
-        val path = SharedStages.ivfIndexPath(s, d)
-        val cents = IvfIndex.loadCodebook(s, path)
-        val spark = s
-        import spark.implicits._
-        val cb = cents.toDF("cell", "c_emb")
-        val stored = graft.engine.EpochStore.read(s, s"$path/cells")
-          .select(col("cell").cast("int").as("cell"), col("embedding"))
-        val perCell = stored.join(broadcast(cb), Seq("cell"))
-          .select(col("cell"),
-            round(Vectors.cosine(col("embedding"), col("c_emb")), 6)
-              .as("cos6"))
-          .groupBy(col("cell"))
-          .agg(count(lit(1)).as("n_vectors"),
-            (sum(col("cos6").cast("decimal(38,6)")).cast("double")
-              / count(lit(1))).as("mc"))
-        val tot = perCell.agg(sum(col("n_vectors")).as("total"))
-        perCell.crossJoin(broadcast(tot))
-          .select(col("cell"), col("n_vectors"),
-            ((col("n_vectors") * IvfCells).cast("double") / col("total"))
-              .as("skew"),
-            round(col("mc"), 4).as("mean_cos_centroid"))
-          .orderBy(col("cell"))
-      },
+      (s, d) => IvfIndex.health(s, SharedStages.ivfIndexPath(s, d)),
       Some(ivfHealthOracleSql),
       "per-cell IVF index health: size skew + centroid cohesion " +
         "(rebuild signal)")

@@ -113,6 +113,45 @@ class EpochCompactionSpec extends SparkSpec {
     assert(n === docs.filter(col("doc_id") < 400).count() + 50)
   }
 
+  test("crashed append() (docs committed, bands missing) heals on retry " +
+      "with the same batch; a different batch fails loudly") {
+    val base = java.nio.file.Files.createTempDirectory("mh-heal").toString
+    val ix = s"$base/ix"
+    MinHashIndex.build(docs.filter(col("doc_id") < 300), ix)
+    val batchA = docs.filter(col("doc_id") >= 300 && col("doc_id") < 360)
+    val batchB = docs.filter(col("doc_id") >= 360 && col("doc_id") < 420)
+
+    // simulate the crash window: the docs epoch committed, the bands
+    // epoch never staged
+    EpochStore.commitEpoch(s"$ix/docs", 1000000000L) { tmp =>
+      MinHashIndex.signatures(batchA).write.mode("overwrite").parquet(tmp)
+    }
+    assert(EpochStore.committed(s"$ix/docs", 1000000000L))
+    assert(!EpochStore.committed(s"$ix/bands", 1000000000L))
+
+    // retrying with a DIFFERENT batch must not adopt the crashed id
+    val e = intercept[IllegalStateException] {
+      MinHashIndex.append(batchB, ix)
+    }
+    assert(e.getMessage.contains("half-committed"))
+    assert(!EpochStore.committed(s"$ix/bands", 1000000000L))
+
+    // retrying with the ORIGINAL batch heals: the crashed id is
+    // reused (docs commit no-ops, bands completes) — no duplicate
+    // docs rows, both tables converged
+    val docFiles = fileDirs(s"$ix/docs")
+    MinHashIndex.append(batchA, ix)
+    assert(fileDirs(s"$ix/docs") === docFiles) // docs side untouched
+    assert(EpochStore.committed(s"$ix/bands", 1000000000L))
+    assert(EpochStore.read(spark, s"$ix/docs").count() ===
+      docs.filter(col("doc_id") < 300).count() + batchA.count())
+
+    // and the next append draws a FRESH id again
+    MinHashIndex.append(batchB, ix)
+    assert(EpochStore.committed(s"$ix/docs", 1000000001L))
+    assert(EpochStore.committed(s"$ix/bands", 1000000001L))
+  }
+
   test("append racing compact fails loudly instead of losing the epoch " +
       "(engine-level: all three stores share this path)") {
     import spark.implicits._

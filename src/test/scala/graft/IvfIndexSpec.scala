@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Archive, EpochStore}
+import graft.queries.IvfIndex
+
+/** Health-driven IVF index maintenance (round 9): q144 made codebook
+  * staleness measurable; [[IvfIndex.rebuildIfStale]] acts on it. The
+  * contract under test:
+  *
+  *   - a HEALTHY index is a pure-read no-op — `false`, manifest
+  *     version untouched, codebook byte-identical;
+  *   - a DRIFTED index (appended vectors the stale codebook assigns
+  *     badly) rebuilds — `true`, manifest advances one version, and
+  *     the health metrics RECOVER (max skew falls, cohesion of the
+  *     worst heavy cell rises);
+  *   - the committed-epoch ledger survives the rebuild, so replaying
+  *     an append folded into the rebuilt base stays a storage no-op;
+  *   - the codebook is a version-scoped sidecar: it lives INSIDE the
+  *     live version dir, so the rebuild's manifest flip publishes
+  *     codebook + assignments atomically.
+  */
+class IvfIndexSpec extends SparkSpec {
+
+  private def emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  /** Relative paths of every data file under `root` (same helper as
+    * EpochCompactionSpec).
+    */
+  private def fileDirs(root: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val rp = java.nio.file.Paths.get(root)
+    val w = java.nio.file.Files.walk(rp)
+    try w.iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map(p => rp.relativize(p).toString).toSet
+    finally w.close()
+  }
+
+  private def maxSkew(idx: String): Double =
+    IvfIndex.health(spark, idx)
+      .agg(max(col("skew"))).head().getDouble(0)
+
+  test("rebuildIfStale: healthy no-op; drifted corpus rebuilds and " +
+      "metrics recover; ledger carries through the rebuild") {
+    val base = java.nio.file.Files.createTempDirectory("ivf-stale").toString
+    val idx = s"$base/ix"
+    IvfIndex.build(emb.filter(col("vec_id") < 250), idx)
+    val root = s"$idx/cells"
+    val v0 = Archive.currentVersion(root)
+    val cb0 = IvfIndex.loadCodebook(spark, idx)
+    val skew0 = maxSkew(idx)
+    assert(skew0 <= 4.0,
+      s"fixture's built index must start healthy (max skew $skew0)")
+
+    // healthy: below the default threshold -> no-op, nothing written
+    assert(!IvfIndex.rebuildIfStale(spark, idx))
+    assert(Archive.currentVersion(root) === v0)
+    assert(IvfIndex.loadCodebook(spark, idx) === cb0)
+
+    // drift: a new MODE the build never saw — 250 identical all-ones
+    // vectors. The stale codebook funnels all of them into one
+    // nearest cell, so that cell's skew hits ≥ (250·k)/500 = 5 no
+    // matter which cell catches them
+    val cents = IvfIndex.loadCodebook(spark, idx)
+    val drift = emb.filter(col("vec_id") >= 250)
+      .select((col("vec_id") + 1000).as("vec_id"),
+        transform(col("embedding"), _ => lit(1.0f)).as("embedding"))
+    IvfIndex.appendEpoch(drift, cents, idx, 5L)
+    val skewDrifted = maxSkew(idx)
+    assert(skewDrifted > 4.0,
+      s"fixture drift must cross the default threshold (skew $skewDrifted)")
+
+    // stale: rebuild runs, manifest advances, the new mode gets its
+    // own centroid (its cell's cohesion recovers to ~1.0)
+    assert(IvfIndex.rebuildIfStale(spark, idx))
+    assert(Archive.currentVersion(root) !== v0)
+    // every vector survived the rebuild
+    assert(EpochStore.read(spark, root).count() === 500)
+    val heaviest = IvfIndex.health(spark, idx)
+      .orderBy(col("n_vectors").desc).head()
+    assert(heaviest.getLong(1) >= 250,
+      "the drift mode must share one cell after the rebuild")
+    assert(heaviest.getDouble(3) > 0.9,
+      s"the drift cell must cohere to its OWN centroid after the " +
+        s"rebuild (mean cos ${heaviest.getDouble(3)})")
+
+    // the ledger carried: the folded append id replays as a no-op
+    val files = fileDirs(root)
+    IvfIndex.appendEpoch(drift, cents, idx, 5L)
+    assert(fileDirs(root) === files)
+
+    // the codebook is a sidecar INSIDE the live version dir (one
+    // manifest flip covers codebook + assignments)
+    val live = EpochStore.liveDir(root)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(live, "_codebook")))
+  }
+}

@@ -188,6 +188,108 @@ class PipelineSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("multi-symbol fan-out: one GET per (symbol, statement) partition; " +
+      "an injected mid-run chunk failure converges on the cron-style rerun") {
+    // The reference's real daily shape is N symbols × 3 statements
+    // (etl_supabase.py:115-119) under a cron that simply reruns on
+    // failure (etl.yml:4-6). The stub hosts both HTTP ends; the
+    // upsert end is a keyed store (PostgREST upsert semantics) whose
+    // Nth POST fails once — at-least-once delivery + idempotent keys
+    // must converge the rerun to the clean-run state.
+    import com.sun.net.httpserver.HttpServer
+    import graft.sources.StatementDataSource.{Metrics, metricValue}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val gets = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val posts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failAt = 5 // one mid-run failure: some specs committed, one aborts
+    val store = new java.util.concurrent.ConcurrentHashMap[
+      (String, String, String), Boolean]()
+    server.createContext("/api", { exchange =>
+      gets.add(exchange.getRequestURI.toString)
+      val params = Option(exchange.getRequestURI.getQuery).getOrElse("")
+        .split("&").map(_.split("=", 2))
+        .collect { case Array(k, v) => k -> v }.toMap
+      val stmt = exchange.getRequestURI.getPath.stripPrefix("/api/")
+      val sym = java.net.URLDecoder.decode(params("symbol"), "UTF-8")
+      val rows = (params("year_from").toInt to params("year_to").toInt).map {
+        y =>
+          val ms = Metrics.map(m => s""""$m":${metricValue(sym, stmt, y, m)}""")
+          (Seq(s""""year":$y""") ++ ms).mkString("{", ",", "}")
+      }
+      val body = rows.mkString("[", ",", "]").getBytes("UTF-8")
+      exchange.getResponseHeaders.add("Content-Type", "application/json")
+      exchange.sendResponseHeaders(200, body.length)
+      exchange.getResponseBody.write(body)
+      exchange.close()
+    })
+    server.createContext("/rest/v1", { exchange =>
+      val body = new String(exchange.getRequestBody.readAllBytes(), "UTF-8")
+      if (posts.incrementAndGet() == failAt) {
+        exchange.sendResponseHeaders(500, -1)
+        exchange.close()
+      } else {
+        val table = exchange.getRequestURI.getPath.stripPrefix("/rest/v1/")
+        // keyed upsert double: (table, ticker, year) — re-POSTs of
+        // the same record overwrite, PostgREST's on-conflict shape
+        val tickers = """"ticker":"([^"]+)"""".r
+          .findAllMatchIn(body).map(_.group(1)).toSeq
+        val years = """"year":(\d+)""".r
+          .findAllMatchIn(body).map(_.group(1)).toSeq
+        tickers.zip(years).foreach { case (t, y) =>
+          store.put((table, t, y), true): Unit
+        }
+        exchange.sendResponseHeaders(201, -1)
+        exchange.close()
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val symbols = Seq("AAA", "BBB", "CCC", "DDD")
+      val statements = Seq(Sources.Income, Sources.Balance, Sources.CashFlow)
+
+      // fan-out shape first: ONE DSv2 read over all symbols plans one
+      // partition (and so exactly one executor-side GET) per
+      // (symbol, statement)
+      val fanout = spark.read.format("graft.sources.StatementDataSource")
+        .option("url", s"http://127.0.0.1:$port/api")
+        .option("symbols", symbols.mkString(","))
+        .option("years", "2019-2021").load()
+      assert(fanout.rdd.getNumPartitions === 12)
+      gets.clear()
+      assert(fanout.count() === 12 * 3) // 4 symbols x 3 statements x 3 years
+      val got = gets.asScala.toSeq
+      assert(got.size === 12, s"one GET per (symbol, statement): $got")
+      for (sym <- symbols; st <- statements)
+        assert(got.count(u => u.contains(s"/api/${st.name}")
+          && u.contains(s"symbol=$sym")) === 1, s"($sym, ${st.name}) in $got")
+
+      // the reference loop at fan-out: 12 specs through the live
+      // writer; POST #5 dies mid-run, the cron rerun converges
+      val archBase = Files.createTempDirectory("pipefan").toString
+      val pubRoot = Files.createTempDirectory("pipefanpub").toString
+      val writer = new graft.engine.HttpChunkWriter(
+        s"http://127.0.0.1:$port/rest/v1")
+      val specs = for (sym <- symbols; st <- statements) yield
+        Pipeline.Spec(
+          new Sources.HttpStatementSource(
+            s"http://127.0.0.1:$port/api", years = "2019-2021"),
+          sym, st, s"fin_${st.name}",
+          s"$archBase/${st.name}_$sym", s"${st.name}/$sym")
+      def runAll(): Unit = Pipeline.runAll(spark, specs, writer,
+        new Archive.LocalFsPublisher(pubRoot)): Unit
+      val firstFailed =
+        try { runAll(); false } catch { case _: Exception => true }
+      assert(firstFailed, "POST #5 must abort the first run loudly")
+      assert(store.size < 36, "the aborted run must be mid-flight")
+      runAll() // the cron tick
+      val expected = (for (sym <- symbols; st <- statements; y <- 2019 to 2021)
+        yield (s"fin_${st.name}", sym, y.toString)).toSet
+      assert(store.keySet.asScala.toSet === expected)
+    } finally server.stop(0)
+  }
+
   test("runIncremental (AvailableNow): two incremental runs == one batch run") {
     // The cron analog as code: files land in the statement dir
     // between runs; each runIncremental drains only what's new

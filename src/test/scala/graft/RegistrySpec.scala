@@ -20,6 +20,39 @@ class RegistrySpec extends SparkSpec {
     qnames.foreach(n => assert(n.matches("q[0-9]+_[a-z0-9_]+"), n))
   }
 
+  test("the declared surface never shrinks: every family object is " +
+      "non-empty, wired into Registry.all, and q1..q146 all resolve") {
+    // The round-8 TextOps split showed the failure mode: a file split
+    // can silently drop a family from Registry.all (or break its
+    // object) while the driver artifacts keep passing on what's left.
+    // Force-load every family object and pin the historical surface.
+    import graft.queries._
+    val families: Map[String, Seq[Q]] = Map(
+      "Relational" -> Relational.queries,
+      "Windows" -> Windows.queries,
+      "JsonOps" -> JsonOps.queries,
+      "EventOps" -> EventOps.queries,
+      "TextOps" -> TextOps.queries,
+      "NearDupOps" -> NearDupOps.queries,
+      "CorpusStatsOps" -> CorpusStatsOps.queries,
+      "SampleOps" -> SampleOps.queries,
+      "Similarity" -> Similarity.queries,
+      "MultimodalOps" -> MultimodalOps.queries,
+      "TrainingOps" -> TrainingOps.queries,
+      "TokenizerOps" -> TokenizerOps.queries,
+      "QualityOps" -> QualityOps.queries,
+      "LayoutOps" -> LayoutOps.queries)
+    val all = Registry.all.map(_.name).toSet
+    families.foreach { case (fam, qs) =>
+      assert(qs.nonEmpty, s"$fam lost its queries")
+      qs.foreach(q => assert(all.contains(q.name),
+        s"$fam's ${q.name} is not wired into Registry.all"))
+    }
+    val ids = all.map(_.drop(1).takeWhile(_.isDigit).toInt)
+    (1 to 146).foreach(i =>
+      assert(ids.contains(i), s"q$i vanished from the registry"))
+  }
+
   test("no declared query plans a CartesianProduct") {
     // The capped exact baselines (q65/q54) deliberately cross-join,
     // but their capped inputs must stay under the broadcast threshold

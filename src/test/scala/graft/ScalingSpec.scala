@@ -59,6 +59,13 @@ class ScalingSpec extends SparkSpec {
     // candidate stage is impossible by construction and the time
     // bound polices the chunking HOFs + the two chunk shuffles.
     "q136_cdc_chunking", "q138_boilerplate_removal",
+    // chunk-level decontamination: one row per training doc (the
+    // doc_id % 50 eval split survives the +800·i shift). The eval
+    // chunk set broadcasts; the training side is one scan of the
+    // persisted chunk store — a pair-shuffled (train × eval) stage
+    // would blow the time bound. Completes the measured-sub-quadratic
+    // evidence for the chunk-store family (q136 covers the build).
+    "q140_chunk_decontamination",
     // BPE corpus emit: one row per doc. Per-copy token renaming grows
     // the distinct-word vocabulary 10×, so the time bound polices the
     // vocabulary-bounded merge apply + the doc-partitioned windows —
