@@ -169,6 +169,25 @@ object EpochStore {
     finally s.close()
   }
 
+  /** Epoch-count-driven maintenance policy: [[compact]] only when the
+    * live version holds more than `maxEpochs` epoch dirs. The cost
+    * model this enforces is the one the header documents — each epoch
+    * is one directory listing per query, so a year of daily appends
+    * degrades scans linearly until a fold; a store under the bound is
+    * a pure-read no-op (one listing, no job). Returns true iff a
+    * compaction ran. Single-maintenance-writer contract, like
+    * [[compact]] — call between micro-batches or with the stream
+    * stopped.
+    */
+  def compactIfFragmented(spark: SparkSession, root: String,
+                          partitionCols: Seq[String] = Nil,
+                          carryExtras: Seq[String] = Nil,
+                          maxEpochs: Int = 64): Boolean = {
+    val fragmented = epochCount(root) > maxEpochs
+    if (fragmented) compact(spark, root, partitionCols, carryExtras)
+    fragmented
+  }
+
   /** Fold every committed epoch into one `epoch=base` of the next
     * version and flip the manifest. Values are preserved exactly
     * (union of immutable epoch contents, no dedup — epoch membership

@@ -51,6 +51,14 @@ object ChunkIndex {
   def compact(spark: SparkSession, path: String): Unit =
     EpochStore.compact(spark, s"$path/chunks")
 
+  /** [[compact]] only past `maxEpochs` committed epochs — the policy
+    * form for a maintenance cron. Returns true iff a fold ran.
+    */
+  def compactIfFragmented(spark: SparkSession, path: String,
+                          maxEpochs: Int = 64): Boolean =
+    EpochStore.compactIfFragmented(spark, s"$path/chunks",
+      maxEpochs = maxEpochs)
+
   /** Incremental maintenance: each micro-batch of new documents
     * chunks under the same boundary function and commits as its own
     * epoch — no rewrite of existing epochs, replay-idempotent by

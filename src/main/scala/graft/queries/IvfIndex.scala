@@ -76,6 +76,15 @@ object IvfIndex {
     graft.engine.EpochStore.compact(spark, s"$path/cells", Seq("cell"),
       carryExtras = Seq(CodebookName))
 
+  /** [[compact]] only past `maxEpochs` committed epochs — the policy
+    * form for a maintenance cron ([[graft.engine.EpochStore.compactIfFragmented]]).
+    * Returns true iff a fold ran.
+    */
+  def compactIfFragmented(spark: SparkSession, path: String,
+                          maxEpochs: Int = 64): Boolean =
+    graft.engine.EpochStore.compactIfFragmented(spark, s"$path/cells",
+      Seq("cell"), Seq(CodebookName), maxEpochs)
+
   /** Nearest-cell assignment of (`vec_id`, `embedding`) rows under a
     * given codebook — [[Similarity.probeCells]] at nprobe=1, exposed
     * so consumers (and the parity spec) can reproduce exactly what
@@ -89,14 +98,27 @@ object IvfIndex {
   /** The stored codebook, sorted — model state, k×dim small.
     * Resolved through the cells manifest (the codebook is a
     * version-scoped sidecar), so a reader always gets the codebook
-    * that produced the assignments it is about to scan.
+    * that produced the assignments it is about to scan. The part
+    * FILES are listed and passed explicitly: the sidecar dir is
+    * `_`-prefixed (hidden from the cells scan's file discovery), and
+    * handing a hidden dir to `spark.read` as the root trips the
+    * hidden-path filter's warning path — the part files themselves
+    * are ordinary names.
     */
-  def loadCodebook(spark: SparkSession, path: String): Seq[(Int, Seq[Double])] =
-    spark.read.parquet(
-        s"${graft.engine.EpochStore.liveDir(s"$path/cells")}/$CodebookName")
+  def loadCodebook(spark: SparkSession, path: String): Seq[(Int, Seq[Double])] = {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get(
+      graft.engine.EpochStore.liveDir(s"$path/cells"), CodebookName)
+    val s = java.nio.file.Files.list(dir)
+    val parts =
+      try s.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSeq
+      finally s.close()
+    spark.read.parquet(parts: _*)
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1))
       .sortBy(_._1).toSeq
+  }
 
   /** Streaming index maintenance — the growing-corpus path: each
     * micro-batch of new vectors (`vec_id`, `embedding`) is assigned

@@ -153,6 +153,19 @@ object MinHashIndex {
     graft.engine.EpochStore.compact(spark, s"$path/bands", Seq("band"))
   }
 
+  /** [[compact]] both tables once EITHER passes `maxEpochs` — one
+    * policy decision so the two layouts stay within one fold of each
+    * other. Returns true iff a fold ran.
+    */
+  def compactIfFragmented(spark: SparkSession, path: String,
+                          maxEpochs: Int = 64): Boolean = {
+    import graft.engine.EpochStore
+    val fragmented = EpochStore.epochCount(s"$path/docs") > maxEpochs ||
+      EpochStore.epochCount(s"$path/bands") > maxEpochs
+    if (fragmented) compact(spark, path)
+    fragmented
+  }
+
   /** Streaming maintenance: micro-batches of (doc_id, text) appended
     * under the same deterministic hash params — streamed index rows
     * are byte-identical to a batch [[append]] of the same docs

@@ -113,6 +113,32 @@ class EpochCompactionSpec extends SparkSpec {
     assert(n === docs.filter(col("doc_id") < 400).count() + 50)
   }
 
+  test("compactIfFragmented: under the bound is a pure no-op; over it " +
+      "folds to one base (IvfIndex form carries the codebook sidecar)") {
+    val base = java.nio.file.Files.createTempDirectory("ivf-frag").toString
+    val idx = s"$base/ix"
+    IvfIndex.build(emb.filter(col("vec_id") < 250), idx)
+    val cents = IvfIndex.loadCodebook(spark, idx)
+    val rest = emb.select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") >= 250)
+    IvfIndex.appendEpoch(rest.filter(col("vec_id") < 350), cents, idx, 1L)
+    IvfIndex.appendEpoch(rest.filter(col("vec_id") >= 350), cents, idx, 2L)
+    val root = s"$idx/cells"
+    assert(EpochStore.epochCount(root) === 3)
+
+    // bound not reached: no fold, no new version
+    val v0 = graft.engine.Archive.currentVersion(root)
+    assert(!IvfIndex.compactIfFragmented(spark, idx, maxEpochs = 5))
+    assert(EpochStore.epochCount(root) === 3)
+    assert(graft.engine.Archive.currentVersion(root) === v0)
+
+    // bound exceeded: folds, codebook sidecar survives the fold
+    assert(IvfIndex.compactIfFragmented(spark, idx, maxEpochs = 2))
+    assert(EpochStore.epochCount(root) === 1)
+    assert(IvfIndex.loadCodebook(spark, idx) === cents)
+    assert(EpochStore.read(spark, root).count() === 500)
+  }
+
   test("crashed append() (docs committed, bands missing) heals on retry " +
       "with the same batch; a different batch fails loudly") {
     val base = java.nio.file.Files.createTempDirectory("mh-heal").toString
