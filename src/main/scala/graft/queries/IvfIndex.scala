@@ -21,10 +21,13 @@ import graft.functions.Vectors
   *     old assignments (the `_` prefix hides it from Spark's data
   *     discovery; [[graft.engine.EpochStore.compact]] carries it
   *     into each compacted version)
-  *   <path>/cells/v<N>/epoch=<e>/cell=<c>/  (vec_id, embedding)
+  *   <path>/cells/v<N>/epoch=<e>/cell=<c>/
+  *     (vec_id, embedding, scale, code)
   *     — epoch = the storage exactly-once unit ("base" for the
   *       build, the batchId for each streamed append), cell = the
-  *       probe-pruning partition column
+  *       probe-pruning partition column; scale/code = the row's q89
+  *       int8 quantization, written at assign time so the SQ search
+  *       path (q147) scans codes instead of vectors
   *
   * Partitioning by cell is the scale design: a query probing nprobe
   * cells reads only those partition directories. The probe-side join
@@ -88,12 +91,20 @@ object IvfIndex {
   /** Nearest-cell assignment of (`vec_id`, `embedding`) rows under a
     * given codebook — [[Similarity.probeCells]] at nprobe=1, exposed
     * so consumers (and the parity spec) can reproduce exactly what
-    * [[build]]/[[appendStream]] store.
+    * [[build]]/[[appendStream]] store. Round 9: each stored row also
+    * carries its q89 int8 quantization (`code` + `scale`) computed
+    * at WRITE time — the scan-side 4× byte cut for the SQ search
+    * path (q147): the approximate scoring pass reads only the
+    * bit-packed code column and column pruning never touches the
+    * float vectors; `scale` makes the codes reconstructible for
+    * non-cosine metrics.
     */
   def assign(vectors: DataFrame,
              cents: Seq[(Int, Seq[Double])]): DataFrame =
     Similarity.probeCells(vectors.select(col("vec_id"), col("embedding")),
       Seq("vec_id", "embedding"), "embedding", cents, 1)
+      .withColumn("scale", Vectors.quantScale(col("embedding")))
+      .withColumn("code", Vectors.quantizeInt8(col("embedding")))
 
   /** The stored codebook, sorted — model state, k×dim small.
     * Resolved through the cells manifest (the codebook is a

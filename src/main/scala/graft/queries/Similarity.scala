@@ -52,6 +52,12 @@ object Similarity {
     */
   val ExactBaselineVecCap = 4096
 
+  /** q147: approximate candidates per query kept for exact re-rank
+    * (2× the final top-5 — SQ's 4dp score error only matters AT the
+    * cut boundary, and the exact pass corrects any order inside it).
+    */
+  val SqRerankWidth = 10
+
   /** All XOR masks with at most `radius` bits set among `nBits` —
     * generated combinatorially (C(n,1)+C(n,2)+…), never by filtering
     * the 2^nBits code space, which stalls the driver at high nBits.
@@ -639,7 +645,61 @@ object Similarity {
       (s, d) => IvfIndex.health(s, SharedStages.ivfIndexPath(s, d)),
       Some(ivfHealthOracleSql),
       "per-cell IVF index health: size skew + centroid cohesion " +
-        "(rebuild signal)")
+        "(rebuild signal)"),
+
+    // -- q147: IVF-SQ search — the byte-cut composition of the
+    //    persisted index (q128) and int8 scalar quantization (q89).
+    //    At 100 TB the ANN scan's bottleneck is BYTES: the stored
+    //    cells carry each row's write-time quantization (code +
+    //    scale, [[IvfIndex.assign]]), and the approximate pass reads
+    //    ONLY (cell, vec_id, code) — column pruning never touches
+    //    the float vectors, so the probed partitions stream ~1/4 the
+    //    bytes (int8 codes bit-pack; the q89 digest pins the exact
+    //    code values). Cosine is SCALE-INVARIANT, so scoring the raw
+    //    integer codes against the query needs no dequantization —
+    //    `scale` stays in the store for non-cosine reconstruction.
+    //    Approximate scores 4dp-round before the candidate rank
+    //    (q74's round-before-rank rule), top-$SqRerankWidth per query
+    //    re-rank with EXACT cosines over the true vectors fetched for
+    //    candidates only. The oracle replays the whole chain: k-means
+    //    build, probe cells, SQL-side quantization (q89's formula),
+    //    candidate cut, exact re-rank. SimilaritySpec additionally
+    //    pins recall vs q60 and that the approximate scan's
+    //    ReadSchema excludes `embedding`.
+    Q("q147_ivf_sq_search",
+      (s, d) => {
+        val path = SharedStages.ivfIndexPath(s, d)
+        val cents = IvfIndex.loadCodebook(s, path)
+        val q = querySubset(t(s, d).embeddings)
+        val qcells = probeCells(q, Seq("query_id", "q_emb"), "q_emb",
+          cents, IvfNProbe)
+        val store = graft.engine.EpochStore.read(s, s"$path/cells")
+        val codes = store.select(col("cell").cast("int").as("cell"),
+          col("vec_id"), col("code").cast("array<double>").as("cd"))
+        val approx = codes.join(broadcast(qcells), Seq("cell"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            round(Vectors.cosine(col("cd"),
+              col("q_emb").cast("array<double>")), 4).as("ascore"))
+        val wc = Window.partitionBy(col("query_id"))
+          .orderBy(col("ascore").desc, col("vec_id"))
+        val cand = approx.withColumn("crk", row_number().over(wc))
+          .filter(col("crk") <= SqRerankWidth)
+          .select(col("query_id"), col("vec_id"))
+        val exact = cand
+          .join(store.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+          .join(broadcast(q), Seq("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            Vectors.cosine(col("embedding"), col("q_emb")).as("score"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id"))
+        exact.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .orderBy(col("query_id"), col("rk"))
+      },
+      Some(ivfSqOracleSql),
+      "IVF-SQ: int8-code approximate scan (embedding column never read) " +
+        "+ exact re-rank of the top candidates")
   )
 
   /** One k-means Lloyd replay step in DuckDB: assignment of every
@@ -729,6 +789,53 @@ object Similarity {
     * scores surface unrounded — the q60 precedent shows the two
     * engines' dot/norm arithmetic is bit-identical on this fixture.
     */
+  /** The q147 oracle: build replay + probe cells (q64's machinery),
+    * q89's quantization in SQL, 4dp-rounded code-cosine candidate cut
+    * at $SqRerankWidth, exact re-rank to top-5.
+    */
+  private def ivfSqOracleSql: String =
+    s"""WITH $kmeansBuildCtes,
+    ${probeSql("c2", "pr", IvfNProbe)},
+    assigned AS (SELECT vec_id, c AS cell FROM pr WHERE rk = 1),
+    qc AS (
+      SELECT vec_id AS query_id, c AS cell FROM pr
+      WHERE vec_id % 100 = 0 AND vec_id < $ExactBaselineVecCap),
+    codes AS (
+      SELECT vec_id,
+        list_transform(v, x -> CAST(round(x /
+          CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END) AS DOUBLE)) AS cd
+      FROM (SELECT vec_id, v,
+          list_max(list_transform(v, x -> abs(x))) AS mx FROM e) t),
+    approx AS (
+      SELECT qc.query_id, a.vec_id,
+        ROUND(list_dot_product(c.cd, eq.v)
+          / (sqrt(list_dot_product(c.cd, c.cd))
+           * sqrt(list_dot_product(eq.v, eq.v))), 4) AS ascore
+      FROM qc JOIN assigned a ON a.cell = qc.cell
+        JOIN codes c ON c.vec_id = a.vec_id
+        JOIN e eq ON eq.vec_id = qc.query_id
+      WHERE a.vec_id <> qc.query_id),
+    cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY ascore DESC NULLS LAST, vec_id) AS crk
+        FROM approx) t WHERE crk <= $SqRerankWidth),
+    exact AS (
+      SELECT cand.query_id, cand.vec_id AS neighbor_id,
+        list_dot_product(ev.v, eq.v)
+          / (sqrt(list_dot_product(ev.v, ev.v))
+           * sqrt(list_dot_product(eq.v, eq.v))) AS score
+      FROM cand JOIN e ev ON ev.vec_id = cand.vec_id
+        JOIN e eq ON eq.vec_id = cand.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY score DESC, neighbor_id) AS rk
+      FROM exact)
+    SELECT query_id, neighbor_id, score, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 5 ORDER BY query_id, rk"""
+
   private def ivfAnnOracleSql: String =
     s"""WITH $kmeansBuildCtes,
     ${probeSql("c2", "pr", IvfNProbe)},

@@ -79,6 +79,25 @@ class SimilaritySpec extends SparkSpec {
     assert(r >= 0.8, s"q63 recall $r")
   }
 
+  test("q147 IVF-SQ: recall >= 0.8 vs exact top-5; the approximate " +
+      "scan reads codes, never the embedding column") {
+    val df = Registry.queries("q147_ivf_sq_search")(spark, dir)
+    val r = recallVsExact(topKOf(df))
+    info(s"q147 recall $r")
+    assert(r >= 0.8, s"q147 recall $r")
+    // the byte-cut claim, structurally: at least one cells-store scan
+    // reads the int8 code column WITHOUT the float vectors (column
+    // pruning reaches the approximate pass), while the re-rank scan
+    // may read embeddings for candidates only
+    val plan = df.queryExecution.executedPlan.toString
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(readSchemas.exists(s =>
+        s.contains("code") && !s.contains("embedding")),
+      s"no embedding-free code scan in: $readSchemas")
+    spark.catalog.clearCache()
+  }
+
   test("q63 LSH pruning is real: candidates < 30% of corpus, recall >= 0.8 (sf0.01 AND sf0.1)") {
     // Both sides of the LSH tradeoff, measured — a parameterization
     // that admits ~everything as a candidate would pass recall while
