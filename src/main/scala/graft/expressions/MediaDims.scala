@@ -242,7 +242,14 @@ object MediaDims {
     * start; the first trak with nonzero dims wins (audio traks carry
     * 0×0). Boxes with size < 8 (0 = to-end, 1 = 64-bit largesize)
     * stop the walk — headers that large are beyond a sniff. Frame
-    * count would need the stbl/stsz sample table; reported as null.
+    * count (round 9): the winning video trak's sample COUNT read
+    * from its stbl — `stsz`/`stz2` carry it directly at byte 16
+    * (after version/flags + sample_size), falling back to summing
+    * `stts` run lengths — walked trak → mdia → minf → stbl, every
+    * step bounds-checked; absent/truncated tables degrade to null.
+    * This is what makes [[graft.functions.Media.frameSampleIndices]]
+    * REAL for video: the k-of-n sampling plan needs n, and n comes
+    * from container metadata — no codec, no frame decode.
     */
   private def mp4(b: Array[Byte]): Parsed = {
     val n = b.length
@@ -275,13 +282,59 @@ object MediaDims {
           if (off + 8 <= tEnd) {
             val w = be32(b, off) >>> 16
             val h = be32(b, off + 4) >>> 16
-            if (w > 0 && h > 0) return Parsed("mp4", w, h, None3)
+            if (w > 0 && h > 0)
+              return Parsed("mp4", w, h, trakSampleCount(b, p, tEnd))
           }
         }
       }
       p = next(p, mEnd)
     }
     Parsed("mp4", None3, None3, None3)
+  }
+
+  /** Sample count of one trak: trak → mdia → minf → stbl, then
+    * stsz/stz2's sample_count field (bytes 16..19 of the box), else
+    * the sum of stts run lengths. Returns null-marker when the walk
+    * or the bounds fail anywhere.
+    */
+  private def trakSampleCount(b: Array[Byte], trak: Int, tEnd: Int): Int = {
+    def sub(name: String, from: Int, end: Int): (Int, Int) = {
+      var p = from
+      while (p >= 0 && p + 8 <= end) {
+        if (ascii(b, p + 4, name))
+          return (p, math.min(end.toLong,
+            p.toLong + math.max(8, be32(b, p))).toInt)
+        val sz = be32(b, p)
+        if (sz < 8) return (-1, -1)
+        val np = p.toLong + sz
+        if (np <= p || np > end) return (-1, -1) else p = np.toInt
+      }
+      (-1, -1)
+    }
+    val (md, mdEnd) = sub("mdia", trak + 8, tEnd)
+    if (md < 0) return None3
+    val (mi, miEnd) = sub("minf", md + 8, mdEnd)
+    if (mi < 0) return None3
+    val (st, stEnd) = sub("stbl", mi + 8, miEnd)
+    if (st < 0) return None3
+    val (sz, szEnd) = {
+      val a = sub("stsz", st + 8, stEnd)
+      if (a._1 >= 0) a else sub("stz2", st + 8, stEnd)
+    }
+    if (sz >= 0 && sz + 20 <= szEnd) {
+      val count = be32(b, sz + 16)
+      if (count >= 0) return count
+    }
+    val (tt, ttEnd) = sub("stts", st + 8, stEnd)
+    if (tt >= 0 && tt + 16 <= ttEnd) {
+      val entries = be32(b, tt + 12)
+      var total = 0L; var i = 0; var p = tt + 16
+      while (i < entries && p + 8 <= ttEnd) {
+        total += (be32(b, p) & 0xffffffffL); i += 1; p += 8
+      }
+      if (i == entries && total <= Int.MaxValue) return total.toInt
+    }
+    None3
   }
 
   /** Sniff + parse. Never throws on arbitrary bytes: every branch is

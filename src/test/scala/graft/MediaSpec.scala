@@ -78,7 +78,8 @@ class MediaSpec extends SparkSpec {
   /** Minimal ISO-BMFF: ftyp + moov{ trak(audio 0x0){tkhd}, trak(video){tkhd} }
     * — the audio trak first proves the walk skips zero-dim traks.
     */
-  private def mp4(w: Int, h: Int, version: Int = 0) = {
+  private def mp4(w: Int, h: Int, version: Int = 0,
+                  frames: Int = -1, via: String = "stsz") = {
     def box(typ: String, payload: Array[Byte]) =
       cat(be32(8 + payload.length), s2b(typ), payload)
     def tkhd(tw: Int, th: Int) = {
@@ -87,10 +88,20 @@ class MediaSpec extends SparkSpec {
         Array.fill[Byte](pre + 8 + 2 + 2 + 2 + 2 + 36)(0),
         be32(tw << 16), be32(th << 16)))
     }
+    // sample table: stsz carries the count directly; stts as two
+    // (count, delta) runs summing to it (the fallback path)
+    def stbl = box("stbl",
+      if (via == "stsz") box("stsz", cat(be32(0), be32(0), be32(frames)))
+      else box("stts", cat(be32(0), be32(2),
+        be32(1), be32(100), be32(frames - 1), be32(50))))
+    def videoTrak =
+      if (frames < 0) box("trak", tkhd(w, h))
+      else box("trak", cat(tkhd(w, h),
+        box("mdia", box("minf", stbl))))
     cat(box("ftyp", cat(s2b("isom"), be32(512))),
       box("moov", cat(
         box("trak", tkhd(0, 0)),      // audio trak: 0x0 dims
-        box("trak", tkhd(w, h)))))
+        videoTrak)))
   }
 
   test("media_dims parses real PNG / JPEG / GIF / BMP / WebP headers") {
@@ -108,6 +119,15 @@ class MediaSpec extends SparkSpec {
     assert(p(wav) === MediaDims.Parsed("wav", -1, -1, -1))
     assert(p(mp4(1280, 720)) === MediaDims.Parsed("mp4", 1280, 720, -1))
     assert(p(mp4(640, 360, version = 1)) === MediaDims.Parsed("mp4", 640, 360, -1))
+    // video frame count off the sample table: stsz directly, stts
+    // (two runs: 1 + 239) as the fallback — the n that makes
+    // frameSampleIndices real for video, no codec involved
+    assert(p(mp4(1280, 720, frames = 240)) ===
+      MediaDims.Parsed("mp4", 1280, 720, 240))
+    assert(p(mp4(320, 240, version = 1, frames = 240, via = "stts")) ===
+      MediaDims.Parsed("mp4", 320, 240, 240))
+    assert(p(mp4(320, 240, frames = 0)) ===
+      MediaDims.Parsed("mp4", 320, 240, 0))
     assert(p(s2b("PAR1....")) === MediaDims.Parsed("parquet", -1, -1, -1))
     assert(p(Array[Byte](1, 2, 3)) === MediaDims.Parsed("unknown", -1, -1, -1))
     assert(p(Array.empty[Byte]) === MediaDims.Parsed("unknown", -1, -1, -1))
@@ -116,7 +136,9 @@ class MediaSpec extends SparkSpec {
   test("media_dims never throws on truncated or malformed headers") {
     val wellFormed = Seq(png(640, 480), apng(8, 8, 3), jpegSof(800, 600),
       gif(101, 55, 2), bmp(1024, 768), webpLossless(100, 50), wav,
-      mp4(1280, 720), mp4(64, 48, version = 1))
+      mp4(1280, 720), mp4(64, 48, version = 1),
+      mp4(1280, 720, frames = 240),
+      mp4(64, 48, version = 1, frames = 7, via = "stts"))
     for (full <- wellFormed; cut <- 0 to full.length) {
       val d = MediaDims.parse(full.take(cut)) // must not throw
       assert(d.kind ne null)
