@@ -220,7 +220,7 @@ object MediaDims {
     * and WAV (audio — no pixel geometry).
     */
   private def riff(b: Array[Byte]): Parsed = {
-    if (ascii(b, 8, "WAVE")) return Parsed("wav", None3, None3, None3)
+    if (ascii(b, 8, "WAVE")) return wav(b)
     if (!ascii(b, 8, "WEBP")) return Parsed("unknown", None3, None3, None3)
     if (ascii(b, 12, "VP8 ") && b.length >= 30 &&
       (b(23) & 0xff) == 0x9d && (b(24) & 0xff) == 0x01 && (b(25) & 0xff) == 0x2a) {
@@ -235,6 +235,35 @@ object MediaDims {
       return Parsed("webp", w, h, 1)
     }
     Parsed("webp", None3, None3, None3)
+  }
+
+  /** WAV sample-FRAME count (round 9): RIFF chunk walk to `fmt `
+    * (block align = bytes per sample frame, little-endian at chunk
+    * byte 12) and `data` (payload size); n_frames = dataSize /
+    * blockAlign. The audio analog of the MP4 sample table — the n
+    * that a k-of-n audio frame-sampling plan needs, from header
+    * arithmetic alone. Width/height stay null (audio has none);
+    * missing/truncated chunks degrade to null.
+    */
+  private def wav(b: Array[Byte]): Parsed = {
+    val n = b.length
+    var p = 12
+    var blockAlign = -1
+    var dataSize = -1L
+    while (p + 8 <= n && (blockAlign < 0 || dataSize < 0)) {
+      val sz = le32(b, p + 4) & 0xffffffffL
+      if (ascii(b, p, "fmt ") && sz >= 16 && p + 8 + 14 <= n)
+        blockAlign = le16(b, p + 8 + 12)
+      else if (ascii(b, p, "data"))
+        dataSize = sz
+      // chunks are word-aligned: odd sizes carry one pad byte
+      val np = p.toLong + 8 + sz + (sz & 1)
+      if (np <= p || np > Int.MaxValue) return Parsed("wav", None3, None3, None3)
+      p = np.toInt
+    }
+    if (blockAlign > 0 && dataSize >= 0 && dataSize / blockAlign <= Int.MaxValue)
+      Parsed("wav", None3, None3, (dataSize / blockAlign).toInt)
+    else Parsed("wav", None3, None3, None3)
   }
 
   /** MP4 / ISO-BMFF: box walk moov → trak → tkhd. Width/height are

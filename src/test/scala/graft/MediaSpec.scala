@@ -75,6 +75,17 @@ class MediaSpec extends SparkSpec {
   private val wav = cat(s2b("RIFF"), le32(36), s2b("WAVE"), s2b("fmt "), le32(16),
     Array.fill[Byte](16)(0))
 
+  /** WAV with a real fmt (16-bit stereo, blockAlign bytes/frame) and
+    * a data chunk of `dataSize` bytes — n_frames = dataSize/blockAlign.
+    */
+  private def wavFull(blockAlign: Int, dataSize: Int) = cat(
+    s2b("RIFF"), le32(36 + dataSize), s2b("WAVE"),
+    s2b("fmt "), le32(16),
+    cat(Array[Byte](1, 0, 2, 0), le32(44100), le32(44100 * blockAlign),
+      Array[Byte]((blockAlign & 0xff).toByte,
+        ((blockAlign >> 8) & 0xff).toByte, 16, 0)),
+    s2b("data"), le32(dataSize))
+
   /** Minimal ISO-BMFF: ftyp + moov{ trak(audio 0x0){tkhd}, trak(video){tkhd} }
     * — the audio trak first proves the walk skips zero-dim traks.
     */
@@ -117,6 +128,10 @@ class MediaSpec extends SparkSpec {
     assert(p(bmp(1024, 768)) === MediaDims.Parsed("bmp", 1024, 768, 1))
     assert(p(webpLossless(100, 50)) === MediaDims.Parsed("webp", 100, 50, 1))
     assert(p(wav) === MediaDims.Parsed("wav", -1, -1, -1))
+    // audio sample-frame count from fmt.blockAlign + data size — the
+    // k-of-n sampling n for audio, header arithmetic only
+    assert(p(wavFull(4, 4000)) === MediaDims.Parsed("wav", -1, -1, 1000))
+    assert(p(wavFull(4, 0)) === MediaDims.Parsed("wav", -1, -1, 0))
     assert(p(mp4(1280, 720)) === MediaDims.Parsed("mp4", 1280, 720, -1))
     assert(p(mp4(640, 360, version = 1)) === MediaDims.Parsed("mp4", 640, 360, -1))
     // video frame count off the sample table: stsz directly, stts
@@ -138,7 +153,8 @@ class MediaSpec extends SparkSpec {
       gif(101, 55, 2), bmp(1024, 768), webpLossless(100, 50), wav,
       mp4(1280, 720), mp4(64, 48, version = 1),
       mp4(1280, 720, frames = 240),
-      mp4(64, 48, version = 1, frames = 7, via = "stts"))
+      mp4(64, 48, version = 1, frames = 7, via = "stts"),
+      wavFull(4, 4000))
     for (full <- wellFormed; cut <- 0 to full.length) {
       val d = MediaDims.parse(full.take(cut)) // must not throw
       assert(d.kind ne null)
