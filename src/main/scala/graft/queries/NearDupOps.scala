@@ -227,6 +227,42 @@ object NearDupOps {
         WHERE dist <= 3 ORDER BY doc_a, doc_b"""),
       "portable SimHash 4x16-band Hamming<=3 near-dup pairs (full value oracle)"),
 
+    // -- doc-level CONTAINMENT pairs: the asymmetric measure the
+    //    Jaccard families can't see — a short doc quoted inside a
+    //    long one scores |A∩B|/min(|A|,|B|) ≈ 1 while its Jaccard is
+    //    arbitrarily low (the union dwarfs the quote). Full design
+    //    rationale and scale shape on [[containmentOn]]; the oracle
+    //    replays the identical informative-shingle measure.
+    Q("q148_containment_neardup",
+      (s, d) => containmentOn(t(s, d).documents),
+      Some(s"""WITH sh0 AS (
+          SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) >= 3
+              THEN list_transform(
+                range(1, len(string_split_regex(lower(trim(text)), '\\s+')) - 1),
+                i -> array_to_string(string_split_regex(lower(trim(text)), '\\s+')[i:i+2], ' '))
+              ELSE [] END)) AS sh
+          FROM documents),
+        sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+        informative AS (
+          SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= $MaxShingleDf),
+        inf AS (SELECT s.doc_id, s.sh FROM sh s JOIN informative i ON s.sh = i.sh),
+        per AS (SELECT doc_id, COUNT(*) AS n FROM inf GROUP BY 1),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+          FROM inf a JOIN inf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT c.doc_a, c.doc_b, c.n_common, pa.n AS n_a, pb.n AS n_b,
+            ROUND(CAST(c.n_common AS DOUBLE) / least(pa.n, pb.n), 4)
+              AS containment
+          FROM cand c JOIN per pa ON c.doc_a = pa.doc_id
+            JOIN per pb ON c.doc_b = pb.doc_id)
+        SELECT doc_a, doc_b, n_common, n_a, n_b, containment
+        FROM scored WHERE containment >= 0.8
+        ORDER BY doc_a, doc_b"""),
+      "asymmetric containment pairs (quote/subset dedup) over informative shingles"),
+
     // -- dedup CLUSTERING: near-dup pairs are only half the dedup
     //    story — A~B and B~C must collapse to ONE kept document, so
     //    the pair graph's connected components pick the canonical
@@ -691,6 +727,61 @@ object NearDupOps {
       .orderBy(col("doc_id"))
   }
 
+
+  /** q148's plan over any documents frame: doc-level CONTAINMENT
+    * detection — the asymmetric complement of the Jaccard families.
+    * A short document quoted inside a long one has containment
+    * |A∩B|/min(|A|,|B|) near 1 while its Jaccard (union-normalized)
+    * stays arbitrarily low, so symmetric dedup never sees it; for a
+    * training corpus these quote/subset relations are exactly the
+    * redundancy a dedup pass should surface. Measure: intersection
+    * over informative shingles (q114's discipline — shingles hotter
+    * than `maxDf` docs are boilerplate, not signal; BOTH the
+    * numerator and the per-doc set sizes count informative shingles
+    * only, so the measure stays a true containment in [0,1]).
+    * Scale shape: one distinct (doc, shingle) relation feeds df,
+    * sizes, and a posting-keyed SELF-join — candidates arise only
+    * from a shared informative shingle, per-shingle fanout ≤ maxDf²
+    * by the cap; at extreme scale the same topology runs over
+    * `Text.shingleHashes` 8-byte keys (strings here keep the oracle
+    * exactly mirrorable). 4dp round BEFORE the ≥ `tau` filter.
+    */
+  def containmentOn(docs: org.apache.spark.sql.DataFrame,
+                    tau: Double = 0.8,
+                    maxDf: Long = MaxShingleDf): org.apache.spark.sql.DataFrame = {
+    // one distinct (doc, shingle) relation feeds df, both sizes, and
+    // both sides of the posting self-join — persist or pay five
+    // corpus explodes (the q114 lesson)
+    val sh = docs
+      .select(col("doc_id"), explode(array_distinct(
+        Text.shingles(col("text"), 3))).as("sh"))
+      .distinct()
+      .persist()
+    sh.count() // materialize: five consumers scan this cache
+    val informative = sh.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("sh"))
+    val inf = sh.join(informative, Seq("sh")).persist()
+    inf.count() // sizes + both join sides
+    val per = inf.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = inf.select(col("sh"), col("doc_id").as("doc_a"))
+      .join(inf.select(col("sh"), col("doc_id").as("doc_b")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(per.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+        Seq("doc_a"))
+      .join(per.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+        Seq("doc_b"))
+      .withColumn("containment", round(col("n_common").cast("double")
+        / least(col("n_a"), col("n_b")), 4))
+      .filter(col("containment") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("n_a"), col("n_b"), col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   /** q54's scored pair plan over any documents frame: candidate pairs
     * blocked on (lang, length bucket), shingles computed once and

@@ -71,6 +71,26 @@ class MinHashSpec extends SparkSpec {
     assert(lsh.subsetOf(exact), "q56 verify step must make output exact")
   }
 
+  test("q148 containment: a quoted doc scores ~1.0 where Jaccard misses it; " +
+      "disjoint docs score nothing") {
+    import spark.implicits._
+    // doc 1 = 60 distinct trigrams of filler; doc 2 = a 10-word quote
+    // lifted verbatim from doc 1's middle; doc 3 = disjoint text.
+    val words = (1 to 62).map(i => s"w$i")
+    val long = words.mkString(" ")
+    val quote = words.slice(20, 30).mkString(" ")
+    val docs = Seq((1L, long), (2L, quote), (3L, (1 to 20).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.queries.NearDupOps.containmentOn(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    // quote: all 8 of doc 2's trigrams appear in doc 1 -> containment 1.0
+    assert(out.toSeq === Seq((1L, 2L, 1.0)))
+    // and the symmetric measure would have REJECTED it: jaccard = 8/60
+    val jac = 8.0 / 60.0
+    assert(jac < 0.5, s"the quote's Jaccard $jac is below every dedup tau")
+    spark.catalog.clearCache()
+  }
+
   test("over-cap LSH buckets dedup via representative star instead of vanishing") {
     import spark.implicits._
     // A dense duplicate cluster larger than the bucket cap: 200 exact

@@ -66,6 +66,11 @@ class ScalingSpec extends SparkSpec {
     // would blow the time bound. Completes the measured-sub-quadratic
     // evidence for the chunk-store family (q136 covers the build).
     "q140_chunk_decontamination",
+    // containment pairs: within-copy only (renamed tokens keep every
+    // shingle copy-local), so pairs replicate per copy = 10× rows;
+    // the posting self-join is shingle-keyed with the df cap, so a
+    // doc×doc stage is impossible by construction.
+    "q148_containment_neardup",
     // BPE corpus emit: one row per doc. Per-copy token renaming grows
     // the distinct-word vocabulary 10×, so the time bound polices the
     // vocabulary-bounded merge apply + the doc-partitioned windows —
