@@ -257,6 +257,49 @@ object IvfIndex {
     stale
   }
 
+  /** What one [[maintain]] tick did and saw: whether a rebuild ran
+    * (health thresholds crossed), whether a fold ran (epoch count
+    * past the bound), and the post-tick observables an operator
+    * would alert on.
+    */
+  final case class MaintenanceReport(rebuilt: Boolean,
+                                     compacted: Boolean,
+                                     epochs: Int,
+                                     maxSkew: Double)
+
+  /** One maintenance TICK — the documented cron body now that both
+    * policies exist (round-9 §7.1 item): first [[rebuildIfStale]]
+    * (health-driven; a rebuild rewrites the store into one base
+    * epoch, so compaction after a rebuild is definitionally a
+    * no-op), then [[compactIfFragmented]] (listing-cost bound). A
+    * healthy, compact index is a pure-read no-op tick. Single-
+    * maintenance-writer contract: run between micro-batches or with
+    * the append stream stopped.
+    *
+    * The report is for ALERTING, not looping: an inherently skewed
+    * corpus — a mass of identical/near-identical vectors — stays
+    * above any skew threshold after every rebuild (k-means cannot
+    * split identical points across cells), so a scheduler that
+    * re-ticks on `rebuilt = true` would rebuild forever. Compare
+    * `maxSkew` across ticks: unchanged after a rebuild means the
+    * skew is the DATA (dedup it — q92/q148), not the codebook.
+    */
+  def maintain(spark: SparkSession, path: String,
+               maxEpochs: Int = 64,
+               maxSkew: Double = 4.0,
+               minCohesion: Double = 0.0,
+               k: Int = Similarity.IvfCells,
+               lloydIters: Int = Similarity.IvfLloydIters): MaintenanceReport = {
+    val rebuilt = rebuildIfStale(spark, path, maxSkew, minCohesion,
+      k, lloydIters)
+    val compacted = !rebuilt &&
+      compactIfFragmented(spark, path, maxEpochs)
+    val skewNow = health(spark, path)
+      .agg(max(col("skew"))).head().getDouble(0)
+    MaintenanceReport(rebuilt, compacted,
+      graft.engine.EpochStore.epochCount(s"$path/cells"), skewNow)
+  }
+
   /** Top-`topK` neighbors per query row (`query_id`, `q_emb`) against
     * a built index. Output matches q64's shape: (query_id,
     * neighbor_id, score, rk).

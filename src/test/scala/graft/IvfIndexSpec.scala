@@ -99,4 +99,40 @@ class IvfIndexSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(live, "_codebook")))
   }
+
+  test("maintain(): healthy+compact no-op tick; fragmented folds; " +
+      "drifted rebuilds (and skips the redundant fold)") {
+    val base = java.nio.file.Files.createTempDirectory("ivf-maint").toString
+    val idx = s"$base/ix"
+    IvfIndex.build(emb.filter(col("vec_id") < 250), idx)
+    val root = s"$idx/cells"
+
+    // healthy + compact: pure-read tick
+    val r0 = IvfIndex.maintain(spark, idx)
+    assert(r0 === IvfIndex.MaintenanceReport(rebuilt = false,
+      compacted = false, epochs = 1, maxSkew = r0.maxSkew))
+    assert(r0.maxSkew <= 4.0)
+
+    // healthy + fragmented past the bound: fold only
+    val cents = IvfIndex.loadCodebook(spark, idx)
+    val rest = emb.select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") >= 250 && col("vec_id") < 350)
+    IvfIndex.appendEpoch(rest.filter(col("vec_id") < 300), cents, idx, 1L)
+    IvfIndex.appendEpoch(rest.filter(col("vec_id") >= 300), cents, idx, 2L)
+    val r1 = IvfIndex.maintain(spark, idx, maxEpochs = 2)
+    assert(!r1.rebuilt && r1.compacted && r1.epochs === 1)
+
+    // drifted: rebuild runs; the rebuilt store is one base epoch, so
+    // the fold is skipped as redundant
+    // 500 identical all-ones rows against 350 stored: the caught
+    // cell's skew is >= (500*10)/850 ≈ 5.9
+    val drift = emb
+      .select((col("vec_id") + 2000).as("vec_id"),
+        transform(col("embedding"), _ => lit(1.0f)).as("embedding"))
+    IvfIndex.appendEpoch(drift, IvfIndex.loadCodebook(spark, idx), idx, 3L)
+    assert(maxSkew(idx) > 4.0, "drift fixture must cross the threshold")
+    val r2 = IvfIndex.maintain(spark, idx, maxEpochs = 0)
+    assert(r2.rebuilt && !r2.compacted && r2.epochs === 1)
+    assert(EpochStore.read(spark, root).count() === 850)
+  }
 }
