@@ -170,6 +170,14 @@ object Bench {
       case Some(nom) if sentinelRef > 0 => nom / sentinelRef
       case _ => 1.0
     }
+    // The pins above are THIS box's nominals. Linear CPU-speed
+    // rescaling only holds near the pin; a far-off sentinel (another
+    // machine, or a badly contended run) makes the normalized numbers
+    // look cross-comparable when they are not — flag it in the
+    // artifact instead of silently rescaling.
+    val sentinelFar = sentinelNominal.exists(nom =>
+      sentinelRef > 0 &&
+        (sentinelRef / nom > 2.0 || nom / sentinelRef > 2.0))
     val normJson = results.map { case (k, v) =>
       "\"" + k + "\":" + (v * normFactor)
     }.mkString("{", ",", "}")
@@ -195,6 +203,7 @@ object Bench {
         s""""queries_norm":$normJson,"queries_min":$minJson,""" +
         s""""queries_min_norm":$minNormJson,"sentinel":$sentJson,""" +
         s""""sentinel_ref":$sentinelRef,"norm_factor":$normFactor,""" +
+        s""""sentinel_far_from_nominal":$sentinelFar,""" +
         s""""errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     Files.writeString(Paths.get(out), line + "\n")

@@ -104,6 +104,22 @@ object EpochStore {
     Files.exists(Paths.get(live, s"epoch=$id")) || foldedIds(live).contains(id)
   }
 
+  /** True when epoch `id` is no longer its own dir but was folded
+    * into the base by a past compaction — the one committed state a
+    * retrying batch append cannot verify row-wise anymore.
+    */
+  def folded(root: String, id: Long): Boolean = foldedIds(liveDir(root)).contains(id)
+
+  /** Every epoch id the live version has committed — as a dir or
+    * folded into the base. Multi-table stores (MinHash docs/bands)
+    * compare these sets to detect a half-committed append before
+    * maintenance buries it.
+    */
+  def committedIds(root: String): Set[Long] = {
+    val live = liveDir(root)
+    foldedIds(live) ++ liveEpochIds(live)
+  }
+
   /** Commit epoch `id` atomically: stage via `write` (handed a tmp
     * dir inside the live version — dot-prefixed, invisible to
     * readers), then one rename. No-op if [[committed]].

@@ -33,13 +33,29 @@ object Transform {
 
   val DefaultTicker = "FPT"
 
-  /** Python-truthiness for a stringified cell: null, empty string and
-    * NaN are all "missing" for the `or`-chain at reference `:59`.
+  /** Python-truthiness for a ticker-candidate cell: the reference's
+    * `or`-chain (`:59`) skips every Python-falsy value. What is falsy
+    * depends on the cell's *runtime type* in pandas, so the check is
+    * type-aware on the Spark column type:
+    *   - numeric: null, NaN and **numeric zero** are falsy (`0 or x`
+    *     → `x` in Python — SURVEY §7.4.1);
+    *   - boolean: null and `False`;
+    *   - string: only null and `""` — the *string* `"0"` (and even
+    *     `"NaN"` text) is truthy in Python, but a CSV-ingested "NaN"
+    *     arrives in pandas as float NaN, which our string-typed
+    *     columns surface as the literal "NaN"; we treat that one
+    *     token as missing to match the ingested-float reality.
     */
-  private def pyTruthyString(c: Column): Column = {
+  private def pyTruthyString(df: DataFrame, name: String): Column = {
+    val c = df.col(s"`$name`")
     val s = c.cast(StringType)
-    when(c.isNull || s === lit("") || s === lit("NaN"), lit(null).cast(StringType))
-      .otherwise(s)
+    val falsy = df.schema(name).dataType match {
+      case _: NumericType =>
+        c.isNull || isnan(c.cast(DoubleType)) || c.cast(DoubleType) === lit(0.0)
+      case BooleanType => c.isNull || !c
+      case _ => c.isNull || s === lit("") || s === lit("NaN")
+    }
+    when(falsy, lit(null).cast(StringType)).otherwise(s)
   }
 
   /** Stringify one payload cell with NaN→null normalization
@@ -69,7 +85,7 @@ object Transform {
     // literal default.
     val tickerCandidates = Schema.tickerColumns(df)
       .sortBy(c => if (Schema.normalize(c) == "cp") 0 else 1)
-      .map(c => pyTruthyString(df.col(s"`$c`")))
+      .map(c => pyTruthyString(df, c))
     val ticker = coalesce(tickerCandidates :+ lit(defaultTicker): _*)
 
     val year: Column = yearCol match {

@@ -254,8 +254,15 @@ object MediaDims {
       val sz = le32(b, p + 4) & 0xffffffffL
       if (ascii(b, p, "fmt ") && sz >= 16 && p + 8 + 14 <= n)
         blockAlign = le16(b, p + 8 + 12)
-      else if (ascii(b, p, "data"))
+      else if (ascii(b, p, "data")) {
+        // the binary cell holds the whole file, so the data payload
+        // must fit in the remaining buffer: a streaming-placeholder
+        // size (0xFFFFFFFF) or any lying header that claims more
+        // bytes than exist degrades to null instead of feeding a
+        // bogus n into a k-of-n frame-sampling plan
+        if (sz > (n - (p + 8)).toLong) return Parsed("wav", None3, None3, None3)
         dataSize = sz
+      }
       // chunks are word-aligned: odd sizes carry one pad byte
       val np = p.toLong + 8 + sz + (sz & 1)
       if (np <= p || np > Int.MaxValue) return Parsed("wav", None3, None3, None3)

@@ -120,6 +120,13 @@ object IvfIndex {
     import scala.jdk.CollectionConverters._
     val dir = java.nio.file.Paths.get(
       graft.engine.EpochStore.liveDir(s"$path/cells"), CodebookName)
+    if (!java.nio.file.Files.isDirectory(dir))
+      throw new IllegalStateException(
+        s"IvfIndex at $path has no $CodebookName sidecar in its live " +
+          "version — rebuild required: this is a pre-sidecar index " +
+          "layout (codebook beside the store, cells rows without the " +
+          "code/scale SQ columns) or a corrupted store. Re-run " +
+          "IvfIndex.build over the corpus to migrate.")
     val s = java.nio.file.Files.list(dir)
     val parts =
       try s.iterator().asScala.map(_.toString)
@@ -242,13 +249,35 @@ object IvfIndex {
                      minCohesion: Double = 0.0,
                      k: Int = Similarity.IvfCells,
                      lloydIters: Int = Similarity.IvfLloydIters): Boolean = {
+    val (worstSkew, worstCohesion) = healthAgg(spark, path)
+    rebuildIfStale0(spark, path, worstSkew, worstCohesion,
+      maxSkew, minCohesion, k, lloydIters)
+  }
+
+  /** One full-store [[health]] pass reduced to the two staleness
+    * observables: (max skew, min heavy-cell cohesion) — None on an
+    * empty store (no rows → both aggregates null). Shared by
+    * [[rebuildIfStale]] and [[maintain]] so a tick costs one scan,
+    * not two.
+    */
+  private def healthAgg(spark: SparkSession,
+                        path: String): (Option[Double], Option[Double]) = {
     val row = health(spark, path)
       .agg(max(col("skew")).as("worst_skew"),
         min(when(col("skew") >= 1.0, col("mean_cos_centroid")))
           .as("worst_heavy_cohesion"))
       .head()
-    val stale = (!row.isNullAt(0) && row.getDouble(0) > maxSkew) ||
-      (!row.isNullAt(1) && row.getDouble(1) < minCohesion)
+    (if (row.isNullAt(0)) None else Some(row.getDouble(0)),
+     if (row.isNullAt(1)) None else Some(row.getDouble(1)))
+  }
+
+  private def rebuildIfStale0(spark: SparkSession, path: String,
+                              worstSkew: Option[Double],
+                              worstCohesion: Option[Double],
+                              maxSkew: Double, minCohesion: Double,
+                              k: Int, lloydIters: Int): Boolean = {
+    val stale = worstSkew.exists(_ > maxSkew) ||
+      worstCohesion.exists(_ < minCohesion)
     if (stale) {
       val vecs = graft.engine.EpochStore.read(spark, s"$path/cells")
         .select(col("vec_id"), col("embedding"))
@@ -290,14 +319,21 @@ object IvfIndex {
                minCohesion: Double = 0.0,
                k: Int = Similarity.IvfCells,
                lloydIters: Int = Similarity.IvfLloydIters): MaintenanceReport = {
-    val rebuilt = rebuildIfStale(spark, path, maxSkew, minCohesion,
-      k, lloydIters)
+    // one health scan decides staleness AND (when nothing rewrote the
+    // store) feeds the report; only a rebuild changes the skew, so
+    // only that branch pays a second scan. Compaction preserves rows
+    // exactly — pre-tick skew is post-tick skew there. An EMPTY store
+    // aggregates to null → NaN in the report, not an NPE.
+    val (preSkew, preCohesion) = healthAgg(spark, path)
+    val rebuilt = rebuildIfStale0(spark, path, preSkew, preCohesion,
+      maxSkew, minCohesion, k, lloydIters)
     val compacted = !rebuilt &&
       compactIfFragmented(spark, path, maxEpochs)
-    val skewNow = health(spark, path)
-      .agg(max(col("skew"))).head().getDouble(0)
+    val skewNow =
+      if (rebuilt) healthAgg(spark, path)._1 else preSkew
     MaintenanceReport(rebuilt, compacted,
-      graft.engine.EpochStore.epochCount(s"$path/cells"), skewNow)
+      graft.engine.EpochStore.epochCount(s"$path/cells"),
+      skewNow.getOrElse(Double.NaN))
   }
 
   /** Top-`topK` neighbors per query row (`query_id`, `q_emb`) against

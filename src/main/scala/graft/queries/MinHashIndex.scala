@@ -102,6 +102,26 @@ object MinHashIndex {
       val id =
         if (docsNext > bandsNext) {
           val crashed = docsNext - 1
+          // An out-of-band compaction between the crash and this retry
+          // folds the crashed docs epoch into the base: the epoch
+          // filter below would read EMPTY and reject even the original
+          // batch — a permanent wedge. [[compact]] refuses to run over
+          // a half-committed append precisely to prevent this, but a
+          // store compacted directly through EpochStore (or by an
+          // older library) can still arrive here: fail with the one
+          // recovery that works — appendEpoch commits bands under the
+          // crashed id while the docs side no-ops via the folded-id
+          // ledger.
+          if (EpochStore.folded(s"$path/docs", crashed))
+            throw new IllegalStateException(
+              s"MinHashIndex at $path has a half-committed append " +
+                s"epoch=$crashed whose docs side was already folded " +
+                "into the base by a compaction — the batch can no " +
+                "longer be verified against the crashed epoch. Heal " +
+                "by completing the bands table directly: " +
+                s"MinHashIndex.appendEpoch(originalBatch, path, $crashed) " +
+                "(the docs commit is a no-op via the folded-epoch " +
+                "ledger), then retry this append.")
           val committed = EpochStore.read(docs.sparkSession, s"$path/docs")
             .filter(col("epoch") === crashed.toString)
             .select(col("doc_id"))
@@ -149,8 +169,25 @@ object MinHashIndex {
     * correct and the next compact converges the layouts.
     */
   def compact(spark: SparkSession, path: String): Unit = {
-    graft.engine.EpochStore.compact(spark, s"$path/docs")
-    graft.engine.EpochStore.compact(spark, s"$path/bands", Seq("band"))
+    import graft.engine.EpochStore
+    // Refuse to fold over a half-committed append: compaction removes
+    // the crashed epoch dir the self-heal in [[append]] verifies
+    // against, leaving the store healable only via [[appendEpoch]].
+    // Heal first (re-run the crashed append), then compact. The id
+    // SETS are compared — not just counts — so this also catches a
+    // store where the two tables diverged any other way.
+    val d = EpochStore.committedIds(s"$path/docs")
+    val b = EpochStore.committedIds(s"$path/bands")
+    if (d != b)
+      throw new IllegalStateException(
+        s"MinHashIndex at $path has diverged docs/bands epoch sets " +
+          s"(docs-only: ${(d -- b).toSeq.sorted.mkString(",")}; " +
+          s"bands-only: ${(b -- d).toSeq.sorted.mkString(",")}) — a " +
+          "crashed append is half-committed. Re-run the crashed " +
+          "append (or appendEpoch the original batch) to heal, then " +
+          "compact.")
+    EpochStore.compact(spark, s"$path/docs")
+    EpochStore.compact(spark, s"$path/bands", Seq("band"))
   }
 
   /** [[compact]] both tables once EITHER passes `maxEpochs` — one
@@ -194,10 +231,12 @@ object MinHashIndex {
     * retry overwrites, and a crash BETWEEN the two renames commits
     * docs but not bands — the redelivery completes exactly the
     * missing table (same deterministic rows), converging both stores
-    * to the single-delivery file set.
+    * to the single-delivery file set. Public because it is also the
+    * documented recovery path for a half-committed append whose docs
+    * epoch a compaction already folded (see [[append]]).
     */
-  private[graft] def appendEpoch(batch: DataFrame, path: String,
-                                   batchId: Long): Unit = {
+  def appendEpoch(batch: DataFrame, path: String,
+                  batchId: Long): Unit = {
     val sigs = signatures(batch).persist()
     sigs.count()
     graft.engine.EpochStore.commitEpoch(s"$path/docs", batchId) { tmp =>

@@ -178,6 +178,62 @@ class EpochCompactionSpec extends SparkSpec {
     assert(EpochStore.committed(s"$ix/bands", 1000000001L))
   }
 
+  test("compact refuses over a half-committed append; a crashed epoch " +
+      "folded out-of-band gets the distinct appendEpoch-heal error") {
+    val base = java.nio.file.Files.createTempDirectory("mh-wedge").toString
+    val ix = s"$base/ix"
+    MinHashIndex.build(docs.filter(col("doc_id") < 300), ix)
+    val batchA = docs.filter(col("doc_id") >= 300 && col("doc_id") < 360)
+
+    // crash window: docs epoch committed, bands never staged
+    EpochStore.commitEpoch(s"$ix/docs", 1000000000L) { tmp =>
+      MinHashIndex.signatures(batchA).write.mode("overwrite").parquet(tmp)
+    }
+
+    // 1) maintenance must not bury the crashed epoch: both the direct
+    // compact and the policy form refuse with the diverged-sets error
+    val eC = intercept[IllegalStateException] {
+      MinHashIndex.compact(spark, ix)
+    }
+    assert(eC.getMessage.contains("diverged"))
+    assert(eC.getMessage.contains("docs-only: 1000000000"))
+    val eF = intercept[IllegalStateException] {
+      MinHashIndex.compactIfFragmented(spark, ix, maxEpochs = 0)
+    }
+    assert(eF.getMessage.contains("diverged"))
+
+    // 2) simulate the pre-guard wedge: fold docs DIRECTLY through the
+    // engine (bypassing the refusal, as an older library or a raw
+    // EpochStore.compact call would). The retry with the ORIGINAL
+    // batch can no longer verify row-wise — it must get the distinct
+    // folded-epoch error naming the appendEpoch recovery, not the
+    // misleading "re-run the original batch" one.
+    EpochStore.compact(spark, s"$ix/docs")
+    assert(EpochStore.folded(s"$ix/docs", 1000000000L))
+    val eH = intercept[IllegalStateException] {
+      MinHashIndex.append(batchA, ix)
+    }
+    assert(eH.getMessage.contains("folded"))
+    assert(eH.getMessage.contains("appendEpoch"))
+
+    // 3) and the named recovery WORKS: docs no-ops via the folded
+    // ledger, bands completes under the crashed id — store healed,
+    // next append draws a fresh id
+    val docFiles = fileDirs(s"$ix/docs")
+    MinHashIndex.appendEpoch(batchA, ix, 1000000000L)
+    assert(fileDirs(s"$ix/docs") === docFiles)
+    assert(EpochStore.committed(s"$ix/bands", 1000000000L))
+    MinHashIndex.append(docs.filter(
+      col("doc_id") >= 360 && col("doc_id") < 420), ix)
+    assert(EpochStore.committed(s"$ix/docs", 1000000001L))
+    assert(EpochStore.committed(s"$ix/bands", 1000000001L))
+    // matching against the healed store sees batchA's docs
+    val m = MinHashIndex.matches(spark, ix,
+      batchA.select(col("doc_id") + 100000, col("text"))
+        .toDF("doc_id", "text"), jacThresh = 0.99)
+    assert(m.count() >= batchA.count())
+  }
+
   test("append racing compact fails loudly instead of losing the epoch " +
       "(engine-level: all three stores share this path)") {
     import spark.implicits._

@@ -100,6 +100,22 @@ class IvfIndexSpec extends SparkSpec {
       java.nio.file.Paths.get(live, "_codebook")))
   }
 
+  test("loadCodebook on a pre-sidecar layout fails with an explicit " +
+      "rebuild-required error, not a raw file exception") {
+    val base = java.nio.file.Files.createTempDirectory("ivf-legacy").toString
+    val idx = s"$base/ix"
+    IvfIndex.build(emb.filter(col("vec_id") < 100), idx)
+    // degrade to the pre-sidecar layout: no _codebook in the version
+    val live = EpochStore.liveDir(s"$idx/cells")
+    graft.engine.Archive.deleteTree(
+      java.nio.file.Paths.get(live, "_codebook"))
+    val e = intercept[IllegalStateException] {
+      IvfIndex.loadCodebook(spark, idx)
+    }
+    assert(e.getMessage.contains("rebuild required"))
+    assert(e.getMessage.contains("pre-sidecar"))
+  }
+
   test("maintain(): healthy+compact no-op tick; fragmented folds; " +
       "drifted rebuilds (and skips the redundant fold)") {
     val base = java.nio.file.Files.createTempDirectory("ivf-maint").toString

@@ -77,14 +77,18 @@ class MediaSpec extends SparkSpec {
 
   /** WAV with a real fmt (16-bit stereo, blockAlign bytes/frame) and
     * a data chunk of `dataSize` bytes — n_frames = dataSize/blockAlign.
+    * `payload` defaults to the declared size (a real file carries its
+    * samples); pass less to model a lying/streaming header.
     */
-  private def wavFull(blockAlign: Int, dataSize: Int) = cat(
+  private def wavFull(blockAlign: Int, dataSize: Int,
+                      payload: Int = -1) = cat(
     s2b("RIFF"), le32(36 + dataSize), s2b("WAVE"),
     s2b("fmt "), le32(16),
     cat(Array[Byte](1, 0, 2, 0), le32(44100), le32(44100 * blockAlign),
       Array[Byte]((blockAlign & 0xff).toByte,
         ((blockAlign >> 8) & 0xff).toByte, 16, 0)),
-    s2b("data"), le32(dataSize))
+    s2b("data"), le32(dataSize),
+    new Array[Byte](if (payload < 0) dataSize else payload))
 
   /** Minimal ISO-BMFF: ftyp + moov{ trak(audio 0x0){tkhd}, trak(video){tkhd} }
     * — the audio trak first proves the walk skips zero-dim traks.
@@ -132,6 +136,13 @@ class MediaSpec extends SparkSpec {
     // k-of-n sampling n for audio, header arithmetic only
     assert(p(wavFull(4, 4000)) === MediaDims.Parsed("wav", -1, -1, 1000))
     assert(p(wavFull(4, 0)) === MediaDims.Parsed("wav", -1, -1, 0))
+    // lying data headers degrade to null frames, never a bogus n: a
+    // declared size beyond the in-buffer payload (truncated file) and
+    // the 0xFFFFFFFF streaming-placeholder sentinel are both rejected
+    assert(p(wavFull(4, 4000, payload = 100)) ===
+      MediaDims.Parsed("wav", -1, -1, -1))
+    assert(p(wavFull(4, -1, payload = 64)) === // le32(-1) = 0xFFFFFFFF
+      MediaDims.Parsed("wav", -1, -1, -1))
     assert(p(mp4(1280, 720)) === MediaDims.Parsed("mp4", 1280, 720, -1))
     assert(p(mp4(640, 360, version = 1)) === MediaDims.Parsed("mp4", 640, 360, -1))
     // video frame count off the sample table: stsz directly, stts

@@ -67,6 +67,51 @@ class TransformSpec extends SparkSpec {
     assert(out.forall(_._3.keySet === Set("v")))
   }
 
+  test("numeric zero ticker is Python-falsy; string \"0\" is truthy (:59)") {
+    // A numeric CP column holding 0/0.0 is falsy under Python `or`,
+    // exactly like None/NaN — the chain must fall through.
+    val num = StructType(Seq(
+      StructField("CP", DoubleType), StructField("ticker", StringType),
+      StructField("v", IntegerType)))
+    val out = packedRows(df(num,
+      Row(0.0, "TKA", 1),              // 0.0 falsy -> ticker
+      Row(java.lang.Double.valueOf(7.0), "TKB", 2), // nonzero truthy
+      Row(0.0, null, 3)))              // 0.0 falsy, null -> default
+    assert(out.map(_._1) === Seq("TKA", "7.0", Transform.DefaultTicker))
+
+    val intS = StructType(Seq(
+      StructField("CP", IntegerType), StructField("v", IntegerType)))
+    assert(packedRows(df(intS, Row(0, 1))).map(_._1)
+      === Seq(Transform.DefaultTicker))
+
+    // But the STRING "0" is truthy in Python — must be kept.
+    val str = StructType(Seq(
+      StructField("CP", StringType), StructField("ticker", StringType),
+      StructField("v", IntegerType)))
+    assert(packedRows(df(str, Row("0", "TKC", 1))).map(_._1) === Seq("0"))
+  }
+
+  test("property: numeric ticker chain matches a Python-or reference model") {
+    // Reference model of `row.get('CP') or row.get('ticker') or 'FPT'`
+    // for numeric CP and string ticker cells.
+    def pyOr(cp: Option[Double], tk: Option[String]): String = {
+      val c = cp.filter(v => !v.isNaN && v != 0.0).map(_.toString)
+      val t = tk.filter(_.nonEmpty)
+      c.orElse(t).getOrElse(Transform.DefaultTicker)
+    }
+    val cps = Seq(None, Some(0.0), Some(Double.NaN), Some(-1.5), Some(3.0))
+    val tks = Seq(None, Some(""), Some("TK"))
+    val cases = for (c <- cps; t <- tks) yield (c, t)
+    val s = StructType(Seq(
+      StructField("CP", DoubleType), StructField("ticker", StringType),
+      StructField("v", IntegerType)))
+    val rows = cases.zipWithIndex.map { case ((c, t), i) =>
+      Row(c.map(java.lang.Double.valueOf).orNull, t.orNull, i)
+    }
+    val out = packedRows(df(s, rows: _*))
+    assert(out.map(_._1) === cases.map { case (c, t) => pyOr(c, t) })
+  }
+
   test("missing year column -> null year; no ticker cols -> default") {
     val s = StructType(Seq(StructField("a", IntegerType)))
     val out = packedRows(df(s, Row(5)))
