@@ -234,34 +234,59 @@ object NearDupOps {
     //    rationale and scale shape on [[containmentOn]]; the oracle
     //    replays the identical informative-shingle measure.
     Q("q148_containment_neardup",
-      (s, d) => containmentOn(t(s, d).documents),
-      Some(s"""WITH sh0 AS (
-          SELECT doc_id, unnest(list_distinct(
-            CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) >= 3
-              THEN list_transform(
-                range(1, len(string_split_regex(lower(trim(text)), '\\s+')) - 1),
-                i -> array_to_string(string_split_regex(lower(trim(text)), '\\s+')[i:i+2], ' '))
-              ELSE [] END)) AS sh
-          FROM documents),
-        sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
-        informative AS (
-          SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= $MaxShingleDf),
-        inf AS (SELECT s.doc_id, s.sh FROM sh s JOIN informative i ON s.sh = i.sh),
-        per AS (SELECT doc_id, COUNT(*) AS n FROM inf GROUP BY 1),
-        cand AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-          FROM inf a JOIN inf b ON a.sh = b.sh AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
-        scored AS (
-          SELECT c.doc_a, c.doc_b, c.n_common, pa.n AS n_a, pb.n AS n_b,
-            ROUND(CAST(c.n_common AS DOUBLE) / least(pa.n, pb.n), 4)
-              AS containment
-          FROM cand c JOIN per pa ON c.doc_a = pa.doc_id
-            JOIN per pb ON c.doc_b = pb.doc_id)
+      (s, d) => SharedStages.containmentPairs(s, d)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH $containmentScoredCtes
         SELECT doc_a, doc_b, n_common, n_a, n_b, containment
-        FROM scored WHERE containment >= 0.8
-        ORDER BY doc_a, doc_b"""),
+        FROM cpairs ORDER BY doc_a, doc_b"""),
       "asymmetric containment pairs (quote/subset dedup) over informative shingles"),
+
+    // -- containment CLUSTERING (q149): q148's asymmetric pairs acted
+    //    on — a dedup pass ships verdicts, not pairs. A quote-of-a-
+    //    quote CHAIN (A ⊂ B ⊂ C: A~B and B~C score ≥ τ, A~C may not —
+    //    the shared shingles can be under τ of min(|A|,|C|)) must
+    //    still collapse to ONE kept document, so the pair graph's
+    //    connected components do the transitive closure exactly as
+    //    q78 does for Jaccard pairs. The kept member differs by
+    //    DESIGN: Jaccard clusters are interchangeable near-copies
+    //    (min-id is as good as any); containment clusters are
+    //    carrier chains, where the right survivor is the LARGEST
+    //    member (most informative shingles — the carrier every other
+    //    member is quoted inside), min-id only as the tie-break.
+    //    Scale shape: components run over the PAIR set (orders of
+    //    magnitude below the corpus — [[graft.operators.ConnectedComponents]]'s
+    //    8-byte-id rounds); member sizes come from the pair rows
+    //    themselves (every member is an endpoint, n_a/n_b ride
+    //    along), so the corpus is never re-scanned. Oracle: the same
+    //    recursive-CTE walk as q78 over q148's scored-pair CTE.
+    Q("q149_containment_clusters",
+      (s, d) => containmentVerdictsOn(SharedStages.containmentPairs(s, d)),
+      Some(s"""WITH RECURSIVE $containmentScoredCtes,
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM cpairs
+          UNION ALL SELECT doc_b, doc_a FROM cpairs),
+        walk AS (
+          SELECT a AS id, a AS reach FROM edges
+          UNION
+          SELECT w.id, e.b AS reach FROM walk w JOIN edges e ON e.a = w.reach),
+        comp AS (SELECT id AS doc_id, MIN(reach) AS cluster_id
+                 FROM walk GROUP BY id),
+        sizes AS (
+          SELECT DISTINCT doc_id, n FROM (
+            SELECT doc_a AS doc_id, n_a AS n FROM cpairs
+            UNION ALL SELECT doc_b, n_b FROM cpairs)),
+        ranked AS (
+          SELECT c.doc_id, c.cluster_id, s.n,
+            ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+              ORDER BY s.n DESC, c.doc_id ASC) AS rk
+          FROM comp c JOIN sizes s ON s.doc_id = c.doc_id),
+        canon AS (SELECT cluster_id, doc_id AS canon_id
+                  FROM ranked WHERE rk = 1)
+        SELECT r.doc_id, r.cluster_id, cn.canon_id, r.n,
+          CAST(r.doc_id = cn.canon_id AS INT) AS is_kept
+        FROM ranked r JOIN canon cn USING (cluster_id)
+        ORDER BY r.doc_id"""),
+      "containment pair graph -> components -> largest-carrier keep verdicts"),
 
     // -- dedup CLUSTERING: near-dup pairs are only half the dedup
     //    story — A~B and B~C must collapse to ONE kept document, so
@@ -783,6 +808,43 @@ object NearDupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q149: containment PAIRS acted on — components of the pair graph
+    * with one kept CARRIER per cluster. A quote-of-a-quote chain
+    * (A ⊂ B ⊂ C) links A~B and B~C without necessarily scoring A~C,
+    * so transitive closure is required before any keep/drop decision;
+    * the survivor is the cluster's LARGEST member by informative-
+    * shingle count (the carrier everything else is quoted inside),
+    * min doc_id breaking ties. Member sizes are recovered from the
+    * pair rows themselves (every cluster member is a pair endpoint
+    * and n_a/n_b ride along) — the corpus is never re-scanned.
+    *
+    * Output: (doc_id, cluster_id, canon_id, n, is_kept) — one row per
+    * doc appearing in any containment pair; docs in no pair are
+    * implicitly kept (same contract as q78).
+    *
+    * @param pairs [[containmentOn]] output (or the session-shared
+    *              stage): doc_a, doc_b, n_a, n_b(, …) at the target τ
+    */
+  def containmentVerdictsOn(pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comps = graft.operators.ConnectedComponents
+      .components(pairs.select(col("doc_a"), col("doc_b")))
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+    val sizes = pairs.select(col("doc_a").as("doc_id"), col("n_a").as("n"))
+      .union(pairs.select(col("doc_b").as("doc_id"), col("n_b").as("n")))
+      .distinct()
+    val member = comps.join(sizes, Seq("doc_id"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n").desc, col("doc_id").asc)
+    val canon = member.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("canon_id"))
+    member.join(canon, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("canon_id"), col("n"),
+        (col("doc_id") === col("canon_id")).cast("int").as("is_kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q54's scored pair plan over any documents frame: candidate pairs
     * blocked on (lang, length bucket), shingles computed once and
     * persisted, Jaccard verified on 64-bit shingle hashes. Shared by
@@ -1036,6 +1098,39 @@ object NearDupOps {
         sig AS (SELECT doc_id, $sigList AS sig FROM hs)"""
   }
 
+
+  /** DuckDB spelling of the containment pair stage (CTE `cpairs`):
+    * distinct 3-gram shingles → df-capped informative set → posting
+    * self-join → |A∩B| / min(|A|,|B|) ≥ 0.8 — the exact measure
+    * [[containmentOn]] computes. Shared by q148 (the pairs), q149
+    * (their component clustering) and q146's manifest oracle
+    * (containment drops), so the oracles cannot drift.
+    */
+  private[queries] def containmentScoredCtes: String =
+    s"""sh0 AS (
+          SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) >= 3
+              THEN list_transform(
+                range(1, len(string_split_regex(lower(trim(text)), '\\s+')) - 1),
+                i -> array_to_string(string_split_regex(lower(trim(text)), '\\s+')[i:i+2], ' '))
+              ELSE [] END)) AS sh
+          FROM documents),
+        sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+        informative AS (
+          SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= $MaxShingleDf),
+        inf AS (SELECT s.doc_id, s.sh FROM sh s JOIN informative i ON s.sh = i.sh),
+        per AS (SELECT doc_id, COUNT(*) AS n FROM inf GROUP BY 1),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+          FROM inf a JOIN inf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT c.doc_a, c.doc_b, c.n_common, pa.n AS n_a, pb.n AS n_b,
+            ROUND(CAST(c.n_common AS DOUBLE) / least(pa.n, pb.n), 4)
+              AS containment
+          FROM cand c JOIN per pa ON c.doc_a = pa.doc_id
+            JOIN per pb ON c.doc_b = pb.doc_id),
+        cpairs AS (SELECT * FROM scored WHERE containment >= 0.8)"""
 
   /** DuckDB spelling of the portable SimHash fingerprint (CTE `fp`):
     * per-token 64-bit md5 hash (UBIGINT), ±1 vote per bit position

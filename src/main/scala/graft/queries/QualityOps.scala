@@ -542,14 +542,23 @@ object QualityOps {
     //    over kept docs only); dropped docs carry NULL pack columns.
     //    This is the table a training job actually reads: which docs,
     //    why the rest were dropped, and where each kept doc lands.
+    //    Round 10: the dedup stage also sees CONTAINMENT redundancy —
+    //    q149's carrier verdicts (quote/subset chains collapsed to
+    //    their largest carrier) drop non-carriers with reason
+    //    'contained', after exact/near (a doc that is both an exact
+    //    copy and a quote reports the stronger evidence) and before
+    //    contamination.
     //
     //    Scale shape: every input is a session-shared persisted stage
-    //    (signal relation, dedup verdict table, chunk store + eval
-    //    set) or a bounded broadcast probe — composing the manifest
-    //    adds only doc-keyed joins and the two-level prefix scan.
-    //    Scope: the capped corpus prefix ∩ training split (the dedup
-    //    table's declared domain; both fixture sfs sit fully inside
-    //    the cap).
+    //    (signal relation, dedup verdict table, containment pair
+    //    table, chunk store + eval set) or a bounded broadcast probe —
+    //    composing the manifest adds only doc-keyed joins and the
+    //    two-level prefix scan. Scope: the capped corpus prefix ∩
+    //    training split (the dedup table's declared domain; both
+    //    fixture sfs sit fully inside the cap). Containment verdicts
+    //    are corpus-wide (q148's domain): a training doc quoted
+    //    inside ANY corpus carrier is redundant regardless of where
+    //    the carrier sits.
     Q("q146_training_manifest",
       (s, d) => {
         import graft.operators.PrefixSum
@@ -557,6 +566,10 @@ object QualityOps {
           .select(col("doc_id"), col("verdict").as("q_v"), col("n_tokens"))
         val dedup = SharedStages.dedupVerdictsTable(s, d)
           .select(col("doc_id"), col("verdict").as("d_v"))
+        val contained = NearDupOps
+          .containmentVerdictsOn(SharedStages.containmentPairs(s, d))
+          .filter(col("is_kept") === 0)
+          .select(col("doc_id"), lit(1).as("ct"))
         val cont = contaminationVerdictsOn(s, d)
           .select(col("doc_id"), col("verdict").as("c_v"))
         val base = t(s, d).documents
@@ -566,17 +579,21 @@ object QualityOps {
         val joined = base
           .join(qual, Seq("doc_id"))
           .join(dedup, Seq("doc_id"), "left")
+          .join(contained, Seq("doc_id"), "left")
           .join(cont, Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_tokens"), col("q_v"),
             coalesce(col("d_v"), lit("keep")).as("d_v"),
+            col("ct"),
             coalesce(col("c_v"), lit("clean")).as("c_v"))
           .select(col("doc_id"), col("n_tokens"),
             when(col("q_v") =!= "keep", lit("drop_quality"))
               .when(col("d_v") =!= "keep", lit("drop_duplicate"))
+              .when(col("ct").isNotNull, lit("drop_duplicate"))
               .when(col("c_v") =!= "clean", lit("drop_contaminated"))
               .otherwise(lit("keep")).as("decision"),
             when(col("q_v") =!= "keep", col("q_v"))
               .when(col("d_v") =!= "keep", col("d_v"))
+              .when(col("ct").isNotNull, lit("contained"))
               .when(col("c_v") =!= "clean", col("c_v"))
               .otherwise(lit("keep")).as("reason"))
         val packs = PrefixSum.exclusive(
@@ -874,6 +891,25 @@ object QualityOps {
                  THEN 'near'
                ELSE 'keep' END AS verdict
         FROM tagged t LEFT JOIN comp c USING (doc_id)),
+      ${NearDupOps.containmentScoredCtes},
+      cedges AS (
+        SELECT doc_a AS a, doc_b AS b FROM cpairs
+        UNION ALL SELECT doc_b, doc_a FROM cpairs),
+      cwalk AS (
+        SELECT a AS id, a AS reach FROM cedges
+        UNION
+        SELECT w.id, e.b AS reach FROM cwalk w JOIN cedges e ON e.a = w.reach),
+      ccomp AS (SELECT id AS doc_id, MIN(reach) AS cl FROM cwalk GROUP BY id),
+      csz AS (
+        SELECT DISTINCT doc_id, n FROM (
+          SELECT doc_a AS doc_id, n_a AS n FROM cpairs
+          UNION ALL SELECT doc_b, n_b FROM cpairs)),
+      cranked AS (
+        SELECT c.doc_id, c.cl,
+          ROW_NUMBER() OVER (PARTITION BY c.cl
+            ORDER BY s.n DESC, c.doc_id ASC) AS rk
+        FROM ccomp c JOIN csz s ON s.doc_id = c.doc_id),
+      ctdrop AS (SELECT doc_id FROM cranked WHERE rk > 1),
       mbase AS (
         SELECT doc_id FROM documents
         WHERE doc_id % 50 <> 0 AND doc_id < ${TextOps.ExactBaselineDocCap}),
@@ -882,17 +918,20 @@ object QualityOps {
           CASE WHEN qv.verdict <> 'keep' THEN 'drop_quality'
                WHEN COALESCE(dv.verdict, 'keep') <> 'keep'
                  THEN 'drop_duplicate'
+               WHEN ctd.doc_id IS NOT NULL THEN 'drop_duplicate'
                WHEN COALESCE(contv.verdict, 'clean') <> 'clean'
                  THEN 'drop_contaminated'
                ELSE 'keep' END AS decision,
           CASE WHEN qv.verdict <> 'keep' THEN qv.verdict
                WHEN COALESCE(dv.verdict, 'keep') <> 'keep' THEN dv.verdict
+               WHEN ctd.doc_id IS NOT NULL THEN 'contained'
                WHEN COALESCE(contv.verdict, 'clean') <> 'clean'
                  THEN contv.verdict
                ELSE 'keep' END AS reason
         FROM mbase b
         JOIN qv ON b.doc_id = qv.doc_id
         LEFT JOIN dv ON b.doc_id = dv.doc_id
+        LEFT JOIN ctdrop ctd ON b.doc_id = ctd.doc_id
         LEFT JOIN contv ON b.doc_id = contv.doc_id),
       packs AS (
         SELECT doc_id,

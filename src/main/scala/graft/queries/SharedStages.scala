@@ -110,6 +110,23 @@ object SharedStages {
     spark.read.parquet(p)
   }
 
+  /** The containment (quote/subset) scored pair table over the full
+    * documents frame ([[NearDupOps.containmentOn]] at the declared
+    * τ = 0.8), computed once per (session, sf dir). Columns (doc_a,
+    * doc_b, n_common, n_a, n_b, containment). Consumers: q148 (the
+    * pairs), q149 (their component clustering + carrier keep) and
+    * q146 (containment verdicts folded into the training manifest) —
+    * the posting self-join over the corpus runs once, every verdict
+    * consumer reads the persisted relation.
+    */
+  def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = cached(spark, sfDir, "containment-pairs") { path =>
+      NearDupOps.containmentOn(QU.t(spark, sfDir).documents)
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(p)
+  }
+
   /** The exact capped embedding near-dup pair table
     * ([[Similarity.embNearDupExactOn]] at the declared τ and id cap),
     * computed once per (session, sf dir). Columns (vec_a, vec_b,

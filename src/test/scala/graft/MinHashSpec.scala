@@ -91,6 +91,41 @@ class MinHashSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q149 containment clusters: a quote-of-a-quote CHAIN collapses " +
+      "to one kept carrier; ties keep the min id") {
+    import spark.implicits._
+    // A ⊂ B, B ⊂~ C, but A shares NOTHING with C directly: the A–C
+    // link exists only transitively. Trigram arithmetic:
+    //   A = a1..a6                  → 4 trigrams, all inside B: 1.0
+    //   B = a1..a6 b1..b30          → 34 trigrams
+    //   C = b1..b30 c1..c30         → 58 trigrams; |B∩C| = 28 b-runs
+    //     → containment(B,C) = 28/34 ≈ 0.824 ≥ 0.8, containment(A,C)=0
+    val A = (1 to 6).map(i => s"a$i").mkString(" ")
+    val bs = (1 to 30).map(i => s"b$i").mkString(" ")
+    val C = bs + " " + (1 to 30).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, A), (2L, A + " " + bs), (3L, C),
+      (4L, (1 to 20).map(i => s"z$i").mkString(" ")), // disjoint
+      (10L, "t1 t2 t3 t4 t5"), (11L, "t1 t2 t3 t4 t5")) // exact tie
+      .toDF("doc_id", "text")
+    val pairs = graft.queries.NearDupOps.containmentOn(docs)
+    // the direct A–C pair must NOT exist (that's what makes this a chain)
+    assert(!pairs.collect().exists(r => r.getLong(0) == 1L && r.getLong(1) == 3L))
+    val out = graft.queries.NearDupOps.containmentVerdictsOn(pairs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(4)))
+    // chain {1,2,3}: ONE kept carrier — the largest doc (3), even
+    // though it never paired with 1; min-id labels the cluster
+    assert(out.filter(_._2 == 1L).toSeq === Seq(
+      (1L, 1L, 3L, 0), (2L, 1L, 3L, 0), (3L, 1L, 3L, 1)))
+    // disjoint doc 4 appears in no verdict row (implicitly kept)
+    assert(!out.exists(_._1 == 4L))
+    // equal-size tie (exact duplicates): min id is the carrier
+    assert(out.filter(_._2 == 10L).toSeq === Seq(
+      (10L, 10L, 10L, 1), (11L, 10L, 10L, 0)))
+    spark.catalog.clearCache()
+  }
+
   test("over-cap LSH buckets dedup via representative star instead of vanishing") {
     import spark.implicits._
     // A dense duplicate cluster larger than the bucket cap: 200 exact

@@ -294,7 +294,8 @@ class QualityOpsSpec extends SparkSpec {
       if (dec == "drop_quality")
         assert(Set("too_short", "low_stopword", "high_top_unigram",
           "high_dup_bigram")(reason))
-      else if (dec == "drop_duplicate") assert(Set("exact", "near")(reason))
+      else if (dec == "drop_duplicate")
+        assert(Set("exact", "near", "contained")(reason))
       else assert(Set("ngram", "semantic", "chunk")(reason))
     }
     // cross-check a sample against the source verdict tables
