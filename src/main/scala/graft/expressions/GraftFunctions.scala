@@ -61,6 +61,15 @@ object GraftFunctions {
     (FunctionIdentifier("cdc_chunks"),
       new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
       args => CdcChunks(arity("cdc_chunks", 1)(args).head)),
+    (FunctionIdentifier("md5_shingle_hashes"),
+      new ExpressionInfo(classOf[Md5ShingleHashes].getName,
+        "md5_shingle_hashes"),
+      {
+        case Seq(c) => Md5ShingleHashes(c)
+        case Seq(c, n) => Md5ShingleHashes(c, litInt(n, "shingle width"))
+        case args => throw new IllegalArgumentException(
+          s"md5_shingle_hashes takes 1-2 arguments, got ${args.size}")
+      }),
     (FunctionIdentifier("positional_shingle_hashes"),
       new ExpressionInfo(classOf[PositionalShingleHashes].getName,
         "positional_shingle_hashes"),

@@ -75,6 +75,99 @@ object ShingleHashes {
   }
 }
 
+/** ENGINE-PORTABLE variant of [[ShingleHashes]]: per distinct n-gram,
+  * the first 4 md5-digest bytes read big-endian (= the first 8 md5
+  * hex digits) folded into [0, 2³¹−1) — bit-identical to the
+  * composed-builtin chain
+  * `array_distinct(transform(shingles(text, n),
+  *   g => pmod(conv(substring(md5(g),1,8),16,10) :: long, 2^31-1)))`
+  * and to DuckDB's
+  * `list_distinct(list_transform(..., s -> ('0x' || substr(md5(s),
+  * 1, 8))::BIGINT % 2147483647))`, which is what makes the q55/q56
+  * oracles full-value-replayable. The fused kernel exists because the
+  * HOF chain pays interpreted lambda dispatch + a materialized string
+  * array + per-gram UTF8String→hex-string→conv round trips; here the
+  * whole pipeline (tokenize → gram → digest → fold → dedup) is one
+  * JIT loop per document, with a thread-local reused MessageDigest.
+  * Output order equals the HOF chain's (first occurrence of each hash
+  * value — distinct-strings-then-distinct-hashes yields the same
+  * earliest position). Shares [[ShingleHashes]]'s tokenizer exactly.
+  */
+case class Md5ShingleHashes(child: Expression, n: Int = 3)
+    extends UnaryExpression {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"md5_shingle_hashes requires string input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "md5_shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    Md5ShingleHashes.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Md5ShingleHashes.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5ShingleHashes =
+    copy(child = newChild)
+}
+
+object Md5ShingleHashes {
+  private val Space = UTF8String.fromString(" ")
+  private val WhitespaceRx = UTF8String.fromString("\\s+")
+  private val P = 2147483647L // 2^31 - 1, the portable fold modulus
+
+  // MessageDigest is stateful and ~1µs to instantiate — reuse one per
+  // executor thread across the millions of grams a partition hashes
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 4 digest bytes of md5(utf8 bytes), big-endian unsigned,
+    * mod P — exactly `('0x' || substr(md5(s), 1, 8))::BIGINT % P`.
+    */
+  def hash(gram: UTF8String): Long = {
+    val d = md.get()
+    d.reset()
+    val digest = d.digest(gram.getBytes)
+    val v = ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
+      ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
+    v % P
+  }
+
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    // identical pipeline to split(trim(lower(text)), "\s+")
+    val toks = text.toLowerCase.trim.split(WhitespaceRx, -1)
+    val count = toks.length - (n - 1)
+    if (count < 1) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long](count * 2)
+    var i = 0
+    while (i < count) {
+      val gram =
+        if (n == 1) toks(i)
+        else {
+          val parts = new Array[UTF8String](n)
+          var j = 0
+          while (j < n) { parts(j) = toks(i + j); j += 1 }
+          UTF8String.concatWs(Space, parts: _*)
+        }
+      seen.add(hash(gram))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 /** Positional variant of [[ShingleHashes]]: one xxhash64 per window
   * POSITION (no dedup) — `h[i]` hashes tokens `i..i+n-1` — feeding
   * the span-coverage machinery (q90/q93/q99), whose interval-union

@@ -81,8 +81,25 @@ object Text {
     * [[shingleHashes]]. `array_distinct` runs AFTER hashing on both
     * engines so the two sides hold the identical hash SET even if
     * two distinct shingles collide in the 32-bit prefix space.
+    * Round 10: the native fused kernel
+    * ([[graft.expressions.Md5ShingleHashes]] — tokenize → gram →
+    * digest → fold → dedup in one JIT loop, reused MessageDigest)
+    * replaces the interpreted HOF chain, which paid lambda dispatch,
+    * a materialized string array and a hex-string conv round trip
+    * per gram; [[md5ShingleHashesHof]] stays as the executable
+    * reference the kernel is spec-pinned bit-exact against.
     */
-  def md5ShingleHashes(text: Column, n: Int = 3): Column =
+  def md5ShingleHashes(text: Column, n: Int = 3): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.expressions.Md5ShingleHashes(ColumnBridge.expression(text), n))
+  }
+
+  /** The composed-builtin formulation of [[md5ShingleHashes]], kept
+    * as the executable reference the native kernel is pinned against
+    * (MinHashSpec) — it IS the oracle SQL, spelled in Spark builtins.
+    */
+  def md5ShingleHashesHof(text: Column, n: Int = 3): Column =
     array_distinct(transform(shingles(text, n), md5BaseHash(_)))
 
   /** Scalar 64-bit md5-derived hash (first 16 md5 hex digits as a

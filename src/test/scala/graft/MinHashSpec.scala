@@ -177,6 +177,36 @@ class MinHashSpec extends SparkSpec {
     }
   }
 
+  test("native Md5ShingleHashes == the composed-builtin md5 chain, " +
+      "bit-exact incl. order; portable signatures agree") {
+    import spark.implicits._
+    val both = docs.limit(200).select(
+      Text.md5ShingleHashes(col("text"), 3).as("a"),
+      Text.md5ShingleHashesHof(col("text"), 3).as("b"),
+      Text.minHash(Text.md5ShingleHashes(col("text"), 3)).as("sig_n"),
+      Text.minHash(Text.md5ShingleHashesHof(col("text"), 3)).as("sig_h"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1)) // values AND order
+      assert(r.getSeq[Long](2) === r.getSeq[Long](3)) // same signatures
+    }
+    // edge docs: empty, whitespace-only, sub-n, non-ASCII (the digest
+    // runs over UTF-8 bytes — must match md5() on multibyte text),
+    // repeated grams (dedup), and mixed case (tokenizer parity)
+    val edges = Seq("", "   ", "one two", "xin chào thế giới xin chào",
+      "a b c a b c a b c", "A B c D a b C d").toDF("text")
+    val er = edges.select(
+      Text.md5ShingleHashes(col("text"), 3).as("a"),
+      Text.md5ShingleHashesHof(col("text"), 3).as("b")).collect()
+    er.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+    // and the SQL registration resolves
+    org.apache.spark.sql.graftbridge.FunctionRegistration.registerAll(spark)
+    spark.sql("SELECT md5_shingle_hashes('a b c d', 3) AS h")
+      .collect().head.getSeq[Long](0)
+    spark.catalog.clearCache()
+  }
+
   test("native JaccardLong equals the HOF jaccard on hash arrays") {
     val sh = docs.limit(40).select(col("doc_id"),
       Text.shingleHashes(col("text"), 3).as("sh"))
