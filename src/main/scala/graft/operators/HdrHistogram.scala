@@ -61,6 +61,27 @@ object HdrHistogram {
       .groupBy(col("day"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Lower-quantile estimate per GROUP off a `(keys…, bucket, cnt)`
+    * histogram: least bucket whose cumulative count reaches
+    * ceil(p·n), decoded to its midpoint (deterministic ≤ 1/128
+    * relative error above the exact region — the q117 walk with a
+    * group key instead of a day range). Output: (keys…, `out`).
+    * Every frame is (groups × ~2k buckets)-cardinality.
+    */
+  def groupQuantile(hist: DataFrame, keys: Seq[String], p: Double,
+                    out: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val kc = keys.map(col)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt"))
+        .over(w.partitionBy(kc: _*).orderBy(col("bucket"))))
+      .withColumn("n", sum(col("cnt")).over(w.partitionBy(kc: _*)))
+    cum.filter(col("cum") >= ceil(col("n") * p))
+      .groupBy(kc: _*)
+      .agg(min(col("bucket")).as("__b"))
+      .select(kc :+ midpoint(col("__b")).as(out): _*)
+  }
+
   /** Quantiles of arbitrary day ranges from a stored histogram table
     * (q117's walk, public so the `histRollupStream`-maintained table
     * is queryable without re-deriving it). `ranges` is a tiny

@@ -436,10 +436,19 @@ object Relational {
     //    written out as nested medians on both engines (never a
     //    built-in mad(), whose scaling conventions differ). All
     //    arithmetic is double with one multiplication order, so the
-    //    boundary comparison is bit-identical cross-engine. Exact
-    //    medians are per-group sorts — at corpus scale swap in
-    //    approx_percentile(0.5) (the q29 path) for both passes; the
-    //    3·1.4826·MAD screen is robust to that approximation by
+    //    boundary comparison is bit-identical cross-engine.
+    //
+    //    SCALE BOUND (deliberate): Spark's exact `median` is a
+    //    per-group MULTISET BUFFER — each aggregation buffer holds
+    //    every group member (~n/groups doubles), so at 100× the
+    //    fixture this query is an executor OOM, not a slowdown. It
+    //    stays declared as the exact ground truth; the SHIP form at
+    //    corpus scale is q150, the same screen off the q117 HDR
+    //    histogram (bounded ≤ ~2k-bucket state per group, plain
+    //    groupBy-sums, deterministic ≤ 1/128-relative-error medians)
+    //    — or approx_percentile(0.5) (the q29 path) where a
+    //    rank-error bound is preferred over a value-error one. The
+    //    3·1.4826·MAD screen is robust to either approximation by
     //    construction.
     Q("q97_robust_outliers",
       (s, d) => {
@@ -484,6 +493,108 @@ object Relational {
         FROM dev JOIN mad USING (l_returnflag)
         GROUP BY dev.l_returnflag ORDER BY dev.l_returnflag"""),
       "per-group median/MAD robust outlier screen"),
+
+    // -- q150: q97's robust-outlier screen in its SHIP form — both
+    //    medians served from the q117 HDR integer histogram instead
+    //    of Spark's exact-median multiset buffers. Same three-pass
+    //    topology (price median → deviation median → screen), but
+    //    every aggregation state is a (group, bucket, count) relation
+    //    bounded by groups × ~2k buckets REGARDLESS of row count —
+    //    the 100 TB-safe shape q97's declaration note prescribes.
+    //    Medians carry the histogram's deterministic ≤ 1/128 relative
+    //    value error (midpoint decode halves the bucket width); the
+    //    outlier threshold then applies EXACTLY to each raw
+    //    deviation, so the screen differs from q97 only through the
+    //    two estimates entering it. Fully ANSI-mirrorable: DuckDB
+    //    replays bucket, cumulative walk, midpoint decode and screen
+    //    bit-for-bit (the q117-proven pairing) — a full hash oracle
+    //    where a t-digest/KLL variant could offer only rows-only.
+    Q("q150_robust_outliers_hdr",
+      (s, d) => {
+        import graft.operators.HdrHistogram
+        val li = t(s, d).lineitem.select(col("l_returnflag"),
+          col("l_extendedprice").cast("double").as("x"))
+        def histOf(df: org.apache.spark.sql.DataFrame,
+                   v: org.apache.spark.sql.Column) =
+          df.select(col("l_returnflag"),
+              HdrHistogram.bucket(HdrHistogram.centi(v)).as("bucket"))
+            .groupBy(col("l_returnflag"), col("bucket"))
+            .agg(count(lit(1)).as("cnt"))
+        val med = HdrHistogram.groupQuantile(histOf(li, col("x")),
+          Seq("l_returnflag"), 0.5, "med_est")
+        val dev = li.join(broadcast(med), Seq("l_returnflag"))
+          .withColumn("adev", abs(col("x") - col("med_est")))
+        val mad = HdrHistogram.groupQuantile(histOf(dev, col("adev")),
+          Seq("l_returnflag"), 0.5, "mad_est")
+        val outc = when(col("adev") > lit(3.0) * lit(1.4826) * col("mad_est"),
+          1L).otherwise(0L)
+        dev.join(broadcast(mad), Seq("l_returnflag"))
+          .groupBy(col("l_returnflag"))
+          .agg(min(col("med_est")).as("med_est"),
+            min(col("mad_est")).as("mad_est"),
+            sum(outc).as("n_outliers"),
+            (sum(outc).cast("double") / count(lit(1))).as("outlier_frac"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH li AS (
+          SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS x
+          FROM lineitem),
+        pb AS (
+          SELECT l_returnflag, CAST(FLOOR(x * 100) AS BIGINT) AS v FROM li),
+        pbk AS (
+          SELECT l_returnflag, CASE WHEN v < 256 THEN v
+            ELSE ((length(bin(v)) - 1) - 7) * 128
+              + (v >> ((length(bin(v)) - 1) - 7)) - 128 + 256 END AS bucket
+          FROM pb),
+        ph AS (SELECT l_returnflag, bucket, COUNT(*) AS cnt
+               FROM pbk GROUP BY 1, 2),
+        pcum AS (
+          SELECT l_returnflag, bucket,
+            CAST(SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS BIGINT) AS cum,
+            CAST(SUM(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+          FROM ph),
+        psel AS (SELECT l_returnflag, MIN(bucket) AS b
+                 FROM pcum WHERE cum >= CEIL(n * 0.5) GROUP BY 1),
+        med AS (
+          SELECT l_returnflag, CASE WHEN b < 256 THEN (2 * b + 1) / 200.0
+            ELSE (2.0 * ((128 + (b - 256) % 128) << ((b - 256) // 128))
+              + (1 << ((b - 256) // 128))) / 200.0 END AS med_est
+          FROM psel),
+        dev AS (
+          SELECT li.l_returnflag, li.x, med.med_est,
+            abs(li.x - med.med_est) AS adev
+          FROM li JOIN med USING (l_returnflag)),
+        db AS (
+          SELECT l_returnflag, CAST(FLOOR(adev * 100) AS BIGINT) AS v FROM dev),
+        dbk AS (
+          SELECT l_returnflag, CASE WHEN v < 256 THEN v
+            ELSE ((length(bin(v)) - 1) - 7) * 128
+              + (v >> ((length(bin(v)) - 1) - 7)) - 128 + 256 END AS bucket
+          FROM db),
+        dh AS (SELECT l_returnflag, bucket, COUNT(*) AS cnt
+               FROM dbk GROUP BY 1, 2),
+        dcum AS (
+          SELECT l_returnflag, bucket,
+            CAST(SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS BIGINT) AS cum,
+            CAST(SUM(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+          FROM dh),
+        dsel AS (SELECT l_returnflag, MIN(bucket) AS b
+                 FROM dcum WHERE cum >= CEIL(n * 0.5) GROUP BY 1),
+        mad AS (
+          SELECT l_returnflag, CASE WHEN b < 256 THEN (2 * b + 1) / 200.0
+            ELSE (2.0 * ((128 + (b - 256) % 128) << ((b - 256) // 128))
+              + (1 << ((b - 256) // 128))) / 200.0 END AS mad_est
+          FROM dsel)
+        SELECT dev.l_returnflag,
+          MIN(dev.med_est) AS med_est,
+          MIN(mad.mad_est) AS mad_est,
+          CAST(SUM(CASE WHEN dev.adev > 3 * 1.4826 * mad.mad_est
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+          CAST(SUM(CASE WHEN dev.adev > 3 * 1.4826 * mad.mad_est
+            THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS outlier_frac
+        FROM dev JOIN mad USING (l_returnflag)
+        GROUP BY dev.l_returnflag ORDER BY dev.l_returnflag"""),
+      "robust outlier screen off the bounded HDR histogram (ship form of q97)"),
 
     // -- statistical aggregates: sample stddev/variance, correlation,
     //    covariance per group — the numeric-profiling battery. Values

@@ -199,6 +199,46 @@ class ScalingSpec extends SparkSpec {
         f"$q: 10x corpus cost $ratio%.1fx the 1x corpus — quadratic-shaped growth")
     }
 
+  test("q150's HDR aggregation state is BOUNDED: 10x the rows leave the " +
+      "histogram cardinality flat (q97's exact buffers would hold 10x)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.HdrHistogram
+    // deterministic heavy-tailed values spanning several decades —
+    // the regime where q97's multiset buffer is ~n/groups doubles
+    // per group while the histogram stays ≤ groups × ~2k rows
+    def values(n: Long) = spark.range(n).select(
+      (col("id") % 3).cast("string").as("g"),
+      (pmod(xxhash64(col("id")), lit(1000000L)).cast("double") / 100.0
+        + 0.01).as("x"))
+    def histRows(n: Long): Long = values(n)
+      .select(col("g"), HdrHistogram.bucket(HdrHistogram.centi(col("x")))
+        .as("bucket"))
+      .groupBy(col("g"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      .count()
+    val h1 = histRows(50000L)
+    val h10 = histRows(500000L)
+    info(s"hist rows: 50k -> $h1, 500k -> $h10")
+    // state is value-range-bounded, not row-bounded: 10x the rows may
+    // FILL a few more buckets but can never approach 10x rows of state
+    assert(h10 <= 3 * 2100, s"histogram state exceeded the bucket bound: $h10")
+    assert(h10 < h1 * 2, s"histogram state grew with rows: $h1 -> $h10")
+    // and the q150 median walk off both histograms agrees to the
+    // documented <= 1/128 relative error vs the exact median
+    val est = HdrHistogram.groupQuantile(
+      values(500000L).select(col("g"),
+          HdrHistogram.bucket(HdrHistogram.centi(col("x"))).as("bucket"))
+        .groupBy(col("g"), col("bucket")).agg(count(lit(1)).as("cnt")),
+      Seq("g"), 0.5, "est").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = values(500000L).groupBy(col("g"))
+      .agg(expr("percentile(x, 0.5)").as("m")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (g, m) =>
+      assert(math.abs(est(g) - m) / m <= 1.0 / 128.0 + 1e-9,
+        s"group $g: est ${est(g)} vs exact $m beyond the error bound")
+    }
+  }
+
   test("salted join beats the unsalted shuffle join on a hot-key corpus (no-AQE regime)") {
     // Salting's declared wins (operators/Salted doc) are the regimes
     // AQE cannot re-plan: streaming joins, large-partial aggregations,
