@@ -336,6 +336,67 @@ object IvfIndex {
       skewNow.getOrElse(Double.NaN))
   }
 
+  /** SQ (int8-code) approximate search + exact re-rank against a
+    * built index — q147's body, parameterized. The approximate pass
+    * scans ONLY (cell, vec_id, code) from the probed partitions
+    * (column pruning never touches the float vectors — the ~4× byte
+    * cut); approximate cosines 4dp-round before the candidate rank
+    * (the round-before-rank rule), the top-`rerankWidth` candidates
+    * per query fetch their true vectors for the exact re-rank.
+    * Output: (query_id, neighbor_id, score, rk), rk ≤ `topK`.
+    */
+  def sqQuery(spark: SparkSession, path: String, queries: DataFrame,
+              nprobe: Int = Similarity.IvfNProbe,
+              topK: Int = 5,
+              rerankWidth: Int = Similarity.SqRerankWidth): DataFrame = {
+    import graft.functions.Vectors
+    val cents = loadCodebook(spark, path)
+    val qcells = Similarity.probeCells(queries,
+      Seq("query_id", "q_emb"), "q_emb", cents, nprobe)
+    val store = graft.engine.EpochStore.read(spark, s"$path/cells")
+    val codes = store.select(col("cell").cast("int").as("cell"),
+      col("vec_id"), col("code").cast("array<double>").as("cd"))
+    val approx = codes.join(broadcast(qcells), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(Vectors.cosine(col("cd"),
+          col("q_emb").cast("array<double>")), 4).as("ascore"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("ascore").desc, col("vec_id"))
+    val cand = approx.withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= rerankWidth)
+      .select(col("query_id"), col("vec_id"))
+    val exact = cand
+      .join(store.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Vectors.cosine(col("embedding"), col("q_emb")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    exact.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** SQ re-rank width picked from the index's own health — the
+    * closed-loop form of q147's width knob. The approximate int8
+    * scan mis-orders more candidates where many members crowd one
+    * cell (tight score ties inside a crowded probe), which is
+    * exactly what cell SKEW measures, so the width scales with the
+    * worst skew: `base · max(1, ⌈maxSkew⌉)`, capped at 8·base —
+    * past that the re-rank is reading most of a skewed cell anyway
+    * and the right action is a rebuild ([[rebuildIfStale]] fires at
+    * skew > 4, well inside the cap). NaN (empty store) → base.
+    * Feed it [[maintain]]'s reported `maxSkew` (or [[health]]'s max)
+    * so the maintenance tick that measured the store also sets the
+    * serving knob; SimilaritySpec measures recall-vs-width on a
+    * drifted corpus to back the rule.
+    */
+  def sqRerankWidthFor(maxSkew: Double,
+                       base: Int = Similarity.SqRerankWidth): Int =
+    if (maxSkew.isNaN || maxSkew <= 1.0) base
+    else math.min(8 * base, base * math.ceil(maxSkew).toInt)
+
   /** Top-`topK` neighbors per query row (`query_id`, `q_emb`) against
     * a built index. Output matches q64's shape: (query_id,
     * neighbor_id, score, rk).

@@ -666,37 +666,16 @@ object Similarity {
     //    candidate cut, exact re-rank. SimilaritySpec additionally
     //    pins recall vs q60 and that the approximate scan's
     //    ReadSchema excludes `embedding`.
+    //    Round 10: the body is [[IvfIndex.sqQuery]] (same plan,
+    //    parameterized) so the re-rank width is a library knob —
+    //    [[IvfIndex.sqRerankWidthFor]] picks it from the index's own
+    //    health (skew-scaled, SimilaritySpec measures the rule on a
+    //    drifted corpus); the DECLARED query keeps the fixed default
+    //    width the oracle replays.
     Q("q147_ivf_sq_search",
-      (s, d) => {
-        val path = SharedStages.ivfIndexPath(s, d)
-        val cents = IvfIndex.loadCodebook(s, path)
-        val q = querySubset(t(s, d).embeddings)
-        val qcells = probeCells(q, Seq("query_id", "q_emb"), "q_emb",
-          cents, IvfNProbe)
-        val store = graft.engine.EpochStore.read(s, s"$path/cells")
-        val codes = store.select(col("cell").cast("int").as("cell"),
-          col("vec_id"), col("code").cast("array<double>").as("cd"))
-        val approx = codes.join(broadcast(qcells), Seq("cell"))
-          .filter(col("vec_id") =!= col("query_id"))
-          .select(col("query_id"), col("vec_id"),
-            round(Vectors.cosine(col("cd"),
-              col("q_emb").cast("array<double>")), 4).as("ascore"))
-        val wc = Window.partitionBy(col("query_id"))
-          .orderBy(col("ascore").desc, col("vec_id"))
-        val cand = approx.withColumn("crk", row_number().over(wc))
-          .filter(col("crk") <= SqRerankWidth)
-          .select(col("query_id"), col("vec_id"))
-        val exact = cand
-          .join(store.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-          .join(broadcast(q), Seq("query_id"))
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            Vectors.cosine(col("embedding"), col("q_emb")).as("score"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("score").desc, col("neighbor_id"))
-        exact.withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 5)
-          .orderBy(col("query_id"), col("rk"))
-      },
+      (s, d) => IvfIndex.sqQuery(s, SharedStages.ivfIndexPath(s, d),
+        querySubset(t(s, d).embeddings),
+        IvfNProbe, topK = 5, rerankWidth = SqRerankWidth),
       Some(ivfSqOracleSql),
       "IVF-SQ: int8-code approximate scan (embedding column never read) " +
         "+ exact re-rank of the top candidates")

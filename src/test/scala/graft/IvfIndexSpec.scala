@@ -100,6 +100,44 @@ class IvfIndexSpec extends SparkSpec {
       java.nio.file.Paths.get(live, "_codebook")))
   }
 
+  test("SQ codes survive appends: appended rows carry the same " +
+      "(code, scale) a fresh build over the union stores") {
+    import graft.functions.Vectors
+    // (code, scale) are per-ROW quantization (q89's formula) and
+    // codebook-independent — only the CELL differs between an append
+    // under a stale codebook and a rebuild. appendEpoch is the exact
+    // storage body every appendStream micro-batch commits through
+    // (StreamingSpec pins that identity), so this is the
+    // build+append == build-over-union contract for the SQ columns.
+    def sqOf(idx: String): Map[Long, (Seq[Int], Double)] =
+      EpochStore.read(spark, s"$idx/cells")
+        .select(col("vec_id").cast("long"), col("code"), col("scale"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getDouble(2))))
+        .toMap
+    val base = java.nio.file.Files.createTempDirectory("ivf-sq").toString
+    val a = emb.filter(col("vec_id") < 250)
+    val b = emb.select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") >= 250)
+    val incr = s"$base/incr"
+    IvfIndex.build(a, incr)
+    IvfIndex.appendEpoch(b, IvfIndex.loadCodebook(spark, incr), incr, 1L)
+    val together = s"$base/union"
+    IvfIndex.build(emb, together)
+    val viaAppend = sqOf(incr)
+    val viaUnion = sqOf(together)
+    assert(viaAppend.keySet === viaUnion.keySet)
+    assert(viaAppend === viaUnion)
+    // and both equal the direct q89 quantization of the raw vectors
+    val direct = emb.select(col("vec_id").cast("long"),
+        Vectors.quantizeInt8(col("embedding")).as("code"),
+        Vectors.quantScale(col("embedding")).as("scale"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getDouble(2))))
+      .toMap
+    assert(viaAppend === direct)
+  }
+
   test("loadCodebook on a pre-sidecar layout fails with an explicit " +
       "rebuild-required error, not a raw file exception") {
     val base = java.nio.file.Files.createTempDirectory("ivf-legacy").toString

@@ -98,6 +98,73 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("IVF-SQ re-rank width: recall rises with width on a drifted " +
+      "corpus; the health-picked width restores what base width loses") {
+    import graft.queries.IvfIndex
+    import org.apache.spark.sql.expressions.Window
+    val tmp = java.nio.file.Files.createTempDirectory("ivf-width").toString
+    val idx = s"$tmp/ix"
+    val embD = spark.read.parquet(s"$dir/embeddings.parquet")
+    IvfIndex.build(embD, idx)
+    // drifted arrivals: a tight spiky cluster the stale codebook
+    // crams into few cells — one dominant coordinate (quantization
+    // scale is set by it, so the residuals carry few int8 levels)
+    // over damped residuals (approximate scores tie at 4dp). This is
+    // exactly the regime where the approximate rank mis-orders and
+    // only the re-rank width buys recall back.
+    val drift = embD.select((col("vec_id") + 10000L).as("vec_id"),
+      zip_with(Vectors.asDouble(col("embedding")),
+        sequence(lit(0L), lit(63L)),
+        (x, i) => when(i === 0L, lit(2.0)).otherwise(x * 0.35))
+        .cast("array<float>").as("embedding"))
+    IvfIndex.appendEpoch(drift, IvfIndex.loadCodebook(spark, idx), idx, 1L)
+    val skew = IvfIndex.health(spark, idx)
+      .agg(max(col("skew"))).head().getDouble(0)
+    info(f"post-drift max skew $skew%.2f")
+    assert(skew > 1.0, "drift fixture must actually crowd a cell")
+
+    val queries = drift.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))
+    // exact ground truth over the stored corpus (self excluded)
+    val store = graft.engine.EpochStore.read(spark, s"$idx/cells")
+      .select(col("vec_id"), col("embedding"))
+    val wT = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    val truth = topKOf(store.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Vectors.cosine(col("embedding"), col("q_emb")).as("score"))
+      .withColumn("rk", row_number().over(wT))
+      .filter(col("rk") <= 5))
+    def recallAt(w: Int): Double = {
+      val approx = topKOf(IvfIndex.sqQuery(spark, idx, queries,
+        rerankWidth = w))
+      val per = truth.map { case (q, t) =>
+        approx.getOrElse(q, Set.empty).count(t.contains).toDouble / t.size
+      }
+      per.sum / per.size
+    }
+    val base = graft.queries.Similarity.SqRerankWidth // 10
+    val wH = IvfIndex.sqRerankWidthFor(skew)
+    info(s"health-picked width $wH (base $base)")
+    assert(wH > base, "a crowded store must widen the re-rank")
+    val rNarrow = recallAt(2)
+    val rBase = recallAt(base)
+    val rWide = recallAt(80)
+    val rHealth = recallAt(wH)
+    info(f"recall: w2 $rNarrow%.3f, w$base $rBase%.3f, " +
+      f"wH=$wH $rHealth%.3f, w80 $rWide%.3f")
+    // the knob is real: width buys recall on this corpus
+    assert(rWide > rNarrow,
+      f"width must matter on the drift fixture ($rNarrow%.3f -> $rWide%.3f)")
+    // and the health-driven pick recovers it without hand-tuning
+    assert(rHealth >= rBase)
+    assert(rHealth >= 0.9 * rWide,
+      f"health width $wH recall $rHealth%.3f < 90%% of the wide $rWide%.3f")
+    spark.catalog.clearCache()
+  }
+
   test("q63 LSH pruning is real: candidates < 30% of corpus, recall >= 0.8 (sf0.01 AND sf0.1)") {
     // Both sides of the LSH tradeoff, measured — a parameterization
     // that admits ~everything as a candidate would pass recall while
