@@ -74,6 +74,50 @@ object ChunkIndex {
       }
       .start()
 
+  /** What one [[maintain]] tick did and saw — the chunk-store analog
+    * of [[IvfIndex.MaintenanceReport]]: whether a fold ran, the
+    * post-tick epoch count, and the census an operator alerts on —
+    * document/chunk counts and the duplicated-occurrence fraction
+    * (share of chunk occurrences whose content exists in more than
+    * one copy: the q137/q138 dedup-opportunity signal, rising as
+    * boilerplate accumulates across appends).
+    */
+  final case class MaintenanceReport(compacted: Boolean,
+                                     epochs: Int,
+                                     nDocs: Long,
+                                     nChunks: Long,
+                                     nDistinctChunks: Long,
+                                     dupOccurrenceFrac: Double)
+
+  /** One maintenance TICK — the documented cron body, mirroring
+    * [[IvfIndex.maintain]]: [[compactIfFragmented]] (listing-cost
+    * bound), then one store scan for the census row. A compact store
+    * is a pure-read no-op tick. Single-maintenance-writer contract:
+    * run between micro-batches or with the append stream stopped.
+    */
+  def maintain(spark: SparkSession, path: String,
+               maxEpochs: Int = 64): MaintenanceReport = {
+    import org.apache.spark.sql.functions._
+    val compacted = compactIfFragmented(spark, path, maxEpochs)
+    val census = chunks(spark, path)
+      .groupBy(col("chunk_str"))
+      .agg(count(lit(1)).as("n_copies"),
+        count_distinct(col("doc_id")).as("nd"))
+      .agg(sum(col("n_copies")).as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("n_copies") > 1, col("n_copies")).otherwise(0L))
+          .as("dup_occ"))
+      .head()
+    val nDocs = chunks(spark, path).select(col("doc_id")).distinct().count()
+    val nChunks = if (census.isNullAt(0)) 0L else census.getLong(0)
+    MaintenanceReport(compacted,
+      EpochStore.epochCount(s"$path/chunks"),
+      nDocs, nChunks,
+      census.getLong(1),
+      if (nChunks == 0L) 0.0
+      else census.getLong(2).toDouble / nChunks)
+  }
+
   /** The full chunk relation across every committed epoch. */
   def chunks(spark: SparkSession, path: String): DataFrame =
     EpochStore.read(spark, s"$path/chunks")

@@ -277,6 +277,58 @@ object MinHashIndex {
       .orderBy(col("band"))
   }
 
+  /** What one [[maintain]] tick did and saw — the MinHash analog of
+    * [[IvfIndex.MaintenanceReport]]: whether a fold ran, whether the
+    * two tables' committed-epoch sets diverged (a half-committed
+    * append — heal before anything else), the per-table epoch counts,
+    * and the operational health observables off [[bucketStats]]
+    * (largest band bucket and the worst capped-posting fraction —
+    * the recall-through-representatives signal documented there).
+    */
+  final case class MaintenanceReport(compacted: Boolean,
+                                     diverged: Boolean,
+                                     docsEpochs: Int,
+                                     bandsEpochs: Int,
+                                     nDocs: Long,
+                                     maxBucket: Long,
+                                     cappedPostFrac: Double)
+
+  /** One maintenance TICK — the documented cron body, mirroring
+    * [[IvfIndex.maintain]]: detect a half-committed append first
+    * (report it, touch nothing — the heal belongs to the crashed
+    * appender's retry, not the cron), else [[compactIfFragmented]]
+    * (listing-cost bound), then one band-store scan for the health
+    * row. A healthy compact index is a pure-read no-op tick.
+    * Single-maintenance-writer contract: run between micro-batches
+    * or with the append stream stopped.
+    *
+    * The report is for ALERTING: a rising `cappedPostFrac` means a
+    * growing share of the corpus is reachable only through bucket
+    * representatives — the cue to dedup the resident corpus (q100/
+    * q149) or raise the cap, neither of which a cron should do
+    * unilaterally.
+    */
+  def maintain(spark: SparkSession, path: String,
+               maxEpochs: Int = 64,
+               maxBucket: Long = TextOps.MaxLshBucket): MaintenanceReport = {
+    import graft.engine.EpochStore
+    val diverged = EpochStore.committedIds(s"$path/docs") !=
+      EpochStore.committedIds(s"$path/bands")
+    val compacted = !diverged &&
+      compactIfFragmented(spark, path, maxEpochs)
+    val stats = bucketStats(spark, path, maxBucket)
+      .agg(max(col("max_bucket")).as("mb"),
+        max(col("capped_post_frac")).as("cf"))
+      .head()
+    val nDocs = EpochStore.read(spark, s"$path/docs").count()
+    MaintenanceReport(compacted, diverged,
+      EpochStore.epochCount(s"$path/docs"),
+      EpochStore.epochCount(s"$path/bands"),
+      nDocs,
+      if (stats.isNullAt(0)) 0L else stats.getLong(0),
+      if (stats.isNullAt(1)) 0.0 else stats.getDouble(1))
+  }
+
   /** Match a new (doc_id, text) batch against the index: banded
     * candidate generation (equi-join on (band, h)), signature
     * estimate prefilter at `estThresh`, exact shingle-Jaccard verify

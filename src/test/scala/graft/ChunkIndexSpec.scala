@@ -80,6 +80,39 @@ class ChunkIndexSpec extends SparkSpec {
     assert(fileSet(s"$idx/chunks").exists(_._1.contains("epoch=9")))
   }
 
+  test("maintain(): healthy tick is a pure-read no-op; fragmented folds; " +
+      "census fields reconcile with the stored relation") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("ck-maint").toString
+    val idx = s"$base/ix"
+    ChunkIndex.build(docs.filter(col("doc_id") < 300), idx)
+    ChunkIndex.appendEpoch(docs.filter(
+      col("doc_id") >= 300 && col("doc_id") < 350), idx, 1L)
+
+    val r0 = ChunkIndex.maintain(spark, idx)
+    assert(!r0.compacted && r0.epochs === 2)
+    val rel = ChunkIndex.chunks(spark, idx)
+    assert(r0.nDocs === rel.select(col("doc_id")).distinct().count())
+    assert(r0.nChunks === rel.count())
+    assert(r0.nDistinctChunks ===
+      rel.select(col("chunk_str")).distinct().count())
+    // duplicated-occurrence fraction reconciles with the freq index
+    val dup = ChunkIndex.freq(spark, idx)
+      .agg(sum(when(col("n_copies") > 1, col("n_copies")).otherwise(0L))
+        .cast("double").as("d"), sum(col("n_copies")).cast("double").as("n"))
+      .head()
+    assert(math.abs(r0.dupOccurrenceFrac - dup.getDouble(0) / dup.getDouble(1))
+      < 1e-12)
+
+    // past the bound: folds to one base, census unchanged
+    val r1 = ChunkIndex.maintain(spark, idx, maxEpochs = 1)
+    assert(r1.compacted && r1.epochs === 1)
+    assert(r1.nDocs === r0.nDocs && r1.nChunks === r0.nChunks &&
+      r1.nDistinctChunks === r0.nDistinctChunks &&
+      r1.dupOccurrenceFrac === r0.dupOccurrenceFrac)
+    spark.catalog.clearCache()
+  }
+
   test("compaction folds epochs into one base: values identical, " +
       "readers live through the flip, replays still no-ops") {
     import graft.engine.EpochStore

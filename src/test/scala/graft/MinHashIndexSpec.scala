@@ -104,6 +104,46 @@ class MinHashIndexSpec extends SparkSpec {
       matchPairs(MinHashIndex.matches(spark, batched, batch)))
   }
 
+  test("maintain(): healthy tick is a pure-read no-op; fragmented folds " +
+      "both tables; a half-committed append is reported, not buried") {
+    import graft.engine.EpochStore
+    val ix = tmp("mh-maint")
+    MinHashIndex.build(corpus.filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("text")), ix)
+    MinHashIndex.append(corpus.filter(
+      col("doc_id") >= 300 && col("doc_id") < 350)
+      .select(col("doc_id"), col("text")), ix)
+
+    // healthy + under the epoch bound: nothing folds, report carries
+    // the census + bucketStats health observables
+    val r0 = MinHashIndex.maintain(spark, ix)
+    assert(!r0.compacted && !r0.diverged)
+    assert(r0.docsEpochs === 2 && r0.bandsEpochs === 2)
+    assert(r0.nDocs === EpochStore.read(spark, s"$ix/docs").count())
+    val statsMax = MinHashIndex.bucketStats(spark, ix)
+      .agg(max(col("max_bucket")), max(col("capped_post_frac"))).head()
+    assert(r0.maxBucket === statsMax.getLong(0))
+    assert(r0.cappedPostFrac === statsMax.getDouble(1))
+
+    // past the bound: the tick folds BOTH tables to one base each
+    val r1 = MinHashIndex.maintain(spark, ix, maxEpochs = 1)
+    assert(r1.compacted && r1.docsEpochs === 1 && r1.bandsEpochs === 1)
+    assert(r1.nDocs === r0.nDocs && r1.maxBucket === r0.maxBucket)
+
+    // half-committed append: the tick REPORTS divergence and folds
+    // nothing (the heal belongs to the appender's retry)
+    EpochStore.commitEpoch(s"$ix/docs", 1000000009L) { tmpDir =>
+      MinHashIndex.signatures(corpus.filter(
+          col("doc_id") >= 350 && col("doc_id") < 360)
+        .select(col("doc_id"), col("text")))
+        .write.mode("overwrite").parquet(tmpDir)
+    }
+    val r2 = MinHashIndex.maintain(spark, ix, maxEpochs = 0)
+    assert(r2.diverged && !r2.compacted)
+    assert(r2.docsEpochs === 2 && r2.bandsEpochs === 1)
+    spark.catalog.clearCache()
+  }
+
   test("bucketStats: totals reconcile with the band store; a hot " +
       "cluster shows up as capped postings") {
     import spark.implicits._
