@@ -288,6 +288,19 @@ object NearDupOps {
         ORDER BY r.doc_id"""),
       "containment pair graph -> components -> largest-carrier keep verdicts"),
 
+    // -- q151: the SCALE form of q148's candidate stage — prefix
+    //    filtering (lossless, so the output is bit-identical to q148
+    //    and the oracle is q148's verbatim, the q99/q90 pattern).
+    //    Design + 100 TB rationale on [[containmentPrefixOn]];
+    //    MinHashSpec pins output equality and measures the candidate
+    //    reduction vs the full posting self-join.
+    Q("q151_containment_prefix",
+      (s, d) => containmentPrefixOn(t(s, d).documents),
+      Some(s"""WITH $containmentScoredCtes
+        SELECT doc_a, doc_b, n_common, n_a, n_b, containment
+        FROM cpairs ORDER BY doc_a, doc_b"""),
+      "prefix-filtered exact containment pairs (lossless subquadratic candidates)"),
+
     // -- dedup CLUSTERING: near-dup pairs are only half the dedup
     //    story — A~B and B~C must collapse to ONE kept document, so
     //    the pair graph's connected components pick the canonical
@@ -806,6 +819,101 @@ object NearDupOps {
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         col("n_a"), col("n_b"), col("containment"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q151: q148's containment pairs from a PREFIX-FILTERED candidate
+    * stage — the subquadratic form of the posting self-join, and a
+    * LOSSLESS one (unlike the LSH estimate stages, this filter cannot
+    * miss a pair, so the output is bit-identical to [[containmentOn]]
+    * and carries the same full hash oracle — the q99-vs-q90 pattern).
+    *
+    * The filter is set-similarity-join prefix filtering (SSJoin /
+    * PPJoin family; public ICDE'06 / WWW'08 literature): for the
+    * SMALLER doc S of a pair, containment ≥ τ forces
+    * |S∩L| ≥ ⌈τ·|S|⌉, i.e. at most |S| − ⌈τ·|S|⌉ of S's shingles
+    * miss L — so ANY (|S| − ⌈τ·|S|⌉ + 1)-subset of S must hit L.
+    * Probing with each doc's RAREST such prefix (globally least
+    * frequent shingles first — smallest postings) instead of its
+    * full shingle set cuts the candidate join's probe side to
+    * ~(1−τ) of the postings (~5× at τ = 0.8) AND steers the joins
+    * through the thinnest buckets; the pair-(small, large) ordering
+    * is by (size, id) so exactly one side of each pair probes.
+    * Candidates then pay one bounded posting join for the exact
+    * |A∩B| verify. At 100 TB the candidate stage — not the verify —
+    * dominates the exact q148 plan; this is the knob that keeps the
+    * exact containment family viable as the corpus grows.
+    */
+  def containmentPrefixOn(docs: org.apache.spark.sql.DataFrame,
+                          tau: Double = 0.8,
+                          maxDf: Long = MaxShingleDf): org.apache.spark.sql.DataFrame = {
+    val (inf, per, cand) = containmentPrefixCandidates(docs, tau, maxDf)
+    val common = cand
+      .join(inf.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(inf.select(col("doc_id").as("doc_b"), col("sh")),
+        Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(per.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+        Seq("doc_a"))
+      .join(per.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+        Seq("doc_b"))
+      .withColumn("containment", round(col("n_common").cast("double")
+        / least(col("n_a"), col("n_b")), 4))
+      .filter(col("containment") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("n_a"), col("n_b"), col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The prefix-filter candidate stage of [[containmentPrefixOn]],
+    * exposed for the spec's candidate-reduction measurement. Returns
+    * (informative postings, per-doc sizes, distinct candidate id
+    * pairs as (doc_a, doc_b) with doc_a < doc_b).
+    */
+  private[graft] def containmentPrefixCandidates(
+      docs: org.apache.spark.sql.DataFrame,
+      tau: Double, maxDf: Long): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs
+      .select(col("doc_id"), explode(array_distinct(
+        Text.shingles(col("text"), 3))).as("sh"))
+      .distinct()
+      .persist()
+    sh.count() // df + informative join scan this cache
+    val dfs = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val inf = sh.join(dfs.filter(col("df") <= maxDf), Seq("sh"))
+      .persist()
+    inf.count() // prefix, verify (both sides) and sizes scan this
+    sh.unpersist()
+    val per = inf.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // rarest-first prefix of size n - ceil(tauEff*n) + 1 per doc.
+    // tauEff, not tau: the OUTPUT filter applies tau to the
+    // 4dp-ROUNDED containment, so a pair with true ratio down to
+    // tau - 0.00005 still ships — the lossless-filter guarantee must
+    // be sized against that looser bound or a >=4000-shingle doc
+    // could round in through a pair the prefix never generated.
+    val tauEff = tau - 0.00005
+    val wp = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("sh").asc)
+    val prefix = inf.join(per, Seq("doc_id"))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= col("n") - ceil(col("n") * tauEff) + 1)
+      .select(col("doc_id"), col("sh"), col("n"))
+    // each pair is probed exactly once: by its SMALLER side (by
+    // informative size, doc_id breaking ties)
+    val full = inf.join(per, Seq("doc_id"))
+      .select(col("doc_id").as("doc_l"), col("sh"), col("n").as("n_l"))
+    val cand = prefix
+      .select(col("doc_id").as("doc_s"), col("sh"), col("n").as("n_s"))
+      .join(full, Seq("sh"))
+      .filter(col("n_s") < col("n_l") ||
+        (col("n_s") === col("n_l") && col("doc_s") < col("doc_l")))
+      .select(least(col("doc_s"), col("doc_l")).as("doc_a"),
+        greatest(col("doc_s"), col("doc_l")).as("doc_b"))
+      .distinct()
+    (inf.select(col("doc_id"), col("sh")), per, cand)
   }
 
   /** q149: containment PAIRS acted on — components of the pair graph

@@ -177,6 +177,40 @@ class MinHashSpec extends SparkSpec {
     }
   }
 
+  test("q151 prefix-filtered containment == the full self-join exactly; " +
+      "candidates shrink") {
+    import graft.queries.NearDupOps
+    // fixture corpus: real text with quote structure built in
+    val fix = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val quotes = fix.filter(col("doc_id") < 40)
+      .select((col("doc_id") + 5000).as("doc_id"),
+        // a verbatim prefix slice of each doc: guaranteed containment
+        concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"),
+          1, 12)).as("text"))
+    val docs = fix.union(quotes)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    val full = rows(NearDupOps.containmentOn(docs))
+    val pref = rows(NearDupOps.containmentPrefixOn(docs))
+    assert(full.nonEmpty, "fixture must produce containment pairs")
+    assert(pref === full) // lossless: bit-identical output
+    // and the filter is real: candidate pairs < the full self-join's
+    val (inf, _, cand) = NearDupOps.containmentPrefixCandidates(
+      docs, 0.8, graft.queries.TextOps.MaxShingleDf)
+    val fullPairs = inf.select(col("sh"), col("doc_id").as("a"))
+      .join(inf.select(col("sh"), col("doc_id").as("b")), Seq("sh"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct().count()
+    val prefPairs = cand.count()
+    info(s"candidates: full $fullPairs -> prefix $prefPairs")
+    assert(prefPairs < fullPairs,
+      s"prefix filter must prune candidates ($prefPairs vs $fullPairs)")
+    assert(prefPairs >= full.size.toLong) // still superset of truth
+    spark.catalog.clearCache()
+  }
+
   test("native Md5ShingleHashes == the composed-builtin md5 chain, " +
       "bit-exact incl. order; portable signatures agree") {
     import spark.implicits._
