@@ -1,0 +1,92 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+import graft.queries.{ChunkIndex, IvfIndex, MinHashIndex}
+
+/** One maintenance tick across every persisted index store — the
+  * single documented cron body for a deployment that runs all three
+  * build-once/query-many stores (IVF vectors, MinHash bands, content
+  * chunks). Each store already owns its tick ([[IvfIndex.maintain]],
+  * [[MinHashIndex.maintain]], [[ChunkIndex.maintain]]: heal-aware
+  * compaction policy + health census); this composes them, pushes the
+  * IVF health into the SERVING config (the q147 SQ re-rank width via
+  * [[IvfIndex.sqRerankWidthFor]] — the tick that measured the store
+  * sets the knob), and folds the per-store observables into one
+  * alert list an operator pages on.
+  *
+  * Alerts are CUES, not actions — each names the out-of-band fix
+  * that is deliberately not automated here (dedup passes rewrite the
+  * corpus; append-heal belongs to the crashed appender's retry):
+  *  - `ivf_skew_persists` — max cell skew still above the rebuild
+  *    threshold AFTER the tick (a rebuild, if one ran, could not fix
+  *    it): the skew is the DATA — a mass of near-identical vectors
+  *    k-means cannot split — so the fix is a dedup pass (q92/q149),
+  *    not another rebuild. Meanwhile serving stays correct because
+  *    the pushed re-rank width already scales with this skew.
+  *  - `minhash_diverged` — a half-committed append (docs/bands epoch
+  *    sets differ): nothing was folded; the crashed appender's
+  *    retry (or `appendEpoch` for the missing half) heals it.
+  *  - `minhash_capped_postings` — the capped-posting fraction crossed
+  *    `cappedPostAlert`: a growing share of the corpus is reachable
+  *    only through bucket representatives (recall risk documented at
+  *    [[MinHashIndex.bucketStats]]); dedup the resident corpus
+  *    (q100/q149) or raise the bucket cap.
+  *  - `chunkstore_dup_heavy` — the duplicated-occurrence fraction
+  *    crossed `dupOccAlert`: boilerplate is accumulating; run the
+  *    q138 removal pass over the store's consumers.
+  *
+  * Single-maintenance-writer contract (inherited from each store):
+  * run between micro-batches or with the append streams stopped.
+  * Stores are independent — a deployment with a subset passes only
+  * those paths and the rest of the report stays `None`.
+  */
+object Maintenance {
+
+  /** The store paths one deployment maintains. */
+  final case class Stores(ivf: Option[String] = None,
+                          minhash: Option[String] = None,
+                          chunks: Option[String] = None)
+
+  /** What the composed tick did, saw, and decided: the three
+    * per-store reports (as run), the serving-config push-down
+    * (`sqRerankWidth` — feed it to [[IvfIndex.sqQuery]]; the base
+    * default when no IVF store is ticked), and the alert cues.
+    */
+  final case class Report(ivf: Option[IvfIndex.MaintenanceReport],
+                          minhash: Option[MinHashIndex.MaintenanceReport],
+                          chunks: Option[ChunkIndex.MaintenanceReport],
+                          sqRerankWidth: Int,
+                          alerts: Seq[String])
+
+  def tick(spark: SparkSession, stores: Stores,
+           maxEpochs: Int = 64,
+           ivfSkewAlert: Double = 4.0,
+           cappedPostAlert: Double = 0.05,
+           dupOccAlert: Double = 0.5): Report = {
+    val ivfR = stores.ivf.map(p =>
+      IvfIndex.maintain(spark, p, maxEpochs = maxEpochs,
+        maxSkew = ivfSkewAlert))
+    val mhR = stores.minhash.map(p =>
+      MinHashIndex.maintain(spark, p, maxEpochs = maxEpochs))
+    val chR = stores.chunks.map(p =>
+      ChunkIndex.maintain(spark, p, maxEpochs = maxEpochs))
+    val width = IvfIndex.sqRerankWidthFor(
+      ivfR.map(_.maxSkew).getOrElse(Double.NaN))
+    val alerts = Seq.newBuilder[String]
+    ivfR.foreach { r =>
+      if (!r.maxSkew.isNaN && r.maxSkew > ivfSkewAlert)
+        alerts += f"ivf_skew_persists:${r.maxSkew}%.2f"
+    }
+    mhR.foreach { r =>
+      if (r.diverged) alerts += "minhash_diverged"
+      if (r.cappedPostFrac > cappedPostAlert)
+        alerts += f"minhash_capped_postings:${r.cappedPostFrac}%.4f"
+    }
+    chR.foreach { r =>
+      if (r.dupOccurrenceFrac > dupOccAlert)
+        alerts += f"chunkstore_dup_heavy:${r.dupOccurrenceFrac}%.4f"
+    }
+    Report(ivfR, mhR, chR, width, alerts.result())
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{EpochStore, Maintenance}
+import graft.queries.{ChunkIndex, IvfIndex, MinHashIndex, Similarity}
+
+/** The composed cross-store maintenance tick ([[Maintenance.tick]]):
+  * one cron body over the three persisted stores. Under test:
+  *
+  *   - healthy stores: every sub-tick is a pure-read no-op, the
+  *     serving push-down equals the base re-rank width, no alerts;
+  *   - a subset deployment maintains only the stores it names;
+  *   - the degraded fixtures each raise exactly their own alert
+  *     (data-skewed IVF that a rebuild cannot fix; half-committed
+  *     MinHash append; boilerplate-heavy chunk store), and the IVF
+  *     skew that raised the alert is the SAME measurement that
+  *     widens the pushed SQ re-rank width.
+  */
+class MaintenanceSpec extends SparkSpec {
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select(col("doc_id"), col("text"))
+  private def emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).resolve("ix").toString
+
+  test("healthy three-store tick: no-op everywhere, base width, " +
+      "no alerts; subset deployments tick only their stores") {
+    val (ivf, mh, ch) = (tmp("mnt-ivf"), tmp("mnt-mh"), tmp("mnt-ch"))
+    IvfIndex.build(emb.filter(col("vec_id") < 250), ivf)
+    MinHashIndex.build(docs.filter(col("doc_id") < 300), mh)
+    ChunkIndex.build(docs.filter(col("doc_id") < 300), ch)
+
+    val r = Maintenance.tick(spark,
+      Maintenance.Stores(Some(ivf), Some(mh), Some(ch)))
+    assert(r.ivf.exists(i => !i.rebuilt && !i.compacted))
+    assert(r.minhash.exists(m => !m.compacted && !m.diverged))
+    assert(r.chunks.exists(c => !c.compacted))
+    // the pushed width is the health-driven knob for the measured
+    // skew (a healthy store's natural skew of ~2 still widens the
+    // base — only a no-IVF deployment falls back to the base)
+    assert(r.sqRerankWidth ===
+      IvfIndex.sqRerankWidthFor(r.ivf.get.maxSkew))
+    assert(r.ivf.exists(_.maxSkew <= 4.0))
+    assert(r.alerts.isEmpty, s"healthy tick alerted: ${r.alerts}")
+
+    // a deployment without an IVF store still ticks, and the width
+    // push-down falls back to the serving base
+    val sub = Maintenance.tick(spark,
+      Maintenance.Stores(minhash = Some(mh)))
+    assert(sub.ivf.isEmpty && sub.chunks.isEmpty && sub.minhash.isDefined)
+    assert(sub.sqRerankWidth === Similarity.SqRerankWidth)
+    spark.catalog.clearCache()
+  }
+
+  test("degraded stores: each fixture raises its own alert, and the " +
+      "alerting IVF skew is what widens the pushed re-rank width") {
+    val (ivf, mh, ch) = (tmp("mnt-ivf2"), tmp("mnt-mh2"), tmp("mnt-ch2"))
+
+    // IVF: a mass of identical vectors — k-means cannot split them,
+    // so the skew survives the rebuild the tick runs (the documented
+    // skew-is-the-data case)
+    IvfIndex.build(emb.filter(col("vec_id") < 250), ivf)
+    val clones = emb
+      .select((col("vec_id") + 2000).as("vec_id"),
+        transform(col("embedding"), _ => lit(1.0f)).as("embedding"))
+    IvfIndex.appendEpoch(clones, IvfIndex.loadCodebook(spark, ivf), ivf, 1L)
+
+    // MinHash: a half-committed append (docs epoch without its bands
+    // half)
+    MinHashIndex.build(docs.filter(col("doc_id") < 300), mh)
+    EpochStore.commitEpoch(s"$mh/docs", 77L) { tmpDir =>
+      MinHashIndex.signatures(docs.filter(
+          col("doc_id") >= 300 && col("doc_id") < 320))
+        .write.mode("overwrite").parquet(tmpDir)
+    }
+
+    // Chunk store: every doc stored twice — every chunk occurrence
+    // duplicated
+    val twice = docs.filter(col("doc_id") < 200)
+    ChunkIndex.build(
+      twice.unionAll(twice.select(col("doc_id") + 100000, col("text"))
+        .toDF("doc_id", "text")), ch)
+
+    val r = Maintenance.tick(spark,
+      Maintenance.Stores(Some(ivf), Some(mh), Some(ch)))
+
+    assert(r.alerts.exists(_.startsWith("ivf_skew_persists:")),
+      s"alerts: ${r.alerts}")
+    assert(r.ivf.exists(_.rebuilt), "the tick must have tried a rebuild")
+    assert(r.alerts.contains("minhash_diverged"))
+    assert(r.minhash.exists(m => m.diverged && !m.compacted))
+    assert(r.alerts.exists(_.startsWith("chunkstore_dup_heavy:")))
+    assert(r.chunks.exists(_.dupOccurrenceFrac > 0.99))
+
+    val skew = r.ivf.get.maxSkew
+    assert(skew > 4.0)
+    assert(r.sqRerankWidth ===
+      IvfIndex.sqRerankWidthFor(skew) && r.sqRerankWidth >
+      Similarity.SqRerankWidth)
+    spark.catalog.clearCache()
+  }
+}

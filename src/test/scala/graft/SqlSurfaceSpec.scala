@@ -62,7 +62,7 @@ class SqlSurfaceSpec extends SparkSpec {
   test("GraftExtensions accepts every function descriptor") {
     val e = new SparkSessionExtensions
     new GraftExtensions().apply(e) // throws on any malformed descriptor
-    assert(graft.expressions.GraftFunctions.all.size === 11)
+    assert(graft.expressions.GraftFunctions.all.size === 12)
   }
 
   test("q27 shared-text SQL entry runs and is deterministically ordered") {
