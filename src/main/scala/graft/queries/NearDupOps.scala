@@ -836,28 +836,30 @@ object NearDupOps {
     * frequent shingles first — smallest postings) instead of its
     * full shingle set cuts the candidate join's probe side to
     * ~(1−τ) of the postings (~5× at τ = 0.8) AND steers the joins
-    * through the thinnest buckets; the pair-(small, large) ordering
-    * is by (size, id) so exactly one side of each pair probes.
-    * Candidates then pay one bounded posting join for the exact
-    * |A∩B| verify. At 100 TB the candidate stage — not the verify —
-    * dominates the exact q148 plan; this is the knob that keeps the
-    * exact containment family viable as the corpus grows.
+    * through the thinnest buckets. The whole per-doc apparatus —
+    * df-sorted posting array, informative size, prefix length — is
+    * ONE doc-keyed fold (no window sort, no separate sizes
+    * aggregate), and the verify joins the candidate PAIRS (the small
+    * relation — AQE broadcasts it) back to that per-doc relation and
+    * counts |A∩B| with an array intersect per pair, so after the
+    * candidate join nothing posting-cardinality ever shuffles. At
+    * 100 TB the candidate stage — not the verify — dominates the
+    * exact q148 plan; this is the knob that keeps the exact
+    * containment family viable as the corpus grows (at bench SF the
+    * df-capped self-join is still cheaper — the q99-vs-q90
+    * crossover note applies).
     */
   def containmentPrefixOn(docs: org.apache.spark.sql.DataFrame,
                           tau: Double = 0.8,
                           maxDf: Long = MaxShingleDf): org.apache.spark.sql.DataFrame = {
-    val (inf, per, cand) = containmentPrefixCandidates(docs, tau, maxDf)
-    val common = cand
-      .join(inf.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
-      .join(inf.select(col("doc_id").as("doc_b"), col("sh")),
-        Seq("doc_b", "sh"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(per.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
-        Seq("doc_a"))
-      .join(per.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
-        Seq("doc_b"))
+    val (perDoc, cand) = containmentPrefixCore(docs, tau, maxDf)
+    cand
+      .join(perDoc.select(col("doc_id").as("doc_a"),
+        col("shs").as("shs_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(perDoc.select(col("doc_id").as("doc_b"),
+        col("shs").as("shs_b"), col("n").as("n_b")), Seq("doc_b"))
+      .withColumn("n_common",
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
       .withColumn("containment", round(col("n_common").cast("double")
         / least(col("n_a"), col("n_b")), 4))
       .filter(col("containment") >= tau)
@@ -866,16 +868,18 @@ object NearDupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** The prefix-filter candidate stage of [[containmentPrefixOn]],
-    * exposed for the spec's candidate-reduction measurement. Returns
-    * (informative postings, per-doc sizes, distinct candidate id
-    * pairs as (doc_a, doc_b) with doc_a < doc_b).
+  /** The per-doc fold + prefix-probe candidate stage of
+    * [[containmentPrefixOn]]. Returns (per-doc relation (doc_id,
+    * shs df-rarest-first, n, plen), distinct candidate id pairs
+    * (doc_a < doc_b)). Both sides probe (a pair can surface via
+    * either doc's prefix; `distinct` folds the duplicates) — the
+    * guarantee only needs the SMALLER side's probe, so nothing is
+    * lost and the ordering filter's size join is saved.
     */
-  private[graft] def containmentPrefixCandidates(
+  private[graft] def containmentPrefixCore(
       docs: org.apache.spark.sql.DataFrame,
       tau: Double, maxDf: Long): (org.apache.spark.sql.DataFrame,
-        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
+        org.apache.spark.sql.DataFrame) = {
     val sh = docs
       .select(col("doc_id"), explode(array_distinct(
         Text.shingles(col("text"), 3))).as("sh"))
@@ -884,10 +888,6 @@ object NearDupOps {
     sh.count() // df + informative join scan this cache
     val dfs = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val inf = sh.join(dfs.filter(col("df") <= maxDf), Seq("sh"))
-      .persist()
-    inf.count() // prefix, verify (both sides) and sizes scan this
-    sh.unpersist()
-    val per = inf.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // rarest-first prefix of size n - ceil(tauEff*n) + 1 per doc.
     // tauEff, not tau: the OUTPUT filter applies tau to the
     // 4dp-ROUNDED containment, so a pair with true ratio down to
@@ -895,25 +895,38 @@ object NearDupOps {
     // be sized against that looser bound or a >=4000-shingle doc
     // could round in through a pair the prefix never generated.
     val tauEff = tau - 0.00005
-    val wp = Window.partitionBy(col("doc_id"))
-      .orderBy(col("df").asc, col("sh").asc)
-    val prefix = inf.join(per, Seq("doc_id"))
-      .withColumn("rn", row_number().over(wp))
-      .filter(col("rn") <= col("n") - ceil(col("n") * tauEff) + 1)
-      .select(col("doc_id"), col("sh"), col("n"))
-    // each pair is probed exactly once: by its SMALLER side (by
-    // informative size, doc_id breaking ties)
-    val full = inf.join(per, Seq("doc_id"))
-      .select(col("doc_id").as("doc_l"), col("sh"), col("n").as("n_l"))
-    val cand = prefix
-      .select(col("doc_id").as("doc_s"), col("sh"), col("n").as("n_s"))
-      .join(full, Seq("sh"))
-      .filter(col("n_s") < col("n_l") ||
-        (col("n_s") === col("n_l") && col("doc_s") < col("doc_l")))
+    val perDoc = inf.groupBy(col("doc_id"))
+      .agg(transform(array_sort(collect_list(struct(col("df"), col("sh")))),
+        x => x.getField("sh")).as("shs"))
+      .withColumn("n", size(col("shs")).cast("long"))
+      .withColumn("plen",
+        (col("n") - ceil(col("n") * tauEff) + 1).cast("int"))
+      .persist()
+    perDoc.count() // prefix probe, posting side and verify scan this
+    sh.unpersist()
+    val prefix = perDoc.select(col("doc_id").as("doc_s"),
+      explode(slice(col("shs"), lit(1), col("plen"))).as("sh"))
+    val posts = perDoc.select(col("doc_id").as("doc_l"),
+      explode(col("shs")).as("sh"))
+    val cand = prefix.join(posts, Seq("sh"))
+      .filter(col("doc_s") =!= col("doc_l"))
       .select(least(col("doc_s"), col("doc_l")).as("doc_a"),
         greatest(col("doc_s"), col("doc_l")).as("doc_b"))
       .distinct()
-    (inf.select(col("doc_id"), col("sh")), per, cand)
+    (perDoc, cand)
+  }
+
+  /** [[containmentPrefixCore]] re-shaped for the spec's
+    * candidate-reduction measurement: (informative postings, per-doc
+    * sizes, candidate pairs).
+    */
+  private[graft] def containmentPrefixCandidates(
+      docs: org.apache.spark.sql.DataFrame,
+      tau: Double, maxDf: Long): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val (perDoc, cand) = containmentPrefixCore(docs, tau, maxDf)
+    (perDoc.select(col("doc_id"), explode(col("shs")).as("sh")),
+      perDoc.select(col("doc_id"), col("n")), cand)
   }
 
   /** q149: containment PAIRS acted on — components of the pair graph
