@@ -71,6 +71,11 @@ class ScalingSpec extends SparkSpec {
     // the posting self-join is shingle-keyed with the df cap, so a
     // doc×doc stage is impossible by construction.
     "q148_containment_neardup",
+    // the prefix-filtered form must scale the same way: per-copy
+    // token renaming keeps prefixes copy-local, so candidates (and
+    // the per-doc fold) replicate per copy; a probe stage that lost
+    // the prefix cut would blow the time bound via the posting join.
+    "q151_containment_prefix",
     // BPE corpus emit: one row per doc. Per-copy token renaming grows
     // the distinct-word vocabulary 10×, so the time bound polices the
     // vocabulary-bounded merge apply + the doc-partitioned windows —
