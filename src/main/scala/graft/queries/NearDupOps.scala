@@ -295,7 +295,8 @@ object NearDupOps {
     //    MinHashSpec pins output equality and measures the candidate
     //    reduction vs the full posting self-join.
     Q("q151_containment_prefix",
-      (s, d) => containmentPrefixOn(t(s, d).documents),
+      (s, d) => containmentPrefixOn(t(s, d).documents,
+        postings = Some(SharedStages.containmentPostings(s, d))),
       Some(s"""WITH $containmentScoredCtes
         SELECT doc_a, doc_b, n_common, n_a, n_b, containment
         FROM cpairs ORDER BY doc_a, doc_b"""),
@@ -784,24 +785,41 @@ object NearDupOps {
     * `Text.shingleHashes` 8-byte keys (strings here keep the oracle
     * exactly mirrorable). 4dp round BEFORE the ≥ `tau` filter.
     */
-  def containmentOn(docs: org.apache.spark.sql.DataFrame,
-                    tau: Double = 0.8,
-                    maxDf: Long = MaxShingleDf): org.apache.spark.sql.DataFrame = {
-    // one distinct (doc, shingle) relation feeds df, both sizes, and
-    // both sides of the posting self-join — persist or pay five
-    // corpus explodes (the q114 lesson)
+  /** The informative-shingle posting relation (doc_id, sh, df): the
+    * shared FRONT of both containment candidate stages — distinct
+    * per-doc 3-shingles, document frequency, df-capped. The caller
+    * materializes (persist or parquet — [[SharedStages
+    * .containmentPostings]] is the once-per-session form); the
+    * internal distinct-shingle relation is persisted so the df
+    * aggregate and the posting join share one corpus explode.
+    */
+  def containmentPostingsOn(docs: org.apache.spark.sql.DataFrame,
+                            maxDf: Long = MaxShingleDf)
+      : org.apache.spark.sql.DataFrame = {
     val sh = docs
       .select(col("doc_id"), explode(array_distinct(
         Text.shingles(col("text"), 3))).as("sh"))
       .distinct()
       .persist()
-    sh.count() // materialize: five consumers scan this cache
-    val informative = sh.groupBy(col("sh"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select(col("sh"))
-    val inf = sh.join(informative, Seq("sh")).persist()
-    inf.count() // sizes + both join sides
+    sh.count() // df + informative join scan this cache
+    val dfs = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    sh.join(dfs.filter(col("df") <= maxDf), Seq("sh"))
+      .select(col("doc_id"), col("sh"), col("df"))
+  }
+
+  def containmentOn(docs: org.apache.spark.sql.DataFrame,
+                    tau: Double = 0.8,
+                    maxDf: Long = MaxShingleDf,
+                    postings: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    // `postings` lets a session supply the informative posting
+    // relation once ([[SharedStages.containmentPostings]]) — it must
+    // be [[containmentPostingsOn]]'s output at the same maxDf
+    val inf = postings.getOrElse {
+      val p = containmentPostingsOn(docs, maxDf).persist()
+      p.count() // sizes + both join sides scan this
+      p
+    }
     val per = inf.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = inf.select(col("sh"), col("doc_id").as("doc_a"))
       .join(inf.select(col("sh"), col("doc_id").as("doc_b")), Seq("sh"))
@@ -851,8 +869,10 @@ object NearDupOps {
     */
   def containmentPrefixOn(docs: org.apache.spark.sql.DataFrame,
                           tau: Double = 0.8,
-                          maxDf: Long = MaxShingleDf): org.apache.spark.sql.DataFrame = {
-    val (perDoc, cand) = containmentPrefixCore(docs, tau, maxDf)
+                          maxDf: Long = MaxShingleDf,
+                          postings: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val (perDoc, cand) = containmentPrefixCore(docs, tau, maxDf, postings)
     cand
       .join(perDoc.select(col("doc_id").as("doc_a"),
         col("shs").as("shs_a"), col("n").as("n_a")), Seq("doc_a"))
@@ -878,16 +898,11 @@ object NearDupOps {
     */
   private[graft] def containmentPrefixCore(
       docs: org.apache.spark.sql.DataFrame,
-      tau: Double, maxDf: Long): (org.apache.spark.sql.DataFrame,
+      tau: Double, maxDf: Long,
+      postings: Option[org.apache.spark.sql.DataFrame] = None)
+      : (org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame) = {
-    val sh = docs
-      .select(col("doc_id"), explode(array_distinct(
-        Text.shingles(col("text"), 3))).as("sh"))
-      .distinct()
-      .persist()
-    sh.count() // df + informative join scan this cache
-    val dfs = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val inf = sh.join(dfs.filter(col("df") <= maxDf), Seq("sh"))
+    val inf = postings.getOrElse(containmentPostingsOn(docs, maxDf))
     // rarest-first prefix of size n - ceil(tauEff*n) + 1 per doc.
     // tauEff, not tau: the OUTPUT filter applies tau to the
     // 4dp-ROUNDED containment, so a pair with true ratio down to
@@ -903,7 +918,6 @@ object NearDupOps {
         (col("n") - ceil(col("n") * tauEff) + 1).cast("int"))
       .persist()
     perDoc.count() // prefix probe, posting side and verify scan this
-    sh.unpersist()
     val prefix = perDoc.select(col("doc_id").as("doc_s"),
       explode(slice(col("shs"), lit(1), col("plen"))).as("sh"))
     val posts = perDoc.select(col("doc_id").as("doc_l"),

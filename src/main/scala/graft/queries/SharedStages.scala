@@ -121,7 +121,27 @@ object SharedStages {
     */
   def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val p = cached(spark, sfDir, "containment-pairs") { path =>
-      NearDupOps.containmentOn(QU.t(spark, sfDir).documents)
+      NearDupOps.containmentOn(QU.t(spark, sfDir).documents,
+          postings = Some(containmentPostings(spark, sfDir)))
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(p)
+  }
+
+  /** The informative-shingle posting relation over the full documents
+    * frame — the shared FRONT of both containment candidate stages:
+    * distinct (doc_id, sh) 3-shingles with document frequency,
+    * df-capped at the declared [[TextOps.MaxShingleDf]]. Computed
+    * once per (session, sf dir); columns (doc_id, sh, df).
+    * Consumers: the [[containmentPairs]] build (q148/q149/q146's
+    * self-join) and q151 (the prefix-filtered candidate stage) —
+    * without this, a full session pays the corpus shingle fold
+    * twice. Only valid at the declared maxDf; a consumer at another
+    * cap must build its own.
+    */
+  def containmentPostings(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = cached(spark, sfDir, "containment-postings") { path =>
+      NearDupOps.containmentPostingsOn(QU.t(spark, sfDir).documents)
         .write.mode("overwrite").parquet(path)
     }
     spark.read.parquet(p)
