@@ -89,4 +89,45 @@ object Maintenance {
     }
     Report(ivfR, mhR, chR, width, alerts.result())
   }
+
+  /** The RUNNING-cron form of [[tick]]: wire the composed tick onto a
+    * streaming append's epoch cadence. Wraps a `foreachBatch` body
+    * (typically the `appendEpoch` calls of the stores named in
+    * `stores`) so that after every `everyN`-th completed epoch the
+    * tick runs in the SAME foreachBatch invocation, on the
+    * micro-batch thread, strictly between that stream's epoch
+    * appends.
+    *
+    * Single-writer by construction: a streaming query serializes its
+    * foreachBatch invocations, so no append from THIS stream can
+    * overlap the tick — which discharges the per-store
+    * single-maintenance-writer contract exactly when this stream is
+    * the ticked stores' only appender (the same exclusivity every
+    * `appendStream` already requires). Ticking a store fed by a
+    * DIFFERENT stream re-opens the race; don't.
+    *
+    * Cadence is at-least-once, like the appends: a crash between the
+    * epoch commit and the tick re-runs both on redelivery. That is
+    * safe because the epoch commit is idempotent by naming and the
+    * tick is idempotent by policy — compaction under `maxEpochs`
+    * committed epochs is a pure-read no-op, and the health census is
+    * a read. Reports flow to `onReport` (the log/alert seam; default
+    * drops them).
+    */
+  def onEpochCadence(spark: SparkSession, stores: Stores, everyN: Int,
+                     onReport: Report => Unit = _ => (),
+                     maxEpochs: Int = 64,
+                     ivfSkewAlert: Double = 4.0,
+                     cappedPostAlert: Double = 0.05,
+                     dupOccAlert: Double = 0.5)
+                    (body: (org.apache.spark.sql.DataFrame, Long) => Unit)
+      : (org.apache.spark.sql.DataFrame, Long) => Unit = {
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
+    (batch, batchId) => {
+      body(batch, batchId)
+      if ((batchId + 1) % everyN == 0)
+        onReport(tick(spark, stores, maxEpochs, ivfSkewAlert,
+          cappedPostAlert, dupOccAlert))
+    }
+  }
 }

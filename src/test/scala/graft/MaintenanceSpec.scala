@@ -104,4 +104,62 @@ class MaintenanceSpec extends SparkSpec {
       Similarity.SqRerankWidth)
     spark.catalog.clearCache()
   }
+
+  test("onEpochCadence: the tick fires on the stream's own epoch " +
+      "cadence, folds fragmentation as it goes, and the maintained " +
+      "store stays value-identical to a batch build") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val mh = tmp("mnt-cadence")
+    val corpus = docs.filter(col("doc_id") < 400)
+    MinHashIndex.build(corpus.filter(col("doc_id") < 100), mh)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = corpus.filter(col("doc_id") >= 100)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val stream = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("mnt-ckpt").toString
+    var reports = Vector.empty[Maintenance.Report]
+    // everyN=2 over 4 micro-batches → ticks after epochs 1 and 3;
+    // maxEpochs=1 makes every tick's compaction observable (any
+    // fragmentation past the base folds)
+    val body = Maintenance.onEpochCadence(spark,
+      Maintenance.Stores(minhash = Some(mh)), everyN = 2,
+      onReport = r => reports :+= r, maxEpochs = 1) {
+      (batch, batchId) => MinHashIndex.appendEpoch(batch, mh, batchId)
+    }
+    val q = stream.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(body)
+      .start()
+    try {
+      rows.grouped(math.max(1, rows.length / 4)).take(4).foreach { g =>
+        stream.addData(g.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    assert(reports.length === 2,
+      s"everyN=2 over 4 epochs must tick twice, got ${reports.length}")
+    assert(reports.forall(r => r.ivf.isEmpty && r.chunks.isEmpty),
+      "a minhash-only deployment must not touch other stores")
+    assert(reports.last.minhash.exists(_.compacted),
+      "the final tick saw epoch 3 over maxEpochs=1 and must fold")
+    assert(reports.last.alerts.forall(!_.startsWith("minhash_diverged")),
+      "in-cadence ticks run between appends: never a half-commit")
+    // epochs past the base are folded down to at most the one epoch
+    // appended since the last tick
+    assert(EpochStore.epochCount(s"$mh/docs") <= 2)
+
+    // the maintained store answers exactly like an unmaintained
+    // batch build over the same corpus
+    val batchIx = tmp("mnt-cadence-batch")
+    MinHashIndex.build(corpus, batchIx)
+    val probe = corpus.limit(50)
+    def pairs(p: String) = MinHashIndex.matches(spark, p, probe)
+      .select(col("doc_id"), col("match_id")).collect()
+      .map(_.toSeq).toSet
+    assert(pairs(mh) === pairs(batchIx))
+    spark.catalog.clearCache()
+  }
 }
