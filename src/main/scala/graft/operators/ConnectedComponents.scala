@@ -60,11 +60,27 @@ object ConnectedComponents {
     *                 with `spark.cleaner.referenceTracking.cleanCheckpoints=true`;
     *                 otherwise the caller owns deleting the directory
     *                 after consuming the result.
+    * @param driverCutoff SMALL-GRAPH FAST PATH: an edge list at or
+    *                 under this row count (and with 8-byte ids)
+    *                 collects to the driver and resolves by
+    *                 union-find instead of the distributed loop.
+    *                 Rationale, measured: each distributed round is
+    *                 2 joins + 1 aggregate + an eager checkpoint —
+    *                 ~0.5-0.7s of pure scheduling at local[32] — so a
+    *                 19-edge quotient graph (q152's daily case) pays
+    *                 ~2s for work a driver loop does in microseconds.
+    *                 The default (65536 edges ≈ 1 MiB collected) is
+    *                 bounded driver state in the codebook-literal
+    *                 tradition; a corpus-scale pair graph blows past
+    *                 it and takes the distributed loop unchanged.
+    *                 0 disables. Output is identical by construction
+    *                 (min-label components; equality spec-pinned).
     * @return (id, comp) — one row per node that appears in any edge,
     *         comp = smallest node id in its component
     */
   def components(edges: DataFrame, maxIters: Int = 25,
-                 checkpointDir: Option[String] = None): DataFrame = {
+                 checkpointDir: Option[String] = None,
+                 driverCutoff: Long = 1L << 16): DataFrame = {
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     // materialize + CUT lineage each round (see scaladoc); reliable
     // variant writes to the configured checkpoint dir
@@ -77,7 +93,17 @@ object ConnectedComponents {
     // expensive — q78 feeds a Jaccard-verified pair join here) plan
     // twice
     val e0 = edges.select(ca.as("a"), cb.as("b")).persist()
-    e0.count(): Unit
+    val nEdges = e0.count()
+    val longIds = e0.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && driverCutoff > 0 && nEdges <= driverCutoff) {
+      val result = driverComponents(e0.collect()
+        .map(r => (r.getLong(0), r.getLong(1))))
+      e0.unpersist()
+      import edges.sparkSession.implicits._
+      return result.toSeq.sortBy(_._1)
+        .toDF("id", "comp").as("components")
+    }
     val sym = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist()
@@ -122,5 +148,29 @@ object ConnectedComponents {
     require(changed == 0,
       s"connected components did not converge within $maxIters rounds")
     labels
+  }
+
+  /** Driver-side union-find with path compression: the fast-path
+    * engine behind `driverCutoff`. Min-id component labels, exactly
+    * the distributed loop's contract.
+    */
+  private[graft] def driverComponents(
+      edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val next = parent.getOrElse(c, c); parent(c) = r; c = next
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
   }
 }

@@ -438,48 +438,36 @@ object NearDupOps {
     Q("q100_dedup_verdicts",
       (s, d) => SharedStages.dedupVerdictsTable(s, d)
         .orderBy(col("doc_id")),
-      Some("""WITH RECURSIVE capped AS (
-          SELECT * FROM documents WHERE doc_id < 8192),
-        keyed AS (SELECT doc_id, sha256(text) AS k FROM capped),
-        exact AS (SELECT k, MIN(doc_id) AS exact_canon FROM keyed GROUP BY k),
-        tagged AS (
-          SELECT keyed.doc_id, exact.exact_canon
-          FROM keyed JOIN exact USING (k)),
-        surv AS (SELECT doc_id FROM tagged WHERE doc_id = exact_canon),
-        docs AS (
-          SELECT c.doc_id, c.lang, CAST(FLOOR(c.n_chars / 64) AS BIGINT) AS bucket,
-            list_distinct(CASE WHEN len(string_split_regex(lower(trim(c.text)), '\s+')) >= 3
-              THEN list_transform(
-                range(1, len(string_split_regex(lower(trim(c.text)), '\s+')) - 1),
-                i -> array_to_string(string_split_regex(lower(trim(c.text)), '\s+')[i:i+2], ' '))
-              ELSE [] END) AS sh
-          FROM capped c SEMI JOIN surv ON c.doc_id = surv.doc_id),
-        pairs AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM docs a JOIN docs b
-            ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2),
-        edges AS (
-          SELECT doc_a AS a, doc_b AS b FROM pairs
-          UNION ALL SELECT doc_b, doc_a FROM pairs),
-        walk AS (
-          SELECT a AS id, a AS reach FROM edges
-          UNION
-          SELECT w.id, e.b AS reach FROM walk w JOIN edges e ON e.a = w.reach),
-        comp AS (SELECT id AS doc_id, MIN(reach) AS near_canon
-                 FROM walk GROUP BY id)
-        SELECT t.doc_id,
-          CASE WHEN t.doc_id <> t.exact_canon THEN 'exact'
-               WHEN c.near_canon IS NOT NULL AND t.doc_id <> c.near_canon
-                 THEN 'near'
-               ELSE 'keep' END AS verdict,
-          CASE WHEN t.doc_id <> t.exact_canon THEN t.exact_canon
-               WHEN c.near_canon IS NOT NULL THEN c.near_canon
-               ELSE t.doc_id END AS canonical_id
-        FROM tagged t LEFT JOIN comp c USING (doc_id)
-        ORDER BY doc_id"""),
+      Some(composedVerdictOracleSql),
       "composed dedup pass: exact -> near clusters -> per-doc verdicts"),
+
+    // -- q152: VERDICT-STORE MAINTENANCE — q100's composed verdict
+    //    table updated INCREMENTALLY with a new ingest batch (the
+    //    last fifth of the id range: monotonic crawl ids, so new ids
+    //    are strictly larger than every resident id). The existing
+    //    verdict table (SharedStages.incrementalBaseVerdicts — the
+    //    production store) is not recomputed: the batch's exact keys
+    //    probe the resident hash groups, new blocked pairs are
+    //    generated only where an endpoint is NEW, and components run
+    //    over the QUOTIENT graph — resident clusters collapsed to
+    //    their canonical id — so the component loop touches
+    //    O(|new pairs|) nodes, never the corpus. Equality with the
+    //    full recompute is exact (spec-pinned + argued at
+    //    [[incrementalVerdicts]]), so the oracle is q100's verbatim —
+    //    the driver hash-verifies the entire incremental path against
+    //    the from-scratch recursive-CTE walk (the q151/q148 pattern).
+    Q("q152_incremental_verdict_maint",
+      (s, d) => {
+        val capped = t(s, d).documents
+          .filter(col("doc_id") < ExactBaselineDocCap)
+        val split = incrementalSplitId(capped)
+        incrementalVerdicts(
+          capped.filter(col("doc_id") < split),
+          SharedStages.incrementalBaseVerdicts(s, d),
+          capped.filter(col("doc_id") >= split))
+      },
+      Some(composedVerdictOracleSql),
+      "incremental verdict-store maintenance (quotient-graph merge, == full recompute)"),
 
     // -- dedup AUDIT: the cluster-size histogram a dedup pass ships
     //    alongside its verdicts — how much of the corpus sits in
@@ -1063,6 +1051,164 @@ object NearDupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q152's ingest split: the last fifth of the id range is "today's
+    * batch". One bounded collect (a max over the capped corpus);
+    * integer arithmetic so both engines — and both SF fixtures —
+    * agree without a float threshold.
+    */
+  private[graft] def incrementalSplitId(
+      capped: org.apache.spark.sql.DataFrame): Long = {
+    val row = capped.agg(max(col("doc_id"))).head()
+    if (row.isNullAt(0)) 0L else row.getLong(0) * 4 / 5
+  }
+
+  /** INCREMENTAL verdict-store maintenance: fold one new ingest batch
+    * into an existing [[dedupVerdictsOn]] verdict table WITHOUT
+    * recomputing it, emitting the verdict table of the union. The
+    * production shape this models: the verdict relation is the
+    * persisted store a dedup pass ships (q100); each day's crawl must
+    * update it — including the hard case where one new document
+    * BRIDGES two resident clusters, which must merge — and a full
+    * recompute over a 100 TB corpus per daily batch is the thing a
+    * real pipeline cannot afford.
+    *
+    * Precondition (the monotonic-ingest contract, caller-enforced —
+    * crawl ids are assigned by an increasing sequence): every batch
+    * id exceeds every resident id. That is what makes the
+    * incremental path EXACT, not approximate:
+    *
+    *  1. Exact stage. A content-hash group's min cannot move to a new
+    *     doc (new ids are larger), so resident exact verdicts are
+    *     stable; a batch doc either probes into a resident group
+    *     (drop, canonical = the resident min) or groups among the
+    *     batch. Survivors(union) = residentSurvivors ∪ batchSurvivors.
+    *  2. Pair stage. Blocking keys (lang, length bucket) are per-doc
+    *     and Jaccard is pairwise, so pairs(union) = resident-resident
+    *     pairs ∪ pairs-with-a-new-endpoint. The first set is already
+    *     folded into the store's clusters; only the second is
+    *     generated, with the batch side broadcast (the q82 shape) —
+    *     the resident corpus is scanned, never self-joined.
+    *  3. Components. Contracting a subgraph's components to single
+    *     nodes preserves the components of the whole graph, so the
+    *     component loop runs on the QUOTIENT graph — resident
+    *     endpoints replaced by their stored canonical — whose node
+    *     count is bounded by the new pair volume, not the corpus.
+    *     Labels lift exactly: a resident canonical IS its cluster's
+    *     min member, and new ids are larger, so min over a merged
+    *     quotient component = min over all its underlying docs.
+    *  4. Emission. Resident 'exact' rows resolve one level (q100's
+    *     contract) and stay byte-stable; resident 'near'/'keep' rows
+    *     in a remapped cluster move to the merged canonical (a 'keep'
+    *     that lost its min-hood becomes 'near'); untouched rows pass
+    *     through unchanged — the store is UPDATED, not rebuilt.
+    *
+    * Costs at scale: two resident-corpus SCANS (content keys; shingle
+    * sets of blocked candidates), zero resident shuffles keyed on
+    * anything corpus-cardinality except the blocked candidate join
+    * itself (batch side broadcast), component rounds bounded by new
+    * pairs. The resident scans would be served map-side from the
+    * store's own persisted (doc_id, k) / signature relations in the
+    * full production form (MinHashIndex's pattern); recomputing them
+    * here keeps q152 self-contained against the raw fixture while
+    * the join SHAPES stay the honest ones.
+    */
+  def incrementalVerdicts(oldDocs: org.apache.spark.sql.DataFrame,
+                          oldVerdicts: org.apache.spark.sql.DataFrame,
+                          batch: org.apache.spark.sql.DataFrame,
+                          thresh: Double = 0.2): org.apache.spark.sql.DataFrame = {
+    // -- 1. exact stage: batch keys probe resident hash groups
+    val oldKeyed = oldDocs.select(col("doc_id"), sha2(col("text"), 256).as("k"))
+    val newKeyed = batch.select(col("doc_id"), sha2(col("text"), 256).as("k"))
+      .persist() // batch-sized; consumed inside one action tree, so
+                 // no eager materialization needed
+    val newGroups = newKeyed.groupBy(col("k"))
+      .agg(min(col("doc_id")).as("new_min"))
+    // resident side scanned once; the batch key set rides broadcast
+    val oldHits = oldKeyed
+      .join(broadcast(newGroups.select(col("k"))), Seq("k"), "left_semi")
+      .groupBy(col("k")).agg(min(col("doc_id")).as("old_canon"))
+    val newExact = newKeyed
+      .join(newGroups, Seq("k"))
+      .join(broadcast(oldHits), Seq("k"), "left")
+      .select(col("doc_id"),
+        coalesce(col("old_canon"), col("new_min")).as("exact_canon"))
+      .persist()
+    newExact.count()
+    val newSurvivors = newExact
+      .filter(col("doc_id") === col("exact_canon")).select(col("doc_id"))
+
+    // -- 2. pair stage: blocked pairs with >= 1 NEW endpoint only.
+    //    Resident survivors = every non-'exact' verdict row (exact
+    //    group mins). Shingle sets computed for the candidate join's
+    //    two sides; batch side broadcast throughout.
+    val oldSurvIds = oldVerdicts.filter(col("verdict") =!= "exact")
+      .select(col("doc_id"))
+    val newSurvDocs = batch.join(newSurvivors, Seq("doc_id"))
+    val allSurvDocs = oldDocs.join(oldSurvIds, Seq("doc_id"))
+      .unionByName(newSurvDocs)
+    val newMeta = newSurvDocs.select(col("doc_id").as("doc_n"), col("lang"),
+      floor(col("n_chars") / 64).as("bucket"))
+    val allMeta = allSurvDocs.select(col("doc_id").as("doc_m"), col("lang"),
+      floor(col("n_chars") / 64).as("bucket"))
+    val cands = allMeta.join(broadcast(newMeta), Seq("lang", "bucket"))
+      .filter(col("doc_m") =!= col("doc_n"))
+      .select(least(col("doc_m"), col("doc_n")).as("doc_a"),
+        greatest(col("doc_m"), col("doc_n")).as("doc_b"))
+      .distinct() // batch-batch candidates arrive in both orders
+    val sh = allSurvDocs.select(col("doc_id"),
+        Text.shingleHashes(col("text"), 3).as("sh"))
+      .persist()
+    sh.count() // both candidate-join sides scan this cache
+    val newPairs = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        Text.jaccardLong(col("sh_a"), col("sh_b")).as("jac"))
+      .filter(col("jac") >= thresh)
+      .select(col("doc_a"), col("doc_b"))
+
+    // -- 3. components over the QUOTIENT graph: resident endpoints
+    //    contract to their stored canonical (keep rows are their own)
+    val oldCanon = oldVerdicts.filter(col("verdict") =!= "exact")
+      .select(col("doc_id"), col("canonical_id"))
+    def contracted(end: String) = when(col("canonical_id").isNotNull,
+      col("canonical_id")).otherwise(col(end))
+    val qEdges = newPairs
+      .join(oldCanon.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left")
+      .select(contracted("doc_a").as("qa"), col("doc_b"))
+      .join(oldCanon.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left")
+      .select(col("qa").as("doc_a"), contracted("doc_b").as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .distinct()
+    val remap = graft.operators.ConnectedComponents.components(qEdges)
+      .select(col("id"), col("comp"))
+
+    // -- 4. emission: update touched rows, pass the rest through
+    val oldExactRows = oldVerdicts.filter(col("verdict") === "exact")
+    val oldNearKeep = oldVerdicts.filter(col("verdict") =!= "exact")
+      .join(remap.withColumnRenamed("id", "canonical_id"),
+        Seq("canonical_id"), "left")
+      .select(col("doc_id"),
+        when(col("comp").isNotNull && col("doc_id") =!= col("comp"), lit("near"))
+          .when(col("comp").isNotNull, lit("keep"))
+          .otherwise(col("verdict")).as("verdict"),
+        coalesce(col("comp"), col("canonical_id")).as("canonical_id"))
+    val newRows = newExact
+      .join(remap.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("exact_canon"), lit("exact"))
+          .when(col("comp").isNotNull && col("doc_id") =!= col("comp"),
+            lit("near"))
+          .otherwise(lit("keep")).as("verdict"),
+        when(col("doc_id") =!= col("exact_canon"), col("exact_canon"))
+          .when(col("comp").isNotNull, col("comp"))
+          .otherwise(col("doc_id")).as("canonical_id"))
+    oldExactRows.select(col("doc_id"), col("verdict"), col("canonical_id"))
+      .unionByName(oldNearKeep)
+      .unionByName(newRows)
+      .orderBy(col("doc_id"))
+  }
+
 
   /** Portable (md5-family) SimHash fingerprints `(doc_id, sh)` with
     * md5 run once per DISTINCT token — the q143 vocabulary pattern
@@ -1233,6 +1379,57 @@ object NearDupOps {
         sig AS (SELECT doc_id, $sigList AS sig FROM hs)"""
   }
 
+
+  /** DuckDB spelling of q100's ENTIRE composed verdict pass over the
+    * capped corpus (exact hash groups -> survivor blocked pairs ->
+    * recursive-CTE components -> one verdict row per doc). Shared by
+    * q100 (the from-scratch pass) and q152 (the incremental
+    * maintenance path, whose output is proven equal), so the two
+    * declarations cannot drift and the driver hash-checks the
+    * incremental machinery against the from-scratch walk.
+    */
+  private[queries] val composedVerdictOracleSql: String =
+    """WITH RECURSIVE capped AS (
+          SELECT * FROM documents WHERE doc_id < 8192),
+        keyed AS (SELECT doc_id, sha256(text) AS k FROM capped),
+        exact AS (SELECT k, MIN(doc_id) AS exact_canon FROM keyed GROUP BY k),
+        tagged AS (
+          SELECT keyed.doc_id, exact.exact_canon
+          FROM keyed JOIN exact USING (k)),
+        surv AS (SELECT doc_id FROM tagged WHERE doc_id = exact_canon),
+        docs AS (
+          SELECT c.doc_id, c.lang, CAST(FLOOR(c.n_chars / 64) AS BIGINT) AS bucket,
+            list_distinct(CASE WHEN len(string_split_regex(lower(trim(c.text)), '\s+')) >= 3
+              THEN list_transform(
+                range(1, len(string_split_regex(lower(trim(c.text)), '\s+')) - 1),
+                i -> array_to_string(string_split_regex(lower(trim(c.text)), '\s+')[i:i+2], ' '))
+              ELSE [] END) AS sh
+          FROM capped c SEMI JOIN surv ON c.doc_id = surv.doc_id),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM docs a JOIN docs b
+            ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        walk AS (
+          SELECT a AS id, a AS reach FROM edges
+          UNION
+          SELECT w.id, e.b AS reach FROM walk w JOIN edges e ON e.a = w.reach),
+        comp AS (SELECT id AS doc_id, MIN(reach) AS near_canon
+                 FROM walk GROUP BY id)
+        SELECT t.doc_id,
+          CASE WHEN t.doc_id <> t.exact_canon THEN 'exact'
+               WHEN c.near_canon IS NOT NULL AND t.doc_id <> c.near_canon
+                 THEN 'near'
+               ELSE 'keep' END AS verdict,
+          CASE WHEN t.doc_id <> t.exact_canon THEN t.exact_canon
+               WHEN c.near_canon IS NOT NULL THEN c.near_canon
+               ELSE t.doc_id END AS canonical_id
+        FROM tagged t LEFT JOIN comp c USING (doc_id)
+        ORDER BY doc_id"""
 
   /** DuckDB spelling of the containment pair stage (CTE `cpairs`):
     * distinct 3-gram shingles → df-capped informative set → posting

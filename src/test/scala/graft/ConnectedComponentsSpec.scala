@@ -23,10 +23,14 @@ class ConnectedComponentsSpec extends SparkSpec {
   }
 
   test("a long chain converges in O(log n) rounds via pointer jumping") {
+    import spark.implicits._
     // 64-node chain: pure neighbor-min would need 63 rounds; with
     // path halving the maxIters=12 cap must suffice (2^12 >> 64).
+    // driverCutoff=0 forces the DISTRIBUTED loop this test pins.
     val edges = (0L until 63L).map(i => (i, i + 1))
-    val got = comps(edges)
+    val got = ConnectedComponents
+      .components(edges.toDF("a", "b"), driverCutoff = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size === 64)
     assert(got.values.forall(_ === 0L),
       s"chain must collapse to component 0, got ${got.values.toSet}")
@@ -38,7 +42,8 @@ class ConnectedComponentsSpec extends SparkSpec {
     try {
       val edges = (0L until 63L).map(i => (i, i + 1))
       val got = ConnectedComponents
-        .components(edges.toDF("a", "b"), checkpointDir = Some(dir))
+        .components(edges.toDF("a", "b"), checkpointDir = Some(dir),
+          driverCutoff = 0)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got.size === 64)
       assert(got.values.forall(_ === 0L),
@@ -62,8 +67,26 @@ class ConnectedComponentsSpec extends SparkSpec {
     import spark.implicits._
     val edges = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
     intercept[IllegalArgumentException] {
-      ConnectedComponents.components(edges, maxIters = 1)
+      ConnectedComponents.components(edges, maxIters = 1, driverCutoff = 0)
     }
+  }
+
+  test("driver fast path == distributed loop on a dense random graph") {
+    import spark.implicits._
+    // deterministic pseudo-random graph with cliques, chains, and
+    // isolated pairs mixed: the fast path must label identically
+    val rnd = new scala.util.Random(7)
+    val edges = (Seq.tabulate(400)(i =>
+        (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong)) ++
+      (1000L until 1063L).map(i => (i, i + 1)))
+      .filter { case (a, b) => a != b }
+    val df = edges.toDF("a", "b")
+    def m(res: org.apache.spark.sql.DataFrame) =
+      res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = m(ConnectedComponents.components(df))
+    val dist = m(ConnectedComponents.components(df, driverCutoff = 0))
+    assert(fast === dist)
+    assert(fast.nonEmpty)
   }
 
   test("q78 over the sf0.01 fixture: clusters cover q54's pairs exactly") {

@@ -290,6 +290,69 @@ class MinHashSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q152 incremental verdicts: a new bridge doc MERGES two resident " +
+      "clusters; exact probes, batch-internal dups, and untouched rows " +
+      "all land exactly as the full recompute") {
+    import spark.implicits._
+    def mk(rows: Seq[(Long, String)]) = rows
+      .map { case (id, t) => (id, t, "en", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+    // resident: near clusters A{10,11} and B{20,21}, unique 30, an
+    // exact pair {40,41}
+    val old = mk(Seq(
+      10L -> "alpha beta gamma delta epsilon zeta",
+      11L -> "alpha beta gamma delta epsilon eta",
+      20L -> "one two three four five six",
+      21L -> "one two three four five seven",
+      30L -> "red green blue yellow purple orange",
+      40L -> "lorem ipsum dolor sit amet consectetur",
+      41L -> "lorem ipsum dolor sit amet consectetur"))
+    // batch (all ids above every resident id): 100 BRIDGES A and B
+    // (jac 0.25 to each, 0 between them), 101 exact-probes 40's hash
+    // group, 102 is novel, 103/104 are an exact pair born inside the
+    // batch, 105 near-joins resident 30
+    val batch = mk(Seq(
+      100L -> "alpha beta gamma delta one two three four",
+      101L -> "lorem ipsum dolor sit amet consectetur",
+      102L -> "completely different words here entirely novel",
+      103L -> "duplicate batch text content example words",
+      104L -> "duplicate batch text content example words",
+      105L -> "red green blue yellow purple magenta"))
+    val oldV = graft.queries.NearDupOps.dedupVerdictsOn(old)
+    val got = graft.queries.NearDupOps
+      .incrementalVerdicts(old, oldV, batch)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList
+    val full = graft.queries.NearDupOps
+      .dedupVerdictsOn(old.unionByName(batch))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList
+    assert(got === full)
+    assert(got === List(
+      (10L, "keep", 10L), (11L, "near", 10L),
+      (20L, "near", 10L), (21L, "near", 10L), // B's canonical MOVED to A's
+      (30L, "keep", 30L),
+      (40L, "keep", 40L), (41L, "exact", 40L),
+      (100L, "near", 10L), (101L, "exact", 40L), (102L, "keep", 102L),
+      (103L, "keep", 103L), (104L, "exact", 103L), (105L, "near", 30L)))
+    spark.catalog.clearCache()
+  }
+
+  test("q152 == q100's full recompute on the fixture's last-fifth split") {
+    val capped = docs
+      .filter(col("doc_id") < graft.queries.TextOps.ExactBaselineDocCap)
+    val split = graft.queries.NearDupOps.incrementalSplitId(capped)
+    assert(split > 0 && capped.filter(col("doc_id") >= split).count() > 100,
+      "the split must leave a real batch")
+    val old = capped.filter(col("doc_id") < split)
+    val incr = graft.queries.NearDupOps.incrementalVerdicts(
+        old, graft.queries.NearDupOps.dedupVerdictsOn(old),
+        capped.filter(col("doc_id") >= split))
+      .collect().map(_.toSeq).toList
+    val full = graft.queries.NearDupOps.dedupVerdictsOn(capped)
+      .collect().map(_.toSeq).toList
+    assert(incr === full)
+    spark.catalog.clearCache()
+  }
+
   test("q55 signatures: deterministic, k=48, empty docs get sentinel") {
     val sig = docs.select(col("doc_id"),
       Text.minHash(Text.shingles(col("text"), 3)).as("sig"))

@@ -76,6 +76,14 @@ class ScalingSpec extends SparkSpec {
     // the per-doc fold) replicate per copy; a probe stage that lost
     // the prefix cut would blow the time bound via the posting join.
     "q151_containment_prefix",
+    // incremental verdict maintenance: one row per doc (10× ids stay
+    // under the cap; the last-fifth split lands inside the late
+    // copies, which per-copy token renaming keeps self-contained).
+    // The time bound polices the incremental SHAPE: resident scans
+    // are linear, candidates are blocked with the batch broadcast,
+    // and the component stage runs on the contracted quotient graph —
+    // a resident self-join or full component recompute would blow it.
+    "q152_incremental_verdict_maint",
     // BPE corpus emit: one row per doc. Per-copy token renaming grows
     // the distinct-word vocabulary 10×, so the time bound polices the
     // vocabulary-bounded merge apply + the doc-partitioned windows —
