@@ -2,13 +2,14 @@ package graft.engine
 
 import org.apache.spark.sql.SparkSession
 
-import graft.queries.{ChunkIndex, IvfIndex, MinHashIndex}
+import graft.queries.{ChunkIndex, IvfIndex, MinHashIndex, VerdictStore}
 
 /** One maintenance tick across every persisted index store — the
-  * single documented cron body for a deployment that runs all three
+  * single documented cron body for a deployment that runs all four
   * build-once/query-many stores (IVF vectors, MinHash bands, content
-  * chunks). Each store already owns its tick ([[IvfIndex.maintain]],
-  * [[MinHashIndex.maintain]], [[ChunkIndex.maintain]]: heal-aware
+  * chunks, dedup verdicts). Each store already owns its tick
+  * ([[IvfIndex.maintain]], [[MinHashIndex.maintain]],
+  * [[ChunkIndex.maintain]], [[VerdictStore.maintain]]: heal-aware
   * compaction policy + health census); this composes them, pushes the
   * IVF health into the SERVING config (the q147 SQ re-rank width via
   * [[IvfIndex.sqRerankWidthFor]] — the tick that measured the store
@@ -35,6 +36,9 @@ import graft.queries.{ChunkIndex, IvfIndex, MinHashIndex}
   *  - `chunkstore_dup_heavy` — the duplicated-occurrence fraction
   *    crossed `dupOccAlert`: boilerplate is accumulating; run the
   *    q138 removal pass over the store's consumers.
+  *  - `verdictstore_diverged` — the verdict store's sigs/verdicts
+  *    epoch sets differ (half-committed append): same contract as
+  *    `minhash_diverged`, the appender's retry heals it.
   *
   * Single-maintenance-writer contract (inherited from each store):
   * run between micro-batches or with the append streams stopped.
@@ -46,7 +50,8 @@ object Maintenance {
   /** The store paths one deployment maintains. */
   final case class Stores(ivf: Option[String] = None,
                           minhash: Option[String] = None,
-                          chunks: Option[String] = None)
+                          chunks: Option[String] = None,
+                          verdicts: Option[String] = None)
 
   /** What the composed tick did, saw, and decided: the three
     * per-store reports (as run), the serving-config push-down
@@ -56,6 +61,7 @@ object Maintenance {
   final case class Report(ivf: Option[IvfIndex.MaintenanceReport],
                           minhash: Option[MinHashIndex.MaintenanceReport],
                           chunks: Option[ChunkIndex.MaintenanceReport],
+                          verdicts: Option[VerdictStore.MaintenanceReport],
                           sqRerankWidth: Int,
                           alerts: Seq[String])
 
@@ -71,6 +77,8 @@ object Maintenance {
       MinHashIndex.maintain(spark, p, maxEpochs = maxEpochs))
     val chR = stores.chunks.map(p =>
       ChunkIndex.maintain(spark, p, maxEpochs = maxEpochs))
+    val vsR = stores.verdicts.map(p =>
+      VerdictStore.maintain(spark, p, maxEpochs = maxEpochs))
     val width = IvfIndex.sqRerankWidthFor(
       ivfR.map(_.maxSkew).getOrElse(Double.NaN))
     val alerts = Seq.newBuilder[String]
@@ -87,7 +95,12 @@ object Maintenance {
       if (r.dupOccurrenceFrac > dupOccAlert)
         alerts += f"chunkstore_dup_heavy:${r.dupOccurrenceFrac}%.4f"
     }
-    Report(ivfR, mhR, chR, width, alerts.result())
+    vsR.foreach { r =>
+      // same cue as minhash_diverged: a half-committed append whose
+      // heal belongs to the appender's retry, never to this cron
+      if (r.diverged) alerts += "verdictstore_diverged"
+    }
+    Report(ivfR, mhR, chR, vsR, width, alerts.result())
   }
 
   /** The RUNNING-cron form of [[tick]]: wire the composed tick onto a

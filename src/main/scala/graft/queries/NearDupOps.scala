@@ -1116,9 +1116,44 @@ object NearDupOps {
                           oldVerdicts: org.apache.spark.sql.DataFrame,
                           batch: org.apache.spark.sql.DataFrame,
                           thresh: Double = 0.2): org.apache.spark.sql.DataFrame = {
+    val (updatedOld, newRows) = incrementalVerdictParts(
+      signatureOf(oldDocs), oldVerdicts, signatureOf(batch), thresh)
+    oldVerdicts
+      .join(updatedOld.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("verdict"), col("canonical_id"))
+      .unionByName(updatedOld)
+      .unionByName(newRows)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The per-doc SIGNATURE relation incremental maintenance actually
+    * needs — content key, blocking keys, shingle hashes — computed in
+    * one text scan. [[graft.queries.VerdictStore]] persists this at
+    * ingest so appends never re-read resident text; the text-input
+    * [[incrementalVerdicts]] derives it on the fly.
+    */
+  private[graft] def signatureOf(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), sha2(col("text"), 256).as("k"), col("lang"),
+      floor(col("n_chars") / 64).as("bucket"),
+      Text.shingleHashes(col("text"), 3).as("sh"))
+
+  /** The incremental core over SIGNATURE relations, returning the
+    * DELTA: (updated resident rows — those whose cluster was touched
+    * by a new pair, re-emitted post-remap — , all batch rows). The
+    * full union table = untouched resident rows (anti-join on the
+    * first frame's ids) + both frames; [[VerdictStore]] commits just
+    * the delta as one epoch under last-write-wins reads.
+    */
+  private[graft] def incrementalVerdictParts(
+      oldSigs: org.apache.spark.sql.DataFrame,
+      oldVerdicts: org.apache.spark.sql.DataFrame,
+      batchSigs: org.apache.spark.sql.DataFrame,
+      thresh: Double = 0.2)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     // -- 1. exact stage: batch keys probe resident hash groups
-    val oldKeyed = oldDocs.select(col("doc_id"), sha2(col("text"), 256).as("k"))
-    val newKeyed = batch.select(col("doc_id"), sha2(col("text"), 256).as("k"))
+    val oldKeyed = oldSigs.select(col("doc_id"), col("k"))
+    val newKeyed = batchSigs.select(col("doc_id"), col("k"))
       .persist() // batch-sized; consumed inside one action tree, so
                  // no eager materialization needed
     val newGroups = newKeyed.groupBy(col("k"))
@@ -1139,24 +1174,23 @@ object NearDupOps {
 
     // -- 2. pair stage: blocked pairs with >= 1 NEW endpoint only.
     //    Resident survivors = every non-'exact' verdict row (exact
-    //    group mins). Shingle sets computed for the candidate join's
-    //    two sides; batch side broadcast throughout.
+    //    group mins). Shingle sets come off the signature relations;
+    //    batch side broadcast throughout.
     val oldSurvIds = oldVerdicts.filter(col("verdict") =!= "exact")
       .select(col("doc_id"))
-    val newSurvDocs = batch.join(newSurvivors, Seq("doc_id"))
-    val allSurvDocs = oldDocs.join(oldSurvIds, Seq("doc_id"))
-      .unionByName(newSurvDocs)
-    val newMeta = newSurvDocs.select(col("doc_id").as("doc_n"), col("lang"),
-      floor(col("n_chars") / 64).as("bucket"))
-    val allMeta = allSurvDocs.select(col("doc_id").as("doc_m"), col("lang"),
-      floor(col("n_chars") / 64).as("bucket"))
+    val newSurvSigs = batchSigs.join(newSurvivors, Seq("doc_id"))
+    val allSurvSigs = oldSigs.join(oldSurvIds, Seq("doc_id"))
+      .unionByName(newSurvSigs)
+    val newMeta = newSurvSigs.select(col("doc_id").as("doc_n"),
+      col("lang"), col("bucket"))
+    val allMeta = allSurvSigs.select(col("doc_id").as("doc_m"),
+      col("lang"), col("bucket"))
     val cands = allMeta.join(broadcast(newMeta), Seq("lang", "bucket"))
       .filter(col("doc_m") =!= col("doc_n"))
       .select(least(col("doc_m"), col("doc_n")).as("doc_a"),
         greatest(col("doc_m"), col("doc_n")).as("doc_b"))
       .distinct() // batch-batch candidates arrive in both orders
-    val sh = allSurvDocs.select(col("doc_id"),
-        Text.shingleHashes(col("text"), 3).as("sh"))
+    val sh = allSurvSigs.select(col("doc_id"), col("sh"))
       .persist()
     sh.count() // both candidate-join sides scan this cache
     val newPairs = cands
@@ -1183,16 +1217,18 @@ object NearDupOps {
     val remap = graft.operators.ConnectedComponents.components(qEdges)
       .select(col("id"), col("comp"))
 
-    // -- 4. emission: update touched rows, pass the rest through
-    val oldExactRows = oldVerdicts.filter(col("verdict") === "exact")
-    val oldNearKeep = oldVerdicts.filter(col("verdict") =!= "exact")
+    // -- 4. delta emission: resident rows whose cluster a new pair
+    //    touched (remap join hit), re-labeled; plus every batch row.
+    //    Resident 'exact' rows resolve one level (q100's contract)
+    //    and can never be touched; untouched near/keep rows are the
+    //    caller's pass-through.
+    val updatedOld = oldVerdicts.filter(col("verdict") =!= "exact")
       .join(remap.withColumnRenamed("id", "canonical_id"),
-        Seq("canonical_id"), "left")
+        Seq("canonical_id"))
       .select(col("doc_id"),
-        when(col("comp").isNotNull && col("doc_id") =!= col("comp"), lit("near"))
-          .when(col("comp").isNotNull, lit("keep"))
-          .otherwise(col("verdict")).as("verdict"),
-        coalesce(col("comp"), col("canonical_id")).as("canonical_id"))
+        when(col("doc_id") =!= col("comp"), lit("near"))
+          .otherwise(lit("keep")).as("verdict"),
+        col("comp").as("canonical_id"))
     val newRows = newExact
       .join(remap.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1203,10 +1239,7 @@ object NearDupOps {
         when(col("doc_id") =!= col("exact_canon"), col("exact_canon"))
           .when(col("comp").isNotNull, col("comp"))
           .otherwise(col("doc_id")).as("canonical_id"))
-    oldExactRows.select(col("doc_id"), col("verdict"), col("canonical_id"))
-      .unionByName(oldNearKeep)
-      .unionByName(newRows)
-      .orderBy(col("doc_id"))
+    (updatedOld, newRows)
   }
 
 

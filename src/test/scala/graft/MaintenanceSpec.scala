@@ -3,10 +3,10 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.engine.{EpochStore, Maintenance}
-import graft.queries.{ChunkIndex, IvfIndex, MinHashIndex, Similarity}
+import graft.queries.{ChunkIndex, IvfIndex, MinHashIndex, Similarity, VerdictStore}
 
 /** The composed cross-store maintenance tick ([[Maintenance.tick]]):
-  * one cron body over the three persisted stores. Under test:
+  * one cron body over the four persisted stores. Under test:
   *
   *   - healthy stores: every sub-tick is a pure-read no-op, the
   *     serving push-down equals the base re-rank width, no alerts;
@@ -28,18 +28,25 @@ class MaintenanceSpec extends SparkSpec {
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).resolve("ix").toString
 
-  test("healthy three-store tick: no-op everywhere, base width, " +
+  test("healthy four-store tick: no-op everywhere, base width, " +
       "no alerts; subset deployments tick only their stores") {
-    val (ivf, mh, ch) = (tmp("mnt-ivf"), tmp("mnt-mh"), tmp("mnt-ch"))
+    val (ivf, mh, ch, vs) =
+      (tmp("mnt-ivf"), tmp("mnt-mh"), tmp("mnt-ch"), tmp("mnt-vs"))
     IvfIndex.build(emb.filter(col("vec_id") < 250), ivf)
     MinHashIndex.build(docs.filter(col("doc_id") < 300), mh)
     ChunkIndex.build(docs.filter(col("doc_id") < 300), ch)
+    VerdictStore.build(spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .filter(col("doc_id") < 300), vs)
 
     val r = Maintenance.tick(spark,
-      Maintenance.Stores(Some(ivf), Some(mh), Some(ch)))
+      Maintenance.Stores(Some(ivf), Some(mh), Some(ch), Some(vs)))
     assert(r.ivf.exists(i => !i.rebuilt && !i.compacted))
     assert(r.minhash.exists(m => !m.compacted && !m.diverged))
     assert(r.chunks.exists(c => !c.compacted))
+    assert(r.verdicts.exists(v =>
+      !v.compacted && !v.diverged && v.nDocs === 300))
     // the pushed width is the health-driven knob for the measured
     // skew (a healthy store's natural skew of ~2 still widens the
     // base — only a no-IVF deployment falls back to the base)
@@ -52,7 +59,8 @@ class MaintenanceSpec extends SparkSpec {
     // push-down falls back to the serving base
     val sub = Maintenance.tick(spark,
       Maintenance.Stores(minhash = Some(mh)))
-    assert(sub.ivf.isEmpty && sub.chunks.isEmpty && sub.minhash.isDefined)
+    assert(sub.ivf.isEmpty && sub.chunks.isEmpty && sub.verdicts.isEmpty &&
+      sub.minhash.isDefined)
     assert(sub.sqRerankWidth === Similarity.SqRerankWidth)
     spark.catalog.clearCache()
   }
@@ -86,8 +94,23 @@ class MaintenanceSpec extends SparkSpec {
       twice.unionAll(twice.select(col("doc_id") + 100000, col("text"))
         .toDF("doc_id", "text")), ch)
 
+    // Verdict store: a half-committed append (sigs epoch without its
+    // verdicts half)
+    val vs = tmp("mnt-vs2")
+    val vdocs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    VerdictStore.build(vdocs.filter(col("doc_id") < 300), vs)
+    EpochStore.commitEpoch(s"$vs/sigs", 1000000000L) { tmpDir =>
+      graft.queries.NearDupOps.signatureOf(
+          vdocs.filter(col("doc_id") >= 300))
+        .write.mode("overwrite").parquet(tmpDir)
+    }
+
     val r = Maintenance.tick(spark,
-      Maintenance.Stores(Some(ivf), Some(mh), Some(ch)))
+      Maintenance.Stores(Some(ivf), Some(mh), Some(ch), Some(vs)))
+    assert(r.alerts.contains("verdictstore_diverged"))
+    assert(r.verdicts.exists(v => v.diverged && !v.compacted))
 
     assert(r.alerts.exists(_.startsWith("ivf_skew_persists:")),
       s"alerts: ${r.alerts}")
