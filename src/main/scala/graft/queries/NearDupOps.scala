@@ -469,6 +469,21 @@ object NearDupOps {
       Some(composedVerdictOracleSql),
       "incremental verdict-store maintenance (quotient-graph merge, == full recompute)"),
 
+    // -- q153: the PERSISTED VerdictStore on the driver's oracle
+    //    surface (the q128/q114 served-from-the-store pattern): the
+    //    session-shared store is BUILT over the resident split and
+    //    the last-fifth batch APPENDED through the store's
+    //    delta-epoch path, then this query just READS it — so the
+    //    driver hash-verifies the store's entire sign → probe →
+    //    quotient-merge → last-write-wins-read machinery against the
+    //    same from-scratch recursive-CTE walk as q100/q152.
+    Q("q153_verdict_store_read",
+      (s, d) => VerdictStore
+        .read(s, SharedStages.verdictStorePath(s, d))
+        .orderBy(col("doc_id")),
+      Some(composedVerdictOracleSql),
+      "persisted verdict store: build + incremental append, read == full recompute"),
+
     // -- dedup AUDIT: the cluster-size histogram a dedup pass ships
     //    alongside its verdicts — how much of the corpus sits in
     //    2-member clusters vs 1000-member boilerplate explosions

@@ -124,6 +124,22 @@ object SharedStages {
     spark.read.parquet(p)
   }
 
+  /** The session-shared persisted [[VerdictStore]]: built over the
+    * resident split, then the last-fifth batch APPENDED through the
+    * store's incremental path — exactly the production sequence. q153
+    * reads it, putting the store's full build → sign → delta-epoch →
+    * last-write-wins-read machinery on the driver's hash-verified
+    * surface (the q128/q114 served-from-the-store pattern).
+    */
+  def verdictStorePath(spark: SparkSession, sfDir: String): String =
+    cached(spark, sfDir, "verdict-store") { path =>
+      val capped = QU.t(spark, sfDir).documents
+        .filter(col("doc_id") < TextOps.ExactBaselineDocCap)
+      val split = NearDupOps.incrementalSplitId(capped)
+      VerdictStore.build(capped.filter(col("doc_id") < split), path)
+      VerdictStore.append(capped.filter(col("doc_id") >= split), path)
+    }
+
   def dedupVerdictsTable(spark: SparkSession, sfDir: String): DataFrame = {
     val p = cached(spark, sfDir, "dedup-verdicts") { path =>
       NearDupOps.dedupVerdictsOn(
