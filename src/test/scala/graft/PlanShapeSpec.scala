@@ -243,6 +243,21 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q153 is a pure store read: zero documents scans, zero hashing — " +
+      "everything was signed and decided at ingest") {
+    val fmt = q("q153_verdict_store_read").queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val docScans = "documents\\.parquet".r.findAllIn(fmt).length
+    assert(docScans == 0,
+      s"q153 must not scan the corpus at all, saw $docScans scans:\n$fmt")
+    assert(!fmt.toLowerCase.contains("shingle_hashes") &&
+      !fmt.toLowerCase.contains("sha2"),
+      s"q153 must not re-sign anything — signatures live in the store:\n$fmt")
+    assert(fmt.contains("verdict-store"),
+      s"the read must come from the persisted store:\n$fmt")
+    spark.catalog.clearCache()
+  }
+
   test("q124 covariance: the d² explode sits ABOVE the aggregate, not below") {
     // the scale contract: rows fold into the 2080-slot buffer map-side
     // (ObjectHashAggregate partial merge), and the pair explode runs on
