@@ -211,6 +211,21 @@ object SharedStages {
       IvfIndex.build(QU.t(spark, sfDir).embeddings, path)
     }
 
+  /** A built [[IvfIndex]] over the PRE-ARRIVAL corpus only (the
+    * vec_id % 5 != 0 slice — the complement of q154's batch), built
+    * once per (session, sf dir). This is the resident vector-store
+    * state an incremental semantic-dedup pass probes when today's
+    * batch arrives: its codebook was trained before the batch
+    * existed, which is exactly the stored-codebook contract q154
+    * verifies against its oracle's filtered build replay.
+    */
+  def corpusIvfIndexPath(spark: SparkSession, sfDir: String): String =
+    cached(spark, sfDir, "ivf-index-corpus") { path =>
+      IvfIndex.build(
+        QU.t(spark, sfDir).embeddings.filter(col("vec_id") % 5 =!= 0),
+        path)
+    }
+
   private val bpeMemo =
     scala.collection.mutable.Map.empty[(String, String), Seq[TokenizerOps.Merge]]
 

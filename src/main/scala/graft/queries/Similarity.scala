@@ -678,7 +678,45 @@ object Similarity {
         IvfNProbe, topK = 5, rerankWidth = SqRerankWidth),
       Some(ivfSqOracleSql),
       "IVF-SQ: int8-code approximate scan (embedding column never read) " +
-        "+ exact re-rank of the top candidates")
+        "+ exact re-rank of the top candidates"),
+
+    // -- q154: INCREMENTAL semantic dedup — the embedding analog of
+    //    q114 (text) and q82 (exact): a "new batch" of vectors
+    //    (vec_id % 5 == 0, the same arrival split) is screened
+    //    against the EXISTING corpus without re-reading or
+    //    re-clustering it. The corpus state is the persisted
+    //    corpus-only IvfIndex (SharedStages builds it once per sf
+    //    dir); the batch probes its top-$IvfNProbe cells under the
+    //    STORED codebook — the q64/q147 SEARCH operating point, not
+    //    q92's $SemDedupProbes: q92 blocks on probe-set INTERSECTION
+    //    (both sides multi-probe), while a stored corpus vector sits
+    //    in its single primary cell, so the batch side must probe as
+    //    wide as a search does (measured on the weakly-clustered
+    //    fixture: capture 0.60 at 3 probes vs 0.81 at $IvfNProbe;
+    //    1.0 on a clustered corpus either way — both in
+    //    SimilaritySpec). The codebook is fixed at index-build time,
+    //    which is exactly the production contract: daily arrivals
+    //    are screened under yesterday's codebook (staleness is
+    //    q144's measurable knob, not this query's concern). The probe join broadcasts the (cell, batch) pairs
+    //    so the cell-partitioned store is read under DYNAMIC
+    //    PARTITION PRUNING — nprobe/k of the corpus bytes, and the
+    //    batch never shuffles the corpus (q114's posture, vector
+    //    modality). Exact-cosine verify on the candidates only,
+    //    4dp round BEFORE the best-match rank (q111's convention),
+    //    verdict at q92's τ: dup_of = the best corpus match when
+    //    best_cos ≥ τ, else a novel vector. The oracle replays the
+    //    corpus-only k-means build (same CTEs as q92/q144, filtered),
+    //    the stored primary assignment, the batch probe, and the
+    //    verify — so the driver hash-verifies that screening against
+    //    the PERSISTED index equals the from-scratch formulation.
+    //    SimilaritySpec measures capture vs the exact batch×corpus
+    //    screen (the multi-probe miss rate is the documented
+    //    SemDeDup tradeoff, measured not trusted).
+    Q("q154_incremental_semantic_dedup",
+      (s, d) => incrementalSemanticDedup(s, d),
+      Some(incrementalSemanticDedupOracleSql),
+      "new-batch semantic dedup against the persisted corpus IVF " +
+        "index under the stored codebook (DPP probe, exact verify)")
   )
 
   /** One k-means Lloyd replay step in DuckDB: assignment of every
@@ -716,11 +754,17 @@ object Similarity {
     * health, q64 IVF-ANN, and q92 semantic-dedup oracles — one
     * spelling of the build, three consumers.
     */
-  private def kmeansBuildCtes: String =
+  private def kmeansBuildCtes: String = kmeansBuildCtesWhere("")
+
+  /** [[kmeansBuildCtes]] with a row filter on the training corpus —
+    * the q154 oracle trains on the pre-arrival corpus only, exactly
+    * the rows the stored index was built over.
+    */
+  private def kmeansBuildCtesWhere(where: String): String =
     s"""e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         COALESCE(CAST(label AS INT), CAST(vec_id % $IvfCells AS INT)) AS seed
-      FROM embeddings),
+      FROM embeddings $where),
     m0 AS (
       SELECT seed AS c, r.i,
         CAST(SUM(CAST(v[r.i + 1] AS DECIMAL(38,6))) AS DOUBLE)
@@ -735,16 +779,17 @@ object Similarity {
     * rule verbatim (cos DESC with nulls last, then smaller c_id).
     * `WHERE rk = 1` on the output CTE is the primary assignment.
     */
-  private def probeSql(cIn: String, out: String, nprobe: Int): String = {
-    val cos = s"list_dot_product(e.v, $cIn.cv) / " +
-      s"(sqrt(list_dot_product(e.v, e.v)) * " +
+  private def probeSql(cIn: String, out: String, nprobe: Int,
+                       src: String = "e"): String = {
+    val cos = s"list_dot_product($src.v, $cIn.cv) / " +
+      s"(sqrt(list_dot_product($src.v, $src.v)) * " +
       s"sqrt(list_dot_product($cIn.cv, $cIn.cv)))"
     s"""$out AS (
       SELECT vec_id, c, cos, rk FROM (
-        SELECT e.vec_id, $cIn.c, $cos AS cos,
-          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        SELECT $src.vec_id, $cIn.c, $cos AS cos,
+          ROW_NUMBER() OVER (PARTITION BY $src.vec_id
             ORDER BY $cos DESC NULLS LAST, $cIn.c ASC) AS rk
-        FROM e CROSS JOIN $cIn) t WHERE rk <= $nprobe)"""
+        FROM $src CROSS JOIN $cIn) t WHERE rk <= $nprobe)"""
   }
 
   /** The q144 oracle: full k-means build replay + per-cell health. */
@@ -814,6 +859,41 @@ object Similarity {
       FROM exact)
     SELECT query_id, neighbor_id, score, CAST(rk AS INT) AS rk
     FROM ranked WHERE rk <= 5 ORDER BY query_id, rk"""
+
+  /** The q154 oracle: corpus-only k-means build replay (the stored
+    * codebook), corpus primary assignment (what the index stores),
+    * batch top-probe cells, candidate = (batch, corpus) sharing a
+    * probed cell, exact cosine 4dp-rounded before the best-match
+    * rank, verdict at τ. A batch vector whose probed cells hold no
+    * corpus member survives as novel with null best_cos.
+    */
+  private def incrementalSemanticDedupOracleSql: String =
+    s"""WITH ${kmeansBuildCtesWhere("WHERE vec_id % 5 <> 0")},
+    ${probeSql("c2", "ca", 1)},
+    b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id % 5 = 0),
+    ${probeSql("c2", "pb", IvfNProbe, "b")},
+    scored AS (
+      SELECT pb.vec_id AS b_id, ca.vec_id AS c_id,
+        ROUND(list_dot_product(bb.v, e.v)
+          / (sqrt(list_dot_product(bb.v, bb.v))
+           * sqrt(list_dot_product(e.v, e.v))), 4) AS cos
+      FROM pb JOIN ca ON ca.c = pb.c
+        JOIN b bb ON bb.vec_id = pb.vec_id
+        JOIN e ON e.vec_id = ca.vec_id),
+    best AS (
+      SELECT b_id, c_id, cos,
+        ROW_NUMBER() OVER (PARTITION BY b_id
+          ORDER BY cos DESC, c_id) AS rk
+      FROM scored)
+    SELECT pm.vec_id, CAST(pm.c AS INT) AS cell,
+      CASE WHEN bs.cos >= $SemDedupTau THEN bs.c_id END AS dup_of,
+      bs.cos + 0.0 AS best_cos,
+      CAST(COALESCE(bs.cos >= $SemDedupTau, FALSE) AS INT) AS is_dup
+    FROM (SELECT vec_id, c FROM pb WHERE rk = 1) pm
+    LEFT JOIN (SELECT * FROM best WHERE rk = 1) bs ON bs.b_id = pm.vec_id
+    ORDER BY pm.vec_id"""
 
   private def ivfAnnOracleSql: String =
     s"""WITH $kmeansBuildCtes,
@@ -957,6 +1037,54 @@ object Similarity {
       .join(drops.withColumn("dropped", lit(1)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         coalesce(col("dropped"), lit(0)).as("dropped"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** q154's declared form: the arrival batch (vec_id % 5 == 0)
+    * against the session-shared persisted corpus index.
+    */
+  def incrementalSemanticDedup(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    incrementalSemanticDedupOn(
+      t(s, d).embeddings.filter(col("vec_id") % 5 === 0),
+      SharedStages.corpusIvfIndexPath(s, d))
+
+  /** q154's operator body: screen `batch` (vec_id, embedding) against
+    * a built [[IvfIndex]] at `indexPath` under its STORED codebook.
+    * One row per batch vector: primary cell, best corpus match id
+    * when its 4dp-rounded exact cosine ≥ `tau` (else null dup_of /
+    * is_dup 0), best_cos (null when the probed cells hold no corpus
+    * member). Scale shape: the codebook is k×dim model state
+    * (bounded collect), the probe relation is batch-sized and rides
+    * the BROADCAST side, so the stored cells scan is pruned to the
+    * probed partitions (DPP, q128's plan discipline) and the corpus
+    * is never shuffled — candidate work is |batch| × (corpus
+    * share of nprobe cells), never |corpus|².
+    */
+  def incrementalSemanticDedupOn(batch: DataFrame, indexPath: String,
+      tau: Double = SemDedupTau,
+      nprobe: Int = IvfNProbe): DataFrame = {
+    val s = batch.sparkSession
+    val cents = IvfIndex.loadCodebook(s, indexPath)
+    val b = batch.select(col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"))
+    val probes = probeCells(b, Seq("b_id", "b_emb"), "b_emb", cents, nprobe)
+    val store = graft.engine.EpochStore.read(s, s"$indexPath/cells")
+      .select(col("cell"), col("vec_id"), col("embedding"))
+    val scored = store.join(broadcast(probes), Seq("cell"))
+      .select(col("b_id"), col("vec_id").as("c_id"),
+        round(Vectors.cosine(col("b_emb"), col("embedding")), 4).as("cos"))
+    val w = Window.partitionBy(col("b_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    val best = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("b_id"), col("c_id"), col("cos"))
+    probeCells(b, Seq("b_id"), "b_emb", cents, 1)
+      .join(best, Seq("b_id"), "left")
+      .select(col("b_id").as("vec_id"), col("cell"),
+        when(col("cos") >= tau, col("c_id")).as("dup_of"),
+        (col("cos") + lit(0.0)).as("best_cos"),
+        coalesce((col("cos") >= tau).cast("int"), lit(0)).as("is_dup"))
       .orderBy(col("vec_id"))
   }
 

@@ -414,6 +414,84 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q154 incremental semantic dedup: DPP probe plan, no false dups, " +
+      "capture vs the exact batch-x-corpus screen") {
+    val out = Registry.queries("q154_incremental_semantic_dedup")(spark, dir)
+    // the stored corpus cells must be read under dynamic partition
+    // pruning from the broadcast batch-probe side (q128's discipline:
+    // the declared query reads the index through the pruned plan)
+    val plan = out.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("dynamicpruning"),
+      s"q154's corpus cells scan carries no dynamic partition pruning:\n$plan")
+    val rows = out.collect()
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // ground truth: the exact batch x corpus screen at the same
+    // 4dp-rounded cosine and tau
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val exactDupPairs = corpus.crossJoin(broadcast(batch))
+      .filter(round(Vectors.cosine(col("b_emb"), col("c_emb")), 4)
+        >= graft.queries.Similarity.SemDedupTau)
+      .select(col("b_id").cast("long"), col("c_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactDuppable = exactDupPairs.map(_._1)
+    // one verdict row per batch vector, exactly
+    val batchIds = batch.select(col("b_id").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet === batchIds)
+    // soundness: the exact-cosine verify means every flagged dup names
+    // a TRUE >= tau corpus partner — never a false positive
+    val flagged = rows.filter(_.getInt(4) == 1)
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(flagged.subsetOf(exactDupPairs),
+      s"false dups: ${(flagged -- exactDupPairs).take(5)}")
+    // capture: the stored-codebook multi-probe must still catch most
+    // of the exactly-matchable batch (cross-cell misses are the
+    // documented SemDeDup tradeoff — measured, not trusted)
+    assert(exactDuppable.nonEmpty)
+    val caught = flagged.map(_._1)
+    val capture = exactDuppable.count(caught.contains).toDouble /
+      exactDuppable.size
+    info(f"capture rate $capture%.3f (${caught.size}/${exactDuppable.size})")
+    assert(capture >= 0.8, s"capture $capture")
+    spark.catalog.clearCache()
+  }
+
+  test("q154 on a clustered corpus: full capture, every batch dup names its cluster") {
+    import spark.implicits._
+    // 50 tight clusters of 8 — one-hot base directions (mutually
+    // orthogonal, cross-cluster cosine is noise-squared small), member
+    // 0 of each cluster is the arriving batch, members 1..7 the stored
+    // corpus. Under real cluster structure the stored-codebook probe
+    // captures EVERY exact dup — the fixture-measured miss rate above
+    // is weak-clustering geometry, not an operator defect.
+    val dim = 64
+    val rnd = new scala.util.Random(7)
+    val rows = for (c <- 0 until 50; m <- 0 until 8) yield {
+      val base = Array.tabulate(dim)(i => if (i == c % dim) 10.0f else 0.0f)
+      val v = base.map(x => x + rnd.nextFloat() * 0.1f)
+      (c * 8L + m, v.toSeq, c)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val corpus = emb.filter(col("vec_id") % 8 =!= 0)
+    val batch = emb.filter(col("vec_id") % 8 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val ip = java.nio.file.Files.createTempDirectory("ivfidx154").toString
+    graft.queries.IvfIndex.build(corpus, ip, k = 50)
+    val out = graft.queries.Similarity
+      .incrementalSemanticDedupOn(batch, ip).collect()
+    assert(out.length === 50)
+    out.foreach { r =>
+      assert(r.getInt(4) === 1, s"batch vector ${r.getLong(0)} not flagged")
+      // the named partner is a member of the same cluster
+      assert(r.getLong(2) / 8 === r.getLong(0) / 8,
+        s"vec ${r.getLong(0)} matched foreign cluster member ${r.getLong(2)}")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q144 health audit: partition of the corpus, bounded cohesion, " +
       "balanced-skew identity") {
     val rows = Registry.queries("q144_ivf_index_health")(spark, dir).collect()
