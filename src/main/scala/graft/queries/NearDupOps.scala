@@ -261,31 +261,7 @@ object NearDupOps {
     //    recursive-CTE walk as q78 over q148's scored-pair CTE.
     Q("q149_containment_clusters",
       (s, d) => containmentVerdictsOn(SharedStages.containmentPairs(s, d)),
-      Some(s"""WITH RECURSIVE $containmentScoredCtes,
-        edges AS (
-          SELECT doc_a AS a, doc_b AS b FROM cpairs
-          UNION ALL SELECT doc_b, doc_a FROM cpairs),
-        walk AS (
-          SELECT a AS id, a AS reach FROM edges
-          UNION
-          SELECT w.id, e.b AS reach FROM walk w JOIN edges e ON e.a = w.reach),
-        comp AS (SELECT id AS doc_id, MIN(reach) AS cluster_id
-                 FROM walk GROUP BY id),
-        sizes AS (
-          SELECT DISTINCT doc_id, n FROM (
-            SELECT doc_a AS doc_id, n_a AS n FROM cpairs
-            UNION ALL SELECT doc_b, n_b FROM cpairs)),
-        ranked AS (
-          SELECT c.doc_id, c.cluster_id, s.n,
-            ROW_NUMBER() OVER (PARTITION BY c.cluster_id
-              ORDER BY s.n DESC, c.doc_id ASC) AS rk
-          FROM comp c JOIN sizes s ON s.doc_id = c.doc_id),
-        canon AS (SELECT cluster_id, doc_id AS canon_id
-                  FROM ranked WHERE rk = 1)
-        SELECT r.doc_id, r.cluster_id, cn.canon_id, r.n,
-          CAST(r.doc_id = cn.canon_id AS INT) AS is_kept
-        FROM ranked r JOIN canon cn USING (cluster_id)
-        ORDER BY r.doc_id"""),
+      Some(containmentVerdictOracleSql),
       "containment pair graph -> components -> largest-carrier keep verdicts"),
 
     // -- q151: the SCALE form of q148's candidate stage — prefix
@@ -483,6 +459,35 @@ object NearDupOps {
         .orderBy(col("doc_id")),
       Some(composedVerdictOracleSql),
       "persisted verdict store: build + incremental append, read == full recompute"),
+
+    // -- q155: INCREMENTAL CONTAINMENT verdict maintenance — the hard
+    //    member of the incremental dedup trio (q152 text exact+near,
+    //    q154 embeddings): the informative-shingle measure is
+    //    df-RELATIVE, so a new batch can flip RESIDENT verdicts — a
+    //    shingle pushed over the df cap is reclassified boilerplate,
+    //    which drops resident pairs (clusters split), raises
+    //    under-τ resident pairs (min-size denominators shrink), and
+    //    can hand the carrier canonical to a batch doc. Full design,
+    //    exactness argument (no id-monotonicity needed, unlike q152)
+    //    and delta-bounded scale shape at
+    //    [[incrementalContainmentVerdicts]]. The resident state (df
+    //    relation, informative postings, pairs, verdicts) is the
+    //    session-shared pre-ingest build; the oracle is q149's
+    //    VERBATIM full-recompute walk — the driver hash-verifies the
+    //    whole incremental path against it. The df-crossing paths
+    //    don't engage on the fixture (no shingle straddles the cap at
+    //    the split); MinHashSpec engages every one of them on a
+    //    crafted corpus with a pinned verdict table.
+    Q("q155_incremental_containment",
+      (s, d) => {
+        val docs = t(s, d).documents
+        val split = incrementalSplitId(docs)
+        incrementalContainmentVerdicts(
+          SharedStages.containmentResidentState(s, d),
+          docs.filter(col("doc_id") >= split))
+      },
+      Some(containmentVerdictOracleSql),
+      "incremental containment clustering (df-crossing exact maintenance, == full recompute)"),
 
     // -- dedup AUDIT: the cluster-size histogram a dedup pass ships
     //    alongside its verdicts — how much of the corpus sits in
@@ -980,6 +985,177 @@ object NearDupOps {
     member.join(canon, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("canon_id"), col("n"),
         (col("doc_id") === col("canon_id")).cast("int").as("is_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The resident containment state an incremental pass maintains —
+    * the four relations q155 reads instead of the corpus text:
+    * `dfAll` (sh, df) for EVERY resident shingle (the over-cap rows
+    * matter: a batch shingle that looks new must be checked against
+    * them, or a boilerplate shingle would sneak back in), `postings`
+    * the informative (doc_id, sh, df) rows, `pairs` the scored
+    * containment pairs at τ, `verdicts` their q149 cluster table.
+    */
+  final case class ContainmentState(
+      dfAll: org.apache.spark.sql.DataFrame,
+      postings: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame,
+      verdicts: org.apache.spark.sql.DataFrame)
+
+  /** Build [[ContainmentState]] from scratch over `docs` — the t0
+    * full pass whose output q155's incremental path maintains.
+    */
+  def containmentStateOn(docs: org.apache.spark.sql.DataFrame,
+                         tau: Double = 0.8,
+                         maxDf: Long = MaxShingleDf): ContainmentState = {
+    val sh = docs.select(col("doc_id"), explode(array_distinct(
+        Text.shingles(col("text"), 3))).as("sh"))
+      .distinct().persist()
+    sh.count() // df + informative join scan this cache
+    val dfAll = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val inf = sh.join(dfAll.filter(col("df") <= maxDf), Seq("sh"))
+      .select(col("doc_id"), col("sh"), col("df"))
+    val pairs = containmentOn(docs, tau, maxDf, postings = Some(inf))
+    ContainmentState(dfAll, inf, pairs, containmentVerdictsOn(pairs))
+  }
+
+  /** q155: INCREMENTAL containment-verdict maintenance — fold one new
+    * ingest batch into a stored [[ContainmentState]] and emit the
+    * q149 verdict table of the UNION corpus, without re-shingling or
+    * re-pairing the resident corpus. This is the hard member of the
+    * incremental dedup trio (q82/q152 exact+near text, q154
+    * embeddings): arrivals can FLIP resident verdicts, because the
+    * informative-shingle measure is df-relative — a batch that pushes
+    * a shingle over `maxDf` reclassifies it as boilerplate, which
+    * shrinks resident docs' informative sizes, can DROP a resident
+    * pair (a cluster splits), and can RAISE a resident pair that was
+    * under τ (the denominator min(n_a, n_b) shrinks). The carrier
+    * canonical (largest member) can also move to a batch doc.
+    *
+    * Exactness argument (unlike q152, NO id-monotonicity needed —
+    * only that batch ids are new):
+    *  1. df is MONOTONE under ingestion: over-cap shingles stay out
+    *     forever, so informative′ ⊆ informative ∪ {brand-new
+    *     shingles}, and the LEAVING set (df ≤ maxDf before, > after)
+    *     is a subset of the batch's own shingles — batch-bounded.
+    *  2. A resident doc with no leaving shingle keeps its informative
+    *     set verbatim (new shingles live only in batch docs), so for
+    *     a pair of two such docs n_a, n_b, n_common are all
+    *     unchanged — the stored pair rows carry over, and a non-pair
+    *     stays a non-pair. Only pairs with an endpoint in
+    *     A ∪ B (A = resident docs holding a leaving shingle, B =
+    *     batch) can change, and every such qualifying pair shares an
+    *     informative′ shingle, so probing the union postings with
+    *     A ∪ B's postings finds them all. Those pairs recompute
+    *     n_common/sizes exactly on the union postings.
+    *  3. Components change only in clusters adjacent to an added or
+    *     removed edge (all endpoints of changed edges are in
+    *     `changedDocs`), so untouched clusters' member sets — and
+    *     their min-id labels and size-ranked canonicals — are
+    *     byte-stable; touched clusters re-solve over their carried
+    *     edges plus the recomputed ones.
+    * Hence output == the full q149 recompute over resident ∪ batch,
+    * and q155 carries q149's oracle VERBATIM.
+    *
+    * Scale shape: the batch signs once (shB); df reclassification is
+    * one broadcast-batch-side join against the stored df relation;
+    * the resident postings are SCANNED (anti-join against the tiny
+    * broadcast leaving set) but never self-joined; the candidate
+    * probe is (A ∪ B)-bounded against df-capped postings (fanout ≤
+    * maxDf per shingle); sizes are computed for candidate endpoints
+    * only; and the component re-solve is bounded by touched-cluster
+    * pair volume. Every broadcast is delta-bounded (leaving ⊆ batch
+    * shingles, affected ≤ |leaving|·maxDf docs, touched members ≤
+    * affected clusters' sizes).
+    */
+  def incrementalContainmentVerdicts(state: ContainmentState,
+      batch: org.apache.spark.sql.DataFrame,
+      tau: Double = 0.8,
+      maxDf: Long = MaxShingleDf): org.apache.spark.sql.DataFrame = {
+    val shB = batch.select(col("doc_id"), explode(array_distinct(
+        Text.shingles(col("text"), 3))).as("sh"))
+      .distinct().persist()
+    shB.count() // df join + batch postings scan this cache
+    val dfB = shB.groupBy(col("sh")).agg(count(lit(1)).as("db"))
+    // classify every batch shingle against the stored df relation:
+    // dr = resident df (0 when brand-new — dfAll keeps over-cap rows,
+    // so a boilerplate shingle can never masquerade as new)
+    val dfBj = dfB.join(state.dfAll, Seq("sh"), "left")
+      .select(col("sh"), coalesce(col("df"), lit(0L)).as("dr"), col("db"))
+      .persist()
+    dfBj.count()
+    val leaving = dfBj.filter(col("dr") > 0 && col("dr") <= maxDf &&
+      col("dr") + col("db") > maxDf).select("sh")
+    val batchInf = dfBj.filter(col("dr") + col("db") <= maxDf).select("sh")
+    // union informative postings: resident minus leaving, plus the
+    // batch's informative rows
+    val postR = state.postings.select(col("doc_id"), col("sh"))
+      .join(broadcast(leaving), Seq("sh"), "left_anti")
+    val postB = shB.join(broadcast(batchInf), Seq("sh"))
+      .select(col("doc_id"), col("sh"))
+    val postNew = postR.unionByName(postB)
+    // A: resident docs whose informative set shrank
+    val affected = state.postings.join(broadcast(leaving), Seq("sh"))
+      .select(col("doc_id")).distinct().persist()
+    affected.count()
+    // recompute every pair with an endpoint in A ∪ B: probe the union
+    // postings with A ∪ B's own postings (a qualifying pair shares at
+    // least one informative shingle, so nothing is missed)
+    val probeIds = affected.unionByName(batch.select(col("doc_id"))).distinct()
+    val probe = postNew.join(broadcast(probeIds), Seq("doc_id"))
+    val shared = probe.select(col("sh"), col("doc_id").as("doc_p"))
+      .join(postNew.select(col("sh"), col("doc_id").as("doc_o")), Seq("sh"))
+      .filter(col("doc_p") =!= col("doc_o"))
+      .select(least(col("doc_p"), col("doc_o")).as("doc_a"),
+        greatest(col("doc_p"), col("doc_o")).as("doc_b"), col("sh"))
+      .distinct()
+    val candCounts = shared.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val endIds = candCounts.select(col("doc_a").as("doc_id"))
+      .unionByName(candCounts.select(col("doc_b").as("doc_id"))).distinct()
+    val sizes = postNew.join(broadcast(endIds), Seq("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pNew = candCounts
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+        Seq("doc_b"))
+      .withColumn("containment", round(col("n_common").cast("double")
+        / least(col("n_a"), col("n_b")), 4))
+      .filter(col("containment") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("n_a"), col("n_b"), col("containment"))
+      .persist()
+    pNew.count()
+    // carried pairs: both endpoints untouched -> values verbatim
+    val carried = state.pairs
+      .join(broadcast(affected.select(col("doc_id").as("doc_a"))),
+        Seq("doc_a"), "left_anti")
+      .join(broadcast(affected.select(col("doc_id").as("doc_b"))),
+        Seq("doc_b"), "left_anti")
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("n_a"), col("n_b"), col("containment"))
+    // clusters adjacent to any changed edge re-solve; the rest carry
+    val changedDocs = pNew.select(col("doc_a").as("doc_id"))
+      .unionByName(pNew.select(col("doc_b").as("doc_id")))
+      .unionByName(affected).distinct()
+    val touched = state.verdicts
+      .join(broadcast(changedDocs), Seq("doc_id"))
+      .select(col("cluster_id")).distinct()
+    val touchedMembers = state.verdicts
+      .join(broadcast(touched), Seq("cluster_id"))
+      .select(col("doc_id"))
+    val carriedTouched = carried.join(
+      broadcast(touchedMembers.select(col("doc_id").as("doc_a"))),
+      Seq("doc_a"), "left_semi")
+    val resolved = containmentVerdictsOn(carriedTouched.unionByName(pNew))
+      .select(col("doc_id"), col("cluster_id"), col("canon_id"),
+        col("n"), col("is_kept"))
+    state.verdicts
+      .join(broadcast(touched), Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"), col("canon_id"),
+        col("n"), col("is_kept"))
+      .unionByName(resolved)
       .orderBy(col("doc_id"))
   }
 
@@ -1486,6 +1662,40 @@ object NearDupOps {
     * (their component clustering) and q146's manifest oracle
     * (containment drops), so the oracles cannot drift.
     */
+  /** The q149 oracle — and q155's VERBATIM (the q152/q100 play): the
+    * full-recompute recursive-CTE walk over the scored containment
+    * pairs of the ENTIRE corpus. q155's incremental path is exactly
+    * equal to this recompute (argument at
+    * [[incrementalContainmentVerdicts]]), so sharing one spelling
+    * means the two can never drift.
+    */
+  private[queries] def containmentVerdictOracleSql: String =
+    s"""WITH RECURSIVE $containmentScoredCtes,
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM cpairs
+          UNION ALL SELECT doc_b, doc_a FROM cpairs),
+        walk AS (
+          SELECT a AS id, a AS reach FROM edges
+          UNION
+          SELECT w.id, e.b AS reach FROM walk w JOIN edges e ON e.a = w.reach),
+        comp AS (SELECT id AS doc_id, MIN(reach) AS cluster_id
+                 FROM walk GROUP BY id),
+        sizes AS (
+          SELECT DISTINCT doc_id, n FROM (
+            SELECT doc_a AS doc_id, n_a AS n FROM cpairs
+            UNION ALL SELECT doc_b, n_b FROM cpairs)),
+        ranked AS (
+          SELECT c.doc_id, c.cluster_id, s.n,
+            ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+              ORDER BY s.n DESC, c.doc_id ASC) AS rk
+          FROM comp c JOIN sizes s ON s.doc_id = c.doc_id),
+        canon AS (SELECT cluster_id, doc_id AS canon_id
+                  FROM ranked WHERE rk = 1)
+        SELECT r.doc_id, r.cluster_id, cn.canon_id, r.n,
+          CAST(r.doc_id = cn.canon_id AS INT) AS is_kept
+        FROM ranked r JOIN canon cn USING (cluster_id)
+        ORDER BY r.doc_id"""
+
   private[queries] def containmentScoredCtes: String =
     s"""sh0 AS (
           SELECT doc_id, unnest(list_distinct(

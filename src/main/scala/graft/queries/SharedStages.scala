@@ -180,6 +180,33 @@ object SharedStages {
     * twice. Only valid at the declared maxDf; a consumer at another
     * cap must build its own.
     */
+  /** The PRE-INGEST containment state for q155 (df relation,
+    * informative postings, scored pairs, verdicts over the resident
+    * split — doc_id below [[NearDupOps.incrementalSplitId]]), built
+    * once per (session, sf dir). This is the persisted state an
+    * incremental containment pass maintains; q155's measured path
+    * reads these four relations and the BATCH text — never the
+    * resident text.
+    */
+  def containmentResidentState(spark: SparkSession,
+      sfDir: String): NearDupOps.ContainmentState = {
+    val p = cached(spark, sfDir, "containment-resident") { path =>
+      val docs = QU.t(spark, sfDir).documents
+      val split = NearDupOps.incrementalSplitId(docs)
+      val st = NearDupOps.containmentStateOn(
+        docs.filter(col("doc_id") < split))
+      st.dfAll.write.mode("overwrite").parquet(s"$path/dfall")
+      st.postings.write.mode("overwrite").parquet(s"$path/postings")
+      st.pairs.write.mode("overwrite").parquet(s"$path/pairs")
+      st.verdicts.write.mode("overwrite").parquet(s"$path/verdicts")
+    }
+    NearDupOps.ContainmentState(
+      spark.read.parquet(s"$p/dfall"),
+      spark.read.parquet(s"$p/postings"),
+      spark.read.parquet(s"$p/pairs"),
+      spark.read.parquet(s"$p/verdicts"))
+  }
+
   def containmentPostings(spark: SparkSession, sfDir: String): DataFrame = {
     val p = cached(spark, sfDir, "containment-postings") { path =>
       NearDupOps.containmentPostingsOn(QU.t(spark, sfDir).documents)

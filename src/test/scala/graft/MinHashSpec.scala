@@ -126,6 +126,80 @@ class MinHashSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q155 incremental containment: df crossings drop, raise, merge, flip " +
+      "and leave untouched clusters byte-stable — == full recompute, pinned") {
+    import spark.implicits._
+    val maxDf = 3L
+    // Resident corpus (maxDf = 3; trigram arithmetic per group):
+    //  X(0) ⊂ Y(1) via the s-block (df 2)       → a t0 cluster
+    //  P(2)/Q(3) share the c-block (df 2) at containment 0.5 (< τ);
+    //    Q/R0(4)/R1(5) share the q-block (df 3, exactly at cap)
+    //  C1(6) ⊂ C2(7) via the d-block            → a t0 cluster
+    //  M1(8) ⊂ M2(9), M3(10) ⊂ M4(11)           → two t0 clusters
+    //  V1(12) ⊂ V2(13)                          → the untouched cluster
+    val resident = Seq(
+      (0L, "s1 s2 s3 s4 s5"),
+      (1L, "s1 s2 s3 s4 s5 y1 y2"),
+      (2L, "p1 p2 p3 c1 c2 c3 c4 c5"),
+      (3L, "q1 q2 q3 c1 c2 c3 c4 c5"),
+      (4L, "q1 q2 q3 c1 c2 r1 r2 r3"),
+      (5L, "q1 q2 q3 c1 c2 t1 t2 t3"),
+      (6L, "d1 d2 d3 d4 d5"),
+      (7L, "d1 d2 d3 d4 d5 d6 d7"),
+      (8L, "g1 g2 g3 g4 g5"),
+      (9L, "g1 g2 g3 g4 g5 g6 g7"),
+      (10L, "h1 h2 h3 h4 h5"),
+      (11L, "h1 h2 h3 h4 h5 h6 h7"),
+      (12L, "v1 v2 v3 v4 v5"),
+      (13L, "v1 v2 v3 v4 v5 v6 v7")).toDF("doc_id", "text")
+    // Batch: Z1a/Z1b push the s-block over the cap (X–Y pair DROPS,
+    // the cluster dissolves); Z2 pushes the q-block over (Q's size
+    // shrinks 6→3, so the dormant P–Q pair RISES to 1.0); C3 extends
+    // the C chain and STEALS the carrier; M5 contains both M2 and M4
+    // (two resident clusters MERGE under a batch carrier); W1 ⊂ W2 is
+    // a batch-internal cluster.
+    val batch = Seq(
+      (100L, "s1 s2 s3 s4 s5 za1 za2"),
+      (101L, "s1 s2 s3 s4 s5 zb1 zb2"),
+      (102L, "q1 q2 q3 c1 c2"),
+      (103L, "d1 d2 d3 d4 d5 d6 d7 d8 d9"),
+      (104L, "g1 g2 g3 g4 g5 g6 g7 h1 h2 h3 h4 h5 h6 h7"),
+      (105L, "u1 u2 u3 u4 u5"),
+      (106L, "u1 u2 u3 u4 u5 u6 u7")).toDF("doc_id", "text")
+    val st = graft.queries.NearDupOps.containmentStateOn(resident, maxDf = maxDf)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSet
+    // t0 sanity: X–Y is a real resident cluster (so its dissolution
+    // below is a genuine verdict FLIP, not a never-existed pair)
+    val t0 = key(st.verdicts)
+    assert(t0.contains((0L, 0L, 1L, 3L, 0)) && t0.contains((1L, 0L, 1L, 5L, 1)))
+    assert(!t0.exists(v => v._1 == 2L || v._1 == 3L)) // P–Q dormant at t0
+    val inc = key(graft.queries.NearDupOps
+      .incrementalContainmentVerdicts(st, batch, maxDf = maxDf))
+    // the core contract: incremental == the full recompute over the union
+    val full = key(graft.queries.NearDupOps.containmentVerdictsOn(
+      graft.queries.NearDupOps.containmentOn(resident.union(batch),
+        maxDf = maxDf)))
+    assert(inc === full, s"incremental != full recompute:\n+${inc -- full}\n-${full -- inc}")
+    // and the full pinned verdict table, every engagement visible:
+    assert(inc === Set(
+      (2L, 2L, 2L, 6L, 1), (3L, 2L, 2L, 3L, 0),            // RISEN pair
+      (6L, 6L, 103L, 3L, 0), (7L, 6L, 103L, 5L, 0),
+      (103L, 6L, 103L, 7L, 1),                             // carrier FLIP
+      (8L, 8L, 104L, 3L, 0), (9L, 8L, 104L, 5L, 0),
+      (10L, 8L, 104L, 3L, 0), (11L, 8L, 104L, 5L, 0),
+      (104L, 8L, 104L, 12L, 1),                            // MERGE
+      (12L, 12L, 13L, 3L, 0), (13L, 12L, 13L, 5L, 1),      // untouched
+      (105L, 105L, 106L, 3L, 0), (106L, 105L, 106L, 5L, 1) // batch pair
+    ))
+    // X/Y/Z1a/Z1b/Z2/R0/R1 all absent: the s- and q-blocks crossed the
+    // df cap, so the X–Y cluster DISSOLVED and Z2 has no informative
+    // shingles left at all
+    assert(!inc.exists(v => Set(0L, 1L, 4L, 5L, 100L, 101L, 102L)(v._1)))
+    spark.catalog.clearCache()
+  }
+
   test("over-cap LSH buckets dedup via representative star instead of vanishing") {
     import spark.implicits._
     // A dense duplicate cluster larger than the bucket cap: 200 exact
