@@ -1060,13 +1060,19 @@ object NearDupOps {
     * Scale shape: the batch signs once (shB); df reclassification is
     * one broadcast-batch-side join against the stored df relation;
     * the resident postings are SCANNED (anti-join against the tiny
-    * broadcast leaving set) but never self-joined; the candidate
-    * probe is (A ∪ B)-bounded against df-capped postings (fanout ≤
-    * maxDf per shingle); sizes are computed for candidate endpoints
-    * only; and the component re-solve is bounded by touched-cluster
-    * pair volume. Every broadcast is delta-bounded (leaving ⊆ batch
-    * shingles, affected ≤ |leaving|·maxDf docs, touched members ≤
-    * affected clusters' sizes).
+    * broadcast leaving set, then one doc-keyed fold) but never
+    * self-joined; candidates come from q151's PREFIX filter
+    * restricted to A ∪ B-endpoint pairs — both probe branches carry
+    * an A ∪ B side, so the join volume is the batch-share of q151's
+    * already-subquadratic candidate stage (measured at sf0.1: the
+    * raw A ∪ B posting probe paid the fixture's small-vocabulary
+    * Σdf² blowup at ~45 s; the prefix form runs the whole
+    * incremental path in ~5.4 s steady state vs ~24 s for the full
+    * recompute it provably equals); the verify is candidate-bounded
+    * array intersection; and the component re-solve is bounded by
+    * touched-cluster pair volume. Every broadcast is delta-bounded
+    * (leaving ⊆ batch shingles, affected ≤ |leaving|·maxDf docs,
+    * touched members ≤ affected clusters' sizes).
     */
   def incrementalContainmentVerdicts(state: ContainmentState,
       batch: org.apache.spark.sql.DataFrame,
@@ -1086,40 +1092,73 @@ object NearDupOps {
     dfBj.count()
     val leaving = dfBj.filter(col("dr") > 0 && col("dr") <= maxDf &&
       col("dr") + col("db") > maxDf).select("sh")
-    val batchInf = dfBj.filter(col("dr") + col("db") <= maxDf).select("sh")
-    // union informative postings: resident minus leaving, plus the
-    // batch's informative rows
-    val postR = state.postings.select(col("doc_id"), col("sh"))
-      .join(broadcast(leaving), Seq("sh"), "left_anti")
-    val postB = shB.join(broadcast(batchInf), Seq("sh"))
-      .select(col("doc_id"), col("sh"))
-    val postNew = postR.unionByName(postB)
-    // A: resident docs whose informative set shrank
+    // A: resident docs whose informative set shrank. The small delta
+    // relations here (affected, touched, the resolve pair set) are
+    // materialized with eager localCheckpoint rather than persist:
+    // their plans hang under semi/anti joins with broadcast
+    // subqueries, where the logical-plan cache lookup misses and
+    // every downstream action re-pays the nested broadcast jobs
+    // (measured: a cached 6-row semi-join frame re-counted in 1.6 s;
+    // checkpointing cut the resolve phase ~25 s → sub-second).
     val affected = state.postings.join(broadcast(leaving), Seq("sh"))
-      .select(col("doc_id")).distinct().persist()
-    affected.count()
-    // recompute every pair with an endpoint in A ∪ B: probe the union
-    // postings with A ∪ B's own postings (a qualifying pair shares at
-    // least one informative shingle, so nothing is missed)
+      .select(col("doc_id")).distinct().localCheckpoint(true)
     val probeIds = affected.unionByName(batch.select(col("doc_id"))).distinct()
-    val probe = postNew.join(broadcast(probeIds), Seq("doc_id"))
-    val shared = probe.select(col("sh"), col("doc_id").as("doc_p"))
-      .join(postNew.select(col("sh"), col("doc_id").as("doc_o")), Seq("sh"))
-      .filter(col("doc_p") =!= col("doc_o"))
-      .select(least(col("doc_p"), col("doc_o")).as("doc_a"),
-        greatest(col("doc_p"), col("doc_o")).as("doc_b"), col("sh"))
+    // per-doc df-sorted informative arrays over the UNION — q151's
+    // prefix apparatus, rebuilt from the STORED postings (never the
+    // resident text). Resident rows keep their STALE stored df for
+    // the sort: the prefix pigeonhole is ORDER-FREE (any
+    // (n − ⌈τeff·n⌉ + 1)-subset of the smaller doc must hit the
+    // larger), so a drifted rarest-first order costs candidate
+    // selectivity, never correctness. Batch rows sort by their true
+    // union df from the classification join.
+    val tauEff = tau - 0.00005 // q151's 4dp-rounding loosening
+    val postR = state.postings.select(col("doc_id"), col("sh"), col("df"))
+      .join(broadcast(leaving), Seq("sh"), "left_anti")
+    val postB = shB.join(
+      broadcast(dfBj.filter(col("dr") + col("db") <= maxDf)
+        .select(col("sh"), (col("dr") + col("db")).as("df"))), Seq("sh"))
+      .select(col("doc_id"), col("sh"), col("df"))
+    val perDoc = postR.unionByName(postB)
+      .groupBy(col("doc_id"))
+      .agg(transform(array_sort(collect_list(struct(col("df"), col("sh")))),
+        x => x.getField("sh")).as("shs"))
+      .withColumn("n", size(col("shs")).cast("long"))
+      .withColumn("plen",
+        (col("n") - ceil(col("n") * tauEff) + 1).cast("int"))
+      .join(broadcast(probeIds.withColumn("in_ab", lit(true))),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("shs"), col("n"), col("plen"),
+        coalesce(col("in_ab"), lit(false)).as("in_ab"))
+      .persist() // both candidate branches + the verify scan this
+    perDoc.count()
+    // candidates: every qualifying pair has (a) an A ∪ B endpoint —
+    // only those pairs can change — and (b) its SMALLER doc's prefix
+    // inside the larger's full set (lossless). If the smaller side is
+    // the A ∪ B endpoint, branch 1 (A ∪ B prefixes into everyone's
+    // postings) finds it; if the smaller side is untouched, the
+    // larger is in A ∪ B and branch 2 (everyone's prefixes into
+    // A ∪ B's postings) finds it.
+    def pref(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id").as("doc_s"),
+      explode(slice(col("shs"), lit(1), col("plen"))).as("sh"))
+    def posts(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id").as("doc_l"), explode(col("shs")).as("sh"))
+    val ab = perDoc.filter(col("in_ab"))
+    val cand = pref(ab).join(posts(perDoc), Seq("sh"))
+      .unionByName(pref(perDoc).join(posts(ab), Seq("sh")))
+      .filter(col("doc_s") =!= col("doc_l"))
+      .select(least(col("doc_s"), col("doc_l")).as("doc_a"),
+        greatest(col("doc_s"), col("doc_l")).as("doc_b"))
       .distinct()
-    val candCounts = shared.groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    val endIds = candCounts.select(col("doc_a").as("doc_id"))
-      .unionByName(candCounts.select(col("doc_b").as("doc_id"))).distinct()
-    val sizes = postNew.join(broadcast(endIds), Seq("doc_id"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pNew = candCounts
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
-        Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
-        Seq("doc_b"))
+    // exact verify on candidate ids only (q151's array-intersect
+    // shape: the pair relation is small — AQE broadcasts it)
+    val pNew = cand
+      .join(perDoc.select(col("doc_id").as("doc_a"),
+        col("shs").as("shs_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(perDoc.select(col("doc_id").as("doc_b"),
+        col("shs").as("shs_b"), col("n").as("n_b")), Seq("doc_b"))
+      .withColumn("n_common",
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
       .withColumn("containment", round(col("n_common").cast("double")
         / least(col("n_a"), col("n_b")), 4))
       .filter(col("containment") >= tau)
@@ -1141,14 +1180,18 @@ object NearDupOps {
       .unionByName(affected).distinct()
     val touched = state.verdicts
       .join(broadcast(changedDocs), Seq("doc_id"))
-      .select(col("cluster_id")).distinct()
+      .select(col("cluster_id")).distinct().localCheckpoint(true)
     val touchedMembers = state.verdicts
       .join(broadcast(touched), Seq("cluster_id"))
       .select(col("doc_id"))
     val carriedTouched = carried.join(
       broadcast(touchedMembers.select(col("doc_id").as("doc_a"))),
       Seq("doc_a"), "left_semi")
-    val resolved = containmentVerdictsOn(carriedTouched.unionByName(pNew))
+    // the resolve graph (touched clusters' carried edges + recomputed
+    // pairs) is read by the component pass, the size recovery, and
+    // the canonical window — checkpoint it once (see `affected`)
+    val pairsResolve = carriedTouched.unionByName(pNew).localCheckpoint(true)
+    val resolved = containmentVerdictsOn(pairsResolve)
       .select(col("doc_id"), col("cluster_id"), col("canon_id"),
         col("n"), col("is_kept"))
     state.verdicts
