@@ -989,21 +989,26 @@ object NearDupOps {
   }
 
   /** The resident containment state an incremental pass maintains —
-    * the four relations q155 reads instead of the corpus text:
+    * the five relations q155 reads instead of the corpus text:
     * `dfAll` (sh, df) for EVERY resident shingle (the over-cap rows
     * matter: a batch shingle that looks new must be checked against
     * them, or a boilerplate shingle would sneak back in), `postings`
-    * the informative (doc_id, sh, df) rows, `pairs` the scored
+    * the informative (doc_id, sh, df) rows, `perDoc` the q151 prefix
+    * apparatus (doc_id, shs df-rarest-first, n, plen — the signature
+    * a doc is folded into ONCE, at ingest), `pairs` the scored
     * containment pairs at τ, `verdicts` their q149 cluster table.
     */
   final case class ContainmentState(
       dfAll: org.apache.spark.sql.DataFrame,
       postings: org.apache.spark.sql.DataFrame,
+      perDoc: org.apache.spark.sql.DataFrame,
       pairs: org.apache.spark.sql.DataFrame,
       verdicts: org.apache.spark.sql.DataFrame)
 
   /** Build [[ContainmentState]] from scratch over `docs` — the t0
-    * full pass whose output q155's incremental path maintains.
+    * full pass whose output q155's incremental path maintains. The
+    * perDoc arrays come from [[containmentPrefixCore]]'s fold, so the
+    * stored prefixes are exactly q151's.
     */
   def containmentStateOn(docs: org.apache.spark.sql.DataFrame,
                          tau: Double = 0.8,
@@ -1016,7 +1021,10 @@ object NearDupOps {
     val inf = sh.join(dfAll.filter(col("df") <= maxDf), Seq("sh"))
       .select(col("doc_id"), col("sh"), col("df"))
     val pairs = containmentOn(docs, tau, maxDf, postings = Some(inf))
-    ContainmentState(dfAll, inf, pairs, containmentVerdictsOn(pairs))
+    val (perDoc, _) = containmentPrefixCore(docs, tau, maxDf, Some(inf))
+    ContainmentState(dfAll, inf,
+      perDoc.select(col("doc_id"), col("shs"), col("n"), col("plen")),
+      pairs, containmentVerdictsOn(pairs))
   }
 
   /** q155: INCREMENTAL containment-verdict maintenance — fold one new
@@ -1057,22 +1065,25 @@ object NearDupOps {
     * Hence output == the full q149 recompute over resident ∪ batch,
     * and q155 carries q149's oracle VERBATIM.
     *
-    * Scale shape: the batch signs once (shB); df reclassification is
-    * one broadcast-batch-side join against the stored df relation;
-    * the resident postings are SCANNED (anti-join against the tiny
-    * broadcast leaving set, then one doc-keyed fold) but never
-    * self-joined; candidates come from q151's PREFIX filter
-    * restricted to A ∪ B-endpoint pairs — both probe branches carry
-    * an A ∪ B side, so the join volume is the batch-share of q151's
-    * already-subquadratic candidate stage (measured at sf0.1: the
-    * raw A ∪ B posting probe paid the fixture's small-vocabulary
-    * Σdf² blowup at ~45 s; the prefix form runs the whole
-    * incremental path in ~5.4 s steady state vs ~24 s for the full
-    * recompute it provably equals); the verify is candidate-bounded
-    * array intersection; and the component re-solve is bounded by
-    * touched-cluster pair volume. Every broadcast is delta-bounded
-    * (leaving ⊆ batch shingles, affected ≤ |leaving|·maxDf docs,
-    * touched members ≤ affected clusters' sizes).
+    * Scale shape: NO corpus shuffle anywhere. The batch signs once
+    * (shB); df reclassification is one broadcast-batch-side join
+    * against the stored df relation; only the DELTA re-folds into
+    * q151 prefix arrays (untouched residents carry their STORED
+    * arrays — the prefix pigeonhole is order-free, so the stale-df
+    * sort stays lossless); candidates come from q151's PREFIX filter
+    * restricted to A ∪ B-endpoint pairs, where each join carries the
+    * delta on its broadcastable side and merely SCANS a stored
+    * corpus relation (postings in branch 1, arrays in branch 2);
+    * the verify is candidate-bounded array intersection; and the
+    * component re-solve is bounded by touched-cluster pair volume.
+    * Every broadcast is delta-bounded (leaving ⊆ batch shingles,
+    * affected ≤ |leaving|·maxDf docs, touched members ≤ affected
+    * clusters' sizes). Measured at sf0.1: the raw A ∪ B posting
+    * probe paid the fixture's small-vocabulary Σdf² blowup at
+    * ~45 s; this form runs the whole incremental path in ~5.7 s
+    * steady state vs ~24 s for the full recompute it provably
+    * equals (the fixture batch is a full 20% of the corpus — a
+    * production daily delta is orders smaller).
     */
   def incrementalContainmentVerdicts(state: ContainmentState,
       batch: org.apache.spark.sql.DataFrame,
@@ -1102,50 +1113,59 @@ object NearDupOps {
     // checkpointing cut the resolve phase ~25 s → sub-second).
     val affected = state.postings.join(broadcast(leaving), Seq("sh"))
       .select(col("doc_id")).distinct().localCheckpoint(true)
-    val probeIds = affected.unionByName(batch.select(col("doc_id"))).distinct()
     // per-doc df-sorted informative arrays over the UNION — q151's
-    // prefix apparatus, rebuilt from the STORED postings (never the
-    // resident text). Resident rows keep their STALE stored df for
-    // the sort: the prefix pigeonhole is ORDER-FREE (any
-    // (n − ⌈τeff·n⌉ + 1)-subset of the smaller doc must hit the
-    // larger), so a drifted rarest-first order costs candidate
-    // selectivity, never correctness. Batch rows sort by their true
-    // union df from the classification join.
+    // prefix apparatus, maintained INCREMENTALLY: untouched resident
+    // docs carry their STORED arrays verbatim (sets unchanged; the
+    // stored stale-df order stays valid because the prefix pigeonhole
+    // is ORDER-FREE — any (n − ⌈τeff·n⌉ + 1)-subset of the smaller
+    // doc must hit the larger), so only the DELTA (A docs minus their
+    // leaving shingles, batch docs under union df) is re-folded. No
+    // corpus shuffle anywhere in the path: the two corpus-wide
+    // relations (stored postings, stored arrays) are SCANNED map-side
+    // against broadcastable delta sides.
     val tauEff = tau - 0.00005 // q151's 4dp-rounding loosening
-    val postR = state.postings.select(col("doc_id"), col("sh"), col("df"))
-      .join(broadcast(leaving), Seq("sh"), "left_anti")
-    val postB = shB.join(
-      broadcast(dfBj.filter(col("dr") + col("db") <= maxDf)
-        .select(col("sh"), (col("dr") + col("db")).as("df"))), Seq("sh"))
-      .select(col("doc_id"), col("sh"), col("df"))
-    val perDoc = postR.unionByName(postB)
+    def fold(rows: org.apache.spark.sql.DataFrame) = rows
       .groupBy(col("doc_id"))
       .agg(transform(array_sort(collect_list(struct(col("df"), col("sh")))),
         x => x.getField("sh")).as("shs"))
       .withColumn("n", size(col("shs")).cast("long"))
       .withColumn("plen",
         (col("n") - ceil(col("n") * tauEff) + 1).cast("int"))
-      .join(broadcast(probeIds.withColumn("in_ab", lit(true))),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"), col("shs"), col("n"), col("plen"),
-        coalesce(col("in_ab"), lit(false)).as("in_ab"))
-      .persist() // both candidate branches + the verify scan this
-    perDoc.count()
+    val postRofA = state.postings
+      .join(broadcast(affected), Seq("doc_id"))
+      .join(broadcast(leaving), Seq("sh"), "left_anti")
+      .select(col("doc_id"), col("sh"), col("df"))
+    val postB = shB.join(
+      broadcast(dfBj.filter(col("dr") + col("db") <= maxDf)
+        .select(col("sh"), (col("dr") + col("db")).as("df"))), Seq("sh"))
+      .select(col("doc_id"), col("sh"), col("df"))
+    // the A ∪ B apparatus — delta-bounded, the probe side of both
+    // candidate branches (checkpointed: see `affected`)
+    val perDocDelta = fold(postRofA.unionByName(postB))
+      .localCheckpoint(true)
+    val perDocRest = state.perDoc
+      .join(broadcast(affected), Seq("doc_id"), "left_anti")
+    val perDocNew = perDocRest.unionByName(perDocDelta)
     // candidates: every qualifying pair has (a) an A ∪ B endpoint —
     // only those pairs can change — and (b) its SMALLER doc's prefix
     // inside the larger's full set (lossless). If the smaller side is
     // the A ∪ B endpoint, branch 1 (A ∪ B prefixes into everyone's
     // postings) finds it; if the smaller side is untouched, the
     // larger is in A ∪ B and branch 2 (everyone's prefixes into
-    // A ∪ B's postings) finds it.
+    // A ∪ B's postings) finds it. The delta side of each join is
+    // small — AQE broadcasts it and the corpus side streams.
     def pref(df: org.apache.spark.sql.DataFrame) = df.select(
       col("doc_id").as("doc_s"),
       explode(slice(col("shs"), lit(1), col("plen"))).as("sh"))
     def posts(df: org.apache.spark.sql.DataFrame) = df.select(
       col("doc_id").as("doc_l"), explode(col("shs")).as("sh"))
-    val ab = perDoc.filter(col("in_ab"))
-    val cand = pref(ab).join(posts(perDoc), Seq("sh"))
-      .unionByName(pref(perDoc).join(posts(ab), Seq("sh")))
+    val postsAll = state.postings.select(col("doc_id"), col("sh"))
+      .join(broadcast(leaving), Seq("sh"), "left_anti")
+      .join(broadcast(affected), Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("doc_l"), col("sh"))
+      .unionByName(posts(perDocDelta))
+    val cand = pref(perDocDelta).join(postsAll, Seq("sh"))
+      .unionByName(pref(perDocNew).join(posts(perDocDelta), Seq("sh")))
       .filter(col("doc_s") =!= col("doc_l"))
       .select(least(col("doc_s"), col("doc_l")).as("doc_a"),
         greatest(col("doc_s"), col("doc_l")).as("doc_b"))
@@ -1153,9 +1173,9 @@ object NearDupOps {
     // exact verify on candidate ids only (q151's array-intersect
     // shape: the pair relation is small — AQE broadcasts it)
     val pNew = cand
-      .join(perDoc.select(col("doc_id").as("doc_a"),
+      .join(perDocNew.select(col("doc_id").as("doc_a"),
         col("shs").as("shs_a"), col("n").as("n_a")), Seq("doc_a"))
-      .join(perDoc.select(col("doc_id").as("doc_b"),
+      .join(perDocNew.select(col("doc_id").as("doc_b"),
         col("shs").as("shs_b"), col("n").as("n_b")), Seq("doc_b"))
       .withColumn("n_common",
         size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))

@@ -197,12 +197,14 @@ object SharedStages {
         docs.filter(col("doc_id") < split))
       st.dfAll.write.mode("overwrite").parquet(s"$path/dfall")
       st.postings.write.mode("overwrite").parquet(s"$path/postings")
+      st.perDoc.write.mode("overwrite").parquet(s"$path/perdoc")
       st.pairs.write.mode("overwrite").parquet(s"$path/pairs")
       st.verdicts.write.mode("overwrite").parquet(s"$path/verdicts")
     }
     NearDupOps.ContainmentState(
       spark.read.parquet(s"$p/dfall"),
       spark.read.parquet(s"$p/postings"),
+      spark.read.parquet(s"$p/perdoc"),
       spark.read.parquet(s"$p/pairs"),
       spark.read.parquet(s"$p/verdicts"))
   }
