@@ -2,14 +2,15 @@ package graft.engine
 
 import org.apache.spark.sql.SparkSession
 
-import graft.queries.{ChunkIndex, IvfIndex, MinHashIndex, VerdictStore}
+import graft.queries.{ChunkIndex, ContainmentStore, IvfIndex, MinHashIndex, VerdictStore}
 
 /** One maintenance tick across every persisted index store — the
-  * single documented cron body for a deployment that runs all four
+  * single documented cron body for a deployment that runs all five
   * build-once/query-many stores (IVF vectors, MinHash bands, content
-  * chunks, dedup verdicts). Each store already owns its tick
-  * ([[IvfIndex.maintain]], [[MinHashIndex.maintain]],
-  * [[ChunkIndex.maintain]], [[VerdictStore.maintain]]: heal-aware
+  * chunks, dedup verdicts, containment state). Each store already
+  * owns its tick ([[IvfIndex.maintain]], [[MinHashIndex.maintain]],
+  * [[ChunkIndex.maintain]], [[VerdictStore.maintain]],
+  * [[ContainmentStore.maintain]]: heal-aware
   * compaction policy + health census); this composes them, pushes the
   * IVF health into the SERVING config (the q147 SQ re-rank width via
   * [[IvfIndex.sqRerankWidthFor]] — the tick that measured the store
@@ -39,6 +40,13 @@ import graft.queries.{ChunkIndex, IvfIndex, MinHashIndex, VerdictStore}
   *  - `verdictstore_diverged` — the verdict store's sigs/verdicts
   *    epoch sets differ (half-committed append): same contract as
   *    `minhash_diverged`, the appender's retry heals it.
+  *  - `containment_diverged` — any of the containment store's four
+  *    tables' epoch sets differ: same contract again.
+  *  - `containment_gc_heavy` — the superseded+dead row fraction
+  *    crossed `supersededAlert` while under the epoch-count policy:
+  *    df-crossing appends are churning resident rows faster than the
+  *    fold cadence; lower `maxEpochs` for this store or compact
+  *    out-of-band.
   *
   * Single-maintenance-writer contract (inherited from each store):
   * run between micro-batches or with the append streams stopped.
@@ -51,7 +59,8 @@ object Maintenance {
   final case class Stores(ivf: Option[String] = None,
                           minhash: Option[String] = None,
                           chunks: Option[String] = None,
-                          verdicts: Option[String] = None)
+                          verdicts: Option[String] = None,
+                          containment: Option[String] = None)
 
   /** What the composed tick did, saw, and decided: the three
     * per-store reports (as run), the serving-config push-down
@@ -62,6 +71,7 @@ object Maintenance {
                           minhash: Option[MinHashIndex.MaintenanceReport],
                           chunks: Option[ChunkIndex.MaintenanceReport],
                           verdicts: Option[VerdictStore.MaintenanceReport],
+                          containment: Option[ContainmentStore.MaintenanceReport],
                           sqRerankWidth: Int,
                           alerts: Seq[String])
 
@@ -69,7 +79,8 @@ object Maintenance {
            maxEpochs: Int = 64,
            ivfSkewAlert: Double = 4.0,
            cappedPostAlert: Double = 0.05,
-           dupOccAlert: Double = 0.5): Report = {
+           dupOccAlert: Double = 0.5,
+           supersededAlert: Double = 0.5): Report = {
     val ivfR = stores.ivf.map(p =>
       IvfIndex.maintain(spark, p, maxEpochs = maxEpochs,
         maxSkew = ivfSkewAlert))
@@ -79,6 +90,8 @@ object Maintenance {
       ChunkIndex.maintain(spark, p, maxEpochs = maxEpochs))
     val vsR = stores.verdicts.map(p =>
       VerdictStore.maintain(spark, p, maxEpochs = maxEpochs))
+    val ctR = stores.containment.map(p =>
+      ContainmentStore.maintain(spark, p, maxEpochs = maxEpochs))
     val width = IvfIndex.sqRerankWidthFor(
       ivfR.map(_.maxSkew).getOrElse(Double.NaN))
     val alerts = Seq.newBuilder[String]
@@ -100,7 +113,12 @@ object Maintenance {
       // heal belongs to the appender's retry, never to this cron
       if (r.diverged) alerts += "verdictstore_diverged"
     }
-    Report(ivfR, mhR, chR, vsR, width, alerts.result())
+    ctR.foreach { r =>
+      if (r.diverged) alerts += "containment_diverged"
+      else if (r.supersededFrac > supersededAlert)
+        alerts += f"containment_gc_heavy:${r.supersededFrac}%.4f"
+    }
+    Report(ivfR, mhR, chR, vsR, ctR, width, alerts.result())
   }
 
   /** The RUNNING-cron form of [[tick]]: wire the composed tick onto a
@@ -132,7 +150,8 @@ object Maintenance {
                      maxEpochs: Int = 64,
                      ivfSkewAlert: Double = 4.0,
                      cappedPostAlert: Double = 0.05,
-                     dupOccAlert: Double = 0.5)
+                     dupOccAlert: Double = 0.5,
+                     supersededAlert: Double = 0.5)
                     (body: (org.apache.spark.sql.DataFrame, Long) => Unit)
       : (org.apache.spark.sql.DataFrame, Long) => Unit = {
     require(everyN >= 1, s"everyN must be >= 1, got $everyN")
@@ -140,7 +159,7 @@ object Maintenance {
       body(batch, batchId)
       if ((batchId + 1) % everyN == 0)
         onReport(tick(spark, stores, maxEpochs, ivfSkewAlert,
-          cappedPostAlert, dupOccAlert))
+          cappedPostAlert, dupOccAlert, supersededAlert))
     }
   }
 }

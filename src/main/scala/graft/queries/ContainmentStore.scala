@@ -1,0 +1,321 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.EpochStore
+
+/** The persisted CONTAINMENT STORE — the fifth build-once /
+  * maintain-forever store (IvfIndex, MinHashIndex, ChunkIndex,
+  * VerdictStore), and the production artifact behind q155: the
+  * quote/subset dedup verdict table plus the state that makes its
+  * maintenance incremental. It is the store where arrivals MUTATE
+  * resident rows by design — the df-relative informative measure
+  * means a batch can flip resident verdicts (q155's drop / rise /
+  * carrier-flip cases) — so every table is a DELTA-epoch store under
+  * LAST-WRITE-WINS reads, and the two relation-valued tables carry
+  * tombstones (`live = false`) because pairs and verdict rows can
+  * VANISH, not just change (a doc whose informative set empties
+  * leaves every cluster).
+  *
+  * Layout under `path` — four versioned EpochStores sharing the
+  * atomic-epoch exactly-once contract:
+  *
+  *  - `dfs/`      (sh, df, seq): the document-frequency statistic,
+  *    LWW by shingle. Each append re-stamps every batch-present
+  *    shingle with its union df. Over-cap rows are KEPT — a future
+  *    batch's shingle must never masquerade as new.
+  *  - `perdoc/`   (doc_id, shs, n, plen, seq): q151's prefix arrays
+  *    (the per-doc signature, folded once at ingest), LWW by doc.
+  *    An affected doc's replacement row may carry an EMPTY array —
+  *    that overwrite is what keeps a stale signature from pairing.
+  *  - `pairs/`    (doc_a, doc_b, n_common, n_a, n_b, containment,
+  *    live, seq): LWW by (doc_a, doc_b); dead rows tombstone stored
+  *    pairs that stopped qualifying.
+  *  - `verdicts/` (doc_id, cluster_id, canon_id, n, is_kept, live,
+  *    seq): the q149 table, LWW by doc with tombstones.
+  *
+  * Exactly-once — SIMPLER than VerdictStore's ordered-commit dance,
+  * because every read used by an append EXCLUDES the in-flight epoch
+  * id: a redelivery (same id) reconstructs the exact pre-append
+  * state from the stores, recomputes the identical four deltas
+  * ([[NearDupOps.incrementalContainmentParts]] is deterministic),
+  * and each per-table commit either no-ops (already renamed) or
+  * completes. A crash between ANY of the four renames is healed by
+  * redelivering the same (batch, id); no table ordering is
+  * load-bearing. Batch appends ([[append]]) derive their id from the
+  * lagging table and, on a crashed half-commit, verify the batch's
+  * shingle set against the committed `dfs/` epoch before reusing the
+  * id (a different batch fails loudly; a crashed epoch folded
+  * out-of-band names its [[appendEpoch]] recovery) — MinHashIndex's
+  * round-9 self-heal contract.
+  *
+  * Correctness: [[read]] after any build+append sequence equals the
+  * q149 full recompute over the union corpus, row for row — q155's
+  * exactness argument, inherited delta by delta. Spec-pinned in
+  * ContainmentStoreSpec on the crafted df-crossing corpus (drop,
+  * rise, merge, carrier flip, emptied-array overwrite, untouched).
+  *
+  * Single-maintenance-writer contract throughout: one appender, and
+  * [[maintain]]/[[compact]] run between micro-batches or with the
+  * append stream stopped.
+  */
+object ContainmentStore {
+
+  private val Tables = Seq("dfs", "perdoc", "pairs", "verdicts")
+
+  /** Build the store: one full [[NearDupOps.containmentStateOn]] pass
+    * (the one-time from-scratch cost), each relation as the base
+    * epoch of its table. Rebuild carries the epoch ledgers.
+    */
+  def build(docs: DataFrame, path: String, tau: Double = 0.8,
+            maxDf: Long = graft.queries.TextOps.MaxShingleDf): Unit = {
+    val st = NearDupOps.containmentStateOn(docs, tau, maxDf)
+    val base = Map(
+      "dfs" -> st.dfAll.withColumn("seq", lit(0L)),
+      "perdoc" -> st.perDoc.withColumn("seq", lit(0L)),
+      "pairs" -> st.pairs.withColumn("live", lit(true))
+        .withColumn("seq", lit(0L)),
+      "verdicts" -> st.verdicts.withColumn("live", lit(true))
+        .withColumn("seq", lit(0L)))
+    Tables.foreach { t =>
+      EpochStore.create(s"$path/$t", rebuild = true) { dir =>
+        base(t).write.mode("overwrite").parquet(dir)
+      }
+    }
+  }
+
+  private def lwwBy(raw: DataFrame, keys: Seq[String],
+                    payload: Seq[String]): DataFrame = raw
+    .groupBy(keys.map(col): _*)
+    .agg(max(struct((col("seq") +: payload.map(col)): _*)).as("s"))
+    .select(keys.map(col) ++ payload.map(c => col(s"s.$c").as(c)): _*)
+
+  /** The resolved [[NearDupOps.ContainmentState]] view of the store,
+    * optionally EXCLUDING one in-flight epoch id — the redelivery
+    * trick: reads that skip the crashed epoch reconstruct the exact
+    * pre-append state, so a retry recomputes identical deltas.
+    */
+  private[graft] def stateView(spark: SparkSession, path: String,
+      excludeId: Option[Long] = None): NearDupOps.ContainmentState = {
+    def raw(t: String) = {
+      val r = EpochStore.read(spark, s"$path/$t")
+      excludeId.fold(r)(id => r.filter(col("epoch") =!= id.toString))
+    }
+    val pairsLive = lwwBy(raw("pairs"), Seq("doc_a", "doc_b"),
+      Seq("n_common", "n_a", "n_b", "containment", "live"))
+      .filter(col("live")).drop("live")
+    val verdictsLive = lwwBy(raw("verdicts"), Seq("doc_id"),
+      Seq("cluster_id", "canon_id", "n", "is_kept", "live"))
+      .filter(col("live")).drop("live")
+    NearDupOps.ContainmentState(
+      dfAll = lwwBy(raw("dfs"), Seq("sh"), Seq("df")),
+      perDoc = lwwBy(raw("perdoc"), Seq("doc_id"),
+        Seq("shs", "n", "plen")),
+      pairs = pairsLive,
+      verdicts = verdictsLive)
+  }
+
+  /** The resolved verdict table — q156's body. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    stateView(spark, path).verdicts
+
+  /** The resolved pair table (quote/subset pairs of the full stored
+    * corpus).
+    */
+  def readPairs(spark: SparkSession, path: String): DataFrame =
+    stateView(spark, path).pairs
+
+  /** Append one batch as epoch `id`. Replay-idempotent and
+    * crash-healing: see the object doc. `seq` advances from the max
+    * across all four tables (a delta may be empty on some tables —
+    * per-table maxima would let two epochs collide on a stamp).
+    */
+  def appendEpoch(batch: DataFrame, path: String, id: Long,
+                  tau: Double = 0.8,
+                  maxDf: Long = graft.queries.TextOps.MaxShingleDf): Unit = {
+    val spark = batch.sparkSession
+    if (Tables.forall(t => EpochStore.committed(s"$path/$t", id)))
+      return // full replay — storage-level no-op
+    val state = stateView(spark, path, excludeId = Some(id))
+    val seqNext = 1L + Tables.map { t =>
+      val r = EpochStore.read(spark, s"$path/$t")
+        .filter(col("epoch") =!= id.toString)
+        .agg(max(col("seq"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }.max
+    val d = NearDupOps.incrementalContainmentParts(state, batch, tau, maxDf)
+    val deltas = Map(
+      "dfs" -> d.dfs.withColumn("seq", lit(seqNext)),
+      "perdoc" -> d.perDoc.withColumn("seq", lit(seqNext)),
+      "pairs" -> d.pairsLive.withColumn("live", lit(true))
+        .unionByName(d.pairsDead
+          .withColumn("n_common", lit(0L)).withColumn("n_a", lit(0L))
+          .withColumn("n_b", lit(0L))
+          .withColumn("containment", lit(0.0))
+          .withColumn("live", lit(false)))
+        .withColumn("seq", lit(seqNext)),
+      "verdicts" -> d.verdictsLive.withColumn("live", lit(true))
+        .unionByName(d.verdictsDead
+          .withColumn("cluster_id", lit(0L)).withColumn("canon_id", lit(0L))
+          .withColumn("n", lit(0L)).withColumn("is_kept", lit(0))
+          .withColumn("live", lit(false)))
+        .withColumn("seq", lit(seqNext)))
+    // materialize every delta BEFORE the first commit mutates the
+    // stores the delta plans read
+    val staged = deltas.map { case (t, df) => t -> df.localCheckpoint(true) }
+    Tables.foreach { t =>
+      EpochStore.commitEpoch(s"$path/$t", id) { tmp =>
+        staged(t).write.mode("overwrite").parquet(tmp)
+      }
+    }
+  }
+
+  /** Ad-hoc batch append: id from the high band via the LAGGING
+    * table; a crashed half-commit is re-used after the pending
+    * batch's shingle set verifies against the committed `dfs/` epoch
+    * (dfs commits first, so a partial epoch always has it), a
+    * different batch fails loudly, and a crashed epoch folded
+    * out-of-band gets a distinct error naming the recovery.
+    */
+  def append(batch: DataFrame, path: String, tau: Double = 0.8,
+             maxDf: Long = graft.queries.TextOps.MaxShingleDf): Unit = {
+    val nexts = Tables.map(t => EpochStore.nextAppendEpochId(s"$path/$t"))
+    val id =
+      if (nexts.distinct.size == 1) nexts.head
+      else {
+        val crashed = nexts.max - 1
+        if (EpochStore.folded(s"$path/dfs", crashed))
+          throw new IllegalStateException(
+            s"ContainmentStore at $path has a half-committed append " +
+              s"epoch=$crashed whose dfs side was folded by a " +
+              "compaction — complete the remaining tables with " +
+              s"ContainmentStore.appendEpoch(originalBatch, path, $crashed) " +
+              "(committed tables no-op via the folded-epoch ledger), " +
+              "then retry this append.")
+        val committedShs = EpochStore.read(batch.sparkSession, s"$path/dfs")
+          .filter(col("epoch") === crashed.toString)
+          .select(col("sh"))
+        val pendingShs = batch.select(explode(array_distinct(
+            graft.functions.Text.shingles(col("text"), 3))).as("sh"))
+          .distinct()
+        val differ =
+          committedShs.join(pendingShs, Seq("sh"), "left_anti").limit(1)
+            .count() +
+          pendingShs.join(committedShs, Seq("sh"), "left_anti").limit(1)
+            .count() > 0
+        if (differ)
+          throw new IllegalStateException(
+            s"ContainmentStore at $path has a half-committed append " +
+              s"epoch=$crashed whose shingle set differs from this " +
+              "batch — re-run the append with the ORIGINAL crashed " +
+              "batch to heal it first")
+        crashed
+      }
+    appendEpoch(batch, path, id, tau, maxDf)
+  }
+
+  /** Streaming maintenance: each micro-batch of documents lands as
+    * one epoch through [[appendEpoch]] — the same exactly-once
+    * contract as the other stores' streams.
+    */
+  def appendStream(docs: DataFrame, path: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendEpoch(batch, path, batchId)
+      }
+      .start()
+
+  /** Fold all four tables to their RESOLVED rows (LWW winners; dead
+    * pair/verdict rows are dropped outright — after the fold, absence
+    * means never-paired, exactly the read semantics). Each fold is
+    * one manifest flip with the epoch ledger carried. Refuses over a
+    * half-committed append.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    requireConverged(path)
+    val st = stateView(spark, path)
+    val seqKeep = Tables.map { t =>
+      val r = EpochStore.read(spark, s"$path/$t")
+        .agg(max(col("seq"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }.max
+    val folded = Map(
+      "dfs" -> st.dfAll, "perdoc" -> st.perDoc,
+      "pairs" -> st.pairs.withColumn("live", lit(true)),
+      "verdicts" -> st.verdicts.withColumn("live", lit(true)))
+      .map { case (t, df) =>
+        t -> df.withColumn("seq", lit(seqKeep)).localCheckpoint(true)
+      }
+    Tables.foreach { t =>
+      EpochStore.create(s"$path/$t", rebuild = true) { dir =>
+        folded(t).write.mode("overwrite").parquet(dir)
+      }
+    }
+  }
+
+  /** Compaction policy: fold only past `maxEpochs` committed epochs
+    * on any table (the listing-cost bound).
+    */
+  def compactIfFragmented(spark: SparkSession, path: String,
+                          maxEpochs: Int = 64): Boolean = {
+    val fragmented =
+      Tables.exists(t => EpochStore.epochCount(s"$path/$t") > maxEpochs)
+    if (fragmented) compact(spark, path)
+    fragmented
+  }
+
+  private def requireConverged(path: String): Unit = {
+    val sets = Tables.map(t => t -> EpochStore.committedIds(s"$path/$t"))
+    if (sets.map(_._2).distinct.size != 1)
+      throw new IllegalStateException(
+        s"ContainmentStore at $path has diverged epoch sets (" +
+          sets.map { case (t, s) =>
+            s"$t=${s.toSeq.sorted.mkString(",")}"
+          }.mkString("; ") +
+          ") — a half-committed append; heal via the appender's " +
+          "retry before compacting")
+  }
+
+  final case class MaintenanceReport(compacted: Boolean,
+                                     diverged: Boolean,
+                                     epochs: Map[String, Int],
+                                     nDocs: Long,
+                                     nPairs: Long,
+                                     clusteredDocs: Long,
+                                     supersededFrac: Double)
+
+  /** One maintenance tick — the cron body, mirroring the other four
+    * stores: report a half-committed append first (touch nothing),
+    * else apply the compaction policy, then one census: signed docs,
+    * live pairs, docs under a cluster verdict, and the superseded+
+    * dead row fraction across pairs/verdicts (the GC debt `compact`
+    * would clear).
+    */
+  def maintain(spark: SparkSession, path: String,
+               maxEpochs: Int = 64): MaintenanceReport = {
+    val diverged =
+      Tables.map(t => EpochStore.committedIds(s"$path/$t")).distinct.size != 1
+    val compacted = !diverged && compactIfFragmented(spark, path, maxEpochs)
+    val st = stateView(spark, path)
+    val nDocs = st.perDoc.count()
+    val nPairs = st.pairs.count()
+    val clustered = st.verdicts.count()
+    val rawRel = EpochStore.read(spark, s"$path/pairs").count() +
+      EpochStore.read(spark, s"$path/verdicts").count()
+    val liveRel = nPairs + clustered
+    MaintenanceReport(
+      compacted = compacted,
+      diverged = diverged,
+      epochs = Tables.map(t =>
+        t -> EpochStore.epochCount(s"$path/$t")).toMap,
+      nDocs = nDocs,
+      nPairs = nPairs,
+      clusteredDocs = clustered,
+      supersededFrac =
+        if (rawRel == 0) 0.0 else 1.0 - liveRel.toDouble / rawRel)
+  }
+}

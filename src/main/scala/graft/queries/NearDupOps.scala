@@ -489,6 +489,23 @@ object NearDupOps {
       Some(containmentVerdictOracleSql),
       "incremental containment clustering (df-crossing exact maintenance, == full recompute)"),
 
+    // -- q156: the PERSISTED ContainmentStore on the driver's oracle
+    //    surface (the q153/q128 served-from-the-store pattern): the
+    //    session-shared store is BUILT over the resident split, the
+    //    last-fifth batch APPENDED through the four-table delta-epoch
+    //    path (LWW + tombstones — the store where arrivals MUTATE
+    //    resident rows), and this query just READS the resolved
+    //    verdict view — so the driver hash-verifies the store's
+    //    entire sign → reclassify → prefix-probe → re-solve →
+    //    last-write-wins-read machinery against q149's from-scratch
+    //    recursive-CTE walk.
+    Q("q156_containment_store_read",
+      (s, d) => ContainmentStore
+        .read(s, SharedStages.containmentStorePath(s, d))
+        .orderBy(col("doc_id")),
+      Some(containmentVerdictOracleSql),
+      "persisted containment store: build + df-crossing append, read == full recompute"),
+
     // -- dedup AUDIT: the cluster-size histogram a dedup pass ships
     //    alongside its verdicts — how much of the corpus sits in
     //    2-member clusters vs 1000-member boilerplate explosions
@@ -1000,7 +1017,6 @@ object NearDupOps {
     */
   final case class ContainmentState(
       dfAll: org.apache.spark.sql.DataFrame,
-      postings: org.apache.spark.sql.DataFrame,
       perDoc: org.apache.spark.sql.DataFrame,
       pairs: org.apache.spark.sql.DataFrame,
       verdicts: org.apache.spark.sql.DataFrame)
@@ -1008,7 +1024,8 @@ object NearDupOps {
   /** Build [[ContainmentState]] from scratch over `docs` — the t0
     * full pass whose output q155's incremental path maintains. The
     * perDoc arrays come from [[containmentPrefixCore]]'s fold, so the
-    * stored prefixes are exactly q151's.
+    * stored prefixes are exactly q151's; the posting relation is
+    * DERIVED (explode of the arrays), not stored twice.
     */
   def containmentStateOn(docs: org.apache.spark.sql.DataFrame,
                          tau: Double = 0.8,
@@ -1022,10 +1039,29 @@ object NearDupOps {
       .select(col("doc_id"), col("sh"), col("df"))
     val pairs = containmentOn(docs, tau, maxDf, postings = Some(inf))
     val (perDoc, _) = containmentPrefixCore(docs, tau, maxDf, Some(inf))
-    ContainmentState(dfAll, inf,
+    ContainmentState(dfAll,
       perDoc.select(col("doc_id"), col("shs"), col("n"), col("plen")),
       pairs, containmentVerdictsOn(pairs))
   }
+
+  /** Everything one incremental containment ingest produces — the
+    * verdict table q155 declares plus the state DELTAS a persisted
+    * [[ContainmentStore]] commits as one epoch: updated union df for
+    * every batch-present shingle, replacement per-doc arrays (A docs
+    * minus their leaving shingles — including docs whose arrays
+    * EMPTIED, which must overwrite their stored arrays — plus batch
+    * docs), the requalified/new pair rows and the stored pairs that
+    * no longer qualify, the re-solved verdict rows and the t0 docs
+    * that left every cluster.
+    */
+  final case class ContainmentDelta(
+      dfs: org.apache.spark.sql.DataFrame,
+      perDoc: org.apache.spark.sql.DataFrame,
+      pairsLive: org.apache.spark.sql.DataFrame,
+      pairsDead: org.apache.spark.sql.DataFrame,
+      verdictsLive: org.apache.spark.sql.DataFrame,
+      verdictsDead: org.apache.spark.sql.DataFrame,
+      verdicts: org.apache.spark.sql.DataFrame)
 
   /** q155: INCREMENTAL containment-verdict maintenance — fold one new
     * ingest batch into a stored [[ContainmentState]] and emit the
@@ -1088,7 +1124,18 @@ object NearDupOps {
   def incrementalContainmentVerdicts(state: ContainmentState,
       batch: org.apache.spark.sql.DataFrame,
       tau: Double = 0.8,
-      maxDf: Long = MaxShingleDf): org.apache.spark.sql.DataFrame = {
+      maxDf: Long = MaxShingleDf): org.apache.spark.sql.DataFrame =
+    incrementalContainmentParts(state, batch, tau, maxDf).verdicts
+
+  /** The incremental engine behind q155 and [[ContainmentStore]]:
+    * computes the verdict table of the union AND every state delta.
+    * See [[incrementalContainmentVerdicts]] for semantics and the
+    * exactness argument.
+    */
+  private[queries] def incrementalContainmentParts(
+      state: ContainmentState,
+      batch: org.apache.spark.sql.DataFrame,
+      tau: Double, maxDf: Long): ContainmentDelta = {
     val shB = batch.select(col("doc_id"), explode(array_distinct(
         Text.shingles(col("text"), 3))).as("sh"))
       .distinct().persist()
@@ -1101,8 +1148,14 @@ object NearDupOps {
       .select(col("sh"), coalesce(col("df"), lit(0L)).as("dr"), col("db"))
       .persist()
     dfBj.count()
+    val dfsDelta = dfBj.select(col("sh"),
+      (col("dr") + col("db")).as("df"))
     val leaving = dfBj.filter(col("dr") > 0 && col("dr") <= maxDf &&
       col("dr") + col("db") > maxDf).select("sh")
+    // the stored-array explode IS the posting relation (position =
+    // the write-time rarest-first rank, reused as the rebuild order)
+    val post = state.perDoc.select(col("doc_id"),
+      posexplode(col("shs")).as(Seq("pos", "sh")))
     // A: resident docs whose informative set shrank. The small delta
     // relations here (affected, touched, the resolve pair set) are
     // materialized with eager localCheckpoint rather than persist:
@@ -1111,7 +1164,7 @@ object NearDupOps {
     // every downstream action re-pays the nested broadcast jobs
     // (measured: a cached 6-row semi-join frame re-counted in 1.6 s;
     // checkpointing cut the resolve phase ~25 s → sub-second).
-    val affected = state.postings.join(broadcast(leaving), Seq("sh"))
+    val affected = post.join(broadcast(leaving), Seq("sh"))
       .select(col("doc_id")).distinct().localCheckpoint(true)
     // per-doc df-sorted informative arrays over the UNION — q151's
     // prefix apparatus, maintained INCREMENTALLY: untouched resident
@@ -1119,29 +1172,41 @@ object NearDupOps {
     // stored stale-df order stays valid because the prefix pigeonhole
     // is ORDER-FREE — any (n − ⌈τeff·n⌉ + 1)-subset of the smaller
     // doc must hit the larger), so only the DELTA (A docs minus their
-    // leaving shingles, batch docs under union df) is re-folded. No
-    // corpus shuffle anywhere in the path: the two corpus-wide
-    // relations (stored postings, stored arrays) are SCANNED map-side
+    // leaving shingles in stored order, batch docs under union df) is
+    // re-folded. No corpus shuffle anywhere in the path: the one
+    // corpus-wide relation (the stored arrays) is SCANNED map-side
     // against broadcastable delta sides.
     val tauEff = tau - 0.00005 // q151's 4dp-rounding loosening
-    def fold(rows: org.apache.spark.sql.DataFrame) = rows
-      .groupBy(col("doc_id"))
-      .agg(transform(array_sort(collect_list(struct(col("df"), col("sh")))),
-        x => x.getField("sh")).as("shs"))
+    def withLens(df: org.apache.spark.sql.DataFrame) = df
       .withColumn("n", size(col("shs")).cast("long"))
       .withColumn("plen",
         (col("n") - ceil(col("n") * tauEff) + 1).cast("int"))
-    val postRofA = state.postings
+    val rebuiltA = post
       .join(broadcast(affected), Seq("doc_id"))
       .join(broadcast(leaving), Seq("sh"), "left_anti")
-      .select(col("doc_id"), col("sh"), col("df"))
-    val postB = shB.join(
+      .groupBy(col("doc_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("sh")))),
+        x => x.getField("sh")).as("shs"))
+    // an A doc whose ENTIRE set left produces no fold group but must
+    // still OVERWRITE its stored array with an empty one
+    val rebuiltAll = affected.join(rebuiltA, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("shs"), array().cast("array<string>")).as("shs"))
+    val batchArrays = shB.join(
       broadcast(dfBj.filter(col("dr") + col("db") <= maxDf)
         .select(col("sh"), (col("dr") + col("db")).as("df"))), Seq("sh"))
-      .select(col("doc_id"), col("sh"), col("df"))
+      .groupBy(col("doc_id"))
+      .agg(transform(array_sort(collect_list(struct(col("df"), col("sh")))),
+        x => x.getField("sh")).as("shs"))
+    // a batch doc with zero informative shingles still gets a state
+    // row (its signature is decided; it can never gain members)
+    val batchAll = batch.select(col("doc_id")).distinct()
+      .join(batchArrays, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("shs"), array().cast("array<string>")).as("shs"))
     // the A ∪ B apparatus — delta-bounded, the probe side of both
     // candidate branches (checkpointed: see `affected`)
-    val perDocDelta = fold(postRofA.unionByName(postB))
+    val perDocDelta = withLens(rebuiltAll.unionByName(batchAll))
       .localCheckpoint(true)
     val perDocRest = state.perDoc
       .join(broadcast(affected), Seq("doc_id"), "left_anti")
@@ -1159,11 +1224,7 @@ object NearDupOps {
       explode(slice(col("shs"), lit(1), col("plen"))).as("sh"))
     def posts(df: org.apache.spark.sql.DataFrame) = df.select(
       col("doc_id").as("doc_l"), explode(col("shs")).as("sh"))
-    val postsAll = state.postings.select(col("doc_id"), col("sh"))
-      .join(broadcast(leaving), Seq("sh"), "left_anti")
-      .join(broadcast(affected), Seq("doc_id"), "left_anti")
-      .select(col("doc_id").as("doc_l"), col("sh"))
-      .unionByName(posts(perDocDelta))
+    val postsAll = posts(perDocRest).unionByName(posts(perDocDelta))
     val cand = pref(perDocDelta).join(postsAll, Seq("sh"))
       .unionByName(pref(perDocNew).join(posts(perDocDelta), Seq("sh")))
       .filter(col("doc_s") =!= col("doc_l"))
@@ -1194,6 +1255,18 @@ object NearDupOps {
         Seq("doc_b"), "left_anti")
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         col("n_a"), col("n_b"), col("containment"))
+    // stored pairs with an affected endpoint that did NOT requalify
+    // are DEAD — the store's tombstones
+    val pairsDead = state.pairs
+      .join(broadcast(affected.select(col("doc_id").as("doc_a"))),
+        Seq("doc_a"), "left_semi")
+      .unionByName(state.pairs
+        .join(broadcast(affected.select(col("doc_id").as("doc_b"))),
+          Seq("doc_b"), "left_semi")
+        .select(state.pairs.columns.map(col): _*))
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .join(pNew.select(col("doc_a"), col("doc_b")),
+        Seq("doc_a", "doc_b"), "left_anti")
     // clusters adjacent to any changed edge re-solve; the rest carry
     val changedDocs = pNew.select(col("doc_a").as("doc_id"))
       .unionByName(pNew.select(col("doc_b").as("doc_id")))
@@ -1214,12 +1287,18 @@ object NearDupOps {
     val resolved = containmentVerdictsOn(pairsResolve)
       .select(col("doc_id"), col("cluster_id"), col("canon_id"),
         col("n"), col("is_kept"))
-    state.verdicts
+      .localCheckpoint(true)
+    // t0 verdict rows whose doc left every cluster — tombstones
+    val verdictsDead = touchedMembers
+      .join(resolved.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val out = state.verdicts
       .join(broadcast(touched), Seq("cluster_id"), "left_anti")
       .select(col("doc_id"), col("cluster_id"), col("canon_id"),
         col("n"), col("is_kept"))
       .unionByName(resolved)
       .orderBy(col("doc_id"))
+    ContainmentDelta(dfsDelta, perDocDelta, pNew, pairsDead,
+      resolved, verdictsDead, out)
   }
 
   /** q54's scored pair plan over any documents frame: candidate pairs

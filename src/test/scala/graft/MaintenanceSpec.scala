@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.engine.{EpochStore, Maintenance}
-import graft.queries.{ChunkIndex, IvfIndex, MinHashIndex, Similarity, VerdictStore}
+import graft.queries.{ChunkIndex, ContainmentStore, IvfIndex, MinHashIndex, Similarity, VerdictStore}
 
 /** The composed cross-store maintenance tick ([[Maintenance.tick]]):
   * one cron body over the four persisted stores. Under test:
@@ -28,10 +28,11 @@ class MaintenanceSpec extends SparkSpec {
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).resolve("ix").toString
 
-  test("healthy four-store tick: no-op everywhere, base width, " +
+  test("healthy five-store tick: no-op everywhere, base width, " +
       "no alerts; subset deployments tick only their stores") {
-    val (ivf, mh, ch, vs) =
-      (tmp("mnt-ivf"), tmp("mnt-mh"), tmp("mnt-ch"), tmp("mnt-vs"))
+    val (ivf, mh, ch, vs, ct) =
+      (tmp("mnt-ivf"), tmp("mnt-mh"), tmp("mnt-ch"), tmp("mnt-vs"),
+        tmp("mnt-ct"))
     IvfIndex.build(emb.filter(col("vec_id") < 250), ivf)
     MinHashIndex.build(docs.filter(col("doc_id") < 300), mh)
     ChunkIndex.build(docs.filter(col("doc_id") < 300), ch)
@@ -39,14 +40,18 @@ class MaintenanceSpec extends SparkSpec {
       .parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
       .filter(col("doc_id") < 300), vs)
+    ContainmentStore.build(docs.filter(col("doc_id") < 300), ct)
 
     val r = Maintenance.tick(spark,
-      Maintenance.Stores(Some(ivf), Some(mh), Some(ch), Some(vs)))
+      Maintenance.Stores(Some(ivf), Some(mh), Some(ch), Some(vs), Some(ct)))
     assert(r.ivf.exists(i => !i.rebuilt && !i.compacted))
     assert(r.minhash.exists(m => !m.compacted && !m.diverged))
     assert(r.chunks.exists(c => !c.compacted))
     assert(r.verdicts.exists(v =>
       !v.compacted && !v.diverged && v.nDocs === 300))
+    assert(r.containment.exists(c =>
+      !c.compacted && !c.diverged && c.nDocs === 300 &&
+        c.supersededFrac === 0.0))
     // the pushed width is the health-driven knob for the measured
     // skew (a healthy store's natural skew of ~2 still widens the
     // base — only a no-IVF deployment falls back to the base)
@@ -107,10 +112,22 @@ class MaintenanceSpec extends SparkSpec {
         .write.mode("overwrite").parquet(tmpDir)
     }
 
+    // Containment store: a half-committed append (dfs epoch without
+    // the other three tables)
+    val ct = tmp("mnt-ct2")
+    ContainmentStore.build(docs.filter(col("doc_id") < 300), ct)
+    EpochStore.commitEpoch(s"$ct/dfs", 1000000000L) { tmpDir =>
+      spark.range(1).select(lit("zz zz zz").as("sh"),
+        lit(1L).as("df"), lit(1L).as("seq"))
+        .write.mode("overwrite").parquet(tmpDir)
+    }
+
     val r = Maintenance.tick(spark,
-      Maintenance.Stores(Some(ivf), Some(mh), Some(ch), Some(vs)))
+      Maintenance.Stores(Some(ivf), Some(mh), Some(ch), Some(vs), Some(ct)))
     assert(r.alerts.contains("verdictstore_diverged"))
     assert(r.verdicts.exists(v => v.diverged && !v.compacted))
+    assert(r.alerts.contains("containment_diverged"))
+    assert(r.containment.exists(c => c.diverged && !c.compacted))
 
     assert(r.alerts.exists(_.startsWith("ivf_skew_persists:")),
       s"alerts: ${r.alerts}")

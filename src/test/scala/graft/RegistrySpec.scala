@@ -21,7 +21,7 @@ class RegistrySpec extends SparkSpec {
   }
 
   test("the declared surface never shrinks: every family object is " +
-      "non-empty, wired into Registry.all, and q1..q155 all resolve") {
+      "non-empty, wired into Registry.all, and q1..q156 all resolve") {
     // The round-8 TextOps split showed the failure mode: a file split
     // can silently drop a family from Registry.all (or break its
     // object) while the driver artifacts keep passing on what's left.
@@ -49,7 +49,7 @@ class RegistrySpec extends SparkSpec {
         s"$fam's ${q.name} is not wired into Registry.all"))
     }
     val ids = all.map(_.drop(1).takeWhile(_.isDigit).toInt)
-    (1 to 155).foreach(i =>
+    (1 to 156).foreach(i =>
       assert(ids.contains(i), s"q$i vanished from the registry"))
   }
 
