@@ -70,6 +70,16 @@ object ContainmentStore {
     */
   def build(docs: DataFrame, path: String, tau: Double = 0.8,
             maxDf: Long = graft.queries.TextOps.MaxShingleDf): Unit = {
+    // the measure parameters are STORE metadata, decided once at
+    // build time: an append at a different (tau, maxDf) would
+    // silently corrupt the state semantics (dfs crossings, prefix
+    // lengths and pair scores all depend on them), so appends READ
+    // this sidecar instead of taking parameters — the foot-gun the
+    // streaming parity spec caught when appendStream defaulted to
+    // the global maxDf against a maxDf=3 store.
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_params"), s"tau=$tau\nmaxDf=$maxDf")
     val st = NearDupOps.containmentStateOn(docs, tau, maxDf)
     val base = Map(
       "dfs" -> st.dfAll.withColumn("seq", lit(0L)),
@@ -126,15 +136,29 @@ object ContainmentStore {
   def readPairs(spark: SparkSession, path: String): DataFrame =
     stateView(spark, path).pairs
 
-  /** Append one batch as epoch `id`. Replay-idempotent and
-    * crash-healing: see the object doc. `seq` advances from the max
-    * across all four tables (a delta may be empty on some tables —
-    * per-table maxima would let two epochs collide on a stamp).
+  /** The store's build-time (tau, maxDf) — the measure every append
+    * must score under.
     */
-  def appendEpoch(batch: DataFrame, path: String, id: Long,
-                  tau: Double = 0.8,
-                  maxDf: Long = graft.queries.TextOps.MaxShingleDf): Unit = {
+  private[graft] def params(path: String): (Double, Long) = {
+    val f = java.nio.file.Paths.get(path, "_params")
+    if (!java.nio.file.Files.exists(f))
+      throw new IllegalStateException(
+        s"ContainmentStore at $path has no _params sidecar — not a " +
+          "built store (or a pre-sidecar layout; re-run build)")
+    val kv = java.nio.file.Files.readString(f).split("\n")
+      .map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+    (kv("tau").toDouble, kv("maxDf").toLong)
+  }
+
+  /** Append one batch as epoch `id` under the store's OWN build-time
+    * measure parameters. Replay-idempotent and crash-healing: see the
+    * object doc. `seq` advances from the max across all four tables
+    * (a delta may be empty on some tables — per-table maxima would
+    * let two epochs collide on a stamp).
+    */
+  def appendEpoch(batch: DataFrame, path: String, id: Long): Unit = {
     val spark = batch.sparkSession
+    val (tau, maxDf) = params(path)
     if (Tables.forall(t => EpochStore.committed(s"$path/$t", id)))
       return // full replay — storage-level no-op
     val state = stateView(spark, path, excludeId = Some(id))
@@ -178,8 +202,7 @@ object ContainmentStore {
     * different batch fails loudly, and a crashed epoch folded
     * out-of-band gets a distinct error naming the recovery.
     */
-  def append(batch: DataFrame, path: String, tau: Double = 0.8,
-             maxDf: Long = graft.queries.TextOps.MaxShingleDf): Unit = {
+  def append(batch: DataFrame, path: String): Unit = {
     val nexts = Tables.map(t => EpochStore.nextAppendEpochId(s"$path/$t"))
     val id =
       if (nexts.distinct.size == 1) nexts.head
@@ -212,7 +235,7 @@ object ContainmentStore {
               "batch to heal it first")
         crashed
       }
-    appendEpoch(batch, path, id, tau, maxDf)
+    appendEpoch(batch, path, id)
   }
 
   /** Streaming maintenance: each micro-batch of documents lands as

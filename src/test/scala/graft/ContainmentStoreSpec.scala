@@ -73,7 +73,7 @@ class ContainmentStoreSpec extends SparkSpec {
       .select(col("doc_a"), col("doc_b")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs0.contains((0L, 1L)))
-    ContainmentStore.append(batch, p, maxDf = maxDf)
+    ContainmentStore.append(batch, p)
     assert(verdictKey(ContainmentStore.read(spark, p)) === fullRecompute)
     // the emptied-array OVERWRITE: X(0) held the s-block only; after
     // the crossing its stored signature must resolve to an empty
@@ -97,7 +97,7 @@ class ContainmentStoreSpec extends SparkSpec {
     val p = tmp("cs-crash")
     ContainmentStore.build(resident, p, maxDf = maxDf)
     val id = EpochStore.nextAppendEpochId(s"$p/dfs")
-    ContainmentStore.appendEpoch(batch, p, id, maxDf = maxDf)
+    ContainmentStore.appendEpoch(batch, p, id)
     def listing = Seq("dfs", "perdoc", "pairs", "verdicts").flatMap { t =>
       val dir = java.nio.file.Paths.get(EpochStore.liveDir(s"$p/$t"))
       val s = java.nio.file.Files.walk(dir)
@@ -105,7 +105,7 @@ class ContainmentStoreSpec extends SparkSpec {
       finally s.close()
     }
     val before = listing
-    ContainmentStore.appendEpoch(batch, p, id, maxDf = maxDf) // replay
+    ContainmentStore.appendEpoch(batch, p, id) // replay
     assert(listing === before, "replay changed the stored file set")
     // simulate a crash AFTER dfs+perdoc committed but BEFORE
     // pairs+verdicts: delete the trailing epochs
@@ -116,11 +116,11 @@ class ContainmentStoreSpec extends SparkSpec {
     // a DIFFERENT batch must refuse the crashed id
     val other = Seq((999L, "w1 w2 w3 w4 w5")).toDF("doc_id", "text")
     val ex = intercept[IllegalStateException] {
-      ContainmentStore.append(other, p, maxDf = maxDf)
+      ContainmentStore.append(other, p)
     }
     assert(ex.getMessage.contains("shingle set differs"))
     // redelivering the ORIGINAL batch completes the missing tables
-    ContainmentStore.append(batch, p, maxDf = maxDf)
+    ContainmentStore.append(batch, p)
     assert(verdictKey(ContainmentStore.read(spark, p)) === fullRecompute)
     spark.catalog.clearCache()
   }
@@ -129,7 +129,7 @@ class ContainmentStoreSpec extends SparkSpec {
       "with reads unchanged; maintain reports the debt then clears it") {
     val p = tmp("cs-compact")
     ContainmentStore.build(resident, p, maxDf = maxDf)
-    ContainmentStore.append(batch, p, maxDf = maxDf)
+    ContainmentStore.append(batch, p)
     val before = verdictKey(ContainmentStore.read(spark, p))
     val rep0 = ContainmentStore.maintain(spark, p)
     assert(!rep0.diverged && !rep0.compacted)
@@ -145,7 +145,7 @@ class ContainmentStoreSpec extends SparkSpec {
     val more = Seq(
       (200L, "v1 v2 v3 v4 v5 m1 m2"), // quotes V1 -> joins the V cluster
       (201L, "n1 n2 n3 n4 n5")).toDF("doc_id", "text")
-    ContainmentStore.append(more, p, maxDf = maxDf)
+    ContainmentStore.append(more, p)
     val expected = verdictKey(NearDupOps.containmentVerdictsOn(
       NearDupOps.containmentOn(resident.union(batch).union(more),
         maxDf = maxDf)))
@@ -153,11 +153,44 @@ class ContainmentStoreSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("appendStream: sequential micro-batches == the full recompute, " +
+      "with a df crossing that only completes on the SECOND epoch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val p = tmp("cs-stream")
+    ContainmentStore.build(resident, p, maxDf = maxDf)
+    // micro-batch 0 brings the s-block df to 3 (still informative);
+    // micro-batch 1 pushes it over — the X-Y dissolution happens one
+    // epoch AFTER the shingle first arrived, so the stored df
+    // statistic (not the batch alone) must drive the crossing. The
+    // q-block crosses already at mb0.
+    val mb0 = Seq((100L, "s1 s2 s3 s4 s5 za1 za2"),
+      (102L, "q1 q2 q3 c1 c2"), (103L, "d1 d2 d3 d4 d5 d6 d7 d8 d9"))
+    val mb1 = Seq((101L, "s1 s2 s3 s4 s5 zb1 zb2"),
+      (104L, "g1 g2 g3 g4 g5 g6 g7 h1 h2 h3 h4 h5 h6 h7"),
+      (105L, "u1 u2 u3 u4 u5"), (106L, "u1 u2 u3 u4 u5 u6 u7"))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("cs-ckpt").toString
+    val q = ContainmentStore.appendStream(
+      stream.toDF().toDF("doc_id", "text"), p, ckpt)
+    try {
+      stream.addData(mb0); q.processAllAvailable()
+      // after mb0 the X-Y cluster still stands (s-block df = 3)
+      val mid = verdictKey(ContainmentStore.read(spark, p))
+      assert(mid.exists(v => v._1 == 0L && v._3 == 1L),
+        "X-Y must survive micro-batch 0 (s-block at the cap, not over)")
+      stream.addData(mb1); q.processAllAvailable()
+    } finally q.stop()
+    assert(verdictKey(ContainmentStore.read(spark, p)) === fullRecompute,
+      "streamed epochs diverged from the full recompute")
+    spark.catalog.clearCache()
+  }
+
   test("maintain reports a diverged (half-committed) store and touches nothing") {
     val p = tmp("cs-diverged")
     ContainmentStore.build(resident, p, maxDf = maxDf)
     val id = EpochStore.nextAppendEpochId(s"$p/dfs")
-    ContainmentStore.appendEpoch(batch, p, id, maxDf = maxDf)
+    ContainmentStore.appendEpoch(batch, p, id)
     graft.engine.Archive.deleteTree(java.nio.file.Paths.get(
       EpochStore.liveDir(s"$p/verdicts"), s"epoch=$id"))
     val rep = ContainmentStore.maintain(spark, p)
