@@ -84,6 +84,16 @@ class ScalingSpec extends SparkSpec {
     // and the component stage runs on the contracted quotient graph —
     // a resident self-join or full component recompute would blow it.
     "q152_incremental_verdict_maint",
+    // incremental containment: one row per pair-involved doc (the
+    // 4/5 split lands inside the late copies; per-copy token renaming
+    // keeps every pair copy-local, so verdicts replicate per copy —
+    // the straddling copy's resident-batch pairs are exactly what the
+    // A∪B probe must find). After the warmup run builds the
+    // session-shared resident state, the timed runs measure the
+    // INCREMENTAL path alone: its time bound polices the delta shape —
+    // a corpus self-join, a corpus-wide re-fold, or a full component
+    // recompute would blow it.
+    "q155_incremental_containment",
     // BPE corpus emit: one row per doc. Per-copy token renaming grows
     // the distinct-word vocabulary 10×, so the time bound polices the
     // vocabulary-bounded merge apply + the doc-partitioned windows —
