@@ -99,16 +99,20 @@ object ChunkIndex {
                maxEpochs: Int = 64): MaintenanceReport = {
     import org.apache.spark.sql.functions._
     val compacted = compactIfFragmented(spark, path, maxEpochs)
-    val census = chunks(spark, path)
+    // both census aggregates read ONE cached store scan (the frequency
+    // census groups by chunk_str, the doc count by doc_id — different
+    // keys, so two aggregates, but the parquet scan is paid once)
+    val ch = chunks(spark, path).persist()
+    val census = ch
       .groupBy(col("chunk_str"))
-      .agg(count(lit(1)).as("n_copies"),
-        count_distinct(col("doc_id")).as("nd"))
+      .agg(count(lit(1)).as("n_copies"))
       .agg(sum(col("n_copies")).as("n_chunks"),
         count(lit(1)).as("n_distinct"),
         sum(when(col("n_copies") > 1, col("n_copies")).otherwise(0L))
           .as("dup_occ"))
       .head()
-    val nDocs = chunks(spark, path).select(col("doc_id")).distinct().count()
+    val nDocs = ch.select(col("doc_id")).distinct().count()
+    ch.unpersist()
     val nChunks = if (census.isNullAt(0)) 0L else census.getLong(0)
     MaintenanceReport(compacted,
       EpochStore.epochCount(s"$path/chunks"),

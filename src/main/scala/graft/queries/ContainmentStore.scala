@@ -107,10 +107,11 @@ object ContainmentStore {
     * pre-append state, so a retry recomputes identical deltas.
     */
   private[graft] def stateView(spark: SparkSession, path: String,
-      excludeId: Option[Long] = None): NearDupOps.ContainmentState = {
+      excludeIds: Set[Long] = Set.empty): NearDupOps.ContainmentState = {
     def raw(t: String) = {
       val r = EpochStore.read(spark, s"$path/$t")
-      excludeId.fold(r)(id => r.filter(col("epoch") =!= id.toString))
+      if (excludeIds.isEmpty) r
+      else r.filter(!col("epoch").isin(excludeIds.map(_.toString).toSeq: _*))
     }
     val pairsLive = lwwBy(raw("pairs"), Seq("doc_a", "doc_b"),
       Seq("n_common", "n_a", "n_b", "containment", "live"))
@@ -161,7 +162,23 @@ object ContainmentStore {
     val (tau, maxDf) = params(path)
     if (Tables.forall(t => EpochStore.committed(s"$path/$t", id)))
       return // full replay — storage-level no-op
-    val state = stateView(spark, path, excludeId = Some(id))
+    val state = stateView(spark, path, excludeIds = Set(id))
+    // the "batch ids are new" precondition, ENFORCED: a re-ingested
+    // resident doc_id would double-count its shingles in dfs/
+    // (dr + db inflates the union df) and LWW-overwrite its perdoc
+    // row — silent df-crossing corruption, so fail as loudly as the
+    // crashed-epoch mismatches do. One bounded probe: the resident
+    // perdoc relation semi-joined to the (small, broadcast) batch ids.
+    val overlap = state.perDoc
+      .join(broadcast(batch.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+      .limit(1).count()
+    if (overlap > 0)
+      throw new IllegalArgumentException(
+        s"ContainmentStore at $path: append batch contains doc_id(s) " +
+          "already resident in the store — re-ingesting a document " +
+          "would double-count its shingles in dfs/ and overwrite its " +
+          "perdoc signature; appends must carry NEW ids only")
     val seqNext = 1L + Tables.map { t =>
       val r = EpochStore.read(spark, s"$path/$t")
         .filter(col("epoch") =!= id.toString)
@@ -320,15 +337,30 @@ object ContainmentStore {
     */
   def maintain(spark: SparkSession, path: String,
                maxEpochs: Int = 64): MaintenanceReport = {
-    val diverged =
-      Tables.map(t => EpochStore.committedIds(s"$path/$t")).distinct.size != 1
+    val idSets = Tables.map(t => EpochStore.committedIds(s"$path/$t"))
+    val diverged = idSets.distinct.size != 1
     val compacted = !diverged && compactIfFragmented(spark, path, maxEpochs)
-    val st = stateView(spark, path)
+    // When diverged (half-committed append), the census must read a
+    // CONSISTENT state: LWW over the raw stores would resolve the
+    // committed subset of the crashed epoch (e.g. dfs/perdoc landed,
+    // pairs/verdicts missing), mixing mid-append state into the
+    // report. Excluding the dangling ids (committed on some table but
+    // not all) reconstructs the converged pre-append state — the same
+    // epoch-exclusion trick appendEpoch's redelivery read uses.
+    val dangling =
+      if (!diverged) Set.empty[Long]
+      else idSets.reduce(_ union _) diff idSets.reduce(_ intersect _)
+    val st = stateView(spark, path, excludeIds = dangling)
     val nDocs = st.perDoc.count()
     val nPairs = st.pairs.count()
     val clustered = st.verdicts.count()
-    val rawRel = EpochStore.read(spark, s"$path/pairs").count() +
-      EpochStore.read(spark, s"$path/verdicts").count()
+    def rawConverged(t: String) = {
+      val r = EpochStore.read(spark, s"$path/$t")
+      if (dangling.isEmpty) r
+      else r.filter(!col("epoch").isin(dangling.map(_.toString).toSeq: _*))
+    }
+    val rawRel = rawConverged("pairs").count() +
+      rawConverged("verdicts").count()
     val liveRel = nPairs + clustered
     MaintenanceReport(
       compacted = compacted,

@@ -47,9 +47,10 @@ import graft.engine.EpochStore
   * [[NearDupOps.dedupVerdictsOn]] over the union corpus, row for row
   * — the q152 equality, inherited from [[NearDupOps
   * .incrementalVerdictParts]] under the monotonic-ingest contract
-  * (every appended id exceeds every resident id; caller-owned, as in
-  * any append-only store). Spec-pinned in VerdictStoreSpec including
-  * the resident-cluster MERGE case.
+  * (every appended id exceeds every resident id — ENFORCED at
+  * [[appendEpoch]]: a violating batch fails loudly instead of
+  * silently corrupting canonicals). Spec-pinned in VerdictStoreSpec
+  * including the resident-cluster MERGE case.
   *
   * Single-maintenance-writer contract throughout: one appender, and
   * [[maintain]]/[[compact]] run between micro-batches or with the
@@ -110,6 +111,25 @@ object VerdictStore {
     val residentSigs = EpochStore.read(spark, sigsRoot)
       .filter(col("epoch") =!= id.toString) // in-flight epoch excluded
       .select(col("doc_id"), col("k"), col("lang"), col("bucket"), col("sh"))
+    // the monotonic-ingest contract, ENFORCED (it was caller-owned and
+    // silent): every batch id must exceed every resident id — that is
+    // what makes the incremental path exact (a content-hash group's
+    // min cannot move, quotient labels lift). A violating batch —
+    // including a re-ingested resident id, which would also duplicate
+    // its append-only sigs/ row — fails as loudly as the
+    // crashed-epoch mismatches. Two column-pruned extrema, no join.
+    val maxResRow = residentSigs.agg(max(col("doc_id"))).head()
+    if (!maxResRow.isNullAt(0)) {
+      val minBatchRow = batch.agg(min(col("doc_id"))).head()
+      if (!minBatchRow.isNullAt(0) &&
+          minBatchRow.getLong(0) <= maxResRow.getLong(0))
+        throw new IllegalArgumentException(
+          s"VerdictStore at $path: append batch violates the " +
+            s"monotonic-ingest contract (batch min id " +
+            s"${minBatchRow.getLong(0)} <= resident max id " +
+            s"${maxResRow.getLong(0)}) — incremental exactness requires " +
+            "every appended id to exceed every resident id")
+    }
     val rawVerd = EpochStore.read(spark, verdRoot)
     val residentVerdicts = resolve(rawVerd).persist()
     residentVerdicts.count()

@@ -195,10 +195,33 @@ class ContainmentStoreSpec extends SparkSpec {
       EpochStore.liveDir(s"$p/verdicts"), s"epoch=$id"))
     val rep = ContainmentStore.maintain(spark, p)
     assert(rep.diverged && !rep.compacted)
+    // the census must reflect a CONSISTENT pre-append state, not a mix
+    // of the crashed epoch's committed tables (dfs/perdoc/pairs landed,
+    // verdicts missing): nDocs is the RESIDENT signature count, not
+    // the 21 a completed append reports
+    assert(rep.nDocs === 14L,
+      s"diverged census mixed mid-append state: nDocs=${rep.nDocs}")
     val ex = intercept[IllegalStateException] {
       ContainmentStore.compact(spark, p)
     }
     assert(ex.getMessage.contains("diverged"))
+    spark.catalog.clearCache()
+  }
+
+  test("an append whose batch re-ingests a resident doc_id fails loudly") {
+    val p = tmp("cs-overlap")
+    ContainmentStore.build(resident, p, maxDf = maxDf)
+    val overlapping = Seq(
+      (5L, "q1 q2 q3 c1 c2 t1 t2 t3"), // resident id re-ingested
+      (300L, "fresh1 fresh2 fresh3 fresh4 fresh5")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      ContainmentStore.append(overlapping, p)
+    }
+    assert(ex.getMessage.contains("already resident"))
+    // the refused append must not have committed anything: a clean
+    // follow-up batch still lands and matches the recompute
+    ContainmentStore.append(batch, p)
+    assert(verdictKey(ContainmentStore.read(spark, p)) === fullRecompute)
     spark.catalog.clearCache()
   }
 

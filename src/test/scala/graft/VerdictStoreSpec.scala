@@ -72,6 +72,28 @@ class VerdictStoreSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("an append violating the monotonic-ingest contract fails loudly " +
+      "and commits nothing") {
+    val path = tmp("vs-monotonic")
+    val old = mk(Seq(
+      10L -> "alpha beta gamma delta epsilon zeta",
+      20L -> "one two three four five six"))
+    VerdictStore.build(old, path)
+    // a re-ingested resident id AND an id below the resident max both
+    // violate the contract the incremental exactness rests on
+    val bad = mk(Seq(15L -> "between the resident ids entirely new"))
+    val ex = intercept[IllegalArgumentException] {
+      VerdictStore.append(bad, path)
+    }
+    assert(ex.getMessage.contains("monotonic-ingest"))
+    // nothing landed: a clean monotonic batch still appends and matches
+    val good = mk(Seq(100L -> "alpha beta gamma delta epsilon eta"))
+    VerdictStore.append(good, path)
+    assert(rowsOf(VerdictStore.read(spark, path)) ===
+      rowsOf(NearDupOps.dedupVerdictsOn(old.unionByName(good))))
+    spark.catalog.clearCache()
+  }
+
   test("fixture corpus: build + append == from-scratch; the signature " +
       "table covers every ingested doc (appends take only the batch — " +
       "resident text is structurally out of reach)") {
