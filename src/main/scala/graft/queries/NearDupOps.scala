@@ -231,8 +231,12 @@ object NearDupOps {
     //    Jaccard families can't see — a short doc quoted inside a
     //    long one scores |A∩B|/min(|A|,|B|) ≈ 1 while its Jaccard is
     //    arbitrarily low (the union dwarfs the quote). Full design
-    //    rationale and scale shape on [[containmentOn]]; the oracle
-    //    replays the identical informative-shingle measure.
+    //    rationale on [[containmentOn]]; the oracle replays the
+    //    identical informative-shingle measure. Round 11: the shared
+    //    stage serves this from the LOSSLESS prefix core (q151's
+    //    plan — see [[SharedStages.containmentPairs]] for the
+    //    default-flip rationale), so this oracle hash-checks the
+    //    prefix path end to end.
     Q("q148_containment_neardup",
       (s, d) => SharedStages.containmentPairs(s, d)
         .orderBy(col("doc_a"), col("doc_b")),
@@ -888,9 +892,12 @@ object NearDupOps {
     * candidate join nothing posting-cardinality ever shuffles. At
     * 100 TB the candidate stage — not the verify — dominates the
     * exact q148 plan; this is the knob that keeps the exact
-    * containment family viable as the corpus grows (at bench SF the
-    * df-capped self-join is still cheaper — the q99-vs-q90
-    * crossover note applies).
+    * containment family viable as the corpus grows. Round 11: this is
+    * now the DEFAULT candidate stage ([[SharedStages.containmentPairs]]
+    * serves q148/q149/q146 from it) — at bench SF the df-capped
+    * self-join is marginally cheaper (tiny vocabulary, dfs near 1),
+    * but the self-join's Σdf² blows up on any boilerplate-heavy
+    * corpus; ScalingSpec's crossover test measures the win on one.
     */
   def containmentPrefixOn(docs: org.apache.spark.sql.DataFrame,
                           tau: Double = 0.8,

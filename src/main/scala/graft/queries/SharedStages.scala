@@ -152,17 +152,29 @@ object SharedStages {
   }
 
   /** The containment (quote/subset) scored pair table over the full
-    * documents frame ([[NearDupOps.containmentOn]] at the declared
-    * τ = 0.8), computed once per (session, sf dir). Columns (doc_a,
-    * doc_b, n_common, n_a, n_b, containment). Consumers: q148 (the
-    * pairs), q149 (their component clustering + carrier keep) and
-    * q146 (containment verdicts folded into the training manifest) —
-    * the posting self-join over the corpus runs once, every verdict
-    * consumer reads the persisted relation.
+    * documents frame at the declared τ = 0.8, computed once per
+    * (session, sf dir). Columns (doc_a, doc_b, n_common, n_a, n_b,
+    * containment). Consumers: q148 (the pairs), q149 (their component
+    * clustering + carrier keep) and q146 (containment verdicts folded
+    * into the training manifest) — the candidate stage runs once,
+    * every verdict consumer reads the persisted relation.
+    *
+    * Served from the PREFIX-FILTERED core ([[NearDupOps
+    * .containmentPrefixOn]], q151's plan) rather than the df-capped
+    * posting self-join ([[NearDupOps.containmentOn]]): the filter is
+    * LOSSLESS, so the table is bit-identical either way, and the
+    * prefix core is the right DEFAULT at scale — the self-join's
+    * Σdf² candidate volume is quadratic in per-shingle df, while the
+    * prefix probe is bounded by ~(1−τ) of the postings. At the small
+    * fixtures the self-join is marginally cheaper (4.1 s vs 4.4 s at
+    * sf0.1 — tiny vocabulary, dfs near 1), but on any boilerplate-
+    * heavy corpus it loses by the df² factor; ScalingSpec's
+    * "prefix-core crossover" test constructs exactly that corpus and
+    * measures the win.
     */
   def containmentPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val p = cached(spark, sfDir, "containment-pairs") { path =>
-      NearDupOps.containmentOn(QU.t(spark, sfDir).documents,
+      NearDupOps.containmentPrefixOn(QU.t(spark, sfDir).documents,
           postings = Some(containmentPostings(spark, sfDir)))
         .write.mode("overwrite").parquet(path)
     }

@@ -343,4 +343,64 @@ class ScalingSpec extends SparkSpec {
     assert(ratio < 30.0,
       f"q92: 10x corpus cost $ratio%.1fx the 1x corpus — quadratic-shaped growth")
   }
+
+  test("containment candidates: the prefix core beats the posting self-join " +
+      "on a boilerplate-heavy corpus (the round-11 default-flip evidence)") {
+    // The corpus the Σdf² self-join cannot afford: 40 template groups
+    // of 50 docs sharing a 30-token boilerplate block — every shared
+    // shingle has df ≈ 50 (well UNDER the df cap, so the self-join
+    // keeps it and pays df·(df−1)/2 rows per shingle), while each doc
+    // leads with 12 unique tokens whose df=1 shingles are exactly what
+    // the rarest-first prefix probes. One pure-boilerplate doc per
+    // group supplies true quote pairs, so losslessness is asserted on
+    // a non-empty output.
+    import spark.implicits._
+    import graft.queries.NearDupOps
+    val docs = (0 until 2000).map { i =>
+      val g = i / 50
+      val uniq = (0 until 12).map(j => s"u${i}x$j").mkString(" ")
+      val boiler = (0 until 30).map(j => s"b${g}x$j").mkString(" ")
+      (i.toLong, s"$uniq $boiler")
+    } ++ (0 until 40).map { g =>
+      (10000L + g, (0 until 30).map(j => s"b${g}x$j").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val postings = NearDupOps.containmentPostingsOn(df).persist()
+    postings.count()
+    // candidate volume, exactly: the self-join emits Σ df·(df−1)/2
+    // rows; the prefix core's candidates are measured from the core
+    val selfCand = postings.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * (col("df") - 1) / 2).cast("long")).head().getLong(0)
+    val (_, _, prefCandDf) =
+      NearDupOps.containmentPrefixCandidates(df, 0.8, 1000)
+    val prefCand = prefCandDf.count()
+    info(s"candidate rows: self-join $selfCand, prefix $prefCand " +
+      f"(${selfCand.toDouble / math.max(prefCand, 1)}%.0fx cut)")
+    assert(prefCand * 20 < selfCand,
+      s"prefix filter must cut candidates >=20x here: $prefCand vs $selfCand")
+    // losslessness on this corpus + the wall-clock crossover
+    def pairsOf(r: org.apache.spark.sql.DataFrame) = r
+      .select(col("doc_a"), col("doc_b"), col("containment")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    def timed(f: () => Set[(Long, Long, Double)]): (Set[(Long, Long, Double)], Double) = {
+      val t0 = System.nanoTime(); val v = f()
+      (v, (System.nanoTime() - t0) / 1e9)
+    }
+    def selfJoin() = pairsOf(
+      NearDupOps.containmentOn(df, postings = Some(postings)))
+    def prefix() = pairsOf(
+      NearDupOps.containmentPrefixOn(df, postings = Some(postings)))
+    selfJoin(); prefix() // warmup (JIT + codegen)
+    val (vSelf, tSelf) = Seq.fill(2)(timed(selfJoin _)).minBy(_._2)
+    val (vPref, tPref) = Seq.fill(2)(timed(prefix _)).minBy(_._2)
+    assert(vPref === vSelf, "prefix filter lost or invented pairs")
+    assert(vPref.nonEmpty, "fixture must produce true containment pairs")
+    info(f"self-join $tSelf%.2fs, prefix $tPref%.2fs " +
+      f"(${tSelf / math.max(tPref, 0.01)}%.1fx)")
+    assert(tPref < tSelf,
+      f"the prefix core must win on this corpus: $tPref%.2fs vs $tSelf%.2fs")
+    postings.unpersist()
+    spark.catalog.clearCache()
+  }
 }
