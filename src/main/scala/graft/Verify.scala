@@ -15,6 +15,14 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // Disabled: Spark 4.1's union output-partitioning propagation
+      // executes co-partitioned unions as a partition zip, which AQE
+      // can break at runtime by re-planning one child's partition
+      // count ("Can't zip RDDs with unequal numbers of partitions",
+      // hit by q157's component-table union); the claim also elides
+      // any explicit repartition above the union, so it cannot be
+      // worked around plan-side.
+      .config("spark.sql.unionOutputPartitioning", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -82,6 +82,32 @@ object EpochStore {
   /** The live version directory, resolved through the manifest. */
   def liveDir(root: String): String = Archive.resolveVersioned(root)
 
+  /** A pinned (root → live version dir) SNAPSHOT across several
+    * stores/tables — the composed-read consistency unit. A reader
+    * that resolves each table's manifest independently as its plan
+    * touches it can straddle a maintenance flip: table A read
+    * pre-tick, table B post-tick — a mixed epoch set (harmless for
+    * VALUES under value-preserving compaction, but wrong for any
+    * reader that reasons about epoch membership, e.g. a census or a
+    * redelivery read). Resolving every manifest up front in one tight
+    * loop pins one version per table for the whole read; the
+    * `stageVersion` retention policy (exactly one displaced version
+    * kept) guarantees the pinned dirs survive at least one
+    * maintenance flip per table while the read runs — the same
+    * in-flight-reader contract single-table readers already rely on.
+    */
+  final case class Snapshot(pinned: Map[String, String]) {
+    def dir(root: String): String = pinned(root)
+    def read(spark: SparkSession, root: String): DataFrame =
+      spark.read.parquet(pinned(root))
+  }
+
+  /** Pin the live version of every listed root — call once at
+    * composed-read start, then read tables only through the result.
+    */
+  def snapshot(roots: Seq[String]): Snapshot =
+    Snapshot(roots.map(r => r -> liveDir(r)).toMap)
+
   /** All committed rows across every epoch of the live version. The
     * `epoch` partition column rides along (string-typed: `base` mixes
     * with batch ids); callers select their data columns.

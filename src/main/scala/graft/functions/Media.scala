@@ -299,6 +299,102 @@ object Media {
       })
   }
 
+  /** 9×8 luma grid by AREA-AVERAGE downsample — the dHash raster.
+    * Integer BT.601-ish luma per source pixel, integer mean per cell
+    * block (floor boundaries), so the grid is bit-identical on any
+    * JVM. Area averaging (not nearest-neighbor) is what makes the
+    * hash robust to resizing and recompression: every source pixel
+    * votes, so small local changes wash out.
+    */
+  private[graft] def grayGrid(img: java.awt.image.BufferedImage,
+                              gw: Int = 9, gh: Int = 8): Array[Long] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    require(w > 0 && h > 0, "empty raster")
+    val out = new Array[Long](gw * gh)
+    var cy = 0
+    while (cy < gh) {
+      val y0 = (cy.toLong * h / gh).toInt
+      val y1 = math.max(y0 + 1, ((cy + 1).toLong * h / gh).toInt)
+      var cx = 0
+      while (cx < gw) {
+        val x0 = (cx.toLong * w / gw).toInt
+        val x1 = math.max(x0 + 1, ((cx + 1).toLong * w / gw).toInt)
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+            sum += (299 * r + 587 * g + 114 * b) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        out(cy * gw + cx) = sum / ((y1 - y0).toLong * (x1 - x0))
+        cx += 1
+      }
+      cy += 1
+    }
+    out
+  }
+
+  /** 64-bit DIFFERENCE hash of a 9×8 luma grid: bit k (MSB-first,
+    * k = row·8 + col) set when cell (row, col) is strictly brighter
+    * than its right neighbor — the standard dHash gradient
+    * fingerprint. Shared kernel: the REAL pixel path ([[dHash64]])
+    * and the q158 fake-decode column formulation both commit to this
+    * exact layout, so the banded Hamming index serves either.
+    */
+  private[graft] def dHash64FromGrid(grid: Array[Long], gw: Int = 9): Long = {
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        hash = (hash << 1) | (if (grid(r * gw + c) > grid(r * gw + c + 1)) 1L else 0L)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** Perceptual difference-hash of an encoded image: ImageIO decode →
+    * 9×8 area-average luma grid → 64 gradient bits. Resize and
+    * recompress variants of one image land within a small Hamming
+    * distance (spec-pinned in PHashSpec); distinct images do not.
+    * Undecodable bytes throw `IllegalArgumentException` (the
+    * [[decodeImage]] per-asset-drop contract).
+    */
+  def dHash64(bytes: Array[Byte]): Long =
+    dHash64FromGrid(grayGrid(decodeImage(bytes)))
+
+  /** Typed per-asset perceptual hash row: the 64-bit dHash split into
+    * 32-bit halves (as longs), the fingerprint shape
+    * [[graft.queries.NearDupOps.bandedHammingPairs]] indexes.
+    */
+  final case class ImageHash(file_name: String, hi: Long, lo: Long)
+
+  /** Perceptual-hash a `binaryFile` frame (columns `path`, `content`)
+    * partition-parallel — the [[extractFeatures]] iterator shape.
+    * Undecodable assets are dropped per-asset (a perceptual hash of
+    * undecodable bytes has no meaning — the [[resizeAssets]]
+    * stance).
+    */
+  def imageHashes(files: DataFrame): Dataset[ImageHash] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select("path", "content").as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (p, b) =>
+        val h =
+          try Some(dHash64(b))
+          catch { case _: IllegalArgumentException => None }
+        h.map(v => ImageHash(p.substring(p.lastIndexOf('/') + 1),
+          (v >>> 32) & 0xFFFFFFFFL, v & 0xFFFFFFFFL))
+      })
+  }
+
   /** Uniform frame-sample plan: which k of n frames to decode. Pure
     * index math (ceil-spaced across [0, n)), so the expensive decode
     * only ever touches the sampled frames — the video analog of

@@ -104,12 +104,18 @@ object ContainmentStore {
   /** The resolved [[NearDupOps.ContainmentState]] view of the store,
     * optionally EXCLUDING one in-flight epoch id — the redelivery
     * trick: reads that skip the crashed epoch reconstruct the exact
-    * pre-append state, so a retry recomputes identical deltas.
+    * pre-append state, so a retry recomputes identical deltas. All
+    * four tables are read through ONE pinned
+    * [[EpochStore.snapshot]], so a maintenance flip racing this view
+    * cannot hand it table A pre-fold and table B post-fold (mixed
+    * epoch sets would confuse the redelivery exclusion, which
+    * reasons about epoch MEMBERSHIP, not just values).
     */
   private[graft] def stateView(spark: SparkSession, path: String,
       excludeIds: Set[Long] = Set.empty): NearDupOps.ContainmentState = {
+    val snap = EpochStore.snapshot(Tables.map(t => s"$path/$t"))
     def raw(t: String) = {
-      val r = EpochStore.read(spark, s"$path/$t")
+      val r = snap.read(spark, s"$path/$t")
       if (excludeIds.isEmpty) r
       else r.filter(!col("epoch").isin(excludeIds.map(_.toString).toSeq: _*))
     }

@@ -68,6 +68,114 @@ object MultimodalOps {
           CAST(NULL AS INT) AS n_frames
         FROM read_blob('/root/testdata/sf0.01/*.parquet')
         ORDER BY file_name"""),
-      "real header decode (media_dims native expression) vs read_blob")
+      "real header decode (media_dims native expression) vs read_blob"),
+
+    // -- q158: PERCEPTUAL-HASH (dHash) image near-dup — the fourth
+    //    dedup modality (after text shingles, SimHash, embeddings):
+    //    a 64-bit gradient fingerprint per asset, then the q68 4×16
+    //    banded Hamming≤3 multi-index ([[NearDupOps
+    //    .bandedHammingPairs]], shared verbatim — pigeonhole-exact
+    //    below the bucket cap). The REAL pixel path is
+    //    [[graft.functions.Media.dHash64]]: ImageIO decode → 9×8
+    //    area-average luma grid → 64 row-gradient bits, with
+    //    resize/recompress robustness and banded==brute-force
+    //    equality spec-pinned in PHashSpec on crafted images
+    //    (testdata ships no image fixtures). On THIS oracle surface
+    //    the decode is the documented deterministic FAKE (the brief's
+    //    stub allowance): each doc's "raster" is its md5-bucketed
+    //    token histogram laid out as the same 9×8 grid, so the entire
+    //    post-decode machinery — grid → gradient bits → 32-bit halves
+    //    → band index → XOR+popcount verify — is driver-hash-verified
+    //    against DuckDB replaying the identical arithmetic, and
+    //    near-dup TEXTS produce genuinely close grids (exact dupes at
+    //    distance 0), exercising the match path. Every token
+    //    contributes a pseudo-random value to EVERY cell (the SimHash
+    //    dense-vote principle — "each pixel gets light from every
+    //    token"): a bucketed token HISTOGRAM was measured hopeless on
+    //    the fixture's small shared vocabulary (all docs occupy the
+    //    same ~30 cells, each token touches ~2 bits → 10k spurious
+    //    "pairs" at sf0.01 vs the 12–25 the other near-dup families
+    //    emit), while dense contributions keep unrelated docs near
+    //    the 32-bit random expectation and shared-majority near-dups
+    //    genuinely close. Per-doc work is one md5 per token + an
+    //    O(72·len) map-side fold (the q133 mode-count budget);
+    //    nothing token-cardinality shuffles.
+    Q("q158_image_phash_neardup",
+      (s, d) => {
+        val tk = graft.functions.Text.tokens(col("text"))
+        val vals = transform(tk, w =>
+          conv(substring(md5(w), 1, 8), 16, 10).cast("long"))
+        val cells = transform(sequence(lit(0), lit(71)),
+          i => aggregate(vals, lit(0L),
+            (acc, v) => acc + pmod(v * (i.cast("long") + 1), lit(1009L))))
+        val fp = QU.t(s, d).documents
+          .select(col("doc_id"), cells.as("cells"))
+          .select(col("doc_id"),
+            struct(gradientHalf(col("cells"), 0).as("hi"),
+              gradientHalf(col("cells"), 4).as("lo")).as("sh"))
+        NearDupOps.bandedHammingPairs(fp)
+      },
+      Some(raw"""WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents),
+        hv AS (
+          SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h
+          FROM toks, UNNEST(tk) AS u(t)),
+        grid AS (
+          SELECT doc_id, r.range AS i,
+            SUM((h * (r.range + 1)) % 1009)::BIGINT AS v
+          FROM hv CROSS JOIN range(72) r
+          GROUP BY doc_id, r.range),
+        cmp AS (
+          SELECT g1.doc_id, k.range AS k,
+            CASE WHEN g1.v > g2.v THEN 1 ELSE 0 END AS bit
+          FROM range(64) k
+          JOIN grid g1 ON g1.i = (k.range // 8) * 9 + (k.range % 8)
+          JOIN grid g2 ON g2.doc_id = g1.doc_id
+            AND g2.i = (k.range // 8) * 9 + (k.range % 8) + 1),
+        fp AS (
+          SELECT doc_id,
+            CAST(SUM(CASE WHEN k < 32
+              THEN bit * (1::BIGINT << CAST(31 - k AS INT)) ELSE 0 END)
+              AS BIGINT) AS hi,
+            CAST(SUM(CASE WHEN k >= 32
+              THEN bit * (1::BIGINT << CAST(63 - k AS INT)) ELSE 0 END)
+              AS BIGINT) AS lo
+          FROM cmp GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, r.band,
+            CASE r.band WHEN 0 THEN hi >> 16 WHEN 1 THEN hi & 65535
+                        WHEN 2 THEN lo >> 16 ELSE lo & 65535 END AS v
+          FROM fp, (SELECT unnest(range(0, 4)) AS band) r),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+          FROM banded a JOIN banded b2
+            ON a.band = b2.band AND a.v = b2.v AND a.doc_id < b2.doc_id)
+        SELECT doc_a, doc_b, dist FROM (
+          SELECT c.doc_a, c.doc_b,
+            CAST(bit_count(xor(fa.hi, fb.hi))
+               + bit_count(xor(fa.lo, fb.lo)) AS INT) AS dist
+          FROM cand c
+            JOIN fp fa ON fa.doc_id = c.doc_a
+            JOIN fp fb ON fb.doc_id = c.doc_b) t
+        WHERE dist <= 3 ORDER BY doc_a, doc_b"""),
+      "perceptual dHash near-dup pairs via the shared banded Hamming index")
   )
+
+  /** 32 gradient bits of a 9×8 row-major grid column, MSB-first:
+    * comparison k (row k/8 + `off`, col k%8) against its right
+    * neighbor — [[graft.functions.Media.dHash64FromGrid]]'s exact
+    * layout (hi = off 0, lo = off 4), spec-pinned against it in
+    * PHashSpec so the fake-decode oracle surface and the real
+    * ImageIO pixel path commit to one fingerprint.
+    */
+  private[graft] def gradientHalf(cells: org.apache.spark.sql.Column,
+      off: Int): org.apache.spark.sql.Column =
+    aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, k) => {
+      val idx = ((shiftright(k, 3) + lit(off)) * 9 +
+        k.bitwiseAND(lit(7)) + 1).cast("int")
+      shiftleft(acc, 1) +
+        when(element_at(cells, idx) > element_at(cells, idx + 1),
+          lit(1L)).otherwise(lit(0L))
+    })
 }

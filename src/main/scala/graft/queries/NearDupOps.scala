@@ -1609,10 +1609,28 @@ object NearDupOps {
   def simHashNearDupOn(docs: org.apache.spark.sql.DataFrame,
                        maxBucket: Int = MaxLshBucket,
                        portable: Boolean = false): org.apache.spark.sql.DataFrame = {
-        val fp = (if (portable) portableSimHash(docs)
+        val fp = if (portable) portableSimHash(docs)
           else docs.select(col("doc_id"),
-            Text.simHash(Text.tokens(col("text"))).as("sh")))
-          .persist() // band explode + both verify sides
+            Text.simHash(Text.tokens(col("text"))).as("sh"))
+        bandedHammingPairs(fp, maxBucket)
+  }
+
+  /** The 4×16-bit band multi-index over 64-bit fingerprints (Manku et
+    * al., WWW'07), shared by q68 (SimHash) and q158 (image dHash):
+    * any two fingerprints within Hamming distance 3 agree exactly on
+    * at least one band (pigeonhole), so banding is a guarantee, not a
+    * recall gamble. `fp` is (doc_id, sh: struct<hi, lo>) with each
+    * half holding a 32-bit value. Scale shape: band equi-join on
+    * 16-byte rows with the shared skew discipline
+    * ([[graft.operators.BandedPairs]]: singleton buckets can't pair,
+    * over-cap buckets take the cluster-representative star — the
+    * exactness guarantee holds verbatim below the cap), verify = one
+    * XOR+popcount per candidate.
+    */
+  def bandedHammingPairs(fingerprints: org.apache.spark.sql.DataFrame,
+                         maxBucket: Int = MaxLshBucket,
+                         maxDist: Int = 3): org.apache.spark.sql.DataFrame = {
+        val fp = fingerprints.persist() // band explode + both verify sides
         fp.count() // materialize eagerly (see q54/q56: lazy caches
                    // with multiple consumers recompute under racing)
         val banded = fp.select(col("doc_id"), explode(array(
@@ -1623,11 +1641,6 @@ object NearDupOps {
             struct(lit(3).as("band"),
               col("sh.lo").bitwiseAND(lit(0xFFFFL)).as("v")))).as("bv"))
           .select(col("doc_id"), col("bv.band").as("band"), col("bv.v").as("v"))
-        // shared skew discipline (operators/BandedPairs): singleton
-        // buckets can't pair, over-cap buckets (docs with identical
-        // fingerprint halves en masse) take the cluster-representative
-        // star — the Hamming<=3 exactness guarantee holds verbatim
-        // below the cap (the fixture's case, pinned in SimHashSpec)
         val cands = graft.operators.BandedPairs.cappedCandidates(
           banded, "doc_id", Seq("band", "v"), maxBucket, "doc_a", "doc_b")
         cands
@@ -1635,7 +1648,7 @@ object NearDupOps {
           .join(fp.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
           .select(col("doc_a"), col("doc_b"),
             Text.hamming(col("sh_a"), col("sh_b")).as("dist"))
-          .filter(col("dist") <= 3)
+          .filter(col("dist") <= maxDist)
           .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -416,18 +416,7 @@ object QualityOps {
     //    with doc_id breaking ties.
     Q("q139_calibrated_quality",
       (s, d) => {
-        val k = 1024L
-        val tok = t(s, d).documents.select(col("doc_id"), col("lang"),
-          explode(Text.tokens(col("text"))).as("token"))
-        val bucket = pmod(
-          conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"),
-          lit(k))
-        val w = (bucket * 2654435761L % 1000003L).cast("double")
-          ./(1000003.0).-(0.5)
-        val scored = tok.select(col("doc_id"), col("lang"), w.as("w"))
-          .groupBy(col("doc_id"), col("lang"))
-          .agg(round(sum(col("w").cast("decimal(38,12)")).cast("double")
-            / count(lit(1)), 6).as("score"))
+        val scored = CalibrationStore.scoreRelation(t(s, d).documents)
         val win = org.apache.spark.sql.expressions.Window
           .partitionBy(col("lang"))
           .orderBy(col("score").desc, col("doc_id"))
@@ -442,27 +431,27 @@ object QualityOps {
               .as("keep"))
           .orderBy(col("doc_id"))
       },
-      Some(raw"""WITH tok AS (
-          SELECT doc_id, lang,
-            unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
-          FROM documents),
-        scored AS (
-          SELECT doc_id, lang,
-            ROUND(CAST(SUM(CAST(
-              CAST(('0x' || substr(md5(token), 1, 8))::BIGINT % 1024
-                * 2654435761 % 1000003 AS DOUBLE) / 1000003.0 - 0.5
-              AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS score
-          FROM tok GROUP BY doc_id, lang),
-        ranked AS (
-          SELECT doc_id, lang, score,
-            ROW_NUMBER() OVER (PARTITION BY lang
-              ORDER BY score DESC, doc_id) AS lang_rank,
-            COUNT(*) OVER (PARTITION BY lang) AS n_lang
-          FROM scored)
-        SELECT doc_id, lang, score, CAST(lang_rank AS INT) AS lang_rank,
-          CAST(lang_rank * 5 <= n_lang * 4 + 4 AS INT) AS keep
-        FROM ranked ORDER BY doc_id"""),
+      Some(CalibratedQualitySql),
       "per-language rank-calibrated quality filter (top 80% per lang)"),
+
+    // -- q159: the CALIBRATION STORE serving q139 (the q153/q156
+    //    served-from-the-store pattern): per-language score
+    //    histograms maintained in an epoch store
+    //    ([[CalibrationStore]] — 6dp scores make the buckets exact
+    //    integers, so the histogram is a LOSSLESS sufficient
+    //    statistic for the rank), built over the resident split and
+    //    appended the last-fifth batch. The read reconstructs
+    //    lang_rank as cumulative-histogram count above + tie-group
+    //    row_number — NO per-language corpus sort, the thing q139's
+    //    global rank window pays per read and a 100 TB corpus
+    //    cannot. Oracle is q139's VERBATIM, so the driver
+    //    hash-verifies the whole score → histogram-epoch → resolved
+    //    cutoff → serve chain against the from-scratch rank.
+    Q("q159_calibration_store_served",
+      (s, d) => CalibrationStore.served(
+        s, SharedStages.calibrationStorePath(s, d)),
+      Some(CalibratedQualitySql),
+      "histogram-store-served calibrated quality filter (== full rank recompute)"),
 
     // -- Chunk-level decontamination: the chunk-store complement of
     //    q77's 8-gram overlap — for each training doc, what fraction
@@ -561,56 +550,73 @@ object QualityOps {
     //    the carrier sits.
     Q("q146_training_manifest",
       (s, d) => {
-        import graft.operators.PrefixSum
         val qual = verdictsFromSignals(SharedStages.qualitySignals(s, d))
           .select(col("doc_id"), col("verdict").as("q_v"), col("n_tokens"))
-        val dedup = SharedStages.dedupVerdictsTable(s, d)
-          .select(col("doc_id"), col("verdict").as("d_v"))
-        val contained = NearDupOps
-          .containmentVerdictsOn(SharedStages.containmentPairs(s, d))
-          .filter(col("is_kept") === 0)
-          .select(col("doc_id"), lit(1).as("ct"))
-        val cont = contaminationVerdictsOn(s, d)
-          .select(col("doc_id"), col("verdict").as("c_v"))
         val base = t(s, d).documents
           .filter(col("doc_id") % 50 =!= 0 &&
             col("doc_id") < TextOps.ExactBaselineDocCap)
           .select(col("doc_id"))
-        val joined = base
           .join(qual, Seq("doc_id"))
-          .join(dedup, Seq("doc_id"), "left")
-          .join(contained, Seq("doc_id"), "left")
-          .join(cont, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_tokens"), col("q_v"),
-            coalesce(col("d_v"), lit("keep")).as("d_v"),
-            col("ct"),
-            coalesce(col("c_v"), lit("clean")).as("c_v"))
-          .select(col("doc_id"), col("n_tokens"),
-            when(col("q_v") =!= "keep", lit("drop_quality"))
-              .when(col("d_v") =!= "keep", lit("drop_duplicate"))
-              .when(col("ct").isNotNull, lit("drop_duplicate"))
-              .when(col("c_v") =!= "clean", lit("drop_contaminated"))
-              .otherwise(lit("keep")).as("decision"),
-            when(col("q_v") =!= "keep", col("q_v"))
-              .when(col("d_v") =!= "keep", col("d_v"))
-              .when(col("ct").isNotNull, lit("contained"))
-              .when(col("c_v") =!= "clean", col("c_v"))
-              .otherwise(lit("keep")).as("reason"))
-        val packs = PrefixSum.exclusive(
-            joined.filter(col("decision") === "keep")
-              .select(col("doc_id"), col("n_tokens").cast("long").as("nt")),
-            col("doc_id"), col("nt"), TrainingOps.PackBlock, "start_tok")
-          .select(col("doc_id"), col("start_tok"),
-            expr(s"start_tok div ${TrainingOps.PackWindow}").as("pack_id"),
-            (col("start_tok") % TrainingOps.PackWindow).as("offset_in_pack"))
-        joined.join(packs, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("decision"), col("reason"),
-            col("n_tokens"), col("start_tok"), col("pack_id"),
-            col("offset_in_pack"))
-          .orderBy(col("doc_id"))
+        composeManifest(base,
+          SharedStages.dedupVerdictsTable(s, d)
+            .select(col("doc_id"), col("verdict").as("d_v")),
+          NearDupOps
+            .containmentVerdictsOn(SharedStages.containmentPairs(s, d))
+            .filter(col("is_kept") === 0)
+            .select(col("doc_id"), lit(1).as("ct")),
+          contaminationVerdictsOn(s, d)
+            .select(col("doc_id"), col("verdict").as("c_v")))
       },
       Some(manifestOracleSql),
       "end-to-end training manifest: quality > dedup > contamination > pack"),
+
+    // -- q157: INCREMENTAL manifest maintenance — the capstone of the
+    //    incremental trio (q152 text, q154 embeddings, q155
+    //    containment): with every INPUT verdict family maintaining
+    //    incrementally, the composed q146 manifest itself can. The
+    //    resident state (quality components, contamination components
+    //    + their probe indexes — the persisted decontamination
+    //    posting/chunk/vector sides) is the session-shared pre-ingest
+    //    build; the batch (ids ≥ the crawl split) advances it WITHOUT
+    //    re-reading resident text: quality is per-doc map-side on the
+    //    batch alone, the three contamination arms update by
+    //    delta-bounded probes (new bench shingles against the stored
+    //    posting index, new eval vectors against the stored corpus
+    //    vectors, newly-shared chunk strings against the stored chunk
+    //    relation — each broadcast-delta-sized), and the dedup /
+    //    containment verdicts are READ from the two persisted stores
+    //    (VerdictStore, ContainmentStore) whose own appends already
+    //    folded the batch — the store views q153/q156 hash-prove equal
+    //    to their full recomputes. Precedence then re-folds over the
+    //    doc-keyed component table (text-free, cheap at any scale) and
+    //    packing re-derives via the distributed PrefixSum — start_tok
+    //    is a corpus-order prefix, so ANY verdict flip shifts every
+    //    later kept doc; deriving it at read from the maintained
+    //    components is exactly why packing is NOT stored state.
+    //    Exactness: each arm's incremental update is argued at
+    //    [[advanceManifestState]]; the oracle is q146's VERBATIM
+    //    full-recompute chain, so the driver hash-verifies the entire
+    //    incremental composition against the from-scratch build.
+    //    ManifestSpec engages every flip path (near-cluster merge,
+    //    containment carrier flip, ngram / semantic / chunk
+    //    contamination onset) on a crafted corpus.
+    Q("q157_incremental_manifest",
+      (s, d) => {
+        val docs = t(s, d).documents
+        val split = NearDupOps.incrementalSplitId(docs)
+        incrementalManifest(
+          SharedStages.manifestResidentState(s, d),
+          docs.filter(col("doc_id") >= split),
+          t(s, d).embeddings.filter(col("vec_id") >= split),
+          VerdictStore.read(s, SharedStages.verdictStorePath(s, d))
+            .select(col("doc_id"), col("verdict").as("d_v")),
+          ContainmentStore
+            .read(s, SharedStages.containmentStorePath(s, d))
+            .filter(col("is_kept") === 0)
+            .select(col("doc_id"), lit(1).as("ct")))
+      },
+      Some(manifestOracleSql),
+      "incremental manifest maintenance from the persisted verdict stores (== full recompute)"),
 
     // -- Quality-aware canonical selection: dedup normally keeps the
     //    MIN-id member of each near-dup cluster (q78/q100); the
@@ -759,6 +765,366 @@ object QualityOps {
         round(col("n_shared").cast("double") / col("n_chunks"), 4)
           .as("chunk_shared_frac"))
   }
+
+  /** Fold the four per-doc verdict families into the shipped manifest
+    * — q146's precedence + packing block, shared verbatim by q146
+    * (full recompute) and q157 (incremental maintenance) so the two
+    * surfaces cannot drift. `base` carries (doc_id, q_v, n_tokens)
+    * for every manifest-domain doc; `dedup` (doc_id, d_v),
+    * `contained` (doc_id, ct) and `cont` (doc_id, c_v) left-join onto
+    * it. Everything here is doc-keyed — the fold itself is free at
+    * any scale; the cost lives in producing the inputs.
+    */
+  private def composeManifest(
+      base: org.apache.spark.sql.DataFrame,
+      dedup: org.apache.spark.sql.DataFrame,
+      contained: org.apache.spark.sql.DataFrame,
+      cont: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.operators.PrefixSum
+    val joined = base
+      .join(dedup, Seq("doc_id"), "left")
+      .join(contained, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("q_v"),
+        coalesce(col("d_v"), lit("keep")).as("d_v"),
+        col("ct"),
+        coalesce(col("c_v"), lit("clean")).as("c_v"))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("q_v") =!= "keep", lit("drop_quality"))
+          .when(col("d_v") =!= "keep", lit("drop_duplicate"))
+          .when(col("ct").isNotNull, lit("drop_duplicate"))
+          .when(col("c_v") =!= "clean", lit("drop_contaminated"))
+          .otherwise(lit("keep")).as("decision"),
+        when(col("q_v") =!= "keep", col("q_v"))
+          .when(col("d_v") =!= "keep", col("d_v"))
+          .when(col("ct").isNotNull, lit("contained"))
+          .when(col("c_v") =!= "clean", col("c_v"))
+          .otherwise(lit("keep")).as("reason"))
+    val packs = PrefixSum.exclusive(
+        joined.filter(col("decision") === "keep")
+          .select(col("doc_id"), col("n_tokens").cast("long").as("nt")),
+        col("doc_id"), col("nt"), TrainingOps.PackBlock, "start_tok")
+      .select(col("doc_id"), col("start_tok"),
+        expr(s"start_tok div ${TrainingOps.PackWindow}").as("pack_id"),
+        (col("start_tok") % TrainingOps.PackWindow).as("offset_in_pack"))
+    joined.join(packs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("decision"), col("reason"),
+        col("n_tokens"), col("start_tok"), col("pack_id"),
+        col("offset_in_pack"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The MAINTAINED per-doc component state behind the manifest —
+    * what a production pipeline persists so that q146's composition
+    * never re-reads resident text when a batch arrives. Two component
+    * tables plus the six probe-index relations the contamination arms
+    * update against:
+    *
+    *  - `quality`  (doc_id, q_v, n_tokens): q133's verdict + token
+    *    count — per-doc map-side, so an append only ADDS rows.
+    *  - `contam`   (doc_id, n_bench_docs, max_eval_cos, n_chunks,
+    *    n_shared): the q145 arm components per TRAIN doc. Additive /
+    *    monotone under append (see [[advanceManifestState]]) — the
+    *    reason components, not verdicts, are the stored state.
+    *  - `trainSh8` (doc_id, sh): distinct 8-shingle postings of train
+    *    docs — the decontamination n-gram index a new bench doc
+    *    probes (the persisted-index analog of q77's broadcast side).
+    *  - `benchSh8` (bench_id, sh): the bench-side postings a new
+    *    TRAIN doc probes.
+    *  - `trainChunks` (doc_id, chunk_str) / `evalChunks` (chunk_str):
+    *    the chunk-overlap arm's two sides (the [[ChunkIndex]] shape).
+    *  - `trainEmb` (vec_id, embedding) / `evalEmb` (e_emb): the
+    *    semantic arm's two sides (the vectors ARE the index — q111's
+    *    capped eval set stays broadcast-sized by construction).
+    *
+    * Deliberately NOT stored: decisions, reasons, packing — all
+    * derived at read by [[manifestFrom]], because a single verdict
+    * flip shifts start_tok for every later kept doc; storing them
+    * would force a full-table rewrite per append.
+    */
+  final case class ManifestState(
+      quality: org.apache.spark.sql.DataFrame,
+      contam: org.apache.spark.sql.DataFrame,
+      trainSh8: org.apache.spark.sql.DataFrame,
+      benchSh8: org.apache.spark.sql.DataFrame,
+      trainChunks: org.apache.spark.sql.DataFrame,
+      evalChunks: org.apache.spark.sql.DataFrame,
+      trainEmb: org.apache.spark.sql.DataFrame,
+      evalEmb: org.apache.spark.sql.DataFrame) {
+    private[graft] def relations: Seq[(String, org.apache.spark.sql.DataFrame)] =
+      Seq("quality" -> quality, "contam" -> contam,
+        "trainsh8" -> trainSh8, "benchsh8" -> benchSh8,
+        "trainchunks" -> trainChunks, "evalchunks" -> evalChunks,
+        "trainemb" -> trainEmb, "evalemb" -> evalEmb)
+  }
+
+  /** Build [[ManifestState]] from scratch over `docs` + `emb` — the
+    * t0 full pass whose output [[advanceManifestState]] maintains.
+    * `chunks`/`signals` let a caller reuse already-persisted stages
+    * (the session-shared chunk store and signal relation); when
+    * absent they are computed from the text. The arm shapes are
+    * verbatim [[contaminationVerdictsOn]]'s (broadcast bench
+    * shingles, broadcast capped eval vectors, chunk left-join) so the
+    * stored components equal the q145 components row for row.
+    */
+  private[graft] def manifestStateOn(
+      docs: org.apache.spark.sql.DataFrame,
+      emb: org.apache.spark.sql.DataFrame,
+      chunks: Option[org.apache.spark.sql.DataFrame] = None,
+      signals: Option[org.apache.spark.sql.DataFrame] = None): ManifestState = {
+    import graft.functions.Vectors
+    val ch = chunks.getOrElse(chunkRelationOf(docs))
+      .select(col("doc_id"), col("chunk_str"))
+    val quality = verdictsFromSignals(
+        signals.getOrElse(signalsRelationOf(docs)))
+      .select(col("doc_id"), col("verdict").as("q_v"), col("n_tokens"))
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val trainSh8 = train.select(col("doc_id"),
+      explode(array_distinct(Text.shingles(col("text"), 8))).as("sh"))
+    val benchSh8 = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("bench_id"),
+        explode(array_distinct(Text.shingles(col("text"), 8))).as("sh"))
+    val trainChunks = ch.filter(col("doc_id") % 50 =!= 0)
+    val evalChunks = ch.filter(col("doc_id") % 50 === 0)
+      .select(col("chunk_str")).distinct()
+    val trainEmb = emb.filter(col("vec_id") % 50 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val evalEmb = emb.filter(col("vec_id") % 50 === 0 &&
+        col("vec_id") < Similarity.ExactBaselineVecCap)
+      .select(col("embedding").as("e_emb"))
+    val ngram = trainSh8.join(broadcast(benchSh8), Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("bench_id")).as("nb"))
+    val sem = trainEmb.crossJoin(broadcast(evalEmb))
+      .groupBy(col("vec_id"))
+      .agg(max(round(Vectors.cosine(col("embedding"), col("e_emb")), 4))
+        .as("mec"))
+      .select(col("vec_id").as("doc_id"), col("mec"))
+    val chunkAgg = trainChunks
+      .join(broadcast(evalChunks.withColumn("shared", lit(1))),
+        Seq("chunk_str"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("shared"), lit(0))).as("n_shared"))
+    val contam = train.select(col("doc_id"))
+      .join(ngram, Seq("doc_id"), "left")
+      .join(sem, Seq("doc_id"), "left")
+      .join(chunkAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nb"), lit(0L)).as("n_bench_docs"),
+        col("mec").as("max_eval_cos"),
+        col("n_chunks"), col("n_shared"))
+    ManifestState(quality, contam, trainSh8, benchSh8,
+      trainChunks, evalChunks, trainEmb, evalEmb)
+  }
+
+  /** Advance a [[ManifestState]] by one ingest batch (ids ≥ the crawl
+    * split; `batchEmb` is the same id slice of the embeddings) —
+    * WITHOUT re-reading resident text. Exactness per arm:
+    *
+    *  - quality: per-doc map-side → the batch rows simply union on.
+    *  - ngram: resident and batch bench ids are DISJOINT (id
+    *    threshold), so full-recompute's count_distinct over the union
+    *    bench set splits as stored + delta, where the delta probes
+    *    the STORED train posting index with the (broadcast,
+    *    delta-sized) new bench shingles. Batch train docs probe the
+    *    stored bench postings plus the new ones.
+    *  - semantic: max(round(cos,4)) over the union eval set equals
+    *    greatest(stored max, max over the NEW eval vectors) — max
+    *    distributes over the disjoint split and round is per-pair
+    *    (greatest skips NULLs, covering docs the resident eval set
+    *    never reached). The delta probe is stored corpus vectors ×
+    *    broadcast new eval vectors.
+    *  - chunk: n_shared counts chunks whose string sits in the eval
+    *    set; the newly-added eval strings (batch bench chunks MINUS
+    *    the stored eval set — disjoint from it by construction) can
+    *    only ADD matches, so stored + delta over the stored chunk
+    *    relation is the union count. n_chunks is append-only. NULL
+    *    components (docs with no chunks / no vector) stay NULL: the
+    *    delta joins produce no row for them.
+    *
+    * Everything the update touches is batch-sized or a doc-keyed
+    * probe of a persisted index — the q155 scale contract.
+    */
+  private[graft] def advanceManifestState(
+      state: ManifestState,
+      batch: org.apache.spark.sql.DataFrame,
+      batchEmb: org.apache.spark.sql.DataFrame): ManifestState = {
+    import graft.functions.Vectors
+    val bTrain = batch.filter(col("doc_id") % 50 =!= 0)
+    val qualityB = verdictsFromSignals(signalsRelationOf(batch))
+      .select(col("doc_id"), col("verdict").as("q_v"), col("n_tokens"))
+    val bTrainSh8 = bTrain.select(col("doc_id"),
+      explode(array_distinct(Text.shingles(col("text"), 8))).as("sh"))
+    val bBenchSh8 = batch.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("bench_id"),
+        explode(array_distinct(Text.shingles(col("text"), 8))).as("sh"))
+    val bChunks = chunkRelationOf(batch)
+      .select(col("doc_id"), col("chunk_str"))
+    val bTrainChunks = bChunks.filter(col("doc_id") % 50 =!= 0)
+    // eval-chunk strings this batch INTRODUCES — the anti-join keeps
+    // the stored/new sets disjoint, which is what makes the resident
+    // n_shared update additive
+    val newEvalStrs = bChunks.filter(col("doc_id") % 50 === 0)
+      .select(col("chunk_str")).distinct()
+      .join(state.evalChunks, Seq("chunk_str"), "left_anti")
+    val bTrainEmb = batchEmb.filter(col("vec_id") % 50 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val newEvalEmb = batchEmb.filter(col("vec_id") % 50 === 0 &&
+        col("vec_id") < Similarity.ExactBaselineVecCap)
+      .select(col("embedding").as("e_emb"))
+    // resident deltas: stored index × broadcast batch side
+    val dNg = state.trainSh8.join(broadcast(bBenchSh8), Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("bench_id")).as("d_nb"))
+    val dSem = state.trainEmb.crossJoin(broadcast(newEvalEmb))
+      .groupBy(col("vec_id"))
+      .agg(max(round(Vectors.cosine(col("embedding"), col("e_emb")), 4))
+        .as("d_mec"))
+      .select(col("vec_id").as("doc_id"), col("d_mec"))
+    val dCh = state.trainChunks
+      .join(broadcast(newEvalStrs), Seq("chunk_str"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("d_sh"))
+    val contamR = state.contam
+      .join(dNg, Seq("doc_id"), "left")
+      .join(dSem, Seq("doc_id"), "left")
+      .join(dCh, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("n_bench_docs") + coalesce(col("d_nb"), lit(0L)))
+          .as("n_bench_docs"),
+        greatest(col("max_eval_cos"), col("d_mec")).as("max_eval_cos"),
+        col("n_chunks"),
+        // NULL-preserving: a doc with no chunks has NULL n_shared and
+        // no dCh row — NULL + 0 stays NULL, matching the full build
+        (col("n_shared") + coalesce(col("d_sh"), lit(0L))).as("n_shared"))
+    // batch train docs: full arms against the UNION fixed sides
+    // (batch-side broadcast where the side is delta-sized; the stored
+    // bench postings join batch-train postings sh-keyed — both sides
+    // partition by shingle, nothing corpus-cardinality shuffles)
+    val ngB = state.benchSh8.unionByName(bBenchSh8)
+      .join(broadcast(bTrainSh8), Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("bench_id")).as("nb"))
+    val semB = bTrainEmb
+      .crossJoin(broadcast(state.evalEmb.unionByName(newEvalEmb)))
+      .groupBy(col("vec_id"))
+      .agg(max(round(Vectors.cosine(col("embedding"), col("e_emb")), 4))
+        .as("mec"))
+      .select(col("vec_id").as("doc_id"), col("mec"))
+    val evalUnion = state.evalChunks.unionByName(newEvalStrs)
+    val chB = bTrainChunks
+      .join(broadcast(evalUnion.withColumn("shared", lit(1))),
+        Seq("chunk_str"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("shared"), lit(0))).as("n_shared"))
+    val contamB = bTrain.select(col("doc_id"))
+      .join(ngB, Seq("doc_id"), "left")
+      .join(semB, Seq("doc_id"), "left")
+      .join(chB, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nb"), lit(0L)).as("n_bench_docs"),
+        col("mec").as("max_eval_cos"),
+        col("n_chunks"), col("n_shared"))
+    ManifestState(
+      quality = state.quality.unionByName(qualityB),
+      // Spark 4.1's union output-partitioning propagation
+      // (spark.sql.unionOutputPartitioning) plans a downstream doc_id
+      // join directly over this union when BOTH children already end
+      // hash-partitioned on doc_id (no exchange above the union),
+      // then fails executing the join zipping the 2n concatenated
+      // union partitions against the n-partition other side ("Can't
+      // zip RDDs with unequal numbers of partitions"). An explicit-N
+      // repartition (bare repartition(col) gets elided by the same
+      // satisfied-distribution claim) re-establishes one well-formed
+      // hash partitioning — the exchange the doc-keyed joins need
+      // anyway, so no extra cost.
+      contam = contamR.unionByName(contamB).repartition(
+        batch.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_id")),
+      trainSh8 = state.trainSh8.unionByName(bTrainSh8),
+      benchSh8 = state.benchSh8.unionByName(bBenchSh8),
+      trainChunks = state.trainChunks.unionByName(bTrainChunks),
+      evalChunks = evalUnion,
+      trainEmb = state.trainEmb.unionByName(bTrainEmb),
+      evalEmb = state.evalEmb.unionByName(newEvalEmb))
+  }
+
+  /** The manifest of a [[ManifestState]]: re-derive the contamination
+    * verdicts from the maintained components, fold precedence against
+    * the dedup / containment tables (in production: the two persisted
+    * stores' resolved views), and re-derive packing. All doc-keyed.
+    */
+  private[graft] def manifestFrom(
+      state: ManifestState,
+      dedup: org.apache.spark.sql.DataFrame,
+      contained: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val base = state.quality
+      .filter(col("doc_id") % 50 =!= 0 &&
+        col("doc_id") < TextOps.ExactBaselineDocCap)
+    val cv = state.contam.select(col("doc_id"),
+      when(col("n_bench_docs") >= 1, "ngram")
+        .when(col("max_eval_cos") >= Similarity.SemDedupTau, "semantic")
+        .when(col("n_shared") * 4 >= col("n_chunks"), "chunk")
+        .otherwise("clean").as("c_v"))
+    composeManifest(base, dedup, contained, cv)
+  }
+
+  /** q157's body: advance the resident state by the batch, then fold
+    * the manifest from the advanced components and the two persisted
+    * stores' views.
+    */
+  private[graft] def incrementalManifest(
+      state: ManifestState,
+      batch: org.apache.spark.sql.DataFrame,
+      batchEmb: org.apache.spark.sql.DataFrame,
+      dedup: org.apache.spark.sql.DataFrame,
+      contained: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    manifestFrom(advanceManifestState(state, batch, batchEmb),
+      dedup, contained)
+
+  /** Persist / load a [[ManifestState]] as one parquet dir per
+    * relation — the session-shared stage's storage shape.
+    */
+  private[graft] def writeManifestState(st: ManifestState,
+                                        path: String): Unit =
+    st.relations.foreach { case (n, df) =>
+      df.write.mode("overwrite").parquet(s"$path/$n")
+    }
+
+  private[graft] def readManifestState(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): ManifestState = {
+    def r(n: String) = spark.read.parquet(s"$path/$n")
+    ManifestState(r("quality"), r("contam"), r("trainsh8"), r("benchsh8"),
+      r("trainchunks"), r("evalchunks"), r("trainemb"), r("evalemb"))
+  }
+
+  /** q139's oracle — and q159's VERBATIM (the q152 oracle-sharing
+    * play): the store-served filter reconstructs the identical
+    * per-language rank, so both queries hash-verify against the one
+    * from-scratch SQL.
+    */
+  private val CalibratedQualitySql: String = raw"""WITH tok AS (
+          SELECT doc_id, lang,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          FROM documents),
+        scored AS (
+          SELECT doc_id, lang,
+            ROUND(CAST(SUM(CAST(
+              CAST(('0x' || substr(md5(token), 1, 8))::BIGINT % 1024
+                * 2654435761 % 1000003 AS DOUBLE) / 1000003.0 - 0.5
+              AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS score
+          FROM tok GROUP BY doc_id, lang),
+        ranked AS (
+          SELECT doc_id, lang, score,
+            ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY score DESC, doc_id) AS lang_rank,
+            COUNT(*) OVER (PARTITION BY lang) AS n_lang
+          FROM scored)
+        SELECT doc_id, lang, score, CAST(lang_rank AS INT) AS lang_rank,
+          CAST(lang_rank * 5 <= n_lang * 4 + 4 AS INT) AS keep
+        FROM ranked ORDER BY doc_id"""
 
   /** The q145 contamination CTE chain (everything through `ch`) —
     * shared verbatim by the q145 oracle and q146's manifest oracle.

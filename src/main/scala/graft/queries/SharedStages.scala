@@ -232,6 +232,47 @@ object SharedStages {
       ContainmentStore.append(docs.filter(col("doc_id") >= split), path)
     }
 
+  /** The PRE-INGEST manifest component state for q157 (quality +
+    * contamination components and the contamination probe indexes
+    * over ids below [[NearDupOps.incrementalSplitId]]), built once
+    * per (session, sf dir). This is the persisted state an
+    * incremental manifest pass maintains; q157's measured path reads
+    * these relations, the BATCH text, and the two persisted stores —
+    * never the resident text. The build itself rides the
+    * session-shared chunk store and signal relation.
+    */
+  def manifestResidentState(spark: SparkSession,
+      sfDir: String): QualityOps.ManifestState = {
+    val p = cached(spark, sfDir, "manifest-resident") { path =>
+      val docs = QU.t(spark, sfDir).documents
+      val split = NearDupOps.incrementalSplitId(docs)
+      QualityOps.writeManifestState(
+        QualityOps.manifestStateOn(
+          docs.filter(col("doc_id") < split),
+          QU.t(spark, sfDir).embeddings.filter(col("vec_id") < split),
+          chunks = Some(chunkStore(spark, sfDir)
+            .filter(col("doc_id") < split)
+            .select(col("doc_id"), col("chunk_str"))),
+          signals = Some(qualitySignals(spark, sfDir)
+            .filter(col("doc_id") < split))),
+        path)
+    }
+    QualityOps.readManifestState(spark, p)
+  }
+
+  /** The persisted [[CalibrationStore]] for q159: built over the
+    * resident split, then the last-fifth batch appended through the
+    * store's epoch path — exactly the production sequence. Built once
+    * per (session, sf dir); q159 serves from it.
+    */
+  def calibrationStorePath(spark: SparkSession, sfDir: String): String =
+    cached(spark, sfDir, "calibration-store") { path =>
+      val docs = QU.t(spark, sfDir).documents
+      val split = NearDupOps.incrementalSplitId(docs)
+      CalibrationStore.build(docs.filter(col("doc_id") < split), path)
+      CalibrationStore.append(docs.filter(col("doc_id") >= split), path)
+    }
+
   def containmentPostings(spark: SparkSession, sfDir: String): DataFrame = {
     val p = cached(spark, sfDir, "containment-postings") { path =>
       NearDupOps.containmentPostingsOn(QU.t(spark, sfDir).documents)

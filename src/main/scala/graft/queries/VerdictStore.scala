@@ -108,7 +108,12 @@ object VerdictStore {
     val verdRoot = s"$path/verdicts"
     if (EpochStore.committed(sigsRoot, id) &&
         EpochStore.committed(verdRoot, id)) return // full replay
-    val residentSigs = EpochStore.read(spark, sigsRoot)
+    // both resident tables through ONE pinned snapshot — the
+    // redelivery read reasons about epoch membership, so a
+    // maintenance flip between the two resolutions must not hand it
+    // sigs pre-fold and verdicts post-fold
+    val snap = EpochStore.snapshot(Seq(sigsRoot, verdRoot))
+    val residentSigs = snap.read(spark, sigsRoot)
       .filter(col("epoch") =!= id.toString) // in-flight epoch excluded
       .select(col("doc_id"), col("k"), col("lang"), col("bucket"), col("sh"))
     // the monotonic-ingest contract, ENFORCED (it was caller-owned and
@@ -130,7 +135,7 @@ object VerdictStore {
             s"${maxResRow.getLong(0)}) — incremental exactness requires " +
             "every appended id to exceed every resident id")
     }
-    val rawVerd = EpochStore.read(spark, verdRoot)
+    val rawVerd = snap.read(spark, verdRoot)
     val residentVerdicts = resolve(rawVerd).persist()
     residentVerdicts.count()
     val seqRow = rawVerd.agg(max(col("seq"))).head()

@@ -15,6 +15,9 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.warehouse.dir",
       s"/tmp/graft-test-warehouse-${sys.props.getOrElse("user.name", "u")}")
+    // see Verify.scala: Spark 4.1 union-partitioning propagation +
+    // AQE breaks co-partitioned-union plans at execution
+    .config("spark.sql.unionOutputPartitioning", "false")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
