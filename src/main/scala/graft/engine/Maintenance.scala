@@ -2,12 +2,13 @@ package graft.engine
 
 import org.apache.spark.sql.SparkSession
 
-import graft.queries.{ChunkIndex, ContainmentStore, IvfIndex, MinHashIndex, VerdictStore}
+import graft.queries.{CalibrationStore, ChunkIndex, ContainmentStore, IvfIndex, ManifestStore, MinHashIndex, VerdictStore}
 
 /** One maintenance tick across every persisted index store — the
-  * single documented cron body for a deployment that runs all five
+  * single documented cron body for a deployment that runs all seven
   * build-once/query-many stores (IVF vectors, MinHash bands, content
-  * chunks, dedup verdicts, containment state). Each store already
+  * chunks, dedup verdicts, containment state, manifest components,
+  * calibration histograms). Each store already
   * owns its tick ([[IvfIndex.maintain]], [[MinHashIndex.maintain]],
   * [[ChunkIndex.maintain]], [[VerdictStore.maintain]],
   * [[ContainmentStore.maintain]]: heal-aware
@@ -47,6 +48,16 @@ import graft.queries.{ChunkIndex, ContainmentStore, IvfIndex, MinHashIndex, Verd
   *    df-crossing appends are churning resident rows faster than the
   *    fold cadence; lower `maxEpochs` for this store or compact
   *    out-of-band.
+  *  - `manifest_diverged` / `manifest_gc_heavy` — the manifest
+  *    store's eight tables disagree (appender's retry heals) / its
+  *    one mutable table's superseded fraction crossed the bound
+  *    (bench-heavy appends churning resident contamination rows;
+  *    same fix as containment_gc_heavy).
+  *  - `calibration_diverged` — scores/hist epoch sets differ: the
+  *    appender's retry heals (the hist delta derives from the
+  *    committed scores epoch); if the scores side was folded
+  *    out-of-band first, `CalibrationStore.rebuildHistogram` is the
+  *    named recovery.
   *
   * Single-maintenance-writer contract (inherited from each store):
   * run between micro-batches or with the append streams stopped.
@@ -60,7 +71,9 @@ object Maintenance {
                           minhash: Option[String] = None,
                           chunks: Option[String] = None,
                           verdicts: Option[String] = None,
-                          containment: Option[String] = None)
+                          containment: Option[String] = None,
+                          manifest: Option[String] = None,
+                          calibration: Option[String] = None)
 
   /** What the composed tick did, saw, and decided: the three
     * per-store reports (as run), the serving-config push-down
@@ -72,6 +85,8 @@ object Maintenance {
                           chunks: Option[ChunkIndex.MaintenanceReport],
                           verdicts: Option[VerdictStore.MaintenanceReport],
                           containment: Option[ContainmentStore.MaintenanceReport],
+                          manifest: Option[ManifestStore.MaintenanceReport],
+                          calibration: Option[CalibrationStore.MaintenanceReport],
                           sqRerankWidth: Int,
                           alerts: Seq[String])
 
@@ -92,6 +107,10 @@ object Maintenance {
       VerdictStore.maintain(spark, p, maxEpochs = maxEpochs))
     val ctR = stores.containment.map(p =>
       ContainmentStore.maintain(spark, p, maxEpochs = maxEpochs))
+    val mfR = stores.manifest.map(p =>
+      ManifestStore.maintain(spark, p, maxEpochs = maxEpochs))
+    val cbR = stores.calibration.map(p =>
+      CalibrationStore.maintain(spark, p, maxEpochs = maxEpochs))
     val width = IvfIndex.sqRerankWidthFor(
       ivfR.map(_.maxSkew).getOrElse(Double.NaN))
     val alerts = Seq.newBuilder[String]
@@ -118,7 +137,16 @@ object Maintenance {
       else if (r.supersededFrac > supersededAlert)
         alerts += f"containment_gc_heavy:${r.supersededFrac}%.4f"
     }
-    Report(ivfR, mhR, chR, vsR, ctR, width, alerts.result())
+    mfR.foreach { r =>
+      if (r.diverged) alerts += "manifest_diverged"
+      else if (r.supersededFrac > supersededAlert)
+        alerts += f"manifest_gc_heavy:${r.supersededFrac}%.4f"
+    }
+    cbR.foreach { r =>
+      // same appender-owned heal contract as the other diverged cues
+      if (r.diverged) alerts += "calibration_diverged"
+    }
+    Report(ivfR, mhR, chR, vsR, ctR, mfR, cbR, width, alerts.result())
   }
 
   /** The RUNNING-cron form of [[tick]]: wire the composed tick onto a

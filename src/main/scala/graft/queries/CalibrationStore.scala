@@ -106,6 +106,15 @@ object CalibrationStore {
         scoreRelation(batch).write.mode("overwrite").parquet(tmp)
       }
     }
+    // a scores epoch folded out-of-band while its hist half is
+    // missing can no longer serve the derivation below — name the
+    // recovery instead of silently committing an EMPTY hist delta
+    if (EpochStore.folded(scoresRoot, id))
+      throw new IllegalStateException(
+        s"CalibrationStore at $path: scores epoch=$id was folded by a " +
+          "compaction while its hist half is missing — the per-epoch " +
+          "derivation is gone; run CalibrationStore.rebuildHistogram " +
+          "to restore the hist table from the scores relation")
     // hist delta DERIVED from the committed scores epoch: identical
     // on any redelivery, so the half-commit crash window self-heals
     val committedScores = EpochStore.read(spark, scoresRoot)
@@ -177,13 +186,68 @@ object CalibrationStore {
   }
 
   /** Fold both tables' epochs (hist deltas sum into one row per
-    * (lang, bucket); scores concatenate).
+    * (lang, bucket); scores concatenate). Refuses over a
+    * half-committed append: folding the scores side of a dangling
+    * epoch would delete the very epoch dir the heal derives the hist
+    * delta from.
     */
   def compact(spark: SparkSession, path: String): Unit = {
+    if (EpochStore.committedIds(s"$path/scores") !=
+        EpochStore.committedIds(s"$path/hist"))
+      throw new IllegalStateException(
+        s"CalibrationStore at $path has diverged epoch sets — a " +
+          "half-committed append; heal via the appender's retry (or " +
+          "rebuildHistogram) before compacting")
     EpochStore.compact(spark, s"$path/scores")
     val folded = histogram(spark, path).localCheckpoint(true)
     EpochStore.create(s"$path/hist", rebuild = true) { base =>
       folded.write.mode("overwrite").parquet(base)
     }
+  }
+
+  /** Out-of-band recovery: the histogram is fully DERIVABLE from the
+    * scores table, so a hist side wedged beyond the epoch-derived
+    * heal (e.g. its epoch folded out-of-band) rebuilds in one pass.
+    */
+  def rebuildHistogram(spark: SparkSession, path: String): Unit = {
+    val folded = histOf(scores(spark, path)).localCheckpoint(true)
+    EpochStore.create(s"$path/hist", rebuild = true) { base =>
+      folded.write.mode("overwrite").parquet(base)
+    }
+  }
+
+  final case class MaintenanceReport(compacted: Boolean,
+                                     diverged: Boolean,
+                                     scoreEpochs: Int,
+                                     histEpochs: Int,
+                                     nDocs: Long,
+                                     nLangs: Long,
+                                     histRows: Long)
+
+  /** One maintenance tick: report a half-committed append first
+    * (touch nothing), else apply the compaction policy, then one
+    * census — doc count, language count, and the histogram-relation
+    * cardinality (the bounded-state claim, observable).
+    */
+  def maintain(spark: SparkSession, path: String,
+               maxEpochs: Int = 64): MaintenanceReport = {
+    val diverged = EpochStore.committedIds(s"$path/scores") !=
+      EpochStore.committedIds(s"$path/hist")
+    val fragmented = !diverged &&
+      (EpochStore.epochCount(s"$path/scores") > maxEpochs ||
+        EpochStore.epochCount(s"$path/hist") > maxEpochs)
+    if (fragmented) compact(spark, path)
+    val hist = histogram(spark, path)
+    val census = hist.agg(count(lit(1)).as("rows"),
+      count_distinct(col("lang")).as("langs"),
+      sum(col("cnt")).as("docs")).head()
+    MaintenanceReport(
+      compacted = fragmented,
+      diverged = diverged,
+      scoreEpochs = EpochStore.epochCount(s"$path/scores"),
+      histEpochs = EpochStore.epochCount(s"$path/hist"),
+      nDocs = if (census.isNullAt(2)) 0L else census.getLong(2),
+      nLangs = census.getLong(1),
+      histRows = census.getLong(0))
   }
 }

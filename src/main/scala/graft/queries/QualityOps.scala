@@ -618,6 +618,29 @@ object QualityOps {
       Some(manifestOracleSql),
       "incremental manifest maintenance from the persisted verdict stores (== full recompute)"),
 
+    // -- q160: the PERSISTED ManifestStore on the driver's oracle
+    //    surface (the q153/q156/q159 served-from-the-store pattern):
+    //    the session-shared store is BUILT over the resident split,
+    //    the last-fifth batch APPENDED through the eight-table
+    //    delta-epoch path (append-only component tables + the one
+    //    LWW contamination table whose epochs carry ONLY the
+    //    batch-touched resident rows), and this query serves the
+    //    manifest from the resolved state + the two verdict-store
+    //    views — so the driver hash-verifies the store's entire
+    //    build → delta-append → LWW-read → precedence → packing
+    //    chain against q146's from-scratch recompute.
+    Q("q160_manifest_store_read",
+      (s, d) => ManifestStore.manifest(s,
+        SharedStages.manifestStorePath(s, d),
+        VerdictStore.read(s, SharedStages.verdictStorePath(s, d))
+          .select(col("doc_id"), col("verdict").as("d_v")),
+        ContainmentStore
+          .read(s, SharedStages.containmentStorePath(s, d))
+          .filter(col("is_kept") === 0)
+          .select(col("doc_id"), lit(1).as("ct"))),
+      Some(manifestOracleSql),
+      "persisted manifest store: build + delta append, served read == full recompute"),
+
     // -- Quality-aware canonical selection: dedup normally keeps the
     //    MIN-id member of each near-dup cluster (q78/q100); the
     //    better pipeline keeps the HIGHEST-QUALITY member. One row
@@ -918,6 +941,24 @@ object QualityOps {
       trainChunks, evalChunks, trainEmb, evalEmb)
   }
 
+  /** Everything one manifest ingest batch produces — the batch-side
+    * component rows plus the UPDATED resident contamination rows (the
+    * only resident rows an append can change), i.e. exactly what a
+    * persisted [[ManifestStore]] commits as one delta epoch. The
+    * append-only relations (postings, chunks, vectors, eval sides)
+    * carry only batch-derived rows by construction.
+    */
+  private[graft] final case class ManifestDelta(
+      quality: org.apache.spark.sql.DataFrame,
+      contamChanged: org.apache.spark.sql.DataFrame,
+      contamBatch: org.apache.spark.sql.DataFrame,
+      trainSh8: org.apache.spark.sql.DataFrame,
+      benchSh8: org.apache.spark.sql.DataFrame,
+      trainChunks: org.apache.spark.sql.DataFrame,
+      evalChunks: org.apache.spark.sql.DataFrame,
+      trainEmb: org.apache.spark.sql.DataFrame,
+      evalEmb: org.apache.spark.sql.DataFrame)
+
   /** Advance a [[ManifestState]] by one ingest batch (ids ≥ the crawl
     * split; `batchEmb` is the same id slice of the embeddings) —
     * WITHOUT re-reading resident text. Exactness per arm:
@@ -946,10 +987,10 @@ object QualityOps {
     * Everything the update touches is batch-sized or a doc-keyed
     * probe of a persisted index — the q155 scale contract.
     */
-  private[graft] def advanceManifestState(
+  private[graft] def manifestDelta(
       state: ManifestState,
       batch: org.apache.spark.sql.DataFrame,
-      batchEmb: org.apache.spark.sql.DataFrame): ManifestState = {
+      batchEmb: org.apache.spark.sql.DataFrame): ManifestDelta = {
     import graft.functions.Vectors
     val bTrain = batch.filter(col("doc_id") % 50 =!= 0)
     val qualityB = verdictsFromSignals(signalsRelationOf(batch))
@@ -985,7 +1026,13 @@ object QualityOps {
     val dCh = state.trainChunks
       .join(broadcast(newEvalStrs), Seq("chunk_str"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("d_sh"))
-    val contamR = state.contam
+    // resident rows an append can CHANGE = exactly those a delta probe
+    // touched; the update recomputes their full component row
+    val touched = dNg.select(col("doc_id"))
+      .unionByName(dSem.select(col("doc_id")))
+      .unionByName(dCh.select(col("doc_id"))).distinct()
+    val contamChanged = state.contam
+      .join(touched, Seq("doc_id"), "left_semi")
       .join(dNg, Seq("doc_id"), "left")
       .join(dSem, Seq("doc_id"), "left")
       .join(dCh, Seq("doc_id"), "left")
@@ -1026,28 +1073,41 @@ object QualityOps {
         coalesce(col("nb"), lit(0L)).as("n_bench_docs"),
         col("mec").as("max_eval_cos"),
         col("n_chunks"), col("n_shared"))
+    ManifestDelta(qualityB, contamChanged, contamB,
+      bTrainSh8, bBenchSh8, bTrainChunks, newEvalStrs,
+      bTrainEmb, newEvalEmb)
+  }
+
+  private[graft] def advanceManifestState(
+      state: ManifestState,
+      batch: org.apache.spark.sql.DataFrame,
+      batchEmb: org.apache.spark.sql.DataFrame): ManifestState = {
+    val d = manifestDelta(state, batch, batchEmb)
+    val contamUntouched = state.contam.join(
+      d.contamChanged.select(col("doc_id")), Seq("doc_id"), "left_anti")
     ManifestState(
-      quality = state.quality.unionByName(qualityB),
+      quality = state.quality.unionByName(d.quality),
       // Spark 4.1's union output-partitioning propagation
       // (spark.sql.unionOutputPartitioning) plans a downstream doc_id
       // join directly over this union when BOTH children already end
       // hash-partitioned on doc_id (no exchange above the union),
-      // then fails executing the join zipping the 2n concatenated
-      // union partitions against the n-partition other side ("Can't
-      // zip RDDs with unequal numbers of partitions"). An explicit-N
-      // repartition (bare repartition(col) gets elided by the same
+      // then fails executing the join zipping the concatenated union
+      // partitions against the other side ("Can't zip RDDs with
+      // unequal numbers of partitions"). An explicit-N repartition
+      // (bare repartition(col) gets elided by the same
       // satisfied-distribution claim) re-establishes one well-formed
       // hash partitioning — the exchange the doc-keyed joins need
       // anyway, so no extra cost.
-      contam = contamR.unionByName(contamB).repartition(
-        batch.sparkSession.sessionState.conf.numShufflePartitions,
-        col("doc_id")),
-      trainSh8 = state.trainSh8.unionByName(bTrainSh8),
-      benchSh8 = state.benchSh8.unionByName(bBenchSh8),
-      trainChunks = state.trainChunks.unionByName(bTrainChunks),
-      evalChunks = evalUnion,
-      trainEmb = state.trainEmb.unionByName(bTrainEmb),
-      evalEmb = state.evalEmb.unionByName(newEvalEmb))
+      contam = contamUntouched.unionByName(d.contamChanged)
+        .unionByName(d.contamBatch).repartition(
+          batch.sparkSession.sessionState.conf.numShufflePartitions,
+          col("doc_id")),
+      trainSh8 = state.trainSh8.unionByName(d.trainSh8),
+      benchSh8 = state.benchSh8.unionByName(d.benchSh8),
+      trainChunks = state.trainChunks.unionByName(d.trainChunks),
+      evalChunks = state.evalChunks.unionByName(d.evalChunks),
+      trainEmb = state.trainEmb.unionByName(d.trainEmb),
+      evalEmb = state.evalEmb.unionByName(d.evalEmb))
   }
 
   /** The manifest of a [[ManifestState]]: re-derive the contamination

@@ -260,6 +260,32 @@ object SharedStages {
     QualityOps.readManifestState(spark, p)
   }
 
+  /** The persisted [[ManifestStore]] for q160: built over the
+    * resident split (riding the session-shared chunk store and signal
+    * relation), then the last-fifth batch (docs + the same id slice
+    * of the embeddings) appended through the store's eight-table
+    * delta-epoch path — exactly the production sequence. Built once
+    * per (session, sf dir); q160 serves the manifest from it.
+    */
+  def manifestStorePath(spark: SparkSession, sfDir: String): String =
+    cached(spark, sfDir, "manifest-store") { path =>
+      val docs = QU.t(spark, sfDir).documents
+      val emb = QU.t(spark, sfDir).embeddings
+      val split = NearDupOps.incrementalSplitId(docs)
+      ManifestStore.build(
+        docs.filter(col("doc_id") < split),
+        emb.filter(col("vec_id") < split),
+        path,
+        chunks = Some(chunkStore(spark, sfDir)
+          .filter(col("doc_id") < split)
+          .select(col("doc_id"), col("chunk_str"))),
+        signals = Some(qualitySignals(spark, sfDir)
+          .filter(col("doc_id") < split)))
+      ManifestStore.append(
+        docs.filter(col("doc_id") >= split),
+        emb.filter(col("vec_id") >= split), path)
+    }
+
   /** The persisted [[CalibrationStore]] for q159: built over the
     * resident split, then the last-fifth batch appended through the
     * store's epoch path — exactly the production sequence. Built once

@@ -28,22 +28,33 @@ class MaintenanceSpec extends SparkSpec {
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).resolve("ix").toString
 
-  test("healthy five-store tick: no-op everywhere, base width, " +
+  test("healthy seven-store tick: no-op everywhere, base width, " +
       "no alerts; subset deployments tick only their stores") {
     val (ivf, mh, ch, vs, ct) =
       (tmp("mnt-ivf"), tmp("mnt-mh"), tmp("mnt-ch"), tmp("mnt-vs"),
         tmp("mnt-ct"))
+    val (mf, cb) = (tmp("mnt-mf"), tmp("mnt-cb"))
     IvfIndex.build(emb.filter(col("vec_id") < 250), ivf)
     MinHashIndex.build(docs.filter(col("doc_id") < 300), mh)
     ChunkIndex.build(docs.filter(col("doc_id") < 300), ch)
-    VerdictStore.build(spark.read
+    val fullDocs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
-      .filter(col("doc_id") < 300), vs)
+    VerdictStore.build(fullDocs.filter(col("doc_id") < 300), vs)
     ContainmentStore.build(docs.filter(col("doc_id") < 300), ct)
+    graft.queries.ManifestStore.build(
+      fullDocs.filter(col("doc_id") < 300),
+      emb.filter(col("vec_id") < 300), mf)
+    graft.queries.CalibrationStore.build(
+      fullDocs.filter(col("doc_id") < 300), cb)
 
     val r = Maintenance.tick(spark,
-      Maintenance.Stores(Some(ivf), Some(mh), Some(ch), Some(vs), Some(ct)))
+      Maintenance.Stores(Some(ivf), Some(mh), Some(ch), Some(vs), Some(ct),
+        Some(mf), Some(cb)))
+    assert(r.manifest.exists(m =>
+      !m.compacted && !m.diverged && m.supersededFrac === 0.0))
+    assert(r.calibration.exists(c =>
+      !c.compacted && !c.diverged && c.nDocs === 300))
     assert(r.ivf.exists(i => !i.rebuilt && !i.compacted))
     assert(r.minhash.exists(m => !m.compacted && !m.diverged))
     assert(r.chunks.exists(c => !c.compacted))
@@ -122,8 +133,36 @@ class MaintenanceSpec extends SparkSpec {
         .write.mode("overwrite").parquet(tmpDir)
     }
 
+    // Manifest store: a half-committed append (quality epoch without
+    // the other seven tables)
+    val mf = tmp("mnt-mf2")
+    graft.queries.ManifestStore.build(
+      vdocs.filter(col("doc_id") < 300),
+      emb.filter(col("vec_id") < 300), mf)
+    EpochStore.commitEpoch(s"$mf/quality", 1000000000L) { tmpDir =>
+      spark.range(1).select(lit(9999L).as("doc_id"), lit("keep").as("q_v"),
+        lit(10).as("n_tokens"))
+        .write.mode("overwrite").parquet(tmpDir)
+    }
+
+    // Calibration store: a half-committed append (scores epoch
+    // without its hist half)
+    val cb = tmp("mnt-cb2")
+    graft.queries.CalibrationStore.build(
+      vdocs.filter(col("doc_id") < 300), cb)
+    EpochStore.commitEpoch(s"$cb/scores", 1000000000L) { tmpDir =>
+      graft.queries.CalibrationStore.scoreRelation(
+          vdocs.filter(col("doc_id") >= 300))
+        .write.mode("overwrite").parquet(tmpDir)
+    }
+
     val r = Maintenance.tick(spark,
-      Maintenance.Stores(Some(ivf), Some(mh), Some(ch), Some(vs), Some(ct)))
+      Maintenance.Stores(Some(ivf), Some(mh), Some(ch), Some(vs), Some(ct),
+        Some(mf), Some(cb)))
+    assert(r.alerts.contains("manifest_diverged"))
+    assert(r.manifest.exists(m => m.diverged && !m.compacted))
+    assert(r.alerts.contains("calibration_diverged"))
+    assert(r.calibration.exists(c => c.diverged && !c.compacted))
     assert(r.alerts.contains("verdictstore_diverged"))
     assert(r.verdicts.exists(v => v.diverged && !v.compacted))
     assert(r.alerts.contains("containment_diverged"))
