@@ -2,13 +2,13 @@ package graft.engine
 
 import org.apache.spark.sql.SparkSession
 
-import graft.queries.{CalibrationStore, ChunkIndex, ContainmentStore, IvfIndex, ManifestStore, MinHashIndex, VerdictStore}
+import graft.queries.{CalibrationStore, ChunkIndex, ContainmentStore, IvfIndex, ManifestStore, MinHashIndex, PHashIndex, VerdictStore}
 
 /** One maintenance tick across every persisted index store — the
-  * single documented cron body for a deployment that runs all seven
+  * single documented cron body for a deployment that runs all eight
   * build-once/query-many stores (IVF vectors, MinHash bands, content
   * chunks, dedup verdicts, containment state, manifest components,
-  * calibration histograms). Each store already
+  * calibration histograms, perceptual image hashes). Each store already
   * owns its tick ([[IvfIndex.maintain]], [[MinHashIndex.maintain]],
   * [[ChunkIndex.maintain]], [[VerdictStore.maintain]],
   * [[ContainmentStore.maintain]]: heal-aware
@@ -58,6 +58,12 @@ import graft.queries.{CalibrationStore, ChunkIndex, ContainmentStore, IvfIndex, 
   *    committed scores epoch); if the scores side was folded
   *    out-of-band first, `CalibrationStore.rebuildHistogram` is the
   *    named recovery.
+  *  - `phash_diverged` / `phash_bucket_over_cap` — hashes/bands epoch
+  *    sets differ (appender's retry or `PHashIndex.rebuildBands`
+  *    heals) / a band bucket crossed the probe cap: a mass of
+  *    hash-identical assets is reachable only through its
+  *    representative — dedup the images (q161's own verdict) or
+  *    raise the cap.
   *
   * Single-maintenance-writer contract (inherited from each store):
   * run between micro-batches or with the append streams stopped.
@@ -73,7 +79,8 @@ object Maintenance {
                           verdicts: Option[String] = None,
                           containment: Option[String] = None,
                           manifest: Option[String] = None,
-                          calibration: Option[String] = None)
+                          calibration: Option[String] = None,
+                          phash: Option[String] = None)
 
   /** What the composed tick did, saw, and decided: the three
     * per-store reports (as run), the serving-config push-down
@@ -87,6 +94,7 @@ object Maintenance {
                           containment: Option[ContainmentStore.MaintenanceReport],
                           manifest: Option[ManifestStore.MaintenanceReport],
                           calibration: Option[CalibrationStore.MaintenanceReport],
+                          phash: Option[PHashIndex.MaintenanceReport],
                           sqRerankWidth: Int,
                           alerts: Seq[String])
 
@@ -111,6 +119,8 @@ object Maintenance {
       ManifestStore.maintain(spark, p, maxEpochs = maxEpochs))
     val cbR = stores.calibration.map(p =>
       CalibrationStore.maintain(spark, p, maxEpochs = maxEpochs))
+    val phR = stores.phash.map(p =>
+      PHashIndex.maintain(spark, p, maxEpochs = maxEpochs))
     val width = IvfIndex.sqRerankWidthFor(
       ivfR.map(_.maxSkew).getOrElse(Double.NaN))
     val alerts = Seq.newBuilder[String]
@@ -146,7 +156,12 @@ object Maintenance {
       // same appender-owned heal contract as the other diverged cues
       if (r.diverged) alerts += "calibration_diverged"
     }
-    Report(ivfR, mhR, chR, vsR, ctR, mfR, cbR, width, alerts.result())
+    phR.foreach { r =>
+      if (r.diverged) alerts += "phash_diverged"
+      else if (r.maxBucket > graft.queries.TextOps.MaxLshBucket)
+        alerts += s"phash_bucket_over_cap:${r.maxBucket}"
+    }
+    Report(ivfR, mhR, chR, vsR, ctR, mfR, cbR, phR, width, alerts.result())
   }
 
   /** The RUNNING-cron form of [[tick]]: wire the composed tick onto a

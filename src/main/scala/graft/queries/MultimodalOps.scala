@@ -101,21 +101,61 @@ object MultimodalOps {
     //    O(72·len) map-side fold (the q133 mode-count budget);
     //    nothing token-cardinality shuffles.
     Q("q158_image_phash_neardup",
-      (s, d) => {
-        val tk = graft.functions.Text.tokens(col("text"))
-        val vals = transform(tk, w =>
-          conv(substring(md5(w), 1, 8), 16, 10).cast("long"))
-        val cells = transform(sequence(lit(0), lit(71)),
-          i => aggregate(vals, lit(0L),
-            (acc, v) => acc + pmod(v * (i.cast("long") + 1), lit(1009L))))
-        val fp = QU.t(s, d).documents
-          .select(col("doc_id"), cells.as("cells"))
+      (s, d) => NearDupOps.bandedHammingPairs(
+        phashFingerprints(QU.t(s, d).documents)
           .select(col("doc_id"),
-            struct(gradientHalf(col("cells"), 0).as("hi"),
-              gradientHalf(col("cells"), 4).as("lo")).as("sh"))
-        NearDupOps.bandedHammingPairs(fp)
-      },
-      Some(raw"""WITH toks AS (
+            struct(col("hi"), col("lo")).as("sh"))),
+      Some(raw"""WITH $PhashFpCtes,
+        banded AS (
+          SELECT doc_id, r.band,
+            CASE r.band WHEN 0 THEN hi >> 16 WHEN 1 THEN hi & 65535
+                        WHEN 2 THEN lo >> 16 ELSE lo & 65535 END AS v
+          FROM fp, (SELECT unnest(range(0, 4)) AS band) r),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+          FROM banded a JOIN banded b2
+            ON a.band = b2.band AND a.v = b2.v AND a.doc_id < b2.doc_id)
+        SELECT doc_a, doc_b, dist FROM (
+          SELECT c.doc_a, c.doc_b,
+            CAST(bit_count(xor(fa.hi, fb.hi))
+               + bit_count(xor(fa.lo, fb.lo)) AS INT) AS dist
+          FROM cand c
+            JOIN fp fa ON fa.doc_id = c.doc_a
+            JOIN fp fb ON fb.doc_id = c.doc_b) t
+        WHERE dist <= 3 ORDER BY doc_a, doc_b"""),
+      "perceptual dHash near-dup pairs via the shared banded Hamming index"),
+
+    // -- q161: INCREMENTAL image near-dup — the crawl-batch-vs-corpus
+    //    screen served from the PERSISTED [[PHashIndex]] (the q114
+    //    pattern for the fourth modality): the corpus side
+    //    (doc_id % 5 != 0, q82's split convention) is hashed ONCE
+    //    into the session-shared index; this query hashes only the
+    //    batch, probes the stored band postings (probe side
+    //    broadcast, postings read band-partitioned), and verifies
+    //    candidates against the stored hashes — the resident corpus
+    //    is never re-hashed or re-decoded. The oracle is the
+    //    BRUTE-FORCE batch×corpus Hamming scan over the same
+    //    fingerprints, so the hash match also proves the band
+    //    multi-index lossless (≤3 pigeonhole) on the fixture.
+    Q("q161_incremental_phash",
+      (s, d) => PHashIndex.matches(s, SharedStages.phashIndexPath(s, d),
+        phashFingerprints(
+          QU.t(s, d).documents.filter(col("doc_id") % 5 === 0))),
+      Some(raw"""WITH $PhashFpCtes
+        SELECT doc_id, match_id, dist FROM (
+          SELECT b.doc_id, c.doc_id AS match_id,
+            CAST(bit_count(xor(b.hi, c.hi))
+               + bit_count(xor(b.lo, c.lo)) AS INT) AS dist
+          FROM fp b JOIN fp c
+            ON b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0) t
+        WHERE dist <= 3 ORDER BY doc_id, match_id"""),
+      "incremental image near-dup: batch probes the persisted banded hash index")
+  )
+
+  /** The q158/q161 fingerprint CTE chain (token hash → dense 9×8
+    * grid → gradient bits → 32-bit halves), shared by both oracles.
+    */
+  private val PhashFpCtes: String = raw"""toks AS (
           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
           FROM documents),
         hv AS (
@@ -141,26 +181,28 @@ object MultimodalOps {
             CAST(SUM(CASE WHEN k >= 32
               THEN bit * (1::BIGINT << CAST(63 - k AS INT)) ELSE 0 END)
               AS BIGINT) AS lo
-          FROM cmp GROUP BY doc_id),
-        banded AS (
-          SELECT doc_id, r.band,
-            CASE r.band WHEN 0 THEN hi >> 16 WHEN 1 THEN hi & 65535
-                        WHEN 2 THEN lo >> 16 ELSE lo & 65535 END AS v
-          FROM fp, (SELECT unnest(range(0, 4)) AS band) r),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-          FROM banded a JOIN banded b2
-            ON a.band = b2.band AND a.v = b2.v AND a.doc_id < b2.doc_id)
-        SELECT doc_a, doc_b, dist FROM (
-          SELECT c.doc_a, c.doc_b,
-            CAST(bit_count(xor(fa.hi, fb.hi))
-               + bit_count(xor(fa.lo, fb.lo)) AS INT) AS dist
-          FROM cand c
-            JOIN fp fa ON fa.doc_id = c.doc_a
-            JOIN fp fb ON fb.doc_id = c.doc_b) t
-        WHERE dist <= 3 ORDER BY doc_a, doc_b"""),
-      "perceptual dHash near-dup pairs via the shared banded Hamming index")
-  )
+          FROM cmp GROUP BY doc_id)"""
+
+  /** The q158 fake-decode fingerprint relation of a documents frame:
+    * (doc_id, hi, lo) — the md5-dense token "raster" folded to the
+    * [[graft.functions.Media.dHash64FromGrid]] gradient layout, split
+    * into the 32-bit halves the banded index keys on. Shared by q158,
+    * the [[PHashIndex]] build, and q161's probe side so the three
+    * surfaces cannot drift.
+    */
+  private[graft] def phashFingerprints(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tk = graft.functions.Text.tokens(col("text"))
+    val vals = transform(tk, w =>
+      conv(substring(md5(w), 1, 8), 16, 10).cast("long"))
+    val cells = transform(sequence(lit(0), lit(71)),
+      i => aggregate(vals, lit(0L),
+        (acc, v) => acc + pmod(v * (i.cast("long") + 1), lit(1009L))))
+    docs.select(col("doc_id"), cells.as("cells"))
+      .select(col("doc_id"),
+        gradientHalf(col("cells"), 0).as("hi"),
+        gradientHalf(col("cells"), 4).as("lo"))
+  }
 
   /** 32 gradient bits of a 9×8 row-major grid column, MSB-first:
     * comparison k (row k/8 + `off`, col k%8) against its right

@@ -375,6 +375,18 @@ object SharedStages {
         path)
     }
 
+  /** A built [[PHashIndex]] over the CORPUS side of the incremental
+    * split (doc_id % 5 != 0 — q82/q114's convention), built once per
+    * (session, sf dir). q161 probes it with the % 5 == 0 batch.
+    */
+  def phashIndexPath(spark: SparkSession, sfDir: String): String =
+    cached(spark, sfDir, "phash-index") { path =>
+      PHashIndex.build(
+        MultimodalOps.phashFingerprints(
+          QU.t(spark, sfDir).documents.filter(col("doc_id") % 5 =!= 0)),
+        path): Unit
+    }
+
   /** The DISTINCT eval-split chunk set (doc_id % 50 == 0, q77's
     * convention) off the chunk store — persisted once per (session,
     * sf dir) because the eval suite is the FIXED side of every

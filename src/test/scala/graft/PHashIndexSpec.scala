@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.engine.EpochStore
+import graft.queries.PHashIndex
+
+/** The persisted perceptual-hash index (build / append / probe /
+  * compact / maintain) behind q161. Fingerprints here are crafted
+  * longs (the index is hash-family-agnostic); the REAL pixel path is
+  * PHashSpec's business and q161 pins the fake-decode family on the
+  * driver surface. Under test:
+  *
+  *   - probe == the brute-force batch×corpus Hamming scan (the ≤3
+  *     pigeonhole over the stored bands), across build AND appends;
+  *   - replay no-op; a crash between the hashes and bands commits
+  *     heals on retry (the bands delta derives from the committed
+  *     hashes epoch);
+  *   - append-only contract and diverged-compaction refusal, with
+  *     rebuildBands as the folded-wedge recovery;
+  *   - compaction preserves probes; over-cap buckets degrade to the
+  *     representative instead of exploding.
+  */
+class PHashIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("phidx").resolve("ph").toString
+
+  private def fp(rows: Seq[(Long, Long)]): DataFrame =
+    rows.map { case (id, h) => (id, (h >>> 32) & 0xFFFFFFFFL, h & 0xFFFFFFFFL) }
+      .toDF("doc_id", "hi", "lo")
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  private def bruteForce(probe: Seq[(Long, Long)],
+                         stored: Seq[(Long, Long)]): Set[(Long, Long, Int)] =
+    (for {
+      (pid, ph) <- probe
+      (sid, sh) <- stored
+      d = hamming(ph, sh) if d <= 3
+    } yield (pid, sid, d)).toSet
+
+  private def probeSet(path: String,
+                       probe: Seq[(Long, Long)]): Set[(Long, Long, Int)] =
+    PHashIndex.matches(spark, path, fp(probe))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  // deterministic 64-bit values with a few engineered near-collisions
+  private def h(seed: Long): Long = {
+    var x = seed * 0x9E3779B97F4A7C15L
+    x ^= x >>> 31; x *= 0xBF58476D1CE4E5B9L; x ^= x >>> 27
+    x
+  }
+  private val corpus0 = (1L to 20L).map(i => i -> h(i))
+  private val batch1 = Seq(
+    100L -> h(5),                 // exact hash dup of doc 5
+    101L -> (h(7) ^ 0x8001L),     // Hamming 2 from doc 7
+    102L -> h(999))               // unrelated
+  private val probe = Seq(
+    200L -> h(3),                 // exact of resident 3
+    201L -> (h(100) ^ 1L),        // Hamming 1 of appended... h(100)? not stored
+    202L -> (h(12) ^ 0x110L),     // Hamming 2 from doc 12
+    203L -> h(12345))             // unrelated
+
+  test("probe == brute force across build + append; replay and crash heal") {
+    val path = tmp()
+    PHashIndex.build(fp(corpus0), path)
+    PHashIndex.appendEpoch(fp(batch1), path, 3L)
+    val stored = corpus0 ++ batch1
+    assert(probeSet(path, probe) === bruteForce(probe, stored))
+    // replay: storage-level no-op
+    PHashIndex.appendEpoch(fp(batch1), path, 3L)
+    assert(probeSet(path, probe) === bruteForce(probe, stored))
+    // crash window: commit ONLY the hashes half of the next epoch
+    val batch2 = Seq(300L -> h(3), 301L -> h(777))
+    EpochStore.commitEpoch(s"$path/hashes", 4L) { tmpDir =>
+      fp(batch2).write.mode("overwrite").parquet(tmpDir)
+    }
+    assert(!EpochStore.committed(s"$path/bands", 4L))
+    PHashIndex.appendEpoch(fp(batch2), path, 4L) // heals from storage
+    assert(EpochStore.committed(s"$path/bands", 4L))
+    assert(probeSet(path, probe) === bruteForce(probe, stored ++ batch2))
+    spark.catalog.clearCache()
+  }
+
+  test("append-only guard, diverged-compaction refusal, rebuildBands recovery") {
+    val path = tmp()
+    PHashIndex.build(fp(corpus0), path)
+    val e = intercept[IllegalArgumentException] {
+      PHashIndex.append(fp(Seq(5L -> h(5), 400L -> h(400))), path)
+    }
+    assert(e.getMessage.contains("NEW ids"))
+    // half-committed append: hashes ahead of bands
+    EpochStore.commitEpoch(s"$path/hashes", 9L) { tmpDir =>
+      fp(Seq(500L -> h(500))).write.mode("overwrite").parquet(tmpDir)
+    }
+    val e2 = intercept[IllegalStateException] {
+      PHashIndex.compact(spark, path)
+    }
+    assert(e2.getMessage.contains("diverged"))
+    // the named recovery restores the bands from the hash relation
+    PHashIndex.rebuildBands(spark, path)
+    assert(probeSet(path, probe) ===
+      bruteForce(probe, corpus0 :+ (500L -> h(500))))
+    spark.catalog.clearCache()
+  }
+
+  test("compaction preserves probes; over-cap buckets keep the representative") {
+    val path = tmp()
+    PHashIndex.build(fp(corpus0), path)
+    PHashIndex.append(fp(batch1), path)
+    val before = probeSet(path, probe)
+    // force divergence-free fold
+    PHashIndex.compact(spark, path)
+    assert(probeSet(path, probe) === before)
+    assert(EpochStore.epochCount(s"$path/hashes") === 1)
+    // a mass of identical hashes over the cap: the probe still finds
+    // the REPRESENTATIVE (min id), not nothing — and not all clones
+    val clones = (1000L to 1100L).map(i => i -> h(42L))
+    PHashIndex.append(fp(clones), path)
+    val got = PHashIndex.matches(spark, path, fp(Seq(9000L -> h(42L))),
+        maxBucket = 16)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+    assert(got.contains((1000L, 0)), "representative must match")
+    assert(got.size < clones.size, "over-cap bucket must not explode")
+    val rep = PHashIndex.maintain(spark, path)
+    assert(!rep.diverged && rep.nAssets === (corpus0 ++ batch1 ++ clones).size)
+    assert(rep.maxBucket >= 101)
+    spark.catalog.clearCache()
+  }
+}
