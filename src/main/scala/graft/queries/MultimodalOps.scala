@@ -195,6 +195,25 @@ object MultimodalOps {
     val tk = graft.functions.Text.tokens(col("text"))
     val vals = transform(tk, w =>
       conv(substring(md5(w), 1, 8), 16, 10).cast("long"))
+    // dense grid + gradient fold in the native one-pass kernel
+    // (graft.expressions.PHash64) — the interpreted HOF formulation
+    // below remains the pinned reference semantics
+    val sh = ColumnBridge.column(graft.expressions.PHash64(
+      ColumnBridge.expression(vals)))
+    docs.select(col("doc_id"), sh.as("sh"))
+      .select(col("doc_id"), col("sh.hi").as("hi"), col("sh.lo").as("lo"))
+  }
+
+  /** The higher-order-function formulation of [[phashFingerprints]] —
+    * O(72·len) interpreted lambda evaluations per doc, kept as the
+    * executable reference the native kernel is spec-pinned against
+    * (the simHashHof pattern).
+    */
+  private[graft] def phashFingerprintsHof(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tk = graft.functions.Text.tokens(col("text"))
+    val vals = transform(tk, w =>
+      conv(substring(md5(w), 1, 8), 16, 10).cast("long"))
     val cells = transform(sequence(lit(0), lit(71)),
       i => aggregate(vals, lit(0L),
         (acc, v) => acc + pmod(v * (i.cast("long") + 1), lit(1009L))))

@@ -125,6 +125,20 @@ class PHashSpec extends SparkSpec {
     })
   }
 
+  test("native PHash64 kernel == the HOF formulation on the fixture corpus") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val native = MultimodalOps.phashFingerprints(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val hof = MultimodalOps.phashFingerprintsHof(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(native === hof)
+    assert(native.nonEmpty)
+  }
+
   test("column gradient formulation == Scala dHash kernel on one grid") {
     // a deterministic non-trivial 9×8 grid
     val grid = Array.tabulate(72)(i => ((i * 2654435761L) % 97L))
