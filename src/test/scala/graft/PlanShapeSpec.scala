@@ -223,6 +223,53 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q157/q160 never read resident text; q161 scans the corpus zero times") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def collectScans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val below = p match {
+        case a: AdaptiveSparkPlanExec => collectScans(a.inputPlan)
+        case _ => p.children.flatMap(collectScans)
+      }
+      (p match { case s: FileSourceScanExec => Seq(s); case _ => Nil }) ++ below
+    }
+    def docScans(name: String): Seq[FileSourceScanExec] =
+      collectScans(q(name).queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths
+          .exists(_.toString.contains("documents.parquet")))
+
+    // q157 (incremental manifest): resident text is NEVER re-read —
+    // every documents.parquet scan in the plan is the BATCH slice,
+    // with the id-threshold filter PUSHED to the scan
+    val s157 = docScans("q157_incremental_manifest")
+    assert(s157.nonEmpty, "q157 must scan the batch slice")
+    for (sc <- s157)
+      assert(sc.dataFilters.exists(f =>
+          f.toString.contains("doc_id") && f.toString.contains(">=")),
+        s"q157 scans documents without the batch threshold: ${sc.dataFilters}")
+
+    // q160 (manifest-store read): the served manifest composes ONLY
+    // persisted state — zero raw-corpus scans, and the three store
+    // roots appear in the plan
+    assert(docScans("q160_manifest_store_read").isEmpty,
+      "q160 must not touch documents.parquet at all")
+    val p160 = planOf(q("q160_manifest_store_read"))
+    for (store <- Seq("manifest-store", "verdict-store", "containment-store"))
+      assert(p160.contains(store), s"q160 must read the $store:\n$p160")
+
+    // q161 (index-served image near-dup): the probe batch is hashed
+    // ONCE and checkpointed before the banded probe, so the serving
+    // plan contains ZERO raw-corpus scans — everything reads the
+    // stored index (bands + hashes) against the materialized probe
+    val s161 = docScans("q161_incremental_phash")
+    assert(s161.isEmpty,
+      s"q161's serving plan must not scan documents.parquet, saw ${s161.size}")
+    val p161 = planOf(q("q161_incremental_phash"))
+    assert(p161.contains("phash-index"),
+      s"q161's corpus side must come from the stored index:\n$p161")
+    spark.catalog.clearCache()
+  }
+
   test("q114 serves from the stored index: the corpus text is scanned zero times") {
     // exactly ONE documents.parquet scan (the probe batch); the corpus
     // side must come from the index's stored hash arrays — shingling
