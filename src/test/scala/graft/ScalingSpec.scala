@@ -99,7 +99,17 @@ class ScalingSpec extends SparkSpec {
     // vocabulary-bounded merge apply + the doc-partitioned windows —
     // a per-OCCURRENCE encode (instead of per distinct word) or a
     // global-window offset scan would blow it.
-    "q143_bpe_corpus_emit")
+    "q143_bpe_corpus_emit",
+    // incremental manifest maintenance: one row per capped train doc
+    // (the 10× ids stay under the cap, % 50 bench membership survives
+    // the +800·i shift). The warmup run builds the session-shared
+    // resident component state and the two verdict stores; the timed
+    // runs then measure the INCREMENTAL advance + compose alone — its
+    // time bound polices the delta shape: batch-sized arm probes
+    // against the stored indexes, doc-keyed precedence, and the
+    // PrefixSum packing. A resident-text re-read or a train×bench
+    // pair stage would blow it.
+    "q157_incremental_manifest")
 
   private lazy val (dir1x, dir10x) = {
     val root = Files.createTempDirectory("graft-scaling").toString
