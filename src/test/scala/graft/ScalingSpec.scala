@@ -109,7 +109,14 @@ class ScalingSpec extends SparkSpec {
     // against the stored indexes, doc-keyed precedence, and the
     // PrefixSum packing. A resident-text re-read or a train×bench
     // pair stage would blow it.
-    "q157_incremental_manifest")
+    "q157_incremental_manifest",
+    // served calibration: exactly one row per doc. The warmup run
+    // builds the session-shared calibration store; the timed runs
+    // measure the serve path — cumulative walk over the HISTOGRAM
+    // (bounded by langs × distinct scores) + tie-group windows. A
+    // per-language corpus sort (q139's full-rank shape) would blow
+    // the time bound as the corpus grows.
+    "q159_calibration_store_served")
 
   private lazy val (dir1x, dir10x) = {
     val root = Files.createTempDirectory("graft-scaling").toString
