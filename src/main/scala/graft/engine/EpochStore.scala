@@ -59,7 +59,17 @@ object EpochStore {
     * which closes the hole outright: the rebuild's source corpus owns
     * those batches' rows now, so their redelivery must stay a no-op.
     */
-  def create(root: String, rebuild: Boolean = false)(writeBase: String => Unit): Unit = {
+  /** `alsoFolded`: extra epoch ids to record as folded into the new
+    * base beyond the rebuilt table's own — the DERIVED-table rebuild
+    * hook: when a table is rebuilt from a SOURCE relation that
+    * already contains a dangling epoch the derived side never
+    * committed (CalibrationStore.rebuildHistogram,
+    * PHashIndex.rebuildBands), that id's rows are in the new base,
+    * so the ledger must say so — otherwise the appender's retry
+    * double-applies the delta and the store reads diverged forever.
+    */
+  def create(root: String, rebuild: Boolean = false,
+             alsoFolded: Set[Long] = Set.empty)(writeBase: String => Unit): Unit = {
     val existing = Archive.hasVersion(root)
     if (existing && !rebuild)
       throw new IllegalStateException(
@@ -67,10 +77,10 @@ object EpochStore {
           "for a deliberate rebuild (the committed-epoch ledger is " +
           "carried forward so surviving stream checkpoints stay safe)")
     val carried: Set[Long] =
-      if (existing) {
+      (if (existing) {
         val live = liveDir(root)
         foldedIds(live) ++ liveEpochIds(live)
-      } else Set.empty
+      } else Set.empty[Long]) ++ alsoFolded
     Archive.stageVersion(root) { dir =>
       writeBase(s"$dir/epoch=base")
       if (carried.nonEmpty)
@@ -90,11 +100,18 @@ object EpochStore {
     * VALUES under value-preserving compaction, but wrong for any
     * reader that reasons about epoch membership, e.g. a census or a
     * redelivery read). Resolving every manifest up front in one tight
-    * loop pins one version per table for the whole read; the
-    * `stageVersion` retention policy (exactly one displaced version
-    * kept) guarantees the pinned dirs survive at least one
-    * maintenance flip per table while the read runs — the same
-    * in-flight-reader contract single-table readers already rely on.
+    * loop pins one version per table for the whole read.
+    *
+    * This is a NARROWING, not an atomicity guarantee: the resolution
+    * loop itself is sequential, so a flip landing inside it (a
+    * microseconds window, vs. the whole multi-stage read without the
+    * pin) still mixes versions. The contracts that make composed
+    * reads actually safe are unchanged: appenders don't race
+    * maintenance (single-maintenance-writer), and the `stageVersion`
+    * retention policy (exactly one displaced version kept) keeps the
+    * pinned dirs readable across one flip per table while the read
+    * runs — the same in-flight-reader contract single-table readers
+    * already rely on.
     */
   final case class Snapshot(pinned: Map[String, String]) {
     def dir(root: String): String = pinned(root)

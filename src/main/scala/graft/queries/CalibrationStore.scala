@@ -208,10 +208,18 @@ object CalibrationStore {
   /** Out-of-band recovery: the histogram is fully DERIVABLE from the
     * scores table, so a hist side wedged beyond the epoch-derived
     * heal (e.g. its epoch folded out-of-band) rebuilds in one pass.
+    * The rebuilt base contains every SCORES epoch's contribution —
+    * including any dangling epoch the hist side never committed — so
+    * those ids are recorded as folded into the new base: the
+    * appender's inevitable retry of the crashed epoch is then a
+    * storage no-op (it would otherwise double-count the histogram),
+    * and the two tables' committed-id sets converge, unblocking
+    * compaction.
     */
   def rebuildHistogram(spark: SparkSession, path: String): Unit = {
     val folded = histOf(scores(spark, path)).localCheckpoint(true)
-    EpochStore.create(s"$path/hist", rebuild = true) { base =>
+    EpochStore.create(s"$path/hist", rebuild = true,
+      alsoFolded = EpochStore.committedIds(s"$path/scores")) { base =>
       folded.write.mode("overwrite").parquet(base)
     }
   }

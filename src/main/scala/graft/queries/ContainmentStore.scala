@@ -106,10 +106,12 @@ object ContainmentStore {
     * trick: reads that skip the crashed epoch reconstruct the exact
     * pre-append state, so a retry recomputes identical deltas. All
     * four tables are read through ONE pinned
-    * [[EpochStore.snapshot]], so a maintenance flip racing this view
-    * cannot hand it table A pre-fold and table B post-fold (mixed
-    * epoch sets would confuse the redelivery exclusion, which
-    * reasons about epoch MEMBERSHIP, not just values).
+    * [[EpochStore.snapshot]], narrowing the window in which a
+    * maintenance flip racing this view could hand it table A
+    * pre-fold and table B post-fold (mixed epoch sets would confuse
+    * the redelivery exclusion, which reasons about epoch MEMBERSHIP,
+    * not just values) from the whole read to the resolution loop;
+    * the single-maintenance-writer contract remains the guarantee.
     */
   private[graft] def stateView(spark: SparkSession, path: String,
       excludeIds: Set[Long] = Set.empty): NearDupOps.ContainmentState = {

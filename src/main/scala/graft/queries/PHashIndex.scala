@@ -165,11 +165,18 @@ object PHashIndex {
   }
 
   /** Out-of-band recovery: the band postings are fully DERIVABLE from
-    * the hash relation.
+    * the hash relation. The rebuilt base contains every HASHES
+    * epoch's postings — including any dangling epoch the bands side
+    * never committed — so those ids are recorded as folded into the
+    * new base: the appender's retry of the crashed epoch is then a
+    * storage no-op (duplicated postings would inflate bucket sizes
+    * past the probe cap and silently drop true matches), and the two
+    * tables' committed-id sets converge, unblocking compaction.
     */
   def rebuildBands(spark: SparkSession, path: String): Unit = {
     val folded = bandsOf(hashes(spark, path)).localCheckpoint(true)
-    EpochStore.create(s"$path/bands", rebuild = true) { base =>
+    EpochStore.create(s"$path/bands", rebuild = true,
+      alsoFolded = EpochStore.committedIds(s"$path/hashes")) { base =>
       folded.write.mode("overwrite").partitionBy("band").parquet(base)
     }
   }

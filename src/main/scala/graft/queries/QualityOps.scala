@@ -1026,8 +1026,16 @@ object QualityOps {
     val dCh = state.trainChunks
       .join(broadcast(newEvalStrs), Seq("chunk_str"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("d_sh"))
-    // resident rows an append can CHANGE = exactly those a delta probe
-    // touched; the update recomputes their full component row
+    // resident rows an append can CHANGE = those a delta probe hit
+    // AND whose stored component actually moves. The distinction
+    // matters for the semantic arm: dSem produces a row for EVERY
+    // resident embedded doc whenever the batch carries any new eval
+    // vector (the crossJoin has no threshold), but greatest() only
+    // changes the stored value when the new max EXCEEDS it — keeping
+    // the no-op rows would rewrite near-all resident embedded docs
+    // per append (pure LWW churn breaking the delta-write-volume
+    // contract). The ngram/chunk arms' delta rows always change the
+    // row (counts only grow and a row implies count ≥ 1).
     val touched = dNg.select(col("doc_id"))
       .unionByName(dSem.select(col("doc_id")))
       .unionByName(dCh.select(col("doc_id"))).distinct()
@@ -1036,6 +1044,10 @@ object QualityOps {
       .join(dNg, Seq("doc_id"), "left")
       .join(dSem, Seq("doc_id"), "left")
       .join(dCh, Seq("doc_id"), "left")
+      .filter(col("d_nb").isNotNull || col("d_sh").isNotNull ||
+        (col("d_mec").isNotNull &&
+          (col("max_eval_cos").isNull ||
+            col("d_mec") > col("max_eval_cos"))))
       .select(col("doc_id"),
         (col("n_bench_docs") + coalesce(col("d_nb"), lit(0L)))
           .as("n_bench_docs"),

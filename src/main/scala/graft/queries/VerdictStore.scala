@@ -109,9 +109,10 @@ object VerdictStore {
     if (EpochStore.committed(sigsRoot, id) &&
         EpochStore.committed(verdRoot, id)) return // full replay
     // both resident tables through ONE pinned snapshot — the
-    // redelivery read reasons about epoch membership, so a
-    // maintenance flip between the two resolutions must not hand it
-    // sigs pre-fold and verdicts post-fold
+    // redelivery read reasons about epoch membership, so this
+    // narrows the window in which a maintenance flip could hand it
+    // sigs pre-fold and verdicts post-fold (the single-writer
+    // contract remains the guarantee)
     val snap = EpochStore.snapshot(Seq(sigsRoot, verdRoot))
     val residentSigs = snap.read(spark, sigsRoot)
       .filter(col("epoch") =!= id.toString) // in-flight epoch excluded

@@ -130,6 +130,34 @@ class CalibrationStoreSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("rebuildHistogram closes the dangling epoch's ledger: the retry " +
+      "is a no-op (no double count) and compaction unblocks") {
+    val path = tmp()
+    val resident = mk(corpus(1L to 8L, "en"))
+    CalibrationStore.build(resident, path)
+    // crash window: scores epoch committed, hist half missing
+    val b = mk(corpus(100L to 104L, "en"))
+    EpochStore.commitEpoch(s"$path/scores", 5L) { tmpDir =>
+      CalibrationStore.scoreRelation(b)
+        .write.mode("overwrite").parquet(tmpDir)
+    }
+    // the out-of-band recovery instead of the appender's retry
+    CalibrationStore.rebuildHistogram(spark, path)
+    val healed = rowsOf(CalibrationStore.served(spark, path))
+    assert(healed === rowsOf(fullRank(resident.unionByName(b))))
+    // the inevitable stream redelivery of epoch 5 must be a storage
+    // no-op — double-applying its hist delta would inflate the
+    // language histogram and corrupt every rank in the language
+    CalibrationStore.appendEpoch(b, path, 5L)
+    assert(rowsOf(CalibrationStore.served(spark, path)) === healed)
+    // committed-id sets converge, so the fold is unblocked
+    assert(EpochStore.committedIds(s"$path/scores") ===
+      EpochStore.committedIds(s"$path/hist"))
+    CalibrationStore.compact(spark, path)
+    assert(rowsOf(CalibrationStore.served(spark, path)) === healed)
+    spark.catalog.clearCache()
+  }
+
   test("append-only contract: resident doc_id in a batch fails loudly") {
     val path = tmp()
     CalibrationStore.build(mk(corpus(1L to 5L, "en")), path)

@@ -53,7 +53,11 @@ class ManifestStoreSpec extends SparkSpec {
     101L -> genDoc("t", 19), // clean keeper
     103L -> "x1 x2 x3") // too_short
   private val resEmbRows = Seq(0L -> Seq(0f, 0f, 0f, 1f),
-    7L -> Seq(1f, 0f, 0f, 0f))
+    7L -> Seq(1f, 0f, 0f, 0f),
+    // resident embedded doc whose max_eval_cos the new eval vector
+    // does NOT improve (orthogonal to both evals) — must stay OUT of
+    // the contam delta epoch (the no-op-touch write-volume pin)
+    9L -> Seq(0f, 1f, 0f, 0f))
   private val batchEmbRows = Seq(150L -> Seq(1f, 0f, 0f, 0f)) // new eval
 
   private def resident = docsDf(residentRows)
@@ -93,12 +97,18 @@ class ManifestStoreSpec extends SparkSpec {
     assert(rowOf(7L)(1) === "drop_contaminated" && rowOf(7L)(2) === "semantic")
     assert(rowOf(5L)(2) === "too_short")
     assert(rowOf(101L)(1) === "keep")
-    // delta write volume: epoch 5 of contam/ = touched residents
-    // {3 (ngram probe), 7 (semantic probe)} + batch train {101, 103}
+    // delta write volume: epoch 5 of contam/ = CHANGED residents
+    // {3 (ngram hit), 7 (semantic max rises 0 -> 1)} + batch train
+    // {101, 103}. Doc 9 has an embedding too, but the new eval
+    // vector doesn't raise its stored max (0 -> 0), so the dSem
+    // probe row must NOT count as touched — otherwise every append
+    // carrying any eval vector would rewrite the whole resident
+    // embedded set (pure LWW churn)
     val epochRows = EpochStore.read(spark, s"$path/contam")
       .filter(col("epoch") === "5")
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(epochRows === Set(3L, 7L, 101L, 103L))
+    assert(!epochRows.contains(9L))
     spark.catalog.clearCache()
   }
 

@@ -104,6 +104,18 @@ class PHashIndexSpec extends SparkSpec {
     PHashIndex.rebuildBands(spark, path)
     assert(probeSet(path, probe) ===
       bruteForce(probe, corpus0 :+ (500L -> h(500))))
+    // ... and CLOSES the dangling epoch's ledger: the appender's
+    // retry of epoch 9 is a storage no-op (a second bands commit
+    // would duplicate its postings, inflating bucket sizes past the
+    // probe cap), the id sets converge, and the fold is unblocked
+    PHashIndex.appendEpoch(fp(Seq(500L -> h(500))), path, 9L)
+    assert(probeSet(path, probe) ===
+      bruteForce(probe, corpus0 :+ (500L -> h(500))))
+    assert(EpochStore.committedIds(s"$path/hashes") ===
+      EpochStore.committedIds(s"$path/bands"))
+    PHashIndex.compact(spark, path)
+    assert(probeSet(path, probe) ===
+      bruteForce(probe, corpus0 :+ (500L -> h(500))))
     spark.catalog.clearCache()
   }
 
