@@ -200,7 +200,11 @@ object MultimodalOps {
     // below remains the pinned reference semantics
     val sh = ColumnBridge.column(graft.expressions.PHash64(
       ColumnBridge.expression(vals)))
-    docs.select(col("doc_id"), sh.as("sh"))
+    // a zero-token doc has no raster: drop it rather than emit the
+    // all-zero fingerprint (which would spuriously pair empty docs at
+    // dist 0, and which the oracle's UNNEST-based chain never emits)
+    docs.filter(size(tk) > 0)
+      .select(col("doc_id"), sh.as("sh"))
       .select(col("doc_id"), col("sh.hi").as("hi"), col("sh.lo").as("lo"))
   }
 
@@ -217,7 +221,8 @@ object MultimodalOps {
     val cells = transform(sequence(lit(0), lit(71)),
       i => aggregate(vals, lit(0L),
         (acc, v) => acc + pmod(v * (i.cast("long") + 1), lit(1009L))))
-    docs.select(col("doc_id"), cells.as("cells"))
+    docs.filter(size(tk) > 0)
+      .select(col("doc_id"), cells.as("cells"))
       .select(col("doc_id"),
         gradientHalf(col("cells"), 0).as("hi"),
         gradientHalf(col("cells"), 4).as("lo"))

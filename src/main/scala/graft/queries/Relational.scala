@@ -553,7 +553,7 @@ object Relational {
       },
       Some(s"""WITH li AS (
           SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS x
-          FROM lineitem WHERE l_orderkey < $ExactMedianOrderCap),
+          FROM lineitem),
         pb AS (
           SELECT l_returnflag, CAST(FLOOR(x * 100) AS BIGINT) AS v FROM li),
         pbk AS (

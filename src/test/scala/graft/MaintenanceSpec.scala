@@ -6,7 +6,7 @@ import graft.engine.{EpochStore, Maintenance}
 import graft.queries.{ChunkIndex, ContainmentStore, IvfIndex, MinHashIndex, Similarity, VerdictStore}
 
 /** The composed cross-store maintenance tick ([[Maintenance.tick]]):
-  * one cron body over the four persisted stores. Under test:
+  * one cron body over the eight persisted stores. Under test:
   *
   *   - healthy stores: every sub-tick is a pure-read no-op, the
   *     serving push-down equals the base re-rank width, no alerts;
@@ -28,12 +28,12 @@ class MaintenanceSpec extends SparkSpec {
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).resolve("ix").toString
 
-  test("healthy seven-store tick: no-op everywhere, base width, " +
+  test("healthy eight-store tick: no-op everywhere, base width, " +
       "no alerts; subset deployments tick only their stores") {
     val (ivf, mh, ch, vs, ct) =
       (tmp("mnt-ivf"), tmp("mnt-mh"), tmp("mnt-ch"), tmp("mnt-vs"),
         tmp("mnt-ct"))
-    val (mf, cb) = (tmp("mnt-mf"), tmp("mnt-cb"))
+    val (mf, cb, ph) = (tmp("mnt-mf"), tmp("mnt-cb"), tmp("mnt-ph"))
     IvfIndex.build(emb.filter(col("vec_id") < 250), ivf)
     MinHashIndex.build(docs.filter(col("doc_id") < 300), mh)
     ChunkIndex.build(docs.filter(col("doc_id") < 300), ch)
@@ -47,10 +47,13 @@ class MaintenanceSpec extends SparkSpec {
       emb.filter(col("vec_id") < 300), mf)
     graft.queries.CalibrationStore.build(
       fullDocs.filter(col("doc_id") < 300), cb)
+    graft.queries.PHashIndex.build(
+      graft.queries.MultimodalOps.phashFingerprints(
+        docs.filter(col("doc_id") < 300)), ph)
 
     val r = Maintenance.tick(spark,
       Maintenance.Stores(Some(ivf), Some(mh), Some(ch), Some(vs), Some(ct),
-        Some(mf), Some(cb)))
+        Some(mf), Some(cb), Some(ph)))
     assert(r.manifest.exists(m =>
       !m.compacted && !m.diverged && m.supersededFrac === 0.0))
     assert(r.calibration.exists(c =>
@@ -63,6 +66,8 @@ class MaintenanceSpec extends SparkSpec {
     assert(r.containment.exists(c =>
       !c.compacted && !c.diverged && c.nDocs === 300 &&
         c.supersededFrac === 0.0))
+    assert(r.phash.exists(p =>
+      !p.compacted && !p.diverged && p.nAssets === 300))
     // the pushed width is the health-driven knob for the measured
     // skew (a healthy store's natural skew of ~2 still widens the
     // base — only a no-IVF deployment falls back to the base)
@@ -76,7 +81,7 @@ class MaintenanceSpec extends SparkSpec {
     val sub = Maintenance.tick(spark,
       Maintenance.Stores(minhash = Some(mh)))
     assert(sub.ivf.isEmpty && sub.chunks.isEmpty && sub.verdicts.isEmpty &&
-      sub.minhash.isDefined)
+      sub.phash.isEmpty && sub.minhash.isDefined)
     assert(sub.sqRerankWidth === Similarity.SqRerankWidth)
     spark.catalog.clearCache()
   }
@@ -156,9 +161,21 @@ class MaintenanceSpec extends SparkSpec {
         .write.mode("overwrite").parquet(tmpDir)
     }
 
+    // PHash store: a half-committed append (hashes epoch without its
+    // derived bands half — the derived-heal divergence)
+    val ph = tmp("mnt-ph2")
+    val fps = graft.queries.MultimodalOps.phashFingerprints(docs)
+    graft.queries.PHashIndex.build(fps.filter(col("doc_id") < 300), ph)
+    EpochStore.commitEpoch(s"$ph/hashes", 1000000000L) { tmpDir =>
+      fps.filter(col("doc_id") >= 300)
+        .write.mode("overwrite").parquet(tmpDir)
+    }
+
     val r = Maintenance.tick(spark,
       Maintenance.Stores(Some(ivf), Some(mh), Some(ch), Some(vs), Some(ct),
-        Some(mf), Some(cb)))
+        Some(mf), Some(cb), Some(ph)))
+    assert(r.alerts.contains("phash_diverged"))
+    assert(r.phash.exists(p => p.diverged && !p.compacted))
     assert(r.alerts.contains("manifest_diverged"))
     assert(r.manifest.exists(m => m.diverged && !m.compacted))
     assert(r.alerts.contains("calibration_diverged"))
