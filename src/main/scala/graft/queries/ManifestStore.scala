@@ -51,8 +51,41 @@ object ManifestStore {
   private val Tables = Seq("quality", "contam", "trainsh8", "benchsh8",
     "trainchunks", "evalchunks", "trainemb", "evalemb")
 
+  /** The semantic probe codebook — a version-scoped SIDECAR of the
+    * `trainemb` table (the [[IvfIndex]] `_codebook` discipline): it
+    * lives inside the table's manifest version, so a rebuild flips
+    * codebook and cell assignments in ONE atomic rename.
+    */
+  private val SemCodebookName = "_semcodebook"
+
+  /** The codebook of a PINNED trainemb version dir — resolved through
+    * the caller's snapshot so a maintenance flip can never pair a new
+    * codebook with old assignments (or vice versa).
+    */
+  private def loadSemCodebook(spark: SparkSession,
+      trainembVersionDir: String): Option[Seq[(Int, Seq[Double])]] = {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get(trainembVersionDir, SemCodebookName)
+    if (!java.nio.file.Files.isDirectory(dir)) None
+    else {
+      val s = java.nio.file.Files.list(dir)
+      val parts =
+        try s.iterator().asScala.map(_.toString)
+          .filter(_.endsWith(".parquet")).toSeq
+        finally s.close()
+      Some(spark.read.parquet(parts: _*).collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1))
+        .sortBy(_._1).toSeq)
+    }
+  }
+
   /** Build the store from scratch: one [[QualityOps.manifestStateOn]]
-    * pass, each relation as the base epoch of its table.
+    * pass, each relation as the base epoch of its table. The
+    * `trainemb` base is stored CELL-PARTITIONED under a codebook
+    * trained here (staged as a version-scoped sidecar), so the
+    * semantic delta arm of every later append PROBES the stored
+    * cells under dynamic partition pruning instead of scanning every
+    * resident embedding ([[QualityOps.SemanticIndex]]).
     */
   def build(docs: DataFrame, emb: DataFrame, path: String,
             chunks: Option[DataFrame] = None,
@@ -64,10 +97,21 @@ object ManifestStore {
       "trainsh8" -> st.trainSh8, "benchsh8" -> st.benchSh8,
       "trainchunks" -> st.trainChunks, "evalchunks" -> st.evalChunks,
       "trainemb" -> st.trainEmb, "evalemb" -> st.evalEmb)
-    Tables.foreach { t =>
-      EpochStore.create(s"$path/$t", rebuild = true) { dir =>
-        base(t).write.mode("overwrite").parquet(dir)
-      }
+    val cb = QualityOps.semCodebookOf(st.trainEmb)
+    Tables.foreach {
+      case "trainemb" if cb.nonEmpty =>
+        EpochStore.create(s"$path/trainemb", rebuild = true) { dir =>
+          val verDir = dir.stripSuffix("/epoch=base")
+          import st.trainEmb.sparkSession.implicits._
+          cb.toDF("c_id", "c_emb").coalesce(1)
+            .write.mode("overwrite").parquet(s"$verDir/$SemCodebookName")
+          QualityOps.assignSemCells(st.trainEmb, cb)
+            .write.mode("overwrite").partitionBy("cell").parquet(dir)
+        }
+      case t =>
+        EpochStore.create(s"$path/$t", rebuild = true) { dir =>
+          base(t).write.mode("overwrite").parquet(dir)
+        }
     }
     path
   }
@@ -77,13 +121,21 @@ object ManifestStore {
     * snapshot across all eight tables.
     */
   private[graft] def stateView(spark: SparkSession, path: String,
-      excludeIds: Set[Long] = Set.empty): QualityOps.ManifestState = {
+      excludeIds: Set[Long] = Set.empty,
+      nprobe: Int = Similarity.IvfCells): QualityOps.ManifestState = {
     val snap = EpochStore.snapshot(Tables.map(t => s"$path/$t"))
     def raw(t: String) = {
       val r = snap.read(spark, s"$path/$t")
       if (excludeIds.isEmpty) r
       else r.filter(!col("epoch").isin(excludeIds.map(_.toString).toSeq: _*))
     }
+    val semIx = loadSemCodebook(spark, snap.dir(s"$path/trainemb"))
+      .map { cb =>
+        QualityOps.SemanticIndex(
+          raw("trainemb")
+            .select(col("cell"), col("vec_id"), col("embedding")),
+          cb, nprobe)
+      }
     val contam = raw("contam")
       .groupBy(col("doc_id"))
       .agg(max(struct(col("seq"), col("n_bench_docs"), col("max_eval_cos"),
@@ -101,7 +153,8 @@ object ManifestStore {
         .select(col("doc_id"), col("chunk_str")),
       evalChunks = raw("evalchunks").select(col("chunk_str")),
       trainEmb = raw("trainemb").select(col("vec_id"), col("embedding")),
-      evalEmb = raw("evalemb").select(col("e_emb")))
+      evalEmb = raw("evalemb").select(col("e_emb")),
+      semIndex = semIx)
   }
 
   /** Append one ingest batch (docs + the same id slice of the
@@ -132,19 +185,32 @@ object ManifestStore {
       .agg(max(col("seq"))).head()
     val seqNext = (if (seqRow.isNullAt(0)) 0L else seqRow.getLong(0)) + 1L
     val d = QualityOps.manifestDelta(state, batch, batchEmb)
+    // the batch's train vectors join the probed layout under the
+    // STORED codebook (the q154 production contract: daily arrivals
+    // are assigned under yesterday's codebook; staleness is a rebuild
+    // cadence knob, not a correctness one — probes use the same
+    // stored codebook, so assignment and probe cannot drift)
+    val storedCb = loadSemCodebook(spark,
+      EpochStore.liveDir(s"$path/trainemb"))
+    val trainEmbDelta = storedCb match {
+      case Some(cb) => QualityOps.assignSemCells(d.trainEmb, cb)
+      case None => d.trainEmb
+    }
     val deltas = Map(
       "quality" -> d.quality,
       "contam" -> d.contamChanged.unionByName(d.contamBatch)
         .withColumn("seq", lit(seqNext)),
       "trainsh8" -> d.trainSh8, "benchsh8" -> d.benchSh8,
       "trainchunks" -> d.trainChunks, "evalchunks" -> d.evalChunks,
-      "trainemb" -> d.trainEmb, "evalemb" -> d.evalEmb)
+      "trainemb" -> trainEmbDelta, "evalemb" -> d.evalEmb)
     // materialize every delta BEFORE the first commit mutates the
     // stores the delta plans read (the ContainmentStore rule)
     val staged = deltas.map { case (t, df) => t -> df.localCheckpoint(true) }
     Tables.foreach { t =>
       EpochStore.commitEpoch(s"$path/$t", id) { tmp =>
-        staged(t).write.mode("overwrite").parquet(tmp)
+        val w = staged(t).write.mode("overwrite")
+        (if (t == "trainemb" && storedCb.isDefined) w.partitionBy("cell")
+         else w).parquet(tmp)
       }
     }
   }
@@ -190,11 +256,20 @@ object ManifestStore {
       "contam" -> st.contam.withColumn("seq", lit(seqKeep)),
       "trainsh8" -> st.trainSh8, "benchsh8" -> st.benchSh8,
       "trainchunks" -> st.trainChunks, "evalchunks" -> st.evalChunks,
-      "trainemb" -> st.trainEmb, "evalemb" -> st.evalEmb)
+      // the fold keeps the stored cell assignment (values unchanged,
+      // no reassignment) so the probe layout and its codebook survive
+      "trainemb" -> st.semIndex.map(_.cells).getOrElse(st.trainEmb),
+      "evalemb" -> st.evalEmb)
       .map { case (t, df) => t -> df.localCheckpoint(true) }
     Tables.foreach { t =>
       EpochStore.create(s"$path/$t", rebuild = true) { dir =>
-        folded(t).write.mode("overwrite").parquet(dir)
+        if (t == "trainemb" && st.semIndex.isDefined) {
+          val verDir = dir.stripSuffix("/epoch=base")
+          import spark.implicits._
+          st.semIndex.get.codebook.toDF("c_id", "c_emb").coalesce(1)
+            .write.mode("overwrite").parquet(s"$verDir/$SemCodebookName")
+          folded(t).write.mode("overwrite").partitionBy("cell").parquet(dir)
+        } else folded(t).write.mode("overwrite").parquet(dir)
       }
     }
   }

@@ -873,13 +873,53 @@ object QualityOps {
       trainChunks: org.apache.spark.sql.DataFrame,
       evalChunks: org.apache.spark.sql.DataFrame,
       trainEmb: org.apache.spark.sql.DataFrame,
-      evalEmb: org.apache.spark.sql.DataFrame) {
+      evalEmb: org.apache.spark.sql.DataFrame,
+      semIndex: Option[SemanticIndex] = None) {
     private[graft] def relations: Seq[(String, org.apache.spark.sql.DataFrame)] =
       Seq("quality" -> quality, "contam" -> contam,
         "trainsh8" -> trainSh8, "benchsh8" -> benchSh8,
         "trainchunks" -> trainChunks, "evalchunks" -> evalChunks,
         "trainemb" -> trainEmb, "evalemb" -> evalEmb)
   }
+
+  /** The IVF serving handle of a [[ManifestState]]'s train-embedding
+    * side: the SAME rows as `trainEmb` but carrying their nearest-
+    * centroid `cell` (stored cell-PARTITIONED so the semantic delta
+    * probe reads only probed partitions under dynamic partition
+    * pruning — the [[IvfIndex]]/q154 scan shape), plus the codebook
+    * that produced the assignment. At `nprobe` = k (the declared
+    * q157/q160 operating point — the q128 trick) the probe is
+    * EXHAUSTIVE, so the delta arm equals the full resident-embedding
+    * scan bit-for-bit and the oracles verify the whole probe
+    * machinery; production deployments drop `nprobe` below k and buy
+    * the ~nprobe/k byte cut at the measured SemDeDup recall trade
+    * (ManifestSpec measures it on the fixture).
+    */
+  private[graft] final case class SemanticIndex(
+      cells: org.apache.spark.sql.DataFrame,
+      codebook: Seq[(Int, Seq[Double])],
+      nprobe: Int)
+
+  /** Nearest-cell assignment of a train-embedding relation under a
+    * codebook — [[Similarity.probeCells]] at nprobe = 1 (the
+    * [[IvfIndex.assign]] semantics; re-stated here because the
+    * manifest's cells carry no SQ columns).
+    */
+  private[graft] def assignSemCells(
+      emb: org.apache.spark.sql.DataFrame,
+      codebook: Seq[(Int, Seq[Double])]): org.apache.spark.sql.DataFrame =
+    Similarity.probeCells(emb.select(col("vec_id"), col("embedding")),
+      Seq("vec_id", "embedding"), "embedding", codebook, 1)
+
+  /** Train the semantic probe codebook over a train-embedding
+    * relation (empty-corpus-safe: no vectors → no codebook → callers
+    * fall back to the exhaustive cross-join form).
+    */
+  private[graft] def semCodebookOf(
+      emb: org.apache.spark.sql.DataFrame): Seq[(Int, Seq[Double])] =
+    if (emb.isEmpty) Seq.empty
+    else Similarity.kmeansCodebook(emb, Similarity.IvfLloydIters,
+      Similarity.IvfCells)
 
   /** Build [[ManifestState]] from scratch over `docs` + `emb` — the
     * t0 full pass whose output [[advanceManifestState]] maintains.
@@ -1018,11 +1058,29 @@ object QualityOps {
     val dNg = state.trainSh8.join(broadcast(bBenchSh8), Seq("sh"))
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("bench_id")).as("d_nb"))
-    val dSem = state.trainEmb.crossJoin(broadcast(newEvalEmb))
-      .groupBy(col("vec_id"))
-      .agg(max(round(Vectors.cosine(col("embedding"), col("e_emb")), 4))
-        .as("d_mec"))
-      .select(col("vec_id").as("doc_id"), col("d_mec"))
+    // the one resident-cardinality probe of the append: when the
+    // state carries its [[SemanticIndex]], the new eval vectors are
+    // banded to their top-nprobe cells and the CELL-PARTITIONED
+    // stored train vectors are read under dynamic partition pruning
+    // (the q154 scan shape — ~nprobe/k of the resident bytes); at
+    // nprobe = k the probe is exhaustive, so it equals the fallback
+    // cross-join (every (train, new-eval) pair scored) bit-for-bit
+    val dSem = state.semIndex match {
+      case Some(ix) =>
+        val probes = Similarity.probeCells(newEvalEmb, Seq("e_emb"),
+          "e_emb", ix.codebook, ix.nprobe)
+        ix.cells.join(broadcast(probes), Seq("cell"))
+          .groupBy(col("vec_id"))
+          .agg(max(round(Vectors.cosine(col("embedding"), col("e_emb")), 4))
+            .as("d_mec"))
+          .select(col("vec_id").as("doc_id"), col("d_mec"))
+      case None =>
+        state.trainEmb.crossJoin(broadcast(newEvalEmb))
+          .groupBy(col("vec_id"))
+          .agg(max(round(Vectors.cosine(col("embedding"), col("e_emb")), 4))
+            .as("d_mec"))
+          .select(col("vec_id").as("doc_id"), col("d_mec"))
+    }
     val dCh = state.trainChunks
       .join(broadcast(newEvalStrs), Seq("chunk_str"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("d_sh"))
@@ -1146,6 +1204,33 @@ object QualityOps {
     * the manifest from the advanced components and the two persisted
     * stores' views.
     */
+  /** Materialize every relation of a [[ManifestState]] and cut its
+    * lineage (eager localCheckpoint — the q155 delta-relation play).
+    * The lazy [[advanceManifestState]] output is right for the
+    * one-append read q157 declares (each relation is consumed once;
+    * materializing would add a pass), but an in-session appender
+    * looping MANY batches through the returned state would otherwise
+    * pay a unionByName plan that deepens per append. Such loops must
+    * pin each advanced state with this before the next append —
+    * ManifestSpec drives ten appends and asserts the plan stays flat
+    * — or use the persisted [[ManifestStore]], the production
+    * multi-batch form, whose epochs bound lineage by construction.
+    * The semantic probe index is dropped, not pinned: it describes
+    * the PRE-append train side only (the store re-assigns its delta
+    * under the stored codebook; an in-session loop falls back to the
+    * exhaustive arm, which is exact).
+    */
+  private[graft] def pinManifestState(st: ManifestState): ManifestState =
+    ManifestState(
+      quality = st.quality.localCheckpoint(true),
+      contam = st.contam.localCheckpoint(true),
+      trainSh8 = st.trainSh8.localCheckpoint(true),
+      benchSh8 = st.benchSh8.localCheckpoint(true),
+      trainChunks = st.trainChunks.localCheckpoint(true),
+      evalChunks = st.evalChunks.localCheckpoint(true),
+      trainEmb = st.trainEmb.localCheckpoint(true),
+      evalEmb = st.evalEmb.localCheckpoint(true))
+
   private[graft] def incrementalManifest(
       state: ManifestState,
       batch: org.apache.spark.sql.DataFrame,
@@ -1156,20 +1241,50 @@ object QualityOps {
       dedup, contained)
 
   /** Persist / load a [[ManifestState]] as one parquet dir per
-    * relation — the session-shared stage's storage shape.
+    * relation — the session-shared stage's storage shape. The
+    * train-embedding side is stored CELL-PARTITIONED under a
+    * k-means codebook trained here (written beside it), so the
+    * loaded state carries a [[SemanticIndex]] and
+    * [[manifestDelta]]'s semantic arm probes instead of scanning.
     */
   private[graft] def writeManifestState(st: ManifestState,
-                                        path: String): Unit =
-    st.relations.foreach { case (n, df) =>
-      df.write.mode("overwrite").parquet(s"$path/$n")
+                                        path: String): Unit = {
+    st.relations.foreach {
+      case ("trainemb", df) =>
+        val cb = semCodebookOf(df)
+        if (cb.isEmpty)
+          df.write.mode("overwrite").parquet(s"$path/trainemb")
+        else {
+          import df.sparkSession.implicits._
+          assignSemCells(df, cb).write.mode("overwrite")
+            .partitionBy("cell").parquet(s"$path/trainemb")
+          cb.toDF("c_id", "c_emb").coalesce(1)
+            .write.mode("overwrite").parquet(s"$path/semcodebook")
+        }
+      case (n, df) =>
+        df.write.mode("overwrite").parquet(s"$path/$n")
     }
+  }
 
   private[graft] def readManifestState(
       spark: org.apache.spark.sql.SparkSession,
       path: String): ManifestState = {
     def r(n: String) = spark.read.parquet(s"$path/$n")
+    val cbDir = java.nio.file.Paths.get(path, "semcodebook")
+    val semIx =
+      if (!java.nio.file.Files.isDirectory(cbDir)) None
+      else {
+        val cb = r("semcodebook").collect()
+          .map(row => row.getInt(0) -> row.getSeq[Double](1))
+          .sortBy(_._1).toSeq
+        Some(SemanticIndex(
+          r("trainemb").select(col("cell"), col("vec_id"), col("embedding")),
+          cb, nprobe = Similarity.IvfCells))
+      }
     ManifestState(r("quality"), r("contam"), r("trainsh8"), r("benchsh8"),
-      r("trainchunks"), r("evalchunks"), r("trainemb"), r("evalemb"))
+      r("trainchunks"), r("evalchunks"),
+      r("trainemb").select(col("vec_id"), col("embedding")), r("evalemb"),
+      semIndex = semIx)
   }
 
   /** q139's oracle — and q159's VERBATIM (the q152 oracle-sharing

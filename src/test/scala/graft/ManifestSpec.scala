@@ -254,4 +254,112 @@ class ManifestSpec extends SparkSpec {
       rows.find(_.head == id).get.apply(4)
     assert(startTok(pre, 45L) !== startTok(inc, 45L))
   }
+
+  test("persisted-state semantic arm: the IVF probe at nprobe=k equals " +
+      "the exhaustive cross-join, carries dynamic partition pruning, " +
+      "and nprobe<k prunes the resident rows it scores") {
+    // 40 resident train docs/vectors in four orthogonal-axis clusters
+    // (ids 1..40 are all %50 != 0 → all train; no eval vectors at
+    // build, so every resident max_eval_cos starts NULL and any probed
+    // d_mec touches its row)
+    val resDocs = docsDf((1L to 40L).map(i => i -> genDoc(s"sp$i", 19)))
+    val resEmb = embDf((1L to 40L).map { i =>
+      val axis = (i % 4).toInt
+      i -> Seq.tabulate(4)(j =>
+        if (j == axis) 1f + (i % 7) * 0.01f else (i % 3) * 0.001f)
+    })
+    val stDir = java.nio.file.Files.createTempDirectory("mfsem").toString
+    QualityOps.writeManifestState(
+      QualityOps.manifestStateOn(resDocs, resEmb), stDir)
+    val stIx = QualityOps.readManifestState(spark, stDir)
+    assert(stIx.semIndex.isDefined,
+      "the persisted state must carry its semantic probe index")
+
+    // batch: one bench doc whose eval vector sits on axis 0 — both
+    // parquet-backed with the ingest id-threshold filter, the
+    // production arrival shape (a filterless in-memory relation would
+    // give the optimizer no selective predicate to derive dynamic
+    // partition pruning from)
+    val arrDir = java.nio.file.Files.createTempDirectory("mfarr").toString
+    docsDf(Seq(1050L -> genDoc("bt", 19)))
+      .write.mode("overwrite").parquet(s"$arrDir/docs")
+    embDf(Seq(1050L -> Seq(1f, 0f, 0f, 0f)))
+      .write.mode("overwrite").parquet(s"$arrDir/emb")
+    val batch = spark.read.parquet(s"$arrDir/docs")
+      .filter(col("doc_id") >= 1000L)
+    val batchEmb = spark.read.parquet(s"$arrDir/emb")
+      .filter(col("vec_id") >= 1000L)
+
+    val dProbe = QualityOps.manifestDelta(stIx, batch, batchEmb)
+    val dFull = QualityOps.manifestDelta(
+      stIx.copy(semIndex = None), batch, batchEmb)
+    // (a) nprobe = k is EXHAUSTIVE: the resident contamination delta
+    //     equals the full cross-join's row for row
+    val probed = canon(dProbe.contamChanged)
+    assert(probed === canon(dFull.contamChanged))
+    assert(probed.size === 40, "every resident vector must be touched")
+    // (b) the probe plan reads the cell-partitioned store under
+    //     dynamic partition pruning (the q128/q154 scan discipline)
+    val plan = dProbe.contamChanged.queryExecution.executedPlan
+      .toString.toLowerCase
+    assert(plan.contains("dynamicpruning"),
+      s"the semantic delta scan carries no dynamic partition pruning:\n$plan")
+    // (c) nprobe < k prunes: only the probed cell's residents are
+    //     scored (fewer touched rows), and every row it does emit is
+    //     the EXACT cosine the exhaustive pass computed
+    val st1 = stIx.copy(semIndex = stIx.semIndex.map(_.copy(nprobe = 1)))
+    val d1 = canon(QualityOps.manifestDelta(st1, batch, batchEmb)
+      .contamChanged)
+    assert(d1.nonEmpty && d1.size < probed.size,
+      s"nprobe=1 must score a strict subset of residents, got ${d1.size}")
+    val fullByDoc = probed.map(r => r.head -> r).toMap
+    d1.foreach(r => assert(r === fullByDoc(r.head),
+      s"nprobe=1 row for doc ${r.head} diverged from the exact cosine"))
+  }
+
+  test("ten pinned in-session appends == one full build, with a flat " +
+      "per-append plan (the lineage bound)") {
+    def batchRows(b: Int): Seq[(Long, String)] = {
+      val base = 1000L * (b + 1)
+      // one bench doc per batch (id %50 == 0) + seven train docs
+      (base +: (1L to 7L).map(base + _))
+        .map(id => id -> genDoc(s"lb${b}d$id", 19))
+    }
+    def batchEmbRows(b: Int): Seq[(Long, Seq[Float])] = {
+      val base = 1000L * (b + 1)
+      Seq(base -> Seq(0f, 0f, 1f, 0f), // eval vector
+        (base + 3) -> Seq(1f, 0f, (b % 3) * 0.1f, 0f))
+    }
+    val res = (1L to 9L).map(i => i -> genDoc(s"lr$i", 19))
+    val resEmb = Seq(2L -> Seq(1f, 0f, 0f, 0f), 4L -> Seq(0f, 1f, 0f, 0f))
+
+    var st = QualityOps.pinManifestState(
+      QualityOps.manifestStateOn(docsDf(res), embDf(resEmb)))
+    var planSizes = Vector.empty[Int]
+    for (b <- 0 until 10) {
+      st = QualityOps.pinManifestState(QualityOps.advanceManifestState(
+        st, docsDf(batchRows(b)), embDf(batchEmbRows(b))))
+      planSizes :+= st.contam.queryExecution.logical
+        .numberedTreeString.linesIterator.size
+    }
+    // pinned states are checkpoint leaves: the plan does NOT deepen
+    // with the append count
+    assert(planSizes.max <= planSizes.head,
+      s"per-append plan grew across pinned appends: $planSizes")
+
+    val full = QualityOps.manifestStateOn(
+      docsDf(res ++ (0 until 10).flatMap(batchRows)),
+      embDf(resEmb ++ (0 until 10).flatMap(batchEmbRows)))
+    for ((n, got) <- st.relations) {
+      val want = full.relations.toMap.apply(n)
+      assert(canonAny(got) === canonAny(want),
+        s"relation $n diverged after ten pinned appends")
+    }
+  }
+
+  private def canonAny(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq.map {
+      case f: Float => f.toDouble
+      case x => x
+    }).sortBy(_.mkString("|"))
 }

@@ -247,6 +247,12 @@ class PlanShapeSpec extends SparkSpec {
       assert(sc.dataFilters.exists(f =>
           f.toString.contains("doc_id") && f.toString.contains(">=")),
         s"q157 scans documents without the batch threshold: ${sc.dataFilters}")
+    // the semantic delta arm probes the CELL-PARTITIONED persisted
+    // train embeddings under dynamic partition pruning (the q128/q154
+    // scan discipline) — never a full resident-embedding scan
+    val p157 = planOf(q("q157_incremental_manifest"))
+    assert(p157.contains("dynamicpruning"),
+      s"q157's semantic delta arm carries no dynamic partition pruning:\n$p157")
 
     // q160 (manifest-store read): the served manifest composes ONLY
     // persisted state — zero raw-corpus scans, and the three store
