@@ -653,12 +653,18 @@ object NearDupOps {
     //    two component loops and joins, never a corpus re-scan.
     Q("q131_crossmodal_verdicts",
       (s, d) => {
-        val text = SharedStages.dedupVerdictsTable(s, d)
+        // round 12: both halves are STORE READS (the q153/q156/q160
+        // discipline). The text chain comes from the persisted
+        // VerdictStore's resolved view (q153 hash-proves it equal to
+        // the from-scratch verdict table); the semantic clusters come
+        // from the persisted component relation (the component loop
+        // runs once at stage build, never per read) — this query is
+        // now two joins over maintained state, zero corpus scans.
+        val text = VerdictStore
+          .read(s, SharedStages.verdictStorePath(s, d))
           .select(col("doc_id"), col("verdict").as("text_verdict"),
             col("canonical_id").as("text_canonical"))
-        val semComps = graft.operators.ConnectedComponents.components(
-            SharedStages.cappedEmbNearDupPairs(s, d)
-              .select(col("vec_a"), col("vec_b")))
+        val semComps = SharedStages.cappedEmbNearDupComponents(s, d)
           .select(col("id").as("doc_id"), col("comp").as("sem_canon"))
         text.join(semComps, Seq("doc_id"), "left")
           .select(col("doc_id"),

@@ -648,29 +648,33 @@ object QualityOps {
     //    the best member by the q101 hashed-linear score — argmax
     //    realized window-free as max-score + min-id-among-ties (two
     //    cluster-keyed aggregates, deterministic because the score
-    //    is 6dp-rounded before the equality). Reads the session-
-    //    shared component table; only doc-cardinality keys shuffle.
+    //    is 6dp-rounded before the equality).
+    //    Round 12: BOTH inputs are now maintained state (the
+    //    q153/q156/q160 store-served discipline): clusters read the
+    //    session-persisted component table, and the per-doc score is
+    //    served from the persisted [[CalibrationStore]]'s scores
+    //    table ([[CalibrationStore.scoreRelation]] is q141's exact
+    //    formula, stored per-doc at ingest) — so the selection is
+    //    joins + two cluster-keyed aggregates with ZERO corpus text
+    //    scans and no component loop per read. Docs whose capped
+    //    membership the store doesn't know about are impossible: the
+    //    store ingests every document, and the id-cap filter pushes
+    //    to its scores scan.
     Q("q141_quality_canonical",
       (s, d) => {
-        val capped = t(s, d).documents
+        // the doc universe is the store's own: every ingested doc has
+        // a score row (zero-token docs have none — exactly the rows
+        // the original inner join with the scored relation dropped)
+        val scored = CalibrationStore
+          .scores(s, SharedStages.calibrationStorePath(s, d))
           .filter(col("doc_id") < TextOps.ExactBaselineDocCap)
-        val clusters = capped.select(col("doc_id"))
+          .select(col("doc_id"), col("score"))
+        val clusters = scored.select(col("doc_id"))
           .join(SharedStages.cappedNearDupComponents(s, d)
             .select(col("id").as("doc_id"), col("comp")),
             Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("comp"), col("doc_id")).as("cluster_id"))
-        val tok = capped.select(col("doc_id"),
-          explode(Text.tokens(col("text"))).as("token"))
-        val bucket = pmod(
-          conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"),
-          lit(1024L))
-        val w = (bucket * 2654435761L % 1000003L).cast("double")
-          ./(1000003.0).-(0.5)
-        val scored = tok.select(col("doc_id"), w.as("w"))
-          .groupBy(col("doc_id"))
-          .agg(round(sum(col("w").cast("decimal(38,12)")).cast("double")
-            / count(lit(1)), 6).as("score"))
         val joined = clusters.join(scored, Seq("doc_id"))
         val maxs = joined.groupBy(col("cluster_id"))
           .agg(max(col("score")).as("best_score"),

@@ -321,6 +321,25 @@ object SharedStages {
     spark.read.parquet(p)
   }
 
+  /** Connected components of [[cappedEmbNearDupPairs]] — the persisted
+    * SEMANTIC cluster table (the [[cappedNearDupComponents]] pattern
+    * for the embedding modality), computed once per (session, sf
+    * dir). Columns (id, comp). Consumers: q131 (its semantic half) —
+    * a verdict read then joins the persisted relation instead of
+    * re-running the component loop per query (the round-11 verdict's
+    * store-served ask).
+    */
+  def cappedEmbNearDupComponents(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val p = cached(spark, sfDir, "emb-neardup-comps") { path =>
+      graft.operators.ConnectedComponents
+        .components(cappedEmbNearDupPairs(spark, sfDir)
+          .select(col("vec_a"), col("vec_b")))
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(p)
+  }
+
   /** A built [[IvfIndex]] over the sf dir's embeddings (full frame, so
     * the codebook seeds per label exactly like q64's), built once per
     * (session, sf dir). Returns the index root path.

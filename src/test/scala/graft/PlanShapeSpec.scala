@@ -276,6 +276,28 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q131/q141 are store reads: zero raw-corpus scans, no per-read " +
+      "component loop — verdicts, clusters and scores come from " +
+      "maintained state") {
+    // q131: text half from the persisted VerdictStore, semantic half
+    // from the persisted component relation
+    val p131 = planOf(q("q131_crossmodal_verdicts"))
+    for (raw <- Seq("documents.parquet", "embeddings.parquet"))
+      assert(!p131.contains(raw), s"q131 must not scan $raw:\n$p131")
+    for (store <- Seq("verdict-store", "emb-neardup-comps"))
+      assert(p131.contains(store), s"q131 must read the $store:\n$p131")
+
+    // q141: clusters from the persisted component table, scores from
+    // the persisted CalibrationStore — the only scans are maintained
+    // state
+    val p141 = planOf(q("q141_quality_canonical"))
+    for (raw <- Seq("documents.parquet", "embeddings.parquet"))
+      assert(!p141.contains(raw), s"q141 must not scan $raw:\n$p141")
+    for (store <- Seq("calibration-store", "neardup-comps"))
+      assert(p141.contains(store), s"q141 must read the $store:\n$p141")
+    spark.catalog.clearCache()
+  }
+
   test("q114 serves from the stored index: the corpus text is scanned zero times") {
     // exactly ONE documents.parquet scan (the probe batch); the corpus
     // side must come from the index's stored hash arrays — shingling
