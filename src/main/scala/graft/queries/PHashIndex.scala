@@ -35,18 +35,60 @@ import graft.engine.EpochStore
   * one of the 4 bands (pigeonhole), so [[matches]] misses nothing
   * below the bucket cap; over-cap buckets collapse to their
   * representative (the [[graft.operators.BandedPairs]] discipline).
+  * When [[maintain]] reports a bucket over the probe cap (the
+  * phash_bucket_over_cap cue of the composed Maintenance tick),
+  * [[rebandIfOverCap]] is the measured response: re-derive the
+  * postings under a ROTATED 4×16 band split (every disjoint split
+  * keeps the pigeonhole) when — and only when — the measurement says
+  * the rotation spreads the bucket; a true mega-cluster of identical
+  * fingerprints is rotation-invariant and stays collapsed, which is
+  * the correct serving shape for it.
   */
 object PHashIndex {
 
-  private def bandsOf(fp: DataFrame): DataFrame = fp
-    .select(col("doc_id"), explode(array(
-      struct(lit(0).as("band"), shiftright(col("hi"), 16).as("v")),
-      struct(lit(1).as("band"),
-        col("hi").bitwiseAND(lit(0xFFFFL)).as("v")),
-      struct(lit(2).as("band"), shiftright(col("lo"), 16).as("v")),
-      struct(lit(3).as("band"),
-        col("lo").bitwiseAND(lit(0xFFFFL)).as("v")))).as("bv"))
-    .select(col("bv.band").as("band"), col("bv.v").as("v"), col("doc_id"))
+  /** The 4×16-bit band postings of a fingerprint relation under a
+    * band LAYOUT: the 64-bit word (hi ++ lo) is rotated left by
+    * `rot` bits, then split into four disjoint 16-bit bands. ANY
+    * disjoint 4-way split preserves the ≤3-Hamming pigeonhole
+    * (rotation never changes which PAIRS are reachable below the
+    * cap — it changes which VALUES share a bucket), which is exactly
+    * the [[rebandIfOverCap]] lever: a degenerate region of the hash
+    * space that welds one band's value constant (an over-cap bucket
+    * of coincidental collisions) spreads across bucket values under
+    * a rotated split. `rot` = 0 is the layout [[build]] writes.
+    */
+  private def bandsOf(fp: DataFrame, rot: Int): DataFrame = {
+    require(rot >= 0 && rot < 64, s"band rotation out of range: $rot")
+    val w = shiftleft(col("hi"), 32).bitwiseOR(col("lo"))
+    val wr =
+      if (rot == 0) w
+      else shiftleft(w, rot).bitwiseOR(shiftrightunsigned(w, 64 - rot))
+    fp.select(col("doc_id"), wr.as("w"))
+      .select(col("doc_id"), explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("w"), 48 - 16 * b)
+            .bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("bv"))
+      .select(col("bv.band").as("band"), col("bv.v").as("v"), col("doc_id"))
+  }
+
+  private val BandLayoutName = "_bandlayout"
+
+  /** The live bands table's rotation — absent sidecar reads as the
+    * build layout (rot 0).
+    */
+  private[graft] def storedRotation(path: String): Int = {
+    val f = java.nio.file.Paths.get(
+      EpochStore.liveDir(s"$path/bands"), BandLayoutName)
+    if (!java.nio.file.Files.exists(f)) 0
+    else java.nio.file.Files.readString(f).trim.toInt
+  }
+
+  private def writeRotation(versionDir: String, rot: Int): Unit = {
+    val dir = java.nio.file.Paths.get(versionDir)
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(
+      dir.resolve(BandLayoutName), rot.toString): Unit
+  }
 
   /** Build the index from a fingerprint relation (doc_id, hi, lo). */
   def build(fp: DataFrame, path: String): String = {
@@ -55,7 +97,8 @@ object PHashIndex {
       pinned.write.mode("overwrite").parquet(base)
     }
     EpochStore.create(s"$path/bands", rebuild = true) { base =>
-      bandsOf(pinned).write.mode("overwrite")
+      writeRotation(base.stripSuffix("/epoch=base"), 0)
+      bandsOf(pinned, 0).write.mode("overwrite")
         .partitionBy("band").parquet(base)
     }
     path
@@ -94,8 +137,9 @@ object PHashIndex {
     val committed = EpochStore.read(spark, hashesRoot)
       .filter(col("epoch") === id.toString)
       .select(col("doc_id"), col("hi"), col("lo"))
+    val rot = storedRotation(path)
     EpochStore.commitEpoch(bandsRoot, id) { tmp =>
-      bandsOf(committed).write.mode("overwrite")
+      bandsOf(committed, rot).write.mode("overwrite")
         .partitionBy("band").parquet(tmp)
     }
   }
@@ -140,6 +184,7 @@ object PHashIndex {
               maxDist: Int = 3,
               maxBucket: Long = TextOps.MaxLshBucket): DataFrame = {
     val fp = probe.localCheckpoint(true) // bands + verify side
+    val rot = storedRotation(path) // probe bands under the STORED layout
     val stored = EpochStore.read(spark, s"$path/bands")
     val bucketSized = stored
       .groupBy(col("band"), col("v"))
@@ -148,7 +193,7 @@ object PHashIndex {
       .filter(col("m") <= maxBucket || col("doc_id") === col("rep"))
       .select(col("band"), col("v"), col("doc_id").as("match_id"))
     val cands = capped
-      .join(broadcast(bandsOf(fp)), Seq("band", "v"))
+      .join(broadcast(bandsOf(fp, rot)), Seq("band", "v"))
       .select(col("doc_id"), col("match_id")).distinct()
     cands
       .join(broadcast(fp.select(col("doc_id"),
@@ -173,12 +218,71 @@ object PHashIndex {
     * past the probe cap and silently drop true matches), and the two
     * tables' committed-id sets converge, unblocking compaction.
     */
-  def rebuildBands(spark: SparkSession, path: String): Unit = {
-    val folded = bandsOf(hashes(spark, path)).localCheckpoint(true)
+  def rebuildBands(spark: SparkSession, path: String): Unit =
+    rebuildBands(spark, path, storedRotation(path))
+
+  /** [[rebuildBands]] under an explicit band layout — the write half
+    * of [[rebandIfOverCap]]: the new base derives every posting from
+    * the stored hashes at `rot`, and the rotation sidecar flips with
+    * it in the same manifest rename (a reader never pairs a layout
+    * with postings it didn't produce).
+    */
+  private[graft] def rebuildBands(spark: SparkSession, path: String,
+                                  rot: Int): Unit = {
+    val folded = bandsOf(hashes(spark, path), rot).localCheckpoint(true)
     EpochStore.create(s"$path/bands", rebuild = true,
       alsoFolded = EpochStore.committedIds(s"$path/hashes")) { base =>
+      writeRotation(base.stripSuffix("/epoch=base"), rot)
       folded.write.mode("overwrite").partitionBy("band").parquet(base)
     }
+  }
+
+  final case class RebandReport(rebanded: Boolean,
+                                rotationBefore: Int,
+                                rotationAfter: Int,
+                                maxBucketBefore: Long,
+                                maxBucketByRotation: Map[Int, Long])
+
+  /** The MEASURED over-cap response — the q144 → rebuildIfStale
+    * pattern for this store: when [[maintain]]'s probe-recall cue
+    * fires (`maxBucket` above the probe cap, i.e. [[matches]] is
+    * collapsing that bucket to its representative and true matches
+    * behind it go unreported), measure the max bucket EVERY candidate
+    * rotation would give (one pass over the stored hashes, rotations
+    * exploded) and re-band to the argmin — but only when the
+    * measurement says the move helps (a TRUE mega-cluster of
+    * identical fingerprints is invariant under every rotation: the
+    * report then says so and the store is left alone; collapsing such
+    * a cluster to its representative is the correct serving shape).
+    * Tie-break prefers the current layout (no churn), then the
+    * smaller rotation. Single-maintenance-writer contract: run
+    * between appends, like [[compact]].
+    */
+  def rebandIfOverCap(spark: SparkSession, path: String,
+                      maxBucket: Long = TextOps.MaxLshBucket,
+                      candidates: Seq[Int] = Seq(0, 4, 8, 12)): RebandReport = {
+    val rot0 = storedRotation(path)
+    val cands = (candidates :+ rot0).distinct
+    // measure through bandsOf itself (the measurement CANNOT drift
+    // from the banding it predicts); the hash relation is compact
+    // (24 bytes/doc) and pinned once, so each candidate costs one
+    // small aggregate over it
+    val fp = hashes(spark, path).localCheckpoint(true)
+    if (fp.isEmpty)
+      return RebandReport(rebanded = false, rot0, rot0, 0L, Map.empty)
+    val maxByRot = cands.map { r =>
+      r -> bandsOf(fp, r)
+        .groupBy(col("band"), col("v")).agg(count(lit(1)).as("m"))
+        .agg(max(col("m"))).head().getLong(0)
+    }.toMap
+    val before = maxByRot(rot0)
+    if (before <= maxBucket)
+      return RebandReport(rebanded = false, rot0, rot0, before, maxByRot)
+    val best = cands.minBy(r => (maxByRot(r), r != rot0, r))
+    if (maxByRot(best) >= before)
+      return RebandReport(rebanded = false, rot0, rot0, before, maxByRot)
+    rebuildBands(spark, path, best)
+    RebandReport(rebanded = true, rot0, best, before, maxByRot)
   }
 
   /** Fold both tables' epochs. Refuses over a half-committed append
@@ -193,7 +297,8 @@ object PHashIndex {
           "half-committed append; heal via the appender's retry (or " +
           "rebuildBands) before compacting")
     EpochStore.compact(spark, s"$path/hashes")
-    EpochStore.compact(spark, s"$path/bands", partitionCols = Seq("band"))
+    EpochStore.compact(spark, s"$path/bands", partitionCols = Seq("band"),
+      carryExtras = Seq(BandLayoutName))
   }
 
   final case class MaintenanceReport(compacted: Boolean,

@@ -142,4 +142,69 @@ class PHashIndexSpec extends SparkSpec {
     assert(rep.maxBucket >= 101)
     spark.catalog.clearCache()
   }
+
+  test("over-cap cue → measured re-band restores probe recall; a true " +
+      "mega-cluster is rotation-invariant and stays collapsed") {
+    val path = tmp()
+    val cap = 8L
+    val rnd = new scala.util.Random(7)
+    // degenerate corpus: band 0 (the top 16 bits) welded to zero for
+    // every doc, the other 48 bits random — ONE coincidental
+    // mega-bucket of otherwise-distant fingerprints
+    val corpus = (0L until 64L).map(i =>
+      i -> (rnd.nextLong() & 0x0000FFFFFFFFFFFFL))
+    // probes: each differs from its corpus partner by exactly one bit
+    // in EACH non-welded band, so under the build layout the only
+    // agreeing band is the over-cap one — the recall-loss shape
+    val probes = corpus.take(16).map { case (i, hsh) =>
+      (i + 1000L) -> (hsh ^ (1L << 32) ^ (1L << 16) ^ 1L)
+    }
+    PHashIndex.build(fp(corpus), path)
+    val expected = bruteForce(probes, corpus)
+    assert(expected.size === 16)
+
+    def capped(): Set[(Long, Long, Int)] =
+      PHashIndex.matches(spark, path, fp(probes), maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // before: the welded bucket collapsed to its representative —
+    // measured recall loss
+    val before = capped()
+    assert(before.size < expected.size,
+      s"the over-cap collapse must lose matches, got ${before.size}")
+    // the cue [[Maintenance.tick]] alerts on
+    val m0 = PHashIndex.maintain(spark, path)
+    assert(m0.maxBucket === 64L && m0.maxBucket > cap)
+
+    // the measured action: rotation 8 moves the welded region off a
+    // band boundary, spreading the bucket under the cap
+    val r = PHashIndex.rebandIfOverCap(spark, path, maxBucket = cap,
+      candidates = Seq(0, 8))
+    assert(r.rebanded && r.rotationBefore === 0 && r.rotationAfter === 8)
+    assert(r.maxBucketBefore === 64L)
+    assert(r.maxBucketByRotation(8) <= cap,
+      s"rotation 8 must spread the welded bucket: ${r.maxBucketByRotation}")
+    assert(PHashIndex.maintain(spark, path).maxBucket <= cap)
+    // recall RESTORED, at the same probe cap
+    assert(capped() === expected)
+    // appends keep the new layout: the pair arrives for a fresh doc
+    PHashIndex.append(fp(Seq(
+      5000L -> (corpus(20)._2 ^ (1L << 32) ^ (1L << 16) ^ 1L))), path)
+    assert(PHashIndex.matches(spark, path,
+        fp(Seq(9000L -> corpus(20)._2)), maxBucket = cap)
+      .collect().exists(row => row.getLong(1) === 5000L))
+    // idempotent: a healthy store is left alone
+    assert(!PHashIndex.rebandIfOverCap(spark, path, maxBucket = cap,
+      candidates = Seq(0, 8)).rebanded)
+
+    // a TRUE mega-cluster (identical fingerprints) is invariant under
+    // every rotation: the measurement says so and nothing is rewritten
+    val p2 = tmp()
+    PHashIndex.build(
+      fp((0L until 64L).map(i => i -> 0x1234567890ABCDEFL)), p2)
+    val r2 = PHashIndex.rebandIfOverCap(spark, p2, maxBucket = cap,
+      candidates = Seq(0, 8))
+    assert(!r2.rebanded && r2.maxBucketBefore === 64L &&
+      r2.maxBucketByRotation.values.forall(_ === 64L))
+    spark.catalog.clearCache()
+  }
 }
