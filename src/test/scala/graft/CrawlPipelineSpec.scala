@@ -1,0 +1,202 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.engine.{EpochStore, Maintenance}
+import graft.queries.{CalibrationStore, ChunkIndex, ContainmentStore,
+  IvfIndex, MinHashIndex, MultimodalOps, NearDupOps, PHashIndex,
+  QualityOps, Similarity, VerdictStore}
+import graft.streaming.CrawlPipeline
+
+/** The one-pipeline daily crawl ([[CrawlPipeline]]) — the capstone
+  * composition: one streaming ingest appends ALL EIGHT stores per
+  * micro-batch under a single [[Maintenance.onEpochCadence]] wrapper
+  * and serves the q160 manifest between batches. Under test, on the
+  * driver's fixture corpus:
+  *
+  *   - streamed days == a one-batch build over the union, across
+  *     every store's READ surface (resolved verdicts, served
+  *     calibration, probe answers, exhaustive ANN, the manifest);
+  *   - the manifest served MID-STREAM (between two days) equals
+  *     q146's full recompute over exactly the ingested corpus;
+  *   - the composed tick fires on the stream's epoch cadence and
+  *     reports all eight stores with no divergence;
+  *   - a crash mid-day (a committed prefix of stores plus one
+  *     intra-store half-commit) heals on redelivery of the same day:
+  *     committed appends no-op, the dangling one completes, and every
+  *     surface equals a crash-free deployment's.
+  */
+class CrawlPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).resolve("dep").toString
+
+  private lazy val docsAll = spark.read.parquet(s"$dir/documents.parquet")
+    .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+  private lazy val embAll = spark.read.parquet(s"$dir/embeddings.parquet")
+    .select(col("vec_id"), col("embedding"))
+
+  private def docsSlice(lo: Long, hi: Long): DataFrame =
+    docsAll.filter(col("doc_id") >= lo && col("doc_id") < hi)
+  private def embSlice(lo: Long, hi: Long): DataFrame =
+    embAll.filter(col("vec_id") >= lo && col("vec_id") < hi)
+
+  /** One crawl day as the pipeline's input row shape: docs with their
+    * embeddings riding along (vec id = doc id, the fixtures' shared
+    * id space).
+    */
+  private def crawlDf(lo: Long, hi: Long): DataFrame =
+    docsSlice(lo, hi)
+      .join(embAll, col("doc_id") === col("vec_id"), "left")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+        col("embedding"))
+
+  private def crawlRows(lo: Long, hi: Long)
+      : Seq[(Long, String, String, Long, Seq[Float])] =
+    crawlDf(lo, hi).as[(Long, String, String, Long, Seq[Float])]
+      .collect().sortBy(_._1).toSeq
+
+  private def canon(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+
+  /** Every store's READ surface, canonicalized — the cross-deployment
+    * equality unit. Probes are fixed seed-corpus slices so streamed
+    * and one-batch deployments answer the same questions.
+    */
+  private def storeReads(
+      roots: CrawlPipeline.StoreRoots): Map[String, Seq[Seq[Any]]] = {
+    val probeDocs = docsSlice(0, 60).select(col("doc_id"), col("text"))
+    val probeEmb = embAll.filter(col("vec_id") % 25 === 0 &&
+        col("vec_id") < 120)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    Map(
+      "verdicts" -> canon(VerdictStore.read(spark, roots.verdicts)),
+      "containment" -> canon(ContainmentStore.read(spark, roots.containment)),
+      "calibration" -> canon(CalibrationStore.served(spark, roots.calibration)),
+      "minhash_probe" -> canon(MinHashIndex.matches(spark, roots.minhash,
+        probeDocs)),
+      "chunks" -> canon(EpochStore.read(spark, s"${roots.chunks}/chunks")
+        .drop("epoch")),
+      "phash_hashes" -> canon(PHashIndex.hashes(spark, roots.phash)),
+      "phash_probe" -> canon(PHashIndex.matches(spark, roots.phash,
+        MultimodalOps.phashFingerprints(probeDocs
+          .withColumnRenamed("text", "text")))),
+      // nprobe = k is exhaustive, so the ANN answers are codebook-
+      // independent — the read-surface equality that survives the two
+      // deployments training different codebooks
+      "ivf_exhaustive" -> canon(IvfIndex.query(spark, roots.ivf, probeEmb,
+        nprobe = Similarity.IvfCells, topK = 5)),
+      "manifest" -> canon(CrawlPipeline.manifest(spark, roots)))
+  }
+
+  private def dv(verdicts: DataFrame): DataFrame =
+    verdicts.select(col("doc_id"), col("verdict").as("d_v"))
+  private def ctv(verdicts: DataFrame): DataFrame =
+    verdicts.filter(col("is_kept") === 0)
+      .select(col("doc_id"), lit(1).as("ct"))
+
+  test("streamed days == one-batch build across all eight stores; the " +
+      "mid-stream manifest == q146's recompute; the tick fires on cadence") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rootsA = CrawlPipeline.build(
+      docsSlice(0, 120), embSlice(0, 120), tmp("crawl-a"))
+    val stream = MemoryStream[(Long, String, String, Long, Seq[Float])]
+    val ckpt = java.nio.file.Files.createTempDirectory("crawl-ck").toString
+    var reports = Vector.empty[Maintenance.Report]
+    val q = CrawlPipeline.ingest(
+      stream.toDF().toDF("doc_id", "text", "lang", "n_chars", "embedding"),
+      rootsA, ckpt, everyN = 2, onReport = r => reports :+= r)
+    try {
+      // day 1
+      stream.addData(crawlRows(120, 160)); q.processAllAvailable()
+
+      // the manifest served BETWEEN batches == q146's full recompute
+      // over exactly the corpus ingested so far
+      val u1 = docsSlice(0, 160)
+      val got1 = canon(CrawlPipeline.manifest(spark, rootsA))
+      val want1 = canon(QualityOps.manifestFrom(
+        QualityOps.manifestStateOn(u1, embSlice(0, 160)),
+        dv(NearDupOps.dedupVerdictsOn(u1)),
+        ctv(NearDupOps.containmentVerdictsOn(NearDupOps.containmentOn(u1)))))
+      assert(got1.nonEmpty && got1 === want1,
+        "the mid-stream manifest must equal the full recompute")
+
+      // day 2
+      stream.addData(crawlRows(160, 200)); q.processAllAvailable()
+    } finally q.stop()
+
+    // the composed tick fired once (everyN = 2 over two days), saw
+    // all eight stores, and found no divergence (in-cadence ticks run
+    // strictly between appends — never a half-commit); data-shape
+    // cues (IVF skew under a stale codebook) are legitimate outputs,
+    // not failures
+    assert(reports.length === 1,
+      s"everyN=2 over 2 days must tick once, got ${reports.length}")
+    val r = reports.head
+    assert(r.ivf.isDefined && r.minhash.isDefined && r.chunks.isDefined &&
+      r.verdicts.isDefined && r.containment.isDefined &&
+      r.manifest.isDefined && r.calibration.isDefined && r.phash.isDefined,
+      "the tick must census all eight stores")
+    assert(!r.alerts.exists(_.endsWith("_diverged")),
+      s"in-cadence tick saw a half-commit: ${r.alerts}")
+
+    // one-batch deployment over the union: every read surface equal
+    val rootsC = CrawlPipeline.build(
+      docsSlice(0, 200), embSlice(0, 200), tmp("crawl-c"))
+    val a = storeReads(rootsA)
+    val c = storeReads(rootsC)
+    for (k <- a.keys) {
+      assert(a(k).nonEmpty, s"store surface $k must not be empty")
+      assert(a(k) === c(k), s"store surface $k diverged from the " +
+        "one-batch build")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("a crash mid-day heals on redelivery: the committed prefix " +
+      "no-ops, the half-committed store completes, every surface " +
+      "converges to the crash-free deployment's") {
+    val day1 = crawlDf(120, 160).localCheckpoint(true)
+    val day1Docs = day1.select(col("doc_id"), col("text"), col("lang"),
+      col("n_chars"))
+
+    // the crashed deployment: three stores fully committed for epoch
+    // 0 (the body died after them), plus calibration caught INSIDE
+    // its two-table append (scores committed, hist missing)
+    val rootsB = CrawlPipeline.build(
+      docsSlice(0, 120), embSlice(0, 120), tmp("crawl-b"))
+    MinHashIndex.appendEpoch(day1Docs.select(col("doc_id"), col("text")),
+      rootsB.minhash, 0L)
+    ChunkIndex.appendEpoch(day1Docs.select(col("doc_id"), col("text")),
+      rootsB.chunks, 0L)
+    VerdictStore.appendEpoch(day1Docs, rootsB.verdicts, 0L)
+    EpochStore.commitEpoch(s"${rootsB.calibration}/scores", 0L) { tmpDir =>
+      CalibrationStore.scoreRelation(day1Docs)
+        .write.mode("overwrite").parquet(tmpDir)
+    }
+
+    // redelivery of the same day through the pipeline body
+    CrawlPipeline.appendDay(rootsB, day1, 0L)
+
+    // the crash-free deployment of the same two days of history
+    val rootsD = CrawlPipeline.build(
+      docsSlice(0, 120), embSlice(0, 120), tmp("crawl-d"))
+    CrawlPipeline.appendDay(rootsD, day1, 0L)
+
+    val b = storeReads(rootsB)
+    val d = storeReads(rootsD)
+    for (k <- b.keys)
+      assert(b(k) === d(k), s"store surface $k did not heal")
+    // and a SECOND redelivery is a storage-level no-op everywhere
+    CrawlPipeline.appendDay(rootsB, day1, 0L)
+    for ((k, v) <- storeReads(rootsB))
+      assert(v === d(k), s"replay disturbed store surface $k")
+    spark.catalog.clearCache()
+  }
+}
