@@ -173,6 +173,160 @@ object TokenizerOps {
   private def bpeUnionAll(rounds: Int): String =
     (1 to rounds).map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")
 
+  // ---- unigram-LM (SentencePiece-style) segmentation: the BPE
+  //      alternative. Determinism rests on three choices: (1) piece
+  //      scores are exact INTEGERS (occurrence-weighted frequency ×
+  //      length², never a float log-prob — both engines sum the same
+  //      integers); (2) the Viterbi value is the single integer
+  //      1024·score − pieces, whose max IS the lexicographic
+  //      (max score, then fewest pieces) rule — pieces ≤ word length
+  //      ≤ [[UniMaxWordLen]] < 1024, so the packing is injective and
+  //      both engines' plain MAX realizes the tie-break; (3) the
+  //      vocabulary cut is a totally ordered top-K (freq DESC, piece
+  //      ASC). Every single character of the corpus is always in the
+  //      vocabulary, so each word admits a segmentation and the DP
+  //      cells are never null.
+
+  /** Declared word-length domain of the unigram segmenter (also the
+    * oracle's DP unroll bound). Longer words are excluded on BOTH
+    * engines — the q97-style fixed-domain contract.
+    */
+  val UniMaxWordLen = 12
+
+  /** Longest candidate piece. */
+  val UniPieceMaxLen = 4
+
+  /** Multi-character vocabulary budget (single characters always
+    * ride on top for coverage).
+    */
+  val UniVocabSize = 192
+
+  private def uniTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0 &&
+        length(col("w")) <= UniMaxWordLen)
+
+  /** Every distinct substring of length 1..[[UniPieceMaxLen]]. */
+  private def allPieces(w: Column): Column =
+    array_distinct(flatten(transform(sequence(lit(1), length(w)), i =>
+      transform(
+        sequence(lit(1), least(lit(UniPieceMaxLen), length(w) - i + 1)),
+        l => w.substr(i, l)))))
+
+  /** The induced piece vocabulary of a corpus: (p, score) with
+    * score = occurrence-weighted frequency × len(p)² — top
+    * [[UniVocabSize]] multi-character pieces by (freq DESC, p ASC)
+    * plus ALL single characters (the coverage floor).
+    */
+  private[graft] def unigramVocab(docs: DataFrame): DataFrame = {
+    val wf = uniTokens(docs).groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"))
+    val pf = wf.select(col("freq"), explode(allPieces(col("w"))).as("p"))
+      .groupBy(col("p")).agg(sum(col("freq")).as("pfreq"))
+    val multi = pf.filter(length(col("p")) >= 2)
+      .orderBy(col("pfreq").desc, col("p")).limit(UniVocabSize)
+    multi.unionByName(pf.filter(length(col("p")) === 1))
+      .select(col("p"),
+        (col("pfreq") * length(col("p")) * length(col("p")))
+          .cast("long").as("score"))
+  }
+
+  /** Per-word Viterbi segmentation under `vocab`: (w, s_score,
+    * n_pieces) — the best-scoring segmentation's total piece score
+    * and its piece count (fewest pieces on score ties). One
+    * vocabulary-bounded DP per DISTINCT word: the per-word piece→
+    * score map is assembled by a broadcast join, then the DP runs as
+    * a single codegen'd HOF fold over positions (the q133 budget —
+    * O(len · [[UniPieceMaxLen]]) lambda steps per word, nothing
+    * token-cardinality shuffles).
+    */
+  private[graft] def unigramSegmented(docs: DataFrame,
+                                      vocab: DataFrame): DataFrame = {
+    val words = uniTokens(docs).select(col("w")).distinct()
+    val wordMap = words
+      .select(col("w"), explode(allPieces(col("w"))).as("p"))
+      .join(broadcast(vocab), Seq("p"))
+      .groupBy(col("w"))
+      .agg(map_from_entries(
+        collect_list(struct(col("p"), col("score")))).as("vm"))
+    val w = col("w")
+    // bests(i+1) = best combined value of the first i characters;
+    // combined = 1024·score − pieces (see the section note)
+    val bests = aggregate(sequence(lit(1), length(w)),
+      array(lit(0L)),
+      (acc, i) => concat(acc, array(array_max(transform(
+        sequence(greatest(i - UniPieceMaxLen, lit(0)), i - 1),
+        j => element_at(acc, (j + 1).cast("int")) +
+          element_at(col("vm"), w.substr(j + 1, i - j)) * 1024L -
+          1L)))))
+    wordMap
+      .select(w, element_at(bests, length(w) + 1).as("comb"))
+      // comb = 1024·S − P with P ∈ [1, len]: S = (comb + 1023) div
+      // 1024 (exact: the addend is a power-of-two divisor's worth)
+      .select(w,
+        floor((col("comb") + 1023L) / lit(1024.0)).cast("long")
+          .as("s_score"),
+        (floor((col("comb") + 1023L) / lit(1024.0)).cast("long") * 1024L -
+          col("comb")).as("n_pieces"))
+  }
+
+  /** The unrolled DuckDB replay of the unigram apparatus: CTEs `utok`
+    * (domain-filtered tokens), `uwf`, `usub`/`upf` (piece
+    * frequencies), `uvocab`, `ud0` and per position i: `us_i` (the
+    * max-transition) and `ud_i` (the appended DP list), then
+    * `useg`/`usp` (the decoded score and piece count per word).
+    */
+  private def unigramOracleCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s"""utok AS MATERIALIZED (
+          SELECT doc_id, w FROM (
+            SELECT doc_id,
+              unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+            FROM documents) t
+          WHERE w <> '' AND len(w) <= $UniMaxWordLen),
+        uwf AS MATERIALIZED (
+          SELECT w, COUNT(*) AS freq FROM utok GROUP BY w),
+        usub AS (
+          SELECT DISTINCT w, substr(w, CAST(i AS INT), CAST(l AS INT)) AS p
+          FROM uwf,
+            LATERAL unnest(range(1, len(w) + 1)) s(i),
+            LATERAL unnest(range(1, ${UniPieceMaxLen + 1})) t2(l)
+          WHERE i + l <= len(w) + 1),
+        upf AS MATERIALIZED (
+          SELECT p, CAST(SUM(freq) AS BIGINT) AS pfreq
+          FROM usub JOIN uwf USING (w) GROUP BY p),
+        uvocab AS MATERIALIZED (
+          SELECT p, pfreq * len(p) * len(p) AS score FROM (
+            SELECT p, pfreq FROM upf WHERE len(p) >= 2
+            ORDER BY pfreq DESC, p LIMIT $UniVocabSize) q
+          UNION ALL
+          SELECT p, pfreq FROM upf WHERE len(p) = 1),
+        ud0 AS MATERIALIZED (SELECT w, [CAST(0 AS BIGINT)] AS b FROM uwf)"""
+    for (i <- 1 to UniMaxWordLen) {
+      val lo = math.max(i - UniPieceMaxLen, 0)
+      sb ++= s""",
+        us$i AS (
+          SELECT d.w, MAX(d.b[CAST(j + 1 AS INT)] + v.score * 1024 - 1)
+            AS bi
+          FROM ud${i - 1} d,
+            LATERAL unnest(range($lo, $i)) u(j)
+          JOIN uvocab v
+            ON v.p = substr(d.w, CAST(j + 1 AS INT), CAST($i - j AS INT))
+          WHERE len(d.w) >= $i GROUP BY d.w),
+        ud$i AS MATERIALIZED (
+          SELECT d.w, CASE WHEN s.bi IS NULL THEN d.b
+            ELSE list_append(d.b, s.bi) END AS b
+          FROM ud${i - 1} d LEFT JOIN us$i s ON d.w = s.w)"""
+    }
+    sb ++= s""",
+        useg AS (SELECT w, b[len(w) + 1] AS comb FROM ud$UniMaxWordLen),
+        usp AS (
+          SELECT w, (comb + 1023) // 1024 AS s_score,
+            ((comb + 1023) // 1024) * 1024 - comb AS n_pieces
+          FROM useg)"""
+    sb.toString
+  }
+
   lazy val queries: Seq[Q] = Seq(
 
     // -- q129: BPE merge-table induction — the canonical LLM-prep
@@ -363,6 +517,49 @@ object TokenizerOps {
           CAST((start_tok + n_subtokens - 1) // ${TrainingOps.PackWindow}
             > start_tok // ${TrainingOps.PackWindow} AS INT) AS straddles
         FROM packed ORDER BY doc_id"""),
-      "corpus encoded under the learned BPE vocab, packed into context windows")
+      "corpus encoded under the learned BPE vocab, packed into context windows"),
+
+    // -- q162: UNIGRAM-LM (SentencePiece-style) segmentation — the
+    //    BPE alternative (SURVEY round-12 candidate (c), shipped
+    //    because a fully deterministic, hash-oracle-able formulation
+    //    DOES fall out): induce an integer-scored piece vocabulary
+    //    (occurrence-weighted substring frequency × len², top-K cut
+    //    under a total order, single characters always covering),
+    //    then Viterbi-segment every distinct word — max total piece
+    //    score, FEWEST pieces on ties, realized as one integer DP
+    //    (1024·score − pieces; see the section note) so both engines'
+    //    plain MAX is the whole tie-break — and roll the per-word
+    //    results back over token occurrences per document. Two corpus
+    //    scans (token counts; the doc rollup), everything between is
+    //    vocabulary-bounded; the DuckDB oracle replays induction AND
+    //    the DP as [[UniMaxWordLen]] unrolled CTE steps (the q129
+    //    discipline), so the driver hash-verifies the entire
+    //    segmenter, not a summary of it.
+    Q("q162_unigram_segment",
+      (s, d) => {
+        val docs = t(s, d).documents
+        val seg = unigramSegmented(docs, unigramVocab(docs))
+        uniTokens(docs)
+          .join(broadcast(seg), Seq("w"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("n_pieces")).as("n_pieces"),
+            sum(col("s_score")).as("total_score"))
+          .select(col("doc_id"), col("n_tokens"), col("n_pieces"),
+            col("total_score"),
+            round(col("n_pieces").cast("double") / col("n_tokens"), 4)
+              .as("pieces_per_token"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $unigramOracleCtes
+        SELECT utok.doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          CAST(SUM(usp.n_pieces) AS BIGINT) AS n_pieces,
+          CAST(SUM(usp.s_score) AS BIGINT) AS total_score,
+          ROUND(CAST(SUM(usp.n_pieces) AS DOUBLE) / COUNT(*), 4)
+            AS pieces_per_token
+        FROM utok JOIN usp USING (w)
+        GROUP BY utok.doc_id ORDER BY utok.doc_id"""),
+      "unigram-LM Viterbi segmentation under integer piece scores, per doc")
   )
 }
