@@ -364,17 +364,21 @@ class ScalingSpec extends SparkSpec {
   test("containment candidates: the prefix core beats the posting self-join " +
       "on a boilerplate-heavy corpus (the round-11 default-flip evidence)") {
     // The corpus the Σdf² self-join cannot afford: 40 template groups
-    // of 50 docs sharing a 30-token boilerplate block — every shared
-    // shingle has df ≈ 50 (well UNDER the df cap, so the self-join
+    // of 100 docs sharing a 30-token boilerplate block — every shared
+    // shingle has df ≈ 100 (well UNDER the df cap, so the self-join
     // keeps it and pays df·(df−1)/2 rows per shingle), while each doc
     // leads with 12 unique tokens whose df=1 shingles are exactly what
     // the rarest-first prefix probes. One pure-boilerplate doc per
     // group supplies true quote pairs, so losslessness is asserted on
-    // a non-empty output.
+    // a non-empty output. (Group size 100, round 12: at 50 the
+    // self-join's ~1.4M candidate rows sat inside Spark's fixed
+    // per-job overhead and the sub-second crossover could flake under
+    // a loaded machine; ~5.6M rows make the Σdf² cost itself the
+    // dominant term the assertion compares.)
     import spark.implicits._
     import graft.queries.NearDupOps
-    val docs = (0 until 2000).map { i =>
-      val g = i / 50
+    val docs = (0 until 4000).map { i =>
+      val g = i / 100
       val uniq = (0 until 12).map(j => s"u${i}x$j").mkString(" ")
       val boiler = (0 until 30).map(j => s"b${g}x$j").mkString(" ")
       (i.toLong, s"$uniq $boiler")
@@ -409,8 +413,11 @@ class ScalingSpec extends SparkSpec {
     def prefix() = pairsOf(
       NearDupOps.containmentPrefixOn(df, postings = Some(postings)))
     selfJoin(); prefix() // warmup (JIT + codegen)
-    val (vSelf, tSelf) = Seq.fill(2)(timed(selfJoin _)).minBy(_._2)
-    val (vPref, tPref) = Seq.fill(2)(timed(prefix _)).minBy(_._2)
+    // interleave the timed runs so machine-state drift across the
+    // measurement window hits both sides alike
+    val runs = Seq.fill(3)((timed(selfJoin _), timed(prefix _)))
+    val (vSelf, tSelf) = runs.map(_._1).minBy(_._2)
+    val (vPref, tPref) = runs.map(_._2).minBy(_._2)
     assert(vPref === vSelf, "prefix filter lost or invented pairs")
     assert(vPref.nonEmpty, "fixture must produce true containment pairs")
     info(f"self-join $tSelf%.2fs, prefix $tPref%.2fs " +
@@ -468,6 +475,59 @@ class ScalingSpec extends SparkSpec {
     // 2 local cores: expect ~2x, assert the direction with headroom
     assert(tMany < tOne * 1.1,
       f"multi-file scan must not be slower: $tMany%.2fs vs $tOne%.2fs")
+    spark.catalog.clearCache()
+  }
+
+  test("CrawlPipeline day cost: 10x the resident corpus leaves a " +
+      "same-size day append far from 10x (the flat-day-cost claim)") {
+    import graft.streaming.CrawlPipeline
+    // the SAME two crawl days against both deployments: base-slice
+    // docs with day-unique tokens (novel vs every resident copy —
+    // both residents answer the same candidate questions) and ids
+    // above both corpora's max (the monotonic-ingest contract)
+    def day(lo: Long, hi: Long, shift: Long): DataFrame = {
+      val docs = spark.read.parquet(s"$base/documents.parquet")
+        .filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .select((col("doc_id") + shift).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", "$1_day").as("text"),
+          col("lang"), col("n_chars"))
+      val emb = spark.read.parquet(s"$base/embeddings.parquet")
+        .filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .select((col("vec_id") + shift).as("vec_id"), col("embedding"))
+      docs.join(emb, col("doc_id") === col("vec_id"), "left")
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+          col("embedding"))
+        .localCheckpoint(true)
+    }
+    val warm = day(0, 40, 20000L)
+    val timed = day(40, 80, 21000L)
+    def deploy(src: String, tag: String): CrawlPipeline.StoreRoots =
+      CrawlPipeline.build(
+        spark.read.parquet(s"$src/documents.parquet")
+          .select(col("doc_id"), col("text"), col("lang"), col("n_chars")),
+        spark.read.parquet(s"$src/embeddings.parquet")
+          .select(col("vec_id"), col("embedding")),
+        Files.createTempDirectory(s"crawl-scale-$tag").toString)
+    val r1 = deploy(dir1x, "x1")
+    val r10 = deploy(dir10x, "x10")
+    def dayCost(roots: CrawlPipeline.StoreRoots, d: DataFrame,
+                id: Long): Double = {
+      val t0 = System.nanoTime()
+      CrawlPipeline.appendDay(roots, d, id)
+      (System.nanoTime() - t0) / 1e9
+    }
+    dayCost(r1, warm, 0L); dayCost(r10, warm, 0L) // codegen/JIT warmup
+    val t1 = dayCost(r1, timed, 1L)
+    val t10 = dayCost(r10, timed, 1L)
+    val ratio = t10 / math.max(t1, 0.5)
+    info(f"crawl day: 1x resident $t1%.2fs, 10x resident $t10%.2fs " +
+      f"(ratio $ratio%.1fx)")
+    // the day's cost is dominated by the delta probes of compact
+    // persisted state, never a resident re-read: proportional-to-
+    // corpus behavior would put the ratio at ~10x
+    assert(ratio < 6.0,
+      f"a same-size day cost $ratio%.1fx on a 10x resident corpus — " +
+        "the append is scaling with the corpus, not the day")
     spark.catalog.clearCache()
   }
 }
