@@ -716,8 +716,86 @@ object Similarity {
       (s, d) => incrementalSemanticDedup(s, d),
       Some(incrementalSemanticDedupOracleSql),
       "new-batch semantic dedup against the persisted corpus IVF " +
-        "index under the stored codebook (DPP probe, exact verify)")
+        "index under the stored codebook (DPP probe, exact verify)"),
+
+    // -- q163: the manifest's semantic-contamination screen at its
+    //    PRODUCTION probe width (round-12's follow-through on the
+    //    q157/q160 nprobe = k declaration): a new day's eval vectors
+    //    probe the persisted ManifestStore's cell-partitioned train
+    //    embeddings at nprobe = $IvfNProbe — the ~nprobe/k-bytes
+    //    operating point itself, ON the driver's hash-verified
+    //    surface. The oracle replays the ENTIRE apparatus (the q154
+    //    discipline): the codebook k-means over the RESIDENT train
+    //    vectors under hash seeds (the manifest's trainEmb carries no
+    //    label column), the stored assignment of every train vector —
+    //    resident rows assigned at build, batch rows at append, both
+    //    under the SAME stored codebook — and the eval-side top-nprobe
+    //    probe, so the hash match proves the store serves exactly the
+    //    k-means probe it claims. The probe side is the FULL eval set
+    //    (the benchmark-refresh re-screen — delta-sized by the % 50
+    //    bench split at every SF; an ingest-threshold slice is empty
+    //    at sf0.1, whose embedding domain is smaller than its
+    //    document domain). Output: per probed train doc, the max 4dp
+    //    cosine any eval vector reaches (the d_mec the q146 semantic
+    //    arm thresholds) and its τ verdict. Misses vs the exhaustive
+    //    arm are the documented SemDeDup probe trade (q154's measured
+    //    stance); here the trade is IN the verified semantics, not
+    //    hidden behind it.
+    Q("q163_manifest_semantic_probe",
+      (s, d) => {
+        val st = ManifestStore.stateView(s,
+          SharedStages.manifestStorePath(s, d), nprobe = IvfNProbe)
+        val ix = st.semIndex.get
+        val newEvalEmb = QU.t(s, d).embeddings
+          .filter(col("vec_id") % 50 === 0 &&
+            col("vec_id") < ExactBaselineVecCap)
+          .select(col("embedding").as("e_emb"))
+        val probes = probeCells(newEvalEmb, Seq("e_emb"), "e_emb",
+          ix.codebook, ix.nprobe)
+        ix.cells.join(broadcast(probes), Seq("cell"))
+          .groupBy(col("vec_id"))
+          .agg(max(round(Vectors.cosine(col("embedding"), col("e_emb")), 4))
+            .as("d_mec"))
+          .select(col("vec_id").as("doc_id"), col("d_mec"),
+            coalesce((col("d_mec") >= SemDedupTau).cast("int"), lit(0))
+              .as("flagged"))
+          .orderBy(col("doc_id"))
+      },
+      Some(manifestSemanticProbeOracleSql),
+      "production-width probe of the manifest store's semantic arm " +
+        "(full codebook/assignment/probe replay oracle)")
   )
+
+  /** The q163 oracle: hash-seeded k-means over the RESIDENT train
+    * vectors, stored assignment of ALL train vectors under it, eval
+    * probe at $IvfNProbe, max 4dp cosine per probed train vector.
+    */
+  private def manifestSemanticProbeOracleSql: String =
+    s"""WITH split AS (
+      SELECT MAX(doc_id) * 4 // 5 AS s FROM documents),
+    ${kmeansBuildCtesSeeded(
+      s"WHERE vec_id % 50 <> 0 AND vec_id < (SELECT s FROM split)",
+      s"CAST(vec_id % $IvfCells AS INT)")},
+    et AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id % 50 <> 0),
+    ${probeSql("c2", "ca", 1, "et")},
+    b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+      WHERE vec_id % 50 = 0 AND vec_id < $ExactBaselineVecCap),
+    ${probeSql("c2", "pb", IvfNProbe, "b")},
+    scored AS (
+      SELECT ca.vec_id AS doc_id,
+        ROUND(list_dot_product(et.v, bb.v)
+          / (sqrt(list_dot_product(et.v, et.v))
+           * sqrt(list_dot_product(bb.v, bb.v))), 4) AS cos
+      FROM pb JOIN ca ON ca.c = pb.c AND ca.rk = 1
+        JOIN et ON et.vec_id = ca.vec_id
+        JOIN b bb ON bb.vec_id = pb.vec_id)
+    SELECT doc_id, MAX(cos) + 0.0 AS d_mec,
+      CAST(COALESCE(MAX(cos) >= $SemDedupTau, FALSE) AS INT) AS flagged
+    FROM scored GROUP BY doc_id ORDER BY doc_id"""
 
   /** One k-means Lloyd replay step in DuckDB: assignment of every
     * vector to its best cell of codebook CTE `cIn` (ties by `tieDir`
@@ -761,9 +839,19 @@ object Similarity {
     * the rows the stored index was built over.
     */
   private def kmeansBuildCtesWhere(where: String): String =
+    kmeansBuildCtesSeeded(where,
+      s"COALESCE(CAST(label AS INT), CAST(vec_id % $IvfCells AS INT))")
+
+  /** [[kmeansBuildCtesWhere]] with an explicit seed expression — the
+    * manifest's semantic codebook trains on a (vec_id, embedding)
+    * relation WITHOUT the label column, so its replay seeds by the
+    * hash partition alone ([[kmeansCodebook]]'s no-label branch).
+    */
+  private def kmeansBuildCtesSeeded(where: String,
+                                    seedExpr: String): String =
     s"""e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-        COALESCE(CAST(label AS INT), CAST(vec_id % $IvfCells AS INT)) AS seed
+        $seedExpr AS seed
       FROM embeddings $where),
     m0 AS (
       SELECT seed AS c, r.i,
