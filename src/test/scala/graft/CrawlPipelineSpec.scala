@@ -199,4 +199,47 @@ class CrawlPipelineSpec extends SparkSpec {
       assert(v === d(k), s"replay disturbed store surface $k")
     spark.catalog.clearCache()
   }
+
+  test("the stream lineage survives a restart: a new query on the same " +
+      "checkpoint continues batch ids, replays nothing, and every " +
+      "surface equals the no-restart reference") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rootsE = CrawlPipeline.build(
+      docsSlice(0, 120), embSlice(0, 120), tmp("crawl-e"))
+    val stream = MemoryStream[(Long, String, String, Long, Seq[Float])]
+    val ckpt = java.nio.file.Files.createTempDirectory("crawl-rck").toString
+    def start() = CrawlPipeline.ingest(
+      stream.toDF().toDF("doc_id", "text", "lang", "n_chars", "embedding"),
+      rootsE, ckpt)
+    val q1 = start()
+    try {
+      stream.addData(crawlRows(120, 160)); q1.processAllAvailable()
+    } finally q1.stop()
+    // restart: a NEW StreamingQuery on the SAME checkpoint — the one
+    // stream lineage that owns this deployment, resumed
+    val q2 = start()
+    try {
+      stream.addData(crawlRows(160, 200)); q2.processAllAvailable()
+    } finally q2.stop()
+
+    // batch ids CONTINUED across the restart (a fresh-checkpoint
+    // restart would reissue id 0, which the stores would no-op as a
+    // replay — silently dropping the day)
+    assert(EpochStore.committedIds(s"${rootsE.minhash}/docs")
+      === Set(0L, 1L),
+      "the restarted query must continue the epoch sequence")
+
+    // every surface equals the same two days appended with no restart
+    val rootsF = CrawlPipeline.build(
+      docsSlice(0, 120), embSlice(0, 120), tmp("crawl-f"))
+    CrawlPipeline.appendDay(rootsF, crawlDf(120, 160), 0L)
+    CrawlPipeline.appendDay(rootsF, crawlDf(160, 200), 1L)
+    val e = storeReads(rootsE)
+    val f = storeReads(rootsF)
+    for (k <- e.keys)
+      assert(e(k) === f(k), s"store surface $k diverged across the restart")
+    spark.catalog.clearCache()
+  }
 }
