@@ -73,6 +73,8 @@ object ManifestStore {
         try s.iterator().asScala.map(_.toString)
           .filter(_.endsWith(".parquet")).toSeq
         finally s.close()
+      // bounded model state: k ≤ IvfCells codebook rows (the
+      // IvfIndex.loadCodebook collect pattern)
       Some(spark.read.parquet(parts: _*).collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1))
         .sortBy(_._1).toSeq)

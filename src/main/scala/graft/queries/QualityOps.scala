@@ -1278,6 +1278,8 @@ object QualityOps {
     val semIx =
       if (!java.nio.file.Files.isDirectory(cbDir)) None
       else {
+        // bounded model state: k ≤ IvfCells codebook rows (the
+        // loadCodebook/kmeans-centers collect pattern)
         val cb = r("semcodebook").collect()
           .map(row => row.getInt(0) -> row.getSeq[Double](1))
           .sortBy(_._1).toSeq

@@ -745,7 +745,9 @@ object Similarity {
       (s, d) => {
         val st = ManifestStore.stateView(s,
           SharedStages.manifestStorePath(s, d), nprobe = IvfNProbe)
-        val ix = st.semIndex.get
+        val ix = st.semIndex.getOrElse(throw new IllegalStateException(
+          "q163 requires a ManifestStore with a semantic probe index " +
+            "(a store built over a non-empty train-embedding side)"))
         val newEvalEmb = QU.t(s, d).embeddings
           .filter(col("vec_id") % 50 === 0 &&
             col("vec_id") < ExactBaselineVecCap)
