@@ -74,11 +74,18 @@ object PHashIndex {
   private val BandLayoutName = "_bandlayout"
 
   /** The live bands table's rotation — absent sidecar reads as the
-    * build layout (rot 0).
+    * build layout (rot 0). Writers (append, reband) resolve the live
+    * version directly: the single-maintenance-writer contract already
+    * serializes them against flips. READERS must instead resolve
+    * through a pinned snapshot ([[rotationOf]]) so a re-band flip
+    * cannot pair one layout with the other layout's postings.
     */
-  private[graft] def storedRotation(path: String): Int = {
-    val f = java.nio.file.Paths.get(
-      EpochStore.liveDir(s"$path/bands"), BandLayoutName)
+  private[graft] def storedRotation(path: String): Int =
+    rotationOf(EpochStore.liveDir(s"$path/bands"))
+
+  /** The rotation recorded in a PINNED bands version dir. */
+  private def rotationOf(bandsVersionDir: String): Int = {
+    val f = java.nio.file.Paths.get(bandsVersionDir, BandLayoutName)
     if (!java.nio.file.Files.exists(f)) 0
     else java.nio.file.Files.readString(f).trim.toInt
   }
@@ -184,8 +191,14 @@ object PHashIndex {
               maxDist: Int = 3,
               maxBucket: Long = TextOps.MaxLshBucket): DataFrame = {
     val fp = probe.localCheckpoint(true) // bands + verify side
-    val rot = storedRotation(path) // probe bands under the STORED layout
-    val stored = EpochStore.read(spark, s"$path/bands")
+    // one pinned snapshot for the whole read: the probe-side band
+    // layout, the postings it joins, and the verify hashes must come
+    // from the same store version — a re-band or compaction flip
+    // racing this read must not mix them (the EpochStore.snapshot
+    // discipline; rotation and postings flip together by staging)
+    val snap = EpochStore.snapshot(Seq(s"$path/bands", s"$path/hashes"))
+    val rot = rotationOf(snap.dir(s"$path/bands"))
+    val stored = snap.read(spark, s"$path/bands")
     val bucketSized = stored
       .groupBy(col("band"), col("v"))
       .agg(count(lit(1)).as("m"), min(col("doc_id")).as("rep"))
@@ -198,7 +211,7 @@ object PHashIndex {
     cands
       .join(broadcast(fp.select(col("doc_id"),
         col("hi").as("p_hi"), col("lo").as("p_lo"))), Seq("doc_id"))
-      .join(hashes(spark, path)
+      .join(snap.read(spark, s"$path/hashes")
         .select(col("doc_id").as("match_id"),
           col("hi").as("s_hi"), col("lo").as("s_lo")), Seq("match_id"))
       .select(col("doc_id"), col("match_id"),
