@@ -207,4 +207,26 @@ class PHashIndexSpec extends SparkSpec {
       r2.maxBucketByRotation.values.forall(_ === 64L))
     spark.catalog.clearCache()
   }
+
+  test("a probe plan pinned before a re-band flip stays consistent: " +
+      "its snapshot's layout and postings evaluate together") {
+    val path = tmp()
+    PHashIndex.build(fp(corpus0), path)
+    // the read pins its store version at PLAN time — the rotation it
+    // read and the postings/hashes it will scan come from the same
+    // pinned dirs, so the flip below cannot hand it rot-8 bands
+    // against rot-0 postings (or vice versa)
+    val preFlip = PHashIndex.matches(spark, path, fp(probe))
+    val expected = bruteForce(probe, corpus0)
+    PHashIndex.rebuildBands(spark, path, 8)
+    assert(PHashIndex.storedRotation(path) === 8)
+    // the pre-flip plan still answers exactly (the stageVersion
+    // displaced-version retention keeps its pinned dirs alive)
+    assert(preFlip.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      === expected)
+    // and a fresh read under the new layout answers exactly too
+    assert(probeSet(path, probe) === expected)
+    spark.catalog.clearCache()
+  }
 }
