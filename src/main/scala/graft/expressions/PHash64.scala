@@ -8,29 +8,39 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** Native q158 fake-decode perceptual hash over PRE-HASHED tokens
-  * (array<bigint> — the md5-derived portable values): every token
-  * contributes `(h · (i+1)) mod 1009` to each of the 72 grid cells
-  * (the dense "every pixel gets light from every token" raster), then
-  * the 64 dHash gradient bits ([[graft.functions.Media
-  * .dHash64FromGrid]]'s exact layout) fold to `struct<hi, lo>` 32-bit
-  * halves.
+/** Native q158 fake-decode perceptual hash over the RAW token array
+  * (array<string> — the whitespace split): each token is md5-hashed
+  * (h = the first 4 digest bytes as an unsigned 32-bit value, exactly
+  * `conv(substr(md5(w),1,8),16,10)`), contributes `(h · (i+1)) mod
+  * 1009` to each of the 72 grid cells (the dense "every pixel gets
+  * light from every token" raster), then the 64 dHash gradient bits
+  * ([[graft.functions.Media.dHash64FromGrid]]'s exact layout) fold to
+  * `struct<hi, lo>` 32-bit halves.
   *
-  * Why a custom `Expression`: the HOF formulation (`transform` over
+  * Why a custom `Expression`, and why the md5 lives INSIDE it: the
+  * HOF formulation (`transform` md5 per token, then `transform` over
   * 72 cells × `aggregate` over tokens) runs interpreted — ~72 boxed
-  * lambda evaluations and modular arithmetic PER TOKEN; it was the
-  * whole of q158's 22.8 s at sf0.1/local[32]. This kernel does the
-  * identical arithmetic in one tight JIT loop inside whole-stage
-  * codegen. Semantics are pinned against the HOF formulation
+  * lambda evaluations per token were the whole of q158's 22.8 s at
+  * sf0.1/local[32]. Round 12 fused the cell fold but left the
+  * per-token md5 as a `transform` HOF child; any higher-order
+  * function is `CodegenFallback`, which drops the ENTIRE projection
+  * out of whole-stage codegen (round-13 finding — the "fused" kernel
+  * ran as an interpreted `ProjectExec`, md5 via boxed
+  * hex-string→conv→cast round trips). With the digest folded in here
+  * the child is a plain codegen'd `split`, the projection fuses with
+  * the scan and the zero-token filter into one codegen stage
+  * (PlanShapeSpec pins the `*(n)` span), and each token costs one
+  * digest + one integer loop — no hex strings, no boxing. Semantics
+  * are pinned against the HOF formulation
   * ([[graft.queries.MultimodalOps.phashFingerprintsHof]]) in
   * PHashSpec, and the DuckDB oracles replay the same arithmetic.
   */
 case class PHash64(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"phash64 requires array<bigint> (pre-hashed tokens), got ${other.catalogString}")
+      s"phash64 requires array<string> (tokens), got ${other.catalogString}")
   }
 
   override def dataType: DataType = StructType(Seq(
@@ -51,14 +61,28 @@ case class PHash64(child: Expression) extends UnaryExpression {
 
 object PHash64 {
 
+  /** One digest instance per executor thread — MD5 lookup via
+    * `MessageDigest.getInstance` is a provider search per call and
+    * would dominate the per-token cost.
+    */
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** Tight-loop kernel shared by interpreted eval and codegen. */
-  def compute(hashes: ArrayData): InternalRow = {
-    val n = hashes.numElements()
+  def compute(tokens: ArrayData): InternalRow = {
+    val md = digest.get()
+    val n = tokens.numElements()
     val cells = new Array[Long](72)
     var t = 0
     while (t < n) {
-      if (!hashes.isNullAt(t)) {
-        val h = hashes.getLong(t)
+      if (!tokens.isNullAt(t)) {
+        md.reset()
+        val d = md.digest(tokens.getUTF8String(t).getBytes)
+        // first 8 hex chars of md5 == first 4 digest bytes, unsigned
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
         var i = 0
         while (i < 72) {
           cells(i) += (h * (i + 1)) % 1009L

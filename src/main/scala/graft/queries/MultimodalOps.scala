@@ -193,13 +193,15 @@ object MultimodalOps {
   private[graft] def phashFingerprints(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val tk = graft.functions.Text.tokens(col("text"))
-    val vals = transform(tk, w =>
-      conv(substring(md5(w), 1, 8), 16, 10).cast("long"))
-    // dense grid + gradient fold in the native one-pass kernel
-    // (graft.expressions.PHash64) — the interpreted HOF formulation
-    // below remains the pinned reference semantics
+    // per-token md5 + dense grid + gradient fold in the native
+    // one-pass kernel (graft.expressions.PHash64) — the md5 must live
+    // INSIDE the kernel: a `transform` HOF child is CodegenFallback
+    // and evicts the whole projection from whole-stage codegen
+    // (round-13 finding; PlanShapeSpec pins the fused stage). The
+    // interpreted HOF formulation below remains the pinned reference
+    // semantics
     val sh = ColumnBridge.column(graft.expressions.PHash64(
-      ColumnBridge.expression(vals)))
+      ColumnBridge.expression(tk)))
     // a zero-token doc has no raster: drop it rather than emit the
     // all-zero fingerprint (which would spuriously pair empty docs at
     // dist 0, and which the oracle's UNNEST-based chain never emits)

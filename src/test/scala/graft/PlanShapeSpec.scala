@@ -420,6 +420,32 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q158 fingerprints: one codegen'd phash64 per row, fused with " +
+      "the zero-token filter") {
+    // the 22.8s → 1.3s win (commit 476c251) is the native PHash64
+    // kernel evaluated ONCE per row INSIDE whole-stage codegen; two
+    // silent ways to lose it again are (a) a projection refactor that
+    // lets CollapseProject duplicate the struct (hi and lo each
+    // extracted from their own phash64 copy → the 72-cell fold runs
+    // twice), and (b) a plan change that drops the projection out of
+    // codegen (the kernel falls back to per-row interpreted eval)
+    val fp = graft.queries.MultimodalOps.phashFingerprints(
+      spark.read.parquet(s"$dir/documents.parquet"))
+    val plan = fp.queryExecution.executedPlan.toString
+    val kernelLines = plan.linesIterator.filter(_.contains("phash64")).toList
+    assert(kernelLines.nonEmpty, s"phash64 kernel missing from:\n$plan")
+    for (line <- kernelLines) {
+      assert("phash64".r.findAllIn(line).length == 1,
+        s"phash64 must be evaluated once per row, not per extracted half:\n$line")
+      assert(line.contains("*("),
+        s"phash64's projection fell out of whole-stage codegen:\n$plan")
+    }
+    // the zero-token filter fuses into the same codegen stage as the
+    // kernel projection — no exchange, no extra stage between them
+    assert(!plan.contains("Exchange"),
+      s"fingerprinting must be a single map-side stage:\n$plan")
+  }
+
   test("q142 heap top-k plans as an aggregate: no Window, no full-" +
       "group sort") {
     val plan = q("q142_topk_heap_agg").queryExecution.executedPlan.toString
