@@ -364,6 +364,21 @@ object SharedStages {
         path)
     }
 
+  /** A built [[IvfIndex]] over the pre-arrival slice of q164's
+    * DERIVED clustered corpus ([[Similarity.clusteredEmbeddings]]) —
+    * the stored-codebook state whose production-width probe q164
+    * hash-verifies against the exhaustive screen. Hash-seeded
+    * codebook (the derived relation carries no label column), like
+    * the manifest's semantic arm.
+    */
+  def clusteredIvfIndexPath(spark: SparkSession, sfDir: String): String =
+    cached(spark, sfDir, "ivf-index-clustered") { path =>
+      IvfIndex.build(
+        Similarity.clusteredEmbeddings(QU.t(spark, sfDir).embeddings)
+          .filter(col("vec_id") % 5 =!= 0),
+        path)
+    }
+
   private val bpeMemo =
     scala.collection.mutable.Map.empty[(String, String), Seq[TokenizerOps.Merge]]
 

@@ -765,8 +765,123 @@ object Similarity {
       },
       Some(manifestSemanticProbeOracleSql),
       "production-width probe of the manifest store's semantic arm " +
-        "(full codebook/assignment/probe replay oracle)")
+        "(full codebook/assignment/probe replay oracle)"),
+
+    // -- q164: q154's CAPTURE TRADE on the hash surface (round-13's
+    //    follow-through on the round-12 verdict): the incremental
+    //    semantic-dedup probe's one measured-not-verified claim was
+    //    that its nprobe-wide capture misses are a WEAK-CLUSTER
+    //    artifact — on genuinely clustered data the same operator
+    //    loses nothing. This query derives a deterministic CLUSTERED
+    //    corpus from the fixture embeddings ([[clusteredEmbeddings]]:
+    //    centers every $ClusterStride-th vector, member i =
+    //    $ClusterScale·center + own embedding, so within-cluster
+    //    cosines sit near 1 and cross-cluster cosines near the
+    //    random-direction noise floor), builds the persisted
+    //    [[IvfIndex]] over its pre-arrival slice (vec_id % 5 != 0,
+    //    q154's split), and runs BOTH arms over the batch: the q154
+    //    operator verbatim at production width ($IvfNProbe, τ=−1 so
+    //    the best probed match always surfaces) and the exhaustive
+    //    batch×corpus screen (capped at $ExactBaselineVecCap like
+    //    q60/q65, cap mirrored in the oracle). Output: per batch
+    //    vector, both best matches, both 4dp cosines, and
+    //    `captured` = probe best IS the exhaustive best — the capture
+    //    claim is now a hash-verified VALUE (all 1 on this corpus),
+    //    with the oracle replaying the entire apparatus (clustered
+    //    construction, hash-seeded k-means, stored assignment, probe,
+    //    both ranks) in SQL. Scale shape: the probe arm is q154's
+    //    DPP-pruned store scan; the exhaustive arm is the documented
+    //    capped baseline that exists only to sit on the other side of
+    //    the comparison.
+    Q("q164_clustered_probe_capture",
+      (s, d) => {
+        val cl = clusteredEmbeddings(t(s, d).embeddings)
+        val batch = cl.filter(col("vec_id") % 5 === 0)
+        val probe = incrementalSemanticDedupOn(batch,
+            SharedStages.clusteredIvfIndexPath(s, d), tau = -1.0)
+          .select(col("vec_id"), col("dup_of").as("probe_best"),
+            col("best_cos").as("probe_cos"))
+        val b = batch.select(col("vec_id").as("b_id"),
+          col("embedding").as("b_emb"))
+        val exact = cl.filter(col("vec_id") % 5 =!= 0)
+          .crossJoin(broadcast(b))
+          .select(col("b_id"), col("vec_id").as("c_id"),
+            round(Vectors.cosine(col("b_emb"), col("embedding")), 4)
+              .as("cos"))
+        val w = Window.partitionBy(col("b_id"))
+          .orderBy(col("cos").desc, col("c_id"))
+        exact.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("b_id").as("vec_id"), col("c_id").as("exact_best"),
+            (col("cos") + lit(0.0)).as("exact_cos"))
+          .join(probe, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("exact_best"), col("exact_cos"),
+            col("probe_best"), col("probe_cos"),
+            (col("probe_best") <=> col("exact_best")).cast("int")
+              .as("captured"))
+          .orderBy(col("vec_id"))
+      },
+      Some(clusteredProbeCaptureOracleSql),
+      "probe-vs-exhaustive best match on a derived clustered corpus: " +
+        "q154's capture trade as a hash-verified value")
   )
+
+  /** The q164 oracle: clustered-corpus construction, hash-seeded
+    * k-means build replay over its pre-arrival slice, stored primary
+    * assignment, batch probe at production width, and the exhaustive
+    * best — both arms ranked 4dp-round-first with the id tie-break.
+    */
+  private def clusteredProbeCaptureOracleSql: String =
+    s"""WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+      FROM embeddings WHERE vec_id < $ExactBaselineVecCap),
+    cl AS (
+      SELECT m.vec_id,
+        list($ClusterScale * c.ev[r.i + 1] + m.ev[r.i + 1] ORDER BY r.i)
+          AS v
+      FROM base m
+        JOIN base c ON c.vec_id = m.vec_id - (m.vec_id % $ClusterStride),
+        (SELECT unnest(range(0, $Dim)) AS i) r
+      GROUP BY m.vec_id),
+    e AS (
+      SELECT vec_id, v, CAST(vec_id % $IvfCells AS INT) AS seed
+      FROM cl WHERE vec_id % 5 <> 0),
+    $kmeansRoundsFromE,
+    ${probeSql("c2", "ca", 1)},
+    b AS (SELECT vec_id, v FROM cl WHERE vec_id % 5 = 0),
+    ${probeSql("c2", "pb", IvfNProbe, "b")},
+    pscored AS (
+      SELECT pb.vec_id AS b_id, ca.vec_id AS c_id,
+        ROUND(list_dot_product(bb.v, e.v)
+          / (sqrt(list_dot_product(bb.v, bb.v))
+           * sqrt(list_dot_product(e.v, e.v))), 4) AS cos
+      FROM pb JOIN ca ON ca.c = pb.c
+        JOIN b bb ON bb.vec_id = pb.vec_id
+        JOIN e ON e.vec_id = ca.vec_id),
+    pbest AS (
+      SELECT b_id, c_id, cos FROM (
+        SELECT b_id, c_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY b_id
+            ORDER BY cos DESC, c_id) AS rk
+        FROM pscored) t WHERE rk = 1),
+    escored AS (
+      SELECT b.vec_id AS b_id, e.vec_id AS c_id,
+        ROUND(list_dot_product(b.v, e.v)
+          / (sqrt(list_dot_product(b.v, b.v))
+           * sqrt(list_dot_product(e.v, e.v))), 4) AS cos
+      FROM b CROSS JOIN e),
+    ebest AS (
+      SELECT b_id, c_id, cos FROM (
+        SELECT b_id, c_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY b_id
+            ORDER BY cos DESC, c_id) AS rk
+        FROM escored) t WHERE rk = 1)
+    SELECT eb.b_id AS vec_id, eb.c_id AS exact_best,
+      eb.cos + 0.0 AS exact_cos,
+      pb2.c_id AS probe_best, pb2.cos + 0.0 AS probe_cos,
+      CAST(pb2.c_id IS NOT DISTINCT FROM eb.c_id AS INT) AS captured
+    FROM ebest eb LEFT JOIN pbest pb2 ON pb2.b_id = eb.b_id
+    ORDER BY vec_id"""
 
   /** The q163 oracle: hash-seeded k-means over the RESIDENT train
     * vectors, stored assignment of ALL train vectors under it, eval
@@ -855,7 +970,15 @@ object Similarity {
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         $seedExpr AS seed
       FROM embeddings $where),
-    m0 AS (
+    $kmeansRoundsFromE"""
+
+  /** The build replay's Lloyd rounds alone (seed means → two steps →
+    * final codebook CTE `c2`), fed by whatever CTE `e` (vec_id, v,
+    * seed) the caller assembled — the q164 oracle trains over a
+    * DERIVED clustered relation, not the embeddings table itself.
+    */
+  private def kmeansRoundsFromE: String =
+    s"""m0 AS (
       SELECT seed AS c, r.i,
         CAST(SUM(CAST(v[r.i + 1] AS DECIMAL(38,6))) AS DOUBLE)
           / COUNT(*) AS mu
@@ -1128,6 +1251,41 @@ object Similarity {
       .select(col("vec_id"), col("cell"),
         coalesce(col("dropped"), lit(0)).as("dropped"))
       .orderBy(col("vec_id"))
+  }
+
+  /** q164's cluster geometry: centers are every `ClusterStride`-th
+    * fixture vector, members add their own embedding as noise at
+    * 1/`ClusterScale` of the center's weight — within-cluster cosines
+    * land near 1, cross-cluster cosines near the random-direction
+    * noise floor of the 64-dim fixture, so the inter-centroid margin
+    * dwarfs the noise and the probe provably captures the exhaustive
+    * best match.
+    */
+  val ClusterStride = 17
+  val ClusterScale = 40.0
+
+  /** The deterministic CLUSTERED corpus q164 derives from the fixture
+    * embeddings (which are near-random — the one regime where the
+    * q154 capture trade actually loses tail pairs): member i's vector
+    * is `ClusterScale·center + own embedding`, centers being the
+    * vec_id % ClusterStride == 0 rows, membership the nearest-lower
+    * multiple of the stride. All arithmetic in DOUBLE so the oracle's
+    * replay (same widening, same multiply-add) is bit-identical.
+    * The center relation is stride-bounded model-sized state and
+    * rides a broadcast; nothing shuffles the corpus.
+    */
+  private[queries] def clusteredEmbeddings(emb: DataFrame): DataFrame = {
+    val base = emb.filter(col("vec_id") < ExactBaselineVecCap)
+      .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("e"))
+    val centers = base.filter(col("vec_id") % ClusterStride === 0)
+      .select(col("vec_id").as("center_id"), col("e").as("c"))
+    base
+      .withColumn("center_id",
+        col("vec_id") - col("vec_id") % ClusterStride)
+      .join(broadcast(centers), Seq("center_id"))
+      .select(col("vec_id"),
+        zip_with(col("c"), col("e"),
+          (a, b) => lit(ClusterScale) * a + b).as("embedding"))
   }
 
   /** q154's declared form: the arrival batch (vec_id % 5 == 0)

@@ -531,6 +531,33 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q164 clustered probe capture: all captured, probe cosines equal " +
+      "exhaustive, probe arm still DPP-pruned") {
+    // the round-13 hash-surface form of the capture claim: on the
+    // derived clustered corpus the production-width probe's best
+    // match IS the exhaustive best match for every batch vector —
+    // the q154 miss rate measured above is weak-cluster geometry.
+    // The driver hash-verifies the values; this pins the plan side
+    // (the exhaustive arm must not have degraded the probe arm's
+    // DPP scan) and the all-captured invariant in-tree.
+    val out = Registry.queries("q164_clustered_probe_capture")(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("dynamicpruning"),
+      s"q164's probe arm lost its dynamic partition pruning:\n$plan")
+    val rows = out.collect()
+    assert(rows.length === 100)
+    rows.foreach { r =>
+      assert(r.getInt(5) === 1, s"vec ${r.getLong(0)} not captured: $r")
+      assert(r.getDouble(2) === r.getDouble(4),
+        s"probe cosine drifted from exhaustive for vec ${r.getLong(0)}: $r")
+      // the best match is a member of the same stride-cluster
+      assert(r.getLong(1) / graft.queries.Similarity.ClusterStride ===
+        r.getLong(0) / graft.queries.Similarity.ClusterStride,
+        s"vec ${r.getLong(0)} matched a foreign cluster: $r")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q144 health audit: partition of the corpus, bounded cohesion, " +
       "balanced-skew identity") {
     val rows = Registry.queries("q144_ivf_index_health")(spark, dir).collect()
