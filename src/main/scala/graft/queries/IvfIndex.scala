@@ -138,6 +138,36 @@ object IvfIndex {
       .sortBy(_._1).toSeq
   }
 
+  /** Content fingerprint of the LIVE codebook sidecar — md5 over its
+    * part-file bytes (names sorted, bytes concatenated). Stable
+    * across maintenance compactions ([[compact]] carries the sidecar
+    * into the next version byte-identically) and changes exactly when
+    * a rebuild stages different codebook bytes — the cheap
+    * driver-side identity a long-lived codebook pin (the streaming
+    * appender's once-per-stream load) re-checks each batch to detect
+    * an out-of-band rebuild instead of silently assigning arrivals
+    * under a codebook the store no longer uses.
+    */
+  def codebookFingerprint(path: String): String = {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get(
+      graft.engine.EpochStore.liveDir(s"$path/cells"), CodebookName)
+    if (!java.nio.file.Files.isDirectory(dir))
+      throw new IllegalStateException(
+        s"IvfIndex at $path has no $CodebookName sidecar in its live " +
+          "version — rebuild required (see loadCodebook).")
+    val s = java.nio.file.Files.list(dir)
+    val parts =
+      try s.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted
+      finally s.close()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach { p =>
+      md.update(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   /** Streaming index maintenance — the growing-corpus path: each
     * micro-batch of new vectors (`vec_id`, `embedding`) is assigned
     * with the STORED codebook and appended to the cell-partitioned

@@ -43,6 +43,16 @@ import graft.engine.EpochStore
   * the rotation spreads the bucket; a true mega-cluster of identical
   * fingerprints is rotation-invariant and stays collapsed, which is
   * the correct serving shape for it.
+  *
+  * Migration note (round 12): fingerprint producers now DROP
+  * zero-token documents instead of emitting their all-zero
+  * fingerprint ([[MultimodalOps.phashFingerprints]]), so new probes
+  * never carry (hi=0, lo=0). A store built BEFORE that change may
+  * still hold the empty docs' all-zero rows in its hashes/bands
+  * epochs and keeps serving the spurious dist-0 empty-doc cluster to
+  * any all-zero STORED row until it is migrated: rebuild the store
+  * from the source corpus, or one-off delete the `hi = 0 AND lo = 0`
+  * rows from the hashes epochs and run [[rebuildBands]].
   */
 object PHashIndex {
 

@@ -1256,9 +1256,16 @@ object QualityOps {
     st.relations.foreach {
       case ("trainemb", df) =>
         val cb = semCodebookOf(df)
-        if (cb.isEmpty)
+        if (cb.isEmpty) {
+          // a rewrite of a previously-indexed path must not leave the
+          // old sidecar behind: readManifestState keys the semantic
+          // index off the sidecar's presence, and a stale codebook
+          // over a freshly-written UNPARTITIONED trainemb would fail
+          // the loaded state's first probe (no `cell` column)
+          graft.engine.Archive.deleteTree(
+            java.nio.file.Paths.get(path, "semcodebook"))
           df.write.mode("overwrite").parquet(s"$path/trainemb")
-        else {
+        } else {
           import df.sparkSession.implicits._
           assignSemCells(df, cb).write.mode("overwrite")
             .partitionBy("cell").parquet(s"$path/trainemb")

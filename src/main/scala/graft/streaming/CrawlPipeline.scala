@@ -159,18 +159,54 @@ object CrawlPipeline {
              onReport: Maintenance.Report => Unit = _ => (),
              maxEpochs: Int = 64): StreamingQuery = {
     val spark = crawl.sparkSession
-    // the codebook is immutable for the index lifetime — load once at
-    // stream start, not per micro-batch (the appendStream rationale)
-    val cents = IvfIndex.loadCodebook(spark, roots.ivf)
+    // the codebook is loaded ONCE per stream, not per micro-batch
+    // (the appendStream rationale) — but "immutable for the index
+    // lifetime" has two legitimate ends: the stream's OWN maintenance
+    // tick may rebuild a skew-drifted index (IvfIndex.maintain), and
+    // an out-of-band rebuild violates the single-writer contract.
+    // The pin below handles both: the tick's report refreshes the
+    // cached codebook when it rebuilt (the very next batch assigns
+    // under the new codebook, matching the re-assigned resident
+    // cells), while an out-of-band change of the sidecar's content
+    // fingerprint fails the next append LOUDLY instead of silently
+    // assigning arrivals under a codebook the store no longer uses.
+    val pin = new CodebookPin(spark, roots.ivf)
     val body = Maintenance.onEpochCadence(spark, roots.stores, everyN,
-      onReport, maxEpochs) { (batch, batchId) =>
-      appendDayWith(roots, batch, batchId, cents)
+      report => {
+        if (report.ivf.exists(_.rebuilt)) pin.refresh()
+        onReport(report)
+      }, maxEpochs) { (batch, batchId) =>
+      appendDayWith(roots, batch, batchId, pin.cents)
     }
     crawl.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(body)
       .start()
+  }
+
+  /** The stream's cached codebook plus its content fingerprint
+    * ([[IvfIndex.codebookFingerprint]] — stable across compactions,
+    * changed by rebuilds). [[cents]] is the guarded read the append
+    * path uses; [[refresh]] is the tick's legitimate-rebuild hook.
+    */
+  private final class CodebookPin(spark: SparkSession, ivfRoot: String) {
+    @volatile private var pinned: (String, Seq[(Int, Seq[Double])]) = load()
+    private def load() = (IvfIndex.codebookFingerprint(ivfRoot),
+      IvfIndex.loadCodebook(spark, ivfRoot))
+    def refresh(): Unit = pinned = load()
+    def cents: Seq[(Int, Seq[Double])] = {
+      val (fp, c) = pinned
+      val live = IvfIndex.codebookFingerprint(ivfRoot)
+      if (live != fp)
+        throw new IllegalStateException(
+          s"IvfIndex codebook at $ivfRoot changed outside this stream " +
+            s"(pinned fingerprint $fp, live $live): an out-of-band " +
+            "rebuild under the single-maintenance-writer contract. " +
+            "Restart the ingest stream so arrivals are assigned under " +
+            "the live codebook instead of the stale stream-start pin.")
+      c
+    }
   }
 
   /** The shipped training manifest, served between batches from

@@ -242,4 +242,45 @@ class CrawlPipelineSpec extends SparkSpec {
       assert(e(k) === f(k), s"store surface $k diverged across the restart")
     spark.catalog.clearCache()
   }
+
+  test("an out-of-band codebook rebuild mid-stream fails the next " +
+      "append loudly; the fingerprint pin survives compaction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val roots = CrawlPipeline.build(
+      docsSlice(0, 120), embSlice(0, 120), tmp("crawl-oob"))
+    // maintenance compaction copies the codebook sidecar into the
+    // next version byte-identically — the stream's pin must NOT trip
+    // on the deployment's own housekeeping
+    val fp0 = IvfIndex.codebookFingerprint(roots.ivf)
+    IvfIndex.compact(spark, roots.ivf)
+    assert(IvfIndex.codebookFingerprint(roots.ivf) === fp0,
+      "compaction must not change the codebook fingerprint")
+
+    val stream = MemoryStream[(Long, String, String, Long, Seq[Float])]
+    val ckpt = java.nio.file.Files.createTempDirectory("crawl-oob-ck").toString
+    val q = CrawlPipeline.ingest(
+      stream.toDF().toDF("doc_id", "text", "lang", "n_chars", "embedding"),
+      roots, ckpt, everyN = 100) // no tick: isolate the out-of-band case
+    try {
+      stream.addData(crawlRows(120, 160)); q.processAllAvailable()
+
+      // violate the single-maintenance-writer contract: rebuild the
+      // index (new codebook trained over a different corpus) while
+      // the stream holds its stream-start pin
+      IvfIndex.build(embSlice(0, 160), roots.ivf)
+      stream.addData(crawlRows(160, 200))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(ex).exists(c =>
+          c.isInstanceOf[IllegalStateException] &&
+            c.getMessage.contains("changed outside this stream")),
+        s"expected the loud codebook-drift error, got: $ex")
+    } finally q.stop()
+    spark.catalog.clearCache()
+  }
 }
