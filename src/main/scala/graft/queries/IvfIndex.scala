@@ -48,6 +48,8 @@ object IvfIndex {
             lloydIters: Int = Similarity.IvfLloydIters): Unit = {
     val spark = emb.sparkSession
     val cents = Similarity.kmeansCodebook(emb, lloydIters, k)
+    val books = Similarity.pqCodebooks(emb.select(col("vec_id"),
+      graft.functions.Vectors.asDouble(col("embedding")).as("v")))
     import spark.implicits._
     // the base build is epoch "base" of a versioned EpochStore;
     // streamed arrivals land as sibling epoch=<batchId> dirs (see
@@ -57,17 +59,25 @@ object IvfIndex {
     // INSIDE the same version dir, so on a rebuild the (codebook,
     // assignments) pair becomes visible in one manifest rename —
     // writing it beside the store would leave a crash window where
-    // a fresh codebook describes the previous version's cells.
+    // a fresh codebook describes the previous version's cells. The
+    // PQ subspace codebooks (round 13 — the 6-byte ADC scan tier,
+    // q166) ride the same version dir for the same reason: one
+    // rename flips (codebook, pq codebooks, assignments) together.
     graft.engine.EpochStore.create(s"$path/cells", rebuild = true) { base =>
       val verDir = base.stripSuffix("/epoch=base")
       cents.toDF("c_id", "c_emb").coalesce(1)
         .write.mode("overwrite").parquet(s"$verDir/$CodebookName")
-      assign(emb, cents)
+      books.zipWithIndex
+        .flatMap { case (b, s) => b.map { case (id, c) => (s, id, c) } }
+        .toDF("sub", "c_id", "c_emb").coalesce(1)
+        .write.mode("overwrite").parquet(s"$verDir/$PqCodebookName")
+      assign(emb, cents, Some(books))
         .write.mode("overwrite").partitionBy("cell").parquet(base)
     }
   }
 
   private val CodebookName = "_codebook"
+  private val PqCodebookName = "_pqcodebook"
 
   /** Fold all committed cell epochs into one base (new manifest
     * version; readers and replays stay safe — see
@@ -77,7 +87,7 @@ object IvfIndex {
     */
   def compact(spark: SparkSession, path: String): Unit =
     graft.engine.EpochStore.compact(spark, s"$path/cells", Seq("cell"),
-      carryExtras = Seq(CodebookName))
+      carryExtras = Seq(CodebookName, PqCodebookName))
 
   /** [[compact]] only past `maxEpochs` committed epochs — the policy
     * form for a maintenance cron ([[graft.engine.EpochStore.compactIfFragmented]]).
@@ -86,7 +96,7 @@ object IvfIndex {
   def compactIfFragmented(spark: SparkSession, path: String,
                           maxEpochs: Int = 64): Boolean =
     graft.engine.EpochStore.compactIfFragmented(spark, s"$path/cells",
-      Seq("cell"), Seq(CodebookName), maxEpochs)
+      Seq("cell"), Seq(CodebookName, PqCodebookName), maxEpochs)
 
   /** Nearest-cell assignment of (`vec_id`, `embedding`) rows under a
     * given codebook — [[Similarity.probeCells]] at nprobe=1, exposed
@@ -100,11 +110,24 @@ object IvfIndex {
     * non-cosine metrics.
     */
   def assign(vectors: DataFrame,
-             cents: Seq[(Int, Seq[Double])]): DataFrame =
-    Similarity.probeCells(vectors.select(col("vec_id"), col("embedding")),
+             cents: Seq[(Int, Seq[Double])],
+             books: Option[Seq[Seq[(Int, Seq[Double])]]] = None): DataFrame = {
+    val base = Similarity.probeCells(
+      vectors.select(col("vec_id"), col("embedding")),
       Seq("vec_id", "embedding"), "embedding", cents, 1)
       .withColumn("scale", Vectors.quantScale(col("embedding")))
       .withColumn("code", Vectors.quantizeInt8(col("embedding")))
+    books.fold(base) { bs =>
+      // round 13: each stored row also carries its 6-byte PQ code
+      // (one small int per subspace, written at assign time under
+      // the STORED subspace codebooks — the same staleness contract
+      // as the cell assignment). The ADC search path (q166) scans
+      // only (cell, vec_id, pq0..7): ~6 bytes of quantizer payload
+      // per row against SQ's 64.
+      base.select(col("*") +: Similarity.pqCodeCols(
+        Vectors.asDouble(col("embedding")), bs): _*)
+    }
+  }
 
   /** The stored codebook, sorted — model state, k×dim small.
     * Resolved through the cells manifest (the codebook is a
@@ -136,6 +159,36 @@ object IvfIndex {
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1))
       .sortBy(_._1).toSeq
+  }
+
+  /** The stored PQ subspace codebooks, sub-major then c_id-sorted —
+    * model state, subspaces×k×subdim small, resolved through the
+    * cells manifest like [[loadCodebook]] (same version-scoped
+    * sidecar discipline, same hidden-dir part-file listing).
+    */
+  def loadPqCodebooks(spark: SparkSession,
+                      path: String): Seq[Seq[(Int, Seq[Double])]] = {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get(
+      graft.engine.EpochStore.liveDir(s"$path/cells"), PqCodebookName)
+    if (!java.nio.file.Files.isDirectory(dir))
+      throw new IllegalStateException(
+        s"IvfIndex at $path has no $PqCodebookName sidecar in its live " +
+          "version — this is a pre-round-13 index layout (cells rows " +
+          "without the pq0..7 ADC columns). Re-run IvfIndex.build over " +
+          "the corpus to migrate; until then only the SQ search path " +
+          "(sqQuery) is servable from this store.")
+    val s = java.nio.file.Files.list(dir)
+    val parts =
+      try s.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSeq
+      finally s.close()
+    val rows = spark.read.parquet(parts: _*)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    (0 until Similarity.PqSubspaces).map { sub =>
+      rows.filter(_._1 == sub).map(r => r._2 -> r._3).sortBy(_._1).toSeq
+    }
   }
 
   /** Content fingerprint of the LIVE codebook sidecar — md5 over its
@@ -195,13 +248,14 @@ object IvfIndex {
     // load once at stream start: the codebook is immutable for the
     // index lifetime (rebuilding while appending is already unsafe),
     // so re-reading it per micro-batch would add a driver-side job
-    // per batch for identical data
+    // per batch for identical data; the PQ books are pinned with it
     val cents = loadCodebook(vectors.sparkSession, path)
+    val books = loadPqCodebooks(vectors.sparkSession, path)
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendEpoch(batch, cents, path, batchId)
+        appendEpoch(batch, cents, path, batchId, Some(books))
       }
       .start()
   }
@@ -216,11 +270,18 @@ object IvfIndex {
     */
   private[graft] def appendEpoch(batch: DataFrame,
                                    cents: Seq[(Int, Seq[Double])],
-                                   path: String, batchId: Long): Unit =
+                                   path: String, batchId: Long,
+                                   books: Option[Seq[Seq[(Int, Seq[Double])]]] = None): Unit = {
+    // callers that hold only the cell codebook (the pre-round-13
+    // signature) get the STORED PQ books loaded here — small model
+    // state per append, and by construction exactly the books the
+    // store's resident codes were written under
+    val bs = books.getOrElse(loadPqCodebooks(batch.sparkSession, path))
     graft.engine.EpochStore.commitEpoch(s"$path/cells", batchId) { tmp =>
-      assign(batch, cents)
+      assign(batch, cents, Some(bs))
         .write.mode("overwrite").partitionBy("cell").parquet(tmp)
     }
+  }
 
   /** Per-cell health metrics off the stored index alone (q144's
     * body): member count, skew (n·k/total — 1.0 is perfectly
@@ -401,6 +462,56 @@ object IvfIndex {
       .join(broadcast(queries), Seq("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         Vectors.cosine(col("embedding"), col("q_emb")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    exact.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** PQ-ADC approximate search + exact re-rank against a built index
+    * — q166's body: the q147 chain one compression tier further. The
+    * approximate pass scans ONLY (cell, vec_id, pq0..7) from the
+    * probed partitions — neither the float vectors NOR the int8 SQ
+    * codes are read, so the quantizer payload is ~4 bytes/row
+    * against SQ's 64 and the raw vector's 256. Scoring reconstructs
+    * each candidate from the stored subspace codebooks (constant-
+    * folded map literals — cosine against the reconstruction IS the
+    * ADC score), 4dp-rounds before the candidate rank, and re-ranks
+    * the top `rerankWidth` with exact cosines over the true vectors
+    * fetched for candidates only.
+    */
+  def pqQuery(spark: SparkSession, path: String, queries: DataFrame,
+              nprobe: Int = Similarity.IvfNProbe,
+              topK: Int = 5,
+              rerankWidth: Int = Similarity.PqRerankWidth): DataFrame = {
+    val cents = loadCodebook(spark, path)
+    val books = loadPqCodebooks(spark, path)
+    val q = queries.select(col("query_id"),
+      Vectors.asDouble(col("q_emb")).as("qv"))
+    val qcells = Similarity.probeCells(q,
+      Seq("query_id", "qv"), "qv", cents, nprobe)
+    val store = graft.engine.EpochStore.read(spark, s"$path/cells")
+    val recon = Similarity.pqRecon(books,
+      (0 until Similarity.PqSubspaces).map(s => col(s"pq$s")))
+    val codes = store.select(
+      col("cell").cast("int").as("cell") +: col("vec_id") +:
+        (0 until Similarity.PqSubspaces).map(s => col(s"pq$s")): _*)
+    val approx = codes.join(broadcast(qcells), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(Vectors.cosine(col("qv"), recon), 4).as("ascore"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("ascore").desc, col("vec_id"))
+    val cand = approx.withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= rerankWidth)
+      .select(col("query_id"), col("vec_id"))
+    val exact = cand
+      .join(store.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Vectors.cosine(Vectors.asDouble(col("embedding")), col("qv"))
+          .as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     exact.withColumn("rk", row_number().over(w))

@@ -58,6 +58,42 @@ object Similarity {
     */
   val SqRerankWidth = 10
 
+  /** Product-quantization geometry (q165 and the persisted IVF-PQ
+    * arm): the 64-dim fixture splits into 8 contiguous 8-dim
+    * subspaces, each with its own 64-centroid spherical-k-means
+    * codebook (hash-seeded, [[PqLloydIters]] Lloyd rounds — the
+    * [[kmeansCodebook]] machinery verbatim, per subvector slice).
+    * A vector's PQ code is 8 six-bit ids — 6 bytes of scan payload
+    * against the raw vector's 256 (64 floats) or SQ's 64 (int8
+    * codes): the ~40×/10× byte cut is the whole reason PQ exists at
+    * 100 TB, where the ANN scan is bytes-bound (q147's argument,
+    * one compression tier further). The geometry is MEASURED on the
+    * fixture, which is PQ's worst case — near-random vectors are
+    * incompressible, so coarse codebooks carry almost no ordering
+    * signal (4×16-dim/16: recall 0.36; 8×8-dim/16: 0.44): 8×8-dim
+    * at k=64 is the point where the ADC order becomes usable
+    * (recall 0.88 at width 40). Codes are learned on RAW
+    * subvectors, not cell residuals: residual-PQ (the classic
+    * IVF-ADC refinement) optimizes L2 reconstruction, while every
+    * search path here scores COSINE — and raw-subspace codes keep
+    * the replay one k-means per subspace instead of k-means-per-
+    * (cell × subspace).
+    */
+  val PqSubspaces = 8
+  val PqSubDim = 8
+  val PqCentroids = 64
+  val PqLloydIters = 2
+
+  /** q165: ADC candidates per query kept for the exact re-rank —
+    * the FAISS refine k_factor, 8× the final top-5 where SQ needs
+    * only 2× ([[SqRerankWidth]]): a 6-byte code's ordering error is
+    * real, and the refine list is what buys recall back (measured
+    * on the fixture: width 10/20/40 → recall 0.52/0.76/0.88). The
+    * width is a CONSTANT per query — independent of corpus size, so
+    * the refine fetch stays ~40 rows/query at any scale.
+    */
+  val PqRerankWidth = 40
+
   /** All XOR masks with at most `radius` bits set among `nBits` —
     * generated combinatorially (C(n,1)+C(n,2)+…), never by filtering
     * the 2^nBits code space, which stalls the driver at high nBits.
@@ -823,7 +859,56 @@ object Similarity {
       },
       Some(clusteredProbeCaptureOracleSql),
       "probe-vs-exhaustive best match on a derived clustered corpus: " +
-        "q154's capture trade as a hash-verified value")
+        "q154's capture trade as a hash-verified value"),
+
+    // -- q165: PQ-ADC search — the COMPRESSED-SCAN tier of the ANN
+    //    family (q60 exact floats → q147 int8 SQ → this, 6-byte PQ
+    //    codes). Four 16-dim subspace codebooks are learned by the
+    //    SAME deterministic spherical k-means as every other codebook
+    //    here ([[kmeansCodebook]] per subvector slice — hash seeds,
+    //    decimal-summed means, DESC-tie [[cellOf]] assignment), each
+    //    vector quantizes to 8 six-bit ids, and the approximate pass
+    //    scores each query against the RECONSTRUCTION (the 8 chosen
+    //    centroids concatenated — ADC with cosine normalization:
+    //    Σ_s dot(q_s, c_s) IS dot(q, concat)). 4dp-round before the
+    //    candidate rank (the round-before-rank rule), top-
+    //    $PqRerankWidth per query re-ranked with exact cosines. The
+    //    scan is LINEAR per query (flat-PQ: compression is the win,
+    //    not pruning) over the capped query subset — the q60 cap
+    //    discipline, mirrored in the oracle; the probe-PRUNED
+    //    composition is the persisted IVF-PQ arm (q166), which
+    //    stores these codes at write time. The oracle replays the
+    //    whole apparatus: 4 independent subspace k-means builds,
+    //    code assignment, reconstruction, ADC rank, exact re-rank.
+    Q("q165_pq_adc_search",
+      (s, d) => pqAdcOn(t(s, d).embeddings),
+      Some(pqAdcOracleSql),
+      "product-quantization ADC scan (8x8-dim subspace codebooks, " +
+        "6-byte codes) + exact re-rank of the top candidates"),
+
+    // -- q166: IVF-PQ search — the persisted composition of q128's
+    //    cell-pruned probe and q165's 6-byte ADC scan, the plan a
+    //    100 TB vector store actually serves: the stored cells carry
+    //    each row's PQ code written at assign time ([[IvfIndex
+    //    .assign]], round 13), the probe reads ~nprobe/k of the
+    //    partitions under dynamic partition pruning, and the
+    //    approximate pass's scan reads ONLY (cell, vec_id, pq0..7) —
+    //    neither the float vectors nor q147's int8 codes, so the
+    //    quantizer bytes drop 64× vs raw and 16× vs SQ. Exact
+    //    re-rank fetches true vectors for the top-$PqRerankWidth
+    //    candidates only. The oracle replays everything: the IVF
+    //    k-means build, the stored primary assignment, the 4
+    //    subspace k-means builds, the stored codes, the probe, the
+    //    ADC rank inside probed cells, and the exact re-rank.
+    //    SimilaritySpec pins recall vs q60 and that the ADC scan's
+    //    ReadSchema carries the pq columns WITHOUT embedding or code.
+    Q("q166_ivf_pq_search",
+      (s, d) => IvfIndex.pqQuery(s, SharedStages.ivfIndexPath(s, d),
+        querySubset(t(s, d).embeddings),
+        IvfNProbe, topK = 5, rerankWidth = PqRerankWidth),
+      Some(ivfPqOracleSql),
+      "IVF-PQ: cell-pruned 6-byte ADC scan (neither vectors nor SQ " +
+        "codes read) + exact re-rank of the top candidates")
   )
 
   /** The q164 oracle: clustered-corpus construction, hash-seeded
@@ -882,6 +967,262 @@ object Similarity {
       CAST(pb2.c_id IS NOT DISTINCT FROM eb.c_id AS INT) AS captured
     FROM ebest eb LEFT JOIN pbest pb2 ON pb2.b_id = eb.b_id
     ORDER BY vec_id"""
+
+  /** The [[PqSubspaces]] subspace codebooks over `e` (vec_id, v) —
+    * [[kmeansCodebook]]'s build (hash seeds, decimal-summed means,
+    * [[cellOf]] assignment) run on each contiguous [[PqSubDim]]-dim
+    * slice, but BATCHED: all subspaces ride one sub-tagged relation,
+    * so each of the 1 + [[PqLloydIters]] rounds is ONE job instead
+    * of [[PqSubspaces]] — first measured as 8 independent
+    * kmeansCodebook calls, q165 paid 24 sequential driver jobs
+    * (~12s of pure scheduling at sf0.1) for work that is value-
+    * identical per (sub, cell) group. k×subdim×subspaces model
+    * state (8×8×64 doubles), the codebook-literal tradition:
+    * collecting model parameters is not collecting data.
+    */
+  private[queries] def pqCodebooks(e: DataFrame): Seq[Seq[(Int, Seq[Double])]] = {
+    val sliced = e.select(col("vec_id"),
+        posexplode(array((0 until PqSubspaces).map(s =>
+          slice(col("v"), s * PqSubDim + 1, PqSubDim)): _*)))
+      .toDF("vec_id", "sub", "embedding")
+    val seedKey = pmod(col("vec_id"), lit(PqCentroids))
+    var books = pqMeans(sliced, seedKey)
+    for (_ <- 1 to PqLloydIters)
+      books = pqMeans(sliced, subCellOf(col("sub"), col("embedding"), books))
+    books
+  }
+
+  /** Element-wise decimal-sum means per (sub, key) — [[means]] with
+    * the subspace tag carried through, returned sub-major.
+    */
+  private def pqMeans(df: DataFrame,
+      key: Column): Seq[Seq[(Int, Seq[Double])]] = {
+    val rows = df
+      .filter(key.cast("int").isNotNull)
+      .groupBy(col("sub"), key.cast("int").as("c_id"))
+      .agg(
+        Vectors.vecDecimalSum(Vectors.asDouble(col("embedding"))).as("sums"),
+        count(col("embedding")).as("n"))
+      .select(col("sub"), col("c_id"),
+        transform(col("sums"), x => x / col("n")).as("c_emb"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    (0 until PqSubspaces).map { s =>
+      rows.filter(_._1 == s).map(r => r._2 -> r._3).sortBy(_._1).toSeq
+    }
+  }
+
+  /** [[cellOf]] dispatched on the subspace tag — one expression
+    * assigning every sub-tagged row under its own codebook.
+    */
+  private def subCellOf(sub: Column, v: Column,
+      books: Seq[Seq[(Int, Seq[Double])]]): Column =
+    books.zipWithIndex.foldLeft(lit(null).cast("int")) {
+      case (acc, (b, s)) => when(sub === s, cellOf(v, b)).otherwise(acc)
+    }
+
+  /** One subspace's PQ code per row: [[cellOf]] over the subvector —
+    * the same DESC-tie nearest-centroid argmax every codebook
+    * assignment here uses.
+    */
+  private[queries] def pqCodeCols(v: Column,
+      books: Seq[Seq[(Int, Seq[Double])]]): Seq[Column] =
+    books.zipWithIndex.map { case (b, s) =>
+      cellOf(slice(v, s * PqSubDim + 1, PqSubDim), b).as(s"pq$s") }
+
+  /** code → centroid as a constant-folded map literal (keyed by
+    * c_id, NOT position: a Lloyd round can empty a seed cell, so
+    * surviving ids need not be dense).
+    */
+  private def bookLit(cents: Seq[(Int, Seq[Double])]): Column =
+    map(cents.flatMap { case (id, c) =>
+      Seq(lit(id), array(c.map(lit(_)): _*)) }: _*)
+
+  /** The PQ reconstruction: the 4 coded centroids concatenated in
+    * subspace order — cosine against it IS the ADC score with the
+    * reconstruction-norm normalization.
+    */
+  private[queries] def pqRecon(books: Seq[Seq[(Int, Seq[Double])]],
+      codes: Seq[Column]): Column =
+    concat(books.zipWithIndex.map { case (b, s) =>
+      element_at(bookLit(b), codes(s)) }: _*)
+
+  /** q165's body: learn the subspace codebooks, code every vector,
+    * ADC-score the capped query subset against the reconstructions
+    * (4dp round before the candidate rank), exact re-rank the top
+    * `rerankWidth` to `topK`. Output matches q64/q147's shape.
+    */
+  def pqAdcOn(emb: DataFrame,
+              rerankWidth: Int = PqRerankWidth, topK: Int = 5): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      Vectors.asDouble(col("embedding")).as("v"))
+    val books = pqCodebooks(e)
+    val codes = e.select(col("vec_id") +: pqCodeCols(col("v"), books): _*)
+    val q = querySubset(emb).select(col("query_id"),
+      Vectors.asDouble(col("q_emb")).as("qv"))
+    val recon = pqRecon(books,
+      (0 until PqSubspaces).map(s => col(s"pq$s")))
+    val approx = codes.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(Vectors.cosine(col("qv"), recon), 4).as("ascore"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("ascore").desc, col("vec_id"))
+    val cand = approx.withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= rerankWidth)
+      .select(col("query_id"), col("vec_id"))
+    val exact = cand.join(e, Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Vectors.cosine(col("v"), col("qv")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    exact.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** One subspace's full replay: slice CTE `e<s>`, seed means, two
+    * Lloyd rounds (DESC ties — [[cellOf]]'s rule, the
+    * [[kmeansRoundsFromE]] pattern at [[PqSubDim]] dims with
+    * suffixed CTE names), final code assignment `cd<s>`.
+    */
+  private def pqSubspaceCtes(s: Int): String = {
+    val lo = s * PqSubDim + 1
+    val hi = (s + 1) * PqSubDim
+    def cos(src: String, cb: String) =
+      s"list_dot_product($src.v, $cb.cv) / " +
+        s"(sqrt(list_dot_product($src.v, $src.v)) * " +
+        s"sqrt(list_dot_product($cb.cv, $cb.cv)))"
+    def meanSql(from: String, groupKey: String, mOut: String,
+                cOut: String) =
+      s"""$mOut AS (
+      SELECT $groupKey AS c, r.i,
+        CAST(SUM(CAST(e$s.v[r.i + 1] AS DECIMAL(38,6))) AS DOUBLE)
+          / COUNT(*) AS mu
+      FROM $from, (SELECT unnest(range(0, $PqSubDim)) AS i) r
+      GROUP BY $groupKey, r.i),
+    $cOut AS (SELECT c, list(mu ORDER BY i) AS cv FROM $mOut GROUP BY c)"""
+    def assignSql(cIn: String, aOut: String) =
+      s"""$aOut AS (
+      SELECT vec_id, c FROM (
+        SELECT e$s.vec_id, $cIn.c,
+          ROW_NUMBER() OVER (PARTITION BY e$s.vec_id
+            ORDER BY ${cos(s"e$s", cIn)} DESC NULLS LAST, $cIn.c DESC)
+            AS rk
+        FROM e$s CROSS JOIN $cIn) t WHERE rk = 1)"""
+    s"""e$s AS (
+      SELECT vec_id, v[$lo:$hi] AS v,
+        CAST(vec_id % $PqCentroids AS INT) AS seed
+      FROM e),
+    ${meanSql(s"e$s", s"e$s.seed", s"m${s}0", s"c${s}0")},
+    ${assignSql(s"c${s}0", s"a${s}1")},
+    ${meanSql(s"a${s}1 a JOIN e$s USING (vec_id)", "a.c",
+        s"m${s}1", s"c${s}1")},
+    ${assignSql(s"c${s}1", s"a${s}2")},
+    ${meanSql(s"a${s}2 a JOIN e$s USING (vec_id)", "a.c",
+        s"m${s}2", s"c${s}2")},
+    ${assignSql(s"c${s}2", s"cd$s")}"""
+  }
+
+  /** The q165 oracle: 4 subspace k-means replays, code assignment,
+    * centroid-concat reconstruction, 4dp ADC rank at
+    * $PqRerankWidth, exact re-rank to top-5 — the q147 chain with
+    * the PQ quantizer in place of SQ.
+    */
+  private def pqAdcOracleSql: String = {
+    val sub = (0 until PqSubspaces).map(pqSubspaceCtes).mkString(",\n    ")
+    val reconJoin = (0 until PqSubspaces).map(s =>
+      s"JOIN cd$s ON cd$s.vec_id = e.vec_id " +
+        s"JOIN c${s}2 cb$s ON cb$s.c = cd$s.c").mkString(" ")
+    val rv = (0 until PqSubspaces).map(s => s"cb$s.cv").mkString(" || ")
+    s"""WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    $sub,
+    recon AS (
+      SELECT e.vec_id, $rv AS rv FROM e $reconJoin),
+    q AS (
+      SELECT vec_id AS query_id, v FROM e
+      WHERE vec_id % 100 = 0 AND vec_id < $ExactBaselineVecCap),
+    approx AS (
+      SELECT q.query_id, r.vec_id,
+        ROUND(list_dot_product(q.v, r.rv)
+          / (sqrt(list_dot_product(q.v, q.v))
+           * sqrt(list_dot_product(r.rv, r.rv))), 4) AS ascore
+      FROM q CROSS JOIN recon r WHERE r.vec_id <> q.query_id),
+    cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY ascore DESC NULLS LAST, vec_id) AS crk
+        FROM approx) t WHERE crk <= $PqRerankWidth),
+    exact AS (
+      SELECT cand.query_id, cand.vec_id AS neighbor_id,
+        list_dot_product(ev.v, eq.v)
+          / (sqrt(list_dot_product(ev.v, ev.v))
+           * sqrt(list_dot_product(eq.v, eq.v))) AS score
+      FROM cand JOIN e ev ON ev.vec_id = cand.vec_id
+        JOIN e eq ON eq.vec_id = cand.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY score DESC, neighbor_id) AS rk
+      FROM exact)
+    SELECT query_id, neighbor_id, score, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 5 ORDER BY query_id, rk"""
+  }
+
+  /** The q166 oracle: the q147 replay chain with the PQ quantizer —
+    * IVF k-means build + stored assignment + probe cells
+    * ([[ivfSqOracleSql]]'s machinery), 4 subspace k-means replays +
+    * stored codes + reconstruction ([[pqAdcOracleSql]]'s), ADC rank
+    * restricted to probed cells, exact re-rank to top-5.
+    */
+  private def ivfPqOracleSql: String = {
+    val sub = (0 until PqSubspaces).map(pqSubspaceCtes).mkString(",\n    ")
+    val reconJoin = (0 until PqSubspaces).map(s =>
+      s"JOIN cd$s ON cd$s.vec_id = e.vec_id " +
+        s"JOIN c${s}2 cb$s ON cb$s.c = cd$s.c").mkString(" ")
+    val rv = (0 until PqSubspaces).map(s => s"cb$s.cv").mkString(" || ")
+    s"""WITH $kmeansBuildCtes,
+    ${probeSql("c2", "pr", IvfNProbe)},
+    assigned AS (SELECT vec_id, c AS cell FROM pr WHERE rk = 1),
+    qc AS (
+      SELECT vec_id AS query_id, c AS cell FROM pr
+      WHERE vec_id % 100 = 0 AND vec_id < $ExactBaselineVecCap),
+    $sub,
+    recon AS (
+      SELECT e.vec_id, $rv AS rv FROM e $reconJoin),
+    approx AS (
+      SELECT qc.query_id, a.vec_id,
+        ROUND(list_dot_product(eq.v, r.rv)
+          / (sqrt(list_dot_product(eq.v, eq.v))
+           * sqrt(list_dot_product(r.rv, r.rv))), 4) AS ascore
+      FROM qc JOIN assigned a ON a.cell = qc.cell
+        JOIN recon r ON r.vec_id = a.vec_id
+        JOIN e eq ON eq.vec_id = qc.query_id
+      WHERE a.vec_id <> qc.query_id),
+    cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY ascore DESC NULLS LAST, vec_id) AS crk
+        FROM approx) t WHERE crk <= $PqRerankWidth),
+    exact AS (
+      SELECT cand.query_id, cand.vec_id AS neighbor_id,
+        list_dot_product(ev.v, eq.v)
+          / (sqrt(list_dot_product(ev.v, ev.v))
+           * sqrt(list_dot_product(eq.v, eq.v))) AS score
+      FROM cand JOIN e ev ON ev.vec_id = cand.vec_id
+        JOIN e eq ON eq.vec_id = cand.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY score DESC, neighbor_id) AS rk
+      FROM exact)
+    SELECT query_id, neighbor_id, score, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 5 ORDER BY query_id, rk"""
+  }
 
   /** The q163 oracle: hash-seeded k-means over the RESIDENT train
     * vectors, stored assignment of ALL train vectors under it, eval

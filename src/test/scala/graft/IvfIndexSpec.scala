@@ -138,6 +138,45 @@ class IvfIndexSpec extends SparkSpec {
     assert(viaAppend === direct)
   }
 
+  test("pq codes: appends code arrivals under the STORED subspace books " +
+      "(default-loaded), compaction carries the _pqcodebook sidecar, " +
+      "and a pre-round-13 store fails loud with the migration note") {
+    val base = java.nio.file.Files.createTempDirectory("ivf-pq").toString
+    val idx = s"$base/ix"
+    IvfIndex.build(emb.filter(col("vec_id") < 250), idx)
+    val cents = IvfIndex.loadCodebook(spark, idx)
+    val books = IvfIndex.loadPqCodebooks(spark, idx)
+    assert(books.size === graft.queries.Similarity.PqSubspaces)
+    assert(books.forall(_.nonEmpty))
+    val batch = emb.select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") >= 250)
+    // pre-round-13 call shape (no books passed): the append must
+    // default-load the STORED books, never re-learn or skip
+    IvfIndex.appendEpoch(batch, cents, idx, 1L)
+    val m = graft.queries.Similarity.PqSubspaces
+    def pqOf(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Int]] = df
+      .select(col("vec_id").cast("long") +:
+        (0 until m).map(s => col(s"pq$s")): _*)
+      .collect()
+      .map(r => r.getLong(0) -> (1 to m).map(r.getInt(_)).toSeq).toMap
+    val stored = pqOf(EpochStore.read(spark, s"$idx/cells"))
+    assert(stored.size === emb.count())
+    val direct = pqOf(IvfIndex.assign(emb, cents, Some(books)))
+    assert(stored === direct)
+    // the fold carries both sidecars and preserves every code
+    IvfIndex.compact(spark, idx)
+    assert(IvfIndex.loadPqCodebooks(spark, idx) === books)
+    assert(pqOf(EpochStore.read(spark, s"$idx/cells")) === stored)
+    // degrade to the pre-round-13 layout: explicit migration error
+    Archive.deleteTree(java.nio.file.Paths.get(
+      EpochStore.liveDir(s"$idx/cells"), "_pqcodebook"))
+    val e = intercept[IllegalStateException] {
+      IvfIndex.loadPqCodebooks(spark, idx)
+    }
+    assert(e.getMessage.contains("pre-round-13"))
+    assert(e.getMessage.contains("sqQuery"))
+  }
+
   test("loadCodebook on a pre-sidecar layout fails with an explicit " +
       "rebuild-required error, not a raw file exception") {
     val base = java.nio.file.Files.createTempDirectory("ivf-legacy").toString

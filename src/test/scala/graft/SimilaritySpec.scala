@@ -98,6 +98,72 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q165 PQ-ADC: recall >= 0.8 vs exact top-5; the 6-byte code is " +
+      "genuinely lossy (reconstruction != original, ADC order corrected " +
+      "by the re-rank)") {
+    val df = Registry.queries("q165_pq_adc_search")(spark, dir)
+    val r = recallVsExact(topKOf(df))
+    info(s"q165 recall $r")
+    assert(r >= 0.8, s"q165 recall $r")
+    // the quantizer must be exercised: if the raw ADC top-5 (re-rank
+    // width = topK, so the 'exact re-rank' can only re-order the five
+    // ADC picks, never recover a missed one) already equals the exact
+    // top-5 AND every ADC score equals the true cosine, the test
+    // would prove nothing about the compression. Reconstructions are
+    // provably lossy here: 8 centroids cannot reproduce 64 free dims.
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val rawAdc = recallVsExact(topKOf(
+      graft.queries.Similarity.pqAdcOn(emb, rerankWidth = 5)))
+    info(s"q165 raw-ADC (width 5) recall $rawAdc")
+    assert(rawAdc <= r + 1e-9,
+      "widening the re-rank must not lose recall vs the raw ADC cut")
+    spark.catalog.clearCache()
+  }
+
+  test("q166 IVF-PQ: recall >= 0.7 vs exact top-5; the ADC scan reads " +
+      "pq codes only — neither the embedding column nor the int8 code") {
+    val df = Registry.queries("q166_ivf_pq_search")(spark, dir)
+    val r = recallVsExact(topKOf(df))
+    info(s"q166 recall $r")
+    // bounded by the IVF probe's own recall (q64's operating point):
+    // PQ can only lose candidates INSIDE probed cells, and the exact
+    // re-rank at PqRerankWidth recovers the ADC ordering error there
+    assert(r >= 0.7, s"q166 recall $r")
+    val plan = df.queryExecution.executedPlan.toString
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(readSchemas.exists(s => s.contains("pq0") &&
+        !s.contains("embedding") && !s.contains("code")),
+      s"no vector-free, sq-free pq scan in: $readSchemas")
+    // the quantizer is genuinely lossy: reconstructing each stored
+    // row from its stored codes + the stored subspace codebooks
+    // must NOT reproduce the original vector (else the 'compression'
+    // carried all the information and the ADC scan proves nothing)
+    val m = graft.queries.Similarity.PqSubspaces
+    val ip = graft.queries.SharedStages.ivfIndexPath(spark, dir)
+    val bmaps = graft.queries.IvfIndex.loadPqCodebooks(spark, ip)
+      .map(_.toMap)
+    val rows = graft.engine.EpochStore.read(spark, s"$ip/cells")
+      .select(col("vec_id") +: col("embedding") +:
+        (0 until m).map(s => col(s"pq$s")): _*).collect()
+    assert(rows.nonEmpty)
+    def cosOf(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val reconCos = rows.map { rr =>
+      val v = rr.getSeq[Float](1).map(_.toDouble)
+      val recon = (0 until m).flatMap(s => bmaps(s)(rr.getInt(2 + s)))
+      cosOf(v, recon)
+    }
+    val lossy = reconCos.count(_ < 1.0 - 1e-9)
+    info(f"recon cosine: mean ${reconCos.sum / reconCos.size}%.3f, " +
+      s"lossy $lossy/${rows.length}")
+    assert(lossy > rows.length / 2,
+      "reconstructions are not lossy — the PQ code is not compressing")
+    spark.catalog.clearCache()
+  }
+
   test("IVF-SQ re-rank width: recall rises with width on a drifted " +
       "corpus; the health-picked width restores what base width loses") {
     import graft.queries.IvfIndex
