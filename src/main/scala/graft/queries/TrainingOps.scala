@@ -377,6 +377,33 @@ object TrainingOps {
       Some(SpanCoverageSql),
       "span coverage with count-min singleton prefilter (q90's scale path)"),
 
+    // -- q167: repeated-span REMOVAL — the dedup ACTION q90 only
+    //    signals (Lee et al.'s substring dedup: drop every duplicated
+    //    span except its corpus-FIRST occurrence). Each duplicated
+    //    window key elects one keeper — the lexicographically least
+    //    (doc_id, position) occurrence — and a token position is
+    //    removed iff a NON-keeper duplicated span covers it, so the
+    //    first carrier of any repeated passage keeps it and every
+    //    later copy is cut. Per doc: removed/kept token counts from
+    //    the sorted-interval union of its non-keeper spans (q90's
+    //    running-max machinery), the number of contiguous CUT RUNS
+    //    (adjacent/overlapping spans merge — the count of splice
+    //    points a cleaner would emit), and the first cut position —
+    //    positional structure on the hash surface, not just counts.
+    //    Same engine-vs-oracle discipline as q90: Spark keys windows
+    //    by the xxhash64 kernel, the oracle groups the window strings
+    //    (identical barring a ~1e-12 collision); keeper election is a
+    //    groupBy min-struct in Spark and a ROW_NUMBER in SQL — the
+    //    same (doc_id, p) total order. Scale shape: one window-keyed
+    //    groupBy (map-side partial), one keyed join back, one per-doc
+    //    window — no pair stage anywhere, so a 20k-copy passage costs
+    //    20k rows.
+    Q("q167_span_removal",
+      (s, d) => spanRemovalOn(t(s, d).documents),
+      Some(SpanRemovalSql),
+      "substring dedup action: cut every duplicated 8-token span " +
+        "except its corpus-first occurrence; per-doc cut geometry"),
+
     // -- q91: unigram cross-entropy scoring (the CCNet-style corpus-
     //    model perplexity signal: docs whose token distribution is
     //    far from the corpus unigram model score high). Three stages:
@@ -754,6 +781,100 @@ object TrainingOps {
           CAST(COALESCE(agg.covered, 0) AS BIGINT) AS covered_tokens,
           CAST(COALESCE(agg.covered, 0) AS DOUBLE) / d.n AS coverage
         FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""
+
+  /** Shared oracle for q167: q90's window CTEs, keeper election by
+    * ROW_NUMBER over (doc_id, p) per duplicated window string, and
+    * the interval union restricted to non-keeper spans, with run
+    * starts counted where a span begins past prev_end + 1 (adjacent
+    * positions are one contiguous cut).
+    */
+  private lazy val SpanRemovalSql = """WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+          FROM documents),
+        d AS (SELECT doc_id, tk, len(tk) AS n FROM toks),
+        w AS (
+          SELECT doc_id, i AS p, array_to_string(tk[i:i+7], ' ') AS win
+          FROM d, LATERAL unnest(range(1, n - 6)) AS r(i)
+          WHERE n >= 8),
+        k AS (
+          SELECT doc_id, p,
+            ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, p) AS rk,
+            COUNT(*) OVER (PARTITION BY win) AS c
+          FROM w),
+        rw AS (SELECT doc_id, p FROM k WHERE c > 1 AND rk > 1),
+        iv AS (
+          SELECT doc_id, p,
+            GREATEST(0, (p + 7) - GREATEST(COALESCE(prev_end, 0), p - 1))
+              AS contrib,
+            CASE WHEN prev_end IS NULL OR p > prev_end + 1
+              THEN 1 ELSE 0 END AS newrun
+          FROM (
+            SELECT doc_id, p, MAX(p + 7) OVER (
+              PARTITION BY doc_id ORDER BY p
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+            FROM rw) t),
+        agg AS (
+          SELECT doc_id, SUM(contrib) AS removed, SUM(newrun) AS runs,
+            MIN(p) AS first_cut
+          FROM iv GROUP BY doc_id)
+        SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_tokens,
+          CAST(COALESCE(agg.removed, 0) AS BIGINT) AS removed_tokens,
+          CAST(d.n - COALESCE(agg.removed, 0) AS BIGINT) AS kept_tokens,
+          CAST(d.n - COALESCE(agg.removed, 0) AS DOUBLE) / d.n AS keep_frac,
+          CAST(COALESCE(agg.runs, 0) AS BIGINT) AS cut_runs,
+          CAST(agg.first_cut AS BIGINT) AS first_cut
+        FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""
+
+  /** q167's operator body: q90's window relation, keeper election
+    * per duplicated key (min (doc_id, p) struct — the corpus-first
+    * occurrence), interval union + run count over the non-keeper
+    * spans only.
+    */
+  def spanRemovalOn(docs: org.apache.spark.sql.DataFrame,
+                    w: Int = SpanWindow): org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n"))
+    val wins = docs
+      .select(col("doc_id"),
+        posexplode(Text.positionalShingleHashes(col("text"), w)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+        col("col").as("h"))
+    // keeper election: one window-keyed aggregate (map-side partial;
+    // min over a (doc_id, p) struct is the same lexicographic total
+    // order the oracle's ROW_NUMBER uses)
+    val keepers = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("doc_id"), col("p"))).as("kp"))
+      .filter(col("c") > 1)
+      .select(col("h"), col("kp.doc_id").as("k_doc"), col("kp.p").as("k_p"))
+    val removedSpans = wins.join(keepers, Seq("h"))
+      .filter(!(col("doc_id") === col("k_doc") && col("p") === col("k_p")))
+      .select(col("doc_id"), col("p"))
+    val wnd = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agg = removedSpans
+      .withColumn("prev_end", max(col("p") + (w - 1)).over(wnd))
+      .withColumn("contrib", greatest(lit(0L),
+        (col("p") + (w - 1)) -
+          greatest(coalesce(col("prev_end"), lit(0L)), col("p") - 1)))
+      .withColumn("newrun",
+        when(col("prev_end").isNull || col("p") > col("prev_end") + 1, 1L)
+          .otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("removed"),
+        sum(col("newrun")).as("runs"),
+        min(col("p")).as("first_cut"))
+    toks.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        coalesce(col("removed"), lit(0L)).as("removed_tokens"),
+        (col("n") - coalesce(col("removed"), lit(0L))).as("kept_tokens"),
+        ((col("n") - coalesce(col("removed"), lit(0L))).cast("double")
+          / col("n")).as("keep_frac"),
+        coalesce(col("runs"), lit(0L)).as("cut_runs"),
+        col("first_cut"))
+      .orderBy(col("doc_id"))
+  }
 
   /** q90's operator body over any (doc_id, text) frame — extracted so
     * the property spec can run it on generated corpora.

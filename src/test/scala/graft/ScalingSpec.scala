@@ -116,7 +116,16 @@ class ScalingSpec extends SparkSpec {
     // (bounded by langs × distinct scores) + tie-group windows. A
     // per-language corpus sort (q139's full-rank shape) would blow
     // the time bound as the corpus grows.
-    "q159_calibration_store_served")
+    "q159_calibration_store_served",
+    // unigram-LM segmentation: one row per token-bearing doc, so 10×
+    // rows. Per-copy token renaming grows the distinct-word set 10×;
+    // every stage between the two corpus scans (substring induction,
+    // top-K vocabulary cut, Viterbi DP) is per-DISTINCT-WORD — a
+    // per-occurrence DP or a non-vocabulary-bounded piece stage would
+    // blow the time bound. (The top-K cut itself is global, so the
+    // learned vocabulary differs between corpora — irrelevant to the
+    // row bound, which counts docs, not pieces.)
+    "q162_unigram_segment")
 
   private lazy val (dir1x, dir10x) = {
     val root = Files.createTempDirectory("graft-scaling").toString
@@ -200,6 +209,38 @@ class ScalingSpec extends SparkSpec {
     info(f"$q: rows $rows1 -> $rows10, time $t1%.2fs -> $t10%.2fs (ratio $ratio%.1fx)")
     assert(ratio < 30.0,
       f"$q: 10x corpus cost $ratio%.1fx the 1x corpus — quadratic-shaped growth")
+  }
+
+  test("q163 manifest semantic probe: store scan ~linear, probe stays " +
+      "delta-shaped on a 10x corpus") {
+    // q163's output is one row per PROBED train vector, so the
+    // generic per-doc row bound doesn't apply exactly: the train
+    // side is the manifest store's resident+appended embeddings
+    // (vec ids below/above the 4/5 doc-id split — ~9 of the 10
+    // copies land under it at 10×), and with k = IvfCells = 10,
+    // nprobe = 7, the union of probed cells over the eval set
+    // covers ~every cell, so rows track the train-vector count:
+    // ~9×, not a clean 10×. The eval probe side is capped at
+    // ExactBaselineVecCap, so it grows ~4×, NOT 10× — which is the
+    // point: the timed serve path must be (store scan under DPP) +
+    // (delta-sized probe join), never anything pair-shaped. The
+    // warmup run builds the session-shared ManifestStore; the timed
+    // runs measure the serve path alone.
+    val r1 = run("q163_manifest_semantic_probe", dir1x)
+    val r10 = run("q163_manifest_semantic_probe", dir10x)
+    assert(r10 >= 4 * r1 && r10 <= 25 * r1,
+      s"q163: probed train rows grew $r1 -> $r10, expected ~9x")
+    val t1 = Seq.fill(2)(timeOf("q163_manifest_semantic_probe", dir1x)).min
+    val t10 = Seq.fill(2)(timeOf("q163_manifest_semantic_probe", dir10x)).min
+    val ratio = t10 / math.max(t1, 0.05)
+    info(f"q163: rows $r1 -> $r10, time $t1%.2fs -> $t10%.2fs (ratio $ratio%.1fx)")
+    assert(ratio < 30.0,
+      f"q163: 10x corpus cost $ratio%.1fx the 1x corpus — quadratic-shaped growth")
+    // q164 is deliberately NOT in this battery: clusteredEmbeddings
+    // caps its derived corpus at ExactBaselineVecCap by construction
+    // (the exhaustive arm it verifies against is the capped baseline),
+    // so a 10x fixture changes its input by ~4x ids under the cap,
+    // not 10x data — there is no scaling claim to measure there.
   }
 
   test("q113 source overlap: pair cardinality constant, time ~linear on a 10x corpus") {

@@ -216,6 +216,71 @@ class TrainingOpsSpec extends SparkSpec {
     assert(expected.values.exists(_._2 > 0), "fixture has no duplicated spans")
   }
 
+  test("q167 span removal equals a brute-force recomputation " +
+      "(keeper kept, later copies cut, run/first-cut geometry exact)") {
+    // ground truth from first principles: keeper = lexicographically
+    // least (doc_id, p) per duplicated window string; removed
+    // positions = union over NON-keeper duplicated spans; runs =
+    // contiguous components of that set
+    val W = TrainingOps.SpanWindow
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val wins = docs.toSeq.flatMap { case (id, text) =>
+      val tk = text.trim.toLowerCase.split("\\s+")
+      if (tk.length >= W)
+        (0 to tk.length - W).map(i => (id, i + 1, tk.slice(i, i + W).mkString(" ")))
+      else Nil
+    }
+    val groups = wins.groupBy(_._3).filter(_._2.size > 1)
+    val keeper = groups.view.mapValues(_.map(w => (w._1, w._2)).min).toMap
+    val expected = docs.map { case (id, text) =>
+      val tk = text.trim.toLowerCase.split("\\s+")
+      val cut = wins
+        .filter(w => w._1 == id && groups.contains(w._3) &&
+          keeper(w._3) != ((id, w._2)))
+        .flatMap(w => w._2 until (w._2 + W)).toSet
+      val runs = cut.count(p => !cut(p - 1)) // run starts
+      val n = tk.length.toLong
+      id -> ((n, cut.size.toLong, n - cut.size,
+        if (cut.isEmpty) None else Some(cut.min.toLong), runs.toLong))
+    }
+    val got = q("q167_span_removal").collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)), r.getLong(5)))).toMap
+    assert(got === expected)
+    // the fixture must exercise the interesting structure: some doc
+    // loses tokens, some duplicated-span CARRIER keeps them (q90
+    // covers it, q167 must not cut the keeper), and some doc has
+    // multiple distinct cut runs
+    val coverage = q("q90_span_coverage").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(expected.values.exists(_._2 > 0), "no doc loses tokens")
+    assert(expected.exists { case (id, e) => e._2 < coverage(id) },
+      "no keeper survived inside a covered doc — keeper rule not exercised")
+    // removal never exceeds q90's coverage (keeper spans stay)
+    expected.foreach { case (id, e) => assert(e._2 <= coverage(id)) }
+    // the fixture has no doc with two SEPARATED cuts (its dup spans
+    // cluster into one run per doc), so the run-count geometry gets
+    // an engineered corpus: doc 3 repeats doc 1's opening 8-gram and
+    // doc 2's closing 8-gram with unique filler between — exactly two
+    // cut runs, first cut at position 1
+    import spark.implicits._
+    val a = (1 to 8).map(i => s"a$i").mkString(" ")
+    val b = (1 to 8).map(i => s"b$i").mkString(" ")
+    val filler = (1 to 6).map(i => s"f$i").mkString(" ")
+    val crafted = Seq(
+      (1L, s"$a x1 x2 x3"), (2L, s"y1 y2 y3 $b"),
+      (3L, s"$a $filler $b")).toDF("doc_id", "text")
+    val run3 = TrainingOps.spanRemovalOn(crafted).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(5),
+        if (r.isNullAt(6)) -1L else r.getLong(6)))).toMap
+    assert(run3(1L) === ((0L, 0L, -1L)), "keeper doc 1 must keep everything")
+    assert(run3(2L) === ((0L, 0L, -1L)), "keeper doc 2 must keep everything")
+    assert(run3(3L) === ((16L, 2L, 1L)),
+      s"doc 3 must lose both copied spans as TWO runs: ${run3(3L)}")
+  }
+
   test("q91 cross-entropy equals a brute-force recomputation") {
     import java.math.{BigDecimal => JBD, RoundingMode}
     val docs = spark.read.parquet(s"$sf/documents.parquet")
