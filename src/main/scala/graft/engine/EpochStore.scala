@@ -194,18 +194,36 @@ object EpochStore {
             "raced this append; retry the commit")
     }
 
-  /** Next free epoch id for ad-hoc BATCH appends, drawn from a high
-    * band (≥ 10^9) disjoint from streaming batchIds (micro-batch
-    * counters from 0): a derived batch id that collided with a
-    * future stream batchId would make that stream commit a silent
-    * no-op. Single-maintenance-writer contract applies (derive and
-    * commit must not race another appender).
+  /** Epoch-id bands: streaming batchIds count from 0; ad-hoc batch
+    * appends mint from [[BatchFloor]]; forget batches
+    * ([[Tombstones]]) mint from [[ForgetFloor]]. Three disjoint
+    * bands because a derived id colliding with a committed epoch on
+    * ANY table it must land on silently no-ops that half — the
+    * forget band exists specifically so a forget's derived sibling
+    * epoch (CalibrationStore's negative histogram delta) can never
+    * collide with an append's, and so a dangling forget stays
+    * DETECTABLE by id-set comparison.
+    */
+  val BatchFloor = 1000000000L
+  val ForgetFloor = 2000000000L
+
+  /** Next free epoch id for ad-hoc BATCH appends, drawn from the
+    * batch band — disjoint from streaming batchIds below and forget
+    * ids above. Single-maintenance-writer contract applies (derive
+    * and commit must not race another appender).
     */
   def nextAppendEpochId(root: String): Long = {
-    val BatchFloor = 1000000000L
     val live = liveDir(root)
-    val used = (foldedIds(live) ++ liveEpochIds(live)).filter(_ >= BatchFloor)
+    val used = (foldedIds(live) ++ liveEpochIds(live))
+      .filter(id => id >= BatchFloor && id < ForgetFloor)
     if (used.isEmpty) BatchFloor else used.max + 1
+  }
+
+  /** Next free epoch id in the FORGET band. */
+  def nextForgetEpochId(root: String): Long = {
+    val live = liveDir(root)
+    val used = (foldedIds(live) ++ liveEpochIds(live)).filter(_ >= ForgetFloor)
+    if (used.isEmpty) ForgetFloor else used.max + 1
   }
 
   /** Numeric epoch ids present as dirs in the live version. */
@@ -255,13 +273,20 @@ object EpochStore {
     * Readers racing the flip resolve the old or the new version,
     * never a missing table; the folded-id ledger keeps post-compaction
     * replays no-ops.
+    *
+    * `transform` rewrites the folded rows on their way into the new
+    * base — the PURGE hook: a store with pending [[Tombstones]]
+    * passes its exclusion so the fold physically drops forgotten
+    * rows (values are then preserved exactly w.r.t. the store's READ
+    * surface, which already excluded them).
     */
   def compact(spark: SparkSession, root: String,
               partitionCols: Seq[String] = Nil,
-              carryExtras: Seq[String] = Nil): Unit = {
+              carryExtras: Seq[String] = Nil,
+              transform: DataFrame => DataFrame = identity): Unit = {
     val live = liveDir(root)
     val folded = foldedIds(live) ++ liveEpochIds(live)
-    val data = read(spark, root).drop("epoch")
+    val data = transform(read(spark, root).drop("epoch"))
     Archive.stageVersion(root) { dir =>
       val w = data.write.mode("overwrite")
       (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.engine.EpochStore
+import graft.engine.{EpochStore, Tombstones}
 
 /** Persisted per-language SCORE CALIBRATION store — the maintenance
   * form of q139's CCNet-style rank cutoff (keep the top 80% of each
@@ -125,14 +125,68 @@ object CalibrationStore {
     }
   }
 
-  /** Ad-hoc batch append: epoch id from the LAGGING table so a
-    * crashed half-commit is completed before new ids are minted.
+  /** Ad-hoc batch append: complete a dangling half-commit first (the
+    * crashed epoch's id is re-used so the heal derivation runs), else
+    * mint a fresh id ABOVE both tables' used sets — the hist table
+    * also carries forget-negative epochs ([[forget]]) that the scores
+    * side never sees, so a bare min-of-nexts could collide a new
+    * append with a committed forget delta and silently no-op its
+    * hist half.
     */
   def append(batch: DataFrame, path: String): Unit = {
-    val id = math.min(
-      EpochStore.nextAppendEpochId(s"$path/scores"),
-      EpochStore.nextAppendEpochId(s"$path/hist"))
+    val dangling = EpochStore.committedIds(s"$path/scores") --
+      EpochStore.committedIds(s"$path/hist")
+    val id =
+      if (dangling.nonEmpty) dangling.min
+      else math.max(
+        EpochStore.nextAppendEpochId(s"$path/scores"),
+        EpochStore.nextAppendEpochId(s"$path/hist"))
     appendEpoch(batch, path, id)
+  }
+
+  /** Forget documents (right-to-be-forgotten): ONE tombstone epoch on
+    * the store's `forgotten/` table plus a NEGATIVE histogram delta
+    * derived from the tombstoned docs' STILL-STORED score rows — the
+    * store's own two-table heal discipline pointed backwards: the
+    * delta recomputes identically from storage on any retry, so a
+    * crash between the two commits heals on redelivery, and a full
+    * replay of the batch is a no-op (already-tombstoned ids are
+    * dropped before an epoch is minted). [[scores]] excludes the set
+    * immediately; [[histogram]] stays a raw delta sum (the negative
+    * epoch IS the correction); [[compact]] purges physically.
+    */
+  def forget(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    // the id must be fresh on BOTH the forgotten table and hist
+    // (forget-band ids — see EpochStore.ForgetFloor: band disjointness
+    // is what keeps a dangling forget detectable by id-set compare)
+    val id = math.max(
+      if (graft.engine.Archive.hasVersion(s"$path/forgotten"))
+        EpochStore.nextForgetEpochId(s"$path/forgotten")
+      else EpochStore.ForgetFloor,
+      EpochStore.nextForgetEpochId(s"$path/hist"))
+    Tombstones.forget(spark, path, ids, withId = Some(id))
+    healForgetDeltas(spark, path)
+  }
+
+  /** Commit the hist negative for every forgotten epoch whose delta
+    * is missing — the forget heal, shared by [[forget]] and
+    * [[maintain]].
+    */
+  private def healForgetDeltas(spark: SparkSession, path: String): Unit = {
+    val dangling = EpochStore.committedIds(s"$path/forgotten") --
+      EpochStore.committedIds(s"$path/hist")
+    dangling.toSeq.sorted.foreach { id =>
+      val epochIds = EpochStore.read(spark, s"$path/forgotten")
+        .filter(col("epoch") === id.toString)
+        .select(col("doc_id"))
+      val gone = EpochStore.read(spark, s"$path/scores")
+        .join(broadcast(epochIds), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"), col("score"))
+      EpochStore.commitEpoch(s"$path/hist", id) { tmp =>
+        histOf(gone).withColumn("cnt", -col("cnt"))
+          .write.mode("overwrite").parquet(tmp)
+      }
+    }
   }
 
   /** Streaming maintenance: one epoch per micro-batch. */
@@ -146,10 +200,15 @@ object CalibrationStore {
       }
       .start()
 
-  /** The resolved per-doc score relation (append-only union). */
+  /** The resolved per-doc score relation (append-only union, minus
+    * any forgotten docs — the histogram side needs no read fix: the
+    * forget negatives keep its raw delta sum exact).
+    */
   def scores(spark: SparkSession, path: String): DataFrame =
-    EpochStore.read(spark, s"$path/scores")
-      .select(col("doc_id"), col("lang"), col("score"))
+    Tombstones.exclude(
+      EpochStore.read(spark, s"$path/scores")
+        .select(col("doc_id"), col("lang"), col("score")),
+      path, "doc_id")
 
   /** The resolved per-language histogram (sum over epoch deltas). */
   def histogram(spark: SparkSession, path: String): DataFrame =
@@ -192,17 +251,37 @@ object CalibrationStore {
     * delta from.
     */
   def compact(spark: SparkSession, path: String): Unit = {
-    if (EpochStore.committedIds(s"$path/scores") !=
-        EpochStore.committedIds(s"$path/hist"))
+    if (divergedIds(path))
       throw new IllegalStateException(
         s"CalibrationStore at $path has diverged epoch sets — a " +
-          "half-committed append; heal via the appender's retry (or " +
-          "rebuildHistogram) before compacting")
-    EpochStore.compact(spark, s"$path/scores")
+          "half-committed append or forget; heal via the appender's " +
+          "retry / CalibrationStore.forget (or rebuildHistogram) " +
+          "before compacting")
+    // hist folds FIRST (its delta sum is already net of forget
+    // negatives, so the folded base equals histOf(remaining scores)
+    // whether or not the scores purge below has happened — either
+    // crash side leaves every read surface exact)
     val folded = histogram(spark, path).localCheckpoint(true)
     EpochStore.create(s"$path/hist", rebuild = true) { base =>
       folded.write.mode("overwrite").parquet(base)
     }
+    EpochStore.compact(spark, s"$path/scores",
+      transform = Tombstones.exclude(_, path, "doc_id"))
+    Tombstones.clear(spark, path)
+  }
+
+  /** Half-commit detector: every hist epoch is an append's (shared
+    * with scores) or a forget's negative (shared with the forgotten
+    * table), so the three tables' committed-id sets must satisfy
+    * hist == scores ∪ forgotten.
+    */
+  private def divergedIds(path: String): Boolean = {
+    val forgotten =
+      if (graft.engine.Archive.hasVersion(s"$path/forgotten"))
+        EpochStore.committedIds(s"$path/forgotten")
+      else Set.empty[Long]
+    EpochStore.committedIds(s"$path/scores") ++ forgotten !=
+      EpochStore.committedIds(s"$path/hist")
   }
 
   /** Out-of-band recovery: the histogram is fully DERIVABLE from the
@@ -217,9 +296,17 @@ object CalibrationStore {
     * compaction.
     */
   def rebuildHistogram(spark: SparkSession, path: String): Unit = {
+    // scores() already excludes tombstoned docs, so the rebuilt base
+    // needs no forget negatives; their epoch ids fold into the ledger
+    // (alsoFolded) so a dangling forget's heal retry stays a no-op
     val folded = histOf(scores(spark, path)).localCheckpoint(true)
+    val forgottenIds =
+      if (graft.engine.Archive.hasVersion(s"$path/forgotten"))
+        EpochStore.committedIds(s"$path/forgotten")
+      else Set.empty[Long]
     EpochStore.create(s"$path/hist", rebuild = true,
-      alsoFolded = EpochStore.committedIds(s"$path/scores")) { base =>
+      alsoFolded = EpochStore.committedIds(s"$path/scores") ++
+        forgottenIds) { base =>
       folded.write.mode("overwrite").parquet(base)
     }
   }
@@ -239,11 +326,11 @@ object CalibrationStore {
     */
   def maintain(spark: SparkSession, path: String,
                maxEpochs: Int = 64): MaintenanceReport = {
-    val diverged = EpochStore.committedIds(s"$path/scores") !=
-      EpochStore.committedIds(s"$path/hist")
+    val diverged = divergedIds(path)
     val fragmented = !diverged &&
       (EpochStore.epochCount(s"$path/scores") > maxEpochs ||
-        EpochStore.epochCount(s"$path/hist") > maxEpochs)
+        EpochStore.epochCount(s"$path/hist") > maxEpochs ||
+        Tombstones.pending(spark, path))
     if (fragmented) compact(spark, path)
     val hist = histogram(spark, path)
     val census = hist.agg(count(lit(1)).as("rows"),

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.engine.EpochStore
+import graft.engine.{EpochStore, Tombstones}
 
 /** Persisted content-defined-chunk store — the third build-once/
   * query-many index alongside [[IvfIndex]] (vectors) and
@@ -44,20 +44,37 @@ object ChunkIndex {
         .write.mode("overwrite").parquet(tmp)
     }
 
+  /** Forget documents (right-to-be-forgotten): one tombstone epoch;
+    * every read surface excludes the set immediately, the next
+    * [[compact]] purges it physically. O(|ids|), never a store
+    * rewrite — see [[graft.engine.Tombstones]].
+    */
+  def forget(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    Tombstones.forget(spark, path, ids): Unit
+
   /** Fold all committed epochs into one base (a new manifest version;
-    * readers never see a half-folded store). Run between batches —
+    * readers never see a half-folded store), PURGING any tombstoned
+    * docs from the new base, then reset the tombstone table (ledger
+    * carried — replayed forgets stay no-ops). Run between batches —
     * the single-maintenance-writer contract in [[EpochStore]].
     */
-  def compact(spark: SparkSession, path: String): Unit =
-    EpochStore.compact(spark, s"$path/chunks")
+  def compact(spark: SparkSession, path: String): Unit = {
+    EpochStore.compact(spark, s"$path/chunks",
+      transform = Tombstones.exclude(_, path, "doc_id"))
+    Tombstones.clear(spark, path)
+  }
 
-  /** [[compact]] only past `maxEpochs` committed epochs — the policy
-    * form for a maintenance cron. Returns true iff a fold ran.
+  /** [[compact]] past `maxEpochs` committed epochs OR with tombstones
+    * pending (the purge point) — the policy form for a maintenance
+    * cron. Returns true iff a fold ran.
     */
   def compactIfFragmented(spark: SparkSession, path: String,
-                          maxEpochs: Int = 64): Boolean =
-    EpochStore.compactIfFragmented(spark, s"$path/chunks",
-      maxEpochs = maxEpochs)
+                          maxEpochs: Int = 64): Boolean = {
+    val should = EpochStore.epochCount(s"$path/chunks") > maxEpochs ||
+      Tombstones.pending(spark, path)
+    if (should) compact(spark, path)
+    should
+  }
 
   /** Incremental maintenance: each micro-batch of new documents
     * chunks under the same boundary function and commits as its own
@@ -122,10 +139,14 @@ object ChunkIndex {
       else census.getLong(2).toDouble / nChunks)
   }
 
-  /** The full chunk relation across every committed epoch. */
+  /** The full chunk relation across every committed epoch, minus any
+    * forgotten docs (merge-on-read exclusion).
+    */
   def chunks(spark: SparkSession, path: String): DataFrame =
-    EpochStore.read(spark, s"$path/chunks")
-      .select("doc_id", "chunk_id", "chunk_str")
+    Tombstones.exclude(
+      EpochStore.read(spark, s"$path/chunks")
+        .select("doc_id", "chunk_id", "chunk_str"),
+      path, "doc_id")
 
   /** The corpus-wide chunk-frequency index (chunk_str, n_copies) —
     * derived, never stored: counts cannot be appended per-epoch

@@ -59,6 +59,23 @@ import graft.engine.EpochStore
   * Single-maintenance-writer contract throughout: one appender, and
   * [[maintain]]/[[compact]] run between micro-batches or with the
   * append stream stopped.
+  *
+  * RIGHT-TO-BE-FORGOTTEN boundary (round 13, deliberate): this store
+  * has NO `forget` — unlike the six tombstone-enabled stores
+  * ([[graft.engine.Tombstones]]) — because its derived state cannot
+  * be exactly DECREMENTED from what it keeps: the df-relative
+  * informative measure means removing a doc can drop a shingle's df
+  * back UNDER `maxDf`, re-qualifying occurrences that were
+  * deliberately dropped from every stored per-doc array (over-cap
+  * postings are boilerplate — persisting them would cost the bulk of
+  * the corpus), and the store does not even know WHICH over-cap
+  * shingles the forgotten doc carried. A tombstone-style forget
+  * would therefore be silently inexact for OTHER docs' verdicts —
+  * the failure mode this codebase refuses. The honest operation is a
+  * rebuild from the source corpus minus the forgotten set ([[build]]
+  * — one from-scratch pass, the same cost class as the original
+  * build); an exact decremental path would require persisting the
+  * full doc→shingle postings (a design trade documented, not taken).
   */
 object ContainmentStore {
 

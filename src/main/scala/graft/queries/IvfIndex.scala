@@ -85,18 +85,25 @@ object IvfIndex {
     * re-applied so probe-side dynamic partition pruning keeps its
     * layout.
     */
-  def compact(spark: SparkSession, path: String): Unit =
+  def compact(spark: SparkSession, path: String): Unit = {
     graft.engine.EpochStore.compact(spark, s"$path/cells", Seq("cell"),
-      carryExtras = Seq(CodebookName, PqCodebookName))
+      carryExtras = Seq(CodebookName, PqCodebookName),
+      transform = graft.engine.Tombstones.exclude(_, path, "vec_id"))
+    graft.engine.Tombstones.clear(spark, path)
+  }
 
   /** [[compact]] only past `maxEpochs` committed epochs — the policy
     * form for a maintenance cron ([[graft.engine.EpochStore.compactIfFragmented]]).
     * Returns true iff a fold ran.
     */
   def compactIfFragmented(spark: SparkSession, path: String,
-                          maxEpochs: Int = 64): Boolean =
-    graft.engine.EpochStore.compactIfFragmented(spark, s"$path/cells",
-      Seq("cell"), Seq(CodebookName, PqCodebookName), maxEpochs)
+                          maxEpochs: Int = 64): Boolean = {
+    val should =
+      graft.engine.EpochStore.epochCount(s"$path/cells") > maxEpochs ||
+        graft.engine.Tombstones.pending(spark, path)
+    if (should) compact(spark, path)
+    should
+  }
 
   /** Nearest-cell assignment of (`vec_id`, `embedding`) rows under a
     * given codebook — [[Similarity.probeCells]] at nprobe=1, exposed
@@ -283,6 +290,26 @@ object IvfIndex {
     }
   }
 
+  /** Forget vectors (right-to-be-forgotten): one tombstone epoch;
+    * every search path ([[query]], [[sqQuery]], [[pqQuery]]) and
+    * [[health]] exclude the set immediately, and the next purge
+    * point — [[compact]], or any rebuild ([[rebuildIfStale]] retrains
+    * from the EXCLUDED rows) — drops the rows physically. The
+    * codebooks (cell + PQ) are bounded aggregates retaining no row;
+    * the health-driven rebuild cadence is the documented re-training
+    * path ([[graft.engine.Tombstones]]'s unlearning note).
+    */
+  def forget(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    graft.engine.Tombstones.forget(spark, path, ids): Unit
+
+  /** The stored cell rows minus any forgotten vectors — the serving
+    * relation every search path reads.
+    */
+  private def storedRows(spark: SparkSession, path: String): DataFrame =
+    graft.engine.Tombstones.exclude(
+      graft.engine.EpochStore.read(spark, s"$path/cells"),
+      path, "vec_id")
+
   /** Per-cell health metrics off the stored index alone (q144's
     * body): member count, skew (n·k/total — 1.0 is perfectly
     * balanced; a probe of a skew-4 cell reads 4× its share of
@@ -298,7 +325,7 @@ object IvfIndex {
     import spark.implicits._
     val cb = cents.toDF("cell", "c_emb")
     val k = cents.size
-    val stored = graft.engine.EpochStore.read(spark, s"$path/cells")
+    val stored = storedRows(spark, path)
       .select(col("cell").cast("int").as("cell"), col("embedding"))
     val perCell = stored.join(broadcast(cb), Seq("cell"))
       .select(col("cell"),
@@ -370,9 +397,13 @@ object IvfIndex {
     val stale = worstSkew.exists(_ > maxSkew) ||
       worstCohesion.exists(_ < minCohesion)
     if (stale) {
-      val vecs = graft.engine.EpochStore.read(spark, s"$path/cells")
+      // a rebuild is a physical rewrite — the natural purge point:
+      // retrain and rewrite from the EXCLUDED rows, then reset the
+      // tombstone table (ledger carried)
+      val vecs = storedRows(spark, path)
         .select(col("vec_id"), col("embedding"))
       build(vecs, path, k, lloydIters)
+      graft.engine.Tombstones.clear(spark, path)
     }
     stale
   }
@@ -444,7 +475,7 @@ object IvfIndex {
     val cents = loadCodebook(spark, path)
     val qcells = Similarity.probeCells(queries,
       Seq("query_id", "q_emb"), "q_emb", cents, nprobe)
-    val store = graft.engine.EpochStore.read(spark, s"$path/cells")
+    val store = storedRows(spark, path)
     val codes = store.select(col("cell").cast("int").as("cell"),
       col("vec_id"), col("code").cast("array<double>").as("cd"))
     val approx = codes.join(broadcast(qcells), Seq("cell"))
@@ -491,7 +522,7 @@ object IvfIndex {
       Vectors.asDouble(col("q_emb")).as("qv"))
     val qcells = Similarity.probeCells(q,
       Seq("query_id", "qv"), "qv", cents, nprobe)
-    val store = graft.engine.EpochStore.read(spark, s"$path/cells")
+    val store = storedRows(spark, path)
     val recon = Similarity.pqRecon(books,
       (0 until Similarity.PqSubspaces).map(s => col(s"pq$s")))
     val codes = store.select(
@@ -548,7 +579,7 @@ object IvfIndex {
     val cents = loadCodebook(spark, path)
     val qcells = Similarity.probeCells(queries,
       Seq("query_id", "q_emb"), "q_emb", cents, nprobe)
-    val assigned = graft.engine.EpochStore.read(spark, s"$path/cells")
+    val assigned = storedRows(spark, path)
     val scored = assigned.join(broadcast(qcells), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

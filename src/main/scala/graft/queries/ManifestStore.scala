@@ -36,6 +36,19 @@ import graft.engine.EpochStore
   * start_tok, so storing them would force a full-table rewrite per
   * append (the q157 design note, now a storage contract).
   *
+  * RIGHT-TO-BE-FORGOTTEN boundary (round 13, deliberate): no
+  * `forget` here — the [[ContainmentStore]] argument, twice over.
+  * The contam table's `max_eval_cos` / `n_shared` are MAX/COUNT
+  * aggregates over the eval side: forgetting an EVAL doc would need
+  * each affected train row's aggregate recomputed over the remaining
+  * eval set, and the store does not record which eval doc achieved
+  * a row's max — a tombstone forget would leave other rows' values
+  * silently stale. Composed reads also fold the ContainmentStore
+  * view, which has the same boundary. The honest operation is a
+  * rebuild over the corpus minus the forgotten set; the exact
+  * decremental path (argmax provenance per contam row + full
+  * containment postings) is a documented design trade, not taken.
+  *
   * Exactly-once — the [[ContainmentStore]] scheme: every read an
   * append performs EXCLUDES the in-flight epoch id, so a redelivery
   * reconstructs the exact pre-append state, recomputes the identical

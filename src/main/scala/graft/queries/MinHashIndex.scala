@@ -168,6 +168,16 @@ object MinHashIndex {
     * not — both remain exactly the same rows, so matching stays
     * correct and the next compact converges the layouts.
     */
+  /** Forget documents (right-to-be-forgotten): one tombstone epoch;
+    * [[matches]]/[[invertedMatches]] exclude the set immediately (a
+    * forgotten doc can no longer surface as a match or serve as an
+    * over-cap bucket representative), the next [[compact]] purges it
+    * from both tables. See [[graft.engine.Tombstones]].
+    */
+  def forget(spark: SparkSession, path: String,
+             ids: DataFrame): Unit =
+    graft.engine.Tombstones.forget(spark, path, ids): Unit
+
   def compact(spark: SparkSession, path: String): Unit = {
     import graft.engine.EpochStore
     // Refuse to fold over a half-committed append: compaction removes
@@ -186,8 +196,11 @@ object MinHashIndex {
           "crashed append is half-committed. Re-run the crashed " +
           "append (or appendEpoch the original batch) to heal, then " +
           "compact.")
-    EpochStore.compact(spark, s"$path/docs")
-    EpochStore.compact(spark, s"$path/bands", Seq("band"))
+    EpochStore.compact(spark, s"$path/docs",
+      transform = graft.engine.Tombstones.exclude(_, path, "doc_id"))
+    EpochStore.compact(spark, s"$path/bands", Seq("band"),
+      transform = graft.engine.Tombstones.exclude(_, path, "doc_id"))
+    graft.engine.Tombstones.clear(spark, path)
   }
 
   /** [[compact]] both tables once EITHER passes `maxEpochs` — one
@@ -198,7 +211,8 @@ object MinHashIndex {
                           maxEpochs: Int = 64): Boolean = {
     import graft.engine.EpochStore
     val fragmented = EpochStore.epochCount(s"$path/docs") > maxEpochs ||
-      EpochStore.epochCount(s"$path/bands") > maxEpochs
+      EpochStore.epochCount(s"$path/bands") > maxEpochs ||
+      graft.engine.Tombstones.pending(spark, path)
     if (fragmented) compact(spark, path)
     fragmented
   }
@@ -346,7 +360,8 @@ object MinHashIndex {
               maxBucket: Long = TextOps.MaxLshBucket): DataFrame = {
     val probe = signatures(batch).persist() // bands + estimate + verify
     probe.count()
-    val stored = graft.engine.EpochStore.read(spark, s"$path/bands")
+    val stored = graft.engine.Tombstones.exclude(
+      graft.engine.EpochStore.read(spark, s"$path/bands"), path, "doc_id")
     // cap hot buckets to one representative: count per (band, h) is
     // a band-keyed aggregate (the table is already band-partitioned),
     // and only over-cap buckets lose members
@@ -361,7 +376,8 @@ object MinHashIndex {
       .filter(col("doc_id") =!= col("match_id"))
       .select(col("doc_id"), col("match_id"))
       .distinct()
-    val sigs = graft.engine.EpochStore.read(spark, s"$path/docs")
+    val sigs = graft.engine.Tombstones.exclude(
+      graft.engine.EpochStore.read(spark, s"$path/docs"), path, "doc_id")
     val estimated = cands
       .join(probe.select(col("doc_id"), col("sig").as("sig_a")), Seq("doc_id"))
       .join(sigs.select(col("doc_id").as("match_id"), col("sig").as("sig_b")),
@@ -407,7 +423,8 @@ object MinHashIndex {
       .persist() // candidate join + n_a: shingle the batch once
     probeSh.count()
     val nA = probeSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
-    val stored = graft.engine.EpochStore.read(spark, s"$path/docs")
+    val stored = graft.engine.Tombstones.exclude(
+        graft.engine.EpochStore.read(spark, s"$path/docs"), path, "doc_id")
       .select(col("doc_id").as("match_id"), col("sh"))
     val corpusSh = stored.select(col("match_id"), explode(col("sh")).as("sh"))
     val informative = corpusSh.groupBy(col("sh"))

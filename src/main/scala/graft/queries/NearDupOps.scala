@@ -1588,6 +1588,151 @@ object NearDupOps {
     (updatedOld, newRows)
   }
 
+  /** The FORGET core over signature relations — [[incrementalVerdictParts]]
+    * pointed backwards: the relabel delta that makes the resolved
+    * verdict table (with the forgotten rows excluded) equal
+    * [[dedupVerdictsOn]] over the corpus WITHOUT `s` — the
+    * never-ingested equality — touching only AFFECTED state, never
+    * the whole corpus. Returns (doc_id, verdict, canonical_id) rows
+    * to re-emit (the caller stamps seq and commits them as one
+    * last-write-wins epoch).
+    *
+    * What forgetting doc d can change, and how each is repaired:
+    *
+    *  1. d's EXACT group: if d was the group min, the smallest
+    *     remaining member PROMOTES to survivor and the others point
+    *     at it — recomputed exactly over the affected keys' remaining
+    *     signatures. A promoted doc was absent from the pair graph,
+    *     so its edges are derived fresh (step 3).
+    *  2. d's CLUSTER (if d was a survivor): removing a node can
+    *     rename the canonical (min gone) or SPLIT the component
+    *     (bridge gone). The remaining members' internal edges are
+    *     re-derived from their stored signatures by the SAME blocked-
+    *     candidate + Jaccard rule that produced the original pairs —
+    *     deterministic given signatures, so the recomputed subgraph
+    *     IS the original minus d-incident edges. No edge can leave
+    *     the cluster (it would have merged the clusters originally),
+    *     so the recompute is bounded by affected-cluster size.
+    *  3. PROMOTED docs probe ALL remaining survivors (they are new
+    *     nodes — their blocking keys are their own, so their edges
+    *     may reach any cluster and MERGE it in). Outside endpoints
+    *     contract to their stored canonical — the q152 quotient
+    *     argument, valid here because untouched clusters stay
+    *     internally connected and their canonical is their min.
+    *
+    * Components run over (internal edges ∪ contracted promote
+    * edges); labels lift exactly (every quotient node is either a
+    * member id or an untouched cluster's min). Pulled-in outside
+    * clusters re-emit their members under the merged label.
+    */
+  private[graft] def forgetVerdictParts(
+      allSigs: org.apache.spark.sql.DataFrame,
+      verdicts: org.apache.spark.sql.DataFrame,
+      s: org.apache.spark.sql.DataFrame,
+      thresh: Double = 0.2): org.apache.spark.sql.DataFrame = {
+    val sIds = s.select(col("doc_id")).distinct().persist()
+    sIds.count()
+    val remSigs = allSigs.join(broadcast(sIds), Seq("doc_id"), "left_anti")
+      .persist()
+    remSigs.count()
+
+    // -- 1. exact repair over the forgotten docs' content keys
+    val affKeys = allSigs.join(broadcast(sIds), Seq("doc_id"), "left_semi")
+      .select(col("k")).distinct()
+    val remAff = remSigs.join(broadcast(affKeys), Seq("k"))
+      .select(col("doc_id"), col("k"))
+    val newMins = remAff.groupBy(col("k"))
+      .agg(min(col("doc_id")).as("new_min"))
+    val exactRows = remAff.join(newMins, Seq("k"))
+      .filter(col("doc_id") =!= col("new_min"))
+      .select(col("doc_id"), lit("exact").as("verdict"),
+        col("new_min").as("canonical_id"))
+    val promoted = remAff.join(newMins, Seq("k"))
+      .filter(col("doc_id") === col("new_min"))
+      .join(verdicts.filter(col("verdict") === "exact")
+        .select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id")).persist()
+    promoted.count()
+
+    // -- 2. affected clusters (canonicals of forgotten SURVIVORS)
+    val aCanon = verdicts
+      .join(broadcast(sIds), Seq("doc_id"), "left_semi")
+      .filter(col("verdict") =!= "exact")
+      .select(col("canonical_id")).distinct()
+    val m0 = verdicts.filter(col("verdict") =!= "exact")
+      .join(broadcast(aCanon), Seq("canonical_id"))
+      .join(broadcast(sIds), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+    val mAll = m0.unionByName(promoted).distinct().persist()
+    mAll.count()
+
+    // -- 3. edges: internal (within M, blocked + verified) and
+    //    promote probes against outside survivors (contracted)
+    val mSigs = remSigs.join(broadcast(mAll), Seq("doc_id")).persist()
+    mSigs.count()
+    val mMeta = mSigs.select(col("doc_id"), col("lang"), col("bucket"))
+    val candsIn = mMeta
+      .join(broadcast(mMeta.select(col("doc_id").as("doc_n"),
+        col("lang"), col("bucket"))), Seq("lang", "bucket"))
+      .filter(col("doc_id") < col("doc_n"))
+      .select(col("doc_id").as("doc_a"), col("doc_n").as("doc_b"))
+    val outsideSurv = verdicts.filter(col("verdict") =!= "exact")
+      .join(broadcast(sIds), Seq("doc_id"), "left_anti")
+      .join(broadcast(mAll), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("canonical_id"))
+    val pMeta = mSigs.join(broadcast(promoted), Seq("doc_id"))
+      .select(col("doc_id").as("doc_p"), col("lang"), col("bucket"))
+    val candsOut = remSigs
+      .join(outsideSurv.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("doc_o"), col("lang"), col("bucket"))
+      .join(broadcast(pMeta), Seq("lang", "bucket"))
+      .filter(col("doc_o") =!= col("doc_p"))
+      .select(col("doc_o"), col("doc_p"))
+    val sh = remSigs.select(col("doc_id"), col("sh"))
+    def verify(c: org.apache.spark.sql.DataFrame, a: String,
+               b: String): org.apache.spark.sql.DataFrame = c
+      .join(sh.select(col("doc_id").as(a), col("sh").as("sh_a")), Seq(a))
+      .join(sh.select(col("doc_id").as(b), col("sh").as("sh_b")), Seq(b))
+      .filter(Text.jaccardLong(col("sh_a"), col("sh_b")) >= thresh)
+      .select(col(a).as("doc_a"), col(b).as("doc_b"))
+    val eIn = verify(candsIn, "doc_a", "doc_b")
+    val eOut = verify(candsOut, "doc_o", "doc_p")
+      .withColumnRenamed("doc_a", "doc_id")
+      .join(outsideSurv, Seq("doc_id"))
+      .select(col("canonical_id").as("doc_a"), col("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    val remap = graft.operators.ConnectedComponents
+      .components(eIn.unionByName(eOut).distinct())
+      .select(col("id"), col("comp")).persist()
+    remap.count()
+
+    // -- 4. relabels: every M member (split/rename/promote covered;
+    //    an M doc with no surviving edge relabels to keep), plus the
+    //    members of outside clusters whose canonical was pulled into
+    //    a merged component under a smaller label
+    val mRows = mAll
+      .join(remap.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("comp").isNotNull && col("doc_id") =!= col("comp"),
+          lit("near")).otherwise(lit("keep")).as("verdict"),
+        coalesce(col("comp"), col("doc_id")).as("canonical_id"))
+    val pulled = remap
+      .filter(col("id") =!= col("comp"))
+      .withColumnRenamed("id", "canonical_id")
+      .join(broadcast(aCanon), Seq("canonical_id"), "left_anti")
+    val pulledRows = verdicts.filter(col("verdict") =!= "exact")
+      .join(broadcast(pulled), Seq("canonical_id"))
+      .join(broadcast(mAll), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("comp"), lit("near"))
+          .otherwise(lit("keep")).as("verdict"),
+        col("comp").as("canonical_id"))
+    val out = exactRows.unionByName(mRows).unionByName(pulledRows)
+      .localCheckpoint(true)
+    Seq(sIds, remSigs, promoted, mAll, mSigs, remap).foreach(_.unpersist())
+    out
+  }
+
 
   /** Portable (md5-family) SimHash fingerprints `(doc_id, sh)` with
     * md5 run once per DISTINCT token — the q143 vocabulary pattern

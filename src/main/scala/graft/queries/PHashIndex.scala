@@ -184,10 +184,21 @@ object PHashIndex {
       }
       .start()
 
-  /** The stored fingerprint relation. */
+  /** The stored fingerprint relation, minus any forgotten docs. */
   def hashes(spark: SparkSession, path: String): DataFrame =
-    EpochStore.read(spark, s"$path/hashes")
-      .select(col("doc_id"), col("hi"), col("lo"))
+    graft.engine.Tombstones.exclude(
+      EpochStore.read(spark, s"$path/hashes")
+        .select(col("doc_id"), col("hi"), col("lo")),
+      path, "doc_id")
+
+  /** Forget documents: one tombstone epoch; [[matches]] and
+    * [[hashes]] exclude the set immediately (a forgotten asset can
+    * no longer surface as a match or serve as a bucket
+    * representative), the next [[compact]] purges both tables. See
+    * [[graft.engine.Tombstones]].
+    */
+  def forget(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    graft.engine.Tombstones.forget(spark, path, ids): Unit
 
   /** Probe the index with a batch of fingerprints: every (probe doc,
     * resident doc) pair within Hamming ≤ `maxDist` — the
@@ -208,7 +219,8 @@ object PHashIndex {
     // discipline; rotation and postings flip together by staging)
     val snap = EpochStore.snapshot(Seq(s"$path/bands", s"$path/hashes"))
     val rot = rotationOf(snap.dir(s"$path/bands"))
-    val stored = snap.read(spark, s"$path/bands")
+    val stored = graft.engine.Tombstones.exclude(
+      snap.read(spark, s"$path/bands"), path, "doc_id")
     val bucketSized = stored
       .groupBy(col("band"), col("v"))
       .agg(count(lit(1)).as("m"), min(col("doc_id")).as("rep"))
@@ -221,7 +233,8 @@ object PHashIndex {
     cands
       .join(broadcast(fp.select(col("doc_id"),
         col("hi").as("p_hi"), col("lo").as("p_lo"))), Seq("doc_id"))
-      .join(snap.read(spark, s"$path/hashes")
+      .join(graft.engine.Tombstones.exclude(
+          snap.read(spark, s"$path/hashes"), path, "doc_id")
         .select(col("doc_id").as("match_id"),
           col("hi").as("s_hi"), col("lo").as("s_lo")), Seq("match_id"))
       .select(col("doc_id"), col("match_id"),
@@ -319,9 +332,12 @@ object PHashIndex {
         s"PHashIndex at $path has diverged epoch sets — a " +
           "half-committed append; heal via the appender's retry (or " +
           "rebuildBands) before compacting")
-    EpochStore.compact(spark, s"$path/hashes")
+    EpochStore.compact(spark, s"$path/hashes",
+      transform = graft.engine.Tombstones.exclude(_, path, "doc_id"))
     EpochStore.compact(spark, s"$path/bands", partitionCols = Seq("band"),
-      carryExtras = Seq(BandLayoutName))
+      carryExtras = Seq(BandLayoutName),
+      transform = graft.engine.Tombstones.exclude(_, path, "doc_id"))
+    graft.engine.Tombstones.clear(spark, path)
   }
 
   final case class MaintenanceReport(compacted: Boolean,
@@ -342,7 +358,8 @@ object PHashIndex {
       EpochStore.committedIds(s"$path/bands")
     val fragmented = !diverged &&
       (EpochStore.epochCount(s"$path/hashes") > maxEpochs ||
-        EpochStore.epochCount(s"$path/bands") > maxEpochs)
+        EpochStore.epochCount(s"$path/bands") > maxEpochs ||
+        graft.engine.Tombstones.pending(spark, path))
     if (fragmented) compact(spark, path)
     val nAssets = hashes(spark, path).count()
     val bucketRow = EpochStore.read(spark, s"$path/bands")

@@ -1658,7 +1658,9 @@ object Similarity {
     val b = batch.select(col("vec_id").as("b_id"),
       col("embedding").as("b_emb"))
     val probes = probeCells(b, Seq("b_id", "b_emb"), "b_emb", cents, nprobe)
-    val store = graft.engine.EpochStore.read(s, s"$indexPath/cells")
+    val store = graft.engine.Tombstones.exclude(
+        graft.engine.EpochStore.read(s, s"$indexPath/cells"),
+        indexPath, "vec_id")
       .select(col("cell"), col("vec_id"), col("embedding"))
     val scored = store.join(broadcast(probes), Seq("cell"))
       .select(col("b_id"), col("vec_id").as("c_id"),

@@ -82,7 +82,9 @@ object VerdictStore {
     * by.
     */
   def read(spark: SparkSession, path: String): DataFrame =
-    resolve(EpochStore.read(spark, s"$path/verdicts"))
+    graft.engine.Tombstones.exclude(
+      resolve(EpochStore.read(spark, s"$path/verdicts")),
+      path, "doc_id")
 
   private def resolve(raw: DataFrame): DataFrame = raw
     .groupBy(col("doc_id"))
@@ -91,10 +93,74 @@ object VerdictStore {
     .select(col("doc_id"), col("s.verdict").as("verdict"),
       col("s.canonical_id").as("canonical_id"))
 
-  /** The stored signature relation (all epochs). */
+  /** The stored signature relation (all epochs, minus forgotten). */
   def readSigs(spark: SparkSession, path: String): DataFrame =
-    EpochStore.read(spark, s"$path/sigs")
-      .select(col("doc_id"), col("k"), col("lang"), col("bucket"), col("sh"))
+    graft.engine.Tombstones.exclude(
+      EpochStore.read(spark, s"$path/sigs")
+        .select(col("doc_id"), col("k"), col("lang"), col("bucket"),
+          col("sh")),
+      path, "doc_id")
+
+  /** Forget documents (right-to-be-forgotten) — the store whose
+    * derived state makes deletion MORE than a row filter: a
+    * forgotten doc may be an exact-group min (the smallest remaining
+    * member PROMOTES and enters the pair graph for the first time,
+    * possibly merging resident clusters), a cluster canonical (the
+    * cluster renames), or a cluster bridge (the cluster SPLITS).
+    * One tombstone epoch hides the rows from [[read]]/[[readSigs]]
+    * immediately; the RELABEL delta ([[NearDupOps.forgetVerdictParts]]
+    * — recomputed over affected state only, never the corpus) lands
+    * as a forget-band verdicts epoch under the same id, so a crash
+    * between the two commits heals on any retry ([[healForgets]]
+    * re-derives the identical delta from the committed tombstone
+    * epoch). After both, [[read]] equals
+    * [[NearDupOps.dedupVerdictsOn]] over the never-ingested corpus —
+    * ForgetSpec pins promote-merge, rename, and split.
+    */
+  def forget(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    val id = math.max(
+      if (graft.engine.Archive.hasVersion(s"$path/forgotten"))
+        EpochStore.nextForgetEpochId(s"$path/forgotten")
+      else EpochStore.ForgetFloor,
+      EpochStore.nextForgetEpochId(s"$path/verdicts"))
+    graft.engine.Tombstones.forget(spark, path, ids, withId = Some(id))
+    healForgets(spark, path)
+  }
+
+  /** Commit the relabel delta for every tombstone epoch whose
+    * verdicts half is missing — shared by [[forget]] and callable
+    * after a crash.
+    */
+  def healForgets(spark: SparkSession, path: String): Unit = {
+    if (!graft.engine.Archive.hasVersion(s"$path/forgotten")) return
+    val dangling = (EpochStore.committedIds(s"$path/forgotten") --
+      EpochStore.committedIds(s"$path/verdicts"))
+      .filter(_ >= EpochStore.ForgetFloor)
+    dangling.toSeq.sorted.foreach { id =>
+      val forgotten = EpochStore.read(spark, s"$path/forgotten")
+      val s = forgotten.filter(col("epoch") === id.toString)
+        .select(col("doc_id"))
+      // PRIOR tombstones (earlier forget batches) are already gone
+      // from the read surface — they must not re-enter this delta's
+      // derivation; the epoch's OWN ids stay visible (the delta is
+      // exactly what turns the pre-S state into the post-S state)
+      val prior = broadcast(forgotten.filter(col("epoch") =!= id.toString)
+        .select(col("doc_id")))
+      val rawVerd = EpochStore.read(spark, s"$path/verdicts")
+      val resolved = resolve(rawVerd).join(prior, Seq("doc_id"), "left_anti")
+      val allSigs = EpochStore.read(spark, s"$path/sigs")
+        .select(col("doc_id"), col("k"), col("lang"), col("bucket"),
+          col("sh"))
+        .join(prior, Seq("doc_id"), "left_anti")
+      val seqRow = rawVerd.agg(max(col("seq"))).head()
+      val seqNext = (if (seqRow.isNullAt(0)) 0L else seqRow.getLong(0)) + 1L
+      val delta = NearDupOps.forgetVerdictParts(allSigs, resolved, s)
+        .withColumn("seq", lit(seqNext))
+      EpochStore.commitEpoch(s"$path/verdicts", id) { tmp =>
+        delta.write.mode("overwrite").parquet(tmp)
+      }
+    }
+  }
 
   /** Append one batch as epoch `id` — the streaming form
     * ([[appendStream]] passes the micro-batch id; [[append]] draws
@@ -221,19 +287,23 @@ object VerdictStore {
     */
   def compact(spark: SparkSession, path: String): Unit = {
     requireConverged(path)
-    val resolvedWithSeq = EpochStore.read(spark, s"$path/verdicts")
-      .groupBy(col("doc_id"))
-      .agg(max(struct(col("seq"), col("verdict"), col("canonical_id")))
-        .as("s"))
-      .select(col("doc_id"), col("s.verdict").as("verdict"),
-        col("s.canonical_id").as("canonical_id"), col("s.seq").as("seq"))
+    val resolvedWithSeq = graft.engine.Tombstones.exclude(
+      EpochStore.read(spark, s"$path/verdicts")
+        .groupBy(col("doc_id"))
+        .agg(max(struct(col("seq"), col("verdict"), col("canonical_id")))
+          .as("s"))
+        .select(col("doc_id"), col("s.verdict").as("verdict"),
+          col("s.canonical_id").as("canonical_id"), col("s.seq").as("seq")),
+      path, "doc_id")
       .persist()
     resolvedWithSeq.count() // materialize before the flip re-roots reads
     EpochStore.create(s"$path/verdicts", rebuild = true) { base =>
       resolvedWithSeq.write.mode("overwrite").parquet(base)
     }
     resolvedWithSeq.unpersist()
-    EpochStore.compact(spark, s"$path/sigs")
+    EpochStore.compact(spark, s"$path/sigs",
+      transform = graft.engine.Tombstones.exclude(_, path, "doc_id"))
+    graft.engine.Tombstones.clear(spark, path)
   }
 
   /** Compaction policy: fold only past `maxEpochs` committed epochs
@@ -243,13 +313,22 @@ object VerdictStore {
                           maxEpochs: Int = 64): Boolean = {
     val fragmented =
       EpochStore.epochCount(s"$path/sigs") > maxEpochs ||
-        EpochStore.epochCount(s"$path/verdicts") > maxEpochs
+        EpochStore.epochCount(s"$path/verdicts") > maxEpochs ||
+        graft.engine.Tombstones.pending(spark, path)
     if (fragmented) compact(spark, path)
     fragmented
   }
 
+  /** Band-aware convergence: batch/stream verdicts epochs pair with
+    * sigs epochs; forget-band verdicts epochs pair with tombstone
+    * epochs ([[forget]] commits to verdicts + forgotten, never sigs).
+    */
   private def requireConverged(path: String): Unit = {
-    val s = EpochStore.committedIds(s"$path/sigs")
+    val forgotten =
+      if (graft.engine.Archive.hasVersion(s"$path/forgotten"))
+        EpochStore.committedIds(s"$path/forgotten")
+      else Set.empty[Long]
+    val s = EpochStore.committedIds(s"$path/sigs") ++ forgotten
     val v = EpochStore.committedIds(s"$path/verdicts")
     if (s != v)
       throw new IllegalStateException(
@@ -277,12 +356,16 @@ object VerdictStore {
     */
   def maintain(spark: SparkSession, path: String,
                maxEpochs: Int = 64): MaintenanceReport = {
-    val diverged = EpochStore.committedIds(s"$path/sigs") !=
+    val forgottenIds =
+      if (graft.engine.Archive.hasVersion(s"$path/forgotten"))
+        EpochStore.committedIds(s"$path/forgotten")
+      else Set.empty[Long]
+    val diverged = EpochStore.committedIds(s"$path/sigs") ++ forgottenIds !=
       EpochStore.committedIds(s"$path/verdicts")
     val compacted = !diverged && compactIfFragmented(spark, path, maxEpochs)
     val raw = EpochStore.read(spark, s"$path/verdicts")
     val rawRows = raw.count()
-    val stats = resolve(raw)
+    val stats = graft.engine.Tombstones.exclude(resolve(raw), path, "doc_id")
       .agg(count(lit(1)).as("n"),
         sum((col("verdict") =!= "keep").cast("long")).as("dropped"))
       .head()

@@ -1,0 +1,323 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.engine.{EpochStore, Tombstones}
+import graft.queries.{CalibrationStore, ChunkIndex, IvfIndex, MinHashIndex,
+  MultimodalOps, PHashIndex}
+
+/** The right-to-be-forgotten contract (round 13), store by store:
+  * after `forget(S)`, every READ surface equals the same store built
+  * over the corpus WITHOUT S — the never-ingested equality — while
+  * the store itself was not rewritten (merge-on-read tombstones);
+  * the next compaction purges physically and clears the tombstone
+  * table; a replayed forget converges instead of growing state.
+  *
+  * For IvfIndex the equality is on the codebook-INDEPENDENT surface
+  * (nprobe = k exact search — the CrawlPipelineSpec discipline):
+  * k-means trained with vs without S gives different cell layouts by
+  * construction, and the stored SQ/PQ codes of surviving rows were
+  * written under the WITH-S books — the read surfaces exclude S
+  * exactly, which is what the law requires; re-training is the
+  * documented rebuild cadence.
+  */
+class ForgetSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+  private def embs = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  /** A forget set that exercises structure: ids with duplicate /
+    * near-dup partners in the fixture plus a couple of plain docs.
+    */
+  private val S = Seq(3L, 7L, 42L, 128L, 301L)
+  private def sdf = {
+    import spark.implicits._
+    S.toDF("doc_id")
+  }
+  private def minus(df: DataFrame, key: String = "doc_id") =
+    df.filter(!col(key).isin(S: _*))
+
+  private def rowsOf(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq.map {
+      case d: Double => math.round(d * 1e9) // fp-stable compare
+      case x => x
+    }.toVector).toVector.sortBy(_.mkString("|"))
+
+  private def assertSameRows(got: DataFrame, want: DataFrame,
+                             what: String): Unit = {
+    val g = rowsOf(got)
+    val w = rowsOf(want)
+    assert(g === w, s"$what: forget(S) != never-ingested build")
+    assert(g.nonEmpty, s"$what: equality is vacuous (no rows)")
+  }
+
+  test("ChunkIndex.forget: reads equal never-ingested; compact purges " +
+      "physically and clears tombstones; replayed forget is a no-op") {
+    val base = java.nio.file.Files.createTempDirectory("forget-chunk").toString
+    val full = s"$base/full"; val ni = s"$base/ni"
+    ChunkIndex.build(docs, full)
+    ChunkIndex.build(minus(docs), ni)
+    ChunkIndex.forget(spark, full, sdf)
+    assertSameRows(ChunkIndex.chunks(spark, full),
+      ChunkIndex.chunks(spark, ni), "chunks")
+    assertSameRows(ChunkIndex.freq(spark, full),
+      ChunkIndex.freq(spark, ni), "freq")
+    // merge-on-read: rows still physically present pre-purge
+    val raw = EpochStore.read(spark, s"$full/chunks")
+    assert(raw.filter(col("doc_id").isin(S: _*)).count() > 0,
+      "tombstoned rows should still be physical before the purge")
+    // the maintenance tick is the purge point
+    assert(ChunkIndex.compactIfFragmented(spark, full, maxEpochs = 64))
+    assert(EpochStore.read(spark, s"$full/chunks")
+      .filter(col("doc_id").isin(S: _*)).count() === 0L)
+    assert(!Tombstones.pending(spark, full))
+    assertSameRows(ChunkIndex.chunks(spark, full),
+      ChunkIndex.chunks(spark, ni), "chunks post-purge")
+    // replayed forget of the same batch: converges, nothing re-grows
+    ChunkIndex.forget(spark, full, sdf)
+    assertSameRows(ChunkIndex.chunks(spark, full),
+      ChunkIndex.chunks(spark, ni), "chunks post-replay")
+  }
+
+  test("MinHashIndex.forget: a forgotten doc neither matches nor " +
+      "represents a bucket; both probe paths equal never-ingested") {
+    val base = java.nio.file.Files.createTempDirectory("forget-mh").toString
+    val full = s"$base/full"; val ni = s"$base/ni"
+    MinHashIndex.build(docs, full)
+    MinHashIndex.build(minus(docs), ni)
+    // the probe batch: the forgotten docs' own texts under fresh ids
+    // (guaranteed exact-duplicate matches BEFORE the forget) plus
+    // copies of SURVIVING docs, so the post-forget equality is
+    // non-vacuous
+    val probe = docs
+      .filter(col("doc_id").isin((S ++ Seq(1L, 2L, 10L, 55L)): _*))
+      .select((col("doc_id") + 20000L).as("doc_id"), col("text"))
+      .localCheckpoint(true)
+    val pre = MinHashIndex.matches(spark, full, probe)
+    assert(pre.filter(col("match_id").isin(S: _*)).count() > 0,
+      "probe must match the to-be-forgotten docs before the forget")
+    MinHashIndex.forget(spark, full, sdf)
+    val post = MinHashIndex.matches(spark, full, probe)
+    assert(post.filter(col("match_id").isin(S: _*)).count() === 0L)
+    assertSameRows(post, MinHashIndex.matches(spark, ni, probe), "matches")
+    assertSameRows(
+      MinHashIndex.invertedMatches(spark, full, probe),
+      MinHashIndex.invertedMatches(spark, ni, probe), "invertedMatches")
+    // purge via the tick, then re-verify and confirm physical removal
+    assert(MinHashIndex.compactIfFragmented(spark, full, maxEpochs = 64))
+    assert(EpochStore.read(spark, s"$full/docs")
+      .filter(col("doc_id").isin(S: _*)).count() === 0L)
+    assert(EpochStore.read(spark, s"$full/bands")
+      .filter(col("doc_id").isin(S: _*)).count() === 0L)
+    assertSameRows(MinHashIndex.matches(spark, full, probe),
+      MinHashIndex.matches(spark, ni, probe), "matches post-purge")
+  }
+
+  test("PHashIndex.forget: probe answers equal never-ingested; purge " +
+      "drops both tables") {
+    val base = java.nio.file.Files.createTempDirectory("forget-ph").toString
+    val full = s"$base/full"; val ni = s"$base/ni"
+    PHashIndex.build(MultimodalOps.phashFingerprints(docs), full)
+    PHashIndex.build(MultimodalOps.phashFingerprints(minus(docs)), ni)
+    val probe = MultimodalOps.phashFingerprints(
+      docs.filter(col("doc_id").isin((S ++ Seq(1L, 2L, 10L, 55L)): _*))
+        .select((col("doc_id") + 20000L).as("doc_id"), col("text")))
+      .localCheckpoint(true)
+    assert(PHashIndex.matches(spark, full, probe)
+      .filter(col("match_id").isin(S: _*)).count() > 0,
+      "probe must match the to-be-forgotten docs before the forget")
+    PHashIndex.forget(spark, full, sdf)
+    assertSameRows(PHashIndex.matches(spark, full, probe),
+      PHashIndex.matches(spark, ni, probe), "phash matches")
+    assert(PHashIndex.maintain(spark, full).compacted,
+      "pending tombstones must trigger the tick's purge")
+    assert(EpochStore.read(spark, s"$full/hashes")
+      .filter(col("doc_id").isin(S: _*)).count() === 0L)
+    assert(EpochStore.read(spark, s"$full/bands")
+      .filter(col("doc_id").isin(S: _*)).count() === 0L)
+    assertSameRows(PHashIndex.matches(spark, full, probe),
+      PHashIndex.matches(spark, ni, probe), "phash matches post-purge")
+  }
+
+  test("CalibrationStore.forget: served calibration equals " +
+      "never-ingested (negative hist deltas), appends after a forget " +
+      "mint non-colliding ids, the half-commit heals, compact purges") {
+    val base = java.nio.file.Files.createTempDirectory("forget-cal").toString
+    val full = s"$base/full"; val ni = s"$base/ni"
+    val resident = docs.filter(col("doc_id") < 400)
+    val late = docs.filter(col("doc_id") >= 400)
+    CalibrationStore.build(resident, full)
+    CalibrationStore.build(minus(resident), ni)
+    CalibrationStore.forget(spark, full, sdf)
+    assertSameRows(CalibrationStore.served(spark, full),
+      CalibrationStore.served(spark, ni), "served")
+    // an append AFTER the forget: the derived id must not collide
+    // with the forget's hist epoch (the silent-no-op hazard)
+    CalibrationStore.append(late, full)
+    CalibrationStore.append(late, ni)
+    assertSameRows(CalibrationStore.served(spark, full),
+      CalibrationStore.served(spark, ni), "served post-append")
+    // crash drill: a tombstone epoch whose negative delta is missing
+    // (Tombstones.forget directly = dying between the two commits);
+    // the next forget() heals it from the still-stored score rows
+    val S2 = Seq(401L, 402L)
+    import spark.implicits._
+    Tombstones.forget(spark, full, S2.toDF("doc_id"))
+    CalibrationStore.forget(spark, full, S2.toDF("doc_id")) // heal path
+    val ni2 = s"$base/ni2"
+    CalibrationStore.build(
+      docs.filter(!col("doc_id").isin((S ++ S2): _*)), ni2)
+    assertSameRows(CalibrationStore.served(spark, full),
+      CalibrationStore.served(spark, ni2), "served post-heal")
+    // purge: tick compacts (tombstones pending), physical rows gone,
+    // reads unchanged
+    val rep = CalibrationStore.maintain(spark, full)
+    assert(rep.compacted && !rep.diverged)
+    assert(EpochStore.read(spark, s"$full/scores")
+      .filter(col("doc_id").isin((S ++ S2): _*)).count() === 0L)
+    assertSameRows(CalibrationStore.served(spark, full),
+      CalibrationStore.served(spark, ni2), "served post-purge")
+  }
+
+  test("VerdictStore.forget: promote-merge, canonical rename, cluster " +
+      "split — read equals dedupVerdictsOn over the never-ingested " +
+      "corpus; crash heals; compact purges") {
+    import spark.implicits._
+    import graft.queries.{NearDupOps, VerdictStore}
+    // engineered corpus (all one length bucket):
+    //  - exact group {10,11,12} with doc 11 under a DIFFERENT lang —
+    //    forgetting min 10 promotes 11, whose lang-L2 blocking lets
+    //    it pair with cluster {30,31}: a promote that MERGES a
+    //    resident cluster under a smaller canonical
+    //  - {10,20} near pair (L1): forgetting 10 strands 20 → keep
+    //  - {40,41,42} chain (L3): forgetting bridge 41 SPLITS it
+    val tA = (1 to 10).map(i => s"a$i").mkString(" ")
+    val tA2 = ((1 to 5).map(i => s"a$i") ++ (1 to 5).map(i => s"x$i")).mkString(" ")
+    val tB = ((1 to 5).map(i => s"b$i") ++ (6 to 10).map(i => s"a$i")).mkString(" ")
+    val tB2 = ((1 to 5).map(i => s"b$i") ++ (1 to 5).map(i => s"y$i")).mkString(" ")
+    val t40 = ((1 to 5).map(i => s"c$i") ++ (1 to 5).map(i => s"d$i")).mkString(" ")
+    val t41 = ((1 to 5).map(i => s"d$i") ++ (1 to 5).map(i => s"e$i")).mkString(" ")
+    val t42 = ((1 to 5).map(i => s"e$i") ++ (1 to 5).map(i => s"f$i")).mkString(" ")
+    val corpus = Seq(
+      (10L, tA, "L1"), (11L, tA, "L2"), (12L, tA, "L1"), (20L, tA2, "L1"),
+      (30L, tB, "L2"), (31L, tB2, "L2"),
+      (40L, t40, "L3"), (41L, t41, "L3"), (42L, t42, "L3"),
+      (50L, (1 to 10).map(i => s"g$i").mkString(" "), "L4"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("n_chars", lit(10L))
+      .localCheckpoint(true)
+    val base = java.nio.file.Files.createTempDirectory("forget-vs").toString
+    val full = s"$base/full"
+    VerdictStore.build(corpus, full)
+    def expectOver(remaining: DataFrame): Seq[Seq[Any]] =
+      rowsOf(NearDupOps.dedupVerdictsOn(remaining))
+    // sanity: the crafted structure is in the pre-forget verdicts
+    val pre = VerdictStore.read(spark, full).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(pre(11L) === (("exact", 10L)) && pre(20L) === (("near", 10L)))
+    assert(pre(31L) === (("near", 30L)) && pre(42L) === (("near", 40L)))
+    // forget the exact-group min / cluster canonical
+    VerdictStore.forget(spark, full, Seq(10L).toDF("doc_id"))
+    val after10 = corpus.filter(col("doc_id") =!= 10L)
+    assert(rowsOf(VerdictStore.read(spark, full)) === expectOver(after10),
+      "forget(10) != never-ingested (promote-merge case)")
+    val post = VerdictStore.read(spark, full).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(post(11L) === (("keep", 11L)), "11 must promote to survivor")
+    assert(post(30L) === (("near", 11L)) && post(31L) === (("near", 11L)),
+      "the promoted doc must merge cluster {30,31} under canonical 11")
+    assert(post(20L) === (("keep", 20L)), "20 must strand to keep")
+    // forget the bridge: the chain must split
+    VerdictStore.forget(spark, full, Seq(41L).toDF("doc_id"))
+    val after41 = corpus.filter(!col("doc_id").isin(10L, 41L))
+    assert(rowsOf(VerdictStore.read(spark, full)) === expectOver(after41),
+      "forget(41) != never-ingested (split case)")
+    val post2 = VerdictStore.read(spark, full).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(post2(40L) === (("keep", 40L)) && post2(42L) === (("keep", 42L)),
+      "the bridge forget must split {40,42} into keeps")
+    // crash drill: tombstone committed, relabel delta missing — the
+    // next heal derives the identical delta from the committed epoch
+    val id = math.max(
+      EpochStore.nextForgetEpochId(s"$full/forgotten"),
+      EpochStore.nextForgetEpochId(s"$full/verdicts"))
+    Tombstones.forget(spark, full, Seq(30L).toDF("doc_id"), Some(id))
+    VerdictStore.healForgets(spark, full)
+    val after30 = corpus.filter(!col("doc_id").isin(10L, 41L, 30L))
+    assert(rowsOf(VerdictStore.read(spark, full)) === expectOver(after30),
+      "healed forget(30) != never-ingested")
+    // purge: tick compacts (tombstones pending), physical rows gone,
+    // reads unchanged; a replayed forget converges
+    val rep = VerdictStore.maintain(spark, full)
+    assert(rep.compacted && !rep.diverged)
+    assert(EpochStore.read(spark, s"$full/sigs")
+      .filter(col("doc_id").isin(10L, 41L, 30L)).count() === 0L)
+    assert(EpochStore.read(spark, s"$full/verdicts")
+      .filter(col("doc_id").isin(10L, 41L, 30L)).count() === 0L)
+    assert(rowsOf(VerdictStore.read(spark, full)) === expectOver(after30),
+      "post-purge read changed")
+    VerdictStore.forget(spark, full, Seq(10L).toDF("doc_id"))
+    assert(rowsOf(VerdictStore.read(spark, full)) === expectOver(after30),
+      "replayed forget must be a no-op on the read surface")
+  }
+
+  test("VerdictStore.forget on the fixture corpus equals " +
+      "dedupVerdictsOn over the never-ingested corpus") {
+    import spark.implicits._
+    import graft.queries.{NearDupOps, VerdictStore}
+    val base = java.nio.file.Files.createTempDirectory("forget-vsf").toString
+    val full = s"$base/full"
+    VerdictStore.build(docs, full)
+    // forget docs that have verdict structure in the fixture: a
+    // couple of exact-dup canonicals plus near members
+    val interesting = VerdictStore.read(spark, full)
+      .filter(col("verdict") =!= "keep")
+      .select(col("canonical_id").as("doc_id")).distinct().limit(3)
+      .unionByName(spark.range(2).select((col("id") * 37 + 5).as("doc_id")))
+      .distinct().localCheckpoint(true)
+    val sSet = interesting.collect().map(_.getLong(0)).toSet
+    assert(sSet.nonEmpty)
+    VerdictStore.forget(spark, full, interesting)
+    val remaining = docs.filter(!col("doc_id").isin(sSet.toSeq: _*))
+    assert(rowsOf(VerdictStore.read(spark, full)) ===
+      rowsOf(NearDupOps.dedupVerdictsOn(remaining)),
+      "fixture forget != never-ingested")
+  }
+
+  test("IvfIndex.forget: exact search (nprobe = k) equals " +
+      "never-ingested; q154's probe excludes forgotten vectors; " +
+      "compact purges cells") {
+    val base = java.nio.file.Files.createTempDirectory("forget-ivf").toString
+    val full = s"$base/full"; val ni = s"$base/ni"
+    val SV = Seq(5L, 17L, 100L, 250L)
+    IvfIndex.build(embs, full)
+    IvfIndex.build(embs.filter(!col("vec_id").isin(SV: _*)), ni)
+    import spark.implicits._
+    IvfIndex.forget(spark, full, SV.toDF("vec_id"))
+    val queries = embs.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .localCheckpoint(true)
+    val k = graft.queries.Similarity.IvfCells
+    // nprobe = k probes every cell on both stores, so the exact
+    // cosine top-5 is codebook-independent — the never-ingested
+    // equality surface
+    assertSameRows(IvfIndex.query(spark, full, queries, nprobe = k),
+      IvfIndex.query(spark, ni, queries, nprobe = k), "exact query")
+    // the ADC and SQ paths exclude too (recall differs from a
+    // re-trained store by construction; absence is the law)
+    val pq = IvfIndex.pqQuery(spark, full, queries)
+    assert(pq.filter(col("neighbor_id").isin(SV: _*)).count() === 0L)
+    val dedup = graft.queries.Similarity.incrementalSemanticDedupOn(
+      embs.filter(col("vec_id") % 5 === 0), full)
+    assert(dedup.filter(col("dup_of").isin(SV: _*)).count() === 0L)
+    assert(IvfIndex.compactIfFragmented(spark, full, maxEpochs = 64))
+    assert(EpochStore.read(spark, s"$full/cells")
+      .filter(col("vec_id").isin(SV: _*)).count() === 0L)
+    assert(!Tombstones.pending(spark, full))
+    assertSameRows(IvfIndex.query(spark, full, queries, nprobe = k),
+      IvfIndex.query(spark, ni, queries, nprobe = k),
+      "exact query post-purge")
+  }
+}
