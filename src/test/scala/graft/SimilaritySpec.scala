@@ -135,6 +135,11 @@ class SimilaritySpec extends SparkSpec {
     assert(readSchemas.exists(s => s.contains("pq0") &&
         !s.contains("embedding") && !s.contains("code")),
       s"no vector-free, sq-free pq scan in: $readSchemas")
+    // and the ADC scan is cell-pruned like every other probe path:
+    // the broadcast (query, cell) pairs must reach the partition
+    // column as a dynamic partition pruning subquery
+    assert(plan.contains("dynamicpruning"),
+      "q166's ADC scan must carry dynamic partition pruning on cell")
     // the quantizer is genuinely lossy: reconstructing each stored
     // row from its stored codes + the stored subspace codebooks
     // must NOT reproduce the original vector (else the 'compression'
