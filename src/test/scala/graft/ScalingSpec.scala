@@ -125,7 +125,13 @@ class ScalingSpec extends SparkSpec {
     // blow the time bound. (The top-K cut itself is global, so the
     // learned vocabulary differs between corpora — irrelevant to the
     // row bound, which counts docs, not pieces.)
-    "q162_unigram_segment")
+    "q162_unigram_segment",
+    // span removal: one row per doc (q90's shape plus the keeper
+    // election — a window-keyed aggregate). Per-copy token renaming
+    // keeps every duplicated window copy-local, so keepers and cut
+    // geometry replicate per copy; a pair-shaped keeper stage or a
+    // global-window union scan would blow the time bound.
+    "q167_span_removal")
 
   private lazy val (dir1x, dir10x) = {
     val root = Files.createTempDirectory("graft-scaling").toString
