@@ -550,6 +550,50 @@ object IvfIndex {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Per-SUBSPACE health of the stored PQ books — q144's audit for
+    * the ADC tier (q168's body): off the stored rows alone, each
+    * subspace reports how many of its centroids are LIVE (codes in
+    * use — dead cells mean wasted code space), the largest cell's
+    * share (code skew: one hot code degrades ADC's ordering power
+    * the way a hot IVF cell degrades probe cost), and the mean
+    * subvector-to-coded-centroid cosine (reconstruction cohesion —
+    * the staleness signal: drifting arrivals coded under old books
+    * cohere worse, and the rebuild cadence is the re-training path).
+    * One scan of (embedding, pq0..7); the books are model-sized
+    * sidecar state. Determinism: 6dp-round each cosine, decimal-sum,
+    * divide once, surface 4dp — q144/q126's rule.
+    */
+  def pqHealth(spark: SparkSession, path: String): DataFrame = {
+    val books = loadPqCodebooks(spark, path)
+    val m = Similarity.PqSubspaces
+    val stored = storedRows(spark, path)
+      .select(Vectors.asDouble(col("embedding")).as("v") +:
+        (0 until m).map(s => col(s"pq$s")): _*)
+    val subRows = stored.select(posexplode(array((0 until m).map { s =>
+      struct(lit(s).as("sub"), col(s"pq$s").as("code"),
+        round(Vectors.cosine(
+          slice(col("v"), s * Similarity.PqSubDim + 1, Similarity.PqSubDim),
+          element_at(Similarity.bookLit(books(s)), col(s"pq$s"))), 6)
+          .as("cos6"))
+    }: _*)))
+      .select(col("col.sub").as("sub"), col("col.code").as("code"),
+        col("col.cos6").as("cos6"))
+    val perCell = subRows.groupBy(col("sub"), col("code"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cos6").cast("decimal(38,6)")).as("sc"))
+    perCell.groupBy(col("sub"))
+      .agg(sum(col("n")).as("n_vectors"),
+        count(lit(1)).as("n_cells_live"),
+        round(max(col("n")).cast("double") / sum(col("n")), 4)
+          .as("max_cell_frac"),
+        round((sum(col("sc")).cast("double") / sum(col("n"))), 4)
+          .as("mean_cos_centroid"))
+      .select(col("sub").cast("int").as("sub"), col("n_vectors"),
+        col("n_cells_live"), col("max_cell_frac"),
+        col("mean_cos_centroid"))
+      .orderBy(col("sub"))
+  }
+
   /** SQ re-rank width picked from the index's own health — the
     * closed-loop form of q147's width knob. The approximate int8
     * scan mis-orders more candidates where many members crowd one

@@ -908,7 +908,26 @@ object Similarity {
         IvfNProbe, topK = 5, rerankWidth = PqRerankWidth),
       Some(ivfPqOracleSql),
       "IVF-PQ: cell-pruned 6-byte ADC scan (neither vectors nor SQ " +
-        "codes read) + exact re-rank of the top candidates")
+        "codes read) + exact re-rank of the top candidates"),
+
+    // -- q168: PQ-BOOK HEALTH — q144's audit for the ADC tier: per
+    //    subspace, off the STORED index alone, live-cell count (dead
+    //    codes = wasted code space), the largest cell's share (a hot
+    //    code degrades ADC ordering the way a hot IVF cell degrades
+    //    probe cost), and mean subvector-to-coded-centroid cosine
+    //    (reconstruction cohesion — the PQ staleness signal; drifting
+    //    arrivals coded under old books cohere worse, and the
+    //    rebuild cadence re-trains). 6dp-round each cosine, decimal
+    //    sum, one divide, 4dp surface (q144/q126's rule). The oracle
+    //    replays the 8 subspace k-means builds AND the stored code
+    //    assignment, then re-derives every statistic — so the hash
+    //    match proves the stored codes are the k-means codes the
+    //    build claims, subspace by subspace.
+    Q("q168_pq_book_health",
+      (s, d) => IvfIndex.pqHealth(s, SharedStages.ivfIndexPath(s, d)),
+      Some(pqHealthOracleSql),
+      "per-subspace PQ codebook health: live cells, code skew, " +
+        "reconstruction cohesion (rebuild signal for the ADC tier)")
   )
 
   /** The q164 oracle: clustered-corpus construction, hash-seeded
@@ -1034,7 +1053,7 @@ object Similarity {
     * c_id, NOT position: a Lloyd round can empty a seed cell, so
     * surviving ids need not be dense).
     */
-  private def bookLit(cents: Seq[(Int, Seq[Double])]): Column =
+  private[queries] def bookLit(cents: Seq[(Int, Seq[Double])]): Column =
     map(cents.flatMap { case (id, c) =>
       Seq(lit(id), array(c.map(lit(_)): _*)) }: _*)
 
@@ -1222,6 +1241,40 @@ object Similarity {
       FROM exact)
     SELECT query_id, neighbor_id, score, CAST(rk AS INT) AS rk
     FROM ranked WHERE rk <= 5 ORDER BY query_id, rk"""
+  }
+
+
+  /** The q168 oracle: subspace k-means replays + stored codes
+    * ([[pqSubspaceCtes]]), per-cell counts and 6dp-rounded decimal
+    * cosine sums, folded to one stat row per subspace.
+    */
+  private def pqHealthOracleSql: String = {
+    def ps(s: Int) =
+      s"""ps$s AS (
+      SELECT CAST($s AS INT) AS sub,
+        CAST(SUM(n) AS BIGINT) AS n_vectors,
+        CAST(COUNT(*) AS BIGINT) AS n_cells_live,
+        ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 4) AS max_cell_frac,
+        ROUND(CAST(SUM(sc) AS DOUBLE) / SUM(n), 4) AS mean_cos_centroid
+      FROM (
+        SELECT cd.c, COUNT(*) AS n,
+          SUM(CAST(ROUND(
+            list_dot_product(e$s.v, cb.cv)
+              / (sqrt(list_dot_product(e$s.v, e$s.v))
+               * sqrt(list_dot_product(cb.cv, cb.cv))), 6)
+            AS DECIMAL(38,6))) AS sc
+        FROM cd$s cd JOIN c${s}2 cb ON cb.c = cd.c
+          JOIN e$s ON e$s.vec_id = cd.vec_id
+        GROUP BY cd.c) t)"""
+    val sub = (0 until PqSubspaces).map(pqSubspaceCtes).mkString(",\n    ")
+    val stats = (0 until PqSubspaces).map(ps).mkString(",\n    ")
+    val un = (0 until PqSubspaces).map(s => s"SELECT * FROM ps$s")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    $sub,
+    $stats
+    SELECT * FROM ($un) ORDER BY sub"""
   }
 
   /** The q163 oracle: hash-seeded k-means over the RESIDENT train

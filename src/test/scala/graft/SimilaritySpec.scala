@@ -98,6 +98,40 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q168 PQ-book health: a drifted batch coded under stored books " +
+      "shows falling cohesion and rising code skew — the rebuild signal " +
+      "is real") {
+    import graft.queries.IvfIndex
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = java.nio.file.Files.createTempDirectory("pq-health").toString
+    val idx = s"$base/ix"
+    IvfIndex.build(emb.filter(col("vec_id") < 250), idx)
+    def stats(): Map[Int, (Long, Double, Double)] =
+      IvfIndex.pqHealth(spark, idx).collect()
+        .map(r => r.getInt(0) -> ((r.getLong(2), r.getDouble(3),
+          r.getDouble(4)))).toMap
+    val before = stats()
+    assert(before.size === graft.queries.Similarity.PqSubspaces)
+    before.values.foreach { case (live, frac, cos) =>
+      assert(live >= 1 && live <= graft.queries.Similarity.PqCentroids)
+      assert(frac > 0 && frac <= 1.0 && cos > 0 && cos <= 1.0)
+    }
+    // drift: 500 identical all-ones vectors coded under the stored
+    // books all land in one cell per subspace and cohere poorly with
+    // centroids trained on the random corpus
+    val drift = emb.limit(1).select(lit(0L).as("vec_id"),
+        transform(col("embedding"), _ => lit(1.0f)).as("embedding"))
+      .crossJoin(spark.range(500).select((col("id") + 2000).as("nid")))
+      .select(col("nid").as("vec_id"), col("embedding"))
+    IvfIndex.appendEpoch(drift, IvfIndex.loadCodebook(spark, idx), idx, 1L)
+    val after = stats()
+    val skewRose = after.count { case (s, (_, frac, _)) => frac > before(s)._2 }
+    val cohesionFell = after.count { case (s, (_, _, c)) => c < before(s)._3 }
+    info(s"skew rose in $skewRose/8 subspaces, cohesion fell in $cohesionFell/8")
+    assert(skewRose >= 6, "identical drift vectors must concentrate codes")
+    assert(cohesionFell >= 6, "drift coded under stale books must cohere worse")
+  }
+
   test("q165 PQ-ADC: recall >= 0.8 vs exact top-5; the 6-byte code is " +
       "genuinely lossy (reconstruction != original, ADC order corrected " +
       "by the re-rank)") {
