@@ -169,8 +169,12 @@ object CalibrationStore {
   }
 
   /** Commit the hist negative for every forgotten epoch whose delta
-    * is missing — the forget heal, shared by [[forget]] and
-    * [[maintain]].
+    * is missing — the forget heal. Called by [[forget]] (crash
+    * between its two commits) and by [[maintain]] (a tick that finds
+    * the divergence explained ENTIRELY by dangling forgets repairs
+    * them — the negative recomputes deterministically from the
+    * stored forgotten ids, unlike a dangling append whose heal needs
+    * the appender's retry data).
     */
   private def healForgetDeltas(spark: SparkSession, path: String): Unit = {
     val dangling = EpochStore.committedIds(s"$path/forgotten") --
@@ -284,6 +288,22 @@ object CalibrationStore {
       EpochStore.committedIds(s"$path/hist")
   }
 
+  /** True iff the id-set divergence is explained ENTIRELY by forget
+    * epochs whose hist negative is missing — every scores id reached
+    * hist, hist holds nothing outside scores ∪ forgotten, and at
+    * least one forgotten id is dangling. Exactly the state
+    * [[healForgetDeltas]] repairs without outside data.
+    */
+  private def forgetDanglingOnly(path: String): Boolean = {
+    val f =
+      if (graft.engine.Archive.hasVersion(s"$path/forgotten"))
+        EpochStore.committedIds(s"$path/forgotten")
+      else Set.empty[Long]
+    val s = EpochStore.committedIds(s"$path/scores")
+    val h = EpochStore.committedIds(s"$path/hist")
+    (f -- h).nonEmpty && (s -- h).isEmpty && (h -- (s ++ f)).isEmpty
+  }
+
   /** Out-of-band recovery: the histogram is fully DERIVABLE from the
     * scores table, so a hist side wedged beyond the epoch-derived
     * heal (e.g. its epoch folded out-of-band) rebuilds in one pass.
@@ -319,13 +339,18 @@ object CalibrationStore {
                                      nLangs: Long,
                                      histRows: Long)
 
-  /** One maintenance tick: report a half-committed append first
-    * (touch nothing), else apply the compaction policy, then one
-    * census — doc count, language count, and the histogram-relation
-    * cardinality (the bounded-state claim, observable).
+  /** One maintenance tick: heal any dangling FORGET deltas first
+    * (the negative recomputes deterministically from the stored
+    * forgotten ids — [[healForgetDeltas]]), report a half-committed
+    * APPEND untouched (its heal is the appender's retry, which
+    * carries batch data this tick does not have), else apply the
+    * compaction policy, then one census — doc count, language count,
+    * and the histogram-relation cardinality (the bounded-state
+    * claim, observable).
     */
   def maintain(spark: SparkSession, path: String,
                maxEpochs: Int = 64): MaintenanceReport = {
+    if (forgetDanglingOnly(path)) healForgetDeltas(spark, path)
     val diverged = divergedIds(path)
     val fragmented = !diverged &&
       (EpochStore.epochCount(s"$path/scores") > maxEpochs ||

@@ -182,9 +182,11 @@ object IvfIndex {
       throw new IllegalStateException(
         s"IvfIndex at $path has no $PqCodebookName sidecar in its live " +
           "version — this is a pre-round-13 index layout (cells rows " +
-          "without the pq0..7 ADC columns). Re-run IvfIndex.build over " +
-          "the corpus to migrate; until then only the SQ search path " +
-          "(sqQuery) is servable from this store.")
+          "without the pq0..7 ADC columns). The exact float path " +
+          "(query) and the SQ path (sqQuery) remain servable from this " +
+          "store, but pqQuery AND appends (appendEpoch/appendStream, " +
+          "which code arrivals through these books) are blocked until " +
+          "IvfIndex.build re-runs over the corpus to migrate the layout.")
     val s = java.nio.file.Files.list(dir)
     val parts =
       try s.iterator().asScala.map(_.toString)
@@ -504,13 +506,17 @@ object IvfIndex {
     * — q166's body: the q147 chain one compression tier further. The
     * approximate pass scans ONLY (cell, vec_id, pq0..7) from the
     * probed partitions — neither the float vectors NOR the int8 SQ
-    * codes are read, so the quantizer payload is ~4 bytes/row
-    * against SQ's 64 and the raw vector's 256. Scoring reconstructs
-    * each candidate from the stored subspace codebooks (constant-
-    * folded map literals — cosine against the reconstruction IS the
-    * ADC score), 4dp-rounds before the candidate rank, and re-ranks
-    * the top `rerankWidth` with exact cosines over the true vectors
-    * fetched for candidates only.
+    * codes are read, so the quantizer payload is ~6 bytes/row
+    * (8 subspaces × 6 bits) against SQ's 64 and the raw vector's
+    * 256. Scoring is the hoisted ADC decomposition (q165's): each
+    * query's 8×64 partial-dot lookup tables + norm are built once
+    * before the probe explode ([[Similarity.adcLut]]), |recon| is
+    * one literal-lookup chain per stored row
+    * ([[Similarity.pqReconNorm]]), and each (query × row) pair costs
+    * 8 array lookups + adds ([[Similarity.adcScore]]). 4dp-rounds
+    * before the candidate rank, then re-ranks the top `rerankWidth`
+    * with exact cosines over the true vectors fetched for candidates
+    * only.
     */
   def pqQuery(spark: SparkSession, path: String, queries: DataFrame,
               nprobe: Int = Similarity.IvfNProbe,
@@ -518,20 +524,28 @@ object IvfIndex {
               rerankWidth: Int = Similarity.PqRerankWidth): DataFrame = {
     val cents = loadCodebook(spark, path)
     val books = loadPqCodebooks(spark, path)
+    val m = Similarity.PqSubspaces
     val q = queries.select(col("query_id"),
       Vectors.asDouble(col("q_emb")).as("qv"))
-    val qcells = Similarity.probeCells(q,
-      Seq("query_id", "qv"), "qv", cents, nprobe)
+    val qlut = q.select(col("query_id") +: col("qv") +:
+      Vectors.norm(col("qv")).as("qnorm") +:
+      books.zipWithIndex.map { case (b, s) =>
+        Similarity.adcLut(col("qv"), b, s).as(s"lut$s") }: _*)
+    val qcells = Similarity.probeCells(qlut,
+      Seq("query_id", "qv", "qnorm") ++ (0 until m).map(s => s"lut$s"),
+      "qv", cents, nprobe)
+      .drop("qv") // the ADC pass needs only the tables + norm
     val store = storedRows(spark, path)
-    val recon = Similarity.pqRecon(books,
-      (0 until Similarity.PqSubspaces).map(s => col(s"pq$s")))
+    val pqCols = (0 until m).map(s => col(s"pq$s"))
+    val luts = (0 until m).map(s => col(s"lut$s"))
     val codes = store.select(
-      col("cell").cast("int").as("cell") +: col("vec_id") +:
-        (0 until Similarity.PqSubspaces).map(s => col(s"pq$s")): _*)
+      col("cell").cast("int").as("cell") +: col("vec_id") +: pqCols: _*)
+      .withColumn("rnorm", Similarity.pqReconNorm(books, pqCols))
     val approx = codes.join(broadcast(qcells), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(Vectors.cosine(col("qv"), recon), 4).as("ascore"))
+        round(Similarity.adcScore(pqCols, luts,
+          col("qnorm"), col("rnorm")), 4).as("ascore"))
     val wc = Window.partitionBy(col("query_id"))
       .orderBy(col("ascore").desc, col("vec_id"))
     val cand = approx.withColumn("crk", row_number().over(wc))

@@ -186,20 +186,26 @@ object Relational {
         GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
       "left-semi join == EXISTS"),
 
-    // -- anti join (NOT EXISTS): customers who never ordered.
+    // -- anti join (NOT EXISTS): customers with no RECENT order. The
+    //    window matters: every fixture customer has some order, so
+    //    the unwindowed form verified on an empty output (a vacuous
+    //    hash match — the round-13 verdict's point); lapsed-since-
+    //    2000 returns rows at every SF (14 / 135 / 1355).
     Q("q07_customers_no_orders",
       (s, d) => {
         val x = t(s, d)
         x.customer
-          .join(x.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(x.orders.filter(col("o_orderdate") >= lit("2000-01-01").cast("date")),
+                col("c_custkey") === col("o_custkey"), "left_anti")
           .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
           .orderBy(col("c_custkey"))
       },
       Some("""SELECT c_custkey, c_name, c_mktsegment
         FROM customer WHERE NOT EXISTS (
-          SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          SELECT 1 FROM orders WHERE o_custkey = c_custkey
+            AND o_orderdate >= DATE '2000-01-01')
         ORDER BY c_custkey"""),
-      "left-anti join == NOT EXISTS"),
+      "left-anti join == NOT EXISTS (lapsed customers)"),
 
     // -- exact distinct aggregation (expands to two-phase agg).
     Q("q08_distinct_customers",
@@ -754,16 +760,25 @@ object Relational {
         INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey"""),
       "intersect"),
 
+    // -- EXCEPT over filtered segments: every customer nation has a
+    //    supplier in the fixture, so the unfiltered form verified on
+    //    an empty output (vacuous hash match — round-13 verdict).
+    //    Segment-vs-negative-balance returns rows at every SF
+    //    (17 / 21 / 2).
     Q("q14_except_nations",
       (s, d) => {
         val x = t(s, d)
-        x.customer.select(col("c_nationkey").as("nationkey"))
-          .except(x.supplier.select(col("s_nationkey").as("nationkey")))
+        x.customer.filter(col("c_mktsegment") === "AUTOMOBILE")
+          .select(col("c_nationkey").as("nationkey"))
+          .except(x.supplier.filter(col("s_acctbal") < 0)
+            .select(col("s_nationkey").as("nationkey")))
           .orderBy(col("nationkey"))
       },
       Some("""SELECT c_nationkey AS nationkey FROM customer
-        EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey"""),
-      "except"),
+        WHERE c_mktsegment = 'AUTOMOBILE'
+        EXCEPT SELECT s_nationkey FROM supplier WHERE s_acctbal < 0
+        ORDER BY nationkey"""),
+      "except (nations with AUTOMOBILE demand, no distressed supplier)"),
 
     // -- HAVING (post-aggregation filter).
     Q("q15_having",

@@ -863,23 +863,27 @@ object Similarity {
 
     // -- q165: PQ-ADC search — the COMPRESSED-SCAN tier of the ANN
     //    family (q60 exact floats → q147 int8 SQ → this, 6-byte PQ
-    //    codes). Four 16-dim subspace codebooks are learned by the
+    //    codes). Eight 8-dim subspace codebooks are learned by the
     //    SAME deterministic spherical k-means as every other codebook
     //    here ([[kmeansCodebook]] per subvector slice — hash seeds,
     //    decimal-summed means, DESC-tie [[cellOf]] assignment), each
     //    vector quantizes to 8 six-bit ids, and the approximate pass
-    //    scores each query against the RECONSTRUCTION (the 8 chosen
-    //    centroids concatenated — ADC with cosine normalization:
-    //    Σ_s dot(q_s, c_s) IS dot(q, concat)). 4dp-round before the
-    //    candidate rank (the round-before-rank rule), top-
-    //    $PqRerankWidth per query re-ranked with exact cosines. The
-    //    scan is LINEAR per query (flat-PQ: compression is the win,
-    //    not pruning) over the capped query subset — the q60 cap
-    //    discipline, mirrored in the oracle; the probe-PRUNED
-    //    composition is the persisted IVF-PQ arm (q166), which
-    //    stores these codes at write time. The oracle replays the
-    //    whole apparatus: 4 independent subspace k-means builds,
-    //    code assignment, reconstruction, ADC rank, exact re-rank.
+    //    is a TRUE ADC scan: per query the 8×64 partial-dot lookup
+    //    tables ([[adcLut]]) and norm are built once on the
+    //    broadcast side, |recon| is hoisted once per coded row
+    //    ([[pqReconNorm]] — subspaces concatenate, so |recon|² =
+    //    Σ_s |c_s|²), and each pair costs 8 array lookups + adds
+    //    ([[adcScore]]: Σ_s dot(q_s, c_s) IS dot(q, concat)).
+    //    4dp-round before the candidate rank (the round-before-rank
+    //    rule), top-$PqRerankWidth per query re-ranked with exact
+    //    cosines. The scan is LINEAR per query (flat-PQ: compression
+    //    is the win, not pruning) over the capped query subset — the
+    //    q60 cap discipline, mirrored in the oracle; the probe-
+    //    PRUNED composition is the persisted IVF-PQ arm (q166),
+    //    which stores these codes at write time. The oracle replays
+    //    the whole apparatus: 8 independent subspace k-means builds,
+    //    code assignment, the same Σ_s-grouped ADC score, ADC rank,
+    //    exact re-rank.
     Q("q165_pq_adc_search",
       (s, d) => pqAdcOn(t(s, d).embeddings),
       Some(pqAdcOracleSql),
@@ -897,7 +901,7 @@ object Similarity {
     //    quantizer bytes drop 64× vs raw and 16× vs SQ. Exact
     //    re-rank fetches true vectors for the top-$PqRerankWidth
     //    candidates only. The oracle replays everything: the IVF
-    //    k-means build, the stored primary assignment, the 4
+    //    k-means build, the stored primary assignment, the 8
     //    subspace k-means builds, the stored codes, the probe, the
     //    ADC rank inside probed cells, and the exact re-rank.
     //    SimilaritySpec pins recall vs q60 and that the ADC scan's
@@ -1057,34 +1061,103 @@ object Similarity {
     map(cents.flatMap { case (id, c) =>
       Seq(lit(id), array(c.map(lit(_)): _*)) }: _*)
 
-  /** The PQ reconstruction: the 4 coded centroids concatenated in
-    * subspace order — cosine against it IS the ADC score with the
-    * reconstruction-norm normalization.
+  /** Slot code+1 → |centroid|² for one subspace book, as a constant-
+    * folded 64-slot array literal (ids emptied by a Lloyd round get
+    * null — they are never produced as codes, so never looked up).
+    * Scala's foldLeft multiplies-and-adds in the same left-to-right
+    * index order as the oracle's `list_dot_product(cv, cv)`, so the
+    * literal is bit-equal to the replayed value.
     */
-  private[queries] def pqRecon(books: Seq[Seq[(Int, Seq[Double])]],
-      codes: Seq[Column]): Column =
-    concat(books.zipWithIndex.map { case (b, s) =>
-      element_at(bookLit(b), codes(s)) }: _*)
+  private[queries] def bookSqNorms(book: Seq[(Int, Seq[Double])]): Column = {
+    val m = book.toMap
+    array((0 until PqCentroids).map { id =>
+      m.get(id) match {
+        case Some(c) => lit(c.foldLeft(0.0)((a, x) => a + x * x))
+        case None    => lit(null).cast("double")
+      }
+    }: _*)
+  }
 
-  /** q165's body: learn the subspace codebooks, code every vector,
-    * ADC-score the capped query subset against the reconstructions
-    * (4dp round before the candidate rank), exact re-rank the top
-    * `rerankWidth` to `topK`. Output matches q64/q147's shape.
+  /** |reconstruction| once per CODED ROW: subspaces concatenate, so
+    * |recon|² = Σ_s |c_{s,code_s}|² — [[PqSubspaces]] O(1) array
+    * lookups against [[bookSqNorms]] literals and a left-assoc add
+    * chain; no 64-dim vector is materialized. Hoist this into the
+    * codes projection so the per-pair ADC score never recomputes it.
+    */
+  private[queries] def pqReconNorm(books: Seq[Seq[(Int, Seq[Double])]],
+      codes: Seq[Column]): Column =
+    sqrt(books.zipWithIndex.map { case (b, s) =>
+      element_at(bookSqNorms(b), codes(s) + 1) }.reduce(_ + _))
+
+  /** One subspace's ADC lookup table for a query vector: slot
+    * code+1 = dot(q_sub_s, centroid_code) — the classic per-query
+    * [[PqSubspaces]]×[[PqCentroids]] table of partial dots, computed
+    * ONCE per query row (the broadcast side) so each (query × code)
+    * pair costs [[PqSubspaces]] array indexes + adds instead of a
+    * 64-dim cosine against a freshly allocated reconstruction.
+    * Explicit left-assoc product-sum = the oracle's sequential
+    * `list_dot_product` order, term for term.
+    */
+  private[queries] def adcLut(qv: Column, book: Seq[(Int, Seq[Double])],
+      s: Int): Column = {
+    val lo = s * PqSubDim
+    val m = book.toMap
+    // centroids as ONE constant-folded array-of-arrays literal and a
+    // small transform lambda (8 products) — NOT 64 unrolled dot
+    // expressions, whose ~4096-term projection cost seconds of
+    // codegen compile per plan and dwarfed the scan it was hoisted
+    // out of
+    val bookArr = array((0 until PqCentroids).map { id =>
+      m.get(id) match {
+        case Some(c) => array(c.map(lit(_)): _*)
+        case None    => lit(null).cast("array<double>")
+      }
+    }: _*)
+    transform(bookArr, c =>
+      (0 until PqSubDim).map(i =>
+        element_at(qv, lo + i + 1) * element_at(c, i + 1))
+        .reduce(_ + _))
+  }
+
+  /** The per-pair ADC score off hoisted state: Σ_s lut_s[code_s]
+    * over (qnorm · rnorm). Numerator grouping (per-subspace partial
+    * dots summed left-assoc) and denominator grouping (per-subspace
+    * |c|² summed under one sqrt) are mirrored exactly in the q165/
+    * q166 oracles, so 4dp round-before-rank stays bit-stable.
+    */
+  private[queries] def adcScore(codes: Seq[Column], luts: Seq[Column],
+      qnorm: Column, rnorm: Column): Column =
+    codes.zip(luts).map { case (cd, l) =>
+      element_at(l, cd + 1) }.reduce(_ + _) / (qnorm * rnorm)
+
+  /** q165's body: learn the subspace codebooks, code every vector
+    * (hoisting the reconstruction norm into the SAME projection —
+    * once per row), build each query's ADC lookup tables + norm once
+    * on the broadcast side, then score every pair as
+    * [[PqSubspaces]] O(1) lookups + adds ([[adcScore]] — 4dp round
+    * before the candidate rank), exact re-rank the top `rerankWidth`
+    * to `topK`. Output matches q64/q147's shape.
     */
   def pqAdcOn(emb: DataFrame,
               rerankWidth: Int = PqRerankWidth, topK: Int = 5): DataFrame = {
     val e = emb.select(col("vec_id"),
       Vectors.asDouble(col("embedding")).as("v"))
     val books = pqCodebooks(e)
+    val pqCols = (0 until PqSubspaces).map(s => col(s"pq$s"))
     val codes = e.select(col("vec_id") +: pqCodeCols(col("v"), books): _*)
+      .withColumn("rnorm", pqReconNorm(books, pqCols))
     val q = querySubset(emb).select(col("query_id"),
       Vectors.asDouble(col("q_emb")).as("qv"))
-    val recon = pqRecon(books,
-      (0 until PqSubspaces).map(s => col(s"pq$s")))
-    val approx = codes.crossJoin(broadcast(q))
+    val qlut = q.select(col("query_id") +:
+      Vectors.norm(col("qv")).as("qnorm") +:
+      books.zipWithIndex.map { case (b, s) =>
+        adcLut(col("qv"), b, s).as(s"lut$s") }: _*)
+    val luts = (0 until PqSubspaces).map(s => col(s"lut$s"))
+    val approx = codes.crossJoin(broadcast(qlut))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(Vectors.cosine(col("qv"), recon), 4).as("ascore"))
+        round(adcScore(pqCols, luts, col("qnorm"), col("rnorm")), 4)
+          .as("ascore"))
     val wc = Window.partitionBy(col("query_id"))
       .orderBy(col("ascore").desc, col("vec_id"))
     val cand = approx.withColumn("crk", row_number().over(wc))
@@ -1144,30 +1217,40 @@ object Similarity {
     ${assignSql(s"c${s}2", s"cd$s")}"""
   }
 
-  /** The q165 oracle: 4 subspace k-means replays, code assignment,
-    * centroid-concat reconstruction, 4dp ADC rank at
-    * $PqRerankWidth, exact re-rank to top-5 — the q147 chain with
-    * the PQ quantizer in place of SQ.
+  /** The q165 oracle: 8 subspace k-means replays, code assignment,
+    * per-subspace partial-dot ADC score (the same Σ_s grouping as
+    * [[adcScore]] — numerator summed left-assoc over subspace
+    * `list_dot_product`s, |recon|² the left-assoc sum of per-
+    * subspace |c|² under one sqrt), 4dp ADC rank at $PqRerankWidth,
+    * exact re-rank to top-5 — the q147 chain with the PQ quantizer
+    * in place of SQ.
     */
   private def pqAdcOracleSql: String = {
     val sub = (0 until PqSubspaces).map(pqSubspaceCtes).mkString(",\n    ")
     val reconJoin = (0 until PqSubspaces).map(s =>
       s"JOIN cd$s ON cd$s.vec_id = e.vec_id " +
         s"JOIN c${s}2 cb$s ON cb$s.c = cd$s.c").mkString(" ")
-    val rv = (0 until PqSubspaces).map(s => s"cb$s.cv").mkString(" || ")
+    val cvs = (0 until PqSubspaces).map(s => s"cb$s.cv AS cv$s")
+      .mkString(", ")
+    val num = (0 until PqSubspaces).map { s =>
+      val lo = s * PqSubDim + 1; val hi = (s + 1) * PqSubDim
+      s"list_dot_product(q.v[$lo:$hi], r.cv$s)" }
+      .mkString("\n          + ")
+    val rn2 = (0 until PqSubspaces).map(s =>
+      s"list_dot_product(r.cv$s, r.cv$s)").mkString(" + ")
     s"""WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     $sub,
     recon AS (
-      SELECT e.vec_id, $rv AS rv FROM e $reconJoin),
+      SELECT e.vec_id, $cvs FROM e $reconJoin),
     q AS (
       SELECT vec_id AS query_id, v FROM e
       WHERE vec_id % 100 = 0 AND vec_id < $ExactBaselineVecCap),
     approx AS (
       SELECT q.query_id, r.vec_id,
-        ROUND(list_dot_product(q.v, r.rv)
+        ROUND(($num)
           / (sqrt(list_dot_product(q.v, q.v))
-           * sqrt(list_dot_product(r.rv, r.rv))), 4) AS ascore
+           * sqrt($rn2)), 4) AS ascore
       FROM q CROSS JOIN recon r WHERE r.vec_id <> q.query_id),
     cand AS (
       SELECT query_id, vec_id FROM (
@@ -1193,7 +1276,7 @@ object Similarity {
 
   /** The q166 oracle: the q147 replay chain with the PQ quantizer —
     * IVF k-means build + stored assignment + probe cells
-    * ([[ivfSqOracleSql]]'s machinery), 4 subspace k-means replays +
+    * ([[ivfSqOracleSql]]'s machinery), 8 subspace k-means replays +
     * stored codes + reconstruction ([[pqAdcOracleSql]]'s), ADC rank
     * restricted to probed cells, exact re-rank to top-5.
     */
@@ -1202,7 +1285,14 @@ object Similarity {
     val reconJoin = (0 until PqSubspaces).map(s =>
       s"JOIN cd$s ON cd$s.vec_id = e.vec_id " +
         s"JOIN c${s}2 cb$s ON cb$s.c = cd$s.c").mkString(" ")
-    val rv = (0 until PqSubspaces).map(s => s"cb$s.cv").mkString(" || ")
+    val cvs = (0 until PqSubspaces).map(s => s"cb$s.cv AS cv$s")
+      .mkString(", ")
+    val num = (0 until PqSubspaces).map { s =>
+      val lo = s * PqSubDim + 1; val hi = (s + 1) * PqSubDim
+      s"list_dot_product(eq.v[$lo:$hi], r.cv$s)" }
+      .mkString("\n          + ")
+    val rn2 = (0 until PqSubspaces).map(s =>
+      s"list_dot_product(r.cv$s, r.cv$s)").mkString(" + ")
     s"""WITH $kmeansBuildCtes,
     ${probeSql("c2", "pr", IvfNProbe)},
     assigned AS (SELECT vec_id, c AS cell FROM pr WHERE rk = 1),
@@ -1211,12 +1301,12 @@ object Similarity {
       WHERE vec_id % 100 = 0 AND vec_id < $ExactBaselineVecCap),
     $sub,
     recon AS (
-      SELECT e.vec_id, $rv AS rv FROM e $reconJoin),
+      SELECT e.vec_id, $cvs FROM e $reconJoin),
     approx AS (
       SELECT qc.query_id, a.vec_id,
-        ROUND(list_dot_product(eq.v, r.rv)
+        ROUND(($num)
           / (sqrt(list_dot_product(eq.v, eq.v))
-           * sqrt(list_dot_product(r.rv, r.rv))), 4) AS ascore
+           * sqrt($rn2)), 4) AS ascore
       FROM qc JOIN assigned a ON a.cell = qc.cell
         JOIN recon r ON r.vec_id = a.vec_id
         JOIN e eq ON eq.vec_id = qc.query_id
