@@ -60,26 +60,39 @@ import graft.engine.EpochStore
   * [[maintain]]/[[compact]] run between micro-batches or with the
   * append stream stopped.
   *
-  * RIGHT-TO-BE-FORGOTTEN boundary (round 13, deliberate): this store
-  * has NO `forget` — unlike the six tombstone-enabled stores
-  * ([[graft.engine.Tombstones]]) — because its derived state cannot
-  * be exactly DECREMENTED from what it keeps: the df-relative
-  * informative measure means removing a doc can drop a shingle's df
-  * back UNDER `maxDf`, re-qualifying occurrences that were
-  * deliberately dropped from every stored per-doc array (over-cap
-  * postings are boilerplate — persisting them would cost the bulk of
-  * the corpus), and the store does not even know WHICH over-cap
-  * shingles the forgotten doc carried. A tombstone-style forget
-  * would therefore be silently inexact for OTHER docs' verdicts —
-  * the failure mode this codebase refuses. The honest operation is a
-  * rebuild from the source corpus minus the forgotten set ([[build]]
-  * — one from-scratch pass, the same cost class as the original
-  * build); an exact decremental path would require persisting the
-  * full doc→shingle postings (a design trade documented, not taken).
+  * RIGHT-TO-BE-FORGOTTEN (round 14 — the round-13 boundary, closed
+  * by taking the documented design trade): the store now persists a
+  * fifth table `postings/` (doc_id, sh) — the FULL doc→shingle
+  * relation, over-cap shingles included — precisely so a takedown
+  * can be decremented EXACTLY: [[forget]] recomputes the union df
+  * minus the forgotten docs' contributions, rebuilds the arrays of
+  * the (takedown-bounded) docs whose informative sets GAIN a
+  * requalified shingle, re-scores only pairs touching those docs,
+  * and re-solves only adjacent clusters
+  * ([[NearDupOps.forgetContainmentParts]] — the incremental append
+  * engine in reverse; post-forget reads equal a fresh build over the
+  * corpus minus the forgotten set, ForgetSpec-pinned). The sidecar's
+  * price is the over-cap posting tail the arrays deliberately drop —
+  * ~the corpus' shingle volume, the storage trade that buys
+  * O(|takedown|) exact forgets instead of O(corpus) rebuilds per
+  * request. Forgotten ids land in the shared tombstone table
+  * ([[graft.engine.Tombstones]]): doc-keyed read surfaces exclude
+  * them immediately, [[compact]] purges physically, and a crash
+  * between the tombstone commit and the delta commit heals on the
+  * next [[forget]]/[[maintain]]/[[appendEpoch]] (the delta
+  * recomputes deterministically from storage — the CalibrationStore
+  * discipline).
   */
 object ContainmentStore {
 
-  private val Tables = Seq("dfs", "perdoc", "pairs", "verdicts")
+  /** The four LWW delta tables (seq-stamped). */
+  private val LwwTables = Seq("dfs", "perdoc", "pairs", "verdicts")
+
+  /** All five epoch tables; `postings/` is the append-only full
+    * doc→shingle sidecar (no seq — rows are never re-stamped, docs
+    * are never re-ingested while resident).
+    */
+  private val Tables = LwwTables :+ "postings"
 
   /** Build the store: one full [[NearDupOps.containmentStateOn]] pass
     * (the one-time from-scratch cost), each relation as the base
@@ -104,7 +117,11 @@ object ContainmentStore {
       "pairs" -> st.pairs.withColumn("live", lit(true))
         .withColumn("seq", lit(0L)),
       "verdicts" -> st.verdicts.withColumn("live", lit(true))
-        .withColumn("seq", lit(0L)))
+        .withColumn("seq", lit(0L)),
+      // the FULL doc→shingle relation, over-cap rows included — the
+      // exact-forget sidecar (one extra shingling pass at build time;
+      // appends derive theirs from the batch)
+      "postings" -> fullPostingsOf(docs))
     Tables.foreach { t =>
       EpochStore.create(s"$path/$t", rebuild = true) { dir =>
         base(t).write.mode("overwrite").parquet(dir)
@@ -131,26 +148,84 @@ object ContainmentStore {
     * the single-maintenance-writer contract remains the guarantee.
     */
   private[graft] def stateView(spark: SparkSession, path: String,
-      excludeIds: Set[Long] = Set.empty): NearDupOps.ContainmentState = {
-    val snap = EpochStore.snapshot(Tables.map(t => s"$path/$t"))
+      excludeIds: Set[Long] = Set.empty): NearDupOps.ContainmentState =
+    resolvedState(spark, path, excludeIds,
+      Some(graft.engine.Tombstones.ids(spark, path)))
+
+  /** [[stateView]] with the doc-exclusion frame explicit — the heal
+    * path passes only the ALREADY-APPLIED forgotten ids so the
+    * epoch being healed still sees its docs' pre-forget rows.
+    */
+  private def resolvedState(spark: SparkSession, path: String,
+      excludeIds: Set[Long],
+      excludeDocs: Option[DataFrame]): NearDupOps.ContainmentState = {
+    val snap = EpochStore.snapshot(LwwTables.map(t => s"$path/$t"))
     def raw(t: String) = {
       val r = snap.read(spark, s"$path/$t")
       if (excludeIds.isEmpty) r
       else r.filter(!col("epoch").isin(excludeIds.map(_.toString).toSeq: _*))
     }
-    val pairsLive = lwwBy(raw("pairs"), Seq("doc_a", "doc_b"),
+    def minus(df: DataFrame, keys: String*): DataFrame =
+      excludeDocs match {
+        case None => df
+        case Some(f) => keys.foldLeft(df) { (d, k) =>
+          d.join(broadcast(f.select(col("doc_id").as(k))), Seq(k),
+            "left_anti")
+        }
+      }
+    val pairsLive = minus(lwwBy(raw("pairs"), Seq("doc_a", "doc_b"),
       Seq("n_common", "n_a", "n_b", "containment", "live"))
-      .filter(col("live")).drop("live")
-    val verdictsLive = lwwBy(raw("verdicts"), Seq("doc_id"),
+      .filter(col("live")).drop("live"), "doc_a", "doc_b")
+    val verdictsLive = minus(lwwBy(raw("verdicts"), Seq("doc_id"),
       Seq("cluster_id", "canon_id", "n", "is_kept", "live"))
-      .filter(col("live")).drop("live")
+      .filter(col("live")).drop("live"), "doc_id")
     NearDupOps.ContainmentState(
       dfAll = lwwBy(raw("dfs"), Seq("sh"), Seq("df")),
-      perDoc = lwwBy(raw("perdoc"), Seq("doc_id"),
-        Seq("shs", "n", "plen")),
+      perDoc = minus(lwwBy(raw("perdoc"), Seq("doc_id"),
+        Seq("shs", "n", "plen")), "doc_id"),
       pairs = pairsLive,
       verdicts = verdictsLive)
   }
+
+  /** The full doc→shingle relation of `docs` — what `postings/`
+    * persists (distinct (doc_id, sh) rows, NO df cut: the over-cap
+    * tail is the whole point).
+    */
+  private def fullPostingsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(array_distinct(
+        graft.functions.Text.shingles(col("text"), 3))).as("sh"))
+      .distinct()
+
+  /** The resolved postings view minus `excludeDocs` (defaults to the
+    * tombstoned set).
+    */
+  private def postingsView(spark: SparkSession, path: String,
+      excludeDocs: Option[DataFrame]): DataFrame = {
+    val raw = EpochStore.read(spark, s"$path/postings")
+      .select(col("doc_id"), col("sh")).distinct()
+    excludeDocs match {
+      case None => raw
+      case Some(f) => raw.join(broadcast(f.select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
+    }
+  }
+
+  private def requirePostings(path: String): Unit =
+    if (!graft.engine.Archive.hasVersion(s"$path/postings"))
+      throw new IllegalStateException(
+        s"ContainmentStore at $path has no postings/ table — a " +
+          "pre-round-14 layout without the exact-forget sidecar. " +
+          "Reads and compaction remain servable, but appends and " +
+          "forget are blocked until ContainmentStore.build re-runs " +
+          "over the corpus to migrate the layout.")
+
+  /** Forget epochs committed in the tombstone table whose data-side
+    * delta has not landed (a crash between [[forget]]'s two halves).
+    */
+  private def danglingForgetIds(path: String): Set[Long] =
+    (if (graft.engine.Archive.hasVersion(s"$path/forgotten"))
+       EpochStore.committedIds(s"$path/forgotten")
+     else Set.empty[Long]) -- EpochStore.committedIds(s"$path/dfs")
 
   /** The resolved verdict table — q156's body. */
   def read(spark: SparkSession, path: String): DataFrame =
@@ -184,6 +259,11 @@ object ContainmentStore {
     */
   def appendEpoch(batch: DataFrame, path: String, id: Long): Unit = {
     val spark = batch.sparkSession
+    requirePostings(path)
+    // a dangling forget's delta must land BEFORE this append reads
+    // the state (the delta recomputes deterministically, so healing
+    // inline is safe and keeps the stream available)
+    healForgetDeltas(spark, path)
     val (tau, maxDf) = params(path)
     if (Tables.forall(t => EpochStore.committed(s"$path/$t", id)))
       return // full replay — storage-level no-op
@@ -204,7 +284,7 @@ object ContainmentStore {
           "already resident in the store — re-ingesting a document " +
           "would double-count its shingles in dfs/ and overwrite its " +
           "perdoc signature; appends must carry NEW ids only")
-    val seqNext = 1L + Tables.map { t =>
+    val seqNext = 1L + LwwTables.map { t =>
       val r = EpochStore.read(spark, s"$path/$t")
         .filter(col("epoch") =!= id.toString)
         .agg(max(col("seq"))).head()
@@ -212,6 +292,7 @@ object ContainmentStore {
     }.max
     val d = NearDupOps.incrementalContainmentParts(state, batch, tau, maxDf)
     val deltas = Map(
+      "postings" -> fullPostingsOf(batch),
       "dfs" -> d.dfs.withColumn("seq", lit(seqNext)),
       "perdoc" -> d.perDoc.withColumn("seq", lit(seqNext)),
       "pairs" -> d.pairsLive.withColumn("live", lit(true))
@@ -294,32 +375,127 @@ object ContainmentStore {
       }
       .start()
 
-  /** Fold all four tables to their RESOLVED rows (LWW winners; dead
+  /** EXACT right-to-be-forgotten: tombstone the ids (one atomic
+    * epoch — doc-keyed read surfaces exclude them immediately), then
+    * commit the decrement delta
+    * ([[NearDupOps.forgetContainmentParts]]: union-df decrements,
+    * requalification-affected array rebuilds, A-neighborhood pair
+    * re-scores, adjacent-cluster verdict re-solves) as one forget-
+    * band epoch across all five tables. Replay-idempotent (a
+    * redelivered batch drops already-tombstoned ids; a committed
+    * delta id no-ops) and crash-healing (a dangle between the two
+    * halves recomputes deterministically from storage on the next
+    * forget/append/maintain). Never-ingested ids change no read
+    * surface. Requires the round-14 postings layout.
+    */
+  def forget(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    requirePostings(path)
+    val id = math.max(
+      if (graft.engine.Archive.hasVersion(s"$path/forgotten"))
+        EpochStore.nextForgetEpochId(s"$path/forgotten")
+      else EpochStore.ForgetFloor,
+      LwwTables.map(t => EpochStore.nextForgetEpochId(s"$path/$t")).max)
+    graft.engine.Tombstones.forget(spark, path, ids, withId = Some(id))
+    healForgetDeltas(spark, path)
+  }
+
+  /** Commit the decrement delta for every tombstoned epoch whose
+    * data side is missing — [[forget]]'s second half, re-runnable
+    * from storage alone: the epoch's ids come from the tombstone
+    * table, its pre-forget state from the LWW views excluding only
+    * ALREADY-APPLIED forget batches (so the docs being healed still
+    * show their rows), and
+    * [[NearDupOps.forgetContainmentParts]] is deterministic. Called
+    * by [[forget]], [[appendEpoch]], [[maintain]] and [[compact]].
+    */
+  private def healForgetDeltas(spark: SparkSession, path: String): Unit = {
+    if (danglingForgetIds(path).isEmpty) return
+    val (tau, maxDf) = params(path)
+    danglingForgetIds(path).toSeq.sorted.foreach { id =>
+      val forgotten = EpochStore.read(spark, s"$path/forgotten")
+      val applied = (EpochStore.committedIds(s"$path/forgotten")
+        intersect EpochStore.committedIds(s"$path/dfs"))
+      val appliedDocs =
+        if (applied.isEmpty) None
+        else Some(forgotten
+          .filter(col("epoch").isin(applied.map(_.toString).toSeq: _*))
+          .select(col("doc_id")))
+      val fids = forgotten.filter(col("epoch") === id.toString)
+        .select(col("doc_id"))
+      val state = resolvedState(spark, path, Set.empty, appliedDocs)
+      val postAll = postingsView(spark, path, appliedDocs)
+      val seqNext = 1L + LwwTables.map { t =>
+        val r = EpochStore.read(spark, s"$path/$t")
+          .filter(col("epoch") =!= id.toString)
+          .agg(max(col("seq"))).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }.max
+      val d = NearDupOps.forgetContainmentParts(state, postAll, fids,
+        tau, maxDf)
+      val deltas = Map(
+        "dfs" -> d.dfs.withColumn("seq", lit(seqNext)),
+        "perdoc" -> d.perDoc.withColumn("seq", lit(seqNext)),
+        "pairs" -> d.pairsLive.withColumn("live", lit(true))
+          .unionByName(d.pairsDead
+            .withColumn("n_common", lit(0L)).withColumn("n_a", lit(0L))
+            .withColumn("n_b", lit(0L))
+            .withColumn("containment", lit(0.0))
+            .withColumn("live", lit(false)))
+          .withColumn("seq", lit(seqNext)),
+        "verdicts" -> d.verdictsLive.withColumn("live", lit(true))
+          .unionByName(d.verdictsDead
+            .withColumn("cluster_id", lit(0L)).withColumn("canon_id", lit(0L))
+            .withColumn("n", lit(0L)).withColumn("is_kept", lit(0))
+            .withColumn("live", lit(false)))
+          .withColumn("seq", lit(seqNext)),
+        // the forgotten docs' posting rows are retracted by the
+        // tombstone exclusion (purged at compaction) — the epoch
+        // here is empty, committed only to keep the five id sets
+        // converged
+        "postings" -> EpochStore.read(spark, s"$path/postings")
+          .select(col("doc_id"), col("sh")).limit(0))
+      val staged = deltas.map { case (t, df) =>
+        t -> df.localCheckpoint(true) }
+      Tables.foreach { t =>
+        EpochStore.commitEpoch(s"$path/$t", id) { tmp =>
+          staged(t).write.mode("overwrite").parquet(tmp)
+        }
+      }
+    }
+  }
+
+  /** Fold all five tables to their RESOLVED rows (LWW winners; dead
     * pair/verdict rows are dropped outright — after the fold, absence
-    * means never-paired, exactly the read semantics). Each fold is
-    * one manifest flip with the epoch ledger carried. Refuses over a
-    * half-committed append.
+    * means never-paired, exactly the read semantics) and PURGE
+    * tombstoned docs physically (the postings fold is what finally
+    * erases a forgotten doc's bytes). Each fold is one manifest flip
+    * with the epoch ledger carried. Refuses over a half-committed
+    * append; heals a dangling forget first (purging before the heal
+    * would destroy the heal's inputs).
     */
   def compact(spark: SparkSession, path: String): Unit = {
+    healForgetDeltas(spark, path)
     requireConverged(path)
     val st = stateView(spark, path)
-    val seqKeep = Tables.map { t =>
+    val seqKeep = LwwTables.map { t =>
       val r = EpochStore.read(spark, s"$path/$t")
         .agg(max(col("seq"))).head()
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }.max
-    val folded = Map(
+    val folded = (Map(
       "dfs" -> st.dfAll, "perdoc" -> st.perDoc,
       "pairs" -> st.pairs.withColumn("live", lit(true)),
       "verdicts" -> st.verdicts.withColumn("live", lit(true)))
-      .map { case (t, df) =>
-        t -> df.withColumn("seq", lit(seqKeep)).localCheckpoint(true)
-      }
+      .map { case (t, df) => t -> df.withColumn("seq", lit(seqKeep)) } +
+      ("postings" -> postingsView(spark, path,
+        Some(graft.engine.Tombstones.ids(spark, path)))))
+      .map { case (t, df) => t -> df.localCheckpoint(true) }
     Tables.foreach { t =>
       EpochStore.create(s"$path/$t", rebuild = true) { dir =>
         folded(t).write.mode("overwrite").parquet(dir)
       }
     }
+    graft.engine.Tombstones.clear(spark, path)
   }
 
   /** Compaction policy: fold only past `maxEpochs` committed epochs
@@ -362,6 +538,11 @@ object ContainmentStore {
     */
   def maintain(spark: SparkSession, path: String,
                maxEpochs: Int = 64): MaintenanceReport = {
+    // a dangling forget heals deterministically from storage — the
+    // tick repairs it before judging divergence (the CalibrationStore
+    // discipline); a half-committed APPEND still reports untouched
+    if (graft.engine.Archive.hasVersion(s"$path/postings"))
+      healForgetDeltas(spark, path)
     val idSets = Tables.map(t => EpochStore.committedIds(s"$path/$t"))
     val diverged = idSets.distinct.size != 1
     val compacted = !diverged && compactIfFragmented(spark, path, maxEpochs)

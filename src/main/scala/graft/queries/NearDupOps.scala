@@ -1314,6 +1314,176 @@ object NearDupOps {
       resolved, verdictsDead, out)
   }
 
+  /** The EXACT right-to-be-forgotten engine for the containment
+    * state — [[incrementalContainmentParts]] run in reverse, made
+    * possible by the full doc→shingle postings relation `postAll`
+    * (over-cap shingles included) that [[ContainmentStore]] persists
+    * precisely for this: without it the store cannot know which
+    * boilerplate shingles a forgotten doc carried, so a df decrement
+    * that re-qualifies a shingle under `maxDf` would leave other
+    * docs' signatures silently stale (the round-13 boundary, now
+    * closed by taking the documented design trade).
+    *
+    * Exactness argument, the append case mirrored:
+    *  1. df only DECREASES under forget, so qualified shingles stay
+    *     qualified; the only set changes are REQUALIFICATIONS
+    *     (df > maxDf before, 0 < df′ ≤ maxDf after), and those
+    *     shingles are a subset of the forgotten docs' own postings —
+    *     batch-bounded.
+    *  2. A surviving doc with no requalified shingle keeps its
+    *     informative set verbatim (stored array order may be stale,
+    *     but the prefix pigeonhole is ORDER-FREE), so for a pair of
+    *     two such docs every stored value carries over. Only pairs
+    *     with an endpoint in A (docs gaining a requalified shingle)
+    *     or touching a forgotten doc can change; every qualifying
+    *     pair with an A endpoint shares a post-forget informative
+    *     shingle, so the two prefix-probe branches find them all.
+    *  3. Components re-solve only in clusters adjacent to a changed
+    *     or removed edge; forgotten docs are in `changedDocs`, so
+    *     their clusters re-solve without them and their verdict rows
+    *     land in `verdictsDead`.
+    * Hence post-forget reads equal the full recompute over the
+    * corpus minus the forgotten set, row for row (ForgetSpec pins
+    * this against a fresh build).
+    *
+    * Scale shape: every delta relation is takedown-bounded —
+    * dr ⊆ the forgotten docs' shingles, requalified ⊆ dr, |A| ≤
+    * |requalified|·maxDf (a requalified shingle has post-forget
+    * df ≤ maxDf), and the candidate probes carry A on their
+    * broadcastable side against scanned stored relations. No corpus
+    * shuffle anywhere.
+    *
+    * @param state   the PRE-forget resolved view (forgotten docs
+    *                still visible — their rows are what the deltas
+    *                retract)
+    * @param postAll the full postings view (doc_id, sh), forgotten
+    *                docs' rows included
+    * @param fids    resident forgotten ids (doc_id)
+    */
+  private[queries] def forgetContainmentParts(
+      state: ContainmentState,
+      postAll: org.apache.spark.sql.DataFrame,
+      fids: org.apache.spark.sql.DataFrame,
+      tau: Double, maxDf: Long): ContainmentDelta = {
+    val fidsB = fids.select(col("doc_id")).distinct().localCheckpoint(true)
+    val shF = postAll.join(broadcast(fidsB), Seq("doc_id"))
+    val drF = shF.groupBy(col("sh")).agg(count(lit(1)).as("dr"))
+      .join(state.dfAll, Seq("sh"))
+      .localCheckpoint(true) // read 3× below; plans hang under joins
+    // decremented union df for every shingle the forgotten docs
+    // carried (df′ = 0 rows are kept — self-describing absence, and
+    // a later re-ingest of the shingle must not masquerade as new)
+    val dfsDelta = drF.select(col("sh"), (col("df") - col("dr")).as("df"))
+    val requal = drF
+      .filter(col("df") > maxDf && col("df") - col("dr") <= maxDf &&
+        col("df") - col("dr") > 0)
+      .select(col("sh"))
+    // A: surviving docs whose informative set GAINS a requalified
+    // shingle — their arrays rebuild under the post-forget df
+    val affected = postAll.join(broadcast(requal), Seq("sh"))
+      .select(col("doc_id")).distinct()
+      .join(broadcast(fidsB), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val dfNew = state.dfAll.join(drF.select(col("sh"), col("dr")),
+        Seq("sh"), "left")
+      .select(col("sh"),
+        (col("df") - coalesce(col("dr"), lit(0L))).as("df"))
+    val tauEff = tau - 0.00005 // q151's 4dp-rounding loosening
+    val rebuiltA = postAll.join(broadcast(affected), Seq("doc_id"))
+      .join(dfNew.filter(col("df") <= maxDf && col("df") > 0), Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(transform(array_sort(collect_list(struct(col("df"), col("sh")))),
+        x => x.getField("sh")).as("shs"))
+    val perDocDelta = rebuiltA
+      .withColumn("n", size(col("shs")).cast("long"))
+      .withColumn("plen",
+        (col("n") - ceil(col("n") * tauEff) + 1).cast("int"))
+      .localCheckpoint(true)
+    val perDocRest = state.perDoc
+      .join(broadcast(affected), Seq("doc_id"), "left_anti")
+      .join(broadcast(fidsB), Seq("doc_id"), "left_anti")
+    val perDocNew = perDocRest.unionByName(perDocDelta)
+    // candidates: only pairs with an A endpoint can change or appear
+    // (forgotten-doc pairs only DIE); both probe directions, the
+    // incremental branches verbatim
+    def pref(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id").as("doc_s"),
+      explode(slice(col("shs"), lit(1), col("plen"))).as("sh"))
+    def posts(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id").as("doc_l"), explode(col("shs")).as("sh"))
+    val postsAll = posts(perDocRest).unionByName(posts(perDocDelta))
+    val cand = pref(perDocDelta).join(postsAll, Seq("sh"))
+      .unionByName(pref(perDocNew).join(posts(perDocDelta), Seq("sh")))
+      .filter(col("doc_s") =!= col("doc_l"))
+      .select(least(col("doc_s"), col("doc_l")).as("doc_a"),
+        greatest(col("doc_s"), col("doc_l")).as("doc_b"))
+      .distinct()
+    val pNew = cand
+      .join(perDocNew.select(col("doc_id").as("doc_a"),
+        col("shs").as("shs_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(perDocNew.select(col("doc_id").as("doc_b"),
+        col("shs").as("shs_b"), col("n").as("n_b")), Seq("doc_b"))
+      .withColumn("n_common",
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+      .withColumn("containment", round(col("n_common").cast("double")
+        / least(col("n_a"), col("n_b")), 4))
+      .filter(col("containment") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("n_a"), col("n_b"), col("containment"))
+      .localCheckpoint(true)
+    // stored pairs touching a forgotten or affected endpoint that
+    // did not recompute live are DEAD
+    val touchedEnds = affected.unionByName(fidsB).localCheckpoint(true)
+    val pairsDead = state.pairs
+      .join(broadcast(touchedEnds.select(col("doc_id").as("doc_a"))),
+        Seq("doc_a"), "left_semi")
+      .unionByName(state.pairs
+        .join(broadcast(touchedEnds.select(col("doc_id").as("doc_b"))),
+          Seq("doc_b"), "left_semi")
+        .select(state.pairs.columns.map(col): _*))
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .join(pNew.select(col("doc_a"), col("doc_b")),
+        Seq("doc_a", "doc_b"), "left_anti")
+    val carried = state.pairs
+      .join(broadcast(touchedEnds.select(col("doc_id").as("doc_a"))),
+        Seq("doc_a"), "left_anti")
+      .join(broadcast(touchedEnds.select(col("doc_id").as("doc_b"))),
+        Seq("doc_b"), "left_anti")
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("n_a"), col("n_b"), col("containment"))
+    val changedDocs = pNew.select(col("doc_a").as("doc_id"))
+      .unionByName(pNew.select(col("doc_b").as("doc_id")))
+      .unionByName(touchedEnds).distinct()
+    val touched = state.verdicts
+      .join(broadcast(changedDocs), Seq("doc_id"))
+      .select(col("cluster_id")).distinct().localCheckpoint(true)
+    val touchedMembers = state.verdicts
+      .join(broadcast(touched), Seq("cluster_id"))
+      .select(col("doc_id"))
+    val carriedTouched = carried.join(
+      broadcast(touchedMembers.select(col("doc_id").as("doc_a"))),
+      Seq("doc_a"), "left_semi")
+    val pairsResolve = carriedTouched.unionByName(pNew).localCheckpoint(true)
+    val resolved = containmentVerdictsOn(pairsResolve)
+      .select(col("doc_id"), col("cluster_id"), col("canon_id"),
+        col("n"), col("is_kept"))
+      .localCheckpoint(true)
+    // touched-cluster members that left every cluster — the forgotten
+    // docs' own rows land here (they are in changedDocs and absent
+    // from the resolve graph)
+    val verdictsDead = touchedMembers
+      .join(resolved.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val out = state.verdicts
+      .join(broadcast(touched), Seq("cluster_id"), "left_anti")
+      .join(broadcast(fidsB), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"), col("canon_id"),
+        col("n"), col("is_kept"))
+      .unionByName(resolved)
+      .orderBy(col("doc_id"))
+    ContainmentDelta(dfsDelta, perDocDelta, pNew, pairsDead,
+      resolved, verdictsDead, out)
+  }
+
   /** q54's scored pair plan over any documents frame: candidate pairs
     * blocked on (lang, length bucket), shingles computed once and
     * persisted, Jaccard verified on 64-bit shingle hashes. Shared by

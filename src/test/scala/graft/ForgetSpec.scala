@@ -320,4 +320,122 @@ class ForgetSpec extends SparkSpec {
       IvfIndex.query(spark, ni, queries, nprobe = k),
       "exact query post-purge")
   }
+
+  // ---- ContainmentStore: the EXACT decrement (round 14) -----------
+
+  /** The ContainmentStoreSpec crafted corpus at maxDf = 3. The
+    * trigram "q1 q2 q3" sits in docs 3/4/5/102 — df 4, over-cap —
+    * so forgetting 102 REQUALIFIES it into 3/4/5's informative sets:
+    * the case the round-13 boundary said a tombstone forget could
+    * not serve, now exact via the postings sidecar.
+    */
+  private val csMaxDf = 3L
+  private def csDocs = {
+    import spark.implicits._
+    Seq(
+      (0L, "s1 s2 s3 s4 s5"),
+      (1L, "s1 s2 s3 s4 s5 y1 y2"),
+      (2L, "p1 p2 p3 c1 c2 c3 c4 c5"),
+      (3L, "q1 q2 q3 c1 c2 c3 c4 c5"),
+      (4L, "q1 q2 q3 c1 c2 r1 r2 r3"),
+      (5L, "q1 q2 q3 c1 c2 t1 t2 t3"),
+      (6L, "d1 d2 d3 d4 d5"),
+      (7L, "d1 d2 d3 d4 d5 d6 d7"),
+      (8L, "g1 g2 g3 g4 g5"),
+      (9L, "g1 g2 g3 g4 g5 g6 g7"),
+      (12L, "v1 v2 v3 v4 v5"),
+      (13L, "v1 v2 v3 v4 v5 v6 v7"),
+      (100L, "s1 s2 s3 s4 s5 za1 za2"),
+      (102L, "q1 q2 q3 c1 c2")).toDF("doc_id", "text")
+  }
+  private val csF = Seq(0L, 102L) // a pair member + the requalifier
+  private def csFdf = {
+    import spark.implicits._
+    csF.toDF("doc_id")
+  }
+  private def csPairs(p: String) = graft.queries.ContainmentStore
+    .readPairs(spark, p)
+    .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"),
+      col("n_b"), col("containment"))
+  private def csVerdicts(p: String) = graft.queries.ContainmentStore
+    .read(spark, p)
+    .select(col("doc_id"), col("cluster_id"), col("canon_id"),
+      col("n"), col("is_kept"))
+
+  test("ContainmentStore.forget: pairs and verdicts equal the " +
+      "never-ingested build, INCLUDING a df requalification other " +
+      "docs' signatures must absorb; never-ingested ids no-op; " +
+      "replay converges") {
+    val base = java.nio.file.Files.createTempDirectory("forget-cs").toString
+    val full = s"$base/full"; val ni = s"$base/ni"
+    graft.queries.ContainmentStore.build(csDocs, full, maxDf = csMaxDf)
+    graft.queries.ContainmentStore.build(
+      csDocs.filter(!col("doc_id").isin(csF: _*)), ni, maxDf = csMaxDf)
+    // the requalification is real and observable: pre-forget the
+    // q-trigrams are over-cap, so doc 3's informative size is 3 and
+    // the (2,3) containment pair is live; forgetting 102 drops their
+    // df to 3, doc 3 absorbs them (n 3 -> 6), the denominator grows
+    // and the pair DIES — exactly the resident-signature staleness a
+    // tombstone-only forget could not serve
+    def pairSet(p: String) = csPairs(p).select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(full).contains((2L, 3L)), "pre-forget (2,3) live")
+    graft.queries.ContainmentStore.forget(spark, full, csFdf)
+    assertSameRows(csPairs(full), csPairs(ni), "containment pairs")
+    assertSameRows(csVerdicts(full), csVerdicts(ni),
+      "containment verdicts")
+    assert(!pairSet(full).contains((2L, 3L)),
+      "the requalified shingles must kill (2,3) via doc 3's grown n")
+    // never-ingested ids change nothing
+    import spark.implicits._
+    graft.queries.ContainmentStore.forget(spark, full,
+      Seq(9999L).toDF("doc_id"))
+    assertSameRows(csVerdicts(full), csVerdicts(ni), "after no-op forget")
+    // replay converges (ids already tombstoned -> storage no-op)
+    graft.queries.ContainmentStore.forget(spark, full, csFdf)
+    assertSameRows(csVerdicts(full), csVerdicts(ni), "after replay")
+  }
+
+  test("ContainmentStore.forget: a crash between tombstone and delta " +
+      "heals on maintain; append after forget equals the fresh " +
+      "sequence, re-ingesting a forgotten id included") {
+    val base = java.nio.file.Files.createTempDirectory("forget-cs2").toString
+    val full = s"$base/full"; val ni = s"$base/ni"
+    graft.queries.ContainmentStore.build(csDocs, full, maxDf = csMaxDf)
+    // CRASH DRILL: commit only the tombstone half (what a crash
+    // inside forget leaves), then let the tick heal
+    Tombstones.forget(spark, full, csFdf,
+      withId = Some(EpochStore.ForgetFloor))
+    val rep = graft.queries.ContainmentStore.maintain(spark, full)
+    assert(!rep.diverged, "heal must land the forget delta")
+    graft.queries.ContainmentStore.build(
+      csDocs.filter(!col("doc_id").isin(csF: _*)), ni, maxDf = csMaxDf)
+    assertSameRows(csVerdicts(full), csVerdicts(ni), "healed verdicts")
+    // append AFTER the forget — the dfs decrement must compose with
+    // the append's dr lookups; the batch RE-INGESTS forgotten id 102
+    // (legal post-takedown: the store no longer knows it)
+    import spark.implicits._
+    val batch2 = Seq((102L, "q1 q2 q3 c1 c2"),
+      (200L, "w1 w2 w3 w4 w5"),
+      (201L, "w1 w2 w3 w4 w5 w6 w7")).toDF("doc_id", "text")
+    graft.queries.ContainmentStore.append(batch2, full)
+    val ni2 = s"$base/ni2"
+    graft.queries.ContainmentStore.build(
+      csDocs.filter(!col("doc_id").isin(csF: _*)).unionByName(batch2),
+      ni2, maxDf = csMaxDf)
+    assertSameRows(csPairs(full), csPairs(ni2), "pairs after re-append")
+    assertSameRows(csVerdicts(full), csVerdicts(ni2),
+      "verdicts after re-append")
+    // compaction PURGES: no physical trace of doc 0 (forgotten and
+    // never re-ingested) in any table
+    graft.queries.ContainmentStore.compact(spark, full)
+    for (t <- Seq("postings", "perdoc", "verdicts"))
+      assert(EpochStore.read(spark, s"$full/$t")
+        .filter(col("doc_id") === 0L).count() === 0L, s"$t purged")
+    assert(EpochStore.read(spark, s"$full/pairs")
+      .filter(col("doc_a") === 0L || col("doc_b") === 0L)
+      .count() === 0L, "pairs purged")
+    assert(!Tombstones.pending(spark, full))
+    assertSameRows(csVerdicts(full), csVerdicts(ni2), "post-purge reads")
+  }
 }
