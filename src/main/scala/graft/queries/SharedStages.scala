@@ -349,6 +349,23 @@ object SharedStages {
       IvfIndex.build(QU.t(spark, sfDir).embeddings, path)
     }
 
+  /** A FRAGMENTED [[IvfIndex]]: built over the vec_id % 4 != 0 base
+    * slice, then two appended epochs (% 8 == 0, % 8 == 4) assigned
+    * and PQ-coded under the STORED base-trained codebook and books —
+    * the store shape a deployment serves mid-maintenance-cycle
+    * (q169's subject). Union = the full corpus.
+    */
+  def fragmentedIvfIndexPath(spark: SparkSession, sfDir: String): String =
+    cached(spark, sfDir, "ivf-index-frag") { path =>
+      val emb = QU.t(spark, sfDir).embeddings
+      IvfIndex.build(emb.filter(col("vec_id") % 4 =!= 0), path)
+      val cents = IvfIndex.loadCodebook(spark, path)
+      IvfIndex.appendEpoch(emb.filter(col("vec_id") % 8 === 0),
+        cents, path, 1L)
+      IvfIndex.appendEpoch(emb.filter(col("vec_id") % 8 === 4),
+        cents, path, 2L)
+    }
+
   /** A built [[IvfIndex]] over the PRE-ARRIVAL corpus only (the
     * vec_id % 5 != 0 slice — the complement of q154's batch), built
     * once per (session, sf dir). This is the resident vector-store

@@ -931,8 +931,96 @@ object Similarity {
       (s, d) => IvfIndex.pqHealth(s, SharedStages.ivfIndexPath(s, d)),
       Some(pqHealthOracleSql),
       "per-subspace PQ codebook health: live cells, code skew, " +
-        "reconstruction cohesion (rebuild signal for the ADC tier)")
+        "reconstruction cohesion (rebuild signal for the ADC tier)"),
+
+    // -- q169: IVF-PQ SERVING on a FRAGMENTED store — q166's search
+    //    run against the store shape a deployment actually has
+    //    mid-maintenance-cycle: a base build plus two appended
+    //    epochs whose rows were assigned and PQ-coded under the
+    //    STORED (base-trained) codebook and books, exactly
+    //    [[IvfIndex.appendEpoch]]'s contract. Three epoch file sets,
+    //    two write times, one pinned model — and the ADC scan still
+    //    reads only (cell, vec_id, pq0..7) from the probed
+    //    partitions of every epoch. The oracle replays the build
+    //    over the base slice ONLY (the q154 pre-arrival-slice
+    //    discipline) and codes the full corpus under those books
+    //    ([[pqSubspaceCtes]]'s codeSrc seam), so the hash match
+    //    proves the appended epochs' stored codes are the pinned
+    //    books' codes — the composition q166 could not witness on
+    //    its single-epoch store. SimilaritySpec adds the measured
+    //    on-disk byte-cut of the quantizer columns vs the vector
+    //    column across the fragmented epochs.
+    Q("q169_fragmented_ivf_pq",
+      (s, d) => IvfIndex.pqQuery(s,
+        SharedStages.fragmentedIvfIndexPath(s, d),
+        querySubset(t(s, d).embeddings),
+        IvfNProbe, topK = 5, rerankWidth = PqRerankWidth),
+      Some(ivfPqFragOracleSql),
+      "IVF-PQ search on a fragmented store (base + 2 appended " +
+        "epochs coded under the pinned base-trained books)")
   )
+
+  /** The q169 oracle: the q166 chain with the build replay RESTRICTED
+    * to the base slice (vec_id % 4 != 0 — the rows the stored index
+    * was built over) while assignment, coding, the probe, the ADC
+    * rank and the exact re-rank all run over the FULL corpus CTE
+    * `ea` — the stored-codebook append contract, replayed.
+    */
+  private def ivfPqFragOracleSql: String = {
+    val sub = (0 until PqSubspaces)
+      .map(s => pqSubspaceCtes(s, codeSrc = "ea")).mkString(",\n    ")
+    val reconJoin = (0 until PqSubspaces).map(s =>
+      s"JOIN cd$s ON cd$s.vec_id = ea.vec_id " +
+        s"JOIN c${s}2 cb$s ON cb$s.c = cd$s.c").mkString(" ")
+    val cvs = (0 until PqSubspaces).map(s => s"cb$s.cv AS cv$s")
+      .mkString(", ")
+    val num = (0 until PqSubspaces).map { s =>
+      val lo = s * PqSubDim + 1; val hi = (s + 1) * PqSubDim
+      s"list_dot_product(eq.v[$lo:$hi], r.cv$s)" }
+      .mkString("\n          + ")
+    val rn2 = (0 until PqSubspaces).map(s =>
+      s"list_dot_product(r.cv$s, r.cv$s)").mkString(" + ")
+    s"""WITH ${kmeansBuildCtesWhere("WHERE vec_id % 4 <> 0")},
+    ea AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ${probeSql("c2", "pr", IvfNProbe, src = "ea")},
+    assigned AS (SELECT vec_id, c AS cell FROM pr WHERE rk = 1),
+    qc AS (
+      SELECT vec_id AS query_id, c AS cell FROM pr
+      WHERE vec_id % 100 = 0 AND vec_id < $ExactBaselineVecCap),
+    $sub,
+    recon AS (
+      SELECT ea.vec_id, $cvs FROM ea $reconJoin),
+    approx AS (
+      SELECT qc.query_id, a.vec_id,
+        ROUND(($num)
+          / (sqrt(list_dot_product(eq.v, eq.v))
+           * sqrt($rn2)), 4) AS ascore
+      FROM qc JOIN assigned a ON a.cell = qc.cell
+        JOIN recon r ON r.vec_id = a.vec_id
+        JOIN ea eq ON eq.vec_id = qc.query_id
+      WHERE a.vec_id <> qc.query_id),
+    cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY ascore DESC NULLS LAST, vec_id) AS crk
+        FROM approx) t WHERE crk <= $PqRerankWidth),
+    exact AS (
+      SELECT cand.query_id, cand.vec_id AS neighbor_id,
+        list_dot_product(ev.v, eq.v)
+          / (sqrt(list_dot_product(ev.v, ev.v))
+           * sqrt(list_dot_product(eq.v, eq.v))) AS score
+      FROM cand JOIN ea ev ON ev.vec_id = cand.vec_id
+        JOIN ea eq ON eq.vec_id = cand.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY score DESC, neighbor_id) AS rk
+      FROM exact)
+    SELECT query_id, neighbor_id, score, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 5 ORDER BY query_id, rk"""
+  }
 
   /** The q164 oracle: clustered-corpus construction, hash-seeded
     * k-means build replay over its pre-arrival slice, stored primary
@@ -1178,8 +1266,15 @@ object Similarity {
     * Lloyd rounds (DESC ties — [[cellOf]]'s rule, the
     * [[kmeansRoundsFromE]] pattern at [[PqSubDim]] dims with
     * suffixed CTE names), final code assignment `cd<s>`.
+    *
+    * `codeSrc`: the corpus the FINAL assignment codes. The default
+    * codes the training corpus itself (q165/q166 — books and rows
+    * share one epoch); the fragmented-store replay (q169) trains
+    * over the base slice `e` but codes the FULL corpus CTE, exactly
+    * the stored-books append contract [[IvfIndex.appendEpoch]]
+    * implements.
     */
-  private def pqSubspaceCtes(s: Int): String = {
+  private def pqSubspaceCtes(s: Int, codeSrc: String = "e"): String = {
     val lo = s * PqSubDim + 1
     val hi = (s + 1) * PqSubDim
     def cos(src: String, cb: String) =
@@ -1195,26 +1290,32 @@ object Similarity {
       FROM $from, (SELECT unnest(range(0, $PqSubDim)) AS i) r
       GROUP BY $groupKey, r.i),
     $cOut AS (SELECT c, list(mu ORDER BY i) AS cv FROM $mOut GROUP BY c)"""
-    def assignSql(cIn: String, aOut: String) =
+    def assignSql(cIn: String, aOut: String, src: String) =
       s"""$aOut AS (
       SELECT vec_id, c FROM (
-        SELECT e$s.vec_id, $cIn.c,
-          ROW_NUMBER() OVER (PARTITION BY e$s.vec_id
-            ORDER BY ${cos(s"e$s", cIn)} DESC NULLS LAST, $cIn.c DESC)
+        SELECT $src.vec_id, $cIn.c,
+          ROW_NUMBER() OVER (PARTITION BY $src.vec_id
+            ORDER BY ${cos(src, cIn)} DESC NULLS LAST, $cIn.c DESC)
             AS rk
-        FROM e$s CROSS JOIN $cIn) t WHERE rk = 1)"""
+        FROM $src CROSS JOIN $cIn) t WHERE rk = 1)"""
+    val codeSlice =
+      if (codeSrc == "e") ""
+      else s"""ec$s AS (
+      SELECT vec_id, v[$lo:$hi] AS v FROM $codeSrc),
+    """
+    val codeFrom = if (codeSrc == "e") s"e$s" else s"ec$s"
     s"""e$s AS (
       SELECT vec_id, v[$lo:$hi] AS v,
         CAST(vec_id % $PqCentroids AS INT) AS seed
       FROM e),
-    ${meanSql(s"e$s", s"e$s.seed", s"m${s}0", s"c${s}0")},
-    ${assignSql(s"c${s}0", s"a${s}1")},
+    $codeSlice${meanSql(s"e$s", s"e$s.seed", s"m${s}0", s"c${s}0")},
+    ${assignSql(s"c${s}0", s"a${s}1", s"e$s")},
     ${meanSql(s"a${s}1 a JOIN e$s USING (vec_id)", "a.c",
         s"m${s}1", s"c${s}1")},
-    ${assignSql(s"c${s}1", s"a${s}2")},
+    ${assignSql(s"c${s}1", s"a${s}2", s"e$s")},
     ${meanSql(s"a${s}2 a JOIN e$s USING (vec_id)", "a.c",
         s"m${s}2", s"c${s}2")},
-    ${assignSql(s"c${s}2", s"cd$s")}"""
+    ${assignSql(s"c${s}2", s"cd$s", codeFrom)}"""
   }
 
   /** The q165 oracle: 8 subspace k-means replays, code assignment,
@@ -1226,7 +1327,7 @@ object Similarity {
     * in place of SQ.
     */
   private def pqAdcOracleSql: String = {
-    val sub = (0 until PqSubspaces).map(pqSubspaceCtes).mkString(",\n    ")
+    val sub = (0 until PqSubspaces).map(s => pqSubspaceCtes(s)).mkString(",\n    ")
     val reconJoin = (0 until PqSubspaces).map(s =>
       s"JOIN cd$s ON cd$s.vec_id = e.vec_id " +
         s"JOIN c${s}2 cb$s ON cb$s.c = cd$s.c").mkString(" ")
@@ -1281,7 +1382,7 @@ object Similarity {
     * restricted to probed cells, exact re-rank to top-5.
     */
   private def ivfPqOracleSql: String = {
-    val sub = (0 until PqSubspaces).map(pqSubspaceCtes).mkString(",\n    ")
+    val sub = (0 until PqSubspaces).map(s => pqSubspaceCtes(s)).mkString(",\n    ")
     val reconJoin = (0 until PqSubspaces).map(s =>
       s"JOIN cd$s ON cd$s.vec_id = e.vec_id " +
         s"JOIN c${s}2 cb$s ON cb$s.c = cd$s.c").mkString(" ")
@@ -1356,7 +1457,7 @@ object Similarity {
         FROM cd$s cd JOIN c${s}2 cb ON cb.c = cd.c
           JOIN e$s ON e$s.vec_id = cd.vec_id
         GROUP BY cd.c) t)"""
-    val sub = (0 until PqSubspaces).map(pqSubspaceCtes).mkString(",\n    ")
+    val sub = (0 until PqSubspaces).map(s => pqSubspaceCtes(s)).mkString(",\n    ")
     val stats = (0 until PqSubspaces).map(ps).mkString(",\n    ")
     val un = (0 until PqSubspaces).map(s => s"SELECT * FROM ps$s")
       .mkString(" UNION ALL ")

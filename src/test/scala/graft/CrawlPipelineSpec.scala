@@ -308,6 +308,18 @@ class CrawlPipelineSpec extends SparkSpec {
     assert(canon(CrawlPipeline.manifest(spark, rootsF))
       .forall(r => !FS.contains(r.head.asInstanceOf[Long])),
       "forgotten docs must vanish from the served manifest")
+    // the compressed ANN tier serves from the same deployment: cell-
+    // pruned 6-byte ADC scan, takedown excluded
+    val annProbe = embAll.filter(col("vec_id") % 25 === 0 &&
+        col("vec_id") < 120)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val ann = CrawlPipeline.ann(spark, rootsF, annProbe)
+    assert(ann.count() > 0, "the IVF-PQ tier must serve the deployment")
+    assert(ann.filter(col("neighbor_id").isin(FS: _*)).count() === 0L,
+      "the served ANN answers must exclude the takedown")
+    assert(ann.queryExecution.executedPlan.toString
+      .contains("dynamicpruning"),
+      "the deployment's ADC scan must stay cell-pruned")
     // the composed purge: every store compacts, tombstones clear,
     // and now even the RAW chunk rows are gone
     IvfIndex.compact(spark, rootsF.ivf)

@@ -203,6 +203,57 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q169 fragmented IVF-PQ: recall holds across epochs coded at " +
+      "two write times; the ADC scan is cell-pruned and vector-free; " +
+      "the quantizer's ON-DISK bytes are a measured fraction of the " +
+      "vector and SQ payloads") {
+    val df = Registry.queries("q169_fragmented_ivf_pq")(spark, dir)
+    val r = recallVsExact(topKOf(df))
+    info(s"q169 recall $r")
+    assert(r >= 0.7, s"q169 recall $r")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      "the fragmented store's ADC scan must stay cell-pruned")
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(readSchemas.exists(s => s.contains("pq0") &&
+        !s.contains("embedding") && !s.contains("code")),
+      s"no vector-free, sq-free pq scan in: $readSchemas")
+    // the byte-cut, MEASURED on the fragmented store's own parquet
+    // footers (all three epochs): the 8 pq columns vs the float
+    // vector column vs the int8 SQ column. cell costs nothing — it
+    // is the partition DIRECTORY the probe prunes on.
+    import scala.jdk.CollectionConverters._
+    val ip = graft.queries.SharedStages.fragmentedIvfIndexPath(spark, dir)
+    val files = graft.engine.EpochStore.read(spark, s"$ip/cells").inputFiles
+    assert(files.length > 1, "the store must actually be fragmented")
+    val conf = spark.sessionState.newHadoopConf()
+    val sizes = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    for (f <- files) {
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f), conf))
+      try rd.getFooter.getBlocks.asScala.foreach(
+        _.getColumns.asScala.foreach { c =>
+          val name = c.getPath.toDotString.split("\\.").head
+          sizes(name) += c.getTotalSize
+        })
+      finally rd.close()
+    }
+    val pqB = (0 until graft.queries.Similarity.PqSubspaces)
+      .map(s => sizes(s"pq$s")).sum
+    val embB = sizes("embedding")
+    val sqB = sizes("code")
+    info(f"on-disk bytes: pq=$pqB emb=$embB sq=$sqB " +
+      f"(emb/pq ${embB.toDouble / pqB}%.1fx, sq/pq ${sqB.toDouble / pqB}%.1fx)")
+    assert(pqB > 0 && embB > 0 && sqB > 0)
+    assert(pqB * 4 < embB,
+      s"the pq payload ($pqB) must undercut the vector payload ($embB) 4x+")
+    assert(pqB * 2 < sqB,
+      s"the pq payload ($pqB) must undercut the SQ payload ($sqB) 2x+")
+  }
+
   test("IVF-SQ re-rank width: recall rises with width on a drifted " +
       "corpus; the health-picked width restores what base width loses") {
     import graft.queries.IvfIndex
