@@ -211,7 +211,14 @@ object Bench {
     // round-13 driver record sat at 1.61× and sailed through the
     // old threshold while its raw times disagreed with its own
     // sentinel about which way the machine had moved.
-    val sentinelWideNominal = Map("32" -> 0.975).get(cpus)
+    // wide pin: measured 0.295 on the round-14 partial run whose BASE
+    // sentinel sat in the committed-record window (norm 0.916) — the
+    // closest observation of the sustained clock at the nominal burst
+    // state. Same-session volatility: base spanned 0.043–0.108 (2.5×)
+    // across one morning while wide spanned 0.171–0.295 (1.7×), and
+    // over consecutive settled readings wide held ±1.5% where base
+    // swung ±20% — the sustained floor is the steadier statistic.
+    val sentinelWideNominal = Map("32" -> 0.295).get(cpus)
     def far(ref: Double, nomOpt: Option[Double]): Boolean =
       nomOpt.exists(nom => ref > 0 &&
         (ref / nom > 1.3 || nom / ref > 1.3))
