@@ -100,6 +100,35 @@ object Tombstones {
   def pending(spark: SparkSession, path: String): Boolean =
     Archive.hasVersion(root(path)) && !ids(spark, path).isEmpty
 
+  /** Loud append guard: a batch id that is currently TOMBSTONED
+    * (forgotten but not yet purged) must not be re-ingested. The
+    * store still holds the taken-down rows physically — admitting
+    * new rows under the same id would either resurrect the old ones
+    * (were the id un-forgotten) or hide the new rows behind the
+    * exclusion and then DESTROY them at the purging fold (were it
+    * kept) — both silent, both wrong. Compaction purges and clears,
+    * after which the id is clean to re-use (a re-crawl of
+    * previously-taken-down content is new content). Every store's
+    * appendEpoch calls this; the composed crawl stream's maintenance
+    * tick is the natural purge point between a takedown day and a
+    * re-crawl day.
+    */
+  def requireNotTombstoned(spark: SparkSession, path: String,
+                           batchIds: DataFrame, store: String): Unit =
+    if (Archive.hasVersion(root(path))) {
+      val hit = batchIds
+        .select(col(batchIds.columns.head).cast("long").as("doc_id"))
+        .distinct()
+        .join(broadcast(ids(spark, path)), Seq("doc_id"), "left_semi")
+        .limit(1).count()
+      if (hit > 0)
+        throw new IllegalStateException(
+          s"$store at $path: the append batch re-uses id(s) that are " +
+            "tombstoned awaiting purge — run the store's compaction " +
+            "(physical purge + tombstone clear) before re-ingesting a " +
+            "forgotten id")
+    }
+
   /** Tombstone count for maintenance censuses (0 when no table). */
   def count(spark: SparkSession, path: String): Long =
     if (!Archive.hasVersion(root(path))) 0L

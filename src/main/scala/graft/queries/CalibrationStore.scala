@@ -89,6 +89,8 @@ object CalibrationStore {
     val histRoot = s"$path/hist"
     if (EpochStore.committed(scoresRoot, id) &&
         EpochStore.committed(histRoot, id)) return // full replay
+    Tombstones.requireNotTombstoned(spark, path,
+      batch.select("doc_id"), "CalibrationStore")
     if (!EpochStore.committed(scoresRoot, id)) {
       // append-only contract, enforced loudly (the ContainmentStore
       // guard): a re-ingested doc_id would double-count in the

@@ -38,11 +38,14 @@ object ChunkIndex {
 
   /** Append a batch of new documents as one epoch dir. */
   private[graft] def appendEpoch(batch: DataFrame, path: String,
-                                 batchId: Long): Unit =
+                                 batchId: Long): Unit = {
+    Tombstones.requireNotTombstoned(batch.sparkSession, path,
+      batch.select("doc_id"), "ChunkIndex")
     EpochStore.commitEpoch(s"$path/chunks", batchId) { tmp =>
       QualityOps.chunkRelationOf(batch)
         .write.mode("overwrite").parquet(tmp)
     }
+  }
 
   /** Forget documents (right-to-be-forgotten): one tombstone epoch;
     * every read surface excludes the set immediately, the next

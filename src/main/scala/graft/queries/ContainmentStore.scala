@@ -267,6 +267,8 @@ object ContainmentStore {
     val (tau, maxDf) = params(path)
     if (Tables.forall(t => EpochStore.committed(s"$path/$t", id)))
       return // full replay — storage-level no-op
+    graft.engine.Tombstones.requireNotTombstoned(spark, path,
+      batch.select("doc_id"), "ContainmentStore")
     val state = stateView(spark, path, excludeIds = Set(id))
     // the "batch ids are new" precondition, ENFORCED: a re-ingested
     // resident doc_id would double-count its shingles in dfs/
@@ -504,7 +506,8 @@ object ContainmentStore {
   def compactIfFragmented(spark: SparkSession, path: String,
                           maxEpochs: Int = 64): Boolean = {
     val fragmented =
-      Tables.exists(t => EpochStore.epochCount(s"$path/$t") > maxEpochs)
+      Tables.exists(t => EpochStore.epochCount(s"$path/$t") > maxEpochs) ||
+        graft.engine.Tombstones.pending(spark, path)
     if (fragmented) compact(spark, path)
     fragmented
   }

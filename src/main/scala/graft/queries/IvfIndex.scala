@@ -281,6 +281,8 @@ object IvfIndex {
                                    cents: Seq[(Int, Seq[Double])],
                                    path: String, batchId: Long,
                                    books: Option[Seq[Seq[(Int, Seq[Double])]]] = None): Unit = {
+    graft.engine.Tombstones.requireNotTombstoned(batch.sparkSession,
+      path, batch.select("vec_id"), "IvfIndex")
     // callers that hold only the cell codebook (the pre-round-13
     // signature) get the STORED PQ books loaded here — small model
     // state per append, and by construction exactly the books the

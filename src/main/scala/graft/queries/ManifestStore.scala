@@ -237,6 +237,8 @@ object ManifestStore {
     healForgetDeltas(spark, path)
     if (Tables.forall(t => EpochStore.committed(s"$path/$t", id)))
       return // full replay — storage-level no-op
+    graft.engine.Tombstones.requireNotTombstoned(spark, path,
+      batch.select("doc_id"), "ManifestStore")
     val state = stateView(spark, path, excludeIds = Set(id))
     // append-only id contract (the ContainmentStore guard): a
     // re-ingested doc would duplicate its append-only rows and
@@ -539,7 +541,8 @@ object ManifestStore {
   def compactIfFragmented(spark: SparkSession, path: String,
                           maxEpochs: Int = 64): Boolean = {
     val fragmented =
-      Tables.exists(t => EpochStore.epochCount(s"$path/$t") > maxEpochs)
+      Tables.exists(t => EpochStore.epochCount(s"$path/$t") > maxEpochs) ||
+        graft.engine.Tombstones.pending(spark, path)
     if (fragmented) compact(spark, path)
     fragmented
   }

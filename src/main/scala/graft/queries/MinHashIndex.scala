@@ -251,6 +251,8 @@ object MinHashIndex {
     */
   def appendEpoch(batch: DataFrame, path: String,
                   batchId: Long): Unit = {
+    graft.engine.Tombstones.requireNotTombstoned(batch.sparkSession,
+      path, batch.select("doc_id"), "MinHashIndex")
     val sigs = signatures(batch).persist()
     sigs.count()
     graft.engine.EpochStore.commitEpoch(s"$path/docs", batchId) { tmp =>

@@ -126,6 +126,8 @@ object PHashIndex {
     */
   def appendEpoch(batch: DataFrame, path: String, id: Long): Unit = {
     val spark = batch.sparkSession
+    graft.engine.Tombstones.requireNotTombstoned(spark, path,
+      batch.select("doc_id"), "PHashIndex")
     val hashesRoot = s"$path/hashes"
     val bandsRoot = s"$path/bands"
     if (EpochStore.committed(hashesRoot, id) &&

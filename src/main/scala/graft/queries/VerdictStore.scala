@@ -170,6 +170,8 @@ object VerdictStore {
     */
   def appendEpoch(batch: DataFrame, path: String, id: Long): Unit = {
     val spark = batch.sparkSession
+    graft.engine.Tombstones.requireNotTombstoned(spark, path,
+      batch.select("doc_id"), "VerdictStore")
     val sigsRoot = s"$path/sigs"
     val verdRoot = s"$path/verdicts"
     if (EpochStore.committed(sigsRoot, id) &&

@@ -148,11 +148,48 @@ object CrawlPipeline {
     ManifestStore.appendEpoch(docs, emb, roots.manifest, id)
   }
 
-  /** The daily-crawl ingest: wire [[appendDay]] under ONE
+  /** One streamed day with optional TAKEDOWN rows riding the same
+    * stream (round 14): when the input carries a boolean `tombstone`
+    * column, rows marked true are forget requests (only their doc_id
+    * is read) and the rest are the day's crawl. Order within a day
+    * is APPEND THEN FORGET — a day that both re-crawls and takes
+    * down the same id ends with it GONE (the legally safe
+    * direction). Crawl ids are NEVER
+    * reused: VerdictStore's monotonic-ingest contract (q152's
+    * exactness argument) refuses lower ids outright, so re-crawled
+    * content arrives under a FRESH id — the legally clean reading
+    * too (the takedown applies to the old snapshot; a later crawl is
+    * a new document). Two backstops protect the store-level APIs
+    * against accidental id reuse anyway:
+    * [[graft.engine.Tombstones.requireNotTombstoned]] refuses a
+    * tombstoned-awaiting-purge id loudly (admitting it would hide
+    * the new rows behind the exclusion and then destroy them at the
+    * purging fold), and the cadence tick IS the purge point (all
+    * eight compaction policies fire on pending tombstones). Crash anywhere in the day: redelivery no-ops the
+    * committed appends, then re-runs the forget, which converges
+    * (already-tombstoned ids drop; the heal completes any dangling
+    * delta) — the takedown path is exactly-once end to end.
+    */
+  private def ingestDay(roots: StoreRoots, batch: DataFrame, id: Long,
+                        cents: Seq[(Int, Seq[Double])]): Unit = {
+    if (!batch.columns.contains("tombstone")) {
+      appendDayWith(roots, batch, id, cents)
+      return
+    }
+    val marked = coalesce(col("tombstone"), lit(false))
+    appendDayWith(roots, batch.filter(!marked).drop("tombstone"), id, cents)
+    val fids = batch.filter(marked).select(col("doc_id"))
+      .localCheckpoint(true)
+    if (!fids.isEmpty) forget(roots, fids)
+  }
+
+  /** The daily-crawl ingest: wire [[ingestDay]] under ONE
     * [[Maintenance.onEpochCadence]] wrapper onto a streaming crawl
-    * frame. Every `everyN` completed days the composed eight-store
-    * tick runs on the micro-batch thread, strictly between appends;
-    * reports flow to `onReport` (the alert seam).
+    * frame (crawl rows, plus takedown rows when the frame carries a
+    * `tombstone` marker column — see [[ingestDay]]). Every `everyN`
+    * completed days the composed eight-store tick runs on the
+    * micro-batch thread, strictly between appends; reports flow to
+    * `onReport` (the alert seam).
     */
   def ingest(crawl: DataFrame, roots: StoreRoots, checkpointDir: String,
              everyN: Int = 1,
@@ -176,7 +213,7 @@ object CrawlPipeline {
         if (report.ivf.exists(_.rebuilt)) pin.refresh()
         onReport(report)
       }, maxEpochs) { (batch, batchId) =>
-      appendDayWith(roots, batch, batchId, pin.cents)
+      ingestDay(roots, batch, batchId, pin.cents)
     }
     crawl.writeStream
       .outputMode("append")

@@ -284,6 +284,70 @@ class CrawlPipelineSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("takedowns ride the crawl stream: interleaved days and forget " +
+      "rows through one checkpoint, exactly once; the cadence tick is " +
+      "the purge point; taken-down content returns under a fresh id") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val roots = CrawlPipeline.build(
+      docsSlice(0, 120), embSlice(0, 120), tmp("crawl-t"))
+    val stream = MemoryStream[(Long, String, String, Long, Seq[Float], Boolean)]
+    val ckpt = java.nio.file.Files.createTempDirectory("crawl-tck").toString
+    val q = CrawlPipeline.ingest(
+      stream.toDF().toDF("doc_id", "text", "lang", "n_chars",
+        "embedding", "tombstone"),
+      roots, ckpt, everyN = 1)
+    def docRows(lo: Long, hi: Long) =
+      crawlRows(lo, hi).map(r => (r._1, r._2, r._3, r._4, r._5, false))
+    try {
+      // day 1: plain crawl
+      stream.addData(docRows(120, 160)); q.processAllAvailable()
+      // day 2: MIXED — new docs plus takedowns of a seed doc (30) and
+      // a day-1 BENCH doc (150, the eval-side decrement in-stream);
+      // the everyN=1 tick after the day is the purge point
+      stream.addData(docRows(160, 180) ++ Seq(
+        (30L, null: String, null: String, 0L, null: Seq[Float], true),
+        (150L, null: String, null: String, 0L, null: Seq[Float], true)))
+      q.processAllAvailable()
+      // the tick after day 2 is the purge point: tombstones cleared
+      for (pp <- Seq(roots.verdicts, roots.containment, roots.manifest,
+          roots.calibration))
+        assert(!graft.engine.Tombstones.pending(spark, pp),
+          s"the cadence tick must purge tombstones at $pp")
+      // day 3: more docs PLUS the taken-down content RE-CRAWLED under
+      // a FRESH id (crawl ids are never reused — VerdictStore's
+      // monotonic-ingest contract; the takedown applied to the old
+      // snapshot, this is a new document)
+      val re = crawlRows(150, 151).map(r =>
+        (201L, r._2, r._3, r._4, r._5, false))
+      stream.addData(docRows(180, 200) ++ re)
+      q.processAllAvailable()
+    } finally q.stop()
+    // expected: a one-batch deployment over the final logical corpus —
+    // everything minus the takedowns (30, 150), plus the re-crawl's
+    // fresh-id row carrying 150's content
+    val reDocs = docsSlice(150, 151).select(lit(201L).as("doc_id"),
+      col("text"), col("lang"), col("n_chars"))
+    val reEmb = embSlice(150, 151).select(lit(201L).as("vec_id"),
+      col("embedding"))
+    val rootsN = CrawlPipeline.build(
+      docsSlice(0, 200).filter(!col("doc_id").isin(30L, 150L))
+        .unionByName(reDocs),
+      embSlice(0, 200).filter(!col("vec_id").isin(30L, 150L))
+        .unionByName(reEmb), tmp("crawl-tn"))
+    val f = storeReads(roots); val n = storeReads(rootsN)
+    for (k <- f.keys) {
+      assert(f(k).nonEmpty, s"store surface $k must not be empty")
+      assert(f(k) === n(k),
+        s"store surface $k diverged from the expected deployment")
+    }
+    val man = canon(CrawlPipeline.manifest(spark, roots))
+    assert(man.exists(_.head == 201L), "the re-crawl must be present")
+    assert(!man.exists(r => r.head == 30L || r.head == 150L),
+      "the takedowns must stay down")
+    spark.catalog.clearCache()
+  }
+
   test("CrawlPipeline.forget: one composed takedown — every store's " +
       "read surface equals the never-ingested deployment, before AND " +
       "after the purge; the served manifest drops the forgotten docs") {

@@ -403,17 +403,28 @@ class ForgetSpec extends SparkSpec {
     val full = s"$base/full"; val ni = s"$base/ni"
     graft.queries.ContainmentStore.build(csDocs, full, maxDf = csMaxDf)
     // CRASH DRILL: commit only the tombstone half (what a crash
-    // inside forget leaves), then let the tick heal
+    // inside forget leaves), then let the tick heal — and PURGE:
+    // pending tombstones now trigger the compaction policy, so one
+    // maintenance tick both lands the delta and erases the bytes
     Tombstones.forget(spark, full, csFdf,
       withId = Some(EpochStore.ForgetFloor))
     val rep = graft.queries.ContainmentStore.maintain(spark, full)
     assert(!rep.diverged, "heal must land the forget delta")
+    assert(rep.compacted, "pending tombstones must trigger the purge")
+    assert(!Tombstones.pending(spark, full))
+    for (t <- Seq("postings", "perdoc", "verdicts"))
+      assert(EpochStore.read(spark, s"$full/$t")
+        .filter(col("doc_id").isin(csF: _*)).count() === 0L, s"$t purged")
+    assert(EpochStore.read(spark, s"$full/pairs")
+      .filter(col("doc_a").isin(csF: _*) || col("doc_b").isin(csF: _*))
+      .count() === 0L, "pairs purged")
     graft.queries.ContainmentStore.build(
       csDocs.filter(!col("doc_id").isin(csF: _*)), ni, maxDf = csMaxDf)
-    assertSameRows(csVerdicts(full), csVerdicts(ni), "healed verdicts")
-    // append AFTER the forget — the dfs decrement must compose with
-    // the append's dr lookups; the batch RE-INGESTS forgotten id 102
-    // (legal post-takedown: the store no longer knows it)
+    assertSameRows(csVerdicts(full), csVerdicts(ni),
+      "healed + purged verdicts")
+    // append AFTER the purge — the dfs decrement must compose with
+    // the append's dr lookups, and the RE-INGESTED forgotten id 102
+    // is legal now (the store genuinely no longer knows it)
     import spark.implicits._
     val batch2 = Seq((102L, "q1 q2 q3 c1 c2"),
       (200L, "w1 w2 w3 w4 w5"),
@@ -426,17 +437,18 @@ class ForgetSpec extends SparkSpec {
     assertSameRows(csPairs(full), csPairs(ni2), "pairs after re-append")
     assertSameRows(csVerdicts(full), csVerdicts(ni2),
       "verdicts after re-append")
-    // compaction PURGES: no physical trace of doc 0 (forgotten and
-    // never re-ingested) in any table
-    graft.queries.ContainmentStore.compact(spark, full)
-    for (t <- Seq("postings", "perdoc", "verdicts"))
-      assert(EpochStore.read(spark, s"$full/$t")
-        .filter(col("doc_id") === 0L).count() === 0L, s"$t purged")
-    assert(EpochStore.read(spark, s"$full/pairs")
-      .filter(col("doc_a") === 0L || col("doc_b") === 0L)
-      .count() === 0L, "pairs purged")
-    assert(!Tombstones.pending(spark, full))
-    assertSameRows(csVerdicts(full), csVerdicts(ni2), "post-purge reads")
+    // re-using a tombstoned id BEFORE its purge refuses loudly: the
+    // store still holds the taken-down rows physically, so admitting
+    // new ones would hide them behind the exclusion and then destroy
+    // them at the purging fold (the Tombstones guard, all 8 stores)
+    graft.queries.ContainmentStore.forget(spark, full,
+      Seq(200L).toDF("doc_id"))
+    val ex = intercept[IllegalStateException] {
+      graft.queries.ContainmentStore.append(
+        Seq((200L, "w1 w2 w3 w4 w5"), (300L, "y1 y2 y3 y4 y5"))
+          .toDF("doc_id", "text"), full)
+    }
+    assert(ex.getMessage.contains("tombstoned awaiting purge"))
   }
 
   // ---- ManifestStore: exact eval-side decrement (round 14) --------
