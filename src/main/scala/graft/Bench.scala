@@ -192,38 +192,48 @@ object Bench {
       else sentinels.values.toSeq.sorted.apply(sentinels.size / 2)
     val sentJson = sentinels.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // Pinned nominal sentinel per parallelism mode: the run-median
-    // floor of the first clean committed full run at that mode.
-    // queries_norm is "seconds on the nominal-speed machine" —
-    // comparable ACROSS runs of the same mode. A mode without a pin
-    // yet normalizes by 1 (norm == raw) rather than inventing one.
-    val sentinelNominal = Map("32" -> 0.0766, "4" -> 0.082).get(cpus)
-    val normFactor = sentinelNominal match {
-      case Some(nom) if sentinelRef > 0 => nom / sentinelRef
+    // THE ROUND-15 RE-BASE (the round-14 verdict's #1): queries_norm
+    // now normalizes by the SUSTAINED WIDE sentinel, not the burst
+    // one. Two consecutive rounds self-flagged far-from-nominal
+    // because this host's frequency governor is BIMODAL: the ~250k-
+    // row burst sentinel reads 0.096–0.108 idle but ~0.043–0.053
+    // mid-battery (sustained load locks the governor high), so the
+    // burst nominal is unsampleable in the state the battery actually
+    // runs in, while the wide sentinel's 8M-rows/task floor tracks
+    // the all-core clock the wide stages really get (measured ±1.5%
+    // over consecutive settled readings vs the base's ±20%). The
+    // burst sentinel stays in the artifact (sentinel/sentinel_ref)
+    // as a turbo-state DIAGNOSTIC only. Historical contract: r1–r14
+    // records normalized by the burst pin 0.0766 — cross-era
+    // comparisons should use raw common-surface totals (BASELINE.md
+    // records the re-base).
+    //
+    // Wide pin provenance: BENCH_PIN_r15.json — the median of the
+    // in-battery wide floors observed across full cpus32 batteries
+    // (r14 builder 0.187, r15 battery A 0.173, r15 battery B — see
+    // that file for the raw samples; idle-state partials read
+    // ~0.31–0.33 and are NOT the battery state, hence excluded). A
+    // mode without a pin normalizes by 1 (norm == raw).
+    val sentinelWideNominal = Map("32" -> 0.18).get(cpus)
+    val normFactor = sentinelWideNominal match {
+      case Some(nom) if sentinelWide > 0 => nom / sentinelWide
       case _ => 1.0
     }
-    // The pins above are THIS box's nominals. Linear CPU-speed
-    // rescaling only holds near the pin; a far-off sentinel (another
-    // machine, a badly contended run, or a turbo state where burst
-    // and sustained clocks diverge) makes the normalized numbers
-    // look cross-comparable when they are not — flag it in the
-    // artifact instead of silently rescaling. 1.3×, not 2.0×: the
-    // round-13 driver record sat at 1.61× and sailed through the
-    // old threshold while its raw times disagreed with its own
-    // sentinel about which way the machine had moved.
-    // wide pin: measured 0.295 on the round-14 partial run whose BASE
-    // sentinel sat in the committed-record window (norm 0.916) — the
-    // closest observation of the sustained clock at the nominal burst
-    // state. Same-session volatility: base spanned 0.043–0.108 (2.5×)
-    // across one morning while wide spanned 0.171–0.295 (1.7×), and
-    // over consecutive settled readings wide held ±1.5% where base
-    // swung ±20% — the sustained floor is the steadier statistic.
-    val sentinelWideNominal = Map("32" -> 0.295).get(cpus)
+    // Burst nominal: kept ONLY to feed the turbo-state flag below.
+    val sentinelNominal = Map("32" -> 0.0766, "4" -> 0.082).get(cpus)
+    // far-from-nominal: linear CPU-speed rescaling only holds near
+    // the pin — flag rather than silently rescale. The WIDE sentinel
+    // alone gates (1.3×); the burst sentinel only corroborates (its
+    // solo excursions are governor state, not machine speed — the
+    // round-14 ADVICE low: a single-observation wide pin plus a
+    // trigger-happy base flag diluted the signal).
     def far(ref: Double, nomOpt: Option[Double]): Boolean =
       nomOpt.exists(nom => ref > 0 &&
         (ref / nom > 1.3 || nom / ref > 1.3))
-    val sentinelFar = far(sentinelRef, sentinelNominal) ||
-      far(sentinelWide, sentinelWideNominal)
+    val sentinelFar = far(sentinelWide, sentinelWideNominal)
+    // diagnostic only: the burst sentinel vs its historical pin —
+    // reads the governor's turbo state, not the battery's clock
+    val burstFar = far(sentinelRef, sentinelNominal)
     val normJson = results.map { case (k, v) =>
       "\"" + k + "\":" + (v * normFactor)
     }.mkString("{", ",", "}")
@@ -251,6 +261,7 @@ object Bench {
         s""""sentinel_ref":$sentinelRef,"norm_factor":$normFactor,""" +
         s""""sentinel_wide":$sentinelWide,""" +
         s""""sentinel_far_from_nominal":$sentinelFar,""" +
+        s""""sentinel_burst_far":$burstFar,""" +
         s""""errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     Files.writeString(Paths.get(out), line + "\n")

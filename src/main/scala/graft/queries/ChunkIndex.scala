@@ -39,6 +39,11 @@ object ChunkIndex {
   /** Append a batch of new documents as one epoch dir. */
   private[graft] def appendEpoch(batch: DataFrame, path: String,
                                  batchId: Long): Unit = {
+    // replay no-op BEFORE the tombstone guard (the MinHashIndex
+    // ordering rationale): a redelivered append+forget day must
+    // converge, not wedge on its own same-day tombstones
+    if (EpochStore.committed(s"$path/chunks", batchId))
+      return // full replay — storage-level no-op
     Tombstones.requireNotTombstoned(batch.sparkSession, path,
       batch.select("doc_id"), "ChunkIndex")
     EpochStore.commitEpoch(s"$path/chunks", batchId) { tmp =>

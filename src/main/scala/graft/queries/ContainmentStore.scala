@@ -210,6 +210,16 @@ object ContainmentStore {
     }
   }
 
+  /** The tables this store's layout actually has: a pre-round-14
+    * store lacks the postings/ exact-forget sidecar, and maintenance
+    * surfaces ([[maintain]], [[compact]], [[requireConverged]]) must
+    * honor [[requirePostings]]'s promise that reads AND compaction
+    * stay servable there — only appendEpoch/forget are blocked.
+    */
+  private def presentTables(path: String): Seq[String] =
+    if (graft.engine.Archive.hasVersion(s"$path/postings")) Tables
+    else LwwTables
+
   private def requirePostings(path: String): Unit =
     if (!graft.engine.Archive.hasVersion(s"$path/postings"))
       throw new IllegalStateException(
@@ -328,6 +338,9 @@ object ContainmentStore {
     * out-of-band gets a distinct error naming the recovery.
     */
   def append(batch: DataFrame, path: String): Unit = {
+    // the documented legacy-layout refusal, BEFORE the id-minting
+    // walk touches the (absent) postings table
+    requirePostings(path)
     val nexts = Tables.map(t => EpochStore.nextAppendEpochId(s"$path/$t"))
     val id =
       if (nexts.distinct.size == 1) nexts.head
@@ -484,15 +497,19 @@ object ContainmentStore {
         .agg(max(col("seq"))).head()
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }.max
-    val folded = (Map(
+    val lwwFolds = Map(
       "dfs" -> st.dfAll, "perdoc" -> st.perDoc,
       "pairs" -> st.pairs.withColumn("live", lit(true)),
       "verdicts" -> st.verdicts.withColumn("live", lit(true)))
-      .map { case (t, df) => t -> df.withColumn("seq", lit(seqKeep)) } +
-      ("postings" -> postingsView(spark, path,
-        Some(graft.engine.Tombstones.ids(spark, path)))))
+      .map { case (t, df) => t -> df.withColumn("seq", lit(seqKeep)) }
+    // legacy (pre-postings) layout: fold only the four LWW tables —
+    // requirePostings promises compaction stays servable there
+    val folded = (if (presentTables(path).contains("postings"))
+      lwwFolds + ("postings" -> postingsView(spark, path,
+        Some(graft.engine.Tombstones.ids(spark, path))))
+    else lwwFolds)
       .map { case (t, df) => t -> df.localCheckpoint(true) }
-    Tables.foreach { t =>
+    presentTables(path).foreach { t =>
       EpochStore.create(s"$path/$t", rebuild = true) { dir =>
         folded(t).write.mode("overwrite").parquet(dir)
       }
@@ -506,14 +523,16 @@ object ContainmentStore {
   def compactIfFragmented(spark: SparkSession, path: String,
                           maxEpochs: Int = 64): Boolean = {
     val fragmented =
-      Tables.exists(t => EpochStore.epochCount(s"$path/$t") > maxEpochs) ||
+      presentTables(path).exists(t =>
+        EpochStore.epochCount(s"$path/$t") > maxEpochs) ||
         graft.engine.Tombstones.pending(spark, path)
     if (fragmented) compact(spark, path)
     fragmented
   }
 
   private def requireConverged(path: String): Unit = {
-    val sets = Tables.map(t => t -> EpochStore.committedIds(s"$path/$t"))
+    val sets = presentTables(path)
+      .map(t => t -> EpochStore.committedIds(s"$path/$t"))
     if (sets.map(_._2).distinct.size != 1)
       throw new IllegalStateException(
         s"ContainmentStore at $path has diverged epoch sets (" +
@@ -546,7 +565,8 @@ object ContainmentStore {
     // discipline); a half-committed APPEND still reports untouched
     if (graft.engine.Archive.hasVersion(s"$path/postings"))
       healForgetDeltas(spark, path)
-    val idSets = Tables.map(t => EpochStore.committedIds(s"$path/$t"))
+    val idSets = presentTables(path)
+      .map(t => EpochStore.committedIds(s"$path/$t"))
     val diverged = idSets.distinct.size != 1
     val compacted = !diverged && compactIfFragmented(spark, path, maxEpochs)
     // When diverged (half-committed append), the census must read a
@@ -574,7 +594,7 @@ object ContainmentStore {
     MaintenanceReport(
       compacted = compacted,
       diverged = diverged,
-      epochs = Tables.map(t =>
+      epochs = presentTables(path).map(t =>
         t -> EpochStore.epochCount(s"$path/$t")).toMap,
       nDocs = nDocs,
       nPairs = nPairs,

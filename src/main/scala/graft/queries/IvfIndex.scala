@@ -281,6 +281,11 @@ object IvfIndex {
                                    cents: Seq[(Int, Seq[Double])],
                                    path: String, batchId: Long,
                                    books: Option[Seq[Seq[(Int, Seq[Double])]]] = None): Unit = {
+    // replay no-op BEFORE the tombstone guard (the MinHashIndex
+    // ordering rationale): a redelivered append+forget day must
+    // converge, not wedge on its own same-day tombstones
+    if (graft.engine.EpochStore.committed(s"$path/cells", batchId))
+      return // full replay — storage-level no-op
     graft.engine.Tombstones.requireNotTombstoned(batch.sparkSession,
       path, batch.select("vec_id"), "IvfIndex")
     // callers that hold only the cell codebook (the pre-round-13

@@ -276,13 +276,25 @@ object ManifestStore {
     val evalChunkPairs = evalChunkPairsOf(
       QualityOps.chunkRelationOf(batch.filter(col("doc_id") % 50 === 0))
         .select(col("doc_id"), col("chunk_str")))
+    // layout-matched eval deltas: a pre-provenance (pre-round-14)
+    // store must stay UNIFORMLY pre-provenance — writing eval_id-
+    // carrying delta files into a provenance-less base would leave
+    // the table's per-file schemas mixed, and the provenance gate
+    // (requireEvalProvenance reads the merged schema) nondeterministic.
+    // The migration path is a rebuild, never an append.
+    val legacyEval = Seq("evalchunks", "evalemb").exists(t =>
+      !EpochStore.read(spark, s"$path/$t").columns.contains("eval_id"))
+    def layoutMatched(df: DataFrame): DataFrame =
+      if (legacyEval) df.drop("eval_id") else df
     val deltas = Map(
       "quality" -> d.quality,
       "contam" -> d.contamChanged.unionByName(d.contamBatch)
         .withColumn("seq", lit(seqNext)),
       "trainsh8" -> d.trainSh8, "benchsh8" -> d.benchSh8,
-      "trainchunks" -> d.trainChunks, "evalchunks" -> evalChunkPairs,
-      "trainemb" -> trainEmbDelta, "evalemb" -> evalEmbRowsOf(batchEmb))
+      "trainchunks" -> d.trainChunks,
+      "evalchunks" -> layoutMatched(evalChunkPairs),
+      "trainemb" -> trainEmbDelta,
+      "evalemb" -> layoutMatched(evalEmbRowsOf(batchEmb)))
     // materialize every delta BEFORE the first commit mutates the
     // stores the delta plans read (the ContainmentStore rule)
     val staged = deltas.map { case (t, df) => t -> df.localCheckpoint(true) }
@@ -414,19 +426,38 @@ object ManifestStore {
       val hitChunk = pre.trainChunks
         .join(broadcast(leavingStrs), Seq("chunk_str"), "left_semi")
         .select(col("doc_id"))
-      // probe (c): rows whose stored max a forgotten vector achieves
-      val fVecs = EpochStore.read(spark, s"$path/evalemb")
-        .join(broadcast(fEval.select(col("doc_id").as("eval_id"))),
-          Seq("eval_id"), "left_semi")
-        .select(col("e_emb"))
-      val hitSem = pre.trainEmb.crossJoin(broadcast(fVecs))
-        .groupBy(col("vec_id"))
-        .agg(max(round(Vectors.cosine(col("embedding"), col("e_emb")), 4))
-          .as("fmax"))
-        .join(pre.contam.select(col("doc_id").as("vec_id"),
-          col("max_eval_cos")), Seq("vec_id"))
-        .filter(col("fmax") <=> col("max_eval_cos"))
-        .select(col("vec_id").as("doc_id"))
+      // probe (c): rows whose stored max a forgotten vector achieves.
+      // On a pre-provenance layout (no eval_id on evalemb) the probe
+      // is structurally empty instead of a plan-time AnalysisException:
+      // only TRAIN-doc forgets can be tombstoned there ([[forget]]
+      // runs requireEvalProvenance BEFORE committing an eval-bearing
+      // tombstone), so fEval is empty and the probe has nothing to
+      // find — the promise that train forgets "remain servable" must
+      // hold through this heal, which appendEpoch/maintain/compact
+      // all re-run.
+      val rawEvalEmb = EpochStore.read(spark, s"$path/evalemb")
+      val hitSem =
+        if (!rawEvalEmb.columns.contains("eval_id")) {
+          // out-of-contract backstop: an eval-bearing tombstone can
+          // only exist here if Tombstones.forget was called directly,
+          // bypassing [[forget]]'s provenance gate — refuse rather
+          // than heal an under-corrected delta silently
+          if (fEval.limit(1).count() > 0) requireEvalProvenance(spark, path)
+          spark.range(0).select(col("id").as("doc_id"))
+        } else {
+          val fVecs = rawEvalEmb
+            .join(broadcast(fEval.select(col("doc_id").as("eval_id"))),
+              Seq("eval_id"), "left_semi")
+            .select(col("e_emb"))
+          pre.trainEmb.crossJoin(broadcast(fVecs))
+            .groupBy(col("vec_id"))
+            .agg(max(round(Vectors.cosine(col("embedding"), col("e_emb")), 4))
+              .as("fmax"))
+            .join(pre.contam.select(col("doc_id").as("vec_id"),
+              col("max_eval_cos")), Seq("vec_id"))
+            .filter(col("fmax") <=> col("max_eval_cos"))
+            .select(col("vec_id").as("doc_id"))
+        }
       val affected = hitNgram.unionByName(hitChunk).unionByName(hitSem)
         .distinct()
         .join(broadcast(fids), Seq("doc_id"), "left_anti")

@@ -251,6 +251,18 @@ object MinHashIndex {
     */
   def appendEpoch(batch: DataFrame, path: String,
                   batchId: Long): Unit = {
+    // full-replay no-op BEFORE the tombstone guard: a crawl day that
+    // appends then forgets the same id, redelivered after a crash
+    // past the forget, must converge — the guard would see the id
+    // tombstoned and wedge the stream (the committed epoch proves the
+    // batch was admitted before the forget). A HALF-committed epoch
+    // falls through, and the guard stays sound there: the composed
+    // day forgets only after ALL appends commit, so a mid-append
+    // crash means any tombstone hit predates this batch — a genuine
+    // violation the first delivery would have refused identically.
+    if (graft.engine.EpochStore.committed(s"$path/docs", batchId) &&
+        graft.engine.EpochStore.committed(s"$path/bands", batchId))
+      return // full replay — storage-level no-op
     graft.engine.Tombstones.requireNotTombstoned(batch.sparkSession,
       path, batch.select("doc_id"), "MinHashIndex")
     val sigs = signatures(batch).persist()

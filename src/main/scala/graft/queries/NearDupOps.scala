@@ -464,6 +464,28 @@ object NearDupOps {
       Some(composedVerdictOracleSql),
       "persisted verdict store: build + incremental append, read == full recompute"),
 
+    // -- q170: a TAKEDOWN DAY on the driver's oracle surface (the
+    //    round-14 verdict's ask): q153's store deployment plus one
+    //    interleaved forget — the day's crawl appends through the
+    //    delta path, then the day's takedown set (doc_id % 7 == 3:
+    //    resident ids AND same-day crawled ids alike) tombstones
+    //    through [[VerdictStore.forget]], exactly the store-level
+    //    sequence the crawl stream runs for tombstone-marked rows.
+    //    The read is merge-on-read (no purge has run), and the
+    //    oracle replays the SAME composed verdict walk q100/q153
+    //    verify — over the never-ingested corpus: the hash match
+    //    proves the legal path's law (forget == never ingested),
+    //    including re-canonicalization where a takedown removed a
+    //    cluster's min-id carrier, on the driver's own surface
+    //    instead of a spec gate.
+    Q("q170_takedown_day_read",
+      (s, d) => VerdictStore
+        .read(s, SharedStages.takedownStorePath(s, d))
+        .orderBy(col("doc_id")),
+      Some(composedVerdictOracleSqlOver(
+        "doc_id < 8192 AND doc_id % 7 <> 3")),
+      "takedown day (append + interleaved forget), read == never-ingested recompute"),
+
     // -- q155: INCREMENTAL CONTAINMENT verdict maintenance — the hard
     //    member of the incremental dedup trio (q152 text exact+near,
     //    q154 embeddings): the informative-shingle measure is
@@ -2095,9 +2117,14 @@ object NearDupOps {
     * declarations cannot drift and the driver hash-checks the
     * incremental machinery against the from-scratch walk.
     */
-  private[queries] val composedVerdictOracleSql: String =
-    """WITH RECURSIVE capped AS (
-          SELECT * FROM documents WHERE doc_id < 8192),
+  /** The composed-verdict replay walk over a parameterized corpus
+    * predicate — one spelling for q100/q152/q153 (the full capped
+    * corpus) AND q170 (the post-takedown corpus), so the
+    * never-ingested oracle can never drift from the recompute one.
+    */
+  private[queries] def composedVerdictOracleSqlOver(where: String): String =
+    s"""WITH RECURSIVE capped AS (
+          SELECT * FROM documents WHERE $where),
         keyed AS (SELECT doc_id, sha256(text) AS k FROM capped),
         exact AS (SELECT k, MIN(doc_id) AS exact_canon FROM keyed GROUP BY k),
         tagged AS (
@@ -2106,10 +2133,10 @@ object NearDupOps {
         surv AS (SELECT doc_id FROM tagged WHERE doc_id = exact_canon),
         docs AS (
           SELECT c.doc_id, c.lang, CAST(FLOOR(c.n_chars / 64) AS BIGINT) AS bucket,
-            list_distinct(CASE WHEN len(string_split_regex(lower(trim(c.text)), '\s+')) >= 3
+            list_distinct(CASE WHEN len(string_split_regex(lower(trim(c.text)), '\\s+')) >= 3
               THEN list_transform(
-                range(1, len(string_split_regex(lower(trim(c.text)), '\s+')) - 1),
-                i -> array_to_string(string_split_regex(lower(trim(c.text)), '\s+')[i:i+2], ' '))
+                range(1, len(string_split_regex(lower(trim(c.text)), '\\s+')) - 1),
+                i -> array_to_string(string_split_regex(lower(trim(c.text)), '\\s+')[i:i+2], ' '))
               ELSE [] END) AS sh
           FROM capped c SEMI JOIN surv ON c.doc_id = surv.doc_id),
         pairs AS (
@@ -2137,6 +2164,9 @@ object NearDupOps {
                ELSE t.doc_id END AS canonical_id
         FROM tagged t LEFT JOIN comp c USING (doc_id)
         ORDER BY doc_id"""
+
+  private[queries] val composedVerdictOracleSql: String =
+    composedVerdictOracleSqlOver("doc_id < 8192")
 
   /** DuckDB spelling of the containment pair stage (CTE `cpairs`):
     * distinct 3-gram shingles → df-capped informative set → posting

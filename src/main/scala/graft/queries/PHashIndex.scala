@@ -126,12 +126,15 @@ object PHashIndex {
     */
   def appendEpoch(batch: DataFrame, path: String, id: Long): Unit = {
     val spark = batch.sparkSession
-    graft.engine.Tombstones.requireNotTombstoned(spark, path,
-      batch.select("doc_id"), "PHashIndex")
     val hashesRoot = s"$path/hashes"
     val bandsRoot = s"$path/bands"
+    // replay no-op BEFORE the tombstone guard (the MinHashIndex
+    // ordering rationale): a redelivered append+forget day must
+    // converge, not wedge on its own same-day tombstones
     if (EpochStore.committed(hashesRoot, id) &&
         EpochStore.committed(bandsRoot, id)) return // full replay
+    graft.engine.Tombstones.requireNotTombstoned(spark, path,
+      batch.select("doc_id"), "PHashIndex")
     if (!EpochStore.committed(hashesRoot, id)) {
       val overlap = EpochStore.read(spark, hashesRoot)
         .join(broadcast(batch.select(col("doc_id")).distinct()),

@@ -140,6 +140,28 @@ object SharedStages {
       VerdictStore.append(capped.filter(col("doc_id") >= split), path)
     }
 
+  /** The q170 deployment: the verdict store after one TAKEDOWN DAY —
+    * the exact store-level sequence [[graft.streaming.CrawlPipeline]]
+    * runs when tombstone-marked rows ride the ingest frame. Build
+    * over the resident split, append the day's crawl (the last
+    * fifth), then forget the day's takedown set — resident ids AND
+    * same-day crawled ids alike (`doc_id % 7 == 3`), the
+    * append-then-forget ordering ingestDay guarantees. q170 reads
+    * the store; its oracle replays the composed verdict walk over
+    * the never-ingested corpus — the right-to-be-forgotten law on
+    * the driver's hash surface.
+    */
+  def takedownStorePath(spark: SparkSession, sfDir: String): String =
+    cached(spark, sfDir, "takedown-verdict-store") { path =>
+      val capped = QU.t(spark, sfDir).documents
+        .filter(col("doc_id") < TextOps.ExactBaselineDocCap)
+      val split = NearDupOps.incrementalSplitId(capped)
+      VerdictStore.build(capped.filter(col("doc_id") < split), path)
+      VerdictStore.append(capped.filter(col("doc_id") >= split), path)
+      VerdictStore.forget(spark, path,
+        capped.filter(col("doc_id") % 7 === 3).select(col("doc_id")))
+    }
+
   def dedupVerdictsTable(spark: SparkSession, sfDir: String): DataFrame = {
     val p = cached(spark, sfDir, "dedup-verdicts") { path =>
       NearDupOps.dedupVerdictsOn(

@@ -72,12 +72,14 @@ object Similarity {
     * incompressible, so coarse codebooks carry almost no ordering
     * signal (4×16-dim/16: recall 0.36; 8×8-dim/16: 0.44): 8×8-dim
     * at k=64 is the point where the ADC order becomes usable
-    * (recall 0.88 at width 40). Codes are learned on RAW
-    * subvectors, not cell residuals: residual-PQ (the classic
-    * IVF-ADC refinement) optimizes L2 reconstruction, while every
-    * search path here scores COSINE — and raw-subspace codes keep
-    * the replay one k-means per subspace instead of k-means-per-
-    * (cell × subspace).
+    * (recall 0.88 at width 40). The persisted tiers (q166/q169)
+    * code RAW subvectors — the replay stays one k-means per
+    * subspace and |recon| derives from book norms alone; the
+    * RESIDUAL variant (q171, [[residualPqOn]] — codes on v −
+    * c_cell, the classic IVF-ADC refinement) is the round-15
+    * addition with its own cosine-faithful decomposition and full
+    * replay oracle, recall-compared against q166 at equal bytes in
+    * SimilaritySpec.
     */
   val PqSubspaces = 8
   val PqSubDim = 8
@@ -957,7 +959,25 @@ object Similarity {
         IvfNProbe, topK = 5, rerankWidth = PqRerankWidth),
       Some(ivfPqFragOracleSql),
       "IVF-PQ search on a fragmented store (base + 2 appended " +
-        "epochs coded under the pinned base-trained books)")
+        "epochs coded under the pinned base-trained books)"),
+
+    // -- q171: RESIDUAL-PQ search — the classic IVF-ADC refinement
+    //    and the round-14 verdict's last named ANN-quality gap: the
+    //    subspace books train and code r = v − c_cell, spending the
+    //    code space on within-cell geometry (see [[residualPqOn]]
+    //    for the cosine-faithful score decomposition and the O(1)-
+    //    per-pair hoisting; SimilaritySpec measures recall vs q166
+    //    at equal bytes). The oracle extends q166's full replay by
+    //    the residual-subtraction CTE: IVF build, assignment,
+    //    residuals, 8 subspace builds OVER the residuals, coding,
+    //    per-row |c_cell + recon| re-derivation, probed ADC rank,
+    //    exact re-rank — so the hash match proves the whole
+    //    residual pipeline end to end.
+    Q("q171_residual_pq",
+      (s, d) => residualPqOn(t(s, d).embeddings),
+      Some(residualPqOracleSql),
+      "residual product quantization (codes on v - c_cell): " +
+        "cell-pruned ADC scan + exact re-rank, cosine-faithful")
   )
 
   /** The q169 oracle: the q166 chain with the build replay RESTRICTED
@@ -1013,6 +1033,85 @@ object Similarity {
            * sqrt(list_dot_product(eq.v, eq.v))) AS score
       FROM cand JOIN ea ev ON ev.vec_id = cand.vec_id
         JOIN ea eq ON eq.vec_id = cand.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY score DESC, neighbor_id) AS rk
+      FROM exact)
+    SELECT query_id, neighbor_id, score, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 5 ORDER BY query_id, rk"""
+  }
+
+  /** The q171 oracle: the q166 chain with the RESIDUAL subtraction
+    * CTE spliced between assignment and the subspace builds — the
+    * books train AND code over `rsrc` (v − c_cell), |recon| is
+    * re-derived per row from (cell, code) as Σ_s |c_sub + b_s|²
+    * (each inner sum a `list_dot_product(l, l)` over the element-
+    * wise sum list — [[residReconNorm]]'s exact fold order), and the
+    * ADC numerator gains the leading dot(q, c_cell) term. Probe, 4dp
+    * ADC rank, exact re-rank: q166's verbatim.
+    */
+  private def residualPqOracleSql: String = {
+    val sub = (0 until PqSubspaces)
+      .map(s => pqSubspaceCtes(s, codeSrc = "rsrc", trainSrc = "rsrc"))
+      .mkString(",\n    ")
+    val reconJoin = (0 until PqSubspaces).map(s =>
+      s"JOIN cd$s ON cd$s.vec_id = rsrc.vec_id " +
+        s"JOIN c${s}2 cb$s ON cb$s.c = cd$s.c").mkString(" ")
+    val cvs = (0 until PqSubspaces).map(s => s"cb$s.cv AS cv$s")
+      .mkString(", ")
+    val recons = (0 until PqSubspaces).map { s =>
+      val lo = s * PqSubDim
+      s"list_transform(range(1, ${PqSubDim + 1}), " +
+        s"i -> cc.cv[$lo + i] + cb$s.cv[i]) AS l$s"
+    }.mkString(",\n        ")
+    val num = (0 until PqSubspaces).map { s =>
+      val lo = s * PqSubDim + 1; val hi = (s + 1) * PqSubDim
+      s"list_dot_product(eq.v[$lo:$hi], r.cv$s)" }
+      .mkString("\n          + ")
+    val rn2 = (0 until PqSubspaces).map(s =>
+      s"list_dot_product(r.l$s, r.l$s)").mkString(" + ")
+    s"""WITH $kmeansBuildCtes,
+    ${probeSql("c2", "pr", IvfNProbe)},
+    assigned AS (SELECT vec_id, c AS cell FROM pr WHERE rk = 1),
+    qc AS (
+      SELECT vec_id AS query_id, c AS cell FROM pr
+      WHERE vec_id % 100 = 0 AND vec_id < $ExactBaselineVecCap),
+    rsrc AS (
+      SELECT e.vec_id,
+        list_transform(range(1, ${Dim + 1}), i -> e.v[i] - c2.cv[i]) AS v
+      FROM e JOIN assigned a ON a.vec_id = e.vec_id
+        JOIN c2 ON c2.c = a.cell),
+    $sub,
+    recon AS (
+      SELECT rsrc.vec_id, $cvs,
+        $recons
+      FROM rsrc JOIN assigned a2 ON a2.vec_id = rsrc.vec_id
+        JOIN c2 cc ON cc.c = a2.cell $reconJoin),
+    approx AS (
+      SELECT qc.query_id, a.vec_id,
+        ROUND((list_dot_product(eq.v, cc.cv)
+          + $num)
+          / (sqrt(list_dot_product(eq.v, eq.v))
+           * sqrt($rn2)), 4) AS ascore
+      FROM qc JOIN assigned a ON a.cell = qc.cell
+        JOIN c2 cc ON cc.c = a.cell
+        JOIN recon r ON r.vec_id = a.vec_id
+        JOIN e eq ON eq.vec_id = qc.query_id
+      WHERE a.vec_id <> qc.query_id),
+    cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY ascore DESC NULLS LAST, vec_id) AS crk
+        FROM approx) t WHERE crk <= $PqRerankWidth),
+    exact AS (
+      SELECT cand.query_id, cand.vec_id AS neighbor_id,
+        list_dot_product(ev.v, eq.v)
+          / (sqrt(list_dot_product(ev.v, ev.v))
+           * sqrt(list_dot_product(eq.v, eq.v))) AS score
+      FROM cand JOIN e ev ON ev.vec_id = cand.vec_id
+        JOIN e eq ON eq.vec_id = cand.query_id),
     ranked AS (
       SELECT query_id, neighbor_id, score,
         ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1262,6 +1361,118 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** |reconstruction| for a RESIDUAL-coded row — cell-dependent,
+    * unlike [[pqReconNorm]]: recon = c_cell + concat_s(b_s[code_s]),
+    * so |recon|² = Σ_s Σ_i (c_sub[i] + b[i])², folded index-ascending
+    * per subspace (the oracle's `list_dot_product(l_s, l_s)`) and
+    * left-assoc across subspaces. Rides the codes projection — once
+    * per row, never per pair.
+    */
+  private[queries] def residReconNorm(
+      books: Seq[Seq[(Int, Seq[Double])]], centMap: Column,
+      cell: Column, codes: Seq[Column]): Column =
+    sqrt(books.zipWithIndex.map { case (b, s) =>
+      val cSub = slice(element_at(centMap, cell),
+        s * PqSubDim + 1, PqSubDim)
+      aggregate(zip_with(cSub, element_at(bookLit(b), codes(s)), _ + _),
+        lit(0.0), (a, t) => a + t * t)
+    }.reduce(_ + _))
+
+  /** q171's body — RESIDUAL product quantization, the classic
+    * IVF-ADC refinement and [[PqSubspaces]]' long-named untaken
+    * trade, now taken: the books learn and the codes quantize
+    * r = v − c_cell (each vector's offset from its IVF centroid)
+    * instead of the raw subvectors, so the 64 ids per subspace spend
+    * their code space on the WITHIN-CELL geometry the probe has
+    * already narrowed to, not on re-describing the coarse layout the
+    * cell id already pins. The score stays COSINE-FAITHFUL — it is
+    * the exact cosine against the reconstruction:
+    *
+    *   recon = c_cell + concat_s(b_s[code_s])
+    *   cos(q, recon) = (dot(q, c_cell) + Σ_s dot(q_s, b_s[code_s]))
+    *                   / (|q| · |recon|)
+    *
+    * and every term is O(1)-per-pair off hoisted state: the cell
+    * term is one lookup into a per-(query, probed-cell) dot built
+    * once broadcast-side (`qcdot` — the probe join already carries
+    * the (query, cell) pair), the Σ_s is [[adcLut]] verbatim over
+    * the residual books, and |recon| hoists once per coded row
+    * ([[residReconNorm]] — cell-DEPENDENT here, so it rides the
+    * codes projection; a persisted tier would store the float or a
+    * k×[[PqSubspaces]]×[[PqCentroids]] norm-table sidecar). The
+    * probe, the 4dp round-before-rank ADC cut and the exact re-rank
+    * are q166's shape, so SimilaritySpec's q171-vs-q166 recall
+    * comparison is equal-bytes by construction (same cell id + 8
+    * six-bit codes per row, same nprobe, same rerank width). The
+    * oracle replays everything: the IVF build, the assignment, the
+    * residual subtraction CTE, 8 subspace k-means builds over the
+    * residuals, the coding, |recon| from (cell, code), the probed
+    * ADC rank and the exact re-rank.
+    */
+  def residualPqOn(emb: DataFrame, nprobe: Int = IvfNProbe,
+                   rerankWidth: Int = PqRerankWidth,
+                   topK: Int = 5,
+                   onResiduals: Boolean = true): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      Vectors.asDouble(col("embedding")).as("v"))
+    val cents = kmeansCodebook(emb, IvfLloydIters, IvfCells)
+    val centMap = bookLit(cents)
+    // primary assignment — probeCells(…, 1), probeSql's rk = 1 rule
+    val assigned = probeCells(e, Seq("vec_id", "v"), "v", cents, 1)
+    // the residual subtraction — index order, like every fold here.
+    // `onResiduals = false` codes the raw subvectors instead: the
+    // q166 formulation in-query, kept ONLY as SimilaritySpec's
+    // equal-everything-but-the-residual comparison arm.
+    val resid =
+      if (onResiduals) assigned.withColumn("rv",
+        zip_with(col("v"), element_at(centMap, col("cell")), _ - _))
+      else assigned.withColumn("rv", col("v"))
+    val books = pqCodebooks(resid.select(col("vec_id"), col("rv").as("v")))
+    val pqCols = (0 until PqSubspaces).map(s => col(s"pq$s"))
+    val codes = resid.select(
+        col("vec_id") +: col("cell") +: pqCodeCols(col("rv"), books): _*)
+      .withColumn("rnorm",
+        if (onResiduals)
+          residReconNorm(books, centMap, col("cell"), pqCols)
+        else pqReconNorm(books, pqCols))
+    val q = querySubset(emb).select(col("query_id"),
+      Vectors.asDouble(col("q_emb")).as("qv"))
+    val qcells = probeCells(q, Seq("query_id", "qv"), "qv", cents, nprobe)
+    val luts = (0 until PqSubspaces).map(s => col(s"lut$s"))
+    // per (query, probed cell): the cell term + norm + the 8 LUTs —
+    // all broadcast-side, nprobe rows per query
+    val ql = qcells.select(
+      col("query_id") +: col("cell") +:
+        Vectors.dot(col("qv"), element_at(centMap, col("cell")))
+          .as("qcdot") +:
+        Vectors.norm(col("qv")).as("qnorm") +:
+        books.zipWithIndex.map { case (b, s) =>
+          adcLut(col("qv"), b, s).as(s"lut$s") }: _*)
+    val lookups = pqCols.zip(luts).map { case (cd, l) =>
+      element_at(l, cd + 1) }
+    // raw codes reconstruct v directly — no cell term in the dot
+    val numTerms = if (onResiduals) col("qcdot") +: lookups else lookups
+    val approx = codes.join(broadcast(ql), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(numTerms.reduce(_ + _)
+          / (col("qnorm") * col("rnorm")), 4).as("ascore"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("ascore").desc, col("vec_id"))
+    val cand = approx.withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= rerankWidth)
+      .select(col("query_id"), col("vec_id"))
+    val exact = cand.join(e, Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Vectors.cosine(col("v"), col("qv")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    exact.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** One subspace's full replay: slice CTE `e<s>`, seed means, two
     * Lloyd rounds (DESC ties — [[cellOf]]'s rule, the
     * [[kmeansRoundsFromE]] pattern at [[PqSubDim]] dims with
@@ -1273,8 +1484,13 @@ object Similarity {
     * over the base slice `e` but codes the FULL corpus CTE, exactly
     * the stored-books append contract [[IvfIndex.appendEpoch]]
     * implements.
+    *
+    * `trainSrc`: the (vec_id, v) relation the books TRAIN over — the
+    * residual replay (q171) trains and codes the residual CTE
+    * instead of the raw corpus.
     */
-  private def pqSubspaceCtes(s: Int, codeSrc: String = "e"): String = {
+  private def pqSubspaceCtes(s: Int, codeSrc: String = "e",
+                             trainSrc: String = "e"): String = {
     val lo = s * PqSubDim + 1
     val hi = (s + 1) * PqSubDim
     def cos(src: String, cb: String) =
@@ -1299,15 +1515,15 @@ object Similarity {
             AS rk
         FROM $src CROSS JOIN $cIn) t WHERE rk = 1)"""
     val codeSlice =
-      if (codeSrc == "e") ""
+      if (codeSrc == trainSrc) ""
       else s"""ec$s AS (
       SELECT vec_id, v[$lo:$hi] AS v FROM $codeSrc),
     """
-    val codeFrom = if (codeSrc == "e") s"e$s" else s"ec$s"
+    val codeFrom = if (codeSrc == trainSrc) s"e$s" else s"ec$s"
     s"""e$s AS (
       SELECT vec_id, v[$lo:$hi] AS v,
         CAST(vec_id % $PqCentroids AS INT) AS seed
-      FROM e),
+      FROM $trainSrc),
     $codeSlice${meanSql(s"e$s", s"e$s.seed", s"m${s}0", s"c${s}0")},
     ${assignSql(s"c${s}0", s"a${s}1", s"e$s")},
     ${meanSql(s"a${s}1 a JOIN e$s USING (vec_id)", "a.c",

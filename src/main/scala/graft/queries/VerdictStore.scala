@@ -170,12 +170,15 @@ object VerdictStore {
     */
   def appendEpoch(batch: DataFrame, path: String, id: Long): Unit = {
     val spark = batch.sparkSession
-    graft.engine.Tombstones.requireNotTombstoned(spark, path,
-      batch.select("doc_id"), "VerdictStore")
     val sigsRoot = s"$path/sigs"
     val verdRoot = s"$path/verdicts"
+    // replay no-op BEFORE the tombstone guard (the MinHashIndex
+    // ordering rationale): a redelivered append+forget day must
+    // converge, not wedge on its own same-day tombstones
     if (EpochStore.committed(sigsRoot, id) &&
         EpochStore.committed(verdRoot, id)) return // full replay
+    graft.engine.Tombstones.requireNotTombstoned(spark, path,
+      batch.select("doc_id"), "VerdictStore")
     // both resident tables through ONE pinned snapshot — the
     // redelivery read reasons about epoch membership, so this
     // narrows the window in which a maintenance flip could hand it

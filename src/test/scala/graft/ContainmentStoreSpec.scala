@@ -225,6 +225,35 @@ class ContainmentStoreSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("a pre-round-14 layout (no postings/ sidecar) stays servable " +
+      "for reads, maintain and compact; appends and forget refuse " +
+      "with the migration message") {
+    val p = tmp("cs-legacy")
+    ContainmentStore.build(resident, p, maxDf = maxDf)
+    // degrade to the legacy layout: drop the exact-forget sidecar
+    graft.engine.Archive.deleteTree(java.nio.file.Paths.get(s"$p/postings"))
+    val before = verdictKey(ContainmentStore.read(spark, p))
+    // requirePostings promises "reads and compaction remain
+    // servable" — the maintenance tick and the fold must not crash
+    // on the missing table
+    val rep = ContainmentStore.maintain(spark, p)
+    assert(!rep.diverged)
+    assert(!rep.epochs.contains("postings"))
+    ContainmentStore.compact(spark, p)
+    assert(verdictKey(ContainmentStore.read(spark, p)) === before,
+      "compaction on a legacy layout must preserve the read surface")
+    // appends and forgets stay blocked until a migrating rebuild
+    val ea = intercept[IllegalStateException] {
+      ContainmentStore.append(batch, p)
+    }
+    assert(ea.getMessage.contains("postings"))
+    val ef = intercept[IllegalStateException] {
+      ContainmentStore.forget(spark, p, Seq(0L).toDF("doc_id"))
+    }
+    assert(ef.getMessage.contains("postings"))
+    spark.catalog.clearCache()
+  }
+
   private implicit class IterAsScala[A](it: java.util.Iterator[A]) {
     def asScala: Iterator[A] = new Iterator[A] {
       def hasNext: Boolean = it.hasNext

@@ -348,6 +348,47 @@ class CrawlPipelineSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("a crash AFTER the day's forget redelivers the whole day: the " +
+      "committed appends no-op past their own same-day tombstones " +
+      "instead of wedging on the re-ingest guard") {
+    val roots = CrawlPipeline.build(
+      docsSlice(0, 120), embSlice(0, 120), tmp("crawl-rf"))
+    // a day that both crawls id 130 and takes it down — append THEN
+    // forget, the ordering ingestDay guarantees
+    val day = crawlDf(120, 160).localCheckpoint(true)
+    CrawlPipeline.appendDay(roots, day, 0L)
+    CrawlPipeline.forget(roots, spark.range(130, 131)
+      .select(col("id").as("doc_id")))
+    // crash BEFORE the checkpoint commit: the engine redelivers the
+    // whole day — every store's appendEpoch now sees id 130
+    // tombstoned-awaiting-purge and must converge on its committed
+    // epoch (full-replay no-op) rather than throw the re-ingest
+    // guard and wedge the stream permanently (the purge tick only
+    // fires after a COMPLETED batch)
+    CrawlPipeline.appendDay(roots, day, 0L)
+    CrawlPipeline.forget(roots, spark.range(130, 131)
+      .select(col("id").as("doc_id")))
+    // and the surfaces equal a never-ingested-130 deployment
+    // (pre-purge merge-on-read equality — the ForgetSpec contract)
+    val rootsN = CrawlPipeline.build(
+      docsSlice(0, 160).filter(col("doc_id") =!= 130L),
+      embSlice(0, 160).filter(col("vec_id") =!= 130L), tmp("crawl-rfn"))
+    val g = storeReads(roots); val n = storeReads(rootsN)
+    // pre-purge: every VIEW surface equal (the raw chunks table still
+    // holds tombstoned rows by design — merge-on-read)
+    for (k <- g.keys if k != "chunks") {
+      assert(g(k).nonEmpty, s"store surface $k must not be empty")
+      assert(g(k) === n(k),
+        s"store surface $k diverged after the day's redelivery")
+    }
+    // the purge (the tick's compaction) erases the raw rows too
+    ChunkIndex.compact(spark, roots.chunks)
+    assert(canon(EpochStore.read(spark, s"${roots.chunks}/chunks")
+        .drop("epoch")) === n("chunks"),
+      "store surface chunks diverged after the purge")
+    spark.catalog.clearCache()
+  }
+
   test("CrawlPipeline.forget: one composed takedown — every store's " +
       "read surface equals the never-ingested deployment, before AND " +
       "after the purge; the served manifest drops the forgotten docs") {

@@ -172,4 +172,50 @@ class ManifestStoreSpec extends SparkSpec {
         QualityOps.manifestStateOn(ext, unionEmb), dv(ext), ctv(ext))))
     spark.catalog.clearCache()
   }
+
+  test("a pre-provenance layout serves a TRAIN-only forget: the heal " +
+      "carries no plan-time eval_id reference, append/maintain/compact " +
+      "keep working after the tombstone, and an out-of-contract " +
+      "eval-bearing tombstone still refuses loudly") {
+    val path = tmp()
+    ManifestStore.build(resident, resEmb, path)
+    // degrade both eval sides to the pre-round-14 shape (no eval_id)
+    val ec = EpochStore.read(spark, s"$path/evalchunks")
+      .select(col("chunk_str")).distinct().localCheckpoint(true)
+    val ee = EpochStore.read(spark, s"$path/evalemb")
+      .select(col("e_emb")).localCheckpoint(true)
+    EpochStore.create(s"$path/evalchunks", rebuild = true) { d =>
+      ec.write.mode("overwrite").parquet(d) }
+    EpochStore.create(s"$path/evalemb", rebuild = true) { d =>
+      ee.write.mode("overwrite").parquet(d) }
+    // TRAIN-only forget (9 ≢ 0 mod 50): requireEvalProvenance's error
+    // message promises train forgets "remain servable" — the promise
+    // must hold through the heal, which forget itself AND every later
+    // appendEpoch/maintain/compact re-run
+    ManifestStore.forget(spark, path, Seq(9L).toDF("doc_id"))
+    ManifestStore.appendEpoch(batch, batchEmb, path, 5L)
+    val rep = ManifestStore.maintain(spark, path)
+    assert(!rep.diverged)
+    ManifestStore.compact(spark, path)
+    // never-ingested equality on the served manifest
+    val unionMinus = docsDf((residentRows ++ batchRows).filterNot(_._1 == 9L))
+    val umEmb = embDf((resEmbRows ++ batchEmbRows).filterNot(_._1 == 9L))
+    val got = canon(ManifestStore.manifest(spark, path,
+      dv(unionMinus), ctv(unionMinus)))
+    val want = canon(QualityOps.manifestFrom(
+      QualityOps.manifestStateOn(unionMinus, umEmb),
+      dv(unionMinus), ctv(unionMinus)))
+    assert(got === want,
+      "train-only forget on a pre-provenance layout must equal the " +
+        "never-ingested recompute")
+    // out-of-contract: an eval-bearing tombstone minted by a DIRECT
+    // Tombstones.forget (bypassing the provenance gate) must refuse at
+    // the heal rather than under-correct silently
+    graft.engine.Tombstones.forget(spark, path, Seq(0L).toDF("doc_id"))
+    val ex = intercept[IllegalStateException] {
+      ManifestStore.maintain(spark, path)
+    }
+    assert(ex.getMessage.contains("provenance"))
+    spark.catalog.clearCache()
+  }
 }

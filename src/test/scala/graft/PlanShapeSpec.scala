@@ -446,6 +446,51 @@ class PlanShapeSpec extends SparkSpec {
       s"fingerprinting must be a single map-side stage:\n$plan")
   }
 
+  test("q165 ADC pair projection stays 8-lookups-thin: no per-pair " +
+      "array/map reconstruction above the cross join (the r13 hot-" +
+      "loop fix, pinned structurally)") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Project}
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    val plan = q("q165_pq_adc_search").queryExecution.optimizedPlan
+    // the Project that DEFINES the approximate pair score — the one
+    // expression evaluated per (query × code) pair, the term that
+    // dominates a 100 TB ADC pass
+    val scoring = plan.collect {
+      case p: Project if p.projectList.exists {
+        case a: Alias => a.name == "ascore"
+        case _ => false
+      } => p
+    }
+    assert(scoring.nonEmpty, "no Project defines 'ascore' — the ADC " +
+      "scoring projection moved; re-pin this spec to the new shape")
+    scoring.foreach { p =>
+      assert(p.collectFirst { case j: Join => j }.isDefined,
+        "the ascore projection is no longer above the pair join")
+      val nodes = p.projectList.flatMap(_.collect { case e => e })
+      def none(pred: Expression => Boolean, what: String): Unit =
+        assert(!nodes.exists(pred),
+          s"per-pair $what in the ADC scoring projection — the r13 " +
+            "reconstruction hot loop is back (a pair must cost 8 " +
+            "array lookups + adds off broadcast-side LUTs)")
+      none(_.isInstanceOf[CreateArray], "array construction")
+      none(_.isInstanceOf[CreateMap], "map construction")
+      none(_.isInstanceOf[GetMapValue], "map lookup")
+      none(_.isInstanceOf[HigherOrderFunction], "higher-order lambda")
+      none(_.isInstanceOf[Concat], "concat")
+      none({
+        case l: Literal => l.dataType.isInstanceOf[ArrayType] ||
+          l.dataType.isInstanceOf[MapType]
+        case _ => false
+      }, "array/map literal (plan-literal codebook state)")
+      // exactly PqSubspaces O(1) LUT lookups — nothing else indexes
+      // an array per pair (|recon| and |q| are hoisted attributes)
+      val lookups = nodes.count(_.isInstanceOf[ElementAt])
+      assert(lookups === 8,
+        s"expected exactly 8 O(1) LUT lookups per pair, got $lookups")
+    }
+  }
+
   test("q142 heap top-k plans as an aggregate: no Window, no full-" +
       "group sort") {
     val plan = q("q142_topk_heap_agg").queryExecution.executedPlan.toString

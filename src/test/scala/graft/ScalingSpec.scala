@@ -575,6 +575,53 @@ class ScalingSpec extends SparkSpec {
     assert(ratio < 6.0,
       f"a same-size day cost $ratio%.1fx on a 10x resident corpus — " +
         "the append is scaling with the corpus, not the day")
+
+    // --- the TAKEDOWN path, measured (round-15): a same-size forget
+    // against both deployments. The eight composed forgets are
+    // takedown-bounded probes (broadcast semi joins + batch-bounded
+    // recomputes) over the stores — one pass of compact persisted
+    // state at worst, never a rebuild — so 10x the resident corpus
+    // must stay far from 10x the wall-clock.
+    def forgetCost(roots: CrawlPipeline.StoreRoots,
+                   ids: Seq[Long]): Double = {
+      import spark.implicits._
+      val df = ids.toDF("doc_id").localCheckpoint(true)
+      val t0 = System.nanoTime()
+      CrawlPipeline.forget(roots, df)
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warmup set, then the timed set — base-copy ids resident in BOTH
+    // deployments; disjoint sets so the timed forget does real work
+    forgetCost(r1, 200L to 219L); forgetCost(r10, 200L to 219L)
+    val f1 = forgetCost(r1, 220L to 239L)
+    val f10 = forgetCost(r10, 220L to 239L)
+    val fRatio = f10 / math.max(f1, 0.5)
+    info(f"takedown: 1x resident $f1%.2fs, 10x resident $f10%.2fs " +
+      f"(ratio $fRatio%.1fx)")
+    assert(fRatio < 6.0,
+      f"a same-size takedown cost $fRatio%.1fx on a 10x resident " +
+        "corpus — the forget is scaling with the corpus, not the batch")
+
+    // and one TOMBSTONE-CARRYING day (the in-stream legal path:
+    // append then forget within the day) stays day-shaped too
+    def mixedDayCost(roots: CrawlPipeline.StoreRoots, d: DataFrame,
+                     id: Long, takedown: Seq[Long]): Double = {
+      import spark.implicits._
+      val f = takedown.toDF("doc_id").localCheckpoint(true)
+      val t0 = System.nanoTime()
+      CrawlPipeline.appendDay(roots, d, id)
+      CrawlPipeline.forget(roots, f)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val day3 = day(80, 120, 22000L)
+    val m1 = mixedDayCost(r1, day3, 2L, 240L to 259L)
+    val m10 = mixedDayCost(r10, day3, 2L, 240L to 259L)
+    val mRatio = m10 / math.max(m1, 0.5)
+    info(f"tombstone-carrying day: 1x $m1%.2fs, 10x $m10%.2fs " +
+      f"(ratio $mRatio%.1fx)")
+    assert(mRatio < 6.0,
+      f"a tombstone-carrying day cost $mRatio%.1fx on a 10x resident " +
+        "corpus — the legal path is scaling with the corpus")
     spark.catalog.clearCache()
   }
 }

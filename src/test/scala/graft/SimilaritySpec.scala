@@ -203,6 +203,88 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q171 residual-PQ: recall >= 0.7 vs exact top-5, measured " +
+      "against q166 at equal bytes; the residual code is genuinely " +
+      "engaged (books differ from raw-subspace books)") {
+    val df = Registry.queries("q171_residual_pq")(spark, dir)
+    val r = recallVsExact(topKOf(df))
+    info(s"q171 recall $r")
+    // probe-bounded like q166: residual coding can only change which
+    // candidates INSIDE probed cells survive the ADC cut
+    assert(r >= 0.7, s"q171 recall $r")
+    // the equal-bytes comparison the round-14 verdict asked for:
+    // same cell id + 8 six-bit codes per row, same nprobe, same
+    // rerank width — the recall delta IS the residual trade's value
+    // on this corpus (documented in SURVEY either way; a weakly
+    // clustered corpus gives residuals little coarse structure to
+    // strip, so parity is an acceptable honest outcome)
+    val rRaw = recallVsExact(topKOf(
+      Registry.queries("q166_ivf_pq_search")(spark, dir)))
+    info(f"equal-bytes recall: residual $r%.3f vs raw-subspace $rRaw%.3f")
+    assert(r >= rRaw - 0.1,
+      f"residual coding lost more than 0.1 recall vs raw ($r%.3f vs " +
+        f"$rRaw%.3f) — the refinement is hurting, re-examine the books")
+
+    // the corpus residuals are FOR: on the q164 cluster geometry
+    // (center·40 + own vector) the coarse structure dominates every
+    // raw subvector, so raw codes spend their 64 ids re-describing
+    // centers while residual codes see the within-cell offsets.
+    // Same probe, same bytes, only the coding differs
+    // (onResiduals = false is the raw arm).
+    import graft.functions.Vectors
+    val emb2 = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = emb2.filter(col("vec_id") < 4096)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("e"))
+    val centers = base.filter(col("vec_id") % 17 === 0)
+      .select(col("vec_id").as("center_id"), col("e").as("c"))
+    val cl = base
+      .withColumn("center_id", col("vec_id") - col("vec_id") % 17)
+      .join(broadcast(centers), Seq("center_id"))
+      .select(col("vec_id"),
+        zip_with(col("c"), col("e"), (a, b) => lit(40.0) * a + b)
+          .as("embedding"))
+      .localCheckpoint(true)
+    val qcl = cl.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exactCl = topKOf {
+      import org.apache.spark.sql.expressions.Window
+      val scored = cl.crossJoin(broadcast(qcl))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          Vectors.cosine(col("embedding"), col("qv")).as("score"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id"))
+      scored.withColumn("rk",
+          org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rk") <= 5)
+    }
+    def recallOn(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = topKOf(df)
+      val hits = exactCl.map { case (k, want) =>
+        (got.getOrElse(k, Set.empty) & want).size }.sum
+      hits.toDouble / exactCl.values.map(_.size).sum
+    }
+    // rerank width = topK: no recovery headroom, so the raw ADC
+    // ORDERING is the whole signal (at the default width 40 both
+    // arms saturate at 1.0 on this geometry — measured)
+    val rResCl = recallOn(
+      graft.queries.Similarity.residualPqOn(cl, rerankWidth = 5))
+    val rRawCl = recallOn(
+      graft.queries.Similarity.residualPqOn(cl, rerankWidth = 5,
+        onResiduals = false))
+    info(f"clustered corpus (width 5): residual $rResCl%.3f vs " +
+      f"raw $rRawCl%.3f")
+    // measured 0.360 vs 0.240 — the refinement must keep BEATING the
+    // raw ordering here (no absolute floor: width-5 recall from
+    // 6-byte codes is legitimately low on both arms; the DELTA is
+    // the residual trade's value)
+    assert(rResCl > rRawCl,
+      f"residual coding must beat raw ADC ordering on the clustered " +
+        f"corpus ($rResCl%.3f vs $rRawCl%.3f)")
+    spark.catalog.clearCache()
+  }
+
   test("q169 fragmented IVF-PQ: recall holds across epochs coded at " +
       "two write times; the ADC scan is cell-pruned and vector-free; " +
       "the quantizer's ON-DISK bytes are a measured fraction of the " +
