@@ -43,13 +43,30 @@ import graft.functions.Vectors
   */
 object IvfIndex {
 
+  /** `residualPq = true` (round 15) trains the PQ books on the CELL
+    * RESIDUALS v − c_cell and codes every row (build and appends
+    * alike) on its residual — q171's formulation persisted: the code
+    * space spends its 64 ids per subspace on within-cell geometry.
+    * The mode travels as a `residual` column on the pq-codebook
+    * sidecar (absent = raw, the pre-round-15 layout), so
+    * [[pqQuery]]/[[appendEpoch]]/[[rebuildIfStale]] always score,
+    * code and re-train under the store's own mode. The stored row
+    * shape is IDENTICAL to the raw tier (cell, vec_id, pq0..7 —
+    * |recon| derives from (cell, code) via
+    * [[Similarity.residNormTables]], never stored), so the ADC
+    * scan's byte cut is unchanged.
+    */
   def build(emb: DataFrame, path: String,
             k: Int = Similarity.IvfCells,
-            lloydIters: Int = Similarity.IvfLloydIters): Unit = {
+            lloydIters: Int = Similarity.IvfLloydIters,
+            residualPq: Boolean = false): Unit = {
     val spark = emb.sparkSession
     val cents = Similarity.kmeansCodebook(emb, lloydIters, k)
-    val books = Similarity.pqCodebooks(emb.select(col("vec_id"),
-      graft.functions.Vectors.asDouble(col("embedding")).as("v")))
+    val trainRel =
+      if (residualPq) Similarity.residualsUnder(emb, cents)
+      else emb.select(col("vec_id"),
+        graft.functions.Vectors.asDouble(col("embedding")).as("v"))
+    val books = Similarity.pqCodebooks(trainRel)
     import spark.implicits._
     // the base build is epoch "base" of a versioned EpochStore;
     // streamed arrivals land as sibling epoch=<batchId> dirs (see
@@ -69,9 +86,13 @@ object IvfIndex {
         .write.mode("overwrite").parquet(s"$verDir/$CodebookName")
       books.zipWithIndex
         .flatMap { case (b, s) => b.map { case (id, c) => (s, id, c) } }
-        .toDF("sub", "c_id", "c_emb").coalesce(1)
+        .toDF("sub", "c_id", "c_emb")
+        // the mode column rides the sidecar (positional reads below
+        // stay valid; its absence = raw, the pre-round-15 layout)
+        .withColumn("residual", lit(residualPq))
+        .coalesce(1)
         .write.mode("overwrite").parquet(s"$verDir/$PqCodebookName")
-      assign(emb, cents, Some(books))
+      assign(emb, cents, Some(books), residualPq)
         .write.mode("overwrite").partitionBy("cell").parquet(base)
     }
   }
@@ -118,7 +139,8 @@ object IvfIndex {
     */
   def assign(vectors: DataFrame,
              cents: Seq[(Int, Seq[Double])],
-             books: Option[Seq[Seq[(Int, Seq[Double])]]] = None): DataFrame = {
+             books: Option[Seq[Seq[(Int, Seq[Double])]]] = None,
+             residualPq: Boolean = false): DataFrame = {
     val base = Similarity.probeCells(
       vectors.select(col("vec_id"), col("embedding")),
       Seq("vec_id", "embedding"), "embedding", cents, 1)
@@ -130,9 +152,14 @@ object IvfIndex {
       // the STORED subspace codebooks — the same staleness contract
       // as the cell assignment). The ADC search path (q166) scans
       // only (cell, vec_id, pq0..7): ~6 bytes of quantizer payload
-      // per row against SQ's 64.
-      base.select(col("*") +: Similarity.pqCodeCols(
-        Vectors.asDouble(col("embedding")), bs): _*)
+      // per row against SQ's 64. A residual store codes the row's
+      // offset from its assigned centroid instead (round 15) —
+      // same columns, same bytes.
+      val codedVec =
+        if (residualPq) zip_with(Vectors.asDouble(col("embedding")),
+          element_at(Similarity.bookLit(cents), col("cell")), _ - _)
+        else Vectors.asDouble(col("embedding"))
+      base.select(col("*") +: Similarity.pqCodeCols(codedVec, bs): _*)
     }
   }
 
@@ -198,6 +225,27 @@ object IvfIndex {
     (0 until Similarity.PqSubspaces).map { sub =>
       rows.filter(_._1 == sub).map(r => r._2 -> r._3).sortBy(_._1).toSeq
     }
+  }
+
+  /** Whether the stored PQ books were trained on CELL RESIDUALS
+    * (round 15) — read off the sidecar's `residual` column; a
+    * pre-round-15 sidecar has no such column and is a raw-subspace
+    * store. Every path that scores, codes or re-trains consults
+    * this, so one store never mixes the two formulations.
+    */
+  def pqResidualMode(spark: SparkSession, path: String): Boolean = {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get(
+      graft.engine.EpochStore.liveDir(s"$path/cells"), PqCodebookName)
+    if (!java.nio.file.Files.isDirectory(dir)) return false
+    val s = java.nio.file.Files.list(dir)
+    val parts =
+      try s.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSeq
+      finally s.close()
+    val df = spark.read.parquet(parts: _*)
+    df.columns.contains("residual") &&
+      df.select(col("residual")).head().getBoolean(0)
   }
 
   /** Content fingerprint of the LIVE codebook sidecar — md5 over its
@@ -291,10 +339,12 @@ object IvfIndex {
     // callers that hold only the cell codebook (the pre-round-13
     // signature) get the STORED PQ books loaded here — small model
     // state per append, and by construction exactly the books the
-    // store's resident codes were written under
+    // store's resident codes were written under. The coding MODE
+    // (raw vs residual subvectors) is always the store's own.
     val bs = books.getOrElse(loadPqCodebooks(batch.sparkSession, path))
+    val residual = pqResidualMode(batch.sparkSession, path)
     graft.engine.EpochStore.commitEpoch(s"$path/cells", batchId) { tmp =>
-      assign(batch, cents, Some(bs))
+      assign(batch, cents, Some(bs), residual)
         .write.mode("overwrite").partitionBy("cell").parquet(tmp)
     }
   }
@@ -408,10 +458,12 @@ object IvfIndex {
     if (stale) {
       // a rebuild is a physical rewrite — the natural purge point:
       // retrain and rewrite from the EXCLUDED rows, then reset the
-      // tombstone table (ledger carried)
+      // tombstone table (ledger carried). The PQ coding MODE is the
+      // store's own — a residual store rebuilds residual.
+      val residual = pqResidualMode(spark, path)
       val vecs = storedRows(spark, path)
         .select(col("vec_id"), col("embedding"))
-      build(vecs, path, k, lloydIters)
+      build(vecs, path, k, lloydIters, residual)
       graft.engine.Tombstones.clear(spark, path)
     }
     stale
@@ -531,6 +583,7 @@ object IvfIndex {
               rerankWidth: Int = Similarity.PqRerankWidth): DataFrame = {
     val cents = loadCodebook(spark, path)
     val books = loadPqCodebooks(spark, path)
+    val residual = pqResidualMode(spark, path)
     val m = Similarity.PqSubspaces
     val q = queries.select(col("query_id"),
       Vectors.asDouble(col("q_emb")).as("qv"))
@@ -538,21 +591,39 @@ object IvfIndex {
       Vectors.norm(col("qv")).as("qnorm") +:
       books.zipWithIndex.map { case (b, s) =>
         Similarity.adcLut(col("qv"), b, s).as(s"lut$s") }: _*)
-    val qcells = Similarity.probeCells(qlut,
+    // residual stores need dot(q, c_cell) per probed cell (the
+    // reconstruction's leading term) — computed here, once per
+    // (query, cell), while qv is still in hand
+    val qcells0 = Similarity.probeCells(qlut,
       Seq("query_id", "qv", "qnorm") ++ (0 until m).map(s => s"lut$s"),
       "qv", cents, nprobe)
+    val qcells = (if (residual)
+      qcells0.withColumn("qcdot", Vectors.dot(col("qv"),
+        element_at(Similarity.bookLit(cents), col("cell"))))
+    else qcells0)
       .drop("qv") // the ADC pass needs only the tables + norm
     val store = storedRows(spark, path)
     val pqCols = (0 until m).map(s => col(s"pq$s"))
     val luts = (0 until m).map(s => col(s"lut$s"))
+    // |recon| per coded row: raw stores from book norms alone;
+    // residual stores from the (cell, code) norm tables — neither
+    // reads vectors, so the scan stays (cell, vec_id, pq0..7)
     val codes = store.select(
       col("cell").cast("int").as("cell") +: col("vec_id") +: pqCols: _*)
-      .withColumn("rnorm", Similarity.pqReconNorm(books, pqCols))
+      .withColumn("rnorm",
+        if (residual) Similarity.residReconNormStored(
+          Similarity.residNormTables(cents, books), col("cell"), pqCols)
+        else Similarity.pqReconNorm(books, pqCols))
+    val pairScore =
+      if (residual)
+        (col("qcdot") +: pqCols.zip(luts).map { case (cd, l) =>
+          element_at(l, cd + 1) }).reduce(_ + _) /
+          (col("qnorm") * col("rnorm"))
+      else Similarity.adcScore(pqCols, luts, col("qnorm"), col("rnorm"))
     val approx = codes.join(broadcast(qcells), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(Similarity.adcScore(pqCols, luts,
-          col("qnorm"), col("rnorm")), 4).as("ascore"))
+        round(pairScore, 4).as("ascore"))
     val wc = Window.partitionBy(col("query_id"))
       .orderBy(col("ascore").desc, col("vec_id"))
     val cand = approx.withColumn("crk", row_number().over(wc))

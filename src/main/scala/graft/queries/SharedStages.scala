@@ -388,6 +388,26 @@ object SharedStages {
         cents, path, 2L)
     }
 
+  /** q172's deployment: the fragmented store shape of
+    * [[fragmentedIvfIndexPath]] with the RESIDUAL coding mode — base
+    * build trains cell codebook + residual books over the base
+    * slice, two appended epochs are assigned and residual-coded
+    * under the STORED model ([[IvfIndex.appendEpoch]] reads the
+    * store's own mode).
+    */
+  def fragmentedResidualIvfIndexPath(spark: SparkSession,
+      sfDir: String): String =
+    cached(spark, sfDir, "ivf-index-frag-resid") { path =>
+      val emb = QU.t(spark, sfDir).embeddings
+      IvfIndex.build(emb.filter(col("vec_id") % 4 =!= 0), path,
+        residualPq = true)
+      val cents = IvfIndex.loadCodebook(spark, path)
+      IvfIndex.appendEpoch(emb.filter(col("vec_id") % 8 === 0),
+        cents, path, 1L)
+      IvfIndex.appendEpoch(emb.filter(col("vec_id") % 8 === 4),
+        cents, path, 2L)
+    }
+
   /** A built [[IvfIndex]] over the PRE-ARRIVAL corpus only (the
     * vec_id % 5 != 0 slice — the complement of q154's batch), built
     * once per (session, sf dir). This is the resident vector-store

@@ -977,7 +977,33 @@ object Similarity {
       (s, d) => residualPqOn(t(s, d).embeddings),
       Some(residualPqOracleSql),
       "residual product quantization (codes on v - c_cell): " +
-        "cell-pruned ADC scan + exact re-rank, cosine-faithful")
+        "cell-pruned ADC scan + exact re-rank, cosine-faithful"),
+
+    // -- q172: the residual tier PERSISTED AND FRAGMENTED — q171's
+    //    formulation served the way q169 serves the raw tier: the
+    //    store's base build trains the cell codebook + residual
+    //    books over the base slice, two appended epochs are
+    //    assigned and residual-coded under the STORED model
+    //    ([[IvfIndex]] `residualPq` mode, carried on the sidecar so
+    //    query/append/rebuild can never mix formulations), and the
+    //    ADC scan still reads ONLY (cell, vec_id, pq0..7) — |recon|
+    //    derives from (cell, code) via the precomputed norm tables
+    //    ([[residNormTables]]), so the residual tier's scan bytes
+    //    equal the raw tier's. The oracle composes q169's
+    //    fragmented replay (build over the base slice, code the
+    //    full corpus) with q171's residual CTE: train `rsrcb`
+    //    (residuals of base rows), code `rsrc` (all rows) — the
+    //    hash match proves the appended epochs' stored codes are
+    //    the pinned residual books' codes over the pinned cell
+    //    centroids.
+    Q("q172_residual_ivf_pq",
+      (s, d) => IvfIndex.pqQuery(s,
+        SharedStages.fragmentedResidualIvfIndexPath(s, d),
+        querySubset(t(s, d).embeddings),
+        IvfNProbe, topK = 5, rerankWidth = PqRerankWidth),
+      Some(residualIvfPqFragOracleSql),
+      "residual IVF-PQ served from a fragmented store (appends " +
+        "residual-coded under the pinned base-trained model)")
   )
 
   /** The q169 oracle: the q166 chain with the build replay RESTRICTED
@@ -1112,6 +1138,87 @@ object Similarity {
            * sqrt(list_dot_product(eq.v, eq.v))) AS score
       FROM cand JOIN e ev ON ev.vec_id = cand.vec_id
         JOIN e eq ON eq.vec_id = cand.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY score DESC, neighbor_id) AS rk
+      FROM exact)
+    SELECT query_id, neighbor_id, score, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 5 ORDER BY query_id, rk"""
+  }
+
+  /** The q172 oracle: q169's fragmented replay (k-means build over
+    * the base slice, assignment/probe/coding over the FULL corpus)
+    * composed with q171's residual CTE — the books train on `rsrcb`
+    * (base rows' residuals under the base-trained centroids) and
+    * code `rsrc` (every row's residual), |recon| re-derives from
+    * (cell, code), and the ADC numerator carries the dot(q, c_cell)
+    * leading term.
+    */
+  private def residualIvfPqFragOracleSql: String = {
+    val sub = (0 until PqSubspaces)
+      .map(s => pqSubspaceCtes(s, codeSrc = "rsrc", trainSrc = "rsrcb"))
+      .mkString(",\n    ")
+    val reconJoin = (0 until PqSubspaces).map(s =>
+      s"JOIN cd$s ON cd$s.vec_id = rsrc.vec_id " +
+        s"JOIN c${s}2 cb$s ON cb$s.c = cd$s.c").mkString(" ")
+    val cvs = (0 until PqSubspaces).map(s => s"cb$s.cv AS cv$s")
+      .mkString(", ")
+    val recons = (0 until PqSubspaces).map { s =>
+      val lo = s * PqSubDim
+      s"list_transform(range(1, ${PqSubDim + 1}), " +
+        s"i -> cc.cv[$lo + i] + cb$s.cv[i]) AS l$s"
+    }.mkString(",\n        ")
+    val num = (0 until PqSubspaces).map { s =>
+      val lo = s * PqSubDim + 1; val hi = (s + 1) * PqSubDim
+      s"list_dot_product(eq.v[$lo:$hi], r.cv$s)" }
+      .mkString("\n          + ")
+    val rn2 = (0 until PqSubspaces).map(s =>
+      s"list_dot_product(r.l$s, r.l$s)").mkString(" + ")
+    s"""WITH ${kmeansBuildCtesWhere("WHERE vec_id % 4 <> 0")},
+    ea AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ${probeSql("c2", "pr", IvfNProbe, src = "ea")},
+    assigned AS (SELECT vec_id, c AS cell FROM pr WHERE rk = 1),
+    qc AS (
+      SELECT vec_id AS query_id, c AS cell FROM pr
+      WHERE vec_id % 100 = 0 AND vec_id < $ExactBaselineVecCap),
+    rsrc AS (
+      SELECT ea.vec_id,
+        list_transform(range(1, ${Dim + 1}), i -> ea.v[i] - c2.cv[i]) AS v
+      FROM ea JOIN assigned a ON a.vec_id = ea.vec_id
+        JOIN c2 ON c2.c = a.cell),
+    rsrcb AS (SELECT * FROM rsrc WHERE vec_id % 4 <> 0),
+    $sub,
+    recon AS (
+      SELECT rsrc.vec_id, $cvs,
+        $recons
+      FROM rsrc JOIN assigned a2 ON a2.vec_id = rsrc.vec_id
+        JOIN c2 cc ON cc.c = a2.cell $reconJoin),
+    approx AS (
+      SELECT qc.query_id, a.vec_id,
+        ROUND((list_dot_product(eq.v, cc.cv)
+          + $num)
+          / (sqrt(list_dot_product(eq.v, eq.v))
+           * sqrt($rn2)), 4) AS ascore
+      FROM qc JOIN assigned a ON a.cell = qc.cell
+        JOIN c2 cc ON cc.c = a.cell
+        JOIN recon r ON r.vec_id = a.vec_id
+        JOIN ea eq ON eq.vec_id = qc.query_id
+      WHERE a.vec_id <> qc.query_id),
+    cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY ascore DESC NULLS LAST, vec_id) AS crk
+        FROM approx) t WHERE crk <= $PqRerankWidth),
+    exact AS (
+      SELECT cand.query_id, cand.vec_id AS neighbor_id,
+        list_dot_product(ev.v, eq.v)
+          / (sqrt(list_dot_product(ev.v, ev.v))
+           * sqrt(list_dot_product(eq.v, eq.v))) AS score
+      FROM cand JOIN ea ev ON ev.vec_id = cand.vec_id
+        JOIN ea eq ON eq.vec_id = cand.query_id),
     ranked AS (
       SELECT query_id, neighbor_id, score,
         ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1376,6 +1483,64 @@ object Similarity {
         s * PqSubDim + 1, PqSubDim)
       aggregate(zip_with(cSub, element_at(bookLit(b), codes(s)), _ + _),
         lit(0.0), (a, t) => a + t * t)
+    }.reduce(_ + _))
+
+  /** The residual relation (vec_id, v = embedding − c_cell) of a
+    * corpus under a codebook — the training/coding input of every
+    * residual-PQ path (q171 in-query; [[IvfIndex.build]] with
+    * `residualPq = true`). Primary assignment via [[probeCells]]
+    * (…, 1) — probeSql's rk = 1 rule — subtraction in index order.
+    */
+  private[queries] def residualsUnder(emb: DataFrame,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val centMap = bookLit(cents)
+    probeCells(
+      emb.select(col("vec_id"),
+        Vectors.asDouble(col("embedding")).as("v")),
+      Seq("vec_id", "v"), "v", cents, 1)
+      .select(col("vec_id"),
+        zip_with(col("v"), element_at(centMap, col("cell")), _ - _)
+          .as("v"))
+  }
+
+  /** Per-subspace (cell, code) → |c_sub + b_code|² lookup tables as
+    * constant-folded literals (map keyed by cell id — ids can be
+    * non-dense — of a [[PqCentroids]]-slot array), so a residual
+    * store's |recon| derives from (cell, pq0..7) alone and the ADC
+    * scan stays at ~6 quantizer bytes/row (no stored norm, no
+    * vectors). Each entry is the ascending fold Σ_i (c[i]+b[i])² —
+    * bit-equal to the oracle's `list_dot_product(l, l)` over the
+    * same element-wise sum list (the [[bookSqNorms]] precedent).
+    * Size k×[[PqSubspaces]]×[[PqCentroids]] doubles — model state,
+    * the codebook-literal tradition; past
+    * [[CodebookLiteralMaxCells]] this would become a broadcast
+    * relation like the codebook itself.
+    */
+  private[queries] def residNormTables(cents: Seq[(Int, Seq[Double])],
+      books: Seq[Seq[(Int, Seq[Double])]]): Seq[Column] =
+    books.zipWithIndex.map { case (b, s) =>
+      val bm = b.toMap
+      map(cents.flatMap { case (cid, c) =>
+        val cSub = c.slice(s * PqSubDim, (s + 1) * PqSubDim)
+        Seq(lit(cid), array((0 until PqCentroids).map { code =>
+          bm.get(code) match {
+            case Some(bc) => lit(cSub.zip(bc).foldLeft(0.0) {
+              case (a, (x, y)) => val t = x + y; a + t * t })
+            case None => lit(null).cast("double")
+          }
+        }: _*))
+      }: _*)
+    }
+
+  /** [[residReconNorm]] off the precomputed [[residNormTables]] —
+    * the STORED-tier form: 8 two-level O(1) lookups + adds per coded
+    * row, no vector, no stored norm. Same grouping as the oracle's
+    * sqrt(Σ_s list_dot_product(l_s, l_s)).
+    */
+  private[queries] def residReconNormStored(tables: Seq[Column],
+      cell: Column, codes: Seq[Column]): Column =
+    sqrt(tables.zip(codes).map { case (tbl, cd) =>
+      element_at(element_at(tbl, cell), cd + 1)
     }.reduce(_ + _))
 
   /** q171's body — RESIDUAL product quantization, the classic

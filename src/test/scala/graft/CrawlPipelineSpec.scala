@@ -389,6 +389,64 @@ class CrawlPipelineSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("a takedown day under repeated kills: crashes after a PREFIX of " +
+      "the appends, and after a PREFIX of the forgets, all converge on " +
+      "redelivery of the whole day") {
+    import spark.implicits._
+    val day = crawlDf(120, 160).localCheckpoint(true)
+    val dayDocs = day.select(col("doc_id"), col("text"), col("lang"),
+      col("n_chars"))
+    val fids = Seq(130L, 30L).toDF("doc_id").localCheckpoint(true)
+    val fids2 = Seq(45L).toDF("doc_id").localCheckpoint(true)
+    // the expected deployment: never ingested 130 (same-day takedown)
+    // nor 30/45 (resident takedowns), day 120-160 otherwise present
+    val rootsN = CrawlPipeline.build(
+      docsSlice(0, 120).filter(!col("doc_id").isin(30L, 45L)),
+      embSlice(0, 120).filter(!col("vec_id").isin(30L, 45L)),
+      tmp("crawl-kn"))
+    CrawlPipeline.appendDay(rootsN,
+      day.filter(col("doc_id") =!= 130L), 0L)
+    val expect = storeReads(rootsN)
+
+    // kill point 1: crash after TWO of the eight appends committed
+    val rootsK = CrawlPipeline.build(
+      docsSlice(0, 120), embSlice(0, 120), tmp("crawl-k"))
+    MinHashIndex.appendEpoch(dayDocs.select(col("doc_id"), col("text")),
+      rootsK.minhash, 0L)
+    ChunkIndex.appendEpoch(dayDocs.select(col("doc_id"), col("text")),
+      rootsK.chunks, 0L)
+    // full-day redelivery converges (appends no-op / complete,
+    // forgets land) ...
+    CrawlPipeline.appendDay(rootsK, day, 0L)
+    CrawlPipeline.forget(rootsK, fids)
+    // kill point 2: a SECOND takedown crashes after a PREFIX of the
+    // composed forget — three stores tombstoned, five not — then the
+    // whole day redelivers: the day append must no-op past every
+    // tombstone state, the composed forget must converge on stores
+    // that already hold fids2 AND land it on the five that don't
+    MinHashIndex.forget(spark, rootsK.minhash, fids2)
+    ChunkIndex.forget(spark, rootsK.chunks, fids2)
+    VerdictStore.forget(spark, rootsK.verdicts, fids2)
+    CrawlPipeline.appendDay(rootsK, day, 0L)
+    CrawlPipeline.forget(rootsK, fids2)
+    // a full replay of BOTH days' worth of operations is a no-op
+    CrawlPipeline.appendDay(rootsK, day, 0L)
+    CrawlPipeline.forget(rootsK, fids)
+    CrawlPipeline.forget(rootsK, fids2)
+    val got = storeReads(rootsK)
+    for (k <- got.keys if k != "chunks")
+      assert(got(k) === expect(k),
+        s"store surface $k diverged after the killed takedown day")
+    ChunkIndex.compact(spark, rootsK.chunks)
+    ChunkIndex.compact(spark, rootsN.chunks)
+    assert(canon(EpochStore.read(spark, s"${rootsK.chunks}/chunks")
+        .drop("epoch")) ===
+      canon(EpochStore.read(spark, s"${rootsN.chunks}/chunks")
+        .drop("epoch")),
+      "store surface chunks diverged after the purge")
+    spark.catalog.clearCache()
+  }
+
   test("CrawlPipeline.forget: one composed takedown — every store's " +
       "read surface equals the never-ingested deployment, before AND " +
       "after the purge; the served manifest drops the forgotten docs") {

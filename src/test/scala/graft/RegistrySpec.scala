@@ -49,7 +49,7 @@ class RegistrySpec extends SparkSpec {
         s"$fam's ${q.name} is not wired into Registry.all"))
     }
     val ids = all.map(_.drop(1).takeWhile(_.isDigit).toInt)
-    (1 to 171).foreach(i =>
+    (1 to 172).foreach(i =>
       assert(ids.contains(i), s"q$i vanished from the registry"))
   }
 

@@ -336,6 +336,45 @@ class SimilaritySpec extends SparkSpec {
       s"the pq payload ($pqB) must undercut the SQ payload ($sqB) 2x+")
   }
 
+  test("q172 residual IVF-PQ served from the fragmented store: recall " +
+      "holds, the ADC scan stays cell-pruned and vector-free (|recon| " +
+      "derives from (cell, code) — no stored norm), and the store " +
+      "mode survives compaction and a forced rebuild") {
+    import graft.queries.IvfIndex
+    val df = Registry.queries("q172_residual_ivf_pq")(spark, dir)
+    val r = recallVsExact(topKOf(df))
+    info(s"q172 recall $r")
+    assert(r >= 0.7, s"q172 recall $r")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      "the residual store's ADC scan must stay cell-pruned")
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(readSchemas.exists(s => s.contains("pq0") &&
+        !s.contains("embedding") && !s.contains("code")),
+      s"no vector-free, sq-free pq scan in: $readSchemas")
+    // the MODE is store state: a fresh deployment of the same shape
+    // reports residual, compaction carries it (sidecar travels the
+    // fold), and a health-forced rebuild re-trains RESIDUAL books
+    // rather than silently flipping to raw
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = java.nio.file.Files
+      .createTempDirectory("ivf-resid-mode").toString
+    IvfIndex.build(emb.filter(col("vec_id") < 400), p, residualPq = true)
+    assert(IvfIndex.pqResidualMode(spark, p), "build must record the mode")
+    IvfIndex.compact(spark, p)
+    assert(IvfIndex.pqResidualMode(spark, p),
+      "compaction must carry the mode sidecar")
+    IvfIndex.rebuildIfStale(spark, p, maxSkew = 0.0) // force: any skew > 0
+    assert(IvfIndex.pqResidualMode(spark, p),
+      "a rebuild must preserve the store's coding mode")
+    // and the raw shared store still reports raw (no cross-talk)
+    assert(!IvfIndex.pqResidualMode(spark,
+      graft.queries.SharedStages.ivfIndexPath(spark, dir)),
+      "the raw store must not read as residual")
+    spark.catalog.clearCache()
+  }
+
   test("IVF-SQ re-rank width: recall rises with width on a drifted " +
       "corpus; the health-picked width restores what base width loses") {
     import graft.queries.IvfIndex
