@@ -658,8 +658,19 @@ object IvfIndex {
   def pqHealth(spark: SparkSession, path: String): DataFrame = {
     val books = loadPqCodebooks(spark, path)
     val m = Similarity.PqSubspaces
+    // cohesion must compare the vector the books actually CODE: a
+    // residual store's books quantize v − c_cell, so its health
+    // audits residual subvectors against residual centroids —
+    // auditing raw subvectors there would report meaningless
+    // cohesion and trip the rebuild cadence on a healthy store
+    val codedVec =
+      if (pqResidualMode(spark, path)) {
+        val cents = loadCodebook(spark, path)
+        zip_with(Vectors.asDouble(col("embedding")),
+          element_at(Similarity.bookLit(cents), col("cell")), _ - _)
+      } else Vectors.asDouble(col("embedding"))
     val stored = storedRows(spark, path)
-      .select(Vectors.asDouble(col("embedding")).as("v") +:
+      .select(codedVec.as("v") +:
         (0 until m).map(s => col(s"pq$s")): _*)
     val subRows = stored.select(posexplode(array((0 until m).map { s =>
       struct(lit(s).as("sub"), col(s"pq$s").as("code"),

@@ -389,6 +389,59 @@ class CrawlPipelineSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("a takedown STREAM survives a restart: takedown days before and " +
+      "after a query restart on one checkpoint, surfaces equal the " +
+      "no-restart deployment") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val roots = CrawlPipeline.build(
+      docsSlice(0, 120), embSlice(0, 120), tmp("crawl-tr"))
+    val stream = MemoryStream[(Long, String, String, Long, Seq[Float], Boolean)]
+    val ckpt = java.nio.file.Files.createTempDirectory("crawl-trck").toString
+    def start() = CrawlPipeline.ingest(
+      stream.toDF().toDF("doc_id", "text", "lang", "n_chars",
+        "embedding", "tombstone"),
+      roots, ckpt, everyN = 1)
+    def docRows(lo: Long, hi: Long) =
+      crawlRows(lo, hi).map(r => (r._1, r._2, r._3, r._4, r._5, false))
+    def takedown(id: Long) =
+      (id, null: String, null: String, 0L, null: Seq[Float], true)
+    val q1 = start()
+    try {
+      // day 1: crawl + a resident takedown through the same frame
+      stream.addData(docRows(120, 160) :+ takedown(30L))
+      q1.processAllAvailable()
+    } finally q1.stop() // the restart: kill the query mid-lineage
+    val q2 = start()
+    try {
+      // day 2 (post-restart): more crawl + a day-1 doc taken down
+      stream.addData(docRows(160, 200) :+ takedown(150L))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // expected: the same two days through one uninterrupted stream
+    val rootsN = CrawlPipeline.build(
+      docsSlice(0, 120), embSlice(0, 120), tmp("crawl-trn"))
+    val streamN = MemoryStream[(Long, String, String, Long, Seq[Float], Boolean)]
+    val ckptN = java.nio.file.Files.createTempDirectory("crawl-trnck").toString
+    val qN = CrawlPipeline.ingest(
+      streamN.toDF().toDF("doc_id", "text", "lang", "n_chars",
+        "embedding", "tombstone"),
+      rootsN, ckptN, everyN = 1)
+    try {
+      streamN.addData(docRows(120, 160) :+ takedown(30L))
+      qN.processAllAvailable()
+      streamN.addData(docRows(160, 200) :+ takedown(150L))
+      qN.processAllAvailable()
+    } finally qN.stop()
+    val g = storeReads(roots); val n = storeReads(rootsN)
+    for (k <- g.keys) {
+      assert(g(k).nonEmpty, s"store surface $k must not be empty")
+      assert(g(k) === n(k),
+        s"store surface $k diverged across the takedown-stream restart")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("a takedown day under repeated kills: crashes after a PREFIX of " +
       "the appends, and after a PREFIX of the forgets, all converge on " +
       "redelivery of the whole day") {

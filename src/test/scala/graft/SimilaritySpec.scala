@@ -372,6 +372,16 @@ class SimilaritySpec extends SparkSpec {
     assert(!IvfIndex.pqResidualMode(spark,
       graft.queries.SharedStages.ivfIndexPath(spark, dir)),
       "the raw store must not read as residual")
+    // pqHealth audits what the books actually code: on the residual
+    // store cohesion is residual-vs-residual-centroid (a raw-vs-
+    // residual comparison would read near-zero and trip rebuilds on
+    // a healthy store)
+    val h = IvfIndex.pqHealth(spark, p).collect()
+    assert(h.length === 8)
+    val meanCos = h.map(_.getAs[Double]("mean_cos_centroid"))
+    info(s"residual-store pq cohesion: min ${meanCos.min}")
+    assert(meanCos.forall(c => !c.isNaN && c > 0.2),
+      s"residual-store cohesion must audit the coded residuals: $meanCos")
     spark.catalog.clearCache()
   }
 
