@@ -63,7 +63,10 @@ object IvfIndex {
     val spark = emb.sparkSession
     val cents = Similarity.kmeansCodebook(emb, lloydIters, k)
     val trainRel =
-      if (residualPq) Similarity.residualsUnder(emb, cents)
+      if (residualPq)
+        // pinned once: the book build's jobs would otherwise re-run
+        // the probe + subtraction lineage per Lloyd round
+        Similarity.residualsUnder(emb, cents).localCheckpoint(true)
       else emb.select(col("vec_id"),
         graft.functions.Vectors.asDouble(col("embedding")).as("v"))
     val books = Similarity.pqCodebooks(trainRel)

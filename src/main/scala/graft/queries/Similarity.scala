@@ -1588,10 +1588,14 @@ object Similarity {
     // `onResiduals = false` codes the raw subvectors instead: the
     // q166 formulation in-query, kept ONLY as SimilaritySpec's
     // equal-everything-but-the-residual comparison arm.
+    // pinned once: the book build's 1 + PqLloydIters jobs and the
+    // codes projection would each re-run the probe + subtraction
+    // lineage otherwise (~4 recomputations of k fused cosines/row)
     val resid =
-      if (onResiduals) assigned.withColumn("rv",
+      (if (onResiduals) assigned.withColumn("rv",
         zip_with(col("v"), element_at(centMap, col("cell")), _ - _))
-      else assigned.withColumn("rv", col("v"))
+      else assigned.withColumn("rv", col("v")))
+        .localCheckpoint(true)
     val books = pqCodebooks(resid.select(col("vec_id"), col("rv").as("v")))
     val pqCols = (0 until PqSubspaces).map(s => col(s"pq$s"))
     val codes = resid.select(
