@@ -22,12 +22,16 @@ import graft.functions.Vectors
   *     discovery; [[graft.engine.EpochStore.compact]] carries it
   *     into each compacted version)
   *   <path>/cells/v<N>/epoch=<e>/cell=<c>/
-  *     (vec_id, embedding, scale, code)
+  *     (vec_id, embedding, scale, code, pq0..pq7)
   *     — epoch = the storage exactly-once unit ("base" for the
   *       build, the batchId for each streamed append), cell = the
   *       probe-pruning partition column; scale/code = the row's q89
   *       int8 quantization, written at assign time so the SQ search
-  *       path (q147) scans codes instead of vectors
+  *       path (q147) scans codes instead of vectors; pq0..7 = the
+  *       6-byte ADC code (round 13 — q166's scan reads only these),
+  *       computed on the raw subvectors or, in a `residualPq` store
+  *       (round 15), on v − c_cell — the mode rides the
+  *       `_pqcodebook` sidecar's `residual` column
   *
   * Partitioning by cell is the scale design: a query probing nprobe
   * cells reads only those partition directories. The probe-side join
