@@ -32,6 +32,53 @@ class SimilaritySpec extends SparkSpec {
     perQuery.sum / perQuery.size
   }
 
+  /** The q164 cluster geometry over the fixture embeddings (center·40
+    * + own vector, stride 17) — the production-shaped corpus where
+    * coarse structure dominates: residual-PQ's design case. Shared
+    * by the q171 (in-query) and q172 (served) residual comparisons.
+    */
+  private lazy val clusteredCorpus: org.apache.spark.sql.DataFrame = {
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < 4096)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("e"))
+    val centers = base.filter(col("vec_id") % 17 === 0)
+      .select(col("vec_id").as("center_id"), col("e").as("c"))
+    base
+      .withColumn("center_id", col("vec_id") - col("vec_id") % 17)
+      .join(broadcast(centers), Seq("center_id"))
+      .select(col("vec_id"),
+        zip_with(col("c"), col("e"), (a, b) => lit(40.0) * a + b)
+          .as("embedding"))
+      .localCheckpoint(true)
+  }
+
+  private lazy val clusteredQueries: org.apache.spark.sql.DataFrame =
+    clusteredCorpus.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .localCheckpoint(true)
+
+  private lazy val clusteredExact: Map[Long, Set[Long]] = topKOf {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Vectors
+    val scored = clusteredCorpus
+      .crossJoin(broadcast(clusteredQueries
+        .withColumnRenamed("q_emb", "qv")))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Vectors.cosine(col("embedding"), col("qv")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+  }
+
+  private def clusteredRecall(df: org.apache.spark.sql.DataFrame): Double = {
+    val got = topKOf(df)
+    val hits = clusteredExact.map { case (k, want) =>
+      (got.getOrElse(k, Set.empty) & want).size }.sum
+    hits.toDouble / clusteredExact.values.map(_.size).sum
+  }
+
   test("q89 int8 quantization: codes in [-127,127], error <= scale/2, top-5 recall >= 0.9") {
     import spark.implicits._
     // q89 declares a sha256 digest of the codes (driver comparator
@@ -231,48 +278,15 @@ class SimilaritySpec extends SparkSpec {
     // centers while residual codes see the within-cell offsets.
     // Same probe, same bytes, only the coding differs
     // (onResiduals = false is the raw arm).
-    import graft.functions.Vectors
-    val emb2 = spark.read.parquet(s"$dir/embeddings.parquet")
-    val base = emb2.filter(col("vec_id") < 4096)
-      .select(col("vec_id"),
-        transform(col("embedding"), _.cast("double")).as("e"))
-    val centers = base.filter(col("vec_id") % 17 === 0)
-      .select(col("vec_id").as("center_id"), col("e").as("c"))
-    val cl = base
-      .withColumn("center_id", col("vec_id") - col("vec_id") % 17)
-      .join(broadcast(centers), Seq("center_id"))
-      .select(col("vec_id"),
-        zip_with(col("c"), col("e"), (a, b) => lit(40.0) * a + b)
-          .as("embedding"))
-      .localCheckpoint(true)
-    val qcl = cl.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val exactCl = topKOf {
-      import org.apache.spark.sql.expressions.Window
-      val scored = cl.crossJoin(broadcast(qcl))
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          Vectors.cosine(col("embedding"), col("qv")).as("score"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col("neighbor_id"))
-      scored.withColumn("rk",
-          org.apache.spark.sql.functions.row_number().over(w))
-        .filter(col("rk") <= 5)
-    }
-    def recallOn(df: org.apache.spark.sql.DataFrame): Double = {
-      val got = topKOf(df)
-      val hits = exactCl.map { case (k, want) =>
-        (got.getOrElse(k, Set.empty) & want).size }.sum
-      hits.toDouble / exactCl.values.map(_.size).sum
-    }
     // rerank width = topK: no recovery headroom, so the raw ADC
     // ORDERING is the whole signal (at the default width 40 both
     // arms saturate at 1.0 on this geometry — measured)
-    val rResCl = recallOn(
-      graft.queries.Similarity.residualPqOn(cl, rerankWidth = 5))
-    val rRawCl = recallOn(
-      graft.queries.Similarity.residualPqOn(cl, rerankWidth = 5,
-        onResiduals = false))
+    val rResCl = clusteredRecall(
+      graft.queries.Similarity.residualPqOn(clusteredCorpus,
+        rerankWidth = 5))
+    val rRawCl = clusteredRecall(
+      graft.queries.Similarity.residualPqOn(clusteredCorpus,
+        rerankWidth = 5, onResiduals = false))
     info(f"clustered corpus (width 5): residual $rResCl%.3f vs " +
       f"raw $rRawCl%.3f")
     // measured 0.360 vs 0.240 — the refinement must keep BEATING the
@@ -382,6 +396,36 @@ class SimilaritySpec extends SparkSpec {
     info(s"residual-store pq cohesion: min ${meanCos.min}")
     assert(meanCos.forall(c => !c.isNaN && c > 0.2),
       s"residual-store cohesion must audit the coded residuals: $meanCos")
+    spark.catalog.clearCache()
+  }
+
+  test("the SERVED residual tier beats the served raw tier on the " +
+      "clustered corpus at a narrow re-rank — the recall case the " +
+      "persisted residualPq option exists for") {
+    import graft.queries.IvfIndex
+    val pR = java.nio.file.Files
+      .createTempDirectory("ivf-cl-resid").toString
+    val pW = java.nio.file.Files
+      .createTempDirectory("ivf-cl-raw").toString
+    IvfIndex.build(clusteredCorpus, pR, residualPq = true)
+    IvfIndex.build(clusteredCorpus, pW)
+    // same store shape, same probe, same 6 quantizer bytes/row —
+    // only the coding differs; width = topK so the ADC ordering is
+    // the whole signal (the q171 in-query comparison, now through
+    // the persisted serving path end to end)
+    val rRes = clusteredRecall(IvfIndex.pqQuery(spark, pR,
+      clusteredQueries, rerankWidth = 5))
+    val rRaw = clusteredRecall(IvfIndex.pqQuery(spark, pW,
+      clusteredQueries, rerankWidth = 5))
+    info(f"served clustered (width 5): residual $rRes%.3f vs raw $rRaw%.3f")
+    assert(rRes > rRaw,
+      f"the served residual tier must beat raw ADC ordering on the " +
+        f"clustered corpus ($rRes%.3f vs $rRaw%.3f)")
+    // and at the production width both serve full recall here
+    val rResW = clusteredRecall(IvfIndex.pqQuery(spark, pR,
+      clusteredQueries))
+    info(f"served clustered (width 40): residual $rResW%.3f")
+    assert(rResW >= 0.9)
     spark.catalog.clearCache()
   }
 
