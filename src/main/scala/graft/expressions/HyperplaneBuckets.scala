@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -10,9 +10,14 @@ import org.apache.spark.sql.types._
   * element t of the result is the nBits-bit sign bucket of table t
   * (seed = t). Bit-identical to evaluating the Column-level
   * `Vectors.hyperplaneBucket(v, nBits, seed = lit(t))` L times
-  * (pinned in SimilaritySpec): plane component (i, j, t) chains
-  * Spark's xxhash64 fold over the three longs exactly like the
-  * `xxhash64(i, j, seed)` builtin, scaled to [-1, 1).
+  * (pinned in SimilaritySpec): plane component (i, j, t) is the
+  * first 32 bits of `md5("i:j:t")` scaled to [-1, 1) — a PORTABLE
+  * derivation (standard MD5 over a decimal-rendered key), so any
+  * engine with an md5 builtin replays the exact planes and the
+  * q63/q69 oracles can value-check the full LSH search instead of
+  * settling for a rows-only gate. The md5 runs once per (bit, index,
+  * table) when the memoized plane matrix for a shape is first built
+  * — never per row — so portability costs the hot path nothing.
   *
   * The Column formulation explodes the table index first and then
   * re-traverses the vector per table with interpreted lambdas
@@ -50,18 +55,25 @@ case class HyperplaneBuckets(child: Expression, nBits: Int, tables: Int)
 }
 
 object HyperplaneBuckets {
-  private val Mod = 0x80000000L
-  private val Scale = 0x40000000L.toDouble
+  private val Half = 0x80000000L.toDouble // 2^31
 
-  /** Plane component (bit i, index j, table seed): the same xxhash64
-    * left-fold Spark's multi-argument `xxhash64(i, j, seed)` computes
-    * over three longs, reduced mod 2^31 and scaled to [-1, 1).
+  /** Plane component (bit i, index j, table seed): the first 4 bytes
+    * of `md5("i:j:seed")` as an unsigned 32-bit integer, scaled to
+    * [-1, 1) by h/2^31 − 1. Both pieces are engine-portable — MD5 is
+    * MD5 everywhere, and a 32-bit-int-over-power-of-two quotient is
+    * exact in double — so DuckDB's
+    * `('0x' || substr(md5(i||':'||j||':'||t), 1, 8))::BIGINT /
+    * 2147483648.0 - 1.0` produces the identical double. MD5
+    * avalanches, so distinct seeds give properly decorrelated
+    * planes (the property an affine mix lacks — see
+    * Vectors.planeComponent).
     */
   private def component(i: Long, j: Long, seed: Long): Double = {
-    var h = XXH64.hashLong(i, 42L)
-    h = XXH64.hashLong(j, h)
-    h = XXH64.hashLong(seed, h)
-    java.lang.Math.floorMod(h, Mod).toDouble / Scale - 1.0
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$i:$j:$seed".getBytes("UTF-8"))
+    val h = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+      ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+    h.toDouble / Half - 1.0
   }
 
   /** Plane matrices are data-independent — memoize per (nBits,

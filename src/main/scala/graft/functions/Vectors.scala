@@ -126,18 +126,27 @@ object Vectors {
   }
 
   /** Deterministic pseudo-hyperplane component for (bit i, index j,
-    * seed), scaled to [-1, 1). The mix MUST avalanche: an affine
-    * `i*A + j*B + seed*C mod 2^31` leaves different seeds producing
-    * near-identical (constant-shifted) planes, so "independent" LSH
-    * tables all hash alike and extra tables add zero recall (measured:
-    * recall flat at 1-table level for L=4..16). xxhash64 over the
-    * triple gives properly decorrelated planes per seed; the seed is
-    * a Column so one exploded table index drives L independent tables
-    * in a single pass.
+    * seed): first 32 bits of `md5("i:j:seed")`, scaled to [-1, 1).
+    * The mix MUST avalanche: an affine `i*A + j*B + seed*C mod 2^31`
+    * leaves different seeds producing near-identical
+    * (constant-shifted) planes, so "independent" LSH tables all hash
+    * alike and extra tables add zero recall (measured: recall flat at
+    * 1-table level for L=4..16). MD5 avalanches AND is
+    * engine-portable (unlike xxhash64, which DuckDB lacks), so the
+    * q63/q69 oracles replay the exact planes in SQL:
+    * `('0x' || substr(md5(i||':'||j||':'||seed), 1, 8))::BIGINT /
+    * 2147483648.0 - 1.0`. The quotient of a 32-bit int by 2^31 is
+    * exact in double, so both engines hold the identical component.
+    * The seed is a Column so one exploded table index drives L
+    * independent tables in a single pass. Must stay bit-identical to
+    * graft.expressions.HyperplaneBuckets.component (pinned in
+    * SimilaritySpec).
     */
   private def planeComponent(i: Column, j: Column, seed: Column): Column = {
-    val h = pmod(xxhash64(i.cast("bigint"), j, seed), lit(0x80000000L))
-    h.cast("double") / lit(0x40000000L.toDouble) - 1.0
+    val h = conv(substring(md5(concat_ws(":",
+      i.cast("string"), j.cast("string"), seed.cast("string"))), 1, 8),
+      16, 10).cast("bigint")
+    h.cast("double") / lit(0x80000000L.toDouble) - 1.0
   }
 
   // ---- element-wise vector aggregation ----------------------------

@@ -37,7 +37,7 @@ object Similarity {
     * [[embNearDupLshOn]] for why it differs from q63's).
     */
   val NearDupNBits = 8
-  val NearDupTables = 70
+  val NearDupTables = 80
 
   /** Skew guard for the q69 self-join, same contract as
     * TextOps.MaxLshBucket: over-cap buckets emit representative star
@@ -218,15 +218,69 @@ object Similarity {
     //    both sides of the tradeoff on this corpus, whose labels carry
     //    no geometry — same-label mean cosine 0.002, true top-5
     //    neighbors at 0.27..0.51): nBits=14, L=45, probe radius 2
-    //    gives recall 0.92 / 0.92 with candidates 30% / 29% of corpus
+    //    gives recall 0.95 (sf0.1) with candidates 29% / 29% of corpus
     //    at sf0.01 / sf0.1 (radius-1 at any (nBits, L) could not hold
     //    recall >= 0.8 under 30% candidates on this corpus).
     //    Scale shape: explode ×L on ids+bucket only (16-byte rows),
     //    equi-join per (table, bucket), never a cross join; candidate
     //    scoring joins embeddings back by id.
+    //
+    //    Round 16: FULL value oracle. The planes are md5-derived
+    //    (graft.expressions.HyperplaneBuckets.component — first 32
+    //    bits of md5("i:j:t") scaled to [-1,1), exact in double), so
+    //    the oracle replays the entire search in SQL: build all
+    //    L×nBits 64-dim planes, code corpus and queries by
+    //    sign-of-dot-product, expand each query code by every XOR
+    //    mask of popcount <= 2 (the probeMasks set), equi-join on
+    //    (table, code), exact-cosine score, top-5. The 64 in the
+    //    plane CTE is the fixture dim (q62's precedent); the engine
+    //    derives dim from the vector itself.
     Q("q63_ann_lsh", (s, d) => annLsh(s, d),
-      None,
-      "multi-probe hyperplane-LSH ANN (rows-only oracle; recall + candidate fraction in spec)"),
+      Some(s"""WITH planes AS (
+          SELECT t, i, list(comp ORDER BY j) AS plane
+          FROM (
+            SELECT t, i, j,
+              ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)
+                || ':' || CAST(t AS VARCHAR)), 1, 8))::BIGINT
+                / 2147483648.0 - 1.0 AS comp
+            FROM range($AnnTables) r1(t), range($AnnNBits) r2(i), range(64) r3(j))
+          GROUP BY t, i),
+        codes AS (
+          SELECT e.vec_id, p.t,
+            CAST(SUM(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), p.plane) >= 0
+              THEN 1::BIGINT << CAST(${AnnNBits - 1} - p.i AS INT) ELSE 0 END) AS BIGINT) AS b
+          FROM embeddings e, planes p
+          GROUP BY e.vec_id, p.t),
+        masks AS (
+          SELECT 0::BIGINT AS m
+          UNION ALL
+          SELECT 1::BIGINT << CAST(b1 AS INT) FROM range($AnnNBits) rm(b1)
+          UNION ALL
+          SELECT (1::BIGINT << CAST(b1 AS INT)) | (1::BIGINT << CAST(b2 AS INT))
+          FROM range($AnnNBits) ra(b1), range($AnnNBits) rb(b2) WHERE b1 < b2),
+        cands AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+          FROM codes q
+          CROSS JOIN masks
+          JOIN codes c ON c.t = q.t AND c.b = xor(q.b, masks.m)
+          WHERE q.vec_id % 100 = 0 AND q.vec_id < $ExactBaselineVecCap
+            AND c.vec_id <> q.vec_id),
+        scored AS (
+          SELECT cd.query_id, cd.vec_id AS neighbor_id,
+            list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+              / (sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[])))
+               * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS score
+          FROM cands cd
+          JOIN embeddings e ON e.vec_id = cd.vec_id
+          JOIN embeddings qe ON qe.vec_id = cd.query_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, score,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id) AS rk
+          FROM scored)
+        SELECT query_id, neighbor_id, score, CAST(rk AS INT) AS rk
+        FROM ranked WHERE rk <= 5 ORDER BY query_id, rk"""),
+      "multi-probe hyperplane-LSH ANN, full md5-plane replay oracle"),
 
     // -- embedding-cosine near-dup, EXACT baseline: every pair with
     //    cosine ≥ 0.45 over all vec_id-ordered pairs. Quadratic by
@@ -254,11 +308,48 @@ object Similarity {
       "exact embedding-cosine near-dup pairs"),
 
     // -- banded embedding near-dup: q65's subquadratic scale path
-    //    (see [[embNearDupLshOn]]); rows-only oracle, recall +
-    //    candidate-pair fraction asserted in SimilaritySpec.
+    //    (see [[embNearDupLshOn]]); recall + candidate-pair fraction
+    //    asserted in SimilaritySpec.
+    //
+    //    Round 16: FULL value oracle via the same md5-plane replay as
+    //    q63 (bucket EQUALITY self-join — no probe masks). Boundary:
+    //    the oracle's plain all-pairs form equals the engine exactly
+    //    whenever no (table, bucket) exceeds MaxVecBucket (=10000) —
+    //    the capped star-edge path can't engage with corpus <= 2000
+    //    rows at every test sf; the over-cap behavior is pinned
+    //    separately in SimilaritySpec ("over-cap buckets dedup via
+    //    representative star").
     Q("q69_embedding_neardup_lsh", (s, d) => embNearDupLshOn(t(s, d).embeddings),
-      None,
-      "multi-probe LSH embedding near-dup pairs (recall + pruning in spec)"),
+      Some(s"""WITH planes AS (
+          SELECT t, i, list(comp ORDER BY j) AS plane
+          FROM (
+            SELECT t, i, j,
+              ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)
+                || ':' || CAST(t AS VARCHAR)), 1, 8))::BIGINT
+                / 2147483648.0 - 1.0 AS comp
+            FROM range($NearDupTables) r1(t), range($NearDupNBits) r2(i), range(64) r3(j))
+          GROUP BY t, i),
+        codes AS (
+          SELECT e.vec_id, p.t,
+            CAST(SUM(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), p.plane) >= 0
+              THEN 1::BIGINT << CAST(${NearDupNBits - 1} - p.i AS INT) ELSE 0 END) AS BIGINT) AS b
+          FROM embeddings e, planes p
+          GROUP BY e.vec_id, p.t),
+        cands AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM codes a JOIN codes b ON b.t = a.t AND b.b = a.b
+            AND a.vec_id < b.vec_id),
+        scored AS (
+          SELECT c.vec_a, c.vec_b,
+            list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))
+              / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[])))
+               * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))) AS cos
+          FROM cands c
+          JOIN embeddings ea ON ea.vec_id = c.vec_a
+          JOIN embeddings eb ON eb.vec_id = c.vec_b)
+        SELECT vec_a, vec_b, cos FROM scored WHERE cos >= 0.45
+        ORDER BY vec_a, vec_b"""),
+      "banded LSH embedding near-dup, full md5-plane replay oracle"),
 
     // -- IVF ANN, step 2: assign every vector to its nearest centroid
     //    (map-side argmax over the k×dim codebook, carried in the plan
@@ -1485,23 +1576,62 @@ object Similarity {
         lit(0.0), (a, t) => a + t * t)
     }.reduce(_ + _))
 
+  /** `out` = `vecCol` − c_cell over rows carrying a `cell` column —
+    * the residual subtraction every residual-PQ path shares,
+    * dispatched on codebook size exactly like [[probeCells]]: below
+    * [[CodebookLiteralMaxCells]] the centroid is one constant-folded
+    * map-literal lookup (fused, no join); above it the k×dim literal
+    * would blow up plan size and codegen (the probeCells rationale),
+    * so the codebook joins in as a BROADCAST RELATION on the cell
+    * key. Values are identical — the joined `c_emb` IS the array the
+    * literal lookup returns — only the plan shape differs
+    * (byte-equality pinned in IvfIndexSpec).
+    */
+  private[queries] def subtractCell(rows: DataFrame, vecCol: String,
+      cents: Seq[(Int, Seq[Double])], out: String,
+      maxLitCells: Int = CodebookLiteralMaxCells): DataFrame =
+    if (cents.size <= maxLitCells)
+      rows.withColumn(out,
+        zip_with(col(vecCol), element_at(bookLit(cents), col("cell")), _ - _))
+    else
+      rows.join(broadcast(centsRel(rows, cents)
+          .select(col("c_id").as("cell"), col("c_emb"))), Seq("cell"))
+        .withColumn(out, zip_with(col(vecCol), col("c_emb"), _ - _))
+        .drop("c_emb")
+
+  /** `out` = dot(`vecCol`, c_cell) — the reconstruction's leading
+    * term for a residual-coded store, with [[subtractCell]]'s
+    * literal-vs-broadcast dispatch.
+    */
+  private[queries] def cellDot(rows: DataFrame, vecCol: String,
+      cents: Seq[(Int, Seq[Double])], out: String,
+      maxLitCells: Int = CodebookLiteralMaxCells): DataFrame =
+    if (cents.size <= maxLitCells)
+      rows.withColumn(out,
+        Vectors.dot(col(vecCol), element_at(bookLit(cents), col("cell"))))
+    else
+      rows.join(broadcast(centsRel(rows, cents)
+          .select(col("c_id").as("cell"), col("c_emb"))), Seq("cell"))
+        .withColumn(out, Vectors.dot(col(vecCol), col("c_emb")))
+        .drop("c_emb")
+
   /** The residual relation (vec_id, v = embedding − c_cell) of a
     * corpus under a codebook — the training/coding input of every
     * residual-PQ path (q171 in-query; [[IvfIndex.build]] with
     * `residualPq = true`). Primary assignment via [[probeCells]]
-    * (…, 1) — probeSql's rk = 1 rule — subtraction in index order.
+    * (…, 1) — probeSql's rk = 1 rule — subtraction in index order,
+    * [[subtractCell]]'s size dispatch (a large-k residual build
+    * must never fold the cell codebook into plan literals).
     */
   private[queries] def residualsUnder(emb: DataFrame,
-      cents: Seq[(Int, Seq[Double])]): DataFrame = {
-    val centMap = bookLit(cents)
-    probeCells(
-      emb.select(col("vec_id"),
-        Vectors.asDouble(col("embedding")).as("v")),
-      Seq("vec_id", "v"), "v", cents, 1)
-      .select(col("vec_id"),
-        zip_with(col("v"), element_at(centMap, col("cell")), _ - _)
-          .as("v"))
-  }
+      cents: Seq[(Int, Seq[Double])]): DataFrame =
+    subtractCell(
+      probeCells(
+        emb.select(col("vec_id"),
+          Vectors.asDouble(col("embedding")).as("v")),
+        Seq("vec_id", "v"), "v", cents, 1),
+      "v", cents, "rv")
+      .select(col("vec_id"), col("rv").as("v"))
 
   /** Per-subspace (cell, code) → |c_sub + b_code|² lookup tables as
     * constant-folded literals (map keyed by cell id — ids can be
@@ -1541,6 +1671,50 @@ object Similarity {
       cell: Column, codes: Seq[Column]): Column =
     sqrt(tables.zip(codes).map { case (tbl, cd) =>
       element_at(element_at(tbl, cell), cd + 1)
+    }.reduce(_ + _))
+
+  /** [[residNormTables]] as a RELATION — one row per cell,
+    * `nsq[s][code] = |c_sub + b_code|²` — the k-proportional form a
+    * large-k residual store serves from (and what
+    * [[IvfIndex.build]] persists as the `_pqnorms` sidecar): past
+    * [[CodebookLiteralMaxCells]] the literal map would be
+    * k×[[PqSubspaces]]×[[PqCentroids]] plan constants, so the norms
+    * BROADCAST-join on the cell key instead. Only the BOOKS (8×64×8
+    * doubles, k-independent) fold into the expression. Each entry is
+    * the same left-assoc (c[i]+b[i])² chain as the literal form —
+    * (0.0 + x) ≡ x in IEEE, so the two forms are bit-equal
+    * (IvfIndexSpec pins it).
+    */
+  private[queries] def residNormRel(spark: org.apache.spark.sql.SparkSession,
+      cents: Seq[(Int, Seq[Double])],
+      books: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
+    import spark.implicits._
+    val centsDf = cents.toDF("cell", "c_emb")
+    val nsq = array(books.zipWithIndex.map { case (b, s) =>
+      val bm = b.toMap
+      val bookArr = array((0 until PqCentroids).map { code =>
+        bm.get(code) match {
+          case Some(bc) => array(bc.map(lit(_)): _*)
+          case None     => lit(null).cast("array<double>")
+        }
+      }: _*)
+      transform(bookArr, bc =>
+        (0 until PqSubDim).map { i =>
+          val t = element_at(col("c_emb"), s * PqSubDim + i + 1) +
+            element_at(bc, i + 1)
+          t * t
+        }.reduce(_ + _))
+    }: _*)
+    centsDf.select(col("cell"), nsq.as("nsq"))
+  }
+
+  /** Per-row |recon| for a residual store off the broadcast `nsq`
+    * column [[residNormRel]] carries — the large-k counterpart of
+    * [[residReconNormStored]], same Σ_s grouping under one sqrt.
+    */
+  private[queries] def residReconNormRel(codes: Seq[Column]): Column =
+    sqrt(codes.zipWithIndex.map { case (cd, s) =>
+      element_at(element_at(col("nsq"), s + 1), cd + 1)
     }.reduce(_ + _))
 
   /** q171's body — RESIDUAL product quantization, the classic

@@ -72,7 +72,7 @@ class GoldenPinSpec extends SparkSpec {
     "q56_lsh_near_dup" -> "5e6edd0a14bdb5a31736eec45ac4ed4d1d89e0787c186a528cb9493bbb284b05",
     "q57_simhash" -> "8dfc1da2fc6d0d40eb35d627fa584ae863b5ec51c64ceb918ffe004b80a9537a",
     "q58_fingerprint" -> "105f14e2aeebcaaf70f04aa56cb66d9557dfb516afaca9b96f23549ed44aec78",
-    "q63_ann_lsh" -> "2688640cb3a74ec64c85187e40443fef642de7535da99eb556b96d6d40ff4c38",
+    "q63_ann_lsh" -> "c4e690adf76f7b523f166b4bd0456273c38726100bc78b6b1010bd142e15df25",
     "q64_ann_ivf" -> "0f657231731ca79e08c494ddf5aaeb069861ba43d7345eed437ed22eca2d17c7",
     "q68_simhash_neardup" -> "15dabf51c0a1dd07d2cdb5160b91c3eae93d04a42849da8c75db79a0c1011ad1",
     "q69_embedding_neardup_lsh" -> "300f038752a3825c9c01833340d9f957a3b4d68518cbbf771233257b1276d7ac",
