@@ -57,8 +57,10 @@ object IvfIndex {
     * code and re-train under the store's own mode. The stored row
     * shape is IDENTICAL to the raw tier (cell, vec_id, pq0..7 —
     * |recon| derives from (cell, code) via
-    * [[Similarity.residNormTables]], never stored), so the ADC
-    * scan's byte cut is unchanged.
+    * [[Similarity.residNormTables]] below
+    * [[Similarity.CodebookLiteralMaxCells]], else from the
+    * `_pqnorms` sidecar this build persists (round 16) — never a
+    * per-row stored float), so the ADC scan's byte cut is unchanged.
     */
   def build(emb: DataFrame, path: String,
             k: Int = Similarity.IvfCells,
@@ -99,6 +101,17 @@ object IvfIndex {
         .withColumn("residual", lit(residualPq))
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$verDir/$PqCodebookName")
+      // residual stores also persist the (cell, nsq[sub][code]) norm
+      // tables (round 16): |recon| is cell-DEPENDENT there, and past
+      // CodebookLiteralMaxCells the serving path joins these as a
+      // broadcast relation instead of folding k×8×64 plan literals —
+      // built once here, riding the same manifest flip as the books
+      // they derive from, so a rebuild can never leave norms that
+      // describe a different codebook
+      if (residualPq)
+        Similarity.residNormRel(spark, cents, books)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$verDir/$PqNormsName")
       assign(emb, cents, Some(books), residualPq)
         .write.mode("overwrite").partitionBy("cell").parquet(base)
     }
@@ -106,6 +119,7 @@ object IvfIndex {
 
   private val CodebookName = "_codebook"
   private val PqCodebookName = "_pqcodebook"
+  private val PqNormsName = "_pqnorms"
 
   /** Fold all committed cell epochs into one base (new manifest
     * version; readers and replays stay safe — see
@@ -115,7 +129,7 @@ object IvfIndex {
     */
   def compact(spark: SparkSession, path: String): Unit = {
     graft.engine.EpochStore.compact(spark, s"$path/cells", Seq("cell"),
-      carryExtras = Seq(CodebookName, PqCodebookName),
+      carryExtras = Seq(CodebookName, PqCodebookName, PqNormsName),
       transform = graft.engine.Tombstones.exclude(_, path, "vec_id"))
     graft.engine.Tombstones.clear(spark, path)
   }
@@ -147,7 +161,8 @@ object IvfIndex {
   def assign(vectors: DataFrame,
              cents: Seq[(Int, Seq[Double])],
              books: Option[Seq[Seq[(Int, Seq[Double])]]] = None,
-             residualPq: Boolean = false): DataFrame = {
+             residualPq: Boolean = false,
+             maxLitCells: Int = Similarity.CodebookLiteralMaxCells): DataFrame = {
     val base = Similarity.probeCells(
       vectors.select(col("vec_id"), col("embedding")),
       Seq("vec_id", "embedding"), "embedding", cents, 1)
@@ -161,12 +176,18 @@ object IvfIndex {
       // only (cell, vec_id, pq0..7): ~6 bytes of quantizer payload
       // per row against SQ's 64. A residual store codes the row's
       // offset from its assigned centroid instead (round 15) —
-      // same columns, same bytes.
-      val codedVec =
-        if (residualPq) zip_with(Vectors.asDouble(col("embedding")),
-          element_at(Similarity.bookLit(cents), col("cell")), _ - _)
-        else Vectors.asDouble(col("embedding"))
-      base.select(col("*") +: Similarity.pqCodeCols(codedVec, bs): _*)
+      // same columns, same bytes; the subtraction dispatches on
+      // codebook size ([[Similarity.subtractCell]]) so a large-k
+      // residual build never folds k×dim plan literals.
+      if (residualPq) {
+        val withRv = Similarity.subtractCell(
+          base.withColumn("v", Vectors.asDouble(col("embedding"))),
+          "v", cents, "rv", maxLitCells)
+        withRv.select(base.columns.map(col) ++
+          Similarity.pqCodeCols(col("rv"), bs): _*)
+      } else
+        base.select(col("*") +:
+          Similarity.pqCodeCols(Vectors.asDouble(col("embedding")), bs): _*)
     }
   }
 
@@ -181,26 +202,45 @@ object IvfIndex {
     * are ordinary names.
     */
   def loadCodebook(spark: SparkSession, path: String): Seq[(Int, Seq[Double])] = {
-    import scala.jdk.CollectionConverters._
-    val dir = java.nio.file.Paths.get(
-      graft.engine.EpochStore.liveDir(s"$path/cells"), CodebookName)
-    if (!java.nio.file.Files.isDirectory(dir))
+    val parts = sidecarParts(path, CodebookName).getOrElse(
       throw new IllegalStateException(
         s"IvfIndex at $path has no $CodebookName sidecar in its live " +
           "version — rebuild required: this is a pre-sidecar index " +
           "layout (codebook beside the store, cells rows without the " +
           "code/scale SQ columns) or a corrupted store. Re-run " +
-          "IvfIndex.build over the corpus to migrate.")
-    val s = java.nio.file.Files.list(dir)
-    val parts =
-      try s.iterator().asScala.map(_.toString)
-        .filter(_.endsWith(".parquet")).toSeq
-      finally s.close()
+          "IvfIndex.build over the corpus to migrate."))
     spark.read.parquet(parts: _*)
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1))
       .sortBy(_._1).toSeq
   }
+
+  /** Part files of a `_`-prefixed version-scoped sidecar dir in the
+    * LIVE cells version, or None if the sidecar is absent. Listed
+    * explicitly because a hidden dir handed to `spark.read` as the
+    * root trips the hidden-path filter — the part files themselves
+    * are ordinary names.
+    */
+  private def sidecarParts(path: String, name: String): Option[Seq[String]] = {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get(
+      graft.engine.EpochStore.liveDir(s"$path/cells"), name)
+    if (!java.nio.file.Files.isDirectory(dir)) return None
+    val s = java.nio.file.Files.list(dir)
+    try Some(s.iterator().asScala.map(_.toString)
+      .filter(_.endsWith(".parquet")).toSeq)
+    finally s.close()
+  }
+
+  private def missingPqSidecar(path: String): Nothing =
+    throw new IllegalStateException(
+      s"IvfIndex at $path has no $PqCodebookName sidecar in its live " +
+        "version — this is a pre-round-13 index layout (cells rows " +
+        "without the pq0..7 ADC columns). The exact float path " +
+        "(query) and the SQ path (sqQuery) remain servable from this " +
+        "store, but pqQuery AND appends (appendEpoch/appendStream, " +
+        "which code arrivals through these books) are blocked until " +
+        "IvfIndex.build re-runs over the corpus to migrate the layout.")
 
   /** The stored PQ subspace codebooks, sub-major then c_id-sorted —
     * model state, subspaces×k×subdim small, resolved through the
@@ -208,52 +248,55 @@ object IvfIndex {
     * sidecar discipline, same hidden-dir part-file listing).
     */
   def loadPqCodebooks(spark: SparkSession,
-                      path: String): Seq[Seq[(Int, Seq[Double])]] = {
-    import scala.jdk.CollectionConverters._
-    val dir = java.nio.file.Paths.get(
-      graft.engine.EpochStore.liveDir(s"$path/cells"), PqCodebookName)
-    if (!java.nio.file.Files.isDirectory(dir))
-      throw new IllegalStateException(
-        s"IvfIndex at $path has no $PqCodebookName sidecar in its live " +
-          "version — this is a pre-round-13 index layout (cells rows " +
-          "without the pq0..7 ADC columns). The exact float path " +
-          "(query) and the SQ path (sqQuery) remain servable from this " +
-          "store, but pqQuery AND appends (appendEpoch/appendStream, " +
-          "which code arrivals through these books) are blocked until " +
-          "IvfIndex.build re-runs over the corpus to migrate the layout.")
-    val s = java.nio.file.Files.list(dir)
-    val parts =
-      try s.iterator().asScala.map(_.toString)
-        .filter(_.endsWith(".parquet")).toSeq
-      finally s.close()
-    val rows = spark.read.parquet(parts: _*)
-      .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
-    (0 until Similarity.PqSubspaces).map { sub =>
-      rows.filter(_._1 == sub).map(r => r._2 -> r._3).sortBy(_._1).toSeq
+                      path: String): Seq[Seq[(Int, Seq[Double])]] =
+    loadPqCodebooksWithMode(spark, path)._1
+
+  /** Books AND coding mode in ONE sidecar read — every serving/append
+    * path needs both, and reading them separately cost a directory
+    * listing plus a parquet job each (per micro-batch, through
+    * [[appendEpoch]]). The mode rides the sidecar's `residual` column
+    * (absent = raw, the pre-round-15 layout).
+    */
+  def loadPqCodebooksWithMode(spark: SparkSession,
+      path: String): (Seq[Seq[(Int, Seq[Double])]], Boolean) = {
+    val parts = sidecarParts(path, PqCodebookName)
+      .getOrElse(missingPqSidecar(path))
+    val df = spark.read.parquet(parts: _*)
+    val hasMode = df.columns.contains("residual")
+    val rows = df.collect()
+    val books = (0 until Similarity.PqSubspaces).map { sub =>
+      rows.filter(_.getInt(0) == sub)
+        .map(r => r.getInt(1) -> r.getSeq[Double](2)).sortBy(_._1).toSeq
     }
+    val residual = hasMode && rows.headOption.exists(
+      r => r.getBoolean(r.fieldIndex("residual")))
+    (books, residual)
   }
 
   /** Whether the stored PQ books were trained on CELL RESIDUALS
-    * (round 15) — read off the sidecar's `residual` column; a
-    * pre-round-15 sidecar has no such column and is a raw-subspace
-    * store. Every path that scores, codes or re-trains consults
-    * this, so one store never mixes the two formulations.
+    * (round 15) — the mode half of [[loadPqCodebooksWithMode]] for
+    * callers that need no books ([[rebuildIfStale]]); a missing
+    * sidecar (pre-round-13 layout) is a raw-subspace store. Every
+    * path that scores, codes or re-trains consults this, so one
+    * store never mixes the two formulations.
     */
-  def pqResidualMode(spark: SparkSession, path: String): Boolean = {
-    import scala.jdk.CollectionConverters._
-    val dir = java.nio.file.Paths.get(
-      graft.engine.EpochStore.liveDir(s"$path/cells"), PqCodebookName)
-    if (!java.nio.file.Files.isDirectory(dir)) return false
-    val s = java.nio.file.Files.list(dir)
-    val parts =
-      try s.iterator().asScala.map(_.toString)
-        .filter(_.endsWith(".parquet")).toSeq
-      finally s.close()
-    val df = spark.read.parquet(parts: _*)
-    df.columns.contains("residual") &&
-      df.select(col("residual")).head().getBoolean(0)
-  }
+  def pqResidualMode(spark: SparkSession, path: String): Boolean =
+    sidecarParts(path, PqCodebookName).exists { parts =>
+      val df = spark.read.parquet(parts: _*)
+      df.columns.contains("residual") &&
+        df.select(col("residual")).head().getBoolean(0)
+    }
+
+  /** The persisted residual norm tables (cell, nsq[sub][code]) — the
+    * round-16 sidecar a residual store's large-k serving joins
+    * against ([[pqQuery]]); None on a pre-round-16 residual store,
+    * whose norms derive on the fly from (codebook, books) via
+    * [[Similarity.residNormRel]] — same values (both are the same
+    * expression over the same model state), just recomputed.
+    */
+  def loadPqNorms(spark: SparkSession, path: String): Option[DataFrame] =
+    sidecarParts(path, PqNormsName).map(parts =>
+      spark.read.parquet(parts: _*))
 
   /** Content fingerprint of the LIVE codebook sidecar — md5 over its
     * part-file bytes (names sorted, bytes concatenated). Stable
@@ -266,18 +309,10 @@ object IvfIndex {
     * under a codebook the store no longer uses.
     */
   def codebookFingerprint(path: String): String = {
-    import scala.jdk.CollectionConverters._
-    val dir = java.nio.file.Paths.get(
-      graft.engine.EpochStore.liveDir(s"$path/cells"), CodebookName)
-    if (!java.nio.file.Files.isDirectory(dir))
+    val parts = sidecarParts(path, CodebookName).getOrElse(
       throw new IllegalStateException(
         s"IvfIndex at $path has no $CodebookName sidecar in its live " +
-          "version — rebuild required (see loadCodebook).")
-    val s = java.nio.file.Files.list(dir)
-    val parts =
-      try s.iterator().asScala.map(_.toString)
-        .filter(_.endsWith(".parquet")).toSeq.sorted
-      finally s.close()
+          "version — rebuild required (see loadCodebook).")).sorted
     val md = java.security.MessageDigest.getInstance("MD5")
     parts.foreach { p =>
       md.update(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
@@ -314,12 +349,14 @@ object IvfIndex {
     // so re-reading it per micro-batch would add a driver-side job
     // per batch for identical data; the PQ books are pinned with it
     val cents = loadCodebook(vectors.sparkSession, path)
-    val books = loadPqCodebooks(vectors.sparkSession, path)
+    val (books, residual) =
+      loadPqCodebooksWithMode(vectors.sparkSession, path)
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendEpoch(batch, cents, path, batchId, Some(books))
+        appendEpoch(batch, cents, path, batchId, Some(books),
+          Some(residual))
       }
       .start()
   }
@@ -335,7 +372,8 @@ object IvfIndex {
   private[graft] def appendEpoch(batch: DataFrame,
                                    cents: Seq[(Int, Seq[Double])],
                                    path: String, batchId: Long,
-                                   books: Option[Seq[Seq[(Int, Seq[Double])]]] = None): Unit = {
+                                   books: Option[Seq[Seq[(Int, Seq[Double])]]] = None,
+                                   residual: Option[Boolean] = None): Unit = {
     // replay no-op BEFORE the tombstone guard (the MinHashIndex
     // ordering rationale): a redelivered append+forget day must
     // converge, not wedge on its own same-day tombstones
@@ -344,14 +382,21 @@ object IvfIndex {
     graft.engine.Tombstones.requireNotTombstoned(batch.sparkSession,
       path, batch.select("vec_id"), "IvfIndex")
     // callers that hold only the cell codebook (the pre-round-13
-    // signature) get the STORED PQ books loaded here — small model
-    // state per append, and by construction exactly the books the
-    // store's resident codes were written under. The coding MODE
-    // (raw vs residual subvectors) is always the store's own.
-    val bs = books.getOrElse(loadPqCodebooks(batch.sparkSession, path))
-    val residual = pqResidualMode(batch.sparkSession, path)
+    // signature) get the STORED PQ books + coding MODE (raw vs
+    // residual subvectors) loaded here in ONE sidecar read — small
+    // model state per append, and by construction exactly the books
+    // the store's resident codes were written under; the streaming
+    // appender pins both once per stream and passes them in, so a
+    // micro-batch costs zero sidecar jobs.
+    val (bs, rs) = books match {
+      case Some(b) => (b, residual.getOrElse(
+        pqResidualMode(batch.sparkSession, path)))
+      case None =>
+        val (b, r) = loadPqCodebooksWithMode(batch.sparkSession, path)
+        (b, residual.getOrElse(r))
+    }
     graft.engine.EpochStore.commitEpoch(s"$path/cells", batchId) { tmp =>
-      assign(batch, cents, Some(bs), residual)
+      assign(batch, cents, Some(bs), rs)
         .write.mode("overwrite").partitionBy("cell").parquet(tmp)
     }
   }
@@ -587,10 +632,10 @@ object IvfIndex {
   def pqQuery(spark: SparkSession, path: String, queries: DataFrame,
               nprobe: Int = Similarity.IvfNProbe,
               topK: Int = 5,
-              rerankWidth: Int = Similarity.PqRerankWidth): DataFrame = {
+              rerankWidth: Int = Similarity.PqRerankWidth,
+              maxLitCells: Int = Similarity.CodebookLiteralMaxCells): DataFrame = {
     val cents = loadCodebook(spark, path)
-    val books = loadPqCodebooks(spark, path)
-    val residual = pqResidualMode(spark, path)
+    val (books, residual) = loadPqCodebooksWithMode(spark, path)
     val m = Similarity.PqSubspaces
     val q = queries.select(col("query_id"),
       Vectors.asDouble(col("q_emb")).as("qv"))
@@ -600,13 +645,13 @@ object IvfIndex {
         Similarity.adcLut(col("qv"), b, s).as(s"lut$s") }: _*)
     // residual stores need dot(q, c_cell) per probed cell (the
     // reconstruction's leading term) — computed here, once per
-    // (query, cell), while qv is still in hand
+    // (query, cell), while qv is still in hand; cellDot carries
+    // probeCells' literal-vs-broadcast size dispatch
     val qcells0 = Similarity.probeCells(qlut,
       Seq("query_id", "qv", "qnorm") ++ (0 until m).map(s => s"lut$s"),
       "qv", cents, nprobe)
     val qcells = (if (residual)
-      qcells0.withColumn("qcdot", Vectors.dot(col("qv"),
-        element_at(Similarity.bookLit(cents), col("cell"))))
+      Similarity.cellDot(qcells0, "qv", cents, "qcdot", maxLitCells)
     else qcells0)
       .drop("qv") // the ADC pass needs only the tables + norm
     val store = storedRows(spark, path)
@@ -614,13 +659,27 @@ object IvfIndex {
     val luts = (0 until m).map(s => col(s"lut$s"))
     // |recon| per coded row: raw stores from book norms alone;
     // residual stores from the (cell, code) norm tables — neither
-    // reads vectors, so the scan stays (cell, vec_id, pq0..7)
-    val codes = store.select(
+    // reads vectors, so the scan stays (cell, vec_id, pq0..7).
+    // The norm tables dispatch on k like every cell-keyed lookup:
+    // constant-folded literals below maxLitCells, else the persisted
+    // `_pqnorms` sidecar (derived on the fly for a pre-round-16
+    // residual store) joined in as a broadcast relation on the cell
+    // key — k×8×64 doubles ride the broadcast, never the plan
+    val codes0 = store.select(
       col("cell").cast("int").as("cell") +: col("vec_id") +: pqCols: _*)
-      .withColumn("rnorm",
-        if (residual) Similarity.residReconNormStored(
-          Similarity.residNormTables(cents, books), col("cell"), pqCols)
-        else Similarity.pqReconNorm(books, pqCols))
+    val codes =
+      if (!residual)
+        codes0.withColumn("rnorm", Similarity.pqReconNorm(books, pqCols))
+      else if (cents.size <= maxLitCells)
+        codes0.withColumn("rnorm", Similarity.residReconNormStored(
+          Similarity.residNormTables(cents, books), col("cell"), pqCols))
+      else {
+        val norms = loadPqNorms(spark, path)
+          .getOrElse(Similarity.residNormRel(spark, cents, books))
+        codes0.join(broadcast(norms), Seq("cell"))
+          .withColumn("rnorm", Similarity.residReconNormRel(pqCols))
+          .drop("nsq")
+      }
     val pairScore =
       if (residual)
         (col("qcdot") +: pqCols.zip(luts).map { case (cd, l) =>
@@ -663,22 +722,23 @@ object IvfIndex {
     * divide once, surface 4dp — q144/q126's rule.
     */
   def pqHealth(spark: SparkSession, path: String): DataFrame = {
-    val books = loadPqCodebooks(spark, path)
+    val (books, residual) = loadPqCodebooksWithMode(spark, path)
     val m = Similarity.PqSubspaces
     // cohesion must compare the vector the books actually CODE: a
     // residual store's books quantize v − c_cell, so its health
     // audits residual subvectors against residual centroids —
     // auditing raw subvectors there would report meaningless
-    // cohesion and trip the rebuild cadence on a healthy store
-    val codedVec =
-      if (pqResidualMode(spark, path)) {
-        val cents = loadCodebook(spark, path)
-        zip_with(Vectors.asDouble(col("embedding")),
-          element_at(Similarity.bookLit(cents), col("cell")), _ - _)
-      } else Vectors.asDouble(col("embedding"))
-    val stored = storedRows(spark, path)
-      .select(codedVec.as("v") +:
-        (0 until m).map(s => col(s"pq$s")): _*)
+    // cohesion and trip the rebuild cadence on a healthy store.
+    // subtractCell carries the literal-vs-broadcast size dispatch.
+    val base = storedRows(spark, path)
+      .withColumn("v0", Vectors.asDouble(col("embedding")))
+    val withV =
+      if (residual)
+        Similarity.subtractCell(base, "v0",
+          loadCodebook(spark, path), "v")
+      else base.withColumn("v", col("v0"))
+    val stored = withV
+      .select(col("v") +: (0 until m).map(s => col(s"pq$s")): _*)
     val subRows = stored.select(posexplode(array((0 until m).map { s =>
       struct(lit(s).as("sub"), col(s"pq$s").as("code"),
         round(Vectors.cosine(
@@ -722,6 +782,43 @@ object IvfIndex {
                        base: Int = Similarity.SqRerankWidth): Int =
     if (maxSkew.isNaN || maxSkew <= 1.0) base
     else math.min(8 * base, base * math.ceil(maxSkew).toInt)
+
+  /** A healthy store's worst code CROWDING ceiling (max_cell_frac ×
+    * [[Similarity.PqCentroids]]; 1.0 = perfectly spread codes).
+    * MEASURED: the sf fixtures' built stores sit at 2–4 across
+    * subspaces; the drift fixture (one dominant coordinate over
+    * damped residuals) pushes the worst subspace past 30. The
+    * threshold sits between the regimes with headroom on the healthy
+    * side, so the loop never widens a healthy store's serving.
+    */
+  val HealthyCodeCrowd = 8.0
+
+  /** PQ re-rank width picked from the stored BOOKS' own health — the
+    * ADC tier's closed loop (q168 made code skew measurable; this
+    * acts on it, completing for [[pqQuery]] what [[sqRerankWidthFor]]
+    * closed for the SQ tier). The ADC ordering degrades where one
+    * CODE crowds a subspace ([[pqHealth]]'s max_cell_frac): rows
+    * sharing that code are indistinguishable in that subspace's
+    * 1/[[Similarity.PqSubspaces]] of the score, ties thicken at the
+    * 4dp candidate cut, and only the re-rank width buys the order
+    * back. Width scales with the worst subspace's crowding past the
+    * measured healthy ceiling, capped at 8·base (the sq rule's cap
+    * rationale: past that the re-rank reads most of a probed cell
+    * and the right action is the physical re-train — pqHealth's
+    * COHESION falling is that signal, consumed by the rebuild
+    * cadence, not by this knob). NaN (empty store) → base. Feed it
+    * pqHealth's max max_cell_frac; SimilaritySpec recall-measures
+    * the rule on the drifted corpus like the SQ one.
+    */
+  def pqRerankWidthFor(maxCellFrac: Double,
+                       base: Int = Similarity.PqRerankWidth): Int =
+    if (maxCellFrac.isNaN) base
+    else {
+      val crowd = maxCellFrac * Similarity.PqCentroids
+      if (crowd <= HealthyCodeCrowd) base
+      else math.min(8 * base,
+        base * math.ceil(crowd / HealthyCodeCrowd).toInt)
+    }
 
   /** Top-`topK` neighbors per query row (`query_id`, `q_emb`) against
     * a built index. Output matches q64's shape: (query_id,

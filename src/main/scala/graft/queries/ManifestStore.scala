@@ -276,25 +276,43 @@ object ManifestStore {
     val evalChunkPairs = evalChunkPairsOf(
       QualityOps.chunkRelationOf(batch.filter(col("doc_id") % 50 === 0))
         .select(col("doc_id"), col("chunk_str")))
-    // layout-matched eval deltas: a pre-provenance (pre-round-14)
-    // store must stay UNIFORMLY pre-provenance — writing eval_id-
-    // carrying delta files into a provenance-less base would leave
-    // the table's per-file schemas mixed, and the provenance gate
-    // (requireEvalProvenance reads the merged schema) nondeterministic.
-    // The migration path is a rebuild, never an append.
-    val legacyEval = Seq("evalchunks", "evalemb").exists(t =>
-      !EpochStore.read(spark, s"$path/$t").columns.contains("eval_id"))
-    def layoutMatched(df: DataFrame): DataFrame =
-      if (legacyEval) df.drop("eval_id") else df
+    // layout-matched eval deltas, decided PER TABLE off each table's
+    // own base: a pre-provenance (pre-round-14) table must stay
+    // uniformly pre-provenance — writing eval_id-carrying delta files
+    // into a provenance-less base would leave that table's per-file
+    // schemas mixed, and the provenance gate (requireEvalProvenance
+    // reads the merged schema) nondeterministic. A store whose two
+    // eval tables DISAGREE is refused outright: one shared verdict
+    // (the pre-round-16 exists() bug) would drop eval_id from the
+    // still-provenanced table's delta — null eval_id rows its forget
+    // heal's provenance joins silently miss. The migration path is a
+    // rebuild, never an append.
+    val legacyByTable = Seq("evalchunks", "evalemb").map(t =>
+      t -> !EpochStore.read(spark, s"$path/$t").columns
+        .contains("eval_id")).toMap
+    if (legacyByTable.values.toSeq.distinct.size > 1)
+      throw new IllegalStateException(
+        s"ManifestStore at $path: eval tables disagree on the " +
+          "provenance layout (" +
+          legacyByTable.map { case (t, l) =>
+            s"$t=${if (l) "pre" else "post"}-provenance"
+          }.mkString(", ") +
+          ") — appending to a half-migrated store is unsafe in both " +
+          "directions: dropping eval_id starves the provenanced " +
+          "table's forget heal, keeping it mixes per-file schemas in " +
+          "the legacy one. Re-run ManifestStore.build to migrate " +
+          "both tables together.")
+    def layoutMatched(t: String, df: DataFrame): DataFrame =
+      if (legacyByTable(t)) df.drop("eval_id") else df
     val deltas = Map(
       "quality" -> d.quality,
       "contam" -> d.contamChanged.unionByName(d.contamBatch)
         .withColumn("seq", lit(seqNext)),
       "trainsh8" -> d.trainSh8, "benchsh8" -> d.benchSh8,
       "trainchunks" -> d.trainChunks,
-      "evalchunks" -> layoutMatched(evalChunkPairs),
+      "evalchunks" -> layoutMatched("evalchunks", evalChunkPairs),
       "trainemb" -> trainEmbDelta,
-      "evalemb" -> layoutMatched(evalEmbRowsOf(batchEmb)))
+      "evalemb" -> layoutMatched("evalemb", evalEmbRowsOf(batchEmb)))
     // materialize every delta BEFORE the first commit mutates the
     // stores the delta plans read (the ContainmentStore rule)
     val staged = deltas.map { case (t, df) => t -> df.localCheckpoint(true) }

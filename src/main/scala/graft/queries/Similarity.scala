@@ -1643,8 +1643,9 @@ object Similarity {
     * same element-wise sum list (the [[bookSqNorms]] precedent).
     * Size k×[[PqSubspaces]]×[[PqCentroids]] doubles — model state,
     * the codebook-literal tradition; past
-    * [[CodebookLiteralMaxCells]] this would become a broadcast
-    * relation like the codebook itself.
+    * [[CodebookLiteralMaxCells]] the serving path switches to
+    * [[residNormRel]] (the same values as a broadcast relation —
+    * persisted at build time as IvfIndex's `_pqnorms` sidecar).
     */
   private[queries] def residNormTables(cents: Seq[(Int, Seq[Double])],
       books: Seq[Seq[(Int, Seq[Double])]]): Seq[Column] =

@@ -193,6 +193,157 @@ class IvfIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("pre-sidecar"))
   }
 
+  /** Every Literal in the optimized plan whose folded Map/Array value
+    * holds more than `cap` elements — the "k-sized plan literal"
+    * detector: the PQ books fold to 64-slot literals by design, so a
+    * cap between 64 and k separates model-sized constants from a
+    * codebook leaking into the plan.
+    */
+  private def oversizedLiterals(df: org.apache.spark.sql.DataFrame,
+      cap: Int): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
+    df.queryExecution.optimizedPlan.collect { case n => n }
+      .flatMap(_.expressions)
+      .flatMap(_.collect { case l: Literal => l })
+      .flatMap { l =>
+        l.value match {
+          case m: MapData if m.numElements() > cap =>
+            Some(s"map literal of ${m.numElements()} entries")
+          case a: ArrayData if a.numElements() > cap =>
+            Some(s"array literal of ${a.numElements()} elements")
+          case _ => None
+        }
+      }
+  }
+
+  private def queriesOf(df: org.apache.spark.sql.DataFrame) =
+    df.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+
+  test("residual serving: literal and broadcast forms are byte-identical " +
+      "(q172 shape), the _pqnorms sidecar matches an independent " +
+      "recomputation, and compaction carries it") {
+    val base = java.nio.file.Files.createTempDirectory("ivf-rlit").toString
+    val idx = s"$base/ix"
+    IvfIndex.build(emb, idx, residualPq = true)
+    val q = queriesOf(emb)
+    // the serving chain, both dispatch arms on the SAME store:
+    // maxLitCells = 0 forces every cell-keyed lookup (qcdot, |recon|
+    // norm tables, the assign subtraction) onto the broadcast-
+    // relation form a k-past-the-ceiling store uses
+    val lit = IvfIndex.pqQuery(spark, idx, q).collect().toSeq
+    val rel = IvfIndex.pqQuery(spark, idx, q, maxLitCells = 0)
+      .collect().toSeq
+    assert(lit.nonEmpty)
+    assert(lit === rel,
+      "literal and broadcast residual serving must be byte-identical")
+    // assign: the coding side of the same dispatch
+    val cents = IvfIndex.loadCodebook(spark, idx)
+    val (books, mode) = IvfIndex.loadPqCodebooksWithMode(spark, idx)
+    assert(mode, "build(residualPq = true) must record the mode")
+    val m = graft.queries.Similarity.PqSubspaces
+    def codesOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id").cast("long") +: col("cell").cast("int") +:
+        (0 until m).map(s => col(s"pq$s")): _*)
+      .collect()
+      .map(r => r.getLong(0) -> (1 to m + 1).map(r.getInt(_)).toSeq).toMap
+    val aLit = codesOf(IvfIndex.assign(emb, cents, Some(books),
+      residualPq = true))
+    val aRel = codesOf(IvfIndex.assign(emb, cents, Some(books),
+      residualPq = true, maxLitCells = 0))
+    assert(aLit === aRel,
+      "literal and broadcast residual coding must be byte-identical")
+    // the persisted norm tables equal an independent recomputation
+    // from the stored model state: nsq[s][code] = Σ_i (c_sub[i]+b[i])²
+    // folded left-to-right, null for ids a Lloyd round emptied
+    val pqd = graft.queries.Similarity.PqSubDim
+    val pqc = graft.queries.Similarity.PqCentroids
+    val expected = cents.map { case (cid, c) =>
+      cid -> (0 until m).map { s =>
+        val cSub = c.slice(s * pqd, (s + 1) * pqd)
+        val bm = books(s).toMap
+        (0 until pqc).map { code =>
+          bm.get(code).map(bc => cSub.zip(bc).foldLeft(0.0) {
+            case (a, (x, y)) => val t = x + y; a + t * t
+          })
+        }
+      }
+    }.toMap
+    def normsOf(df: org.apache.spark.sql.DataFrame)
+        : Map[Int, Seq[Seq[Option[Double]]]] = df.collect()
+      .map { r =>
+        r.getInt(0) -> r.getSeq[scala.collection.Seq[Any]](1)
+          .map(_.map(v => Option(v).map(_.asInstanceOf[Double])).toSeq)
+          .toSeq
+      }.toMap
+    val sidecar = IvfIndex.loadPqNorms(spark, idx)
+    assert(sidecar.isDefined, "residual build must persist _pqnorms")
+    val got = normsOf(sidecar.get)
+    assert(got.keySet === expected.keySet)
+    for (cid <- expected.keys) {
+      assert(got(cid) === expected(cid).map(_.toSeq).toSeq,
+        s"cell $cid norm table")
+    }
+    // the fold carries the norms sidecar with the books it derives
+    // from (one manifest flip covers all three sidecars + rows)
+    IvfIndex.appendEpoch(emb.select((col("vec_id") + 5000).as("vec_id"),
+      col("embedding")).limit(20), cents, idx, 1L)
+    IvfIndex.compact(spark, idx)
+    val carried = IvfIndex.loadPqNorms(spark, idx)
+    assert(carried.isDefined, "compact must carry _pqnorms")
+    assert(normsOf(carried.get) === got)
+  }
+
+  test("residual store past the literal ceiling: build, serve, audit " +
+      "and append run relation-shaped with no k-sized plan literals") {
+    import graft.queries.Similarity
+    // 2100 deterministic 64-dim vectors, k = 2080 >
+    // CodebookLiteralMaxCells (2048): every cell-keyed residual
+    // lookup must ride broadcast relations — folding this codebook
+    // into plan literals is exactly the 100 TB scale killer the
+    // probeCells threshold exists for (k grows with the corpus under
+    // the k ∝ n contract)
+    import spark.implicits._
+    val k = 2080
+    assert(k > Similarity.CodebookLiteralMaxCells)
+    val corpus = (0 until 2100).map { i =>
+      (i.toLong, Array.tabulate(64)(j => math.sin(i * 64.0 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory("ivf-bigk").toString
+    val idx = s"$base/ix"
+    IvfIndex.build(corpus, idx, k = k, lloydIters = 0, residualPq = true)
+    assert(IvfIndex.loadCodebook(spark, idx).size >
+      Similarity.CodebookLiteralMaxCells,
+      "fixture must actually exceed the literal ceiling")
+    assert(IvfIndex.loadPqNorms(spark, idx).isDefined)
+
+    // serve: the full residual ADC chain (probe → qcdot → norm join
+    // → rerank) plans without the codebook or the norm tables as
+    // literals; the 64-slot book literals stay (model-sized)
+    val q = queriesOf(corpus)
+    val out = IvfIndex.pqQuery(spark, idx, q, nprobe = 3)
+    val big = oversizedLiterals(out, cap = 1024)
+    assert(big.isEmpty, s"k-sized literals in the serving plan: $big")
+    val rows = out.collect()
+    assert(rows.length >= 21, // >= 1 row per query (21 queries)
+      s"each query must find candidates (got ${rows.length} rows)")
+
+    // audit: pqHealth's residual subtraction takes the relation arm
+    val health = IvfIndex.pqHealth(spark, idx)
+    assert(oversizedLiterals(health, cap = 1024).isEmpty)
+    assert(health.collect().length === Similarity.PqSubspaces)
+
+    // append: arrivals code relation-shaped under the stored model
+    val batch = (3000 until 3020).map { i =>
+      (i.toLong, Array.tabulate(64)(j => math.cos(i * 64.0 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    IvfIndex.appendEpoch(batch,
+      IvfIndex.loadCodebook(spark, idx), idx, 1L)
+    assert(EpochStore.read(spark, s"$idx/cells").count() === 2120)
+    spark.catalog.clearCache()
+  }
+
   test("maintain(): healthy+compact no-op tick; fragmented folds; " +
       "drifted rebuilds (and skips the redundant fold)") {
     val base = java.nio.file.Files.createTempDirectory("ivf-maint").toString

@@ -218,4 +218,26 @@ class ManifestStoreSpec extends SparkSpec {
     assert(ex.getMessage.contains("provenance"))
     spark.catalog.clearCache()
   }
+
+  test("a HALF-migrated store (eval tables disagreeing on provenance) " +
+      "refuses appends with the rebuild message instead of silently " +
+      "dropping eval_id from the provenanced table's delta") {
+    val path = tmp()
+    ManifestStore.build(resident, resEmb, path)
+    // degrade ONLY evalemb to the pre-round-14 shape: evalchunks
+    // keeps its provenance, so a shared legacy verdict would starve
+    // its forget heal with provenance-less delta rows
+    val ee = EpochStore.read(spark, s"$path/evalemb")
+      .select(col("e_emb")).localCheckpoint(true)
+    EpochStore.create(s"$path/evalemb", rebuild = true) { d =>
+      ee.write.mode("overwrite").parquet(d) }
+    val ex = intercept[IllegalStateException] {
+      ManifestStore.appendEpoch(batch, batchEmb, path, 5L)
+    }
+    assert(ex.getMessage.contains("disagree"))
+    assert(ex.getMessage.contains("evalemb=pre-provenance"))
+    assert(ex.getMessage.contains("evalchunks=post-provenance"))
+    assert(ex.getMessage.contains("ManifestStore.build"))
+    spark.catalog.clearCache()
+  }
 }

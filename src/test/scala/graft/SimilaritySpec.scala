@@ -299,6 +299,28 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  /** Per-column on-disk byte totals summed over parquet footers —
+    * the measured form of every byte-cut/byte-parity claim here.
+    */
+  private def footerColumnBytes(files: Seq[String]): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val sizes = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    for (f <- files) {
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f), conf))
+      try rd.getFooter.getBlocks.asScala.foreach(
+        _.getColumns.asScala.foreach { c =>
+          val name = c.getPath.toDotString.split("\\.").head
+          sizes(name) += c.getTotalSize
+        })
+      finally rd.close()
+    }
+    sizes.toMap.withDefaultValue(0L)
+  }
+
   test("q169 fragmented IVF-PQ: recall holds across epochs coded at " +
       "two write times; the ADC scan is cell-pruned and vector-free; " +
       "the quantizer's ON-DISK bytes are a measured fraction of the " +
@@ -319,24 +341,10 @@ class SimilaritySpec extends SparkSpec {
     // footers (all three epochs): the 8 pq columns vs the float
     // vector column vs the int8 SQ column. cell costs nothing — it
     // is the partition DIRECTORY the probe prunes on.
-    import scala.jdk.CollectionConverters._
     val ip = graft.queries.SharedStages.fragmentedIvfIndexPath(spark, dir)
     val files = graft.engine.EpochStore.read(spark, s"$ip/cells").inputFiles
     assert(files.length > 1, "the store must actually be fragmented")
-    val conf = spark.sessionState.newHadoopConf()
-    val sizes = scala.collection.mutable.Map.empty[String, Long]
-      .withDefaultValue(0L)
-    for (f <- files) {
-      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f), conf))
-      try rd.getFooter.getBlocks.asScala.foreach(
-        _.getColumns.asScala.foreach { c =>
-          val name = c.getPath.toDotString.split("\\.").head
-          sizes(name) += c.getTotalSize
-        })
-      finally rd.close()
-    }
+    val sizes = footerColumnBytes(files)
     val pqB = (0 until graft.queries.Similarity.PqSubspaces)
       .map(s => sizes(s"pq$s")).sum
     val embB = sizes("embedding")
@@ -397,6 +405,38 @@ class SimilaritySpec extends SparkSpec {
     assert(meanCos.forall(c => !c.isNaN && c > 0.2),
       s"residual-store cohesion must audit the coded residuals: $meanCos")
     spark.catalog.clearCache()
+  }
+
+  test("the residual store's probe bytes EQUAL the raw tier's, " +
+      "footer-measured: same stored columns, same quantizer payload " +
+      "(no hidden per-row norm)") {
+    // the q169 byte-cut measurement extended to the residual store:
+    // |recon| derives from the (cell, code) norm sidecar, so the
+    // residual refinement must cost ZERO scan bytes — same column
+    // set, and the 8 pq columns within encoding noise of the raw
+    // store's (same rows, same cell codebook; only which 6-bit codes
+    // the rows carry differs)
+    val ipRes = graft.queries.SharedStages
+      .fragmentedResidualIvfIndexPath(spark, dir)
+    val ipRaw = graft.queries.SharedStages
+      .fragmentedIvfIndexPath(spark, dir)
+    def bytesOf(ip: String) = footerColumnBytes(
+      graft.engine.EpochStore.read(spark, s"$ip/cells").inputFiles.toSeq)
+    val bRes = bytesOf(ipRes)
+    val bRaw = bytesOf(ipRaw)
+    assert(bRes.keySet === bRaw.keySet,
+      s"the residual store must persist no extra per-row column: " +
+        s"${bRes.keySet} vs ${bRaw.keySet}")
+    val pq = (0 until graft.queries.Similarity.PqSubspaces)
+      .map(s => s"pq$s")
+    val pqRes = pq.map(bRes).sum
+    val pqRaw = pq.map(bRaw).sum
+    info(f"probe payload bytes: residual $pqRes raw $pqRaw " +
+      f"(ratio ${pqRes.toDouble / pqRaw}%.2f)")
+    assert(pqRes > 0 && pqRaw > 0)
+    assert(pqRes <= 1.3 * pqRaw && pqRaw <= 1.3 * pqRes,
+      s"residual vs raw probe payloads must match within encoding " +
+        s"noise: $pqRes vs $pqRaw")
   }
 
   test("the SERVED residual tier beats the served raw tier on the " +
@@ -490,6 +530,80 @@ class SimilaritySpec extends SparkSpec {
     assert(rWide > rNarrow,
       f"width must matter on the drift fixture ($rNarrow%.3f -> $rWide%.3f)")
     // and the health-driven pick recovers it without hand-tuning
+    assert(rHealth >= rBase)
+    assert(rHealth >= 0.9 * rWide,
+      f"health width $wH recall $rHealth%.3f < 90%% of the wide $rWide%.3f")
+    spark.catalog.clearCache()
+  }
+
+  test("PQ re-rank width closed loop: recall rises with width on the " +
+      "drifted corpus; the pqHealth-picked width restores what base " +
+      "width loses; a healthy store keeps the base width") {
+    import graft.queries.IvfIndex
+    import org.apache.spark.sql.expressions.Window
+    val tmp = java.nio.file.Files.createTempDirectory("pq-width").toString
+    val idx = s"$tmp/ix"
+    val embD = spark.read.parquet(s"$dir/embeddings.parquet")
+    IvfIndex.build(embD, idx)
+    // a HEALTHY store's crowding sits under the ceiling — the loop
+    // must not widen serving that has nothing to recover
+    val fracHealthy = IvfIndex.pqHealth(spark, idx)
+      .agg(max(col("max_cell_frac"))).head().getDouble(0)
+    info(f"healthy worst code crowding ${
+      fracHealthy * graft.queries.Similarity.PqCentroids}%.1f")
+    assert(IvfIndex.pqRerankWidthFor(fracHealthy) ===
+      graft.queries.Similarity.PqRerankWidth,
+      "a healthy store must keep the base width")
+    // the SQ drift fixture verbatim: a tight spiky cluster (dominant
+    // coordinate, damped residuals) the stale books code into few
+    // (cell, code) slots — ADC scores tie at 4dp and only the
+    // re-rank width buys the order back
+    val drift = embD.select((col("vec_id") + 10000L).as("vec_id"),
+      zip_with(Vectors.asDouble(col("embedding")),
+        sequence(lit(0L), lit(63L)),
+        (x, i) => when(i === 0L, lit(2.0)).otherwise(x * 0.35))
+        .cast("array<float>").as("embedding"))
+    IvfIndex.appendEpoch(drift, IvfIndex.loadCodebook(spark, idx), idx, 1L)
+    val frac = IvfIndex.pqHealth(spark, idx)
+      .agg(max(col("max_cell_frac"))).head().getDouble(0)
+    val crowd = frac * graft.queries.Similarity.PqCentroids
+    info(f"post-drift worst code crowding $crowd%.1f")
+    assert(crowd > IvfIndex.HealthyCodeCrowd,
+      "drift fixture must actually crowd a code")
+
+    val queries = drift.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))
+    val store = graft.engine.EpochStore.read(spark, s"$idx/cells")
+      .select(col("vec_id"), col("embedding"))
+    val wT = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    val truth = topKOf(store.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Vectors.cosine(col("embedding"), col("q_emb")).as("score"))
+      .withColumn("rk", row_number().over(wT))
+      .filter(col("rk") <= 5))
+    def recallAt(w: Int): Double = {
+      val approx = topKOf(IvfIndex.pqQuery(spark, idx, queries,
+        rerankWidth = w))
+      val per = truth.map { case (q, t) =>
+        approx.getOrElse(q, Set.empty).count(t.contains).toDouble / t.size
+      }
+      per.sum / per.size
+    }
+    val base = graft.queries.Similarity.PqRerankWidth // 40
+    val wH = IvfIndex.pqRerankWidthFor(frac)
+    info(s"health-picked width $wH (base $base)")
+    assert(wH > base, "a crowded store must widen the re-rank")
+    val rNarrow = recallAt(5)
+    val rBase = recallAt(base)
+    val rWide = recallAt(8 * base)
+    val rHealth = recallAt(wH)
+    info(f"recall: w5 $rNarrow%.3f, w$base $rBase%.3f, " +
+      f"wH=$wH $rHealth%.3f, w${8 * base} $rWide%.3f")
+    assert(rWide > rNarrow,
+      f"width must matter on the drift fixture ($rNarrow%.3f -> $rWide%.3f)")
     assert(rHealth >= rBase)
     assert(rHealth >= 0.9 * rWide,
       f"health width $wH recall $rHealth%.3f < 90%% of the wide $rWide%.3f")
