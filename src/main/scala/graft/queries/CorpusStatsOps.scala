@@ -14,42 +14,91 @@ import graft.functions.Text
 object CorpusStatsOps {
   import TextOps.ExactBaselineDocCap
 
+  /** Count-min grid (q72): d rows × w buckets of 8-byte counters —
+    * ~80 KB of mergeable state regardless of corpus size. w = 2000
+    * matches ceil(2/eps) at eps = 0.001 (the bound SketchSpec
+    * asserts); d = 5 puts the per-candidate failure probability at
+    * ~e^-5.
+    */
+  val CmsDepth = 5
+  val CmsWidth = 2000
+
   lazy val queries: Seq[Q] = Seq(
 
 
     // -- sketch-based heavy hitters: corpus token frequencies WITHOUT
-    //    the (token, count) shuffle. One count-min sketch aggregate —
-    //    each task folds its tokens into a fixed 2000×5 counter grid,
-    //    partials merge associatively, and the driver holds the result
-    //    as model state (same posture as the IVF codebook). Candidate
-    //    tokens come from a 5% deterministic doc sample; the sketch
-    //    scores them. vs exact q67: this trades the full-token shuffle
-    //    (which q67 keeps map-combined anyway) for a CONSTANT-size
-    //    mergeable summary — the shape that composes with streaming
-    //    and repeated probing at 100 TB. CMS contract (est >= true,
-    //    est <= true + eps·N w.p. 0.99) is asserted in SketchSpec.
+    //    the (token, count) shuffle. The count-min registers are a
+    //    fixed CmsDepth×CmsWidth counter grid held AS A RELATION: each
+    //    task folds its token occurrences into ≤ d·w (j, bucket)
+    //    partial counts map-side, the shuffle carries only the grid,
+    //    and estimates are a broadcast join of the 40 candidate tokens
+    //    against it (est = min over the d rows a token hashes to).
+    //    Candidate tokens come from a 5% deterministic doc sample; the
+    //    sketch scores them. vs exact q67: this trades the full-token
+    //    shuffle (which q67 keeps map-combined anyway) for a
+    //    CONSTANT-size mergeable summary — the shape that composes
+    //    with streaming and repeated probing at 100 TB.
+    //    Round 16: the row hashes are the PORTABLE md5 family
+    //    (md5(j || ':' || token) — [[Text.md5BaseHash]]'s spelling,
+    //    the q63/q69 move), so the entire register grid replays in
+    //    ANSI SQL and the query carries a FULL value oracle instead of
+    //    a golden pin; the CMS contract (est >= true, est <= true +
+    //    eps·N w.h.p.) stays asserted in SketchSpec, and the
+    //    pairwise-independence the bound needs comes from the
+    //    per-row-salted digest exactly as the engine-specific seeds
+    //    did before.
     Q("q72_token_cms",
       (s, d) => {
         val docs = t(s, d).documents
         val toks = docs.select(explode(Text.tokens(col("text"))).as("token"))
-        val bytes = toks
-          .agg(expr("count_min_sketch(token, 0.001d, 0.99d, 42)").as("cms"))
-          .head().getAs[Array[Byte]](0)
-        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-          new java.io.ByteArrayInputStream(bytes))
+        def rowBuckets(tok: org.apache.spark.sql.Column) =
+          transform(sequence(lit(0), lit(CmsDepth - 1)), j =>
+            struct(j.as("j"), pmod(
+              conv(substring(md5(concat(j.cast("string"), lit(":"), tok)),
+                1, 8), 16, 10).cast("long"), lit(CmsWidth)).as("b")))
+        val regs = toks
+          .select(explode(rowBuckets(col("token"))).as("jb"))
+          .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+          .agg(count(lit(1)).as("cnt"))
         val cands = docs.filter(col("doc_id") % 20 === 0)
           .select(explode(Text.tokens(col("text"))).as("token"))
           .groupBy(col("token")).agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("token")).limit(40)
-          .select(col("token")).collect().map(_.getString(0)).toSeq
-        import s.implicits._
-        cands.map(tok => (tok, cms.estimateCount(tok)))
-          .toDF("token", "est_n")
+          .select(col("token"))
+        cands
+          .select(col("token"), explode(rowBuckets(col("token"))).as("jb"))
+          .select(col("token"), col("jb.j").as("j"), col("jb.b").as("b"))
+          .join(broadcast(regs), Seq("j", "b"))
+          .groupBy(col("token")).agg(min(col("cnt")).as("est_n"))
           .orderBy(col("est_n").desc, col("token"))
           .limit(20)
       },
-      None,
-      "count-min-sketch heavy hitters (contract + recall in SketchSpec)"),
+      Some(s"""WITH tok AS (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+          FROM documents),
+        regs AS (
+          SELECT j,
+            ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 8))::BIGINT
+              % $CmsWidth AS b,
+            COUNT(*) AS cnt
+          FROM tok CROSS JOIN range($CmsDepth) r(j)
+          GROUP BY 1, 2),
+        samp AS (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+          FROM documents WHERE doc_id % 20 = 0),
+        cand AS (
+          SELECT token, COUNT(*) AS n FROM samp GROUP BY 1
+          ORDER BY n DESC, token LIMIT 40),
+        est AS (
+          SELECT c.token, MIN(r.cnt) AS est_n
+          FROM cand c CROSS JOIN range($CmsDepth) rj(j)
+          JOIN regs r ON r.j = rj.j AND r.b =
+            ('0x' || substr(md5(CAST(rj.j AS VARCHAR) || ':' || c.token), 1, 8))::BIGINT
+              % $CmsWidth
+          GROUP BY 1)
+        SELECT token, est_n FROM est
+        ORDER BY est_n DESC, token LIMIT 20"""),
+      "count-min heavy hitters, portable-register full replay oracle"),
 
     // -- TF-IDF: the canonical text-relevance scoring a training-data
     //    pipeline runs for keyword extraction / relevance filtering.
@@ -399,95 +448,217 @@ object CorpusStatsOps {
         ORDER BY src_a, src_b"""),
       "cross-source 3-gram Jaccard overlap matrix (composition audit)"),
 
-    // -- ESTIMATED cross-source overlap via Theta sketches: q113's
-    //    exact Jaccard matrix needs the full distinct-shingle
-    //    relation through a self-join; the Theta sketch (the
-    //    mergeable K-minimum-values family that, unlike HLL,
-    //    supports INTERSECTION and DIFFERENCE) answers the same
-    //    question from one bounded-state aggregate — per-source
-    //    state is ≤4096 retained hashes regardless of corpus size,
-    //    partials merge map-side, and the pair matrix is a
-    //    broadcast of the source-cardinality sketch table. The
-    //    sketch is order-insensitive (retained set = K smallest
-    //    hashes), so results are deterministic — golden-pinned, and
-    //    SketchSpec bounds the estimates against q113's exact
-    //    values. No DuckDB theta → rows-only driver check.
+    // -- ESTIMATED cross-source overlap via KMV/Theta sketches:
+    //    q113's exact Jaccard matrix needs the full distinct-shingle
+    //    relation through a self-join; the K-minimum-values sketch
+    //    (the mergeable family that, unlike HLL, supports
+    //    INTERSECTION and DIFFERENCE) answers the same question from
+    //    one bounded-state aggregate — per-source state is ≤ K+1
+    //    retained hashes regardless of corpus size
+    //    ([[graft.expressions.KmvSketchAgg]]: O(log K) tree insert
+    //    with an O(1) threshold reject once full), partials merge
+    //    map-side, and the pair matrix is a broadcast of the
+    //    source-cardinality sketch table; set ops run as array
+    //    functions over the ≤ K retained sets below θ = the (K+1)-th
+    //    smallest hash, est = c·H/θ (H = the md5 family's 2^31-1
+    //    hash space).
+    //    Round 16: the hashes are the PORTABLE md5 shingle family
+    //    (q55/q56's), so the ENTIRE register state — retained sets,
+    //    thetas, every set-op estimate — replays in ANSI SQL
+    //    (ROW_NUMBER over the distinct hashes; the sort the oracle
+    //    pays is exactly what the bounded tree avoids engine-side)
+    //    and the query carries a FULL value oracle instead of a
+    //    golden pin. SketchSpec still bounds the estimates against
+    //    q113's exact values.
     Q("q115_theta_source_overlap",
       (s, d) => {
-        val sh = t(s, d).documents
-          .select(col("source"), explode(array_distinct(
-            Text.shingles(col("text"), 3))).as("sh"))
-        val sk = sh.groupBy(col("source"))
-          .agg(call_function("theta_sketch_agg", col("sh")).as("sk"))
-        val a = sk.select(col("source").as("src_a"), col("sk").as("sk_a"))
-        val b = sk.select(col("source").as("src_b"), col("sk").as("sk_b"))
+        val k = KmvK
+        val sk = kmvSourceSketches(s, d, k).persist()
+        sk.count() // feeds both sides of the pair frame
+        val a = sk.select(col("source").as("src_a"),
+          col("theta").as("th_a"), col("retained").as("ra"))
+        val b = sk.select(col("source").as("src_b"),
+          col("theta").as("th_b"), col("retained").as("rb"))
         a.crossJoin(broadcast(b))
           .filter(col("src_a") < col("src_b"))
+          .withColumn("th_i", least(col("th_a"), col("th_b")))
+          .withColumn("nc", size(filter(
+            array_intersect(col("ra"), col("rb")), h => h < col("th_i"))))
+          .withColumn("uc", array_sort(filter(
+            array_distinct(concat(col("ra"), col("rb"))),
+            h => h < col("th_i"))))
+          .withColumn("th_u", when(size(col("uc")) > k,
+            element_at(col("uc"), k + 1)).otherwise(col("th_i")))
+          .withColumn("nu", when(size(col("uc")) > k, lit(k))
+            .otherwise(size(col("uc"))))
           .select(col("src_a"), col("src_b"),
-            call_function("theta_sketch_estimate",
-              call_function("theta_intersection", col("sk_a"), col("sk_b")))
-              .as("n_common_est"),
-            call_function("theta_sketch_estimate", col("sk_a")).as("n_a_est"),
-            call_function("theta_sketch_estimate", col("sk_b")).as("n_b_est"),
-            call_function("theta_sketch_estimate",
-              call_function("theta_union", col("sk_a"), col("sk_b")))
-              .as("n_union_est"))
+            kmvEst(col("nc"), col("th_i")).as("n_common_est"),
+            kmvEst(size(col("ra")), col("th_a")).as("n_a_est"),
+            kmvEst(size(col("rb")), col("th_b")).as("n_b_est"),
+            kmvEst(col("nu"), col("th_u")).as("n_union_est"))
           .withColumn("jaccard_est",
             round(col("n_common_est").cast("double") / col("n_union_est"), 4))
           .orderBy(col("src_a"), col("src_b"))
       },
-      None,
-      "estimated cross-source shingle overlap via theta sketch set ops"),
+      Some(s"""WITH ${kmvSketchCtes(KmvK)},
+        rc AS (SELECT source, COUNT(*) AS c FROM ret GROUP BY 1),
+        pr AS (
+          SELECT ta.source AS src_a, tb.source AS src_b,
+            ta.theta AS th_a, tb.theta AS th_b,
+            LEAST(ta.theta, tb.theta) AS th_i
+          FROM th ta JOIN th tb ON ta.source < tb.source),
+        com AS (
+          SELECT pr.src_a, pr.src_b, COUNT(*) AS nc
+          FROM pr JOIN ret ra ON ra.source = pr.src_a AND ra.h < pr.th_i
+            JOIN ret rb ON rb.source = pr.src_b AND rb.h = ra.h
+          GROUP BY 1, 2),
+        ucand AS (
+          SELECT DISTINCT pr.src_a, pr.src_b, r2.h
+          FROM pr JOIN ret r2
+            ON r2.source IN (pr.src_a, pr.src_b) AND r2.h < pr.th_i),
+        ur AS (
+          SELECT src_a, src_b, h,
+            ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY h) AS r
+          FROM ucand),
+        un AS (
+          SELECT src_a, src_b, COUNT(*) AS total,
+            MAX(CASE WHEN r = ${KmvK + 1} THEN h END) AS h_kp1
+          FROM ur GROUP BY 1, 2),
+        est AS (
+          SELECT pr.src_a, pr.src_b,
+            CAST(ROUND(COALESCE(com.nc, 0) * 2147483647.0 / pr.th_i) AS BIGINT)
+              AS n_common_est,
+            CAST(ROUND(rca.c * 2147483647.0 / pr.th_a) AS BIGINT) AS n_a_est,
+            CAST(ROUND(rcb.c * 2147483647.0 / pr.th_b) AS BIGINT) AS n_b_est,
+            CAST(ROUND((CASE WHEN un.total > $KmvK THEN $KmvK ELSE un.total END)
+              * 2147483647.0
+              / (CASE WHEN un.total > $KmvK THEN un.h_kp1 ELSE pr.th_i END))
+              AS BIGINT) AS n_union_est
+          FROM pr
+          JOIN rc rca ON rca.source = pr.src_a
+          JOIN rc rcb ON rcb.source = pr.src_b
+          JOIN un ON un.src_a = pr.src_a AND un.src_b = pr.src_b
+          LEFT JOIN com ON com.src_a = pr.src_a AND com.src_b = pr.src_b)
+        SELECT src_a, src_b, n_common_est, n_a_est, n_b_est, n_union_est,
+          ROUND(n_common_est / n_union_est, 4) AS jaccard_est
+        FROM est ORDER BY src_a, src_b"""),
+      "cross-source overlap via portable KMV set ops (full replay oracle)"),
 
     // -- per-source content NOVELTY: how much of a source's distinct
     //    shingle set appears in NO other source — the acquisition
     //    metric ("does buying this corpus add anything?"). Exact
-    //    form needs shingle×source co-occurrence; the theta form is
+    //    form needs shingle×source co-occurrence; the sketch form is
     //    difference(sk_s, union of every other source's sketch),
     //    with the union-of-others built from the same bounded
-    //    per-source sketches (source-cardinality broadcast pair
-    //    frame, theta_union_agg rollup — never a second corpus
-    //    scan). Deterministic → golden-pinned; SketchSpec bounds
-    //    novelty_rate against the exact co-occurrence answer.
+    //    per-source KMV sketches (source-cardinality broadcast pair
+    //    frame, a grouped re-rank over sources²×K retained hashes —
+    //    post-sketch model state, never a second corpus scan).
+    //    Round 16: portable md5 hashes → FULL replay oracle (the
+    //    q115 note); SketchSpec still bounds novelty_rate against
+    //    the exact co-occurrence answer.
     //
     //    Sketch sizing: the DIFFERENCE estimate's error is driven by
     //    the union-of-others sketch, which holds ~|sources|× a
-    //    single source's cardinality — at the default lgK 12 (4096
-    //    retained) that union is deep in sampling and the novelty
-    //    rate drifted 0.07 off exact on the fixture. lgK 14 (16384
-    //    retained, 128 KB per source — trivial state at
+    //    single source's cardinality — at K 4096 that union is deep
+    //    in sampling and the novelty rate drifted 0.07 off exact on
+    //    the fixture. K 16384 (128 KB per source — trivial state at
     //    source-cardinality groups) keeps the rate within 0.05 at
     //    any corpus size; precision is a knob, not a rewrite.
     Q("q116_theta_novelty",
       (s, d) => {
-        val sh = t(s, d).documents
-          .select(col("source"), explode(array_distinct(
-            Text.shingles(col("text"), 3))).as("sh"))
-        val sk = sh.groupBy(col("source"))
-          .agg(call_function("theta_sketch_agg", col("sh"), lit(14)).as("sk"))
-          .persist() // feeds both sides of the pair frame + the join back
-        sk.count()
-        val a = sk.select(col("source").as("src"), col("sk").as("sk_s"))
-        val others = a.crossJoin(broadcast(
-            sk.select(col("source").as("other"), col("sk").as("sk_o"))))
+        import org.apache.spark.sql.expressions.Window
+        val k = KmvKNovelty
+        val sk = kmvSourceSketches(s, d, k).persist()
+        sk.count() // feeds both sides of the pair frame + the join back
+        // union-of-others: θ_u0 = min other θ, candidates = others'
+        // retained below it, re-ranked to the K smallest
+        val pairsFrame = sk.select(col("source").as("src"))
+          .crossJoin(broadcast(sk.select(col("source").as("other"),
+            col("theta").as("th_o"), col("retained").as("ro"))))
           .filter(col("src") =!= col("other"))
-          .groupBy(col("src"))
-          // the union agg trims to ITS OWN lgK (default 12) whatever
-          // the input sketches hold — size it to match
-          .agg(call_function("theta_union_agg", col("sk_o"), lit(14))
-            .as("sk_others"))
-        a.join(others, Seq("src"))
-          .select(col("src").as("source"),
-            call_function("theta_sketch_estimate", col("sk_s")).as("n_est"),
-            call_function("theta_sketch_estimate",
-              call_function("theta_difference", col("sk_s"), col("sk_others")))
+        val thU0 = pairsFrame.groupBy(col("src"))
+          .agg(min(col("th_o")).as("th_u0"))
+        val ranked = pairsFrame
+          .select(col("src"), explode(col("ro")).as("h")).distinct()
+          .join(thU0, Seq("src")).filter(col("h") < col("th_u0"))
+          .withColumn("r", row_number().over(
+            Window.partitionBy(col("src")).orderBy(col("h"))))
+        val uth = ranked.groupBy(col("src"), col("th_u0"))
+          .agg(count(lit(1)).as("total"),
+            max(when(col("r") === k + 1, col("h"))).as("h_kp1"))
+          .withColumn("th_u", when(col("total") > k, col("h_kp1"))
+            .otherwise(col("th_u0")))
+          .select(col("src").as("source"), col("th_u"))
+        val uret = ranked.select(col("src").as("source"), col("h"))
+          .join(uth, Seq("source")).filter(col("h") < col("th_u"))
+          .select(col("source"), col("h"))
+        // difference sk_s ∖ union(others), below θ_d = min(θ_s, θ_u)
+        val base = sk
+          .select(col("source"), col("theta").as("th_s"),
+            col("retained"), size(col("retained")).as("na"))
+          .join(uth, Seq("source"))
+          .withColumn("th_d", least(col("th_s"), col("th_u")))
+        val novel = base
+          .select(col("source"), col("th_d"), explode(col("retained")).as("h"))
+          .filter(col("h") < col("th_d"))
+          .join(uret, Seq("source", "h"), "left_anti")
+          .groupBy(col("source")).agg(count(lit(1)).as("nn"))
+        base.join(novel, Seq("source"), "left")
+          .select(col("source"),
+            kmvEst(col("na"), col("th_s")).as("n_est"),
+            kmvEst(coalesce(col("nn"), lit(0L)), col("th_d"))
               .as("n_novel_est"))
           .withColumn("novelty_rate",
             round(col("n_novel_est").cast("double") / col("n_est"), 4))
           .orderBy(col("source"))
       },
-      None,
-      "per-source novel-content estimate via theta difference"),
+      Some(s"""WITH ${kmvSketchCtes(KmvKNovelty)},
+        rc AS (SELECT source, COUNT(*) AS na FROM ret GROUP BY 1),
+        thu0 AS (
+          SELECT a.source AS src, MIN(b.theta) AS th_u0
+          FROM th a JOIN th b ON b.source <> a.source GROUP BY 1),
+        cand AS (
+          SELECT DISTINCT a.source AS src, r2.h
+          FROM th a JOIN ret r2 ON r2.source <> a.source
+          JOIN thu0 ON thu0.src = a.source
+          WHERE r2.h < thu0.th_u0),
+        ur AS (
+          SELECT src, h,
+            ROW_NUMBER() OVER (PARTITION BY src ORDER BY h) AS r
+          FROM cand),
+        uth AS (
+          SELECT ur.src, MAX(thu0.th_u0) AS th_u0, COUNT(*) AS total,
+            MAX(CASE WHEN r = ${KmvKNovelty + 1} THEN h END) AS h_kp1
+          FROM ur JOIN thu0 ON thu0.src = ur.src
+          GROUP BY 1),
+        uth2 AS (
+          SELECT src,
+            CASE WHEN total > $KmvKNovelty THEN h_kp1 ELSE th_u0 END AS th_u
+          FROM uth),
+        uret AS (
+          SELECT ur.src, ur.h FROM ur JOIN uth2 USING (src)
+          WHERE ur.h < uth2.th_u),
+        base AS (
+          SELECT th.source, th.theta AS th_s, rc.na, uth2.th_u,
+            LEAST(th.theta, uth2.th_u) AS th_d
+          FROM th JOIN rc USING (source)
+          JOIN uth2 ON uth2.src = th.source),
+        novel AS (
+          SELECT b.source, COUNT(*) AS nn
+          FROM base b JOIN ret r ON r.source = b.source AND r.h < b.th_d
+          WHERE NOT EXISTS (
+            SELECT 1 FROM uret u WHERE u.src = b.source AND u.h = r.h)
+          GROUP BY 1)
+        SELECT b.source,
+          CAST(ROUND(b.na * 2147483647.0 / b.th_s) AS BIGINT) AS n_est,
+          CAST(ROUND(COALESCE(novel.nn, 0) * 2147483647.0 / b.th_d) AS BIGINT)
+            AS n_novel_est,
+          ROUND(CAST(ROUND(COALESCE(novel.nn, 0) * 2147483647.0 / b.th_d) AS BIGINT)
+            / CAST(ROUND(b.na * 2147483647.0 / b.th_s) AS BIGINT), 4)
+            AS novelty_rate
+        FROM base b LEFT JOIN novel USING (source)
+        ORDER BY source"""),
+      "per-source novelty via portable KMV difference (full replay oracle)"),
 
     // -- q119: adjacent-bigram PMI — phrase/collocation mining (the
     //    word2vec-style phrase-merge signal, and the association score
@@ -616,4 +787,85 @@ object CorpusStatsOps {
         ORDER BY d.doc_id"""),
       "per-document crawl-order shingle novelty (exact first-carrier join)"),
   )
+
+  /** KMV nominal entries for q115's pair matrix (the DataSketches
+    * default lgK 12) and q116's novelty difference (lgK 14 — the
+    * union-of-others precision argument at the q116 declaration).
+    * Sized so sf0.01 per-source shingle cardinalities keep the
+    * sketches in genuine estimation mode (SketchSpec's proviso).
+    */
+  val KmvK = 4096
+  val KmvKNovelty = 16384
+
+  /** The md5 hash family's space: hashes live in [0, 2^31-1), so an
+    * exact-mode sketch's θ is the space bound itself and c·H/θ
+    * degrades to the exact count.
+    */
+  val KmvHashSpace = 2147483647L
+
+  private def kmvAgg(c: org.apache.spark.sql.Column, retain: Int) = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.expressions.KmvSketchAgg(
+      ColumnBridge.expression(c), retain).toAggregateExpression())
+  }
+
+  /** KMV distinct-count estimate: c retained values below θ →
+    * round(c·H/θ) (H = [[KmvHashSpace]]); c ≤ 2^15 and H < 2^31 keep
+    * the product exact in a double, so both engines compute the
+    * identical single division and round.
+    */
+  private def kmvEst(c: org.apache.spark.sql.Column,
+      theta: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(c.cast("double") * lit(KmvHashSpace.toDouble) / theta).cast("long")
+
+  /** Per-source KMV sketch over the distinct md5 3-gram shingle
+    * hashes: (source, theta, retained) — retained = the K smallest
+    * distinct hashes strictly below θ = the (K+1)-th smallest (or
+    * the hash-space bound when the source holds ≤ K distinct
+    * hashes: exact mode). One bounded aggregate over the exploded
+    * shingle-hash relation; the md5 digests ride the fused
+    * [[graft.expressions.Md5ShingleHashes]] kernel.
+    */
+  private def kmvSourceSketches(s: org.apache.spark.sql.SparkSession,
+      d: String, k: Int): org.apache.spark.sql.DataFrame =
+    t(s, d).documents
+      .select(col("source"),
+        explode(Text.md5ShingleHashes(col("text"), 3)).as("h"))
+      .groupBy(col("source"))
+      .agg(kmvAgg(col("h"), k + 1).as("buf"))
+      .withColumn("theta", when(size(col("buf")) <= k, lit(KmvHashSpace))
+        .otherwise(element_at(col("buf"), k + 1)))
+      .withColumn("retained", filter(col("buf"), h => h < col("theta")))
+      .select(col("source"), col("theta"), col("retained"))
+
+  /** DuckDB replay of [[kmvSourceSketches]]: distinct md5 shingle
+    * hashes per source (q55's `hs` spelling), ranked ascending;
+    * θ = the value at rank k+1 (hash-space bound if absent), `ret` =
+    * the values below θ. Shared by the q115 and q116 oracles.
+    */
+  private def kmvSketchCtes(k: Int): String =
+    s"""tk AS (
+          SELECT source, string_split_regex(lower(trim(text)), '\\s+') AS tk
+          FROM documents),
+        hs0 AS (
+          SELECT source, unnest(list_distinct(list_transform(
+            CASE WHEN len(tk) >= 3
+              THEN list_transform(range(1, len(tk) - 1),
+                i -> array_to_string(tk[i:i+2], ' '))
+              ELSE [] END,
+            g -> ('0x' || substr(md5(g), 1, 8))::BIGINT % 2147483647))) AS h
+          FROM tk),
+        dh AS (SELECT DISTINCT source, h FROM hs0),
+        rk AS (
+          SELECT source, h,
+            ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS r
+          FROM dh),
+        th AS (
+          SELECT source,
+            COALESCE(MAX(CASE WHEN r = ${k + 1} THEN h END), $KmvHashSpace)
+              AS theta
+          FROM rk GROUP BY 1),
+        ret AS (
+          SELECT rk.source, rk.h FROM rk JOIN th USING (source)
+          WHERE rk.h < th.theta)"""
 }

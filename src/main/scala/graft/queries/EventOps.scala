@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import QU._
@@ -16,6 +17,21 @@ import QU._
   * shuffle by user and sort within — Spark plans UpdatingSessionsExec.
   */
 object EventOps {
+
+  /** HLL register count (q102): m = 2^12 buckets — the bucket id is
+    * the md5 digest's first 3 hex digits, so p = 12 exactly tiles the
+    * hex boundary. Standard error 1.04/√m ≈ 1.6%, inside the 5%
+    * SketchSpec gate with margin; per-group state is ≤ m one-byte
+    * registers (held relationally as ≤ m rows).
+    */
+  val HllM = 4096
+
+  /** Flajolet α_m · m² for [[HllM]] — computed ONCE here and embedded
+    * in both engines' expressions as the same double literal
+    * (Scala's shortest-round-trip rendering), so the estimator
+    * constant cannot diverge between the query and its oracle.
+    */
+  val HllAlphaM2: Double = 0.7213 / (1.0 + 1.079 / HllM) * HllM * HllM
 
   lazy val queries: Seq[Q] = Seq(
 
@@ -184,33 +200,101 @@ object EventOps {
 
     // -- q102: MERGEABLE SKETCH ROLLUP — the pre-aggregation pattern
     //    that makes distinct-count dashboards tractable at 100 TB:
-    //    one pass builds a per-day HyperLogLog sketch (Apache
-    //    DataSketches via `hll_sketch_agg`, commutative/idempotent →
-    //    deterministic under any partitioning), and ANY date range's
-    //    distinct-user estimate is then a cheap union of day sketches
-    //    — never a re-scan of raw events. Output carries each day's
-    //    estimate plus the all-days union; the per-day frame is
-    //    persisted (two consumers: the row output and the union
-    //    aggregate). Estimates are sketch-defined, not
-    //    SQL-expressible → rows-only driver check; SketchSpec gates
-    //    the ≤5% error vs exact and GoldenPinSpec pins the output.
+    //    one pass builds per-day HyperLogLog REGISTERS, and ANY date
+    //    range's distinct-user estimate is then a cheap max-merge of
+    //    day registers — never a re-scan of raw events. The registers
+    //    are held as a RELATION, (day, bucket) → max(rho), at most
+    //    HllM rows per day: the max-merge that defines HLL union IS
+    //    the grouped max, so partials fold map-side, the rollup union
+    //    is one more groupBy(bucket).max, and the estimator (harmonic
+    //    mean over 2^-M with the small-range linear-counting branch —
+    //    Flajolet et al.'s canonical form) is plain arithmetic over
+    //    the grid. Output carries each day's estimate plus the
+    //    all-days union; the register frame is persisted (two
+    //    consumers: the per-day rows and the union rollup).
+    //    Round 16: bucket and rho derive from the PORTABLE md5 hash
+    //    (bucket = first 12 bits, rho = leading zeros of the next 32
+    //    bits + 1, spelled identically in both engines via
+    //    strpos(lpad(bin(v)))) — the q63/q69 move — so the whole
+    //    apparatus replays in ANSI SQL and the query carries a FULL
+    //    value oracle; the ≤5% error contract vs exact stays gated in
+    //    SketchSpec. The one cross-engine hazard is ROUND at an
+    //    exact-.5 estimate — possible only when ln() lands the
+    //    estimate on a half-integer boundary, measured absent on all
+    //    three fixtures.
     Q("q102_hll_rollup",
       (s, d) => {
-        val daily = t(s, d).events
-          .groupBy(to_date(col("ts")).as("day"))
-          .agg(hll_sketch_agg(col("user_id")).as("sk"),
-            count(lit(1)).as("n_events"))
+        val h = md5(col("user_id").cast("string"))
+        val p0 = instr(lpad(bin(
+          conv(substring(col("h"), 4, 8), 16, 10).cast("long")), 32, "0"), "1")
+        val regs = t(s, d).events
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+          .withColumn("h", h)
+          .select(col("day"),
+            conv(substring(col("h"), 1, 3), 16, 10).cast("int").as("b"),
+            when(p0 === 0, 33).otherwise(p0).as("rho"))
+          .groupBy(col("day"), col("b"))
+          .agg(max(col("rho")).as("m_reg"), count(lit(1)).as("cnt"))
           .persist()
-        daily.count() // two consumers scan this
-        val total = daily.agg(
-          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_total_users"))
-        daily.select(col("day"), col("n_events"),
-            hll_sketch_estimate(col("sk")).as("est_users"))
-          .crossJoin(broadcast(total))
-          .orderBy(col("day"))
+        regs.count() // two consumers scan this
+        def estimate(grouped: DataFrame): DataFrame = grouped
+          .withColumn("z", col("s") + (lit(HllM) - col("nb")))
+          .withColumn("e_raw", lit(HllAlphaM2) / col("z"))
+          .withColumn("est",
+            when(col("e_raw") <= lit(2.5 * HllM) && col("nb") < HllM,
+              round(lit(HllM.toDouble) *
+                log(lit(HllM.toDouble) / (lit(HllM) - col("nb")))))
+              .otherwise(round(col("e_raw"))).cast("long"))
+        val daily = estimate(regs.groupBy(col("day"))
+          .agg(sum(pow(lit(2.0), -col("m_reg"))).as("s"),
+            count(lit(1)).as("nb"), sum(col("cnt")).as("n_events")))
+          .select(col("day"), col("n_events"), col("est").as("est_users"))
+        val total = estimate(regs.groupBy(col("b"))
+          .agg(max(col("m_reg")).as("m_u"))
+          .agg(sum(pow(lit(2.0), -col("m_u"))).as("s"), count(lit(1)).as("nb")))
+          .select(col("est").as("est_total_users"))
+        daily.crossJoin(broadcast(total)).orderBy(col("day"))
       },
-      None,
-      "per-day HLL sketches + union rollup (mergeable pre-aggregation)"),
+      Some(s"""WITH ev AS (
+          SELECT CAST(ts AS DATE) AS day, md5(CAST(user_id AS VARCHAR)) AS h
+          FROM events),
+        rr AS (
+          SELECT day,
+            ('0x' || substr(h, 1, 3))::BIGINT AS b,
+            CASE WHEN strpos(lpad(bin(('0x' || substr(h, 4, 8))::BIGINT), 32, '0'), '1') = 0
+              THEN 33
+              ELSE strpos(lpad(bin(('0x' || substr(h, 4, 8))::BIGINT), 32, '0'), '1')
+            END AS rho
+          FROM ev),
+        regs AS (
+          SELECT day, b, MAX(rho) AS m_reg, COUNT(*) AS cnt
+          FROM rr GROUP BY 1, 2),
+        perday AS (
+          SELECT day, CAST(SUM(cnt) AS BIGINT) AS n_events, COUNT(*) AS nb,
+            SUM(power(2.0, -m_reg)) AS s
+          FROM regs GROUP BY 1),
+        daily AS (
+          SELECT day, n_events,
+            CASE WHEN $HllAlphaM2 / (s + ($HllM - nb)) <= ${2.5 * HllM}
+                AND nb < $HllM
+              THEN CAST(ROUND(${HllM.toDouble} * LN(${HllM.toDouble} / ($HllM - nb))) AS BIGINT)
+              ELSE CAST(ROUND($HllAlphaM2 / (s + ($HllM - nb))) AS BIGINT)
+            END AS est_users
+          FROM perday),
+        uregs AS (
+          SELECT b, MAX(m_reg) AS m_u FROM regs GROUP BY 1),
+        uagg AS (
+          SELECT COUNT(*) AS nb, SUM(power(2.0, -m_u)) AS s FROM uregs),
+        total AS (
+          SELECT CASE WHEN $HllAlphaM2 / (s + ($HllM - nb)) <= ${2.5 * HllM}
+                AND nb < $HllM
+              THEN CAST(ROUND(${HllM.toDouble} * LN(${HllM.toDouble} / ($HllM - nb))) AS BIGINT)
+              ELSE CAST(ROUND($HllAlphaM2 / (s + ($HllM - nb))) AS BIGINT)
+            END AS est_total_users
+          FROM uagg)
+        SELECT day, n_events, est_users, est_total_users
+        FROM daily CROSS JOIN total ORDER BY day"""),
+      "per-day portable-HLL registers + union rollup (full replay oracle)"),
 
     // -- cohort retention: users bucketed by first-seen week, counted
     //    in each subsequent active week. Two aggregations + one

@@ -227,10 +227,15 @@ object Relational {
     //    distinct counting — single-pass, fixed-size sketch per group,
     //    map-side partial merge, no distinct-expand shuffle (exact
     //    countDistinct rewrites to a two-phase expand+agg whose first
-    //    shuffle carries every distinct value). Sketch estimates are
-    //    engine-specific → rows-only oracle; the ≤5% relative-error
-    //    contract vs exact (at rsd 0.01) is asserted in
-    //    RelationalSpec.
+    //    shuffle carries every distinct value). This row deliberately
+    //    demonstrates SPARK'S NATIVE sketch (HLL++ with its internal
+    //    registers) — the idiomatic spelling a Spark user reaches
+    //    for — so its estimates are engine-specific → rows-only
+    //    oracle + golden pin; the ≤5% relative-error contract vs
+    //    exact (at rsd 0.01) is asserted in RelationalSpec. The
+    //    PORTABLE-register HLL that this engine owns end to end
+    //    (md5 bucket/rho registers, full ANSI replay oracle) is
+    //    q102 — same sketch family, both idioms covered.
     Q("q19_approx_distinct",
       (s, d) => t(s, d).orders
         .groupBy(col("o_orderpriority"))
@@ -295,7 +300,13 @@ object Relational {
     //    full-group materialization, the only quantile shape that
     //    holds at 100 TB group sizes. No SQL oracle (sketch internals
     //    are engine-specific); RelationalSpec bounds the error against
-    //    exact q28 per group/percentile (the q19 pattern).
+    //    exact q28 per group/percentile (the q19 pattern). Unlike the
+    //    register sketches (q72/q102/q115/q116, portable-replayed
+    //    since round 16), the quantile sketch's compaction sequence
+    //    is genuinely execution-ordered state — there is no
+    //    order-free register grid an ANSI oracle could replay — so
+    //    this boundary is permanent, not pending: the error-bound
+    //    spec + golden pin IS the right gate here.
     Q("q29_approx_percentiles",
       (s, d) => t(s, d).orders
         .groupBy(col("o_orderpriority"))

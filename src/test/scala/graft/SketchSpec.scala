@@ -85,9 +85,14 @@ class SketchSpec extends SparkSpec {
   test("q115 theta overlap: every estimate within 5% of q113's exact values") {
     // q113 is the exact source-pair Jaccard matrix over the same
     // distinct 3-gram shingle relation — the ground truth for the
-    // sketch estimates. Theta default nominal entries (4096) against
-    // sf0.01 per-source shingle cardinalities puts the sketches in
-    // genuine estimation mode, not exact mode.
+    // sketch estimates. MEASURED regimes (round 16): sf0.01
+    // per-source cardinalities (1063–1462 distinct hashes) sit UNDER
+    // K = 4096, so this fixture exercises exact mode (estimates ==
+    // exact, the golden pins are exact-mode outputs); genuine
+    // estimation mode engages at sf0.1 (9.8k–10.9k per source),
+    // where the full replay oracle hash-proves the estimator, and in
+    // the small-K estimation-mode test below, which bounds its error
+    // directly on this fixture.
     val exact = Registry.queries("q113_source_overlap")(spark, dir)
       .collect()
       .map(r => (r.getString(0), r.getString(1)) ->
@@ -136,6 +141,47 @@ class SketchSpec extends SparkSpec {
       val exactRate = novel.toDouble / n
       assert(math.abs(r.getDouble(3) - exactRate) <= 0.05,
         s"${r.getString(0)} novelty_rate ${r.getDouble(3)} vs exact $exactRate")
+    }
+  }
+
+  test("KMV estimation mode: small-K per-source estimates land within " +
+      "sampling error of exact cardinalities (and theta actually engages)") {
+    // The production K values hold every sf0.01 source exactly (the
+    // regime note on the q115 test), so force estimation mode here
+    // with K = 256: per-source cardinalities (~1.1k–1.5k) are 4–6×
+    // past the retained set and the estimate is genuinely sampled.
+    // KMV standard error is ~1/sqrt(K) ≈ 6.25%; a 4-sigma band per
+    // source keeps the test deterministic-in-practice while still
+    // failing on any estimator-math regression (the estimate itself
+    // is exactly reproducible — fixed hashes, no RNG).
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val k = 256
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val hs = docs.select(col("source"),
+      explode(Text.md5ShingleHashes(col("text"), 3)).as("h"))
+    val exact = hs.groupBy(col("source"))
+      .agg(countDistinct(col("h")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kmv = ColumnBridge.column(graft.expressions.KmvSketchAgg(
+      ColumnBridge.expression(col("h")), k + 1).toAggregateExpression())
+    val est = hs.groupBy(col("source")).agg(kmv.as("buf"))
+      .withColumn("theta", when(size(col("buf")) <= k, lit(2147483647L))
+        .otherwise(element_at(col("buf"), k + 1)))
+      .select(col("source"), col("theta"),
+        round(size(filter(col("buf"), h => h < col("theta")))
+          .cast("double") * lit(2147483647.0) / col("theta"))
+          .cast("long").as("est"))
+      .collect()
+    assert(est.nonEmpty && est.length === exact.size)
+    est.foreach { r =>
+      val src = r.getString(0)
+      assert(r.getLong(1) < 2147483647L,
+        s"$src must be in estimation mode at K=$k")
+      val n = exact(src).toDouble
+      val rel = math.abs(r.getLong(2) - n) / n
+      info(f"$src%-12s exact ${n.toLong} est ${r.getLong(2)} rel $rel%.4f")
+      assert(rel <= 4.0 / math.sqrt(k.toDouble),
+        f"$src: est ${r.getLong(2)} vs exact ${n.toLong} (rel $rel%.4f)")
     }
   }
 
