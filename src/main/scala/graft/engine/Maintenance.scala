@@ -14,8 +14,10 @@ import graft.queries.{CalibrationStore, ChunkIndex, ContainmentStore, IvfIndex, 
   * [[ContainmentStore.maintain]]: heal-aware
   * compaction policy + health census); this composes them, pushes the
   * IVF health into the SERVING config (the q147 SQ re-rank width via
-  * [[IvfIndex.sqRerankWidthFor]] — the tick that measured the store
-  * sets the knob), and folds the per-store observables into one
+  * [[IvfIndex.sqRerankWidthFor]] off cell skew, and since round 16
+  * the q166 ADC re-rank width via [[IvfIndex.pqRerankWidthFor]] off
+  * the stored codes' crowding — the tick that measured the store
+  * sets both knobs), and folds the per-store observables into one
   * alert list an operator pages on.
   *
   * Alerts are CUES, not actions — each names the out-of-band fix
@@ -96,6 +98,7 @@ object Maintenance {
                           calibration: Option[CalibrationStore.MaintenanceReport],
                           phash: Option[PHashIndex.MaintenanceReport],
                           sqRerankWidth: Int,
+                          pqRerankWidth: Int,
                           alerts: Seq[String])
 
   def tick(spark: SparkSession, stores: Stores,
@@ -123,6 +126,11 @@ object Maintenance {
       PHashIndex.maintain(spark, p, maxEpochs = maxEpochs))
     val width = IvfIndex.sqRerankWidthFor(
       ivfR.map(_.maxSkew).getOrElse(Double.NaN))
+    // the ADC tier's counterpart knob, driven by the code-crowding
+    // half of pqHealth the same tick already measured (round 16 —
+    // completes for pqQuery what the sq width push-down closed)
+    val pqWidth = IvfIndex.pqRerankWidthFor(
+      ivfR.map(_.maxCodeFrac).getOrElse(Double.NaN))
     val alerts = Seq.newBuilder[String]
     ivfR.foreach { r =>
       if (!r.maxSkew.isNaN && r.maxSkew > ivfSkewAlert)
@@ -161,7 +169,8 @@ object Maintenance {
       else if (r.maxBucket > graft.queries.TextOps.MaxLshBucket)
         alerts += s"phash_bucket_over_cap:${r.maxBucket}"
     }
-    Report(ivfR, mhR, chR, vsR, ctR, mfR, cbR, phR, width, alerts.result())
+    Report(ivfR, mhR, chR, vsR, ctR, mfR, cbR, phR, width, pqWidth,
+      alerts.result())
   }
 
   /** The RUNNING-cron form of [[tick]]: wire the composed tick onto a

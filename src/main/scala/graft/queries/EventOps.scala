@@ -33,6 +33,27 @@ object EventOps {
     */
   val HllAlphaM2: Double = 0.7213 / (1.0 + 1.079 / HllM) * HllM * HllM
 
+  /** One (day, b, rho) observation per event — the portable HLL
+    * register DERIVATION shared by the batch rollup (q102) and the
+    * streaming maintenance path
+    * ([[graft.streaming.EventStream.sketchRollupStream]]), so the
+    * two can never drift: bucket = the md5 digest's first 12 bits,
+    * rho = leading-zero count of the next 32 bits + 1 (the
+    * `instr(lpad(bin(v)))` spelling that replays verbatim in ANSI
+    * SQL). Registers are max(rho) grouped however the consumer
+    * needs — per day, per (day, bucket) epoch slice, or unioned.
+    */
+  private[graft] def hllRows(events: DataFrame): DataFrame = {
+    val p0 = instr(lpad(bin(
+      conv(substring(col("h"), 4, 8), 16, 10).cast("long")), 32, "0"), "1")
+    events
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .withColumn("h", md5(col("user_id").cast("string")))
+      .select(col("day"),
+        conv(substring(col("h"), 1, 3), 16, 10).cast("int").as("b"),
+        when(p0 === 0, 33).otherwise(p0).as("rho"))
+  }
+
   lazy val queries: Seq[Q] = Seq(
 
     // -- tumbling 1h window: window().start == date_trunc('hour').
@@ -224,15 +245,7 @@ object EventOps {
     //    three fixtures.
     Q("q102_hll_rollup",
       (s, d) => {
-        val h = md5(col("user_id").cast("string"))
-        val p0 = instr(lpad(bin(
-          conv(substring(col("h"), 4, 8), 16, 10).cast("long")), 32, "0"), "1")
-        val regs = t(s, d).events
-          .select(to_date(col("ts")).as("day"), col("user_id"))
-          .withColumn("h", h)
-          .select(col("day"),
-            conv(substring(col("h"), 1, 3), 16, 10).cast("int").as("b"),
-            when(p0 === 0, 33).otherwise(p0).as("rho"))
+        val regs = hllRows(t(s, d).events)
           .groupBy(col("day"), col("b"))
           .agg(max(col("rho")).as("m_reg"), count(lit(1)).as("cnt"))
           .persist()

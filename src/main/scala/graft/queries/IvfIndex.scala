@@ -529,7 +529,8 @@ object IvfIndex {
   final case class MaintenanceReport(rebuilt: Boolean,
                                      compacted: Boolean,
                                      epochs: Int,
-                                     maxSkew: Double)
+                                     maxSkew: Double,
+                                     maxCodeFrac: Double)
 
   /** One maintenance TICK — the documented cron body now that both
     * policies exist (round-9 §7.1 item): first [[rebuildIfStale]]
@@ -568,7 +569,33 @@ object IvfIndex {
       if (rebuilt) healthAgg(spark, path)._1 else preSkew
     MaintenanceReport(rebuilt, compacted,
       graft.engine.EpochStore.epochCount(s"$path/cells"),
-      skewNow.getOrElse(Double.NaN))
+      skewNow.getOrElse(Double.NaN),
+      // post-tick truth (a rebuild recodes every row); reads ONLY
+      // the 8 pq code columns — the ADC tier's byte argument
+      pqMaxCellFrac(spark, path))
+  }
+
+  /** Worst per-subspace code crowding of the STORED codes: max over
+    * subspaces of (largest single code's share of rows) — the
+    * `max_cell_frac` health signal ([[pqHealth]]) reduced to the one
+    * number [[pqRerankWidthFor]] consumes, measured from the 8 pq
+    * code columns alone (no vectors, no books — a maintenance tick
+    * pays code-histogram bytes only). NaN on an empty or pre-PQ
+    * (round-13 layout) store → the width rule keeps the base.
+    */
+  def pqMaxCellFrac(spark: SparkSession, path: String): Double = {
+    val m = Similarity.PqSubspaces
+    val rows = storedRows(spark, path)
+    if (!rows.columns.contains("pq0")) return Double.NaN
+    val agg = rows
+      .select(posexplode(array((0 until m).map(s =>
+        col(s"pq$s")): _*)).as(Seq("sub", "code")))
+      .groupBy(col("sub"), col("code")).agg(count(lit(1)).as("n"))
+      .groupBy(col("sub"))
+      .agg((max(col("n")) / sum(col("n"))).as("frac"))
+      .agg(max(col("frac")))
+      .head()
+    if (agg.isNullAt(0)) Double.NaN else agg.getDouble(0)
   }
 
   /** SQ (int8-code) approximate search + exact re-rank against a

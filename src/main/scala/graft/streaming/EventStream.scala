@@ -410,16 +410,23 @@ object EventStream {
     w.start()
   }
 
-  /** Incremental maintenance of q102's per-day HLL sketch table: each
-    * micro-batch folds its events into day sketches and MERGES them
-    * into the stored table (tmp+rename swap, the Sink idiom), so the
-    * distinct-count dashboard never re-scans raw events — the
-    * streaming form of mergeable pre-aggregation. At-least-once
-    * delivery is safe WITHOUT keyed dedup because HLL union is
-    * register-wise max: merging the same batch twice is a no-op
-    * (idempotent), the sketch analog of the upsert sink's
-    * last-write-wins convergence (StreamingSpec pins both: parity
-    * with the batch q102 sketches, and redelivery convergence).
+  /** Incremental maintenance of q102's per-day HLL REGISTER table:
+    * each micro-batch folds its events into (day, bucket) → max(rho)
+    * register rows ([[graft.queries.EventOps.hllRows]] — the SAME
+    * portable md5 derivation the batch query uses, so streaming and
+    * batch state are row-identical, not merely estimate-close) and
+    * MERGES them into the stored table (tmp+rename swap, the Sink
+    * idiom), so the distinct-count dashboard never re-scans raw
+    * events — the streaming form of mergeable pre-aggregation. The
+    * merge IS the HLL union (grouped register-wise max), which makes
+    * at-least-once delivery safe WITHOUT keyed dedup: merging the
+    * same batch twice is a no-op (idempotent), the sketch analog of
+    * the upsert sink's last-write-wins convergence (StreamingSpec
+    * pins both: register-row parity with the batch q102 state, and
+    * redelivery convergence). Any date range's estimate is one more
+    * grouped max + the q102 estimator arithmetic over ≤ m rows per
+    * day — plain SQL over the stored table, no sketch library on the
+    * read path.
     *
     * Cost model: every micro-batch re-reads and rewrites the WHOLE
     * sketch table — O(|table|) per batch, which is fine because the
@@ -444,13 +451,14 @@ object EventStream {
         // heal a mid-swap crash from a previous batch, then swap —
         // the shared Archive machinery (one copy of the subtle part)
         graft.engine.Archive.healSwap(dir, old, tmp)
-        val daily = batch
-          .groupBy(to_date(col("ts")).as("day"))
-          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val daily = graft.queries.EventOps.hllRows(batch)
+          .groupBy(col("day"), col("b"))
+          .agg(max(col("rho")).as("m_reg"))
         val merged =
           if (Files.exists(dir))
             spark.read.parquet(tablePath).union(daily)
-              .groupBy(col("day")).agg(hll_union_agg(col("sk")).as("sk"))
+              .groupBy(col("day"), col("b"))
+              .agg(max(col("m_reg")).as("m_reg"))
           else daily
         merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         graft.engine.Archive.swapInPlace(dir, old, tmp)

@@ -354,8 +354,13 @@ class IvfIndexSpec extends SparkSpec {
     // healthy + compact: pure-read tick
     val r0 = IvfIndex.maintain(spark, idx)
     assert(r0 === IvfIndex.MaintenanceReport(rebuilt = false,
-      compacted = false, epochs = 1, maxSkew = r0.maxSkew))
+      compacted = false, epochs = 1, maxSkew = r0.maxSkew,
+      maxCodeFrac = r0.maxCodeFrac))
     assert(r0.maxSkew <= 4.0)
+    // healthy stored codes spread under the crowding ceiling
+    assert(!r0.maxCodeFrac.isNaN &&
+      r0.maxCodeFrac * graft.queries.Similarity.PqCentroids <=
+        IvfIndex.HealthyCodeCrowd)
 
     // healthy + fragmented past the bound: fold only
     val cents = IvfIndex.loadCodebook(spark, idx)

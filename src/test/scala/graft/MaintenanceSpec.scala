@@ -74,15 +74,22 @@ class MaintenanceSpec extends SparkSpec {
     assert(r.sqRerankWidth ===
       IvfIndex.sqRerankWidthFor(r.ivf.get.maxSkew))
     assert(r.ivf.exists(_.maxSkew <= 4.0))
+    // the ADC knob rides the same tick: healthy code spread (the
+    // fixture's crowding sits under the ceiling) keeps the base
+    val frac = r.ivf.get.maxCodeFrac
+    assert(!frac.isNaN && frac * Similarity.PqCentroids <=
+      IvfIndex.HealthyCodeCrowd, s"healthy crowding: $frac")
+    assert(r.pqRerankWidth === Similarity.PqRerankWidth)
     assert(r.alerts.isEmpty, s"healthy tick alerted: ${r.alerts}")
 
-    // a deployment without an IVF store still ticks, and the width
-    // push-down falls back to the serving base
+    // a deployment without an IVF store still ticks, and both width
+    // push-downs fall back to the serving base
     val sub = Maintenance.tick(spark,
       Maintenance.Stores(minhash = Some(mh)))
     assert(sub.ivf.isEmpty && sub.chunks.isEmpty && sub.verdicts.isEmpty &&
       sub.phash.isEmpty && sub.minhash.isDefined)
     assert(sub.sqRerankWidth === Similarity.SqRerankWidth)
+    assert(sub.pqRerankWidth === Similarity.PqRerankWidth)
     spark.catalog.clearCache()
   }
 
@@ -198,6 +205,13 @@ class MaintenanceSpec extends SparkSpec {
     assert(r.sqRerankWidth ===
       IvfIndex.sqRerankWidthFor(skew) && r.sqRerankWidth >
       Similarity.SqRerankWidth)
+    // the identical-vector mass codes into the same 8 codes, so the
+    // dominant code's share ~= the clone fraction of the store and
+    // the pushed ADC width widens past the base alongside the SQ one
+    assert(r.ivf.get.maxCodeFrac > 0.5, s"crowd: ${r.ivf.get.maxCodeFrac}")
+    assert(r.pqRerankWidth ===
+      IvfIndex.pqRerankWidthFor(r.ivf.get.maxCodeFrac) &&
+      r.pqRerankWidth > Similarity.PqRerankWidth)
     spark.catalog.clearCache()
   }
 

@@ -275,6 +275,32 @@ class ScalingSpec extends SparkSpec {
     }
   }
 
+  test("portable register sketches (q72/q115/q116): output cardinality " +
+      "constant, time ~linear on a 10x corpus") {
+    // The round-16 portable-register sketches' scale claim made
+    // executable: register/retained state is BOUNDED (d×w count-min
+    // grid; K+1-value KMV trees per source), so output cardinality
+    // cannot move (top-20 tokens; the 20-source pair matrix /
+    // novelty rows) and time must track the corpus scan, not any
+    // state growth. Token renaming makes the copies' shingle sets
+    // disjoint — per-source distinct hashes grow ~10× (9.8k–14.6k),
+    // pushing the K=4096 q115 sketches deep into ESTIMATION mode on
+    // the 10x side, so this also exercises the sampled-θ path at
+    // scale (exact mode at 1x — the SketchSpec regime note).
+    for (q <- Seq("q72_token_cms", "q115_theta_source_overlap",
+        "q116_theta_novelty")) {
+      val r1 = run(q, dir1x)
+      val r10 = run(q, dir10x)
+      assert(r1 === r10, s"$q: bounded-state output moved: $r1 -> $r10")
+      val t1 = Seq.fill(2)(timeOf(q, dir1x)).min
+      val t10 = Seq.fill(2)(timeOf(q, dir10x)).min
+      val ratio = t10 / math.max(t1, 0.05)
+      info(f"$q: rows $r1 (both), time $t1%.2fs -> $t10%.2fs (ratio $ratio%.1fx)")
+      assert(ratio < 30.0,
+        f"$q: 10x corpus cost $ratio%.1fx the 1x corpus — state-growth-shaped")
+    }
+  }
+
   test("q113 source overlap: pair cardinality constant, time ~linear on a 10x corpus") {
     // q113's output is source-pair-cardinality, so the generic row
     // bound doesn't apply; the risk is its shingle-keyed self-join

@@ -334,9 +334,28 @@ class StreamingSpec extends SparkSpec {
     graft.operators.BandedPairs.releaseCache()
   }
 
-  test("streaming HLL sketch maintenance == batch sketches; redelivery is a no-op") {
+  /** (day, bucket, register) rows of a stored portable-HLL register
+    * table — the exact state, so parity checks are row equality, not
+    * estimate-closeness.
+    */
+  private def regRows(path: String): Set[(String, Int, Int)] =
+    spark.read.parquet(path)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getInt(2))).toSet
+
+  /** The one-shot batch register state for the same events — shared
+    * derivation (EventOps.hllRows), so streaming must reproduce it
+    * row-for-row.
+    */
+  private def batchRegs(rows: Seq[Ev]): Set[(String, Int, Int)] =
+    graft.queries.EventOps.hllRows(batchDf(rows))
+      .groupBy(col("day"), col("b")).agg(max(col("rho")).as("m_reg"))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getInt(2))).toSet
+
+  test("streaming HLL register maintenance == batch registers row-for-row; " +
+      "redelivery is a no-op") {
     implicit val ctx = spark.sqlContext
-    import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-hll").toString
     val rows = fixtureEvents
     val stream = MemoryStream[Ev]
@@ -345,22 +364,15 @@ class StreamingSpec extends SparkSpec {
     try {
       stream.addData(rows.take(400)); q.processAllAvailable()
       stream.addData(rows.drop(400)); q.processAllAvailable()
-      // at-least-once: replay an already-merged slice — HLL union is
-      // register-max, so the table must not change
-      val before = spark.read.parquet(s"$base/sketches")
-        .select(col("day"), expr("hll_sketch_estimate(sk)").as("est"))
-        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      // at-least-once: replay an already-merged slice — the merge is
+      // register-wise max, so the table must not change
+      val before = regRows(s"$base/sketches")
       stream.addData(rows.take(400)); q.processAllAvailable()
-      val after = spark.read.parquet(s"$base/sketches")
-        .select(col("day"), expr("hll_sketch_estimate(sk)").as("est"))
-        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
-      assert(after === before, "redelivered batch changed the sketch table")
-      // parity: per-day estimates equal the one-shot batch sketches
-      val batch = batchDf(rows)
-        .groupBy(to_date(col("ts")).as("day"))
-        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est"))
-        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
-      assert(after === batch)
+      val after = regRows(s"$base/sketches")
+      assert(after === before, "redelivered batch changed the register table")
+      // parity: the streamed store IS the batch register state (same
+      // portable derivation — q102's estimates follow identically)
+      assert(after === batchRegs(rows))
     } finally q.stop()
   }
 
@@ -380,15 +392,8 @@ class StreamingSpec extends SparkSpec {
       Files.move(Paths.get(table), Paths.get(table + ".old"),
         StandardCopyOption.ATOMIC_MOVE)
       stream.addData(rows.drop(400)); q.processAllAvailable()
-      val healed = spark.read.parquet(table)
-        .select(col("day"), expr("hll_sketch_estimate(sk)").as("est"))
-        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
-      val batch = batchDf(rows)
-        .groupBy(to_date(col("ts")).as("day"))
-        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est"))
-        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
-      assert(healed === batch,
-        "mid-swap crash lost the pre-crash sketch state")
+      assert(regRows(table) === batchRegs(rows),
+        "mid-swap crash lost the pre-crash register state")
       assert(!Files.exists(Paths.get(table + ".old")))
       assert(!Files.exists(Paths.get(table + ".tmp")))
     } finally q.stop()
