@@ -87,5 +87,12 @@ object GraftFunctions {
     (FunctionIdentifier("upper_tri_products"),
       new ExpressionInfo(classOf[UpperTriProducts].getName, "upper_tri_products"),
       args => { val a = arity("upper_tri_products", 2)(args)
-        UpperTriProducts(a(0), a(1)) }))
+        UpperTriProducts(a(0), a(1)) }),
+    // aggregate: the registry builder returns the AggregateFunction
+    // itself — the analyzer wraps it in an AggregateExpression, the
+    // same contract Spark's own sum/min builders follow
+    (FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_sketch"),
+      args => { val a = arity("kmv_sketch", 2)(args)
+        KmvSketchAgg(a(0), litInt(a(1), "kmv_sketch retain")) }))
 }

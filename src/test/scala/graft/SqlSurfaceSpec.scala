@@ -59,10 +59,27 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("kmv_sketch aggregates from SQL: k+1 smallest distinct values, " +
+      "ascending, dedup'd") {
+    val r = spark.sql(
+      """SELECT kmv_sketch(h, 4) AS buf FROM (
+           SELECT explode(array(9L, 3L, 7L, 3L, 1L, 8L, 5L, 1L)) AS h)""")
+      .first()
+    // distinct = {1,3,5,7,8,9}; the 4 smallest ascending
+    assert(r.getSeq[Long](0) === Seq(1L, 3L, 5L, 7L))
+    // grouped: bounded state per group, null inputs skipped
+    val g = spark.sql(
+      """SELECT g, kmv_sketch(h, 3) AS buf FROM VALUES
+           (0, 5L), (0, 2L), (0, NULL), (0, 9L), (0, 2L), (1, 4L)
+           AS t(g, h) GROUP BY g ORDER BY g""").collect()
+    assert(g(0).getSeq[Long](1) === Seq(2L, 5L, 9L))
+    assert(g(1).getSeq[Long](1) === Seq(4L))
+  }
+
   test("GraftExtensions accepts every function descriptor") {
     val e = new SparkSessionExtensions
     new GraftExtensions().apply(e) // throws on any malformed descriptor
-    assert(graft.expressions.GraftFunctions.all.size === 12)
+    assert(graft.expressions.GraftFunctions.all.size === 13)
   }
 
   test("q27 shared-text SQL entry runs and is deterministically ordered") {
