@@ -2,13 +2,14 @@ package graft.engine
 
 import org.apache.spark.sql.SparkSession
 
-import graft.queries.{CalibrationStore, ChunkIndex, ContainmentStore, IvfIndex, ManifestStore, MinHashIndex, PHashIndex, VerdictStore}
+import graft.queries.{CalibrationStore, ChunkIndex, ContainmentStore, IvfIndex, KmvStore, ManifestStore, MinHashIndex, PHashIndex, VerdictStore}
 
 /** One maintenance tick across every persisted index store — the
-  * single documented cron body for a deployment that runs all eight
+  * single documented cron body for a deployment that runs all nine
   * build-once/query-many stores (IVF vectors, MinHash bands, content
   * chunks, dedup verdicts, containment state, manifest components,
-  * calibration histograms, perceptual image hashes). Each store already
+  * calibration histograms, perceptual image hashes, KMV source
+  * sketches). Each store already
   * owns its tick ([[IvfIndex.maintain]], [[MinHashIndex.maintain]],
   * [[ChunkIndex.maintain]], [[VerdictStore.maintain]],
   * [[ContainmentStore.maintain]]: heal-aware
@@ -82,7 +83,8 @@ object Maintenance {
                           containment: Option[String] = None,
                           manifest: Option[String] = None,
                           calibration: Option[String] = None,
-                          phash: Option[String] = None)
+                          phash: Option[String] = None,
+                          kmv: Option[String] = None)
 
   /** What the composed tick did, saw, and decided: the three
     * per-store reports (as run), the serving-config push-down
@@ -97,6 +99,7 @@ object Maintenance {
                           manifest: Option[ManifestStore.MaintenanceReport],
                           calibration: Option[CalibrationStore.MaintenanceReport],
                           phash: Option[PHashIndex.MaintenanceReport],
+                          kmv: Option[KmvStore.MaintenanceReport],
                           sqRerankWidth: Int,
                           pqRerankWidth: Int,
                           alerts: Seq[String])
@@ -124,6 +127,11 @@ object Maintenance {
       CalibrationStore.maintain(spark, p, maxEpochs = maxEpochs))
     val phR = stores.phash.map(p =>
       PHashIndex.maintain(spark, p, maxEpochs = maxEpochs))
+    // no alert cues: a KMV sketch cannot degrade or diverge (exact
+    // function of the hash set seen; single-table appends have no
+    // half-committed state) — the tick only bounds listing cost
+    val kmvR = stores.kmv.map(p =>
+      KmvStore.maintain(spark, p, maxEpochs = maxEpochs))
     val width = IvfIndex.sqRerankWidthFor(
       ivfR.map(_.maxSkew).getOrElse(Double.NaN))
     // the ADC tier's counterpart knob, driven by the code-crowding
@@ -169,7 +177,7 @@ object Maintenance {
       else if (r.maxBucket > graft.queries.TextOps.MaxLshBucket)
         alerts += s"phash_bucket_over_cap:${r.maxBucket}"
     }
-    Report(ivfR, mhR, chR, vsR, ctR, mfR, cbR, phR, width, pqWidth,
+    Report(ivfR, mhR, chR, vsR, ctR, mfR, cbR, phR, kmvR, width, pqWidth,
       alerts.result())
   }
 

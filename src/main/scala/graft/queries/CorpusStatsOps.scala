@@ -38,24 +38,28 @@ object CorpusStatsOps {
     //    shuffle (which q67 keeps map-combined anyway) for a
     //    CONSTANT-size mergeable summary — the shape that composes
     //    with streaming and repeated probing at 100 TB.
-    //    Round 16: the row hashes are the PORTABLE md5 family
-    //    (md5(j || ':' || token) — [[Text.md5BaseHash]]'s spelling,
-    //    the q63/q69 move), so the entire register grid replays in
-    //    ANSI SQL and the query carries a FULL value oracle instead of
-    //    a golden pin; the CMS contract (est >= true, est <= true +
-    //    eps·N w.h.p.) stays asserted in SketchSpec, and the
-    //    pairwise-independence the bound needs comes from the
-    //    per-row-salted digest exactly as the engine-specific seeds
-    //    did before.
+    //    Round 16: the row hashes are the PORTABLE md5 family (the
+    //    q63/q69 move), so the entire register grid replays in ANSI
+    //    SQL and the query carries a FULL value oracle instead of a
+    //    golden pin; the CMS contract (est >= true, est <= true +
+    //    eps·N w.h.p.) stays asserted in SketchSpec. The d rows'
+    //    buckets are DISJOINT 24-BIT SLICES OF ONE DIGEST (row j
+    //    reads hex chars 6j+1..6j+6 of md5(token); 5×6 = 30 ≤ 32
+    //    available) — one md5 per occurrence instead of d salted
+    //    digests (measured 5× less hashing on the battery), and
+    //    disjoint slices of an ideal digest are exactly the
+    //    independent-across-rows hash family the CMS bound asks for.
     Q("q72_token_cms",
       (s, d) => {
         val docs = t(s, d).documents
         val toks = docs.select(explode(Text.tokens(col("text"))).as("token"))
-        def rowBuckets(tok: org.apache.spark.sql.Column) =
+        def rowBuckets(tok: org.apache.spark.sql.Column) = {
+          val h = md5(tok)
           transform(sequence(lit(0), lit(CmsDepth - 1)), j =>
             struct(j.as("j"), pmod(
-              conv(substring(md5(concat(j.cast("string"), lit(":"), tok)),
-                1, 8), 16, 10).cast("long"), lit(CmsWidth)).as("b")))
+              conv(h.substr(j * 6 + 1, lit(6)), 16, 10).cast("long"),
+              lit(CmsWidth)).as("b")))
+        }
         val regs = toks
           .select(explode(rowBuckets(col("token"))).as("jb"))
           .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
@@ -78,7 +82,7 @@ object CorpusStatsOps {
           FROM documents),
         regs AS (
           SELECT j,
-            ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 8))::BIGINT
+            ('0x' || substr(md5(token), CAST(j * 6 + 1 AS INT), 6))::BIGINT
               % $CmsWidth AS b,
             COUNT(*) AS cnt
           FROM tok CROSS JOIN range($CmsDepth) r(j)
@@ -93,7 +97,7 @@ object CorpusStatsOps {
           SELECT c.token, MIN(r.cnt) AS est_n
           FROM cand c CROSS JOIN range($CmsDepth) rj(j)
           JOIN regs r ON r.j = rj.j AND r.b =
-            ('0x' || substr(md5(CAST(rj.j AS VARCHAR) || ':' || c.token), 1, 8))::BIGINT
+            ('0x' || substr(md5(c.token), CAST(rj.j * 6 + 1 AS INT), 6))::BIGINT
               % $CmsWidth
           GROUP BY 1)
         SELECT token, est_n FROM est
@@ -473,7 +477,14 @@ object CorpusStatsOps {
     Q("q115_theta_source_overlap",
       (s, d) => {
         val k = KmvK
-        val sk = kmvSourceSketches(s, d, k).persist()
+        // the session-shared K=16384 buffers, TRIMMED to this query's
+        // K: the 4097 smallest distinct hashes are within the 16385
+        // smallest, so the trim-derived sketch is bit-identical to a
+        // from-scratch K=4096 build (the KmvStore mergeability
+        // argument) — one corpus hash pass serves both theta queries
+        val sk = kmvSketchFromBuf(
+          SharedStages.kmvSketchBufs(s, d)
+            .withColumn("buf", slice(col("buf"), 1, k + 1)), k).persist()
         sk.count() // feeds both sides of the pair frame
         val a = sk.select(col("source").as("src_a"),
           col("theta").as("th_a"), col("retained").as("ra"))
@@ -566,99 +577,38 @@ object CorpusStatsOps {
     //    any corpus size; precision is a knob, not a rewrite.
     Q("q116_theta_novelty",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val k = KmvKNovelty
-        val sk = kmvSourceSketches(s, d, k).persist()
+        val sk = kmvSketchFromBuf(
+          SharedStages.kmvSketchBufs(s, d), KmvKNovelty).persist()
         sk.count() // feeds both sides of the pair frame + the join back
-        // union-of-others: θ_u0 = min other θ, candidates = others'
-        // retained below it, re-ranked to the K smallest
-        val pairsFrame = sk.select(col("source").as("src"))
-          .crossJoin(broadcast(sk.select(col("source").as("other"),
-            col("theta").as("th_o"), col("retained").as("ro"))))
-          .filter(col("src") =!= col("other"))
-        val thU0 = pairsFrame.groupBy(col("src"))
-          .agg(min(col("th_o")).as("th_u0"))
-        val ranked = pairsFrame
-          .select(col("src"), explode(col("ro")).as("h")).distinct()
-          .join(thU0, Seq("src")).filter(col("h") < col("th_u0"))
-          .withColumn("r", row_number().over(
-            Window.partitionBy(col("src")).orderBy(col("h"))))
-        val uth = ranked.groupBy(col("src"), col("th_u0"))
-          .agg(count(lit(1)).as("total"),
-            max(when(col("r") === k + 1, col("h"))).as("h_kp1"))
-          .withColumn("th_u", when(col("total") > k, col("h_kp1"))
-            .otherwise(col("th_u0")))
-          .select(col("src").as("source"), col("th_u"))
-        val uret = ranked.select(col("src").as("source"), col("h"))
-          .join(uth, Seq("source")).filter(col("h") < col("th_u"))
-          .select(col("source"), col("h"))
-        // difference sk_s ∖ union(others), below θ_d = min(θ_s, θ_u)
-        val base = sk
-          .select(col("source"), col("theta").as("th_s"),
-            col("retained"), size(col("retained")).as("na"))
-          .join(uth, Seq("source"))
-          .withColumn("th_d", least(col("th_s"), col("th_u")))
-        val novel = base
-          .select(col("source"), col("th_d"), explode(col("retained")).as("h"))
-          .filter(col("h") < col("th_d"))
-          .join(uret, Seq("source", "h"), "left_anti")
-          .groupBy(col("source")).agg(count(lit(1)).as("nn"))
-        base.join(novel, Seq("source"), "left")
-          .select(col("source"),
-            kmvEst(col("na"), col("th_s")).as("n_est"),
-            kmvEst(coalesce(col("nn"), lit(0L)), col("th_d"))
-              .as("n_novel_est"))
-          .withColumn("novelty_rate",
-            round(col("n_novel_est").cast("double") / col("n_est"), 4))
-          .orderBy(col("source"))
+        kmvNoveltyOf(sk, KmvKNovelty)
       },
-      Some(s"""WITH ${kmvSketchCtes(KmvKNovelty)},
-        rc AS (SELECT source, COUNT(*) AS na FROM ret GROUP BY 1),
-        thu0 AS (
-          SELECT a.source AS src, MIN(b.theta) AS th_u0
-          FROM th a JOIN th b ON b.source <> a.source GROUP BY 1),
-        cand AS (
-          SELECT DISTINCT a.source AS src, r2.h
-          FROM th a JOIN ret r2 ON r2.source <> a.source
-          JOIN thu0 ON thu0.src = a.source
-          WHERE r2.h < thu0.th_u0),
-        ur AS (
-          SELECT src, h,
-            ROW_NUMBER() OVER (PARTITION BY src ORDER BY h) AS r
-          FROM cand),
-        uth AS (
-          SELECT ur.src, MAX(thu0.th_u0) AS th_u0, COUNT(*) AS total,
-            MAX(CASE WHEN r = ${KmvKNovelty + 1} THEN h END) AS h_kp1
-          FROM ur JOIN thu0 ON thu0.src = ur.src
-          GROUP BY 1),
-        uth2 AS (
-          SELECT src,
-            CASE WHEN total > $KmvKNovelty THEN h_kp1 ELSE th_u0 END AS th_u
-          FROM uth),
-        uret AS (
-          SELECT ur.src, ur.h FROM ur JOIN uth2 USING (src)
-          WHERE ur.h < uth2.th_u),
-        base AS (
-          SELECT th.source, th.theta AS th_s, rc.na, uth2.th_u,
-            LEAST(th.theta, uth2.th_u) AS th_d
-          FROM th JOIN rc USING (source)
-          JOIN uth2 ON uth2.src = th.source),
-        novel AS (
-          SELECT b.source, COUNT(*) AS nn
-          FROM base b JOIN ret r ON r.source = b.source AND r.h < b.th_d
-          WHERE NOT EXISTS (
-            SELECT 1 FROM uret u WHERE u.src = b.source AND u.h = r.h)
-          GROUP BY 1)
-        SELECT b.source,
-          CAST(ROUND(b.na * 2147483647.0 / b.th_s) AS BIGINT) AS n_est,
-          CAST(ROUND(COALESCE(novel.nn, 0) * 2147483647.0 / b.th_d) AS BIGINT)
-            AS n_novel_est,
-          ROUND(CAST(ROUND(COALESCE(novel.nn, 0) * 2147483647.0 / b.th_d) AS BIGINT)
-            / CAST(ROUND(b.na * 2147483647.0 / b.th_s) AS BIGINT), 4)
-            AS novelty_rate
-        FROM base b LEFT JOIN novel USING (source)
-        ORDER BY source"""),
+      Some(kmvNoveltyOracleSql),
       "per-source novelty via portable KMV difference (full replay oracle)"),
+
+    // -- q173: q116's novelty SERVED FROM THE PERSISTED INCREMENTAL
+    //    KMV STORE ([[KmvStore]] — built over the 4/5 crawl prefix,
+    //    one appended epoch for the last fifth): each batch was
+    //    folded into bounded per-source retained sets at ingest, and
+    //    the dashboard read re-sketches ≤ (K+1)·epochs rows per
+    //    source — never the resident text. The oracle is q116's
+    //    whole-corpus SQL replay VERBATIM: KMV's exact mergeability
+    //    (the union's K+1 smallest are each among their own side's
+    //    K+1 smallest) makes the incremental store's merge-on-read
+    //    equal the from-scratch sketch bit-for-bit, order-free — so
+    //    the driver's hash compare proves the entire persisted
+    //    apparatus (batch sketching, epoch commits, θ-witness
+    //    carriage, merge-on-read) against plain SQL over the raw
+    //    corpus. The q152/q157 incremental == from-scratch pattern,
+    //    carried to the sketch family.
+    Q("q173_incremental_source_novelty",
+      (s, d) => {
+        val sk = KmvStore.sketches(s, SharedStages.kmvStorePath(s, d))
+          .persist()
+        sk.count() // feeds both sides of the pair frame + the join back
+        kmvNoveltyOf(sk, KmvKNovelty)
+      },
+      Some(kmvNoveltyOracleSql),
+      "novelty from the persisted incremental KMV store (full replay oracle)"),
 
     // -- q119: adjacent-bigram PMI — phrase/collocation mining (the
     //    word2vec-style phrase-merge signal, and the association score
@@ -803,7 +753,61 @@ object CorpusStatsOps {
     */
   val KmvHashSpace = 2147483647L
 
-  private def kmvAgg(c: org.apache.spark.sql.Column, retain: Int) = {
+  /** q116's full replay oracle — ALSO q173's: the incremental
+    * [[KmvStore]]'s merge-on-read equals the from-scratch sketch by
+    * exact mergeability, so the same whole-corpus SQL replay
+    * hash-verifies both the direct and the persisted path (the
+    * shared-spelling discipline of q100/q152).
+    */
+  private def kmvNoveltyOracleSql: String =
+    s"""WITH ${kmvSketchCtes(KmvKNovelty)},
+        rc AS (SELECT source, COUNT(*) AS na FROM ret GROUP BY 1),
+        thu0 AS (
+          SELECT a.source AS src, MIN(b.theta) AS th_u0
+          FROM th a JOIN th b ON b.source <> a.source GROUP BY 1),
+        cand AS (
+          SELECT DISTINCT a.source AS src, r2.h
+          FROM th a JOIN ret r2 ON r2.source <> a.source
+          JOIN thu0 ON thu0.src = a.source
+          WHERE r2.h < thu0.th_u0),
+        ur AS (
+          SELECT src, h,
+            ROW_NUMBER() OVER (PARTITION BY src ORDER BY h) AS r
+          FROM cand),
+        uth AS (
+          SELECT ur.src, MAX(thu0.th_u0) AS th_u0, COUNT(*) AS total,
+            MAX(CASE WHEN r = ${KmvKNovelty + 1} THEN h END) AS h_kp1
+          FROM ur JOIN thu0 ON thu0.src = ur.src
+          GROUP BY 1),
+        uth2 AS (
+          SELECT src,
+            CASE WHEN total > $KmvKNovelty THEN h_kp1 ELSE th_u0 END AS th_u
+          FROM uth),
+        uret AS (
+          SELECT ur.src, ur.h FROM ur JOIN uth2 USING (src)
+          WHERE ur.h < uth2.th_u),
+        base AS (
+          SELECT th.source, th.theta AS th_s, rc.na, uth2.th_u,
+            LEAST(th.theta, uth2.th_u) AS th_d
+          FROM th JOIN rc USING (source)
+          JOIN uth2 ON uth2.src = th.source),
+        novel AS (
+          SELECT b.source, COUNT(*) AS nn
+          FROM base b JOIN ret r ON r.source = b.source AND r.h < b.th_d
+          WHERE NOT EXISTS (
+            SELECT 1 FROM uret u WHERE u.src = b.source AND u.h = r.h)
+          GROUP BY 1)
+        SELECT b.source,
+          CAST(ROUND(b.na * 2147483647.0 / b.th_s) AS BIGINT) AS n_est,
+          CAST(ROUND(COALESCE(novel.nn, 0) * 2147483647.0 / b.th_d) AS BIGINT)
+            AS n_novel_est,
+          ROUND(CAST(ROUND(COALESCE(novel.nn, 0) * 2147483647.0 / b.th_d) AS BIGINT)
+            / CAST(ROUND(b.na * 2147483647.0 / b.th_s) AS BIGINT), 4)
+            AS novelty_rate
+        FROM base b LEFT JOIN novel USING (source)
+        ORDER BY source"""
+
+  private[queries] def kmvAgg(c: org.apache.spark.sql.Column, retain: Int) = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(graft.expressions.KmvSketchAgg(
       ColumnBridge.expression(c), retain).toAggregateExpression())
@@ -826,17 +830,102 @@ object CorpusStatsOps {
     * shingle-hash relation; the md5 digests ride the fused
     * [[graft.expressions.Md5ShingleHashes]] kernel.
     */
-  private def kmvSourceSketches(s: org.apache.spark.sql.SparkSession,
-      d: String, k: Int): org.apache.spark.sql.DataFrame =
-    t(s, d).documents
-      .select(col("source"),
-        explode(Text.md5ShingleHashes(col("text"), 3)).as("h"))
-      .groupBy(col("source"))
+  /** (source, buf) raw K+1 buffers over a (source, text) corpus —
+    * the md5 3-gram shingle hashes through one bounded [[kmvAgg]];
+    * the build seam [[KmvStore]], the session-shared q115/q116 stage
+    * ([[SharedStages.kmvSketchBufs]]) and the specs all reuse.
+    */
+  private[queries] def kmvBufOfDocs(docs: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame =
+    kmvBufOf(docs.select(col("source"),
+      explode(Text.md5ShingleHashes(col("text"), 3)).as("h")), k)
+
+  /** (source, buf) — the raw K+1-smallest-distinct buffers from a
+    * (source, h) hash relation: one bounded [[kmvAgg]] per source
+    * over however the hashes arrive — the raw corpus explode
+    * (q115/q116) or a [[KmvStore]]'s merge-on-read union of
+    * per-epoch buffer rows. The buffer (NOT the θ-trimmed retained
+    * set) is the mergeable unit: the union's (K+1)-th smallest can
+    * be one side's θ witness, so dropping it pre-merge would break
+    * the exact-mergeability equality the store's oracle rides on.
+    */
+  private[queries] def kmvBufOf(hs: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame =
+    hs.groupBy(col("source"))
       .agg(kmvAgg(col("h"), k + 1).as("buf"))
+
+  /** (source, θ, retained) sketches from the raw buffers: θ = the
+    * (K+1)-th smallest (hash-space bound when the source holds ≤ K
+    * distinct hashes), retained = the values strictly below θ.
+    */
+  private[queries] def kmvSketchFromBuf(
+      bufDf: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame =
+    bufDf
       .withColumn("theta", when(size(col("buf")) <= k, lit(KmvHashSpace))
         .otherwise(element_at(col("buf"), k + 1)))
       .withColumn("retained", filter(col("buf"), h => h < col("theta")))
       .select(col("source"), col("theta"), col("retained"))
+
+  private[queries] def kmvSketchOf(hs: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame =
+    kmvSketchFromBuf(kmvBufOf(hs, k), k)
+
+  /** q116's novelty computation over ALREADY-BUILT sketches (caller
+    * persists `sk` — it feeds both sides of the pair frame and the
+    * join back): union-of-others via a grouped re-rank of the
+    * bounded retained sets (sources²×K rows — post-sketch model
+    * state), then the difference estimate below θ_d = min(θ_s, θ_u).
+    * Shared by q116 (sketches from the corpus) and q173 (sketches
+    * from the persisted incremental [[KmvStore]]), so the stored
+    * path provably computes the same answer.
+    */
+  private[queries] def kmvNoveltyOf(sk: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    // union-of-others: θ_u0 = min other θ, then the K+1 smallest
+    // candidates below it via the SAME bounded [[kmvAgg]] the
+    // sketches were built with (it dedups and trims map-side) —
+    // θ_u = min(θ_u0, the (K+1)-th smallest candidate), retained =
+    // candidates below θ_u. Equivalent to ranking all distinct
+    // candidates per src, without materializing the sources²×K
+    // candidate frame through a distinct + sort window (the
+    // measured-slow first spelling).
+    val pairsFrame = sk.select(col("source").as("src"))
+      .crossJoin(broadcast(sk.select(col("source").as("other"),
+        col("theta").as("th_o"), col("retained").as("ro"))))
+      .filter(col("src") =!= col("other"))
+    val thU0 = pairsFrame.groupBy(col("src"))
+      .agg(min(col("th_o")).as("th_u0"))
+    val ubuf = pairsFrame
+      .select(col("src"), explode(col("ro")).as("h"))
+      .join(thU0, Seq("src")).filter(col("h") < col("th_u0"))
+      .groupBy(col("src"), col("th_u0"))
+      .agg(kmvAgg(col("h"), k + 1).as("ubuf"))
+      .withColumn("th_u", when(size(col("ubuf")) <= k, col("th_u0"))
+        .otherwise(element_at(col("ubuf"), k + 1)))
+    val uth = ubuf.select(col("src").as("source"), col("th_u"))
+    val uret = ubuf.select(col("src").as("source"),
+      explode(filter(col("ubuf"), h => h < col("th_u"))).as("h"))
+    // difference sk_s ∖ union(others), below θ_d = min(θ_s, θ_u)
+    val base = sk
+      .select(col("source"), col("theta").as("th_s"),
+        col("retained"), size(col("retained")).as("na"))
+      .join(uth, Seq("source"))
+      .withColumn("th_d", least(col("th_s"), col("th_u")))
+    val novel = base
+      .select(col("source"), col("th_d"), explode(col("retained")).as("h"))
+      .filter(col("h") < col("th_d"))
+      .join(uret, Seq("source", "h"), "left_anti")
+      .groupBy(col("source")).agg(count(lit(1)).as("nn"))
+    base.join(novel, Seq("source"), "left")
+      .select(col("source"),
+        kmvEst(col("na"), col("th_s")).as("n_est"),
+        kmvEst(coalesce(col("nn"), lit(0L)), col("th_d"))
+          .as("n_novel_est"))
+      .withColumn("novelty_rate",
+        round(col("n_novel_est").cast("double") / col("n_est"), 4))
+      .orderBy(col("source"))
+  }
 
   /** DuckDB replay of [[kmvSourceSketches]]: distinct md5 shingle
     * hashes per source (q55's `hs` spelling), ranked ascending;

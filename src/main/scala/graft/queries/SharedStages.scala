@@ -371,6 +371,35 @@ object SharedStages {
       IvfIndex.build(QU.t(spark, sfDir).embeddings, path)
     }
 
+  /** The per-source KMV sketch buffers at the LARGEST K in use
+    * ([[CorpusStatsOps.KmvKNovelty]]), computed once per (session,
+    * sf dir): any smaller-K sketch derives by TRIMMING (the K'+1
+    * smallest are within the K+1 smallest — exact mergeability's
+    * little sibling), so q115 (K=4096) and q116 (K=16384) share one
+    * corpus hash pass. Columns (source, buf).
+    */
+  def kmvSketchBufs(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = cached(spark, sfDir, "kmv-bufs") { path =>
+      CorpusStatsOps.kmvBufOfDocs(QU.t(spark, sfDir).documents,
+          CorpusStatsOps.KmvKNovelty)
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(p)
+  }
+
+  /** q173's deployment: a [[KmvStore]] built over the 4/5 crawl
+    * prefix (doc_id % 5 != 4), one appended epoch for the last fifth
+    * — union = the full corpus, so q116's whole-corpus replay oracle
+    * applies verbatim to the served novelty (KMV exact
+    * mergeability).
+    */
+  def kmvStorePath(spark: SparkSession, sfDir: String): String =
+    cached(spark, sfDir, "kmv-store") { path =>
+      val docs = QU.t(spark, sfDir).documents
+      KmvStore.build(docs.filter(col("doc_id") % 5 =!= 4), path)
+      KmvStore.appendEpoch(docs.filter(col("doc_id") % 5 === 4), path, 1L)
+    }
+
   /** A FRAGMENTED [[IvfIndex]]: built over the vec_id % 4 != 0 base
     * slice, then two appended epochs (% 8 == 0, % 8 == 4) assigned
     * and PQ-coded under the STORED base-trained codebook and books —

@@ -6,7 +6,7 @@ import graft.engine.{EpochStore, Maintenance}
 import graft.queries.{ChunkIndex, ContainmentStore, IvfIndex, MinHashIndex, Similarity, VerdictStore}
 
 /** The composed cross-store maintenance tick ([[Maintenance.tick]]):
-  * one cron body over the eight persisted stores. Under test:
+  * one cron body over the nine persisted stores. Under test:
   *
   *   - healthy stores: every sub-tick is a pure-read no-op, the
   *     serving push-down equals the base re-rank width, no alerts;
@@ -28,7 +28,7 @@ class MaintenanceSpec extends SparkSpec {
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).resolve("ix").toString
 
-  test("healthy eight-store tick: no-op everywhere, base width, " +
+  test("healthy nine-store tick: no-op everywhere, base width, " +
       "no alerts; subset deployments tick only their stores") {
     val (ivf, mh, ch, vs, ct) =
       (tmp("mnt-ivf"), tmp("mnt-mh"), tmp("mnt-ch"), tmp("mnt-vs"),
@@ -50,10 +50,14 @@ class MaintenanceSpec extends SparkSpec {
     graft.queries.PHashIndex.build(
       graft.queries.MultimodalOps.phashFingerprints(
         docs.filter(col("doc_id") < 300)), ph)
+    val kv = tmp("mnt-kmv")
+    graft.queries.KmvStore.build(spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 300), kv, k = 64)
 
     val r = Maintenance.tick(spark,
       Maintenance.Stores(Some(ivf), Some(mh), Some(ch), Some(vs), Some(ct),
-        Some(mf), Some(cb), Some(ph)))
+        Some(mf), Some(cb), Some(ph), Some(kv)))
     assert(r.manifest.exists(m =>
       !m.compacted && !m.diverged && m.supersededFrac === 0.0))
     assert(r.calibration.exists(c =>
@@ -68,6 +72,8 @@ class MaintenanceSpec extends SparkSpec {
         c.supersededFrac === 0.0))
     assert(r.phash.exists(p =>
       !p.compacted && !p.diverged && p.nAssets === 300))
+    assert(r.kmv.exists(k => !k.compacted && k.epochs === 1 &&
+      k.nSources > 0))
     // the pushed width is the health-driven knob for the measured
     // skew (a healthy store's natural skew of ~2 still widens the
     // base — only a no-IVF deployment falls back to the base)

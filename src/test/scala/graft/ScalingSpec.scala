@@ -287,8 +287,13 @@ class ScalingSpec extends SparkSpec {
     // pushing the K=4096 q115 sketches deep into ESTIMATION mode on
     // the 10x side, so this also exercises the sampled-θ path at
     // scale (exact mode at 1x — the SketchSpec regime note).
+    // q173 rides along: its warmup run builds the session-shared
+    // KmvStore (4/5 + appended fifth); the timed runs then measure
+    // the SERVE path alone — a bounded re-sketch of ≤ (K+1)·epochs
+    // rows per source plus the novelty frame, which must not scale
+    // with the corpus at all.
     for (q <- Seq("q72_token_cms", "q115_theta_source_overlap",
-        "q116_theta_novelty")) {
+        "q116_theta_novelty", "q173_incremental_source_novelty")) {
       val r1 = run(q, dir1x)
       val r10 = run(q, dir10x)
       assert(r1 === r10, s"$q: bounded-state output moved: $r1 -> $r10")
