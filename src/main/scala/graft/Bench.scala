@@ -53,6 +53,27 @@ object Bench {
       // any explicit repartition above the union, so it cannot be
       // worked around plan-side.
       .config("spark.sql.unionOutputPartitioning", "false")
+      // ObjectHashAggregate (every TypedImperativeAggregate here:
+      // decimal vector sums, KMV/top-cells sketches) falls back to
+      // SORT-based aggregation at 128 distinct groups per task — the
+      // PQ subspace folds group by (sub, code) = 512 groups, so every
+      // training pass paid a per-task spill + sort (measured ~0.4s of
+      // pure overhead per task on 63-row tasks). The battery's typed
+      // aggregates all carry model-bounded state (≤ ~130 KB sketch
+      // buffers, ≤ 3 KB decimal sums) at model-bounded group counts
+      // (cells × codes ≤ 512, sources ≤ dozens), so 4096 in-memory
+      // groups is ≤ a few hundred MB worst-case and the sort fallback
+      // still engages beyond it. Same setting in Verify for identical
+      // execution; results are strategy-independent either way.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "4096")
+      // tiny-task shuffles: the bypass writer opens one file PER
+      // REDUCE PARTITION per map task (32x32 file creations per
+      // exchange here — measured as most of the fixed per-task cost
+      // on sub-MB shuffles); below the threshold Spark uses the sort
+      // writer, one data+index file per map task regardless of R. At
+      // production R (thousands) bypass never engages anyway.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

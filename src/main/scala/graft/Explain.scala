@@ -25,6 +25,15 @@ object Explain {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.unionOutputPartitioning", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "4096")
+      // tiny-task shuffles: the bypass writer opens one file PER
+      // REDUCE PARTITION per map task (32x32 file creations per
+      // exchange here — measured as most of the fixed per-task cost
+      // on sub-MB shuffles); below the threshold Spark uses the sort
+      // writer, one data+index file per map task regardless of R. At
+      // production R (thousands) bypass never engages anyway.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -23,6 +23,17 @@ object Verify {
       // any explicit repartition above the union, so it cannot be
       // worked around plan-side.
       .config("spark.sql.unionOutputPartitioning", "false")
+      // match Bench: hash-mode ObjectHashAggregate up to the
+      // battery's model-bounded group counts (see Bench.scala)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "4096")
+      // tiny-task shuffles: the bypass writer opens one file PER
+      // REDUCE PARTITION per map task (32x32 file creations per
+      // exchange here — measured as most of the fixed per-task cost
+      // on sub-MB shuffles); below the threshold Spark uses the sort
+      // writer, one data+index file per map task regardless of R. At
+      // production R (thousands) bypass never engages anyway.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

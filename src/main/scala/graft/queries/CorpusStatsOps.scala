@@ -53,12 +53,24 @@ object CorpusStatsOps {
       (s, d) => {
         val docs = t(s, d).documents
         val toks = docs.select(explode(Text.tokens(col("text"))).as("token"))
+        // UNROLLED register rows (round 16): the first spelling built
+        // the (j, bucket) array with transform(sequence(0, d-1), ...)
+        // closing over md5(tok) — higher-order functions evaluate
+        // interpreted AND re-evaluate the captured digest per
+        // element, so every token occurrence paid d md5s through the
+        // slow path (measured: the whole query was one ~1.4s task,
+        // almost all of it this). CmsDepth is a compile-time
+        // constant, so the array unrolls to d literal-indexed
+        // substrings of ONE md5 evaluated once per row, and the
+        // whole projection whole-stage-codegens. Same digest, same
+        // slices, same buckets — bit-identical registers.
         def rowBuckets(tok: org.apache.spark.sql.Column) = {
           val h = md5(tok)
-          transform(sequence(lit(0), lit(CmsDepth - 1)), j =>
-            struct(j.as("j"), pmod(
-              conv(h.substr(j * 6 + 1, lit(6)), 16, 10).cast("long"),
-              lit(CmsWidth)).as("b")))
+          array((0 until CmsDepth).map { j =>
+            struct(lit(j).as("j"), pmod(
+              conv(h.substr(j * 6 + 1, 6), 16, 10).cast("long"),
+              lit(CmsWidth)).as("b"))
+          }: _*)
         }
         val regs = toks
           .select(explode(rowBuckets(col("token"))).as("jb"))
@@ -890,7 +902,25 @@ object CorpusStatsOps {
     // candidates per src, without materializing the sources²×K
     // candidate frame through a distinct + sort window (the
     // measured-slow first spelling).
+    //
+    // Round-16 shape (measured on the r16 profile: this arm was ~4s
+    // of the 4.5s query): (a) the src frame REPARTITIONS by src so
+    // the sources×K explode + partial fold runs one task per source
+    // instead of inheriting the sketch table's 1–2 read partitions
+    // (a 20-row shuffle buys sources-way parallelism over the only
+    // sources²×K stage in the plan); (b) θ_u0 — a sources-cardinality
+    // aggregate — joins as an explicit BROADCAST, which removes the
+    // planner's Exchange+Sort+SortMergeJoin under the exploded frame
+    // (the sources²×K rows now flow scan→filter→partial-fold with no
+    // sort and no row-level shuffle: the exchange carries one bounded
+    // buffer per (task, src)); (c) ubuf PERSISTS — it feeds both θ_u
+    // and the retained-union explode, and unpersisted the whole
+    // sources²×K subtree executed twice (the two ~5.7s sibling jobs
+    // on the r16 profile). Values are unchanged: kmvAgg is
+    // order-insensitive (a dedup + K+1-smallest selection), so
+    // partitioning and join strategy cannot move a single hash.
     val pairsFrame = sk.select(col("source").as("src"))
+      .repartition(col("src"))
       .crossJoin(broadcast(sk.select(col("source").as("other"),
         col("theta").as("th_o"), col("retained").as("ro"))))
       .filter(col("src") =!= col("other"))
@@ -898,11 +928,12 @@ object CorpusStatsOps {
       .agg(min(col("th_o")).as("th_u0"))
     val ubuf = pairsFrame
       .select(col("src"), explode(col("ro")).as("h"))
-      .join(thU0, Seq("src")).filter(col("h") < col("th_u0"))
+      .join(broadcast(thU0), Seq("src")).filter(col("h") < col("th_u0"))
       .groupBy(col("src"), col("th_u0"))
       .agg(kmvAgg(col("h"), k + 1).as("ubuf"))
       .withColumn("th_u", when(size(col("ubuf")) <= k, col("th_u0"))
         .otherwise(element_at(col("ubuf"), k + 1)))
+      .persist()
     val uth = ubuf.select(col("src").as("source"), col("th_u"))
     val uret = ubuf.select(col("src").as("source"),
       explode(filter(col("ubuf"), h => h < col("th_u"))).as("h"))

@@ -1389,7 +1389,7 @@ object Similarity {
     * collecting model parameters is not collecting data.
     */
   private[queries] def pqCodebooks(e: DataFrame): Seq[Seq[(Int, Seq[Double])]] = {
-    val sliced = e.select(col("vec_id"),
+    val sliced = fanOut(e).select(col("vec_id"),
         posexplode(array((0 until PqSubspaces).map(s =>
           slice(col("v"), s * PqSubDim + 1, PqSubDim)): _*)))
       .toDF("vec_id", "sub", "embedding")
@@ -1442,9 +1442,15 @@ object Similarity {
     * c_id, NOT position: a Lloyd round can empty a seed cell, so
     * surviving ids need not be dense).
     */
-  private[queries] def bookLit(cents: Seq[(Int, Seq[Double])]): Column =
-    map(cents.flatMap { case (id, c) =>
-      Seq(lit(id), array(c.map(lit(_)): _*)) }: _*)
+  private[queries] def bookLit(cents: Seq[(Int, Seq[Double])]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    // one literal node, not k×(dim+1) — the centsLit rationale
+    ColumnBridge.column(Literal.create(cents.toMap,
+      MapType(IntegerType, ArrayType(DoubleType, containsNull = false),
+        valueContainsNull = false)))
+  }
 
   /** Slot code+1 → |centroid|² for one subspace book, as a constant-
     * folded 64-slot array literal (ids emptied by a Lloyd round get
@@ -1454,13 +1460,21 @@ object Similarity {
     * literal is bit-equal to the replayed value.
     */
   private[queries] def bookSqNorms(book: Seq[(Int, Seq[Double])]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
     val m = book.toMap
-    array((0 until PqCentroids).map { id =>
+    // one literal node, not 64 — the centsLit rationale; the fold
+    // order (left-assoc multiply-add) is unchanged
+    val values: Seq[Any] = (0 until PqCentroids).map { id =>
       m.get(id) match {
-        case Some(c) => lit(c.foldLeft(0.0)((a, x) => a + x * x))
-        case None    => lit(null).cast("double")
+        case Some(c) => java.lang.Double.valueOf(
+          c.foldLeft(0.0)((a, x) => a + x * x))
+        case None => null
       }
-    }: _*)
+    }
+    ColumnBridge.column(Literal.create(values,
+      ArrayType(DoubleType, containsNull = true)))
   }
 
   /** |reconstruction| once per CODED ROW: subspaces concatenate, so
@@ -1485,19 +1499,21 @@ object Similarity {
     */
   private[queries] def adcLut(qv: Column, book: Seq[(Int, Seq[Double])],
       s: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
     val lo = s * PqSubDim
     val m = book.toMap
-    // centroids as ONE constant-folded array-of-arrays literal and a
-    // small transform lambda (8 products) — NOT 64 unrolled dot
+    // centroids as ONE literal array-of-arrays node and a small
+    // transform lambda (8 products) — NOT 64 unrolled dot
     // expressions, whose ~4096-term projection cost seconds of
     // codegen compile per plan and dwarfed the scan it was hoisted
-    // out of
-    val bookArr = array((0 until PqCentroids).map { id =>
-      m.get(id) match {
-        case Some(c) => array(c.map(lit(_)): _*)
-        case None    => lit(null).cast("array<double>")
-      }
-    }: _*)
+    // out of; round 16 collapses the remaining 64×8 lit() tree to a
+    // single Literal node (the centsLit rationale)
+    val bookArr = ColumnBridge.column(Literal.create(
+      (0 until PqCentroids).map[Any](id => m.get(id).orNull),
+      ArrayType(ArrayType(DoubleType, containsNull = false),
+        containsNull = true)))
     transform(bookArr, c =>
       (0 until PqSubDim).map(i =>
         element_at(qv, lo + i + 1) * element_at(c, i + 1))
@@ -1525,8 +1541,11 @@ object Similarity {
     */
   def pqAdcOn(emb: DataFrame,
               rerankWidth: Int = PqRerankWidth, topK: Int = 5): DataFrame = {
-    val e = emb.select(col("vec_id"),
-      Vectors.asDouble(col("embedding")).as("v"))
+    // fanned AND pinned once: e feeds the 3 book-training passes, the
+    // codes projection and the exact re-rank — unpinned, each pass
+    // re-ran the scan + the fan-out exchange (the q171 resid note)
+    val e = fanOut(emb.select(col("vec_id"),
+      Vectors.asDouble(col("embedding")).as("v"))).localCheckpoint(true)
     val books = pqCodebooks(e)
     val pqCols = (0 until PqSubspaces).map(s => col(s"pq$s"))
     val codes = e.select(col("vec_id") +: pqCodeCols(col("v"), books): _*)
@@ -1648,20 +1667,30 @@ object Similarity {
     * persisted at build time as IvfIndex's `_pqnorms` sidecar).
     */
   private[queries] def residNormTables(cents: Seq[(Int, Seq[Double])],
-      books: Seq[Seq[(Int, Seq[Double])]]): Seq[Column] =
+      books: Seq[Seq[(Int, Seq[Double])]]): Seq[Column] = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    // one literal node per subspace, not k×(codes+1) — the centsLit
+    // rationale; every value and its fold order are unchanged
     books.zipWithIndex.map { case (b, s) =>
       val bm = b.toMap
-      map(cents.flatMap { case (cid, c) =>
+      val table: Map[Int, Seq[Any]] = cents.map { case (cid, c) =>
         val cSub = c.slice(s * PqSubDim, (s + 1) * PqSubDim)
-        Seq(lit(cid), array((0 until PqCentroids).map { code =>
+        cid -> (0 until PqCentroids).map[Any] { code =>
           bm.get(code) match {
-            case Some(bc) => lit(cSub.zip(bc).foldLeft(0.0) {
-              case (a, (x, y)) => val t = x + y; a + t * t })
-            case None => lit(null).cast("double")
+            case Some(bc) => java.lang.Double.valueOf(
+              cSub.zip(bc).foldLeft(0.0) {
+                case (a, (x, y)) => val t = x + y; a + t * t })
+            case None => null
           }
-        }: _*))
-      }: _*)
+        }
+      }.toMap
+      ColumnBridge.column(Literal.create(table,
+        MapType(IntegerType, ArrayType(DoubleType, containsNull = true),
+          valueContainsNull = false)))
     }
+  }
 
   /** [[residReconNorm]] off the precomputed [[residNormTables]] —
     * the STORED-tier form: 8 two-level O(1) lookups + adds per coded
@@ -1766,10 +1795,14 @@ object Similarity {
     // pinned once: the book build's 1 + PqLloydIters jobs and the
     // codes projection would each re-run the probe + subtraction
     // lineage otherwise (~4 recomputations of k fused cosines/row)
-    val resid =
+    // fanned out BEFORE the checkpoint so the pinned partitions carry
+    // cluster-width parallelism into the book builds + the codes
+    // projection (4 subsequent passes; a checkpoint freezes its
+    // partitioning)
+    val resid = fanOut(
       (if (onResiduals) assigned.withColumn("rv",
         zip_with(col("v"), element_at(centMap, col("cell")), _ - _))
-      else assigned.withColumn("rv", col("v")))
+      else assigned.withColumn("rv", col("v"))))
         .localCheckpoint(true)
     val books = pqCodebooks(resid.select(col("vec_id"), col("rv").as("v")))
     val pqCols = (0 until PqSubspaces).map(s => col(s"pq$s"))
@@ -2708,9 +2741,26 @@ object Similarity {
     .map(r => r.getInt(0) -> r.getSeq[Double](1))
     .sortBy(_._1).toSeq
 
-  private def centsLit(cents: Seq[(Int, Seq[Double])]): Column =
-    array(cents.map { case (id, c) =>
-      struct(lit(id).as("c_id"), array(c.map(lit(_)): _*).as("c_emb")) }: _*)
+  /** The codebook as ONE literal node (round 16): the first spelling
+    * built array(struct(lit, array(lit…))) — k×(dim+1) expression
+    * nodes that every analyzer/optimizer rule batch re-walks on every
+    * plan embedding the tree (the PQ/IVF queries embed several per
+    * job across ~10–20 jobs; measured as a large share of their 2.5–
+    * 3.6s driver gaps). `Literal.create` yields exactly the constant
+    * ConstantFolding would have folded the tree into — same type,
+    * same values, bit-identical evaluation — at O(1) plan nodes.
+    */
+  private def centsLit(cents: Seq[(Int, Seq[Double])]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    ColumnBridge.column(Literal.create(
+      cents.map { case (id, c) => org.apache.spark.sql.Row(id, c) },
+      ArrayType(StructType(Seq(
+        StructField("c_id", IntegerType, nullable = false),
+        StructField("c_emb", ArrayType(DoubleType, containsNull = false),
+          nullable = false))), containsNull = false)))
+  }
 
   // Nearest-centroid argmax over the literal codebook (ties break
   // to the larger c_id, deterministically) — constant-folded, so
@@ -2799,8 +2849,32 @@ object Similarity {
     * [[means]]), so every consumer — q64's IVF probe, q92's semantic
     * dedup — is pin-stable.
     */
+  /** Round-robin fan-out of an under-partitioned relation before a
+    * multi-pass CPU-bound stage (k-means training, code assignment):
+    * the fixture's single-row-group parquet gives every scan exactly
+    * one task, so the Lloyd rounds and coded projections ran serially
+    * on one core regardless of session width. A NO-OP (no exchange)
+    * whenever the input already fills the cluster — at production
+    * scale scans arrive thousands-of-partitions wide and this never
+    * fires; when it does fire, the one shuffle it pays is over
+    * exactly the under-parallel relation the following passes
+    * re-scan. Results are unchanged: every consumer is order-free
+    * (decimal-sum means, per-row code assignment, grouped
+    * aggregates), and round-robin repartition is deterministic under
+    * retry (sortBeforeRepartition, on by default).
+    */
+  private[queries] def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   private[queries] def kmeansCodebook(emb: DataFrame, lloydIters: Int,
       k: Int): Seq[(Int, Seq[Double])] = {
+    // no fanOut here: the IVF assignment (k ≤ tens of fused cosines
+    // per row) is light enough that an extra exchange per Lloyd pass
+    // measured as a net LOSS on q64/q92 (+0.5s) — the fan-out pays
+    // only for the 64-code PQ folds (pqCodebooks' callers checkpoint
+    // a fanned relation once instead)
     val hashSeed = pmod(col("vec_id"), lit(k)).cast("int")
     val seedKey =
       if (emb.columns.contains("label"))
